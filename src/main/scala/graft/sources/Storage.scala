@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+import graft.model.Model
+
+/** Physical layout + write paths (SURVEY.md §2 A1-A3, A6-A8, A10-A12;
+  * reference /root/reference/src/One.Inception.EventStore.Cassandra/).
+  *
+  * Layout decisions, chosen for a 1000-executor / 100 TB deployment:
+  *
+  *  - events: parquet partitioned by `bucket` = pmod(xxhash64(id), nBuckets),
+  *    sorted within partitions by (id, rev, pos). This reproduces both
+  *    guarantees of the reference schema (CassandraEventStoreSchema.cs:15):
+  *    one aggregate's rows are co-located (single bucket) and stored in
+  *    clustering order. A per-aggregate read prunes to 1/nBuckets of the
+  *    data by directory, then to a handful of row groups via parquet
+  *    min/max on the sorted `id` — the Spark analogue of a single-partition
+  *    Cassandra read.
+  *  - index: parquet partitioned by (et, pid) — identical to the reference's
+  *    composite partition key ((et, pid)); a replay of one event type over a
+  *    day range touches exactly those directories.
+  *  - tenancy (KeyspacePerTenantKeyspace.cs:15-21, TablePerBoundedContext
+  *    .cs:14-17): a path prefix `{root}/{tenant}_{keyspace}/{table}` — the
+  *    same name-mangling, on directories instead of keyspaces.
+  *
+  * Appends are plain `mode(Append)` parquet jobs: one Spark write job is the
+  * atomicity unit, standing in for the reference's single-partition unlogged
+  * batch (CassandraEventStore.cs:67-70).
+  */
+object Storage {
+
+  val DefaultBuckets = 64
+
+  /** Tenant/keyspace -> path, mirroring KeyspacePerTenantKeyspace (48-char
+    * cap) + TablePerBoundedContext naming. */
+  def tablePath(root: String, tenant: String, keyspace: String, table: String): String = {
+    val ks = s"${tenant}_$keyspace".take(48)
+    s"$root/$ks/${table.toLowerCase}"
+  }
+
+  /** A10 schema bootstrap (CassandraEventStoreSchema.cs:37-100) — idempotent
+    * directory creation; parquet is schema-on-write so there is no DDL to
+    * run, we just ensure the roots exist. */
+  def createStorage(root: String, tenant: String, keyspace: String): Unit = {
+    Seq("events", "index_by_eventtype", "message_counter", "messages").foreach { t =>
+      new java.io.File(tablePath(root, tenant, keyspace, t)).mkdirs()
+    }
+  }
+
+  /** A11 `EventStoreDataWiper` (EventStoreDataWiper.cs:31-65): drop the
+    * tenant's keyspace, guarded by the same tenant-prefix check. */
+  def wipe(root: String, tenant: String, keyspace: String): Unit = {
+    val ks = s"${tenant}_$keyspace".take(48)
+    require(ks.startsWith(tenant), s"refusing to wipe non-tenant keyspace $ks")
+    val dir = new java.io.File(s"$root/$ks")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+  }
+
+  /** Events rows of one commit: private events at pos 0..n-1, public events
+    * at n-1+PublicEventsOffset+k (CassandraEventStore.cs:72-86). Input: one
+    * row per commit with array columns `events` / `publicEvents` of binary
+    * payloads, plus id, rev, ts. */
+  def commitToRows(commits: DataFrame): DataFrame = {
+    val n = size(col("events"))
+    val priv = commits.select(
+      col("id"), col("rev"), col("ts"),
+      posexplode(col("events")).as(Seq("pos", "data")))
+    val pub = commits
+      .filter(size(col("publicEvents")) > 0)
+      .select(
+        col("id"), col("rev"), col("ts"), n.as("n"),
+        posexplode(col("publicEvents")).as(Seq("k", "data")))
+      .select(
+        col("id"), col("rev"), col("ts"),
+        (col("n") - 1 + Model.PublicEventsOffset + col("k")).cast("int").as("pos"),
+        col("data"))
+    priv.select("id", "rev", "pos", "ts", "data")
+      .unionByName(pub.select("id", "rev", "pos", "ts", "data"))
+  }
+
+  /** A1/A2 append: bucket by aggregate id, sort within partitions by
+    * (id, rev, pos), append. */
+  def appendEvents(rows: DataFrame, path: String, nBuckets: Int = DefaultBuckets): Unit =
+    rows
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+
+  /** A6 index sink: derive + append partitioned by (et, pid). */
+  def appendIndex(indexRows: DataFrame, path: String): Unit =
+    indexRows
+      .repartition(col("et"), col("pid"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode(SaveMode.Append).partitionBy("et", "pid").parquet(path)
+
+  /** A8 message-store sink (CassandraMessageStore.cs:32-53): `date` is the
+    * day-truncated FileTime. */
+  def appendMessages(messages: DataFrame, path: String): Unit = {
+    val dayTicks = 864000000000L // 100ns ticks per day
+    messages
+      .withColumn("date", (TimeFns.ldiv(col("ts"), dayTicks) * dayTicks))
+      .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+  }
+
+  /** A5/A7 delete (CassandraEventStore.cs:126-146): batch-engine parity for
+    * a point delete is an anti-join of the log against a tombstone set —
+    * returns the surviving rows (the caller rewrites the affected
+    * partitions; on Delta this would be `DELETE WHERE`). */
+  def deleteEvents(events: DataFrame, tombstones: DataFrame): DataFrame =
+    events.join(
+      broadcast(tombstones.select(
+        col("id").as("t_id"), col("rev").as("t_rev"), col("pos").as("t_pos"))),
+      col("id") === col("t_id") && col("rev") === col("t_rev") && col("pos") === col("t_pos"),
+      "left_anti")
+
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

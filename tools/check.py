@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers the sfDir parquet tables as
+DuckDB views, runs each oracle SQL, and compares against the Spark result
+parquet written by graft.Verify: row count, column names (sorted), and
+per-value equality after sorting columns by name.
+"""
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            oracle = con.execute(sql).fetch_arrow_table().to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        try:
+            import glob
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            got = pq.read_table(files[0] if len(files) == 1 else f"{out_dir}/{name}").to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            failures += 1
+            continue
+        o = oracle.reindex(sorted(oracle.columns), axis=1)
+        g = got.reindex(sorted(got.columns), axis=1)
+        if list(o.columns) != list(g.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != oracle {list(o.columns)}")
+            failures += 1
+            continue
+        if len(o) != len(g):
+            print(f"FAIL {name}: rows {len(g)} != oracle {len(o)}")
+            failures += 1
+            continue
+        o = o.reset_index(drop=True)
+        g = g.reset_index(drop=True)
+        mismatch = None
+        for c in o.columns:
+            oc, gc = o[c], g[c]
+            eq = (oc.astype(object).where(pd.notnull(oc), None) ==
+                  gc.astype(object).where(pd.notnull(gc), None))
+            if not bool(eq.all()):
+                i = int((~eq).idxmax())
+                mismatch = f"col {c} row {i}: spark={gc.iloc[i]!r} oracle={oc.iloc[i]!r} (types {gc.dtype}/{oc.dtype})"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(o)} rows)")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
