@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TimeFns
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -197,9 +198,13 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
             .cast("decimal(38,4)").as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // exact decimal sum -> double, / count: engine-order-independent
+          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+            count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -211,8 +216,82 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_price"),
-          round(avg(col("o_totalprice")), 4).as("avg_price"))
+          (sum(col("o_totalprice").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_price"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- §G. training-data pipeline operators ------------------------
+    "g_dedup_exact" -> { (s, dir) => // exact dedup by content hash
+      DedupOps.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    },
+
+    "g_dedup_jaccard" -> { (s, dir) => // blocked exact token-set Jaccard
+      DedupOps.ngramJaccardPairs(Tables.documents(s, dir), blockWidth = 8, threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    "g_dedup_minhash" -> { (s, dir) => // MinHash-LSH near-dups (rows-only)
+      DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    "g_dedup_simhash" -> { (s, dir) => // SimHash near-dups (rows-only)
+      DedupOps.simHashNearDups(Tables.documents(s, dir), maxHamming = 16)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    "g_sim_topk" -> { (s, dir) => // exact cosine top-k vs vec_id=0
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      SimilarityOps.bruteForceTopK(e, q, 20)
+    },
+
+    "g_sim_ann" -> { (s, dir) => // LSH-bucketed approximate top-k (rows-only)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      SimilarityOps.lshTopK(e, q, 20, nPlanes = 4)
+    },
+
+    "g_text_stats" -> { (s, dir) => // corpus stats per (lang, source)
+      TextOps.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"), col("source"))
+    },
+
+    "g_token_counts" -> { (s, dir) => // per-doc token counting
+      TextOps.tokenCounts(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    "g_lang_id" -> { (s, dir) => // n-gram-heuristic language id
+      TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    "g_quality" -> { (s, dir) => // per-doc quality scoring
+      TextOps.qualityScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    "g_fingerprints" -> { (s, dir) => // md5 content fingerprint (oracle-able)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(lower(col("text"))).as("md5_norm"))
+        .orderBy(col("doc_id"))
+    },
+
+    "g_fingerprints_rolling" -> { (s, dir) => // xxhash-based fps (rows-only)
+      TextOps.fingerprints(Tables.documents(s, dir))
+        .select(col("doc_id"), col("rolling_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "g_multimodal_meta" -> { (s, dir) => // binary column metadata
+      MultimodalOps.mediaMeta(MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)))
+        .select(col("media_id"), col("byte_len"), col("content_md5"))
+        .orderBy(col("media_id"))
+    },
+
+    "g_multimodal_decode" -> { (s, dir) => // stubbed decode features (rows-only)
+      MultimodalOps.decodeStub(MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))
     },
   )
 
@@ -307,9 +386,9 @@ object SparkEntry {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
         |            AS DECIMAL(38,4)) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -318,8 +397,85 @@ object SparkEntry {
     "q_top_segments" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
-        |       round(avg(o_totalprice), 4) AS avg_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "g_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+
+    "g_dedup_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, floor(n_chars / 8) AS len_bucket,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       floor((len(list_intersect(a.toks, b.toks)) /
+        |             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) * 10000) / 10000 AS jaccard
+        |FROM base a JOIN base b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "g_sim_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
+        |FROM embeddings, q
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "g_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "g_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |       CAST(len(string_split_regex(text, '\s+')) +
+        |            length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_lang_id" ->
+      """SELECT doc_id, lang AS lang_label,
+        |       CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |                ['the','a','of','and','to','in','is'])) AS INT) AS en_stopword_hits,
+        |       floor((length(regexp_replace(text, '[^aeiou]', '', 'g')) /
+        |             CAST(length(text) AS DOUBLE)) * 10000) / 10000 AS vowel_ratio,
+        |       CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+        |                ['the','a','of','and','to','in','is'])) >= 2
+        |            THEN 'en' ELSE 'other' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_quality" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       floor((length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |             CAST(length(text) AS DOUBLE)) * 10000) / 10000 AS punct_ratio,
+        |       floor(least(greatest(
+        |         least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |         (len(list_distinct(string_split(text, ' '))) /
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |         (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |                CAST(length(text) AS DOUBLE)) * 0.2,
+        |         0.0), 1.0) * 10000) / 10000 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_fingerprints" ->
+      """SELECT doc_id, md5(lower(text)) AS md5_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |       md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (builder mandate §G): image/audio/video
+  * treated as opaque `binary` columns with typed metadata.
+  *
+  * The real pipeline shape at 100 TB:
+  *   binary parquet column -> repartition to decode-sized tasks ->
+  *   per-partition batched decode (vectorized UDF / mapPartitions) ->
+  *   feature columns.
+  *
+  * The decode itself is STUBBED (this container has no image/audio codecs):
+  * `decodeStub` derives deterministic pseudo-features from the raw bytes.
+  * Everything around it — schema, batch shape, partitioning, the
+  * mapPartitions seam where a JNI/codec call would sit — is real and
+  * tested. Swapping in a real decoder changes only the marked function.
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+  ))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("max_byte", IntegerType, nullable = false),
+    StructField("entropy_proxy", DoubleType, nullable = false),
+  ))
+
+  /** Make a media table out of the documents fixture: utf-8 bytes stand in
+    * for encoded frames. (Deterministic fake, clearly not a decoder.) */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/fake").as("media_type"),
+      to_binary(col("text"), lit("utf-8")).as("content"))
+
+  /** ======= STUB: replace with a real codec call. =======
+    * Deterministic per-blob pseudo-decode: byte-level stats standing in for
+    * decoded-frame features. Runs per partition so a real implementation
+    * can amortize codec init across the batch (the mapPartitions seam). */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      // a real decoder would initialize its codec context ONCE here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val n = bytes.length
+        val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
+        val mx = if (n == 0) 0 else bytes.map(_ & 0xFF).max
+        val distinct = bytes.map(_ & 0xFF).distinct.length
+        val entropyProxy = if (n == 0) 0.0 else distinct.toDouble / math.min(n, 256).toDouble
+        Row(id, n, mean, mx, entropyProxy)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Declarative metadata extraction (no decode): runs fully in codegen. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("media_type"),
+      octet_length(col("content")).as("byte_len"),
+      md5(col("content")).as("content_md5"))
+
+  /** Deterministic frame sampling stub: pick every `stride`-th chunk of
+    * `chunk` bytes — the partition/batch shape of real frame extraction. */
+  def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    val nChunks = greatest(
+      floor(octet_length(col("content")) / lit(chunk * stride)).cast("int"), lit(1))
+    media.select(
+      col("media_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), nChunks - 1),
+          i => col("content").substr((i * lit(chunk * stride) + 1).cast("int"), lit(chunk))))
+        .as(Seq("chunk_idx", "chunk_bytes")))
+  }
+}
