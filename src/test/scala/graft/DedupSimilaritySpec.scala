@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  def docsDf() = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog", 43L),
+    (2L, "en", "the quick brown fox jumps over the lazy dog", 43L),   // exact dup of 1
+    (3L, "en", "the quick brown fox leaps over the lazy dog", 43L),   // near dup of 1
+    (4L, "en", "completely different content about spark engines", 48L),
+    (5L, "de", "der schnelle braune fuchs springt ueber den hund", 48L),
+  ).toDF("doc_id", "lang", "text", "n_chars")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val got = DedupOps.exact(docsDf()).orderBy("keep_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH surfaces the exact pair as a candidate with jaccard 1.0") {
+    val got = DedupOps.minHashNearDups(docsDf(), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jaccard")))
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("blocked exact jaccard finds exact and near dup, skips cross-lang") {
+    val got = DedupOps.ngramJaccardPairs(docsDf(), blockWidth = 8, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSeq
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists { case (a, b) => b == 5L || a == 5L })
+  }
+
+  test("simhash near-dups: identical pair at hamming 0") {
+    val got = DedupOps.simHashNearDups(docsDf(), maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  def embDf() = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val got = SimilarityOps.bruteForceTopK(embDf(), Seq(1.0, 0.0, 0.0), k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id")).toSeq
+    assert(got == Seq(0L, 1L, 2L)) // 1.0, ~0.99, 0.0 (−1 excluded by k)
+  }
+
+  test("lsh top-k finds the query vector itself in its bucket") {
+    val got = SimilarityOps.lshTopK(embDf(), Seq(1.0, 0.0, 0.0), k = 4, nPlanes = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    assert(got.nonEmpty)
+    assert(got.head._2 == 1.0) // something colinear with the query leads
+  }
+
+  test("batchTopK returns k ranked neighbors per probe") {
+    val got = SimilarityOps.batchTopK(embDf(), embDf().filter(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSeq
+    assert(got == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("decodeStub emits deterministic byte features at the mapPartitions seam") {
+    val media = MultimodalOps.mediaFromDocuments(docsDf())
+    val f1 = MultimodalOps.decodeStub(media).orderBy("media_id").collect()
+    val f2 = MultimodalOps.decodeStub(media).orderBy("media_id").collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    assert(f1.length == 5)
+    val r = f1.head
+    assert(r.getAs[Int]("byte_len") == 43)
+    assert(r.getAs[Double]("mean_byte") > 0)
+  }
+
+  test("sampleChunks produces stride-spaced chunks of the binary column") {
+    val media = MultimodalOps.mediaFromDocuments(docsDf())
+    val chunks = MultimodalOps.sampleChunks(media, chunk = 8, stride = 2)
+    assert(chunks.count() > 0)
+    val first = chunks.filter(col("media_id") === 1L).orderBy("chunk_idx").head
+    assert(new String(first.getAs[Array[Byte]]("chunk_bytes")) == "the quic")
+  }
+}
