@@ -48,23 +48,58 @@ object DedupOps {
       threshold: Double = 0.7): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      TextFns.shingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", TextFns.minHashSignature(array_distinct(col("shingles")), nHashes))
-    // explode into (band, banded-signature-hash) keys
-    val banded = withSig.select(
-      col("id"), col("shingles"),
+    import org.apache.spark.sql.expressions.Window
+
+    // Signature construction never builds shingle strings: a shingle's
+    // minhash only needs a hash of its k consecutive tokens, so we hash
+    // (tok, lead(tok,1), .., lead(tok,k-1), seed) straight off a window —
+    // everything stays in whole-stage codegen. (The per-row
+    // transform/element_at/concat_ws formulation evaluates interpreted and
+    // dominated the runtime.) min() over the shingle multiset equals min()
+    // over the set, so no dedup is needed either.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val toks = base.select(col("id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val leads = (1 until shingleK).map(j => lead(col("t"), j).over(w).as(s"t$j"))
+    val tri = toks.select((col("id") +: col("t") +: leads): _*)
+      .filter(col(s"t${shingleK - 1}").isNotNull)
+    val shingleCols = col("t") +: (1 until shingleK).map(j => col(s"t$j"))
+    val sigLong = tri
+      .select(col("id") +: (0 until nHashes).map(i =>
+        xxhash64((shingleCols :+ lit(i)): _*).as(s"h$i")): _*)
+      .groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"), (1 until nHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    // docs shorter than k tokens fall back to one whole-text shingle,
+    // mirroring TextFns.shingles
+    val sigShort = base.filter(size(split(col("text"), " ")) < shingleK)
+      .select(col("id") +: (0 until nHashes).map(i =>
+        xxhash64(col("text"), lit(i)).as(s"m$i")): _*)
+    // the signature table feeds both sides of the band self-join: persist
+    // the 16-longs-per-doc result (at cluster scale: checkpoint/write it)
+    val sig = sigLong.unionByName(sigShort)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64((lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))): _*)
+        xxhash64((lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}"))): _*)
       }: _*)).as(Seq("band", "bandsig")))
-    val left = banded.select(col("band"), col("bandsig"), col("id").as("id1"), col("shingles").as("sh1"))
-    val right = banded.select(col("band"), col("bandsig"), col("id").as("id2"), col("shingles").as("sh2"))
-    val candidates = left.join(right,
-        Seq("band", "bandsig")).filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2").distinct()
+    val candidates = banded.select(col("band"), col("bandsig"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("bandsig"), col("id").as("id2")), Seq("band", "bandsig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-Jaccard rescore: shingle STRINGS are built only for candidate
+    // docs — semi-join first, project after, so the expensive projection
+    // runs over |candidates| docs, not the corpus
+    def candidateShingles(side: String): DataFrame =
+      docs.join(broadcast(candidates.select(col(side).as("cid")).distinct()),
+          col(idCol) === col("cid"), "left_semi")
+        .select(col(idCol).as(side),
+          array_distinct(TextFns.shingles(col(textCol), shingleK)).as(s"toks_$side"))
     candidates
-      .withColumn("jaccard", jaccardArrays(array_distinct(col("sh1")), array_distinct(col("sh2"))))
+      .join(candidateShingles("id1"), Seq("id1"))
+      .join(candidateShingles("id2"), Seq("id2"))
+      .withColumn("jaccard", jaccardArrays(col("toks_id1"), col("toks_id2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
   }
@@ -79,7 +114,9 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val withFp = docs.select(col(idCol).as("id"), TextFns.simHash(TextFns.tokens(col(textCol))).as("fp"))
+    // fingerprints feed both sides of the block self-join: compute once
+    val withFp = simHashFingerprints(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = withFp.select(
       col("id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
@@ -90,6 +127,30 @@ object DedupOps {
       .select(col("id1"), col("id2"), TextFns.hamming64(col("fp1"), col("fp2")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash fingerprints in explode + 64-sum hash-aggregate form (same
+    * semantics as TextFns.simHash — majority vote per bit over the token
+    * multiset — but stays in codegen instead of interpreted per-row
+    * aggregate() lambdas). */
+  def simHashFingerprints(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = hashed.groupBy(col("id")).agg(
+      sum(when(col("h").bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v0"),
+      (1 until 64).map { bit =>
+        sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$bit")
+      }: _*)
+    votes.select(
+      col("id"),
+      (0 until 64).map(bit =>
+        when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("fp"))
   }
 
   /** Exact n-gram (token) Jaccard within deterministic blocks — the
@@ -103,6 +164,7 @@ object DedupOps {
       col("doc_id"), col("lang"),
       floor(col("n_chars") / blockWidth).as("len_bucket"),
       TextFns.tokenSet(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id1"), col("toks").as("t1"))
     val b = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id2"), col("toks").as("t2"))
     a.join(b, Seq("lang", "len_bucket")).filter(col("id1") < col("id2"))
