@@ -37,10 +37,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir)
-    val idx = ev.select(
-      col("event_type").as("et"), col("pid").as("i_pid"),
-      col("user_id").as("aid"), col("event_id").as("eid"), col("ts_us").as("i_ts"))
-      .filter(col("et") === "purchase" && col("i_ts").between(T10, T20))
+    val idx = ev
+      .filter(col("event_type") === "purchase" && Tables.tsUsBetween(T10, T20))
+      .select(col("user_id").as("aid"), col("event_id").as("eid"))
     ev.join(broadcast(idx), col("user_id") === col("aid") && col("event_id") === col("eid"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"), min("ts_us").as("first_us"))
@@ -84,7 +83,7 @@ object SparkEntry {
 
     "q_ts_range" -> { (s, dir) => // B5/E2: inclusive time-range full scan
       Tables.events(s, dir)
-        .filter(col("ts_us").between(T10, T20))
+        .filter(Tables.tsUsBetween(T10, T20))
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
         .orderBy(col("event_id"))
     },
@@ -99,18 +98,18 @@ object SparkEntry {
 
     "q_index_range" -> { (s, dir) => // E4: day-pruned index range read
       Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("pid").between(2024010, 2024020) &&
+          Tables.tsUsBetween(T10, T20))
         .select(col("event_type").as("et"), col("pid"),
           col("user_id").as("aid"), col("event_id").as("eid"), col("ts_us"))
-        .filter(col("et") === "purchase" &&
-          col("pid").between(2024010, 2024020) &&
-          col("ts_us").between(T10, T20))
         .orderBy(col("ts_us"), col("eid"))
     },
 
     "q_index_join" -> { (s, dir) => // C1: index -> events equi-join
       val ev = Tables.events(s, dir)
       val idx = ev
-        .filter(col("event_type") === "purchase" && col("ts_us").between(T10, T20))
+        .filter(col("event_type") === "purchase" && Tables.tsUsBetween(T10, T20))
         .select(col("user_id").as("aid"), col("event_id").as("eid"))
       ev.join(broadcast(idx),
           col("user_id") === col("aid") && col("event_id") === col("eid"))
@@ -121,7 +120,7 @@ object SparkEntry {
     "q_semi_join" -> { (s, dir) => // C2: whole aggregates touched by a type
       val ev = Tables.events(s, dir)
       val touched = ev
-        .filter(col("event_type") === "error" && col("ts_us").between(T10, T20))
+        .filter(col("event_type") === "error" && Tables.tsUsBetween(T10, T20))
         .select(col("user_id").as("aid")).distinct()
       ev.join(broadcast(touched), col("user_id") === col("aid"), "left_semi")
         .groupBy(col("user_id"))

@@ -29,6 +29,15 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Inclusive micros-range predicate expressed on the RAW ts_ns column.
+    * A filter on the derived ts_us (a cast/divide chain) only pushes
+    * IsNotNull into the parquet scan; the equivalent nano bounds
+    * [lo*1000, hi*1000+999] push as a plain long range and enable
+    * row-group min/max skipping — the difference between a pruned read and
+    * a full scan at 100 TB. */
+  def tsUsBetween(loUs: Long, hiUs: Long) =
+    col("ts_ns").between(loUs * 1000L, hiUs * 1000L + 999L)
+
   /** events with derived time columns:
     * ts_ns (epoch nanos long), ts_us (epoch micros long),
     * ts_t (TimestampType, micros), pid (year*1000+dayOfYear). */
