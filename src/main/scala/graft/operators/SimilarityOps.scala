@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{NumFns, VectorFns}
+import graft.plans.GraftFunctions
 
 /** Similarity search over an embedding column (builder mandate §G).
   *
@@ -31,11 +32,12 @@ object SimilarityOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val q = array(queryVec.map(lit): _*)
     embeddings
       .select(
         col(idCol),
-        NumFns.floorAt(VectorFns.cosine(VectorFns.toDouble(col(vecCol)), q), roundTo).as("sim"))
+        NumFns.floorAt(GraftFunctions.cosine(VectorFns.toDouble(col(vecCol)), q), roundTo).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -50,6 +52,7 @@ object SimilarityOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val q = array(queryVec.map(lit): _*)
     val bucketed = withLshBucket(embeddings, nPlanes, vecCol)
     val queryBucket = bucketed.sparkSession.range(1)
@@ -58,7 +61,7 @@ object SimilarityOps {
       .join(broadcast(queryBucket), col("lsh_bucket") === col("qb"), "left_semi")
       .select(
         col(idCol),
-        NumFns.floorAt(VectorFns.cosine(VectorFns.toDouble(col(vecCol)), q), roundTo).as("sim"))
+        NumFns.floorAt(GraftFunctions.cosine(VectorFns.toDouble(col(vecCol)), q), roundTo).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -75,12 +78,13 @@ object SimilarityOps {
       nPlanes: Int = 6,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val b = withLshBucket(embeddings, nPlanes, vecCol)
       .select(col("lsh_bucket"), col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
     val l = b.select(col("lsh_bucket"), col("id").as("id1"), col("v").as("v1"))
     val r = b.select(col("lsh_bucket"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("lsh_bucket")).filter(col("id1") < col("id2"))
-      .withColumn("sim", NumFns.floorAt(VectorFns.cosine(col("v1"), col("v2")), 4))
+      .withColumn("sim", NumFns.floorAt(GraftFunctions.cosine(col("v1"), col("v2")), 4))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }
@@ -88,11 +92,12 @@ object SimilarityOps {
   /** Exact pairwise top-k per probe id for a small probe set (broadcast
     * nested-loop scoring — the "many queries at once" path). */
   def batchTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
     val p = probes.select(col("vec_id").as("probe_id"), VectorFns.toDouble(col("embedding")).as("pv"))
     import org.apache.spark.sql.expressions.Window
     e.join(broadcast(p), col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", NumFns.floorAt(VectorFns.cosine(col("v"), col("pv")), 4))
+      .withColumn("sim", NumFns.floorAt(GraftFunctions.cosine(col("v"), col("pv")), 4))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rank") <= k)

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Fused cosine similarity over two `array<double>` columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * The built-in formulation (`aggregate(zip_with(a,b,*), ...)` three times
+  * over for dot and both norms) materializes an intermediate array and
+  * evaluates its lambdas interpreted per element; this expression is one
+  * fused loop over the two ArrayData buffers, no allocation, no virtual
+  * calls. Same floating-point operation order as the built-in version
+  * (sequential left-to-right adds, `dot / (sqrt(na) * sqrt(nb))`), so
+  * results are bit-identical and oracle parity is preserved.
+  *
+  * This is tier (b) of the custom-operator preference order (SURVEY.md §4):
+  * a scalar Expression, not a new plan node — similarity search composes it
+  * with ordinary filter/sort/limit operators.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are normalized to array<double> by the GraftFunctions builder
+  // (Catalyst's AbstractDataType / ImplicitCastInputTypes machinery is
+  // private[sql], so casting happens at construction instead)
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = $a.getDouble(i);
+         |  double y = $b.getDouble(i);
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration of graft's native expressions — works on any
+  * session, including driver-created ones (no SparkSessionExtensions
+  * wiring needed at session-build time). */
+object GraftFunctions {
+
+  val CosineName = "graft_cosine"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(CosineName))) {
+      registry.registerFunction(
+        FunctionIdentifier(CosineName),
+        new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, CosineName),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$CosineName expects 2 arguments")
+          val Seq(a, b) = children.map(c => Cast(c, ArrayType(DoubleType)))
+          CosineSimilarity(a, b)
+        })
+    }
+  }
+
+  /** Column-level handle (register(spark) must have run on the session
+    * executing the plan). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(CosineName, a, b)
+}

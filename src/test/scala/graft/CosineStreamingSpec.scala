@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.{TimeFns, VectorFns}
+import graft.plans.GraftFunctions
+import graft.streaming.StreamingOps
+
+class CosineStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native graft_cosine is bit-identical to the built-in formulation") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0, -4.0), Seq(0.5, -2.5, 3.0, 4.0)),
+      (Seq(0.001, 1e9, -1e-9, 42.0), Seq(7.0, 1e-9, 1e9, -42.0)),
+    ).toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.cosine(col("a"), col("b")).as("fast"),
+      VectorFns.cosine(col("a"), col("b")).as("ref")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_cosine accepts float arrays through implicit casts") {
+    GraftFunctions.register(spark)
+    val one = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(one == 1.0)
+  }
+
+  test("graft_cosine is null-safe") {
+    GraftFunctions.register(spark)
+    val r = Seq((Seq(1.0), null.asInstanceOf[Seq[Double]])).toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b"))).head
+    assert(r.isNullAt(0))
+  }
+
+  test("streaming liveCounters fold new files incrementally (update mode)") {
+    val dir = tmpDir()
+    val mk = (ids: Seq[(Long, String)]) => ids.toDF("rev", "et")
+      .withColumn("id", lit("agg".getBytes))
+      .withColumn("pos", lit(0))
+      .withColumn("ts", lit(TimeFns.FileTimeEpochTicks))
+      .withColumn("data", lit(Array.emptyByteArray))
+    val schema = mk(Seq((1L, "click"))).schema
+    mk(Seq((1L, "click"), (2L, "click"), (3L, "view")))
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = StreamingOps.streamEvents(spark, s"$dir/in", schema)
+    val q = StreamingOps.toMemorySink(
+        StreamingOps.liveCounters(stream), "live_counters", OutputMode.Complete())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val c1 = spark.table("live_counters").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(c1 == Map("click" -> 2L, "view" -> 1L))
+      // second file lands -> counters advance incrementally
+      mk(Seq((4L, "click"))).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val c2 = spark.table("live_counters").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(c2 == Map("click" -> 3L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dailyTypeCounts buckets by pid with watermark") {
+    val dir = tmpDir()
+    val rows = Seq(
+      ("2024-01-10 01:00:00", "click"),
+      ("2024-01-10 02:00:00", "click"),
+      ("2024-01-11 01:00:00", "view"))
+      .toDF("t", "et")
+      .select(to_timestamp(col("t")).as("ts_t"), col("et"))
+    rows.write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.schema).parquet(s"$dir/in")
+    val q = StreamingOps.toMemorySink(
+        StreamingOps.dailyTypeCounts(stream), "daily_counts", OutputMode.Complete())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("daily_counts").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((2024010, "click", 2L), (2024011, "view", 1L)))
+    } finally q.stop()
+  }
+}
