@@ -107,6 +107,57 @@ object EventStoreOps {
         sort_array(collect_list(struct(col("rev"), col("pos"), col("ts"), col("data")))).as("stream"),
         count(lit(1)).as("n_events"))
 
+  /** E3 locality-based variant of aggregateStreams, mirroring the
+    * reference's actual algorithm (CassandraEventStore.cs:336-391): rows
+    * arrive clustered by aggregate and ordered (rev, pos); consecutive
+    * runs of one id become one stream. Here the clustering is established
+    * by repartition + sortWithinPartitions, then a single mapPartitions
+    * pass groups runs with O(one aggregate) memory — the 100 TB escape
+    * hatch when collect_list per key would not fit (SURVEY.md §7 risk 5). */
+  def aggregateStreamsSorted(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = events.sparkSession
+    val streamElem = StructType(Seq(
+      StructField("rev", IntegerType), StructField("pos", IntegerType),
+      StructField("ts", LongType), StructField("data", BinaryType)))
+    val outSchema = StructType(Seq(
+      StructField("id", BinaryType),
+      StructField("stream", ArrayType(streamElem)),
+      StructField("n_events", LongType)))
+    val sorted = events.select("id", "rev", "pos", "ts", "data")
+      .repartition(col("id"))
+      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+    val rdd = sorted.rdd.mapPartitions { rows =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private val it = rows.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val id = it.head.getAs[Array[Byte]]("id")
+          val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          while (it.hasNext && java.util.Arrays.equals(it.head.getAs[Array[Byte]]("id"), id)) {
+            val r = it.next()
+            buf += org.apache.spark.sql.Row(
+              r.getAs[Int]("rev"), r.getAs[Int]("pos"), r.getAs[Long]("ts"),
+              r.getAs[Array[Byte]]("data"))
+          }
+          org.apache.spark.sql.Row(id, buf.toSeq, buf.size.toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** E5 PlayerOperator fan-out (CassandraEventStore.cs:283-334): the
+    * reference pushes per-event / per-aggregate callbacks with bounded
+    * client concurrency; in Spark the executor pool IS the concurrency and
+    * foreachPartition is the side-effect seam. Prefer composing
+    * transformations; this exists for replay-into-external-system parity
+    * (the migrator's use case, Migrations/MigrateEventStore.cs:51-88). */
+  def replayForeach(events: DataFrame)(onEvent: org.apache.spark.sql.Row => Unit): Unit =
+    events.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.foreach(onEvent)
+    }
+
   /** C1 index->events lookup join (CassandraEventStore.cs:278-334): the
     * reference issues one network round-trip per index record; here it is a
     * single equi-join. The index side is day+type pruned and therefore

@@ -49,12 +49,18 @@ object Storage {
     }
   }
 
-  /** A11 `EventStoreDataWiper` (EventStoreDataWiper.cs:31-65): drop the
-    * tenant's keyspace, guarded by the same tenant-prefix check. */
-  def wipe(root: String, tenant: String, keyspace: String): Unit = {
-    val ks = s"${tenant}_$keyspace".take(48)
-    require(ks.startsWith(tenant), s"refusing to wipe non-tenant keyspace $ks")
-    val dir = new java.io.File(s"$root/$ks")
+  /** Resolved keyspace directory name for (tenant, keyspace). */
+  def keyspaceDir(tenant: String, keyspace: String): String =
+    s"${tenant}_$keyspace".take(48)
+
+  /** A11 `EventStoreDataWiper` (EventStoreDataWiper.cs:31-65): drop a
+    * keyspace directory, guarded like the reference — the (possibly
+    * externally supplied) keyspace name must belong to the calling tenant,
+    * so one tenant cannot wipe another's data. */
+  def wipe(root: String, tenant: String, resolvedKeyspace: String): Unit = {
+    require(resolvedKeyspace.startsWith(s"${tenant}_"),
+      s"refusing to wipe keyspace '$resolvedKeyspace' not owned by tenant '$tenant'")
+    val dir = new java.io.File(s"$root/$resolvedKeyspace")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
