@@ -126,6 +126,15 @@ object Storage {
       col("id") === col("t_id") && col("rev") === col("t_rev") && col("pos") === col("t_pos"),
       "left_anti")
 
+  /** A7 index delete (IndexByEventTypeStore.cs:63-83): anti-join on the
+    * full primary key (et, pid, ts, aid, rev, pos). */
+  def deleteIndexRecords(index: DataFrame, tombstones: DataFrame): DataFrame = {
+    val keys = Seq("et", "pid", "ts", "aid", "rev", "pos")
+    val t = tombstones.select(keys.map(k => col(k).as(s"t_$k")): _*)
+    index.join(broadcast(t),
+      keys.map(k => col(k) === col(s"t_$k")).reduce(_ && _), "left_anti")
+  }
+
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }

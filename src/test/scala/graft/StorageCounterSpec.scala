@@ -53,6 +53,18 @@ class StorageCounterSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/tenant1_ks").exists())
   }
 
+  test("index-record delete anti-joins on the full primary key") {
+    val idx = Seq(
+      ("click", 2024001, "a".getBytes, 1, 0, 100L),
+      ("click", 2024001, "a".getBytes, 2, 0, 200L),
+      ("view", 2024002, "b".getBytes, 1, 0, 300L))
+      .toDF("et", "pid", "aid", "rev", "pos", "ts")
+    val tomb = idx.filter(col("rev") === 2)
+    val left = Storage.deleteIndexRecords(idx, tomb)
+    assert(left.count() == 2)
+    assert(left.filter(col("rev") === 2).count() == 0)
+  }
+
   test("aggregateStreamsSorted matches the collect_list formulation") {
     val rows = Seq(
       ("a".getBytes, 1, 0, 10L, "x".getBytes),
