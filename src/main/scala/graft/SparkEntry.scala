@@ -220,7 +220,81 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- Analytics breadth: windows, sessions, star joins ------------
+    "q3_top_orders" -> { (s, dir) => // 3-way star join + top-k by revenue
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp_ntz"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    "q_sessionize" -> { (s, dir) => // gap-based sessionization (6h windows)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 21600000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"),
+          (max("ts_us") - min("ts_us")).as("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    "q_top2_per_user" -> { (s, dir) => // windowed top-k per aggregate
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rn"))
+    },
+
+    "q_running_value" -> { (s, dir) => // cumulative per-aggregate fold
+      import org.apache.spark.sql.expressions.Window
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(col("value").cast("decimal(12,2)")).over(cum)
+            .cast("decimal(38,2)").as("running_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
+    "q_brand_volume" -> { (s, dir) => // part x lineitem x supplier rollup
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("p_brand"))
+    },
+
     // ---- §G. training-data pipeline operators ------------------------
+    "g_embed_neardup" -> { (s, dir) => // cosine near-dups in LSH buckets (rows-only)
+      SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.9, nPlanes = 4)
+        .orderBy(col("id1"), col("id2"))
+    },
     "g_dedup_exact" -> { (s, dir) => // exact dedup by content hash
       DedupOps.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
     },
@@ -399,6 +473,62 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |            AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000 THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_top2_per_user" ->
+      """SELECT user_id, rn, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events) t
+        |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin,
+
+    "q_running_value" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2)))
+        |            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(38,2)) AS running_value
+        |FROM events WHERE user_id < 3
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_brand_volume" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       count(*) AS n_lines,
+        |       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "g_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
