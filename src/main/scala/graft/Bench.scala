@@ -34,8 +34,12 @@ object Bench {
       try run(name) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // release intermediates persisted inside operators (LSH signature
-      // tables etc.) so they don't tax the next query's measurement
+      // tables etc.) and let eviction + GC settle OUTSIDE the next query's
+      // measurement window — without this the query following a heavy one
+      // absorbs multi-second cache-cleanup noise
       spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -79,8 +79,10 @@ object SimilarityOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
+    // bucket assignment feeds both sides of the self-join: compute once
     val b = withLshBucket(embeddings, nPlanes, vecCol)
       .select(col("lsh_bucket"), col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("lsh_bucket"), col("id").as("id1"), col("v").as("v1"))
     val r = b.select(col("lsh_bucket"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("lsh_bucket")).filter(col("id1") < col("id2"))
