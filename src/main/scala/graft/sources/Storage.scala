@@ -126,6 +126,25 @@ object Storage {
       col("id") === col("t_id") && col("rev") === col("t_rev") && col("pos") === col("t_pos"),
       "left_anti")
 
+  /** Pruned per-aggregate read against the bucketed layout — the Spark
+    * analogue of Cassandra routing a single-partition read by token
+    * (CassandraEventStore.cs:362-365). The bucket for the id is computed
+    * with the same xxhash64 expression the writer used, so the scan prunes
+    * to one bucket directory (1/nBuckets of the files) before the sorted
+    * `id` min/max skips row groups inside it. */
+  def readAggregate(
+      spark: SparkSession,
+      path: String,
+      aggregateId: Array[Byte],
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(lit(aggregateId)), lit(nBuckets)).cast("int"))
+      .head.getInt(0)
+    spark.read.parquet(path)
+      .filter(col("bucket") === bucket && col("id") === lit(aggregateId))
+      .orderBy(col("rev"), col("pos"))
+  }
+
   /** A7 index delete (IndexByEventTypeStore.cs:63-83): anti-join on the
     * full primary key (et, pid, ts, aid, rev, pos). */
   def deleteIndexRecords(index: DataFrame, tombstones: DataFrame): DataFrame = {

@@ -53,6 +53,30 @@ class StorageCounterSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/tenant1_ks").exists())
   }
 
+  test("readAggregate prunes to one bucket directory and matches a full scan") {
+    val dir = tmpDir()
+    val rows = (1 to 50).flatMap { a =>
+      (1 to 4).map(r => (s"agg-$a".getBytes, r, 0, 1000L + r, s"e$r".getBytes))
+    }.toDF("id", "rev", "pos", "ts", "data")
+    Storage.appendEvents(rows, s"$dir/events", nBuckets = 8)
+    val got = Storage.readAggregate(spark, s"$dir/events", "agg-7".getBytes, nBuckets = 8)
+    // correctness: same rows as an unpruned filter, in clustering order
+    assert(got.collect().map(_.getAs[Int]("rev")).toSeq == Seq(1, 2, 3, 4))
+    // pruning: the physical plan carries a bucket partition filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+    // and the scan reads exactly one of the 8 bucket directories
+    // (input_file_name must be read at the scan, before the sort exchange)
+    val allDirs = new java.io.File(s"$dir/events").listFiles().count(_.getName.startsWith("bucket="))
+    assert(allDirs == 8)
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(lit("agg-7".getBytes)), lit(8)).cast("int")).head.getInt(0)
+    val read = spark.read.parquet(s"$dir/events")
+      .filter(col("bucket") === bucket && col("id") === lit("agg-7".getBytes))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(read.nonEmpty && read.forall(_.contains(s"bucket=$bucket")))
+  }
+
   test("index-record delete anti-joins on the full primary key") {
     val idx = Seq(
       ("click", 2024001, "a".getBytes, 1, 0, 100L),
