@@ -328,6 +328,14 @@ object SparkEntry {
       SimilarityOps.lshTopK(e, q, 20, nPlanes = 4)
     },
 
+    "g_sim_ivf" -> { (s, dir) => // IVF-cell approximate top-k (rows-only)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
+      SimilarityOps.ivfTopK(e, centroids, q, 20, nProbe = 4)
+    },
+
     "g_text_stats" -> { (s, dir) => // corpus stats per (lang, source)
       TextOps.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"), col("source"))
     },

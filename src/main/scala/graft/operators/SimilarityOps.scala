@@ -91,6 +91,84 @@ object SimilarityOps {
       .select("id1", "id2", "sim")
   }
 
+  /** IVF centroids: deterministic hash-spread seeding + `nIters` Lloyd
+    * steps, all in DataFrame ops (assign = broadcast cross join + windowed
+    * argmin; update = per-dimension average via posexplode). k is small
+    * (hundreds at most), so centroids always broadcast; the corpus is never
+    * collected or re-shuffled beyond the per-dimension aggregation. */
+  def ivfCentroids(
+      embeddings: DataFrame,
+      k: Int,
+      nIters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    // hash-spread deterministic seeds (no RNG: stable across runs/executors)
+    var centroids = vecs
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(k)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(xxhash64(col("id").cast("string")), col("id")))
+        .as("cid"), col("v").as("centroid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (0 until nIters).foreach { _ =>
+      val assigned = assignCells(vecs, centroids)
+      val next = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+        .select(col("cell").as("cid"), col("centroid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous generation
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (cosine argmax). */
+  def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("csim", GraftFunctions.cosine(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: rank centroids against the query, scan only the nProbe
+    * nearest cells. At 100 TB the assigned table is written partitioned by
+    * `cell`, so the probe is directory-level partition pruning. */
+  def ivfTopK(
+      embeddings: DataFrame,
+      centroids: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val q = array(queryVec.map(lit): _*)
+    val probeCells = centroids
+      .select(col("cid"), GraftFunctions.cosine(col("centroid"), q).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    assignCells(vecs, centroids)
+      .join(broadcast(probeCells), col("cell") === col("cid"), "left_semi")
+      .select(col("id").as(idCol),
+        NumFns.floorAt(GraftFunctions.cosine(col("v"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact pairwise top-k per probe id for a small probe set (broadcast
     * nested-loop scoring — the "many queries at once" path). */
   def batchTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {

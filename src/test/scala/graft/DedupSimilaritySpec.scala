@@ -66,6 +66,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 1), (2L, 2)))
   }
 
+  test("IVF: Lloyd iterations separate orthogonal clusters; probe finds the cluster") {
+    // three tight clusters around orthogonal axes
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f)
+      base(axis) = 1.0f
+      base((axis + 1) % 3) = 0.01f * (i / 3) // slight within-cluster spread
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(vecs, k = 3, nIters = 3)
+    assert(centroids.count() == 3)
+    // probing with an axis-0 query returns only axis-0 cluster members in top-5
+    val got = SimilarityOps.ivfTopK(vecs, centroids, Seq(1.0, 0.0, 0.0), k = 5, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got.length == 5)
+    assert(got.forall(_ % 3 == 0), s"expected axis-0 cluster, got ${got.toSeq}")
+    // and matches brute force over the same metric
+    val brute = SimilarityOps.bruteForceTopK(vecs, Seq(1.0, 0.0, 0.0), k = 5)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got.toSet == brute.toSet)
+  }
+
   test("decodeStub emits deterministic byte features at the mapPartitions seam") {
     val media = MultimodalOps.mediaFromDocuments(docsDf())
     val f1 = MultimodalOps.decodeStub(media).orderBy("media_id").collect()
