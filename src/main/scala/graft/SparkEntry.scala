@@ -220,6 +220,29 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- Canonical event-log API (binary id / rev / pos / FileTime) --
+    // These route through Tables.eventLog + the EventStoreOps/IndexOps
+    // operators, proving the canonical-schema library path against the
+    // oracle (not just the raw-column queries above).
+    "q_canon_load" -> { (s, dir) => // B1 through the canonical API
+      val log = Tables.eventLog(s, dir)
+      graft.operators.EventStoreOps.loadAggregateEvents(log, lit(7L))
+        .select(col("rev"), col("pos"),
+          TimeFns.fileTimeToMicros(col("ts")).as("ts_us"), col("data"))
+        .orderBy(col("rev"), col("pos"))
+    },
+
+    "q_canon_index_range" -> { (s, dir) => // E4 through the canonical API
+      val idx = graft.operators.IndexOps.buildIndex(Tables.eventLog(s, dir))
+      graft.operators.IndexOps.readRange(
+          idx, "purchase",
+          TimeFns.FileTimeEpochTicks + T10 * 10L,
+          TimeFns.FileTimeEpochTicks + T20 * 10L)
+        .select(col("et"), col("pid"), col("aid"), col("rev"),
+          TimeFns.fileTimeToMicros(col("ts")).as("ts_us"))
+        .orderBy(col("ts_us"), col("rev"))
+    },
+
     // ---- Analytics breadth: windows, sessions, star joins ------------
     "q3_top_orders" -> { (s, dir) => // 3-way star join + top-k by revenue
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -481,6 +504,18 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_canon_load" ->
+      """SELECT CAST(event_id AS INT) AS rev, 0 AS pos, epoch_us(ts) AS ts_us,
+        |       props AS data
+        |FROM events WHERE user_id = 7 ORDER BY rev, pos""".stripMargin,
+
+    "q_canon_index_range" ->
+      s"""SELECT event_type AS et, CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid,
+         |       user_id AS aid, CAST(event_id AS INT) AS rev, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE event_type = 'purchase' AND ts BETWEEN $SqlT10 AND $SqlT20
+         |ORDER BY ts_us, rev""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderdate,

@@ -71,17 +71,21 @@ object GraftFunctions {
 
   val CosineName = "graft_cosine"
 
+  /** (identifier, info, builder) triple — consumable both by
+    * SparkSessionExtensions.injectFunction and by direct registry calls. */
+  val cosineDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(CosineName),
+    new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, CosineName),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, s"$CosineName expects 2 arguments")
+      val Seq(a, b) = children.map(c => Cast(c, ArrayType(DoubleType)))
+      CosineSimilarity(a, b)
+    })
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(CosineName))) {
-      registry.registerFunction(
-        FunctionIdentifier(CosineName),
-        new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, CosineName),
-        (children: Seq[Expression]) => {
-          require(children.length == 2, s"$CosineName expects 2 arguments")
-          val Seq(a, b) = children.map(c => Cast(c, ArrayType(DoubleType)))
-          CosineSimilarity(a, b)
-        })
+    if (!registry.functionExists(cosineDescription._1)) {
+      registry.registerFunction(cosineDescription._1, cosineDescription._2, cosineDescription._3)
     }
   }
 
