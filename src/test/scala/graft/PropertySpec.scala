@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.TimeFns
+import graft.operators.{CommitAggregator, EventStoreOps, PagingToken}
+import graft.sources.Storage
+
+/** The ScalaCheck properties promised in SURVEY.md §5: append∘load =
+  * identity, reassembly invariance, calendar-exact pid math, token codec. */
+class PropertySpec extends SparkSpec {
+
+  private def checkProp(p: Prop, minSuccessful: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: nextPid matches real calendar arithmetic for any date") {
+    val dates = Gen.choose(0L, 365L * 200).map(java.time.LocalDate.ofEpochDay)
+    checkProp(Prop.forAll(dates) { d =>
+      TimeFns.nextPidOf(TimeFns.pidOf(d)) == TimeFns.pidOf(d.plusDays(1))
+    })
+  }
+
+  test("property: paging token codec round-trips any (rev, pos, hasMore)") {
+    checkProp(Prop.forAll { (rev: Int, pos: Int, more: Boolean) =>
+      val t = PagingToken.Token(rev, pos, more)
+      PagingToken.decode(PagingToken.encode(t)).contains(t)
+    })
+  }
+
+  val commitsGen: Gen[Seq[(String, Int, Long, Seq[String], Seq[String])]] = for {
+    nAggs <- Gen.choose(1, 4)
+    commits <- Gen.sequence[Seq[(String, Int, Long, Seq[String], Seq[String])], (String, Int, Long, Seq[String], Seq[String])](
+      (0 until nAggs).flatMap { a =>
+        (1 to 1 + a % 3).map { rev =>
+          for {
+            nPriv <- Gen.choose(1, 3)
+            nPub <- Gen.choose(0, 2)
+          } yield (s"agg-$a", rev, 1000L * rev,
+            (0 until nPriv).map(i => s"p$i"),
+            (0 until nPub).map(i => s"pub$i"))
+        }
+      })
+  } yield commits
+
+  test("property: commitToRows then reassembleCommits is the identity on commits") {
+    val schema = StructType(Seq(
+      StructField("id", BinaryType), StructField("rev", IntegerType),
+      StructField("ts", LongType),
+      StructField("events", ArrayType(BinaryType)),
+      StructField("publicEvents", ArrayType(BinaryType))))
+    checkProp(Prop.forAllNoShrink(commitsGen) { commits =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(commits.map { case (id, rev, ts, evs, pubs) =>
+          Row(id.getBytes, rev, ts, evs.map(_.getBytes), pubs.map(_.getBytes))
+        }),
+        schema)
+      val back = EventStoreOps.reassembleCommits(Storage.commitToRows(df)).collect()
+      val got = back.map { r =>
+        (new String(r.getAs[Array[Byte]]("id")), r.getAs[Int]("rev"), r.getAs[Long]("ts"),
+          r.getSeq[Row](r.fieldIndex("events")).map(e => new String(e.getAs[Array[Byte]]("data"))).toSeq,
+          r.getSeq[Row](r.fieldIndex("publicEvents")).map(e => new String(e.getAs[Array[Byte]]("data"))).toSeq)
+      }.toSet
+      got == commits.toSet
+    }, minSuccessful = 8)
+  }
+
+  test("typed CommitAggregator matches the untyped reassembly") {
+    val schema = StructType(Seq(
+      StructField("id", BinaryType), StructField("rev", IntegerType),
+      StructField("ts", LongType),
+      StructField("events", ArrayType(BinaryType)),
+      StructField("publicEvents", ArrayType(BinaryType))))
+    val commits = Seq(
+      Row("a".getBytes, 1, 100L, Seq("e1".getBytes), Seq("p1".getBytes, "p2".getBytes)),
+      Row("a".getBytes, 2, 200L, Seq("e2".getBytes, "e3".getBytes), Seq.empty[Array[Byte]]),
+      Row("b".getBytes, 1, 300L, Seq("x".getBytes), Seq.empty[Array[Byte]]))
+    val rows = Storage.commitToRows(
+      spark.createDataFrame(spark.sparkContext.parallelize(commits), schema))
+    val typed = CommitAggregator.eventStreams(rows).collect()
+      .map { case (idB64, cs) =>
+        new String(java.util.Base64.getDecoder.decode(idB64)) ->
+          cs.map(c => (c.rev, c.ts, c.events.map(e => new String(e.data)),
+            c.publicEvents.map(e => new String(e.data))))
+      }.toMap
+    assert(typed("a") == Seq(
+      (1, 100L, Seq("e1"), Seq("p1", "p2")),
+      (2, 200L, Seq("e2", "e3"), Seq.empty)))
+    assert(typed("b") == Seq((1, 300L, Seq("x"), Seq.empty)))
+  }
+}
