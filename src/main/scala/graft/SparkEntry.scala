@@ -313,6 +313,59 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     },
 
+    "q5_region_revenue" -> { (s, dir) => // 5-way star join, revenue per nation
+      val nat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "q_returned_top" -> { (s, dir) => // returned-items top customers
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(38,4)").as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    "q_churned_users" -> { (s, dir) => // set op: active early, gone late
+      val ev = Tables.events(s, dir)
+      val early = ev.filter(Tables.tsUsBetween(
+        TimeFns.utcMicros("2024-01-01T00:00:00"), TimeFns.utcMicros("2024-01-10T00:00:00")))
+        .select(col("user_id")).distinct()
+      val late = ev.filter(Tables.tsUsBetween(
+        TimeFns.utcMicros("2024-01-20T00:00:00"), TimeFns.utcMicros("2024-01-30T00:00:00")))
+        .select(col("user_id")).distinct()
+      early.except(late).orderBy(col("user_id"))
+    },
+
+    "q_salted_counter" -> { (s, dir) => // D2 under skew: two-phase salted agg
+      // phase 1 fans each hot key over 16 salt buckets (partial counts),
+      // phase 2 folds the 16 partials — bounds any single reducer's input
+      // at corpus/16 per key regardless of key skew
+      Tables.events(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type").as("msgid"), col("salt"))
+        .agg(count(lit(1)).as("partial"))
+        .groupBy(col("msgid"))
+        .agg(sum(col("partial")).cast("long").as("cv"))
+        .orderBy(col("msgid"))
+    },
+
     // ---- §G. training-data pipeline operators ------------------------
     "g_embed_neardup" -> { (s, dir) => // cosine near-dups in LSH buckets (rows-only)
       SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.9, nPlanes = 4)
@@ -572,6 +625,45 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |            AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_returned_top" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |            AS DECIMAL(38,4)) AS lost_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_churned_users" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_salted_counter" ->
+      """SELECT msgid, CAST(sum(partial) AS BIGINT) AS cv FROM (
+        |  SELECT event_type AS msgid, hash(event_id) % 16 AS salt, count(*) AS partial
+        |  FROM events GROUP BY 1, 2) t
+        |GROUP BY msgid ORDER BY msgid""".stripMargin,
 
     "g_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
