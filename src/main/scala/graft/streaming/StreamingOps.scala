@@ -60,4 +60,48 @@ object StreamingOps {
   /** Write a streaming frame to a memory sink for inspection/tests. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
+
+  /** Streaming ingest into the bucketed event-store layout: each
+    * micro-batch appends through Storage.appendEvents, so the streaming
+    * path lands data in exactly the layout batch readers expect (one
+    * micro-batch = one atomic append, the analogue of the reference's
+    * per-commit unlogged batch). */
+  def ingestTo(events: DataFrame, path: String, checkpoint: String,
+      nBuckets: Int = graft.sources.Storage.DefaultBuckets): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Storage.appendEvents(batch, path, nBuckets)
+      }
+
+  /** Per-aggregate revision monitor via flatMapGroupsWithState: keeps the
+    * last seen revision per aggregate and emits one row per arriving
+    * commit, flagging optimistic-concurrency anomalies (gap = a skipped
+    * revision, conflict = a replayed/duplicate revision) — the streaming
+    * version of the reference's rev-based concurrency model
+    * (CassandraEventStore.cs revision semantics). Input needs (idB64, rev)
+    * columns; GroupStateTimeout is unused (state is one int per live
+    * aggregate). */
+  def revisionMonitor(events: DataFrame): org.apache.spark.sql.Dataset[(String, Int, String)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("idB64").as[String], col("rev").as[Int])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, Int, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          var last = state.getOption.getOrElse(0)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, rev) =>
+            val status =
+              if (rev == last + 1) "ok"
+              else if (rev <= last) "conflict"
+              else "gap"
+            if (rev > last) last = rev
+            (id, rev, status)
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
 }

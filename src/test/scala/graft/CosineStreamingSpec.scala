@@ -67,6 +67,57 @@ class CosineStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest lands micro-batches in the bucketed layout") {
+    val dir = tmpDir()
+    val mkRows = (revs: Seq[Int]) => revs.toDF("rev")
+      .withColumn("id", lit("stream-agg".getBytes))
+      .withColumn("pos", lit(0))
+      .withColumn("ts", lit(1000L))
+      .withColumn("data", lit("d".getBytes))
+      .select("id", "rev", "pos", "ts", "data")
+    val schema = mkRows(Seq(1)).schema
+    mkRows(Seq(1, 2)).write.mode("append").parquet(s"$dir/in")
+    val q = StreamingOps.ingestTo(
+      spark.readStream.schema(schema).parquet(s"$dir/in"),
+      s"$dir/store", s"$dir/ckpt", nBuckets = 4).start()
+    try {
+      q.processAllAvailable()
+      mkRows(Seq(3)).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val back = graft.sources.Storage.readEvents(spark, s"$dir/store")
+      assert(back.count() == 3)
+      assert(back.select("bucket").distinct().count() == 1) // one aggregate -> one bucket
+      val pruned = graft.sources.Storage.readAggregate(
+        spark, s"$dir/store", "stream-agg".getBytes, nBuckets = 4)
+      assert(pruned.collect().map(_.getAs[Int]("rev")).toSeq == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("revisionMonitor flags gaps and conflicts per aggregate across batches") {
+    val dir = tmpDir()
+    val mk = (rows: Seq[(String, Int)]) => rows.toDF("idB64", "rev")
+    val schema = mk(Seq(("a", 1))).schema
+    mk(Seq(("a", 1), ("a", 2), ("b", 1))).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingOps.revisionMonitor(stream)
+      .toDF("id", "rev", "status")
+      .writeStream.format("memory").queryName("rev_monitor")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // second batch: a replays rev 2 (conflict), b skips to rev 3 (gap)
+      mk(Seq(("a", 2), ("b", 3))).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("rev_monitor").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == Set(
+        ("a", 1, "ok"), ("a", 2, "ok"), ("b", 1, "ok"),
+        ("a", 2, "conflict"), ("b", 3, "gap")))
+    } finally q.stop()
+  }
+
   test("streaming dailyTypeCounts buckets by pid with watermark") {
     val dir = tmpDir()
     val rows = Seq(
