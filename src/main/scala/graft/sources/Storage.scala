@@ -156,4 +156,16 @@ object Storage {
 
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compaction: rewrite a bucketed events table so each bucket holds
+    * few large sorted files instead of many per-append small ones
+    * (streaming ingest produces one file per micro-batch per bucket; scan
+    * cost and footer overhead grow with file count). Writes to a new
+    * directory — object-store-style immutable swap, the caller promotes
+    * it; this engine does not depend on in-place mutation. */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit =
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(outPath)
 }
