@@ -367,6 +367,20 @@ object SparkEntry {
     },
 
     // ---- §G. training-data pipeline operators ------------------------
+    "g_embed_pairs" -> { (s, dir) => // exact cosine pairs within label blocks
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+      val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+      a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+        .withColumn("raw", graft.plans.GraftFunctions.cosine(col("v1"), col("v2")))
+        .filter(col("raw") >= 0.3)
+        .select(col("label"), col("id1"), col("id2"),
+          graft.functions.NumFns.floorAt(col("raw"), 4).as("sim"))
+        .orderBy(col("id1"), col("id2"))
+    },
+
     "g_embed_neardup" -> { (s, dir) => // cosine near-dups in LSH buckets (rows-only)
       SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.9, nPlanes = 4)
         .orderBy(col("id1"), col("id2"))
@@ -691,6 +705,18 @@ object SparkEntry {
         |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "g_embed_pairs" ->
+      """SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+        |       floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |              (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |               sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 10000) / 10000 AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
 
     "g_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

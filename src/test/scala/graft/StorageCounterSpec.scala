@@ -110,6 +110,20 @@ class StorageCounterSpec extends SparkSpec {
     assert(s == Seq(0, 5))
   }
 
+  test("withProgress reports per-task progress during a replay action") {
+    val rows = (1 to 100).map(i => (s"agg-${i % 5}".getBytes, i, 0, i.toLong, "d".getBytes))
+      .toDF("id", "rev", "pos", "ts", "data")
+      .repartition(4)
+    val updates = new java.util.concurrent.atomic.AtomicLong(0)
+    val n = graft.operators.ProgressOps.withProgress(rows,
+      _ => { updates.incrementAndGet(); () })(_.count())
+    assert(n == 100L)
+    // listener delivery is async; poll briefly for the callbacks
+    val deadline = System.nanoTime() + 3000000000L
+    while (updates.get() < 4 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(updates.get() >= 4) // at least one callback per task
+  }
+
   test("replayForeach visits every event exactly once") {
     val rows = Seq(("a".getBytes, 1, 0, 10L, "x".getBytes),
       ("b".getBytes, 1, 0, 20L, "y".getBytes))
