@@ -18,7 +18,9 @@ import graft.sources.Tables
   *    micros. All timestamp outputs are therefore epoch-micros longs:
   *    `ts div 1000` here == `epoch_us(ts)` there.
   *  - Large double sums are cast to DECIMAL on both sides (exact, order-
-  *    independent); small-magnitude doubles (avgs) are round()ed.
+  *    independent); averages are exact-sum / count (never avg()); per-row
+  *    double ratios use NumFns.floorAt -- the identical primitive sequence
+  *    in both engines (round() algorithms differ near ties).
   *  - DuckDB sum(BIGINT) is HUGEINT -> always CAST to BIGINT in SQL.
   *  - Every oracle-checked query ends in a total ORDER BY.
   */
