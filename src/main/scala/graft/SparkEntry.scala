@@ -355,6 +355,17 @@ object SparkEntry {
       early.except(late).orderBy(col("user_id"))
     },
 
+    "q_payload_decode" -> { (s, dir) => // the ISerializer boundary: opaque
+      // payload -> typed columns, as codegen'd from_json (no UDF)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .filter(col("k") >= 50)
+        .orderBy(col("event_id"))
+    },
+
     "q_salted_counter" -> { (s, dir) => // D2 under skew: two-phase salted agg
       // phase 1 fans each hot key over 16 salt buckets (partial counts),
       // phase 2 folds the 16 partials — bounds any single reducer's input
@@ -674,6 +685,12 @@ object SparkEntry {
         |SELECT DISTINCT user_id FROM events
         |WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
         |ORDER BY user_id""".stripMargin,
+
+    "q_payload_decode" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
 
     "q_salted_counter" ->
       """SELECT msgid, CAST(sum(partial) AS BIGINT) AS cv FROM (

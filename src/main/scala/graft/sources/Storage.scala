@@ -91,13 +91,17 @@ object Storage {
   }
 
   /** A1/A2 append: bucket by aggregate id, sort within partitions by
-    * (id, rev, pos), append. */
-  def appendEvents(rows: DataFrame, path: String, nBuckets: Int = DefaultBuckets): Unit =
+    * (id, rev, pos), append. `format` is any columnar batch format Spark
+    * ships ("parquet" default, "orc" supported identically — both carry
+    * the min/max statistics the pruned reads rely on). */
+  def appendEvents(
+      rows: DataFrame, path: String,
+      nBuckets: Int = DefaultBuckets, format: String = "parquet"): Unit =
     rows
       .withColumn("bucket", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("id"), col("rev"), col("pos"))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+      .write.mode(SaveMode.Append).partitionBy("bucket").format(format).save(path)
 
   /** A6 index sink: derive + append partitioned by (et, pid). */
   def appendIndex(indexRows: DataFrame, path: String): Unit =
@@ -154,8 +158,8 @@ object Storage {
       keys.map(k => col(k) === col(s"t_$k")).reduce(_ && _), "left_anti")
   }
 
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def readEvents(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
 
   /** Compaction: rewrite a bucketed events table so each bucket holds
     * few large sorted files instead of many per-append small ones

@@ -77,6 +77,29 @@ class StorageCounterSpec extends SparkSpec {
     assert(read.nonEmpty && read.forall(_.contains(s"bucket=$bucket")))
   }
 
+  test("ORC storage format round-trips with the same layout") {
+    val dir = tmpDir()
+    val rows = Seq(
+      ("o1".getBytes, 1, 0, 10L, "x".getBytes),
+      ("o2".getBytes, 1, 0, 20L, "y".getBytes))
+      .toDF("id", "rev", "pos", "ts", "data")
+    Storage.appendEvents(rows, s"$dir/events", nBuckets = 4, format = "orc")
+    val back = Storage.readEvents(spark, s"$dir/events", format = "orc")
+    assert(back.count() == 2)
+    assert(back.columns.contains("bucket"))
+  }
+
+  test("json payload decode/encode at the serializer boundary") {
+    val rows = Seq(("a".getBytes, 1, 0, 10L, """{"k": 87, "name": "ev"}""".getBytes))
+      .toDF("id", "rev", "pos", "ts", "data")
+    val decoded = graft.operators.SerdeOps.decodeJson(rows, "k BIGINT, name STRING")
+    val r = decoded.select(col("payload.k"), col("payload.name")).head
+    assert(r.getLong(0) == 87L && r.getString(1) == "ev")
+    val encoded = rows.select(graft.operators.SerdeOps.encodeJson(rows,
+      lit(87).as("k")).as("json")).head.getString(0)
+    assert(encoded == """{"k":87}""")
+  }
+
   test("index-record delete anti-joins on the full primary key") {
     val idx = Seq(
       ("click", 2024001, "a".getBytes, 1, 0, 100L),
