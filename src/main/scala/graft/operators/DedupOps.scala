@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{NumFns, TextFns}
+import graft.plans.GraftFunctions
 
 /** Deduplication operators for the training-data pipeline (builder mandate
   * §G; all beyond the reference's own surface). Each has a distinct
@@ -47,6 +48,7 @@ object DedupOps {
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
+    GraftFunctions.register(docs.sparkSession)
     val rows = nHashes / bands
     import org.apache.spark.sql.expressions.Window
 
@@ -160,6 +162,7 @@ object DedupOps {
       docs: DataFrame,
       blockWidth: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val base = docs.select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / blockWidth).as("len_bucket"),
@@ -174,9 +177,11 @@ object DedupOps {
   }
 
   /** Jaccard of two pre-deduplicated arrays: |a ∩ b| / (|a| + |b| - |a ∩ b|).
-    * int/int division -> double, same as DuckDB's `/`. */
+    * int/int division -> double, same as DuckDB's `/`. Uses the fused
+    * native IntersectionSize expression (GraftFunctions.register must have
+    * run on the session — every DedupOps entry point does). */
   def jaccardArrays(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = GraftFunctions.intersectionSize(a, b)
     inter / (size(a) + size(b) - inter)
   }
 }

@@ -84,13 +84,18 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(cosineDescription._1)) {
-      registry.registerFunction(cosineDescription._1, cosineDescription._2, cosineDescription._3)
+    Seq(cosineDescription, IntersectionSize.description).foreach { d =>
+      if (!registry.functionExists(d._1)) {
+        registry.registerFunction(d._1, d._2, d._3)
+      }
     }
   }
 
-  /** Column-level handle (register(spark) must have run on the session
+  /** Column-level handles (register(spark) must have run on the session
     * executing the plan). */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(CosineName, a, b)
+
+  def intersectionSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(IntersectionSize.Name, a, b)
 }

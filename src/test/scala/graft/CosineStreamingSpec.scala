@@ -38,6 +38,19 @@ class CosineStreamingSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("native intersection size matches size(array_intersect) on distinct arrays") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq("a")),
+    ).toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.intersectionSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("streaming liveCounters fold new files incrementally (update mode)") {
     val dir = tmpDir()
     val mk = (ids: Seq[(Long, String)]) => ids.toDF("rev", "et")
