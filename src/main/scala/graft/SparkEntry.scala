@@ -380,6 +380,39 @@ object SparkEntry {
     },
 
     // ---- §G. training-data pipeline operators ------------------------
+    "g_curation" -> { (s, dir) => // composed curation pipeline: dedup ->
+      // quality gate -> language gate -> per-source yield report
+      val docs = Tables.documents(s, dir)
+      val keep = docs.groupBy(sha2(col("text"), 256).as("sha"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val curated = docs
+        .join(keep, Seq("doc_id"), "left_semi") // exact-dedup survivors
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("n_tokens").between(20, 200) && col("n_chars") >= 100)
+        .filter(col("lang").isin("en", "de", "fr"))
+      curated.groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    "q_funnel" -> { (s, dir) => // behavioral funnel: signup -> purchase
+      val ev = Tables.events(s, dir)
+      val first = (et: String, out: String) => ev.filter(col("event_type") === et)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(out))
+      first("signup", "signup_us")
+        .join(first("purchase", "purchase_us"), Seq("user_id"), "left")
+        .select(col("user_id"), col("signup_us"),
+          // 0 = not converted: keep the output column non-null — null vs
+          // NaN round-trips differently through arrow/pandas comparisons
+          coalesce(when(col("purchase_us") > col("signup_us"), col("purchase_us")),
+            lit(0L)).as("converted_us"))
+        .orderBy(col("user_id"))
+    },
+
     "g_embed_pairs" -> { (s, dir) => // exact cosine pairs within label blocks
       graft.plans.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
@@ -724,6 +757,29 @@ object SparkEntry {
         |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "g_curation" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |curated AS (
+        |  SELECT d.*, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        |  WHERE len(string_split(d.text, ' ')) BETWEEN 20 AND 200
+        |    AND d.n_chars >= 100 AND d.lang IN ('en', 'de', 'fr'))
+        |SELECT lang, source, count(*) AS n_kept,
+        |       CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM curated GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, min(epoch_us(ts)) AS purchase_us
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT s.user_id, s.signup_us,
+        |       coalesce(CASE WHEN p.purchase_us > s.signup_us THEN p.purchase_us END, 0) AS converted_us
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin,
 
     "g_embed_pairs" ->
       """SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,

@@ -88,6 +88,16 @@ class EventStoreOpsSpec extends SparkSpec {
     assert(p2 == Seq((2, 1)))
   }
 
+  test("keyset paging pages backwards (B4 order) as well") {
+    val rows = Storage.commitToRows(commitsDf())
+    val p1 = EventStoreOps.loadWithPaging(rows, lit(bin("agg-1")), None, take = 3, ascending = false)
+      .collect().map(r => (r.getAs[Int]("rev"), r.getAs[Int]("pos"))).toSeq
+    assert(p1 == Seq((2, 1), (2, 0), (1, 5)))
+    val p2 = EventStoreOps.loadWithPaging(rows, lit(bin("agg-1")), Some(p1.last), take = 3, ascending = false)
+      .collect().map(r => (r.getAs[Int]("rev"), r.getAs[Int]("pos"))).toSeq
+    assert(p2 == Seq((1, 0)))
+  }
+
   test("point delete removes exactly the tombstoned row") {
     val rows = Storage.commitToRows(commitsDf())
     val tomb = rows.filter(

@@ -57,6 +57,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             oc, gc = o[c], g[c]
             eq = (oc.astype(object).where(pd.notnull(oc), None) ==
                   gc.astype(object).where(pd.notnull(gc), None))
+            eq = eq | (oc.isna() & gc.isna())  # both-null counts as equal
             if not bool(eq.all()):
                 i = int((~eq).idxmax())
                 mismatch = f"col {c} row {i}: spark={gc.iloc[i]!r} oracle={oc.iloc[i]!r} (types {gc.dtype}/{oc.dtype})"
