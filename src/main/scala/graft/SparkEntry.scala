@@ -445,6 +445,12 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     },
 
+    "g_dedup_clusters" -> { (s, dir) => // near-dup clusters (rows-only)
+      DedupOps.nearDupClusters(
+          DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5))
+        .orderBy(col("doc_id"))
+    },
+
     "g_dedup_simhash" -> { (s, dir) => // SimHash near-dups (rows-only)
       DedupOps.simHashNearDups(Tables.documents(s, dir), maxHamming = 16)
         .orderBy(col("id1"), col("id2"))

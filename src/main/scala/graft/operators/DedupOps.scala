@@ -176,6 +176,46 @@ object DedupOps {
       .select(col("id1"), col("id2"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list via iterative
+    * min-label propagation: every doc adopts the smallest id reachable
+    * through pair edges; after convergence the label is the cluster id
+    * (and the natural "keeper" — smallest doc id per duplicate cluster).
+    *
+    * Pure DataFrame ops, no GraphX: each iteration is one join + one
+    * aggregation. Near-dup graphs are forests of tiny cliques, so the
+    * label frontier converges in O(longest chain) iterations — `maxIter`
+    * bounds pathological chains; at 100 TB each iteration is one shuffle
+    * over the (small) pair list, not the corpus. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list incl. self-loops so singleton endpoints keep labels
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr_label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Jaccard of two pre-deduplicated arrays: |a ∩ b| / (|a| + |b| - |a ∩ b|).
     * int/int division -> double, same as DuckDB's `/`. Uses the fused
     * native IntersectionSize expression (GraftFunctions.register must have

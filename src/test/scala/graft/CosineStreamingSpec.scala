@@ -131,6 +131,40 @@ class CosineStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the over-scan padding (append mode)") {
+    val dir = tmpDir()
+    val mk = (rows: Seq[(String, String)]) => rows.toDF("t", "et")
+      .select(to_timestamp(col("t")).as("ts_t"), col("et"))
+    val schema = mk(Seq(("2024-01-10 01:00:00", "click"))).schema
+    // batch 1: events on Jan 10 + a Jan 20 event that pushes the
+    // watermark to Jan 18 (2-day padding), closing the Jan-10 window
+    mk(Seq(
+      ("2024-01-10 01:00:00", "click"),
+      ("2024-01-10 02:00:00", "click"),
+      ("2024-01-20 00:00:00", "view")))
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingOps.toMemorySink(
+        StreamingOps.dailyTypeCounts(stream), "late_counts", OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a straggler inside the closed Jan-10 window -> dropped
+      // (the reference would equally miss it: outside the +2d pid guard)
+      mk(Seq(("2024-01-10 03:00:00", "click"))).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // an advancing batch so finalized windows flush to the append sink
+      mk(Seq(("2024-01-25 00:00:00", "view"))).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val jan10 = spark.table("late_counts")
+        .filter(col("pid") === 2024010).collect()
+      assert(jan10.length == 1)
+      // count stays 2: the late third click never landed
+      assert(jan10.head.getAs[Long]("n") == 2L)
+    } finally q.stop()
+  }
+
   test("streaming dailyTypeCounts buckets by pid with watermark") {
     val dir = tmpDir()
     val rows = Seq(

@@ -66,6 +66,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 1), (2L, 2)))
   }
 
+  test("nearDupClusters resolves transitive chains to min-id components") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val got = DedupOps.nearDupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("IVF: Lloyd iterations separate orthogonal clusters; probe finds the cluster") {
     // three tight clusters around orthogonal axes
     val vecs = (0 until 30).map { i =>

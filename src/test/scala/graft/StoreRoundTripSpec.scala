@@ -44,6 +44,24 @@ class StoreRoundTripSpec extends SparkSpec {
     assert(viaIndex.count() == direct.count())
   }
 
+  test("sf0.1 scale: 100k rows land bucketed and pruned reads stay exact") {
+    val dir = tmpDir()
+    val log = Tables.eventLog(spark, "/root/testdata/sf0.1")
+      .withColumn("id", col("id").cast("string").cast("binary"))
+    Storage.appendEvents(log.drop("et"), s"$dir/events", nBuckets = 32)
+    val stored = Storage.readEvents(spark, s"$dir/events")
+    assert(stored.count() == 100000L)
+    // a thousand aggregates spread over 32 buckets; spot-check several
+    Seq("7", "42", "1234").foreach { idStr =>
+      val expected = log.filter(col("id") === lit(idStr.getBytes)).count()
+      val got = Storage.readAggregate(spark, s"$dir/events", idStr.getBytes, nBuckets = 32)
+      assert(got.count() == expected, s"aggregate $idStr")
+      // clustering order within the aggregate
+      val revs = got.select("rev").collect().map(_.getInt(0))
+      assert(revs.sameElements(revs.sorted), s"order for $idStr")
+    }
+  }
+
   test("compaction reduces file count and preserves data + pruned reads") {
     val dir = tmpDir()
     import spark.implicits._
