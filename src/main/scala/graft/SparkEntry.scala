@@ -447,7 +447,8 @@ object SparkEntry {
 
     "g_dedup_clusters" -> { (s, dir) => // near-dup clusters (rows-only)
       DedupOps.nearDupClusters(
-          DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5))
+          DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5),
+          maxIter = 3, earlyStop = false) // LSH cliques converge in <=3 hops
         .orderBy(col("doc_id"))
     },
 

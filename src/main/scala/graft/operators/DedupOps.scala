@@ -186,15 +186,22 @@ object DedupOps {
     * label frontier converges in O(longest chain) iterations — `maxIter`
     * bounds pathological chains; at 100 TB each iteration is one shuffle
     * over the (small) pair list, not the corpus. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10, earlyStop: Boolean = true): DataFrame = {
+    // Iterative algorithms must TRUNCATE lineage each generation, not just
+    // cache: a persisted frame still carries its full logical plan, so by
+    // iteration k the optimizer re-analyzes k nested copies of the (large)
+    // pair-producing pipeline — observed as super-linear per-iteration
+    // planning time. localCheckpoint materializes AND cuts the plan.
+    // (On a real cluster with node loss concerns, swap for reliable
+    // checkpoint() against the checkpoint dir.)
     // undirected edge list incl. self-loops so singleton endpoints keep labels
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -205,12 +212,16 @@ object DedupOps {
         .agg(min(col("dst_label")).as("nbr_label"))
         .join(labels, Seq("id"))
         .select(col("id"), least(col("label"), col("nbr_label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      if (earlyStop) {
+        // a convergence probe is one extra job per iteration — worth it on
+        // long chains, pure overhead on clique-shaped near-dup graphs
+        // (disable and pick a small maxIter when pairs come from LSH)
+        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") =!= col("old")).limit(1).count()
+        converged = changed == 0
+      }
       labels = next
-      converged = changed == 0
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
