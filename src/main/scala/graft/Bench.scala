@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

@@ -495,6 +495,19 @@ object SparkEntry {
       TextOps.qualityScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
+    "g_length_quantiles" -> { (s, dir) => // corpus length distribution
+      val fl = (c: org.apache.spark.sql.Column) =>
+        graft.functions.NumFns.floorAt(c, 4)
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          fl(expr("percentile(n_chars, 0.25)")).as("q25"),
+          fl(expr("percentile(n_chars, 0.5)")).as("q50"),
+          fl(expr("percentile(n_chars, 0.75)")).as("q75"))
+        .orderBy(col("lang"))
+    },
+
     "g_fingerprints" -> { (s, dir) => // md5 content fingerprint (oracle-able)
       Tables.documents(s, dir)
         .select(col("doc_id"), md5(lower(col("text"))).as("md5_norm"))
@@ -839,6 +852,13 @@ object SparkEntry {
         |                CAST(length(text) AS DOUBLE)) * 0.2,
         |         0.0), 1.0) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       floor(quantile_cont(n_chars, 0.25) * 10000) / 10000 AS q25,
+        |       floor(quantile_cont(n_chars, 0.5) * 10000) / 10000 AS q50,
+        |       floor(quantile_cont(n_chars, 0.75) * 10000) / 10000 AS q75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "g_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS md5_norm
