@@ -60,6 +60,17 @@ object IndexOps {
   def countForType(index: DataFrame, et: String): DataFrame =
     index.filter(col("et") === et).agg(count(lit(1)).as("cnt"))
 
+  /** The reference's calendar walk over day partitions
+    * (IndexByEventTypeStore.cs:193, PartitionCalculator.GetNext): the
+    * ordered pids covering an inclusive FileTime range. readRange's
+    * between-filter prunes to exactly this set; this enumerator exists for
+    * callers that schedule per-day work (e.g. incremental backfills). */
+  def pidsIn(afterFt: Long, beforeFt: Long): Seq[Int] = {
+    val last = pidOfFileTime(beforeFt)
+    Iterator.iterate(pidOfFileTime(afterFt))(TimeFns.nextPidOf)
+      .takeWhile(_ <= last).toSeq
+  }
+
   /** Scala-side pid of a FileTime (mirrors PartitionCalculator,
     * IndexByEventTypeStore.cs:330-336). */
   def pidOfFileTime(ft: Long): Int = {

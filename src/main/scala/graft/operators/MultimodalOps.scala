@@ -72,6 +72,20 @@ object MultimodalOps {
       octet_length(col("content")).as("byte_len"),
       md5(col("content")).as("content_md5"))
 
+  /** ======= STUB: replace with a real image resize. =======
+    * Deterministic "resize": truncate/pad the blob to `targetBytes` —
+    * stands in for decode->scale->re-encode while keeping the schema and
+    * batch shape (fixed-size binary features) real. */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      col("media_type"),
+      // binary rpad overload (zero-byte padding) — no string round trip,
+      // arbitrary bytes survive
+      call_function("rpad",
+        col("content").substr(lit(1), lit(targetBytes)),
+        lit(targetBytes), lit(Array[Byte](0))).as("content_resized"))
+
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */
   def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {

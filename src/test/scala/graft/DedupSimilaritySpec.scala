@@ -107,6 +107,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("mean_byte") > 0)
   }
 
+  test("resizeStub truncates or zero-pads blobs to the target size") {
+    val media = MultimodalOps.mediaFromDocuments(docsDf())
+    val out = MultimodalOps.resizeStub(media, targetBytes = 16).collect()
+    assert(out.forall(_.getAs[Array[Byte]]("content_resized").length == 16))
+    val r1 = out.find(_.getAs[Long]("media_id") == 1L).get
+    assert(new String(r1.getAs[Array[Byte]]("content_resized")) == "the quick brown ")
+  }
+
+  test("pidsIn walks the calendar between two FileTimes") {
+    import graft.functions.TimeFns
+    val ft = (iso: String) => TimeFns.microsToFileTime(lit(TimeFns.utcMicros(iso)))
+    val lo = TimeFns.utcMicros("2023-12-30T12:00:00") * 10 + TimeFns.FileTimeEpochTicks
+    val hi = TimeFns.utcMicros("2024-01-02T01:00:00") * 10 + TimeFns.FileTimeEpochTicks
+    assert(graft.operators.IndexOps.pidsIn(lo, hi) ==
+      Seq(2023364, 2023365, 2024001, 2024002)) // year wrap included
+  }
+
   test("sampleChunks produces stride-spaced chunks of the binary column") {
     val media = MultimodalOps.mediaFromDocuments(docsDf())
     val chunks = MultimodalOps.sampleChunks(media, chunk = 8, stride = 2)
