@@ -263,16 +263,7 @@ object SparkEntry {
     },
 
     "q_sessionize" -> { (s, dir) => // gap-based sessionization (6h windows)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn("new_s",
-          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 21600000000L, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_s")).over(cum))
+      graft.operators.BehaviorOps.sessionize(Tables.events(s, dir), gapUs = 21600000000L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -282,13 +273,17 @@ object SparkEntry {
     },
 
     "q_top2_per_user" -> { (s, dir) => // windowed top-k per aggregate
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
+      graft.operators.BehaviorOps.topKPerGroup(
+          Tables.events(s, dir),
+          Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 2)
         .select(col("user_id"), col("rn"), col("event_id"), col("value"))
         .orderBy(col("user_id"), col("rn"))
+    },
+
+    "q_funnel3" -> { (s, dir) => // 3-step greedy ordered funnel
+      graft.operators.BehaviorOps.funnel(
+          Tables.events(s, dir), Seq("signup", "view", "purchase"))
+        .orderBy(col("user_id"))
     },
 
     "q_running_value" -> { (s, dir) => // cumulative per-aggregate fold
@@ -790,6 +785,29 @@ object SparkEntry {
         |       CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM curated GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_funnel3" ->
+      """WITH base AS (SELECT DISTINCT user_id FROM events
+        |              WHERE event_type IN ('signup', 'view', 'purchase')),
+        |su AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |      FROM events e JOIN su ON e.user_id = su.user_id
+        |      WHERE e.event_type = 'view' AND epoch_us(e.ts) > su.t
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t
+        |      GROUP BY e.user_id)
+        |SELECT b.user_id,
+        |       coalesce(su.t, 0) AS signup_us,
+        |       coalesce(v.t, 0) AS view_us,
+        |       coalesce(p.t, 0) AS purchase_us
+        |FROM base b
+        |LEFT JOIN su USING (user_id)
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_funnel" ->
       """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us

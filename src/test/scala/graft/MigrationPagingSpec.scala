@@ -36,6 +36,44 @@ class MigrationPagingSpec extends SparkSpec {
     assert(pages == 3) // 4 + 4 + 1
   }
 
+  test("funnel: greedy ordered matching with missing steps as 0") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE signup only -> purchase unmatched
+      (2L, 10L, "purchase"), (2L, 20L, "signup"), (2L, 25L, "view"),
+      // user 3: never signed up
+      (3L, 10L, "view"), (3L, 20L, "purchase"))
+      .toDF("user_id", "ts_us", "event_type")
+    val got = graft.operators.BehaviorOps
+      .funnel(ev, Seq("signup", "view", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10L, 20L, 30L),
+      (2L, 20L, 25L, 0L),  // view at 25 matches after signup; no later purchase
+      (3L, 0L, 0L, 0L)))   // head step missing -> nothing matches
+  }
+
+  test("sessionize splits on gaps and topKPerGroup ranks within keys") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 100L), (1L, 1L, 1000L), (1L, 2L, 50000L),
+      (2L, 3L, 10L))
+      .toDF("user_id", "event_id", "ts_us")
+    val sessions = graft.operators.BehaviorOps
+      .sessionize(ev, gapUs = 10000L)
+      .select("user_id", "event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2).toSeq
+    assert(sessions == Seq((1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L)))
+    val top = graft.operators.BehaviorOps
+      .topKPerGroup(ev, Seq(col("user_id")), Seq(col("ts_us").desc), 1)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(top == Seq((1L, 2L), (2L, 3L)))
+  }
+
   /** E9 end to end: source store -> reassemble -> transform -> target store
     * (Migrations/MigrateEventStore.cs:27-93 as one batch job). */
   test("migration pipeline: read, transform commits, write, re-read") {
