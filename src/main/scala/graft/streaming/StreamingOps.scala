@@ -75,6 +75,17 @@ object StreamingOps {
         graft.sources.Storage.appendEvents(batch, path, nBuckets)
       }
 
+  /** Idempotent ingest: drop duplicate (id, rev, pos) rows across
+    * micro-batches within the watermark horizon. The reference marks its
+    * commit batches non-idempotent and simply swallows write timeouts
+    * (CassandraEventStore.cs:67-70,90-93 — retries can double-write);
+    * watermarked streaming dedup gives at-least-once sources exactly-once
+    * landing instead. `eventTimeCol` must be a TimestampType column. */
+  def dedupedEvents(events: DataFrame, eventTimeCol: String, latenessDays: Int = 2): DataFrame =
+    events
+      .withWatermark(eventTimeCol, s"$latenessDays days")
+      .dropDuplicatesWithinWatermark("id", "rev", "pos")
+
   /** Per-aggregate revision monitor via flatMapGroupsWithState: keeps the
     * last seen revision per aggregate and emits one row per arriving
     * commit, flagging optimistic-concurrency anomalies (gap = a skipped

@@ -106,6 +106,31 @@ class CosineStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedEvents drops re-delivered rows across micro-batches") {
+    val dir = tmpDir()
+    val mk = (rows: Seq[(Int, String)]) => rows.toDF("rev", "t")
+      .select(lit("dup-agg".getBytes).as("id"), col("rev"), lit(0).as("pos"),
+        to_timestamp(col("t")).as("ts_t"))
+    val schema = mk(Seq((1, "2024-01-10 00:00:00"))).schema
+    mk(Seq((1, "2024-01-10 00:00:00"), (2, "2024-01-10 01:00:00")))
+      .write.mode("append").parquet(s"$dir/in")
+    val q = StreamingOps.toMemorySink(
+        StreamingOps.dedupedEvents(
+          spark.readStream.schema(schema).parquet(s"$dir/in"), "ts_t"),
+        "deduped", OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // redelivery of rev 1 (same id/rev/pos) plus a genuinely new rev 3
+      mk(Seq((1, "2024-01-10 00:00:00"), (3, "2024-01-10 02:00:00")))
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val revs = spark.table("deduped").collect().map(_.getAs[Int]("rev")).sorted.toSeq
+      assert(revs == Seq(1, 2, 3)) // the duplicate rev-1 landed exactly once
+    } finally q.stop()
+  }
+
   test("revisionMonitor flags gaps and conflicts per aggregate across batches") {
     val dir = tmpDir()
     val mk = (rows: Seq[(String, Int)]) => rows.toDF("idB64", "rev")
