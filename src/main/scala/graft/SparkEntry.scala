@@ -234,6 +234,28 @@ object SparkEntry {
         .orderBy(col("rev"), col("pos"))
     },
 
+    "q_canon_streams" -> { (s, dir) => // E3/D5 through the canonical API
+      graft.operators.EventStoreOps.aggregateStreams(Tables.eventLog(s, dir))
+        .select(col("id"), col("n_events"),
+          array_join(transform(col("stream.rev"), _.cast("string")), ",").as("revs_csv"))
+        .orderBy(col("id"))
+    },
+
+    "q_event_gaps" -> { (s, dir) => // inter-event time statistics per aggregate
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"),
+          sum("gap_us").as("total_gap_us"))
+        .orderBy(col("user_id"))
+    },
+
     "q_canon_index_range" -> { (s, dir) => // E4 through the canonical API
       val idx = graft.operators.IndexOps.buildIndex(Tables.eventLog(s, dir))
       graft.operators.IndexOps.readRange(
@@ -637,6 +659,23 @@ object SparkEntry {
       """SELECT CAST(event_id AS INT) AS rev, 0 AS pos, epoch_us(ts) AS ts_us,
         |       props AS data
         |FROM events WHERE user_id = 7 ORDER BY rev, pos""".stripMargin,
+
+    "q_canon_streams" ->
+      """SELECT user_id AS id, count(*) AS n_events,
+        |       string_agg(CAST(event_id AS INT), ',' ORDER BY CAST(event_id AS INT)) AS revs_csv
+        |FROM events GROUP BY user_id ORDER BY id""".stripMargin,
+
+    "q_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |       CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_canon_index_range" ->
       s"""SELECT event_type AS et, CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid,
