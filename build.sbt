@@ -1,5 +1,6 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-unchecked")
 name := "1nceptioneventstorecassandraspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -477,21 +477,21 @@ object SparkEntry {
     "g_sim_topk" -> { (s, dir) => // exact cosine top-k vs vec_id=0
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       SimilarityOps.bruteForceTopK(e, q, 20)
     },
 
     "g_sim_ann" -> { (s, dir) => // LSH-bucketed approximate top-k (rows-only)
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       SimilarityOps.lshTopK(e, q, 20, nPlanes = 4)
     },
 
     "g_sim_ivf" -> { (s, dir) => // IVF-cell approximate top-k (rows-only)
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
       SimilarityOps.ivfTopK(e, centroids, q, 20, nProbe = 4)
     },

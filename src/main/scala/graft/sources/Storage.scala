@@ -143,7 +143,7 @@ object Storage {
       nBuckets: Int = DefaultBuckets): DataFrame = {
     val bucket = spark.range(1)
       .select(pmod(xxhash64(lit(aggregateId)), lit(nBuckets)).cast("int"))
-      .head.getInt(0)
+      .head().getInt(0)
     spark.read.parquet(path)
       .filter(col("bucket") === bucket && col("id") === lit(aggregateId))
       .orderBy(col("rev"), col("pos"))
