@@ -332,6 +332,29 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     },
 
+    "q6_forecast" -> { (s, dir) => // TPC-H Q6 shape: filter-only aggregation
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(4,2)"))
+            .cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q_hourly_histogram" -> { (s, dir) => // activity histogram by hour-of-day
+      Tables.events(s, dir)
+        .groupBy(hour(col("ts_t")).as("hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"))
+        .orderBy(col("hour"))
+    },
+
     "q5_region_revenue" -> { (s, dir) => // 5-way star join, revenue per nation
       val nat = Tables.nation(s, dir)
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
@@ -739,6 +762,21 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_hourly_histogram" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour, count(*) AS n,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,
