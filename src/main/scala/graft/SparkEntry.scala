@@ -194,11 +194,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_base"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base"),
           sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           // exact decimal sum -> double, / count: engine-order-independent
           (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
             count(lit(1))).as("avg_qty"),
@@ -216,7 +216,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_price"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
           (sum(col("o_totalprice").cast("decimal(12,2)")).cast("double") /
             count(lit(1))).as("avg_price"))
         .orderBy(col("c_mktsegment"))
@@ -279,7 +279,7 @@ object SparkEntry {
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -316,7 +316,7 @@ object SparkEntry {
         .filter(col("user_id") < 3)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           sum(col("value").cast("decimal(12,2)")).over(cum)
-            .cast("decimal(38,2)").as("running_value"))
+            .cast("double").as("running_value"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     },
 
@@ -326,7 +326,7 @@ object SparkEntry {
         .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("p_brand"))
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n_lines"),
           countDistinct(col("s_suppkey")).as("n_suppliers"))
         .orderBy(col("p_brand"))
@@ -342,7 +342,7 @@ object SparkEntry {
         .agg(
           sum(col("l_extendedprice").cast("decimal(12,2)") *
             col("l_discount").cast("decimal(4,2)"))
-            .cast("decimal(38,4)").as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -367,7 +367,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -379,7 +379,7 @@ object SparkEntry {
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("decimal(38,4)").as("lost_revenue"))
+          .cast("double").as("lost_revenue"))
         .orderBy(col("lost_revenue").desc, col("c_custkey"))
         .limit(20)
     },
@@ -658,11 +658,11 @@ object SparkEntry {
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |            AS DECIMAL(38,4)) AS sum_disc_price,
+        |            AS DOUBLE) AS sum_disc_price,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
         |       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -673,7 +673,7 @@ object SparkEntry {
 
     "q_top_segments" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -711,7 +711,7 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderdate,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |            AS DECIMAL(38,4)) AS revenue
+        |            AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -749,13 +749,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(12,2)))
         |            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(38,2)) AS running_value
+        |            AS DOUBLE) AS running_value
         |FROM events WHERE user_id < 3
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_brand_volume" ->
       """SELECT p_brand,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |       count(*) AS n_lines,
         |       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
         |FROM lineitem
@@ -765,7 +765,7 @@ object SparkEntry {
 
     "q6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |                CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -782,7 +782,7 @@ object SparkEntry {
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |            AS DECIMAL(38,4)) AS revenue
+        |            AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -795,7 +795,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |            AS DECIMAL(38,4)) AS lost_revenue
+        |            AS DOUBLE) AS lost_revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
