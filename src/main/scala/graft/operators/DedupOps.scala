@@ -76,10 +76,14 @@ object DedupOps {
     val sigShort = base.filter(size(split(col("text"), " ")) < shingleK)
       .select(col("id") +: (0 until nHashes).map(i =>
         xxhash64(col("text"), lit(i)).as(s"m$i")): _*)
-    // the signature table feeds both sides of the band self-join: persist
-    // the 16-longs-per-doc result (at cluster scale: checkpoint/write it)
-    val sig = sigLong.unionByName(sigShort)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The signature table feeds both sides of the band self-join: compute
+    // once. localCheckpoint (not persist): cuts the logical plan so the
+    // self-join doesn't re-analyze the window pipeline twice, and its
+    // blocks are released by the ContextCleaner once the frame is
+    // unreachable — persist() would leak a CacheManager entry for every
+    // call unless the caller remembered to unpersist. (At cluster scale
+    // with lineage-loss concerns: write the signatures to a table.)
+    val sig = sigLong.unionByName(sigShort).localCheckpoint(true)
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
@@ -89,7 +93,7 @@ object DedupOps {
       .join(banded.select(col("band"), col("bandsig"), col("id").as("id2")), Seq("band", "bandsig"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // exact-Jaccard rescore: shingle STRINGS are built only for candidate
     // docs — semi-join first, project after, so the expensive projection
     // runs over |candidates| docs, not the corpus
@@ -108,21 +112,30 @@ object DedupOps {
 
   /** SimHash near-dup candidates: pairs within `maxHamming` of each other.
     * Block key trick: split the 64-bit fingerprint into (maxHamming+1)
-    * 16-bit blocks — any pair within the radius agrees on at least one
-    * block (pigeonhole), so the join key space stays tiny while recall is
-    * exact for radius <= 3. */
+    * blocks — differing bits can touch at most maxHamming blocks, so any
+    * pair within the radius agrees on at least one whole block (pigeonhole)
+    * and the block self-join has EXACT recall for the requested radius.
+    * Cost grows with the radius (narrower blocks -> more key collisions);
+    * radius <= 3 keeps 16-bit blocks, the intended scale regime. */
   def simHashNearDups(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming: need maxHamming+1 blocks of >= 2 bits each")
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks // last block absorbs the remaining high bits
     // fingerprints feed both sides of the block self-join: compute once
-    val withFp = simHashFingerprints(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (localCheckpoint: lineage cut + ContextCleaner-managed blocks)
+    val withFp = simHashFingerprints(docs, idCol, textCol).localCheckpoint(true)
+    val blockKeys = (0 until nBlocks).map { b =>
+      if (b == nBlocks - 1) shiftrightunsigned(col("fp"), b * width)
+      else shiftrightunsigned(col("fp"), b * width).bitwiseAND(lit((1L << width) - 1L))
+    }
     val blocks = withFp.select(
       col("id"), col("fp"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("block", "key")))
+      posexplode(array(blockKeys: _*)).as(Seq("block", "key")))
     val l = blocks.select(col("block"), col("key"), col("id").as("id1"), col("fp").as("fp1"))
     val r = blocks.select(col("block"), col("key"), col("id").as("id2"), col("fp").as("fp2"))
     l.join(r, Seq("block", "key")).filter(col("id1") < col("id2"))
@@ -167,7 +180,7 @@ object DedupOps {
       col("doc_id"), col("lang"),
       floor(col("n_chars") / blockWidth).as("len_bucket"),
       TextFns.tokenSet(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val a = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id1"), col("toks").as("t1"))
     val b = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id2"), col("toks").as("t2"))
     a.join(b, Seq("lang", "len_bucket")).filter(col("id1") < col("id2"))

@@ -161,21 +161,26 @@ object EventStoreOps {
   /** C1 index->events lookup join (CassandraEventStore.cs:278-334): the
     * reference issues one network round-trip per index record; here it is a
     * single equi-join. The index side is day+type pruned and therefore
-    * typically small -> broadcast; at 100 TB with a huge index slice AQE
-    * falls back to sort-merge on the shared (aid=id) keys. */
+    * typically small; no explicit broadcast hint — a hint is honored
+    * regardless of estimated size, which at 100 TB would force an unbounded
+    * index slice (month-long replay of a hot type) into executor memory.
+    * Size-based selection + AQE broadcast the slice when it is actually
+    * small and fall back to sort-merge when it is not. */
   def indexJoin(events: DataFrame, index: DataFrame): DataFrame =
     events.join(
-      broadcast(index.select(col("aid"), col("rev").as("i_rev"), col("pos").as("i_pos"))),
+      index.select(col("aid"), col("rev").as("i_rev"), col("pos").as("i_pos")),
       col("id") === col("aid") && col("rev") === col("i_rev") && col("pos") === col("i_pos"),
       "inner")
       .drop("aid", "i_rev", "i_pos")
 
   /** C2 index->aggregate-stream join (CassandraEventStore.cs:308-326,
     * 393-414): select whole aggregates touched by an event type — a
-    * left-semi join on the distinct aggregate ids, then stream grouping. */
+    * left-semi join on the distinct aggregate ids, then stream grouping.
+    * No broadcast hint for the same reason as indexJoin: let size estimation
+    * / AQE pick broadcast only when the distinct-id set is actually small. */
   def semiJoinAggregates(events: DataFrame, index: DataFrame): DataFrame =
     events.join(
-      broadcast(index.select(col("aid")).distinct()),
+      index.select(col("aid")).distinct(),
       col("id") === col("aid"),
       "left_semi")
 

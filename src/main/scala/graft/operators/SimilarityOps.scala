@@ -82,7 +82,7 @@ object SimilarityOps {
     // bucket assignment feeds both sides of the self-join: compute once
     val b = withLshBucket(embeddings, nPlanes, vecCol)
       .select(col("lsh_bucket"), col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // lineage cut + ContextCleaner-managed blocks
     val l = b.select(col("lsh_bucket"), col("id").as("id1"), col("v").as("v1"))
     val r = b.select(col("lsh_bucket"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("lsh_bucket")).filter(col("id1") < col("id2"))
@@ -104,17 +104,27 @@ object SimilarityOps {
       vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
-    // hash-spread deterministic seeds (no RNG: stable across runs/executors)
+    // Hash-spread deterministic seeds (no RNG: stable across runs/executors).
+    // The k seed vectors are collected and re-emitted as a local relation:
+    // numbering k rows is inherently a driver-scale task, and doing it with
+    // a global window would funnel a distributed exchange through one
+    // partition (WindowExec "no partition defined") for no benefit.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     var centroids = vecs
       .orderBy(xxhash64(col("id").cast("string")), col("id"))
       .limit(k)
-      .select(row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(xxhash64(col("id").cast("string")), col("id")))
-        .as("cid"), col("v").as("centroid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("v"))
+      .collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
+      .toDF("cid", "centroid")
     (0 until nIters).foreach { _ =>
       val assigned = assignCells(vecs, centroids)
-      val next = assigned
+      // localCheckpoint per generation: materializes eagerly, truncates the
+      // per-iteration plan growth, and old generations' blocks are dropped
+      // by the ContextCleaner once unreferenced (no unpersist bookkeeping)
+      centroids = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("x")).as("m"))
@@ -122,10 +132,7 @@ object SimilarityOps {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("centroid"))
         .select(col("cell").as("cid"), col("centroid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous generation
-      centroids.unpersist()
-      centroids = next
+        .localCheckpoint(true)
     }
     centroids
   }

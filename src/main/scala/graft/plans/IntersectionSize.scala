@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
@@ -74,6 +74,12 @@ object IntersectionSize {
     new ExpressionInfo(classOf[IntersectionSize].getCanonicalName, Name),
     (children: Seq[Expression]) => {
       require(children.length == 2, s"$Name expects 2 arguments")
-      IntersectionSize(children.head, children(1))
+      // eval reads elements as UTF8String: cast both children to
+      // array<string> at construction so non-string arrays fail analysis
+      // (or convert) instead of ClassCastException-ing at runtime — same
+      // pattern as CosineSimilarity (ImplicitCastInputTypes is private[sql])
+      val Seq(a, b) = children.map(c =>
+        Cast(c, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+      IntersectionSize(a, b)
     })
 }

@@ -21,6 +21,10 @@ object Tables {
 
   def withNanosAsLong(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Calendar-derived outputs (pid = year*1000+dayOfYear, hour()) are
+    // session-timezone-sensitive and the oracle SQL assumes UTC; pin it here
+    // (runtime-settable) so driver-owned sessions with another default agree.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 
