@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TimeFns
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TemporalOps, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -576,6 +576,152 @@ object SparkEntry {
       MultimodalOps.decodeStub(MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("media_id"))
     },
+
+    // ---- Temporal joins (as-of / bucketized range) --------------------
+    "q_asof_lastview" -> { (s, dir) => // latest prior 'view' per 'purchase'
+      val ev = Tables.events(s, dir)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      // pre-reduce the reference side to one row per (key, ts) — as-of tie
+      // determinism (see TemporalOps.asOfJoin)
+      val ref = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      TemporalOps.asOfJoin(probe, ref, "user_id", "ts_us", Seq("view_event_id", "ts_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_ts_us").as("view_ts_us"),
+          (col("ts_us") - col("asof_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
+    "q_range_activity" -> { (s, dir) => // events within ±30min of each error
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          (col("ts_us") - 1800000000L).as("lo"), (col("ts_us") + 1800000000L).as("hi"))
+      TemporalOps.rangeJoin(
+          probes, ev.select(col("user_id"), col("ts_us")),
+          "user_id", "lo", "hi", "ts_us", bucketWidth = 3600000000L)
+        .groupBy(col("anchor_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy(col("anchor_id"))
+    },
+
+    // ---- Corpus curation (§G training-data pipeline) ------------------
+    "g_contamination" -> { (s, dir) => // eval-set 3-gram overlap check
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      // hashed=false: exact shingle strings, oracle-checkable; production
+      // runs hashed=true (8-byte shingle hashes through the shuffle)
+      CurationOps.contamination(train, evalSet, k = 3, hashed = false)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_repetition" -> { (s, dir) => // duplicate-3-gram ratio per doc
+      CurationOps.repetitionRatio(Tables.documents(s, dir), k = 3, hashed = false)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_token_packing" -> { (s, dir) => // 2048-token training-shard packing
+      CurationOps.tokenPacking(Tables.documents(s, dir), capacity = 2048L)
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    "g_split_stratified" -> { (s, dir) => // deterministic train/val/test split
+      CurationOps.stratifiedSplit(Tables.documents(s, dir))
+        .orderBy(col("lang"), col("split"))
+    },
+
+    "g_embed_quant" -> { (s, dir) => // int8 quantization stats per vector
+      SimilarityOps.quantizeStats(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- Analytics breadth: more TPC-H shapes -------------------------
+    "q4_priority" -> { (s, dir) => // existence semi-join by priority
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q12_priority_class" -> { (s, dir) => // join + conditional class counts
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q14_promo" -> { (s, dir) => // promo revenue share (exact-decimal ratio)
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          graft.functions.NumFns.floorAt(
+            lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0))).cast("double") /
+              sum(rev).cast("double"), 4).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q16_parts_suppliers" -> { (s, dir) => // distinct-supplier count + anti-join
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps.join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    },
+
+    "q18_big_orders" -> { (s, dir) => // HAVING-filtered agg joined back
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 250)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty_d").cast("double").as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q22_idle_customers" -> { (s, dir) => // scalar subquery + anti-join
+      val cust = Tables.customer(s, dir)
+      // deterministic average: exact decimal sum / count (avg(double) is
+      // partial-sum order-dependent and could flip boundary comparisons)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp_ntz"))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(avgBal)
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    },
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -953,6 +1099,136 @@ object SparkEntry {
         |                CAST(length(text) AS DOUBLE)) * 0.2,
         |         0.0), 1.0) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_asof_lastview" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |       v.view_event_id, v.ts_us AS view_ts_us, p.ts_us - v.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_activity" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |     p AS (SELECT event_id AS anchor_id, user_id, ts_us FROM e WHERE event_type = 'error')
+        |SELECT p.anchor_id, p.user_id, CAST(count(*) AS BIGINT) AS n_nearby
+        |FROM p JOIN e ON p.user_id = e.user_id
+        | AND e.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us + 1800000000
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "g_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_repetition" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       floor((1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*)) * 10000.0) / 10000.0
+        |         AS repetition
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_token_packing" ->
+      """SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(floor((sum(len(string_split(text, ' ')))
+        |              OVER (PARTITION BY lang ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS bin
+        |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "g_split_stratified" ->
+      """SELECT lang,
+        |       CASE WHEN doc_id % 100 < 90 THEN 'train'
+        |            WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_embed_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> CASE WHEN m = 0 THEN 0
+        |           ELSE greatest(-127, least(127, floor(x * 127.0 / m + 0.5))) END) AS ql
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+        |        FROM embeddings))
+        |SELECT vec_id, CAST(list_min(ql) AS BIGINT) AS q_min,
+        |       CAST(list_max(ql) AS BIGINT) AS q_max,
+        |       CAST(list_sum(list_transform(ql, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT floor((100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                     (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |                ELSE 0 END) AS DOUBLE) /
+        |             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |                  AS DOUBLE)) * 10000.0) / 10000.0 AS promo_pct,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250) b
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

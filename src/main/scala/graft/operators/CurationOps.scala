@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NumFns
+
+/** Corpus-curation operators for the training-data pipeline (builder
+  * mandate §G, beyond the reference's own surface): benchmark-contamination
+  * checks, intra-document repetition scoring, deterministic train/val
+  * splitting, and token-budget packing.
+  *
+  * Shingling here follows the round-1 perf lesson: shingles are built with
+  * window lead() over exploded tokens (whole-stage codegen) rather than
+  * per-row higher-order-function lambdas (interpreted per element). With
+  * `hashed = true` the shingle never materializes as a string at all —
+  * only its xxhash64 — which is the 100 TB path (8 bytes/shingle through
+  * the shuffle instead of ~k words); `hashed = false` keeps the exact
+  * strings so results are oracle-checkable against ANSI SQL.
+  */
+object CurationOps {
+
+  /** One row per (doc, shingle): k-token shingles via window lead();
+    * documents shorter than k tokens contribute their whole text as a
+    * single shingle (mirrors TextFns.shingles). NOT deduplicated. */
+  def shingleRows(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashed: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val toks = base.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val leads = (1 until k).map(j => lead(col("t"), j).over(w).as(s"t$j"))
+    val parts = col("t") +: (1 until k).map(j => col(s"t$j"))
+    val long = toks.select((col("doc_id") +: col("t") +: leads): _*)
+      .filter(if (k == 1) lit(true) else col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"),
+        (if (hashed) xxhash64(parts: _*) else concat_ws(" ", parts: _*)).as("shingle"))
+    val short = base.filter(size(split(col("text"), " ")) < k)
+      .select(col("doc_id"),
+        (if (hashed) xxhash64(col("text")) else col("text")).as("shingle"))
+    long.unionByName(short)
+  }
+
+  /** Benchmark-contamination check: training documents sharing at least one
+    * k-token shingle with the evaluation corpus, with the count of distinct
+    * shared shingles. The eval side reduces to a distinct shingle set before
+    * the join (it is the small side; size-based selection/AQE broadcasts it
+    * when appropriate), the train side shuffles once on the shingle. */
+  def contamination(
+      train: DataFrame,
+      eval0: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashed: Boolean = true): DataFrame = {
+    val evalShingles = shingleRows(eval0, k, idCol, textCol, hashed)
+      .select(col("shingle")).distinct()
+    shingleRows(train, k, idCol, textCol, hashed).distinct()
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Intra-document repetition: 1 - distinct/total k-token shingles
+    * (0 = no repetition). The Gopher/RefinedWeb-style quality signal for
+    * filtering boilerplate and degenerate generations. */
+  def repetitionRatio(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashed: Boolean = true): DataFrame =
+    shingleRows(docs, k, idCol, textCol, hashed)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"),
+        NumFns.floorAt(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4)
+          .as("repetition"))
+
+  /** Deterministic hash-free train/val/test split on the id (stable across
+    * runs, engines and partitionings — a modulus on the id, not a RNG),
+    * aggregated per (stratum, split) for distribution checks. */
+  def stratifiedSplit(
+      docs: DataFrame,
+      stratumCol: String = "lang",
+      idCol: String = "doc_id",
+      modulus: Int = 100,
+      trainLt: Int = 90,
+      valLt: Int = 95): DataFrame =
+    docs
+      .withColumn("split",
+        when(pmod(col(idCol), lit(modulus)) < trainLt, "train")
+          .when(pmod(col(idCol), lit(modulus)) < valLt, "val")
+          .otherwise("test"))
+      .groupBy(col(stratumCol), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+
+  /** Greedy offset packing of documents into fixed token budgets: within
+    * each stratum, documents (in id order) land in bin
+    * floor(preceding_token_count / capacity). One pass, one window — the
+    * deterministic, shuffle-minimal way to build ~equal-budget training
+    * shards. (True first-fit bin packing is inherently sequential;
+    * offset packing overshoots each bin by at most one document.) */
+  def tokenPacking(
+      docs: DataFrame,
+      capacity: Long,
+      stratumCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(stratumCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        // floor (not a truncating cast): DuckDB's CAST(double AS BIGINT)
+        // rounds, Spark's truncates — floor() agrees on both engines
+        floor((col("cum") - col("n_tokens")) / capacity).as("bin"))
+  }
+}

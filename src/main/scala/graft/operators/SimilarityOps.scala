@@ -176,6 +176,35 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization stats per vector: q_i = round(x_i * 127 /
+    * max|x|) clamped to [-127, 127] (the storage/bandwidth-reduction pass a
+    * 100 TB embedding corpus runs before indexing; 4x smaller than float32).
+    *
+    * Runs as posexplode + two codegen hash aggregations (per-vector max,
+    * then quantized stats) rather than per-element higher-order-function
+    * lambdas, which evaluate interpreted (round-1 lesson). Rounding is
+    * floor(x+0.5) — identical semantics in Spark and DuckDB, unlike
+    * round() whose tie behavior differs between engines.
+    *
+    * Output: (vec_id, q_min, q_max, q_l1) — min/max quantized value and the
+    * L1 norm of the quantized vector. */
+  def quantizeStats(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val ex = embeddings
+      .select(col(idCol), posexplode(VectorFns.toDouble(col(vecCol))).as(Seq("dim", "x")))
+    val mx = ex.groupBy(col(idCol)).agg(max(abs(col("x"))).as("maxabs"))
+    val q = when(col("maxabs") === 0.0, lit(0L))
+      .otherwise(greatest(lit(-127L),
+        least(lit(127L), floor(col("x") * 127.0 / col("maxabs") + 0.5))))
+    ex.join(mx, idCol)
+      .select(col(idCol), q.as("q"))
+      .groupBy(col(idCol))
+      .agg(min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+        sum(abs(col("q"))).as("q_l1"))
+  }
+
   /** Exact pairwise top-k per probe id for a small probe set (broadcast
     * nested-loop scoring — the "many queries at once" path). */
   def batchTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {

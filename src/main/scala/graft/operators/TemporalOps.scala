@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference's replay consumers end up writing
+  * by hand (correlate each event with the latest earlier state / find events
+  * near an anchor). Spark has no ASOF or interval join operator, so both are
+  * expressed as shuffle-friendly compositions that avoid the O(|L|x|R|)
+  * blow-up a naive join condition would produce at 100 TB.
+  */
+object TemporalOps {
+
+  /** As-of join: for every probe row, attach the latest reference row with
+    * `ref.ts <= probe.ts` for the same key (LEFT semantics: probes with no
+    * earlier reference keep nulls).
+    *
+    * Implementation: union the two tagged streams, one window per key
+    * ordered by (ts, isRef DESC) — at equal ts the reference sorts first,
+    * giving inclusive at-or-before semantics — and carry the last non-null
+    * reference payload forward. Exactly ONE shuffle on the key, |P|+|R|
+    * rows total, no join explosion; this is the plan a 1000-executor
+    * cluster wants (a range/inequality join would either cross-product or
+    * single-partition sort).
+    *
+    * Reference rows must be unique per (key, ts) — pre-reduce the reference
+    * side first (e.g. max payload per key+ts); ties are otherwise
+    * nondeterministic under shuffle.
+    *
+    * @param refPayload reference columns to expose (each becomes
+    *                   `asof_<name>` on the output)
+    */
+  def asOfJoin(
+      probe: DataFrame,
+      ref: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      refPayload: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val refStructT = ref.select(struct(refPayload.map(col): _*).as("r")).schema("r").dataType
+    val probeStructT = probe.select(struct(probeCols.map(col): _*).as("p")).schema("p").dataType
+    val pSide = probe.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(false).as("__is_ref"),
+      struct(probeCols.map(col): _*).as("__p"),
+      lit(null).cast(refStructT).as("__r"))
+    val rSide = ref.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(true).as("__is_ref"),
+      lit(null).cast(probeStructT).as("__p"),
+      struct(refPayload.map(col): _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_ref").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pSide.unionByName(rSide)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(!col("__is_ref"))
+      .select(
+        probeCols.map(c => col(s"__p.$c").as(c)) ++
+          refPayload.map(c => col(s"__last_r.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Interval-point range join: rows of `points` whose `tCol` falls inside
+    * `[loCol, hiCol]` of an `intervals` row with the same key.
+    *
+    * Spark has no inequality-join operator that scales (a theta join is a
+    * broadcast nested loop), so the time axis is bucketized: every point
+    * belongs to exactly one bucket of `bucketWidth`; every interval explodes
+    * to the buckets it covers (ceil(len/width)+1 of them); the join is then
+    * a plain equi-join on (key, bucket) + an exact range filter. Each point
+    * matches each interval at most once (its single bucket), so no dedup is
+    * needed. Choose bucketWidth ~ the typical interval length: wider wastes
+    * filter work, narrower multiplies the exploded interval rows.
+    *
+    * Output: all interval columns + all point columns (caller ensures
+    * disjoint names).
+    */
+  def rangeJoin(
+      intervals: DataFrame,
+      points: DataFrame,
+      keyCol: String,
+      loCol: String,
+      hiCol: String,
+      tCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // integer DIV, not floating /: exact for the full long range
+    val pts = points.withColumn("__b", expr(s"`$tCol` DIV ${bucketWidth}L"))
+    val ivs = intervals.withColumn("__b",
+      explode(sequence(
+        expr(s"`$loCol` DIV ${bucketWidth}L"),
+        expr(s"`$hiCol` DIV ${bucketWidth}L"))))
+    ivs.join(pts, Seq(keyCol, "__b"))
+      .filter(col(tCol).between(col(loCol), col(hiCol)))
+      .drop("__b")
+  }
+}

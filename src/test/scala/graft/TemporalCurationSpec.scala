@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CurationOps, SimilarityOps, TemporalOps}
+
+class TemporalCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TemporalOps.asOfJoin -------------------------------------------
+
+  test("asOfJoin attaches the latest at-or-before reference per key") {
+    val probe = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "tag")
+    val ref = Seq((1L, 8L, "r8"), (1L, 15L, "r15"), (2L, 9L, "r9"))
+      .toDF("k", "t", "v")
+    val got = TemporalOps.asOfJoin(probe, ref, "k", "t", Seq("v", "t"))
+      .select("tag", "asof_v", "asof_t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got("p1") == (("r8", 8L)))   // 8 <= 10 < 15
+    assert(got("p2") == (("r15", 15L))) // latest of {8, 15}
+    assert(got("p3") == ((null, null))) // ref at t=9 is AFTER probe t=5
+  }
+
+  test("asOfJoin is inclusive at equal timestamps (ref sorts before probe)") {
+    val probe = Seq((1L, 10L)).toDF("k", "t")
+    val ref = Seq((1L, 10L, "same-ts")).toDF("k", "t", "v")
+    val got = TemporalOps.asOfJoin(probe, ref, "k", "t", Seq("v"))
+      .select("asof_v").as[String].head()
+    assert(got == "same-ts")
+  }
+
+  test("asOfJoin output row count equals probe row count (left semantics)") {
+    val probe = Seq((1L, 1L), (1L, 2L), (3L, 9L)).toDF("k", "t")
+    val ref = Seq((1L, 1L, "x")).toDF("k", "t", "v")
+    assert(TemporalOps.asOfJoin(probe, ref, "k", "t", Seq("v")).count() == 3)
+  }
+
+  // ---- TemporalOps.rangeJoin ------------------------------------------
+
+  test("rangeJoin matches bruteforce interval containment incl. bucket edges") {
+    val intervals = Seq(
+      (1L, 100L, 250L, "a"), // spans buckets 1..2 at width 100
+      (1L, 300L, 300L, "b"), // degenerate single-point interval
+      (2L, 0L, 1000L, "c"))
+      .toDF("k", "lo", "hi", "iv")
+    val points = Seq(
+      (1L, 99L), (1L, 100L), (1L, 199L), (1L, 250L), (1L, 251L), (1L, 300L),
+      (2L, 500L), (3L, 150L))
+      .toDF("k", "t")
+    val got = TemporalOps.rangeJoin(intervals, points, "k", "lo", "hi", "t", 100L)
+      .select("iv", "t").as[(String, Long)].collect().toSet
+    val brute = intervals.as[(Long, Long, Long, String)].collect().flatMap {
+      case (k, lo, hi, iv) =>
+        points.as[(Long, Long)].collect().collect {
+          case (pk, t) if pk == k && t >= lo && t <= hi => (iv, t)
+        }
+    }.toSet
+    assert(got == brute)
+    assert(got == Set(("a", 100L), ("a", 199L), ("a", 250L), ("b", 300L), ("c", 500L)))
+  }
+
+  test("rangeJoin emits each (interval, point) match exactly once") {
+    val intervals = Seq((1L, 0L, 999L, "wide")).toDF("k", "lo", "hi", "iv")
+    val points = Seq((1L, 500L)).toDF("k", "t")
+    // interval spans 10 buckets at width 100; the point matches once, not 10x
+    assert(TemporalOps.rangeJoin(intervals, points, "k", "lo", "hi", "t", 100L).count() == 1)
+  }
+
+  // ---- CurationOps ------------------------------------------------------
+
+  test("shingleRows builds k-grams and falls back to whole text below k tokens") {
+    val docs = Seq((1L, "a b c d"), (2L, "xy")).toDF("doc_id", "text")
+    val got = CurationOps.shingleRows(docs, k = 3, hashed = false)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a b c"), (1L, "b c d"), (2L, "xy")))
+  }
+
+  test("hashed and string shingles agree on per-doc distinct counts") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // repeated trigrams
+      (2L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    def counts(hashed: Boolean) =
+      CurationOps.shingleRows(docs, 3, hashed = hashed)
+        .groupBy("doc_id").agg(countDistinct("shingle").as("d"))
+        .as[(Long, Long)].collect().toMap
+    assert(counts(hashed = true) == counts(hashed = false))
+  }
+
+  test("contamination finds exactly the train docs sharing an eval shingle") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta"), // shares "alpha beta gamma"
+      (11L, "unrelated text entirely here")).toDF("doc_id", "text")
+    val eval0 = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = CurationOps.contamination(train, eval0, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L))
+  }
+
+  test("repetitionRatio is 0 for all-distinct and rises with repeats") {
+    val docs = Seq(
+      (1L, "a b c d e"),         // 3 distinct trigrams / 3
+      (2L, "a b a b a b a b")).toDF("doc_id", "text") // heavy repetition
+    val got = CurationOps.repetitionRatio(docs, k = 3, hashed = false)
+      .select("doc_id", "repetition").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    // 6 trigrams, 2 distinct ("a b a", "b a b") -> 1 - 2/6 = 0.6666
+    assert(got(2L) == 0.6666)
+  }
+
+  test("tokenPacking never starts a doc at/after capacity boundary incorrectly") {
+    val docs = Seq(
+      (1L, "en", "w w w w"),  // 4 tokens, cum-before 0  -> bin 0
+      (2L, "en", "w w w"),    // 3 tokens, cum-before 4  -> bin 0
+      (3L, "en", "w w"),      // 2 tokens, cum-before 7  -> bin 0
+      (4L, "en", "w"),        // 1 token,  cum-before 9  -> bin 1
+      (5L, "de", "w w w w w w w w w w")) // separate stratum -> bin 0
+      .toDF("doc_id", "lang", "text")
+    val got = CurationOps.tokenPacking(docs, capacity = 8L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("stratifiedSplit buckets ids deterministically 90/5/5") {
+    val docs = (0L until 200L).map(i => (i, "en", 10L)).toDF("doc_id", "lang", "n_chars")
+    val got = CurationOps.stratifiedSplit(docs)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    assert(got == Map("train" -> 180L, "val" -> 10L, "test" -> 10L))
+  }
+
+  test("quantizeStats: symmetric int8, clamped, zero-vector safe") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)),  // maxabs 1 -> q = 127, -127, 64
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeStats(emb)
+      .select("vec_id", "q_min", "q_max", "q_l1").as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((-127L, 127L, 127L + 127L + 64L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+}
