@@ -47,8 +47,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // sf must be a NUMBER for the driver's parse (round 1 emitted the dir
-    // path string and the driver recorded parsed:null)
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // path string and the driver recorded parsed:null); a dir we can't
+    // parse would silently mislabel the record — fail fast instead
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse(sys.error(s"Bench: cannot parse scale factor from '$sfDir' (want .../sfN.NN)"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }

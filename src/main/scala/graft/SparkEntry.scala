@@ -35,14 +35,17 @@ object SparkEntry {
 
   /** Flagship (smoke, sf0.001): the reference's signature pipeline — replay
     * by event type (E1 index branch): day-pruned index range scan (E4) ->
-    * join back to the log (C1) -> per-aggregate grouping (E3) -> counts. */
+    * join back to the log (C1, hint-free via EventStoreOps — the index slice
+    * of a hot type is unbounded at 100 TB, so broadcast is AQE's call) ->
+    * per-aggregate grouping (E3) -> counts. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir)
     val idx = ev
       .filter(col("event_type") === "purchase" && Tables.tsUsBetween(T10, T20))
       .select(col("user_id").as("aid"), col("event_id").as("eid"))
-    ev.join(broadcast(idx), col("user_id") === col("aid") && col("event_id") === col("eid"))
+    graft.operators.EventStoreOps.indexJoinOn(ev, idx,
+        col("user_id") === col("aid") && col("event_id") === col("eid"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"), min("ts_us").as("first_us"))
       .orderBy(col("user_id"))
@@ -109,22 +112,25 @@ object SparkEntry {
     },
 
     "q_index_join" -> { (s, dir) => // C1: index -> events equi-join
+      // through EventStoreOps (hint-free policy; PlanRegressionSpec pins it)
       val ev = Tables.events(s, dir)
       val idx = ev
         .filter(col("event_type") === "purchase" && Tables.tsUsBetween(T10, T20))
         .select(col("user_id").as("aid"), col("event_id").as("eid"))
-      ev.join(broadcast(idx),
+      graft.operators.EventStoreOps.indexJoinOn(ev, idx,
           col("user_id") === col("aid") && col("event_id") === col("eid"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("value"))
         .orderBy(col("event_id"))
     },
 
     "q_semi_join" -> { (s, dir) => // C2: whole aggregates touched by a type
+      // through EventStoreOps (hint-free policy; PlanRegressionSpec pins it)
       val ev = Tables.events(s, dir)
       val touched = ev
         .filter(col("event_type") === "error" && Tables.tsUsBetween(T10, T20))
         .select(col("user_id").as("aid")).distinct()
-      ev.join(broadcast(touched), col("user_id") === col("aid"), "left_semi")
+      graft.operators.EventStoreOps.semiJoinAggregatesOn(ev, touched,
+          col("user_id") === col("aid"))
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -176,6 +182,63 @@ object SparkEntry {
           count(lit(1)).as("n"),
           count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
         .orderBy(col("pid"))
+    },
+
+    "q_commit_split" -> { (s, dir) => // D5: pos-gap commit reassembly,
+      // end-to-end through the write-side pos encoding and the read-side
+      // split (AggregateCommitBlock.cs:56-64): events are grouped into one
+      // commit per (aggregate, day); every event is a private event and the
+      // value>=100 ones are ALSO published as public events, which
+      // commitToRows places at pos = n-1+PublicEventsOffset+k. The oracle
+      // recomputes the expected positions arithmetically.
+      val ev = Tables.events(s, dir)
+      val commits = ev
+        .groupBy(col("user_id").as("id"), col("pid").as("rev"))
+        .agg(
+          min(TimeFns.microsToFileTime(col("ts_us"))).as("ts"),
+          transform(
+            array_sort(collect_list(struct(col("event_id").as("eid"),
+              encode(col("props"), "utf-8").as("d")))),
+            e => e.getField("d")).as("events"),
+          transform(
+            array_sort(collect_list(when(col("value") >= 100,
+              struct(col("event_id").as("eid"), encode(col("props"), "utf-8").as("d"))))),
+            e => e.getField("d")).as("publicEvents"))
+      val rows = graft.sources.Storage.commitToRows(commits)
+      graft.operators.EventStoreOps.reassembleCommits(rows)
+        .select(col("id"), col("rev"),
+          size(col("events")).as("n_private"),
+          size(col("publicEvents")).as("n_public"),
+          array_join(transform(col("events"),
+            e => e.getField("pos").cast("string")), ",").as("priv_pos"),
+          array_join(transform(col("publicEvents"),
+            e => e.getField("pos").cast("string")), ",").as("pub_pos"))
+        .orderBy(col("id"), col("rev"))
+    },
+
+    "q_counter_fold" -> { (s, dir) => // B7/D2/D3: increments-log fold with a
+      // compensating reset (MessageCounter.cs:63-117): +1 per event, then a
+      // reset appends -cv for the pre-2024-01-10 prefix; the fold nets out
+      // to the post-reset count per message type.
+      val ev = Tables.events(s, dir)
+      val incr = ev.select(col("event_type").as("msgid"), lit(1L).as("delta"))
+      val early = ev.filter(col("ts_ns") < lit(T10 * 1000L))
+        .select(col("event_type").as("msgid"), lit(1L).as("delta"))
+      val resets = graft.operators.CounterOps.counters(early)
+        .select(col("msgid"), (-col("cv")).as("delta"))
+      graft.operators.CounterOps.counters(incr.unionByName(resets))
+        .orderBy(col("msgid"))
+    },
+
+    "q_message_scan" -> { (s, dir) => // A8/A9: message-store scan shape —
+      // day-truncated FileTime partition key (the same withMessageDate the
+      // sink uses) -> per-day counts and ts bounds
+      // (CassandraMessageStore.cs:19-68)
+      val msgs = Tables.eventLog(s, dir).select(col("ts"), col("data"))
+      graft.sources.Storage.withMessageDate(msgs)
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_msgs"), min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .orderBy(col("date"))
     },
 
     "q_migration" -> { (s, dir) => // E9: read-transform (migration reclassify)
@@ -489,10 +552,23 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     },
 
-    "g_dedup_clusters" -> { (s, dir) => // near-dup clusters (rows-only)
+    "g_dedup_clusters" -> { (s, dir) => // near-dup clusters over MinHash
+      // pairs — the 100 TB composition (LSH candidates -> label prop);
+      // rows-only because the MinHash pair list itself has no SQL oracle.
+      // The clustering ALGORITHM is oracle-gated by g_dedup_clusters_exact.
       DedupOps.nearDupClusters(
           DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5),
           maxIter = 3, earlyStop = false) // LSH cliques converge in <=3 hops
+        .orderBy(col("doc_id"))
+    },
+
+    "g_dedup_clusters_exact" -> { (s, dir) => // the same connected-components
+      // operator over the ORACLE-GREEN exact pair list (g_dedup_jaccard);
+      // the DuckDB oracle recomputes the components with a recursive CTE,
+      // so min-label propagation is hash-gated end-to-end.
+      DedupOps.nearDupClusters(
+          DedupOps.ngramJaccardPairs(Tables.documents(s, dir), blockWidth = 8, threshold = 0.5),
+          maxIter = 10)
         .orderBy(col("doc_id"))
     },
 
@@ -802,6 +878,30 @@ object SparkEntry {
         |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_commit_split" ->
+      // the pos-offset rule recomputed arithmetically: private events take
+      // pos 0..n-1, public events n-1+5+k (PublicEventsOffset = 5)
+      """WITH c AS (
+        |  SELECT user_id AS id, CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS rev,
+        |         CAST(count(*) AS INT) AS n,
+        |         CAST(count(CASE WHEN value >= 100 THEN 1 END) AS INT) AS m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT id, rev, n AS n_private, m AS n_public,
+        |       array_to_string(list_transform(range(0, n), i -> CAST(i AS VARCHAR)), ',') AS priv_pos,
+        |       coalesce(array_to_string(list_transform(range(0, m), j -> CAST(n - 1 + 5 + j AS VARCHAR)), ','), '') AS pub_pos
+        |FROM c ORDER BY id, rev""".stripMargin,
+
+    "q_counter_fold" ->
+      """SELECT event_type AS msgid,
+        |       CAST(count(*) - count(CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 1 END) AS BIGINT) AS cv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_message_scan" ->
+      """WITH m AS (SELECT epoch_us(ts)*10 + 116444736000000000 AS ft FROM events)
+        |SELECT (ft // 864000000000) * 864000000000 AS date,
+        |       count(*) AS n_msgs, min(ft) AS first_ts, max(ft) AS last_ts
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_migration" ->
       """SELECT event_id, user_id, upper(event_type) AS et_migrated,
         |       CASE WHEN value >= 100 THEN 'public' ELSE 'private' END AS visibility,
@@ -992,6 +1092,31 @@ object SparkEntry {
         |WHERE len(list_intersect(a.toks, b.toks)) /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+
+    "g_dedup_clusters_exact" ->
+      // connected components over the exact-Jaccard pair list, recomputed
+      // independently: transitive closure via recursive CTE, then min
+      // reachable id per doc = cluster label (matches min-label propagation
+      // at convergence)
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, floor(n_chars / 8) AS len_bucket,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "g_sim_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
@@ -1202,10 +1327,14 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
 
     "q16_parts_suppliers" ->
+      // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and the
+      // two only agree when the subquery can't yield NULL — NOT EXISTS has
+      // identical null semantics to anti-join by definition (q22 likewise)
       """SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
         |JOIN part ON l_partkey = p_partkey
-        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
         |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
 
     "q18_big_orders" ->

@@ -35,10 +35,16 @@ object CurationOps {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val leads = (1 until k).map(j => lead(col("t"), j).over(w).as(s"t$j"))
     val parts = col("t") +: (1 until k).map(j => col(s"t$j"))
+    // hashed mode hashes the SAME canonical string the unhashed mode emits
+    // (space-joined tokens / whole text) — so a short doc equal to a k-gram
+    // string collides across the two row shapes exactly like the string
+    // mode would, and hashed vs string differ ONLY by xxhash64 collisions
+    // (~n^2/2^65 expected false matches; see contamination scaladoc).
     val long = toks.select((col("doc_id") +: col("t") +: leads): _*)
       .filter(if (k == 1) lit(true) else col(s"t${k - 1}").isNotNull)
       .select(col("doc_id"),
-        (if (hashed) xxhash64(parts: _*) else concat_ws(" ", parts: _*)).as("shingle"))
+        (if (hashed) xxhash64(concat_ws(" ", parts: _*)) else concat_ws(" ", parts: _*))
+          .as("shingle"))
     val short = base.filter(size(split(col("text"), " ")) < k)
       .select(col("doc_id"),
         (if (hashed) xxhash64(col("text")) else col("text")).as("shingle"))
@@ -49,7 +55,14 @@ object CurationOps {
     * k-token shingle with the evaluation corpus, with the count of distinct
     * shared shingles. The eval side reduces to a distinct shingle set before
     * the join (it is the small side; size-based selection/AQE broadcasts it
-    * when appropriate), the train side shuffles once on the shingle. */
+    * when appropriate), the train side shuffles once on the shingle.
+    *
+    * `hashed = true` (the 100 TB path: 8 bytes/shingle through the shuffle)
+    * is an approximation of the string mode: two distinct shingles may
+    * collide under xxhash64 and report a false shared shingle — expected
+    * collisions ~ |train|x|eval|/2^64, negligible for contamination
+    * screening. Both row shapes hash the same canonical string
+    * (shingleRows), so the approximation is collision-only. */
   def contamination(
       train: DataFrame,
       eval0: DataFrame,

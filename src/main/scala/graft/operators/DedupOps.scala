@@ -46,7 +46,8 @@ object DedupOps {
       shingleK: Int = 3,
       nHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      reliable: Boolean = false): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     GraftFunctions.register(docs.sparkSession)
     val rows = nHashes / bands
@@ -82,8 +83,8 @@ object DedupOps {
     // blocks are released by the ContextCleaner once the frame is
     // unreachable — persist() would leak a CacheManager entry for every
     // call unless the caller remembered to unpersist. (At cluster scale
-    // with lineage-loss concerns: write the signatures to a table.)
-    val sig = sigLong.unionByName(sigShort).localCheckpoint(true)
+    // with lineage-loss concerns, pass reliable = true — see Checkpoints.)
+    val sig = Checkpoints.pin(sigLong.unionByName(sigShort), reliable)
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
@@ -93,7 +94,7 @@ object DedupOps {
       .join(banded.select(col("band"), col("bandsig"), col("id").as("id2")), Seq("band", "bandsig"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.pin(_, reliable))
     // exact-Jaccard rescore: shingle STRINGS are built only for candidate
     // docs — semi-join first, project after, so the expensive projection
     // runs over |candidates| docs, not the corpus
@@ -121,14 +122,15 @@ object DedupOps {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      reliable: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming=$maxHamming: need maxHamming+1 blocks of >= 2 bits each")
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks // last block absorbs the remaining high bits
     // fingerprints feed both sides of the block self-join: compute once
     // (localCheckpoint: lineage cut + ContextCleaner-managed blocks)
-    val withFp = simHashFingerprints(docs, idCol, textCol).localCheckpoint(true)
+    val withFp = Checkpoints.pin(simHashFingerprints(docs, idCol, textCol), reliable)
     val blockKeys = (0 until nBlocks).map { b =>
       if (b == nBlocks - 1) shiftrightunsigned(col("fp"), b * width)
       else shiftrightunsigned(col("fp"), b * width).bitwiseAND(lit((1L << width) - 1L))
@@ -174,13 +176,14 @@ object DedupOps {
   def ngramJaccardPairs(
       docs: DataFrame,
       blockWidth: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      reliable: Boolean = false): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val base = docs.select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / blockWidth).as("len_bucket"),
       TextFns.tokenSet(col("text")).as("toks"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.pin(_, reliable))
     val a = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id1"), col("toks").as("t1"))
     val b = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id2"), col("toks").as("t2"))
     a.join(b, Seq("lang", "len_bucket")).filter(col("id1") < col("id2"))
@@ -199,7 +202,11 @@ object DedupOps {
     * label frontier converges in O(longest chain) iterations — `maxIter`
     * bounds pathological chains; at 100 TB each iteration is one shuffle
     * over the (small) pair list, not the corpus. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10, earlyStop: Boolean = true): DataFrame = {
+  def nearDupClusters(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      earlyStop: Boolean = true,
+      reliable: Boolean = false): DataFrame = {
     // Iterative algorithms must TRUNCATE lineage each generation, not just
     // cache: a persisted frame still carries its full logical plan, so by
     // iteration k the optimizer re-analyzes k nested copies of the (large)
@@ -211,10 +218,10 @@ object DedupOps {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.pin(_, reliable))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.pin(_, reliable))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -225,7 +232,7 @@ object DedupOps {
         .agg(min(col("dst_label")).as("nbr_label"))
         .join(labels, Seq("id"))
         .select(col("id"), least(col("label"), col("nbr_label")).as("label"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.pin(_, reliable))
       if (earlyStop) {
         // a convergence probe is one extra job per iteration — worth it on
         // long chains, pure overhead on clique-shaped near-dup graphs

@@ -158,31 +158,39 @@ object EventStoreOps {
       rows.foreach(onEvent)
     }
 
-  /** C1 index->events lookup join (CassandraEventStore.cs:278-334): the
-    * reference issues one network round-trip per index record; here it is a
-    * single equi-join. The index side is day+type pruned and therefore
-    * typically small; no explicit broadcast hint — a hint is honored
-    * regardless of estimated size, which at 100 TB would force an unbounded
-    * index slice (month-long replay of a hot type) into executor memory.
-    * Size-based selection + AQE broadcast the slice when it is actually
-    * small and fall back to sort-merge when it is not. */
+  /** C1 core — the ONLY construction site for the index→events lookup join
+    * (CassandraEventStore.cs:278-334; the reference issues one network
+    * round-trip per index record, here it is a single equi-join). `cond` is
+    * the caller's key condition — the canonical log joins on (id, rev, pos),
+    * the driver test tables on (user_id, event_id).
+    *
+    * Policy (pinned by PlanRegressionSpec): NEVER broadcast()-hint the index
+    * side. A hint is honored regardless of estimated size, which at 100 TB
+    * would force an unbounded index slice (month-long replay of a hot type)
+    * into executor memory. Size-based selection + AQE broadcast the slice
+    * when it is actually small and fall back to sort-merge when it is not. */
+  def indexJoinOn(events: DataFrame, index: DataFrame, cond: Column): DataFrame =
+    events.join(index, cond, "inner")
+
+  /** C1 on the canonical schema: index records (aid, rev, pos) located in
+    * the event log (id, rev, pos). */
   def indexJoin(events: DataFrame, index: DataFrame): DataFrame =
-    events.join(
+    indexJoinOn(
+      events,
       index.select(col("aid"), col("rev").as("i_rev"), col("pos").as("i_pos")),
-      col("id") === col("aid") && col("rev") === col("i_rev") && col("pos") === col("i_pos"),
-      "inner")
+      col("id") === col("aid") && col("rev") === col("i_rev") && col("pos") === col("i_pos"))
       .drop("aid", "i_rev", "i_pos")
 
-  /** C2 index->aggregate-stream join (CassandraEventStore.cs:308-326,
-    * 393-414): select whole aggregates touched by an event type — a
-    * left-semi join on the distinct aggregate ids, then stream grouping.
-    * No broadcast hint for the same reason as indexJoin: let size estimation
-    * / AQE pick broadcast only when the distinct-id set is actually small. */
+  /** C2 core — whole aggregates touched by an event type: a left-semi join
+    * of the log against a pre-distinct'd key set (CassandraEventStore.cs:
+    * 308-326, 393-414). Same no-hint policy as indexJoinOn: the touched-id
+    * set of a hot event type is unbounded, so broadcast is AQE's call. */
+  def semiJoinAggregatesOn(events: DataFrame, touchedKeys: DataFrame, cond: Column): DataFrame =
+    events.join(touchedKeys, cond, "left_semi")
+
+  /** C2 on the canonical schema. */
   def semiJoinAggregates(events: DataFrame, index: DataFrame): DataFrame =
-    events.join(
-      index.select(col("aid")).distinct(),
-      col("id") === col("aid"),
-      "left_semi")
+    semiJoinAggregatesOn(events, index.select(col("aid")).distinct(), col("id") === col("aid"))
 
   /** E1 `EnumerateEventStore` dispatch (CassandraEventStore.cs:148-161):
     * full-store scan when no event type requested, index path otherwise.

@@ -77,12 +77,13 @@ object SimilarityOps {
       threshold: Double,
       nPlanes: Int = 6,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      reliable: Boolean = false): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     // bucket assignment feeds both sides of the self-join: compute once
     val b = withLshBucket(embeddings, nPlanes, vecCol)
       .select(col("lsh_bucket"), col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
-      .localCheckpoint(true) // lineage cut + ContextCleaner-managed blocks
+      .transform(Checkpoints.pin(_, reliable)) // lineage cut; reliable=true on clusters
     val l = b.select(col("lsh_bucket"), col("id").as("id1"), col("v").as("v1"))
     val r = b.select(col("lsh_bucket"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("lsh_bucket")).filter(col("id1") < col("id2"))

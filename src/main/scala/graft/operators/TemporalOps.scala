@@ -81,14 +81,27 @@ object TemporalOps {
       loCol: String,
       hiCol: String,
       tCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     // integer DIV, not floating /: exact for the full long range
     val pts = points.withColumn("__b", expr(s"`$tCol` DIV ${bucketWidth}L"))
-    val ivs = intervals.withColumn("__b",
-      explode(sequence(
-        expr(s"`$loCol` DIV ${bucketWidth}L"),
-        expr(s"`$hiCol` DIV ${bucketWidth}L"))))
+    val loB = expr(s"`$loCol` DIV ${bucketWidth}L")
+    val hiB = expr(s"`$hiCol` DIV ${bucketWidth}L")
+    // Guard before exploding: an interval that is huge relative to
+    // bucketWidth (bad caller width, corrupt lo/hi) would otherwise emit
+    // millions of bucket rows per input row — or hit sequence()'s element
+    // cap — as a silent OOM. Fail loudly, per row, with the bad span.
+    // (A filter condition is never pruned, unlike an unused projection.)
+    val badSpanMsg = concat(
+      lit(s"rangeJoin: interval spans >= $maxBucketsPerInterval buckets of $bucketWidth "),
+      col(loCol), lit(".."), col(hiCol),
+      lit(" - widen bucketWidth or fix the data"))
+    val spanOk = when(hiB - loB < lit(maxBucketsPerInterval), lit(true))
+      .otherwise(raise_error(badSpanMsg).cast("boolean"))
+    val guarded = intervals.filter(spanOk)
+    val ivs = guarded.withColumn("__b", explode(sequence(loB, hiB)))
     ivs.join(pts, Seq(keyCol, "__b"))
       .filter(col(tCol).between(col(loCol), col(hiCol)))
       .drop("__b")

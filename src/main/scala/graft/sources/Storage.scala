@@ -42,10 +42,15 @@ object Storage {
 
   /** A10 schema bootstrap (CassandraEventStoreSchema.cs:37-100) — idempotent
     * directory creation; parquet is schema-on-write so there is no DDL to
-    * run, we just ensure the roots exist. */
-  def createStorage(root: String, tenant: String, keyspace: String): Unit = {
+    * run, we just ensure the roots exist. Goes through the Hadoop
+    * FileSystem API so `root` may be any supported scheme (hdfs://, s3a://,
+    * file:) — java.io.File would silently be local-only. */
+  def createStorage(root: String, tenant: String, keyspace: String)(
+      implicit spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     Seq("events", "index_by_eventtype", "message_counter", "messages").foreach { t =>
-      new java.io.File(tablePath(root, tenant, keyspace, t)).mkdirs()
+      val p = new org.apache.hadoop.fs.Path(tablePath(root, tenant, keyspace, t))
+      p.getFileSystem(conf).mkdirs(p): Unit
     }
   }
 
@@ -57,15 +62,13 @@ object Storage {
     * keyspace directory, guarded like the reference — the (possibly
     * externally supplied) keyspace name must belong to the calling tenant,
     * so one tenant cannot wipe another's data. */
-  def wipe(root: String, tenant: String, resolvedKeyspace: String): Unit = {
+  def wipe(root: String, tenant: String, resolvedKeyspace: String)(
+      implicit spark: SparkSession): Unit = {
     require(resolvedKeyspace.startsWith(s"${tenant}_"),
       s"refusing to wipe keyspace '$resolvedKeyspace' not owned by tenant '$tenant'")
-    val dir = new java.io.File(s"$root/$resolvedKeyspace")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    if (dir.exists()) rm(dir)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$resolvedKeyspace")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true): Unit
   }
 
   /** Events rows of one commit: private events at pos 0..n-1, public events
@@ -110,14 +113,19 @@ object Storage {
       .sortWithinPartitions(col("ts"))
       .write.mode(SaveMode.Append).partitionBy("et", "pid").parquet(path)
 
-  /** A8 message-store sink (CassandraMessageStore.cs:32-53): `date` is the
-    * day-truncated FileTime. */
-  def appendMessages(messages: DataFrame, path: String): Unit = {
-    val dayTicks = 864000000000L // 100ns ticks per day
-    messages
-      .withColumn("date", (TimeFns.ldiv(col("ts"), dayTicks) * dayTicks))
+  /** 100ns FileTime ticks per day (the message store's partition grain). */
+  val DayTicks = 864000000000L
+
+  /** A8/A9 partition key derivation (CassandraMessageStore.cs:19-29): `date`
+    * is the day-truncated FileTime. Shared by the sink and the scan-shaped
+    * queries so both sides agree on the partition math. */
+  def withMessageDate(messages: DataFrame): DataFrame =
+    messages.withColumn("date", TimeFns.ldiv(col("ts"), DayTicks) * DayTicks)
+
+  /** A8 message-store sink (CassandraMessageStore.cs:32-53). */
+  def appendMessages(messages: DataFrame, path: String): Unit =
+    withMessageDate(messages)
       .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
-  }
 
   /** A5/A7 delete (CassandraEventStore.cs:126-146): batch-engine parity for
     * a point delete is an anti-join of the log against a tombstone set —
@@ -141,12 +149,20 @@ object Storage {
       path: String,
       aggregateId: Array[Byte],
       nBuckets: Int = DefaultBuckets): DataFrame = {
-    val bucket = spark.range(1)
-      .select(pmod(xxhash64(lit(aggregateId)), lit(nBuckets)).cast("int"))
-      .head().getInt(0)
+    val bucket = bucketOf(aggregateId, nBuckets)
     spark.read.parquet(path)
       .filter(col("bucket") === bucket && col("id") === lit(aggregateId))
       .orderBy(col("rev"), col("pos"))
+  }
+
+  /** Bucket routing for an aggregate id, computed driver-side with the same
+    * XXH64 kernel the writer's `xxhash64(id)` expression uses (seed 42) —
+    * a point read must not launch a Spark job just to pick its directory. */
+  def bucketOf(aggregateId: Array[Byte], nBuckets: Int = DefaultBuckets): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      aggregateId, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      aggregateId.length, 42L)
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 
   /** A7 index delete (IndexByEventTypeStore.cs:63-83): anti-join on the

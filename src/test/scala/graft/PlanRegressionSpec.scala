@@ -42,4 +42,25 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"semi join lost:\n$p")
     assert(p.contains("EqualTo(event_type,error)"), s"et filter not pushed:\n$p")
   }
+
+  test("entry / q_index_join / q_semi_join carry no broadcast hints") {
+    // Policy (round-2 verdict #1): the index side of C1/C2 is unbounded at
+    // 100 TB — a hard broadcast() hint is honored regardless of size and
+    // OOMs on a hot event type. These plans must rely on size estimation +
+    // AQE only. A ResolvedHint in the analyzed plan, or a join hint
+    // surviving into the optimized plan, fails this test.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    def assertHintFree(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$label: broadcast/join hint present: $hints")
+      val joinHints = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+      }
+      assert(joinHints.isEmpty, s"$label: join hint in optimized plan: $joinHints")
+    }
+    assertHintFree("entry", SparkEntry.entry(spark))
+    Seq("q_index_join", "q_semi_join").foreach { n =>
+      assertHintFree(n, SparkEntry.queries(n)(spark, dir))
+    }
+  }
 }

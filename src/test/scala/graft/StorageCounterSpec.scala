@@ -43,13 +43,13 @@ class StorageCounterSpec extends SparkSpec {
     assert(p.contains("tenant1_"))
     assert(p.split("/").init.last.length == 48)
     assert(p.endsWith("/events"))
-    Storage.createStorage(root, "tenant1", "ks")
+    Storage.createStorage(root, "tenant1", "ks")(spark)
     assert(new java.io.File(s"$root/tenant1_ks/events").isDirectory)
     intercept[IllegalArgumentException] {
       // another tenant must not be able to wipe tenant1's keyspace
-      Storage.wipe(root, "tenant2", Storage.keyspaceDir("tenant1", "ks"))
+      Storage.wipe(root, "tenant2", Storage.keyspaceDir("tenant1", "ks"))(spark)
     }
-    Storage.wipe(root, "tenant1", Storage.keyspaceDir("tenant1", "ks"))
+    Storage.wipe(root, "tenant1", Storage.keyspaceDir("tenant1", "ks"))(spark)
     assert(!new java.io.File(s"$root/tenant1_ks").exists())
   }
 
@@ -71,6 +71,8 @@ class StorageCounterSpec extends SparkSpec {
     assert(allDirs == 8)
     val bucket = spark.range(1)
       .select(pmod(xxhash64(lit("agg-7".getBytes)), lit(8)).cast("int")).head.getInt(0)
+    // the driver-side routing hash must agree with the writer's expression
+    assert(Storage.bucketOf("agg-7".getBytes, 8) == bucket)
     val read = spark.read.parquet(s"$dir/events")
       .filter(col("bucket") === bucket && col("id") === lit("agg-7".getBytes))
       .select(input_file_name()).distinct().collect().map(_.getString(0))
