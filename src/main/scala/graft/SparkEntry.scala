@@ -586,19 +586,63 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(e, q, 20)
     },
 
-    "g_sim_ann" -> { (s, dir) => // LSH-bucketed approximate top-k (rows-only)
+    "g_sim_ann" -> { (s, dir) => // multi-probe LSH top-k, probe-all setting:
+      // with maxProbeFlips = nPlanes every bucket is enumerated, so a green
+      // brute-force-oracle hash certifies the bucketed path is LOSSLESS —
+      // assignment is total, probe enumeration covers the space, scoring
+      // ranks identically — the invariant that makes IN-filter/partition
+      // pruning safe at reduced probes. The approximate regime itself is
+      // gated by g_sim_ann_recall (this synthetic corpus is near-random, so
+      // exact top-20 needs near-exhaustive probing; clustered real corpora
+      // probe few buckets).
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      SimilarityOps.lshTopK(e, q, 20, nPlanes = 4)
+      SimilarityOps.lshTopK(e, q, 20, nPlanes = 4, maxProbeFlips = 4)
     },
 
-    "g_sim_ivf" -> { (s, dir) => // IVF-cell approximate top-k (rows-only)
+    "g_sim_ann_recall" -> { (s, dir) => // the driver-gated recall number:
+      // recall@20 of the genuinely approximate setting (probe the query
+      // bucket + all hamming<=2 neighbors = 11/16 buckets) against brute
+      // force, asserted >= 0.8 (measured 0.85-0.9 on sf0.001/sf0.01)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val ann = SimilarityOps.lshTopK(e, q, 20, nPlanes = 4, maxProbeFlips = 2)
+        .select(col("vec_id"))
+      SimilarityOps.bruteForceTopK(e, q, 20)
+        .join(ann, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 20.0).as("recall"))
+        .select(lit(20).as("k"), lit(0.8).as("recall_floor"),
+          (col("recall") >= 0.8).as("meets_floor"))
+    },
+
+    "g_sim_ivf" -> { (s, dir) => // IVF top-k, probe-all setting: same
+      // losslessness gate as g_sim_ann (green hash = cell assignment loses
+      // no vector, rankings match brute force); the approximate regime is
+      // gated by g_sim_ivf_recall. Assignment is a shuffle-free codegen
+      // projection; the persisted partitionBy(cell) layout is spec'd in
+      // DedupSimilaritySpec.
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
-      SimilarityOps.ivfTopK(e, centroids, q, 20, nProbe = 4)
+      SimilarityOps.ivfTopK(e, centroids, q, 20, nProbe = 16)
+    },
+
+    "g_sim_ivf_recall" -> { (s, dir) => // recall@20 probing 8/16 cells,
+      // asserted >= 0.8 (measured 0.8-0.9 on sf0.001/sf0.01)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
+      val ann = SimilarityOps.ivfTopK(e, centroids, q, 20, nProbe = 8)
+        .select(col("vec_id"))
+      SimilarityOps.bruteForceTopK(e, q, 20)
+        .join(ann, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 20.0).as("recall"))
+        .select(lit(20).as("k"), lit(0.8).as("recall_floor"),
+          (col("recall") >= 0.8).as("meets_floor"))
     },
 
     "g_text_stats" -> { (s, dir) => // corpus stats per (lang, source)
@@ -1126,6 +1170,36 @@ object SparkEntry {
         |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // probe-all ANN == brute force: the losslessness gates share the
+    // brute-force oracle (see the query comments)
+    "g_sim_ann" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
+        |FROM embeddings, q
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "g_sim_ivf" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
+        |FROM embeddings, q
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // the recall-floor gates: the Spark side computes recall@20 of the
+    // reduced-probe approximate setting against brute force; the oracle row
+    // is the asserted expectation — the driver's hash gate goes red if a
+    // code change drops recall below the floor
+    "g_sim_ann_recall" ->
+      "SELECT 20 AS k, CAST(0.8 AS DOUBLE) AS recall_floor, true AS meets_floor",
+
+    "g_sim_ivf_recall" ->
+      "SELECT 20 AS k, CAST(0.8 AS DOUBLE) AS recall_floor, true AS meets_floor",
 
     "g_curation" ->
       """WITH keep AS (

@@ -115,23 +115,51 @@ object CurationOps {
 
   /** Greedy offset packing of documents into fixed token budgets: within
     * each stratum, documents (in id order) land in bin
-    * floor(preceding_token_count / capacity). One pass, one window — the
-    * deterministic, shuffle-minimal way to build ~equal-budget training
-    * shards. (True first-fit bin packing is inherently sequential;
-    * offset packing overshoots each bin by at most one document.) */
+    * floor(preceding_token_count / capacity) — the deterministic way to
+    * build ~equal-budget training shards. (True first-fit bin packing is
+    * inherently sequential; offset packing overshoots each bin by at most
+    * one document.)
+    *
+    * The prefix sum is TWO-PHASE (round-2 verdict #6): a single
+    * `Window.partitionBy(stratum)` would make each stratum one task — at
+    * 100 TB "en" is most of the corpus sorted on one core. Instead:
+    * documents are chunked by id range (`chunk = id div chunkSize`, order-
+    * aligned with the id sort), phase 1 aggregates token totals per
+    * (stratum, chunk) — map-side combined, tiny result — and turns them
+    * into chunk offsets with a window over that TINY frame; phase 2 adds a
+    * chunk-local running sum, windowed by (stratum, chunk), so parallelism
+    * is the number of id chunks, not the number of strata. Bins are
+    * identical to the one-window formulation because chunk boundaries
+    * respect id order. */
   def tokenPacking(
       docs: DataFrame,
       capacity: Long,
       stratumCol: String = "lang",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      chunkSize: Long = 1L << 20): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(idCol), col(stratumCol),
+    require(chunkSize > 0, "chunkSize must be positive")
+    val base = docs.select(col(idCol), col(stratumCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk", floor(col(idCol) / chunkSize))
+    // phase 1: per-(stratum, chunk) totals -> exclusive chunk offsets.
+    // The offset window runs over strata x chunks ROWS (corpus/chunkSize),
+    // not the corpus — the only sequential-per-stratum step, and it is
+    // driver-scale by construction.
+    val wOff = Window.partitionBy(col(stratumCol)).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col(stratumCol), col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn("chunk_offset",
+        sum(col("chunk_tokens")).over(wOff) - col("chunk_tokens"))
+      .select(col(stratumCol), col("chunk"), col("chunk_offset"))
+    // phase 2: chunk-local running sum + the broadcast-size offset join
+    // (no hint — AQE broadcasts the offsets frame when it is small)
+    val wLocal = Window.partitionBy(col(stratumCol), col("chunk")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(offsets, Seq(stratumCol, "chunk"))
+      .withColumn("cum", col("chunk_offset") + sum(col("n_tokens")).over(wLocal))
       .select(col(idCol), col(stratumCol), col("n_tokens"),
         // floor (not a truncating cast): DuckDB's CAST(double AS BIGINT)
         // rounds, Spark's truncates — floor() agrees on both engines

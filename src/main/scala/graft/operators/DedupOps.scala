@@ -214,9 +214,15 @@ object DedupOps {
     // planning time. localCheckpoint materializes AND cuts the plan.
     // (On a real cluster with node loss concerns, swap for reliable
     // checkpoint() against the checkpoint dir.)
-    // undirected edge list incl. self-loops so singleton endpoints keep labels
+    // undirected edge list WITH self-loops: a node's own label then flows
+    // through the same min() aggregation as its neighbors' labels, so each
+    // iteration is ONE join + ONE agg (the two-join least(own, nbr)
+    // formulation cost an extra shuffle per iteration); self-loops also
+    // keep singleton endpoints labeled
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .unionByName(pairs.select(col("id1").as("src"), col("id1").as("dst")))
+      .unionByName(pairs.select(col("id2").as("src"), col("id2").as("dst")))
       .distinct()
       .transform(Checkpoints.pin(_, reliable))
     var labels = edges.select(col("src").as("id")).distinct()
@@ -225,13 +231,11 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
+      // each node adopts min over its closed neighborhood's labels
       val next = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("nbr_label"))
-        .join(labels, Seq("id"))
-        .select(col("id"), least(col("label"), col("nbr_label")).as("label"))
+        .agg(min(col("dst_label")).as("label"))
         .transform(Checkpoints.pin(_, reliable))
       if (earlyStop) {
         // a convergence probe is one extra job per iteration — worth it on

@@ -165,6 +165,50 @@ object Storage {
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 
+  /** A5 end-to-end (CassandraEventStore.cs:126-146): physically remove
+    * tombstoned rows from the bucketed layout. The affected buckets are
+    * computed driver-side from the tombstone ids (a delete touches few
+    * aggregates; the id set is driver-scale), and ONLY those bucket
+    * partitions are rewritten — dynamic partition overwrite leaves every
+    * other bucket's files untouched (asserted by StorageCounterSpec).
+    *
+    * Survivors are materialized (localCheckpoint) before the overwrite:
+    * Spark refuses to overwrite a path it is still reading from, and the
+    * affected slice is 1/nBuckets of the table by construction. On an
+    * object store at 100 TB the same flow writes the surviving slice to a
+    * fresh prefix and swaps pointers (see `compact`) — this in-place
+    * variant is the HDFS-style path. */
+  def deleteAndRewrite(
+      spark: SparkSession,
+      path: String,
+      tombstones: DataFrame,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val ids = tombstones.select(col("id")).distinct().collect()
+      .map(_.getAs[Array[Byte]](0))
+    if (ids.isEmpty) return
+    val buckets = ids.map(bucketOf(_, nBuckets)).distinct.toSeq
+    val survivors = deleteEvents(
+        spark.read.parquet(path).filter(col("bucket").isin(buckets: _*)),
+        tombstones)
+      .localCheckpoint(true)
+    val survivorBuckets = survivors.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // dynamic overwrite only replaces partitions present in the written
+    // data: a bucket whose every row was tombstoned must be dropped by hand
+    val conf = spark.sparkContext.hadoopConfiguration
+    buckets.filterNot(survivorBuckets).foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+  }
+
   /** A7 index delete (IndexByEventTypeStore.cs:63-83): anti-join on the
     * full primary key (et, pid, ts, aid, rev, pos). */
   def deleteIndexRecords(index: DataFrame, tombstones: DataFrame): DataFrame = {

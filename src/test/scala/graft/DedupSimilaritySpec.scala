@@ -84,7 +84,12 @@ class DedupSimilaritySpec extends SparkSpec {
       (i.toLong, base.toSeq)
     }.toDF("vec_id", "embedding")
     val centroids = SimilarityOps.ivfCentroids(vecs, k = 3, nIters = 3)
-    assert(centroids.count() == 3)
+    assert(centroids.length == 3)
+    // assignment is a pure projection: no exchange in the plan
+    val assignPlan = SimilarityOps.assignCells(
+      vecs.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v")),
+      centroids).queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), s"assignCells shuffles:\n$assignPlan")
     // probing with an axis-0 query returns only axis-0 cluster members in top-5
     val got = SimilarityOps.ivfTopK(vecs, centroids, Seq(1.0, 0.0, 0.0), k = 5, nProbe = 1)
       .collect().map(_.getAs[Long]("vec_id"))
@@ -94,6 +99,55 @@ class DedupSimilaritySpec extends SparkSpec {
     val brute = SimilarityOps.bruteForceTopK(vecs, Seq(1.0, 0.0, 0.0), k = 5)
       .collect().map(_.getAs[Long]("vec_id"))
     assert(got.toSet == brute.toSet)
+  }
+
+  test("persisted IVF index prunes to the probed cell directories") {
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f)
+      base(axis) = 1.0f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(vecs, k = 3, nIters = 2)
+    val path = s"${tmpDir()}/ivf"
+    SimilarityOps.writeIvfIndex(vecs, centroids, path)
+    // one directory per cell
+    val cellDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == 3, s"expected 3 cell dirs, got ${cellDirs.toSeq}")
+    val got = SimilarityOps.ivfTopKIndexed(spark, path, centroids, Seq(1.0, 0.0, 0.0),
+      k = 5, nProbe = 1)
+    // directory-level pruning: the scan carries a cell partition filter and
+    // reads files from exactly one cell directory (mirrors the readAggregate
+    // bucket-pruning spec)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no cell partition filter:\n$plan")
+    val probed = SimilarityOps.probeCellsOf(centroids, Seq(1.0, 0.0, 0.0), 1)
+    val files = spark.read.parquet(path)
+      .filter(col("cell").isin(probed: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f => f.contains(s"cell=${probed.head}")))
+    // and the result matches the unindexed path
+    val direct = SimilarityOps.ivfTopK(vecs, centroids, Seq(1.0, 0.0, 0.0), k = 5, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got.collect().map(_.getAs[Long]("vec_id")).toSeq == direct)
+  }
+
+  test("multi-probe LSH widens the candidate set to full recall") {
+    // with maxProbeFlips = nPlanes every bucket is probed: exact top-k
+    val got = SimilarityOps.lshTopK(embDf(), Seq(1.0, 0.0, 0.0), k = 3,
+      nPlanes = 2, maxProbeFlips = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = SimilarityOps.bruteForceTopK(embDf(), Seq(1.0, 0.0, 0.0), k = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == brute)
+    // driver-side bucket arithmetic agrees with the distributed expression
+    val qb = SimilarityOps.rhpBucketOf(Seq(1.0, 0.0, 0.0), 4)
+    val sparkQb = spark.range(1)
+      .select(graft.functions.VectorFns.rhpBucket(
+        array(lit(1.0), lit(0.0), lit(0.0)), 4))
+      .head.getInt(0)
+    assert(qb == sparkQb, s"driver bucket $qb != spark bucket $sparkQb")
   }
 
   test("decodeStub emits deterministic byte features at the mapPartitions seam") {

@@ -79,6 +79,37 @@ class StorageCounterSpec extends SparkSpec {
     assert(read.nonEmpty && read.forall(_.contains(s"bucket=$bucket")))
   }
 
+  test("deleteAndRewrite physically removes tombstoned rows, touching only their buckets") {
+    val dir = tmpDir()
+    val rows = (1 to 20).flatMap { a =>
+      (1 to 3).map(r => (s"agg-$a".getBytes, r, 0, 100L + r, s"e$r".getBytes))
+    }.toDF("id", "rev", "pos", "ts", "data")
+    Storage.appendEvents(rows, s"$dir/events", nBuckets = 4)
+    val tombBucket = Storage.bucketOf("agg-7".getBytes, 4)
+    // snapshot the files of one UNAFFECTED bucket before the rewrite
+    val otherBucket = (0 until 4).filterNot(_ == tombBucket).head
+    def files(b: Int) = new java.io.File(s"$dir/events/bucket=$b")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val otherBefore = files(otherBucket)
+    val tomb = Seq(("agg-7".getBytes, 2, 0)).toDF("id", "rev", "pos")
+    Storage.deleteAndRewrite(spark, s"$dir/events", tomb, nBuckets = 4)
+    // the tombstoned row is physically gone; everything else survived
+    val back = spark.read.parquet(s"$dir/events")
+    assert(back.count() == 59)
+    assert(back.filter(col("id") === lit("agg-7".getBytes) && col("rev") === 2).count() == 0)
+    assert(back.filter(col("id") === lit("agg-7".getBytes)).count() == 2)
+    // unaffected buckets were not rewritten (same physical files)
+    assert(files(otherBucket) == otherBefore)
+    // the affected bucket WAS rewritten
+    assert(files(tombBucket).nonEmpty)
+    // deleting every row of an aggregate set leaves no stale bucket dir
+    val allTomb = rows.filter(col("id") === lit("agg-3".getBytes))
+      .select("id", "rev", "pos")
+    Storage.deleteAndRewrite(spark, s"$dir/events", allTomb, nBuckets = 4)
+    assert(spark.read.parquet(s"$dir/events")
+      .filter(col("id") === lit("agg-3".getBytes)).count() == 0)
+  }
+
   test("ORC storage format round-trips with the same layout") {
     val dir = tmpDir()
     val rows = Seq(
