@@ -547,9 +547,59 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     },
 
-    "g_dedup_minhash" -> { (s, dir) => // MinHash-LSH near-dups (rows-only)
+    "g_dedup_minhash" -> { (s, dir) => // MinHash-LSH near-dups, oracle-gated:
+      // the DuckDB oracle computes exact 3-gram-shingle Jaccard over ALL
+      // pairs; a green hash certifies LSH recall@threshold == 1.0 on this
+      // corpus (true near-dups have shingle-jaccard ~1, so every band
+      // collides) AND rescore precision == 1.0 (by construction). Measured
+      // 28/28 (sf0.001) and 25/25 (sf0.01) — see tools/RecallTune.
       DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5)
         .orderBy(col("id1"), col("id2"))
+    },
+
+    "g_embed_neardup_recall" -> { (s, dir) => // the LSH-bucketed embedding
+      // near-dup gate: precision is exact by construction (in-bucket pairs
+      // are rescored with true cosine), recall vs the exact all-pairs truth
+      // is floored at 0.2 — random synthetic vectors are LSH's worst case
+      // (measured 0.26 at both sfs; clustered real embeddings do far
+      // better). Both sides computed in Spark; the oracle row asserts the
+      // invariants.
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val ev = e.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val exact = ev.select(col("id").as("id1"), col("v").as("v1"))
+        .join(ev.select(col("id").as("id2"), col("v").as("v2")), col("id1") < col("id2"))
+        .filter(graft.plans.GraftFunctions.cosine(col("v1"), col("v2")) >= 0.35)
+        .select("id1", "id2")
+      val lsh = SimilarityOps.embeddingNearDups(e, threshold = 0.35, nPlanes = 3)
+        .select("id1", "id2")
+      exact.withColumn("hit", lit(1L))
+        .join(lsh.withColumn("found", lit(1L)), Seq("id1", "id2"), "full_outer")
+        .agg(
+          sum(when(col("found") === 1L && col("hit").isNull, 1L).otherwise(0L)).as("false_pos"),
+          (sum(when(col("found") === 1L && col("hit") === 1L, 1L).otherwise(0L)) /
+            sum(col("hit"))).as("recall"))
+        .select(lit(0.35).as("threshold"),
+          (col("false_pos") === 0L).as("precision_exact"),
+          lit(0.2).as("recall_floor"),
+          (col("recall") >= 0.2).as("meets_floor"))
+    },
+
+    "g_dedup_simhash_complete" -> { (s, dir) => // the pigeonhole guarantee,
+      // driver-gated: pairs found via the 4x16-bit block self-join must
+      // EQUAL the brute-force hamming<=3 pairs over the same fingerprints
+      // (any pair within the radius shares >= 1 whole block — exact recall
+      // by construction, not sampling)
+      val docs = Tables.documents(s, dir)
+      val fps = DedupOps.simHashFingerprints(docs)
+      val brute = fps.select(col("id").as("id1"), col("fp").as("fp1"))
+        .join(fps.select(col("id").as("id2"), col("fp").as("fp2")), col("id1") < col("id2"))
+        .filter(graft.functions.TextFns.hamming64(col("fp1"), col("fp2")) <= 3)
+        .agg(count(lit(1)).as("n_brute"))
+      val blocked = DedupOps.simHashNearDups(docs, maxHamming = 3)
+        .agg(count(lit(1)).as("n_blocked"))
+      blocked.crossJoin(brute)
+        .select(lit(3).as("max_hamming"), (col("n_blocked") === col("n_brute")).as("complete"))
     },
 
     "g_dedup_clusters" -> { (s, dir) => // near-dup clusters over MinHash
@@ -680,9 +730,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    "g_fingerprints_rolling" -> { (s, dir) => // xxhash-based fps (rows-only)
+    "g_fingerprints_rolling" -> { (s, dir) => // rolling fingerprint, oracle-
+      // gated via the char-level polynomial variant (identical fold in
+      // DuckDB list_reduce); the xxhash token fold stays engine-local
+      // (TextVectorFnsSpec)
       TextOps.fingerprints(Tables.documents(s, dir))
-        .select(col("doc_id"), col("rolling_fp"))
+        .select(col("doc_id"), col("poly_fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -692,7 +745,11 @@ object SparkEntry {
         .orderBy(col("media_id"))
     },
 
-    "g_multimodal_decode" -> { (s, dir) => // stubbed decode features (rows-only)
+    "g_multimodal_decode" -> { (s, dir) => // stubbed decode features through
+      // the mapPartitions codec seam — oracle-gated: the pseudo-features
+      // are byte statistics of the (ASCII) blob, which the oracle
+      // recomputes from codepoints; all ratios are exact integer quotients
+      // (sums < 2^53), so direct equality holds without flooring
       MultimodalOps.decodeStub(MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("media_id"))
     },
@@ -1136,6 +1193,52 @@ object SparkEntry {
         |WHERE len(list_intersect(a.toks, b.toks)) /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+
+    "g_dedup_minhash" ->
+      // exact 3-gram-shingle Jaccard over ALL pairs — green hash certifies
+      // LSH recall 1.0 + rescore precision 1.0 on this corpus
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       floor((len(list_intersect(a.toks, b.toks)) /
+        |             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) * 10000) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "g_embed_neardup_recall" ->
+      ("SELECT CAST(0.35 AS DOUBLE) AS threshold, true AS precision_exact, " +
+        "CAST(0.2 AS DOUBLE) AS recall_floor, true AS meets_floor"),
+
+    "g_dedup_simhash_complete" ->
+      "SELECT 3 AS max_hamming, true AS complete",
+
+    "g_fingerprints_rolling" ->
+      // the identical (acc*31 + code) mod 1e9+7 fold over codepoints
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS poly_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_multimodal_decode" ->
+      // byte statistics recomputed from codepoints (ASCII corpus: byte ==
+      // codepoint); all quotients are exact-integer / integer, no flooring
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes,
+        |         octet_length(encode(text)) AS byte_len
+        |  FROM documents)
+        |SELECT media_id, CAST(byte_len AS INT) AS byte_len,
+        |       CAST(list_sum(codes) AS DOUBLE) / byte_len AS mean_byte,
+        |       CAST(list_max(codes) AS INT) AS max_byte,
+        |       CAST(len(list_distinct(codes)) AS DOUBLE) / least(byte_len, 256) AS entropy_proxy
+        |FROM c ORDER BY media_id""".stripMargin,
 
     "g_dedup_clusters_exact" ->
       // connected components over the exact-Jaccard pair list, recomputed

@@ -67,6 +67,20 @@ object TextFns {
       // xor-rotate accumulation is overflow-free under ANSI mode
       (acc, h) => shiftleft(acc, 1).bitwiseXOR(shiftright(acc, 62)).bitwiseXOR(h))
 
+  /** Char-level polynomial rolling fingerprint, (acc*31 + code) mod 1e9+7 —
+    * the ORACLE-CHECKABLE rolling hash: the identical fold is expressible
+    * in ANSI SQL (DuckDB `list_reduce` over codepoints), and the modulus
+    * keeps every intermediate below 2^35 (overflow-free in both engines).
+    * This is the interpreted higher-order REFERENCE formulation, kept to
+    * cross-check the native codegen kernel that production paths use
+    * (plans/PolyFingerprint, ~7x faster — fused byte loop, no per-char
+    * substr allocation). */
+  def polyFingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
   /** Stopword hits: number of distinct words from `stop` present in the
     * text. Both engines dedup before intersecting -> exact parity. */
   def stopwordHits(text: Column, stop: Seq[String]): Column =

@@ -56,10 +56,15 @@ object TextOps {
       NumFns.floorAt(TextFns.qualityScore(col("text")), 4).as("quality"))
 
   /** Content fingerprints: cryptographic (md5 of normalized text) +
-    * rolling-hash (engine-local, for shard-local joins). */
-  def fingerprints(docs: DataFrame): DataFrame =
+    * rolling hashes — the engine-local xxhash token fold for shard-local
+    * joins and the char-level polynomial variant whose arithmetic is
+    * reproducible in ANSI SQL (the oracle-gated one). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
       md5(to_binary(lower(col("text")), lit("utf-8"))).as("md5_norm"),
-      TextFns.rollingFingerprint(col("text")).as("rolling_fp"))
+      TextFns.rollingFingerprint(col("text")).as("rolling_fp"),
+      graft.plans.GraftFunctions.polyFp(col("text")).as("poly_fp"))
+  }
 }

@@ -84,11 +84,12 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(cosineDescription, IntersectionSize.description).foreach { d =>
-      if (!registry.functionExists(d._1)) {
-        registry.registerFunction(d._1, d._2, d._3)
+    Seq(cosineDescription, IntersectionSize.description, PolyFingerprint.description)
+      .foreach { d =>
+        if (!registry.functionExists(d._1)) {
+          registry.registerFunction(d._1, d._2, d._3)
+        }
       }
-    }
   }
 
   /** Column-level handles (register(spark) must have run on the session
@@ -98,4 +99,7 @@ object GraftFunctions {
 
   def intersectionSize(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(IntersectionSize.Name, a, b)
+
+  def polyFp(text: Column): Column =
+    org.apache.spark.sql.functions.call_function(PolyFingerprint.Name, text)
 }

@@ -33,6 +33,44 @@ object RecallTune {
           .collect().map(_.getAs[Long]("vec_id")).toSet
         println(s"$sf ivf k=16 nProbe=$np recall=${(ann & brute).size / 20.0}")
       }
+
+      // minhash pair recall vs exact unblocked jaccard >= 0.5
+      import graft.operators.DedupOps
+      import graft.plans.GraftFunctions
+      GraftFunctions.register(spark)
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        array_distinct(graft.functions.TextFns.shingles(col("text"), 3)).as("toks"))
+        .localCheckpoint(true)
+      val exactPairs = toks.select(col("doc_id").as("id1"), col("toks").as("t1"))
+        .join(toks.select(col("doc_id").as("id2"), col("toks").as("t2")),
+          col("id1") < col("id2"))
+        .filter(DedupOps.jaccardArrays(col("t1"), col("t2")) >= 0.5)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mh = DedupOps.minHashNearDups(docs, threshold = 0.5)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"$sf minhash exact=${exactPairs.size} found=${mh.size} " +
+        s"subset=${mh.subsetOf(exactPairs)} recall=${
+          if (exactPairs.isEmpty) 1.0 else (mh & exactPairs).size.toDouble / exactPairs.size}")
+
+      // embedding near-dup recall vs exact all-pairs cosine >= 0.35
+      val ev = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")).localCheckpoint(true)
+      val exactE = ev.select(col("id").as("id1"), col("v").as("v1"))
+        .join(ev.select(col("id").as("id2"), col("v").as("v2")), col("id1") < col("id2"))
+        .filter(GraftFunctions.cosine(col("v1"), col("v2")) >= 0.35)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (planes <- Seq(2, 3, 4); thr <- Seq(0.35, 0.45)) {
+        val exactT = ev.select(col("id").as("id1"), col("v").as("v1"))
+          .join(ev.select(col("id").as("id2"), col("v").as("v2")), col("id1") < col("id2"))
+          .filter(GraftFunctions.cosine(col("v1"), col("v2")) >= thr)
+          .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val lsh = SimilarityOps.embeddingNearDups(e, threshold = thr, nPlanes = planes)
+          .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"$sf embed nPlanes=$planes thr=$thr exact=${exactT.size} found=${lsh.size} " +
+          s"subset=${lsh.subsetOf(exactT)} recall=${
+            if (exactT.isEmpty) 1.0 else (lsh & exactT).size.toDouble / exactT.size}")
+      }
     }
     spark.stop()
   }

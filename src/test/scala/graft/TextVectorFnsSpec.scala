@@ -77,4 +77,18 @@ class TextVectorFnsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("polyFingerprint matches the reference char fold and is order-sensitive") {
+    def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val texts = Seq("hello world", "world hello", "")
+    val fps = texts.toDF("text")
+      .select(TextFns.polyFingerprint(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(fps == texts.map(ref))
+    assert(fps(0) != fps(1))
+    // the native codegen kernel agrees with the HOF reference formulation
+    graft.plans.GraftFunctions.register(spark)
+    val native = texts.toDF("text")
+      .select(graft.plans.GraftFunctions.polyFp(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(native == fps)
+  }
 }
