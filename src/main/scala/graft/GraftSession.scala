@@ -13,6 +13,8 @@ import graft.plans.GraftFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescription)
+    ext.injectFunction(graft.plans.IntersectionSize.description)
+    ext.injectFunction(graft.plans.PolyFingerprint.description)
   }
 }
 

@@ -237,10 +237,12 @@ object DedupOps {
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("label"))
         .transform(Checkpoints.pin(_, reliable))
-      if (earlyStop) {
+      if (earlyStop && iter > 0) {
         // a convergence probe is one extra job per iteration — worth it on
         // long chains, pure overhead on clique-shaped near-dup graphs
-        // (disable and pick a small maxIter when pairs come from LSH)
+        // (disable and pick a small maxIter when pairs come from LSH).
+        // Skipped on the first iteration: any proper edge (id1 < id2)
+        // changes at least one label there, so that probe never fires.
         val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
           .filter(col("label") =!= col("old")).limit(1).count()
         converged = changed == 0
