@@ -231,23 +231,23 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min over its closed neighborhood's labels
+      // each node adopts min over its closed neighborhood's labels; the
+      // self-loop row (dst == src) also carries the node's CURRENT label
+      // through the same aggregation, so convergence detection is a
+      // shuffle-free filter on the materialized result — no probe join
       val next = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("label"))
+        .agg(
+          min(col("dst_label")).as("label"),
+          min(when(col("dst") === col("src"), col("dst_label"))).as("old"))
         .transform(Checkpoints.pin(_, reliable))
       if (earlyStop && iter > 0) {
-        // a convergence probe is one extra job per iteration — worth it on
-        // long chains, pure overhead on clique-shaped near-dup graphs
-        // (disable and pick a small maxIter when pairs come from LSH).
-        // Skipped on the first iteration: any proper edge (id1 < id2)
-        // changes at least one label there, so that probe never fires.
-        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old")).limit(1).count()
-        converged = changed == 0
+        // skipped on the first iteration: any proper edge (id1 < id2)
+        // changes at least one label there, so that probe never fires
+        converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
       }
-      labels = next
+      labels = next.drop("old")
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
