@@ -881,6 +881,79 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    "q7_nation_volume" -> { (s, dir) => // TPC-H Q7 shape: two-sided nation
+      // pair join (supplier nation x customer nation) + per-year rollup
+      val nat = (alias: String) => Tables.nation(s, dir)
+        .select(col("n_nationkey").as(s"${alias}_nk"), col("n_name").as(alias))
+      val picked = Seq("NATION_1", "NATION_2", "NATION_3")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp_ntz"), lit("1997-12-31").cast("timestamp_ntz")))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat("supp_nation")), col("s_nationkey") === col("supp_nation_nk"))
+        .join(broadcast(nat("cust_nation")), col("c_nationkey") === col("cust_nation_nk"))
+        .filter(col("supp_nation").isin(picked: _*) && col("cust_nation").isin(picked: _*) &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    "q15_top_supplier" -> { (s, dir) => // TPC-H Q15 shape: windowed revenue
+      // per supplier + scalar-max selection
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    "q17_small_qty" -> { (s, dir) => // TPC-H Q17 shape: correlated avg
+      // threshold per part (decorrelated to a per-key aggregate join)
+      val pt = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q19_disjunctive" -> { (s, dir) => // TPC-H Q19 shape: OR-of-ANDs
+      // predicate across the join (disjunctive pushdown + one agg)
+      val band = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
+          band("Brand#24", 15, 20, 30))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     "q22_idle_customers" -> { (s, dir) => // scalar subquery + anti-join
       val cust = Tables.customer(s, dir)
       // deterministic average: exact decimal sum / count (avg(double) is
@@ -1524,6 +1597,57 @@ object SparkEntry {
         |  ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |            AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |              AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size < 15
+        |  AND l_quantity < 0.2 * (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q22_idle_customers" ->
       """SELECT c_nationkey, count(*) AS n_cust,
