@@ -241,6 +241,27 @@ object SparkEntry {
         .orderBy(col("date"))
     },
 
+    "q_stream_counters" -> { (s, dir) => // streaming D2: the message counter
+      // as an update/complete-mode stateful streaming aggregation, driven
+      // to batch completion with Trigger.AvailableNow and gated by the
+      // SAME oracle as the batch fold — the streaming path computes the
+      // reference's counter semantics (MessageCounter.cs) exactly-once
+      import org.apache.spark.sql.streaming.Trigger
+      Tables.withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = "q_stream_counters_sink"
+      s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+      // file-stream sources take a DIRECTORY (the landing zone); scope it
+      // to the events table with a glob filter
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val counts = graft.streaming.StreamingOps.liveCounters(src, etCol = "event_type")
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("msgid"), col("cv")).orderBy(col("msgid"))
+    },
+
     "q_migration" -> { (s, dir) => // E9: read-transform (migration reclassify)
       Tables.events(s, dir)
         .select(
@@ -1046,6 +1067,10 @@ object SparkEntry {
 
     "q_count_for_type" ->
       "SELECT count(*) AS cnt FROM events WHERE event_type = 'click'",
+
+    "q_stream_counters" ->
+      """SELECT event_type AS msgid, count(*) AS cv
+        |FROM events GROUP BY event_type ORDER BY msgid""".stripMargin,
 
     "q_daily_counts" ->
       """SELECT CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid, count(*) AS n,
