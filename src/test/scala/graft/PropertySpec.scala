@@ -69,6 +69,36 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("property: nearDupClusters equals a reference union-find on random pair lists") {
+    import spark.implicits._
+    val pairsGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 30) // node id space
+      m <- Gen.choose(1, 40) // edges (chains, cliques, crossings all arise)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es
+    checkProp(Prop.forAll(pairsGen) { pairs =>
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = graft.operators.DedupOps
+        .nearDupClusters(pairs.toDF("id1", "id2"), maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }, minSuccessful = 8)
+  }
+
   test("typed CommitAggregator matches the untyped reassembly") {
     val schema = StructType(Seq(
       StructField("id", BinaryType), StructField("rev", IntegerType),
