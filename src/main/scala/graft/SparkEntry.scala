@@ -325,6 +325,21 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    "q_canon_enumerate" -> { (s, dir) => // E1 through the canonical API:
+      // enumerateEventStore dispatches the typed request to the index
+      // branch (readRange -> hint-free indexJoin back into the log) — the
+      // full dispatch composition crosses the oracle, not just its parts
+      val log = Tables.eventLog(s, dir)
+      val idx = graft.operators.IndexOps.buildIndex(log)
+      graft.operators.EventStoreOps.enumerateEventStore(
+          log, idx, Some("purchase"),
+          TimeFns.FileTimeEpochTicks + T10 * 10L,
+          TimeFns.FileTimeEpochTicks + T20 * 10L)
+        .select(col("id"), col("rev"),
+          TimeFns.fileTimeToMicros(col("ts")).as("ts_us"), col("et"))
+        .orderBy(col("id"), col("rev"))
+    },
+
     "q_event_gaps" -> { (s, dir) => // inter-event time statistics per aggregate
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -1150,6 +1165,13 @@ object SparkEntry {
         |       CAST(sum(gap_us) AS BIGINT) AS total_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_canon_enumerate" ->
+      s"""SELECT user_id AS id, CAST(event_id AS INT) AS rev,
+         |       epoch_us(ts) AS ts_us, event_type AS et
+         |FROM events
+         |WHERE event_type = 'purchase' AND ts BETWEEN $SqlT10 AND $SqlT20
+         |ORDER BY id, rev""".stripMargin,
 
     "q_canon_index_range" ->
       s"""SELECT event_type AS et, CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid,
