@@ -731,6 +731,17 @@ object SparkEntry {
           (col("recall") >= 0.8).as("meets_floor"))
     },
 
+    "g_dedup_normalized" -> { (s, dir) => // exact dedup over canonicalized
+      // text (lowercase, strip punctuation, collapse whitespace) — catches
+      // the case/punctuation variants raw-byte hashing misses
+      TextOps.dedupNormalized(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    },
+
+    "g_ngram_vocab" -> { (s, dir) => // corpus bigram vocabulary: top-50 by
+      // frequency (the statistics pass of tokenizer training)
+      TextOps.ngramVocabulary(Tables.documents(s, dir), k = 2, topK = 50)
+    },
+
     "g_text_stats" -> { (s, dir) => // corpus stats per (lang, source)
       TextOps.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"), col("source"))
     },
@@ -1481,6 +1492,21 @@ object SparkEntry {
         |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
         |ORDER BY id1, id2""".stripMargin,
+
+    "g_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                               ' +', ' ', 'g'))) AS canon_md5,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "g_ngram_vocab" ->
+      """WITH sh AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |SELECT shingle, count(*) AS n
+        |FROM sh GROUP BY 1 ORDER BY n DESC, shingle LIMIT 50""".stripMargin,
 
     "g_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

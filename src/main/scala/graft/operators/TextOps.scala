@@ -55,6 +55,31 @@ object TextOps {
       NumFns.floorAt(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
       NumFns.floorAt(TextFns.qualityScore(col("text")), 4).as("quality"))
 
+  /** Canonical text normalization for dedup: lowercase, strip every char
+    * outside [a-z0-9 ], collapse whitespace runs, trim. The standard
+    * pre-pass that lets exact dedup catch case/punctuation variants the
+    * raw-bytes hash misses. Pure codegen projection. */
+  def normalize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact dedup over NORMALIZED text: one keeper (min id) per canonical
+    * form — same single-shuffle shape as DedupOps.exact, wider net. */
+  def dedupNormalized(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(normalize(col("text"))).as("canon_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Corpus vocabulary: the `topK` most frequent k-token shingles — the
+    * vocabulary/statistics pass a tokenizer-training pipeline runs. One
+    * shuffle (map-side combined count), then a driver-scale top-k.
+    * Deterministic total order: count desc, shingle asc. */
+  def ngramVocabulary(docs: DataFrame, k: Int = 2, topK: Int = 50): DataFrame =
+    CurationOps.shingleRows(docs, k, hashed = false)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("shingle"))
+      .limit(topK)
+
   /** Content fingerprints: cryptographic (md5 of normalized text) +
     * rolling hashes — the engine-local xxhash token fold for shard-local
     * joins and the char-level polynomial variant whose arithmetic is
