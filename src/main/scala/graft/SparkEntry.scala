@@ -325,6 +325,16 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    "q_canon_streams_sorted" -> { (s, dir) => // E3's O(1)-memory variant
+      // through the oracle: the locality-based mapPartitions run-length
+      // grouping (the escape hatch for aggregates too large to
+      // collect_list) must produce exactly what the hash-agg path does
+      graft.operators.EventStoreOps.aggregateStreamsSorted(Tables.eventLog(s, dir))
+        .select(col("id"), col("n_events"),
+          array_join(transform(col("stream.rev"), _.cast("string")), ",").as("revs_csv"))
+        .orderBy(col("id"))
+    },
+
     "q_canon_enumerate" -> { (s, dir) => // E1 through the canonical API:
       // enumerateEventStore dispatches the typed request to the index
       // branch (readRange -> hint-free indexJoin back into the log) — the
@@ -1176,6 +1186,11 @@ object SparkEntry {
         |       CAST(sum(gap_us) AS BIGINT) AS total_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_canon_streams_sorted" ->
+      """SELECT user_id AS id, count(*) AS n_events,
+        |       string_agg(CAST(event_id AS INT), ',' ORDER BY CAST(event_id AS INT)) AS revs_csv
+        |FROM events GROUP BY user_id ORDER BY id""".stripMargin,
 
     "q_canon_enumerate" ->
       s"""SELECT user_id AS id, CAST(event_id AS INT) AS rev,

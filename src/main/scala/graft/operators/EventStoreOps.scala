@@ -117,28 +117,35 @@ object EventStoreOps {
   def aggregateStreamsSorted(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = events.sparkSession
+    val in = events.select("id", "rev", "pos", "ts", "data")
+    // id/data types follow the input schema: the canonical log carries
+    // binary ids/payloads, the driver test tables long ids/string payloads
+    val idType = in.schema("id").dataType
+    val dataType = in.schema("data").dataType
     val streamElem = StructType(Seq(
       StructField("rev", IntegerType), StructField("pos", IntegerType),
-      StructField("ts", LongType), StructField("data", BinaryType)))
+      StructField("ts", LongType), StructField("data", dataType)))
     val outSchema = StructType(Seq(
-      StructField("id", BinaryType),
+      StructField("id", idType),
       StructField("stream", ArrayType(streamElem)),
       StructField("n_events", LongType)))
-    val sorted = events.select("id", "rev", "pos", "ts", "data")
+    val sorted = in
       .repartition(col("id"))
       .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+    def sameId(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x, y) => x == y
+    }
     val rdd = sorted.rdd.mapPartitions { rows =>
       new Iterator[org.apache.spark.sql.Row] {
         private val it = rows.buffered
         def hasNext: Boolean = it.hasNext
         def next(): org.apache.spark.sql.Row = {
-          val id = it.head.getAs[Array[Byte]]("id")
+          val id = it.head.get(0)
           val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-          while (it.hasNext && java.util.Arrays.equals(it.head.getAs[Array[Byte]]("id"), id)) {
+          while (it.hasNext && sameId(it.head.get(0), id)) {
             val r = it.next()
-            buf += org.apache.spark.sql.Row(
-              r.getAs[Int]("rev"), r.getAs[Int]("pos"), r.getAs[Long]("ts"),
-              r.getAs[Array[Byte]]("data"))
+            buf += org.apache.spark.sql.Row(r.getInt(1), r.getInt(2), r.getLong(3), r.get(4))
           }
           org.apache.spark.sql.Row(id, buf.toSeq, buf.size.toLong)
         }
