@@ -752,6 +752,16 @@ object SparkEntry {
       TextOps.ngramVocabulary(Tables.documents(s, dir), k = 2, topK = 50)
     },
 
+    "g_sim_batch" -> { (s, dir) => // many-queries-at-once exact top-k: the
+      // probe set broadcasts (constant-size), scoring is a broadcast
+      // nested-loop + per-probe window — the batch retrieval path
+      SimilarityOps.batchTopK(
+          Tables.embeddings(s, dir),
+          Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10)
+        .select(col("probe_id"), col("vec_id"), col("sim"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     "g_text_stats" -> { (s, dir) => // corpus stats per (lang, source)
       TextOps.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"), col("source"))
     },
@@ -1522,6 +1532,23 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |SELECT shingle, count(*) AS n
         |FROM sh GROUP BY 1 ORDER BY n DESC, shingle LIMIT 50""".stripMargin,
+
+    "g_sim_batch" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT probe_id, e.vec_id,
+        |         floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), pv) /
+        |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(pv, pv)))) * 10000) / 10000 AS sim
+        |  FROM embeddings e JOIN probes ON e.vec_id <> probe_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
     "g_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
