@@ -262,6 +262,33 @@ object SparkEntry {
       s.table(name).select(col("msgid"), col("cv")).orderBy(col("msgid"))
     },
 
+    "q_stream_dedup" -> { (s, dir) => // streaming exactly-once landing: two
+      // file-stream sources over the same log simulate at-least-once
+      // redelivery (every event arrives twice); dropDuplicatesWithinWatermark
+      // on (id, rev, pos) lands each exactly once, and the landed counts
+      // must match the batch oracle — the reference's non-idempotent
+      // retry-double-write (CassandraEventStore.cs:67-70) made exact
+      import org.apache.spark.sql.streaming.Trigger
+      Tables.withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = "q_stream_dedup_sink"
+      s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+      def src() = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id").as("id"), col("event_id").cast("int").as("rev"),
+          lit(0).as("pos"), col("event_type"),
+          timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
+      val redelivered = src().unionByName(src())
+      val landed = graft.streaming.StreamingOps.dedupedEvents(redelivered, "ts_t")
+      val q = landed.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("event_type").as("msgid"))
+        .agg(count(lit(1)).as("cv"))
+        .orderBy(col("msgid"))
+    },
+
     "q_migration" -> { (s, dir) => // E9: read-transform (migration reclassify)
       Tables.events(s, dir)
         .select(
@@ -1117,6 +1144,12 @@ object SparkEntry {
     "q_stream_counters" ->
       """SELECT event_type AS msgid, count(*) AS cv
         |FROM events GROUP BY event_type ORDER BY msgid""".stripMargin,
+
+    "q_stream_dedup" ->
+      // the doubled stream must land exactly the batch-distinct counts
+      """SELECT event_type AS msgid, count(*) AS cv
+        |FROM (SELECT DISTINCT user_id, event_id, event_type FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_daily_counts" ->
       """SELECT CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid, count(*) AS n,
