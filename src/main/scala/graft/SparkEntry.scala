@@ -323,7 +323,7 @@ object SparkEntry {
 
     "q_top_segments" -> { (s, dir) => // broadcast dim join + agg
       Tables.orders(s, dir)
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n_orders"),
@@ -411,7 +411,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp_ntz"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
@@ -458,8 +458,8 @@ object SparkEntry {
 
     "q_brand_volume" -> { (s, dir) => // part x lineitem x supplier rollup
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("p_brand"))
         .agg(
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
@@ -499,7 +499,7 @@ object SparkEntry {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
@@ -511,7 +511,7 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .filter(col("l_returnflag") === "R")
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
@@ -942,7 +942,7 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .agg(
           graft.functions.NumFns.floorAt(
             lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0))).cast("double") /
@@ -985,7 +985,7 @@ object SparkEntry {
           lit("1996-01-01").cast("timestamp_ntz"), lit("1997-12-31").cast("timestamp_ntz")))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat("supp_nation")), col("s_nationkey") === col("supp_nation_nk"))
         .join(broadcast(nat("cust_nation")), col("c_nationkey") === col("cust_nation_nk"))
         .filter(col("supp_nation").isin(picked: _*) && col("cust_nation").isin(picked: _*) &&
@@ -1020,7 +1020,7 @@ object SparkEntry {
         .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
         .select(col("p_partkey"))
       val li = Tables.lineitem(s, dir)
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
       val thr = li.groupBy(col("l_partkey").as("t_partkey"))
         .agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
           count(lit(1))).as("avg_qty"))
@@ -1038,7 +1038,7 @@ object SparkEntry {
         col("p_brand") === brand && col("p_size").between(1, szHi) &&
           col("l_quantity").between(qLo, qHi)
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .filter(band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
           band("Brand#24", 15, 20, 30))
         .agg(

@@ -99,7 +99,9 @@ object DedupOps {
     // docs — semi-join first, project after, so the expensive projection
     // runs over |candidates| docs, not the corpus
     def candidateShingles(side: String): DataFrame =
-      docs.join(broadcast(candidates.select(col(side).as("cid")).distinct()),
+      // candidate-id set scales with the corpus' near-dup density: no
+      // broadcast hint (AQE broadcasts it when it is actually small)
+      docs.join(candidates.select(col(side).as("cid")).distinct(),
           col(idCol) === col("cid"), "left_semi")
         .select(col(idCol).as(side),
           array_distinct(TextFns.shingles(col(textCol), shingleK)).as(s"toks_$side"))
