@@ -900,6 +900,14 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    "g_mixture_sample" -> { (s, dir) => // alpha-mixture re-weighting
+      // (alpha = 0.5): per-source acceptance rates + realized sample sizes
+      CurationOps.mixtureSample(Tables.documents(s, dir))
+        .groupBy(col("source"), col("n_docs"), col("rate_ppm"))
+        .agg(count(when(col("sampled"), 1)).as("n_sampled"))
+        .orderBy(col("source"))
+    },
+
     "g_split_stratified" -> { (s, dir) => // deterministic train/val/test split
       CurationOps.stratifiedSplit(Tables.documents(s, dir))
         .orderBy(col("lang"), col("split"))
@@ -1671,6 +1679,19 @@ object SparkEntry {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            - len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS bin
         |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "g_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |         least(1000000, CAST(floor(sqrt(CAST((SELECT max(n_docs) FROM c) AS DOUBLE) /
+        |                                        CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)) AS rate_ppm
+        |  FROM c)
+        |SELECT r.source, r.n_docs, r.rate_ppm,
+        |       count(CASE WHEN d.doc_id % 1000000 < r.rate_ppm THEN 1 END) AS n_sampled
+        |FROM documents d JOIN r ON d.source = r.source
+        |GROUP BY 1, 2, 3 ORDER BY r.source""".stripMargin,
 
     "g_split_stratified" ->
       """SELECT lang,

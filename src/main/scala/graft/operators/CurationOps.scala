@@ -113,6 +113,36 @@ object CurationOps {
       .groupBy(col(stratumCol), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
 
+  /** Deterministic alpha-mixture sampling (alpha = 0.5): re-weight a
+    * multi-source corpus so expected per-stratum counts follow
+    * n_s^alpha instead of n_s — the standard rare-source upsampling /
+    * dominant-source downsampling pass of multilingual training mixes.
+    * Acceptance rate r_s = sqrt(n_max / n_s) clamped to 1 (rarest strata
+    * keep everything); acceptance is a MODULUS on the id, not an RNG, so
+    * the sample is stable across runs, engines and partitionings, and the
+    * whole pass is two shuffles (per-stratum counts + the rate join — the
+    * counts frame is strata-cardinality, AQE broadcasts it).
+    *
+    * sqrt, not pow(x, 0.5): sqrt is IEEE-exact and bit-identical in every
+    * engine, pow is libm-dependent — the floor(r * 1e6) ppm boundary must
+    * not flip between engines. */
+  def mixtureSample(
+      docs: DataFrame,
+      stratumCol: String = "source",
+      idCol: String = "doc_id",
+      ppmModulus: Int = 1000000): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val nMax = counts.agg(max(col("n_docs")).as("n_max"))
+    val rates = counts.crossJoin(nMax)
+      .withColumn("rate_ppm",
+        least(lit(ppmModulus.toLong),
+          floor(sqrt(col("n_max").cast("double") / col("n_docs").cast("double"))
+            * ppmModulus)))
+      .select(col(stratumCol), col("n_docs"), col("rate_ppm"))
+    docs.join(rates, Seq(stratumCol))
+      .withColumn("sampled", pmod(col(idCol), lit(ppmModulus)) < col("rate_ppm"))
+  }
+
   /** Greedy offset packing of documents into fixed token budgets: within
     * each stratum, documents (in id order) land in bin
     * floor(preceding_token_count / capacity) — the deterministic way to
