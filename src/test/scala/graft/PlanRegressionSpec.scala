@@ -60,6 +60,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
   }
 
+  test("q_top2_per_user pushes the rank limit below the sort (WindowGroupLimit)") {
+    // Spark's rank-limit pushdown keeps only k rows per key on BOTH sides
+    // of the window exchange — at 100 TB the difference between shuffling
+    // k rows per aggregate and shuffling the corpus
+    val p = plan("q_top2_per_user")
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed below the window:\n$p")
+  }
+
   test("entry / q_index_join / q_semi_join carry no broadcast hints") {
     // Policy (round-2 verdict #1): the index side of C1/C2 is unbounded at
     // 100 TB — a hard broadcast() hint is honored regardless of size and

@@ -99,6 +99,51 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("property: asOfJoin equals the per-row latest-at-or-before reference") {
+    import spark.implicits._
+    val frameGen: Gen[(Seq[(Long, Long)], Seq[(Long, Long, Long)])] = for {
+      nKeys <- Gen.choose(1, 4)
+      probes <- Gen.listOfN(12, for {
+        k <- Gen.choose(0L, nKeys.toLong); t <- Gen.choose(0L, 20L)
+      } yield (k, t))
+      refs <- Gen.listOfN(10, for {
+        k <- Gen.choose(0L, nKeys.toLong); t <- Gen.choose(0L, 20L)
+      } yield (k, t))
+    } yield (probes, refs.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+    checkProp(Prop.forAll(frameGen) { case (probes, refs0) =>
+      // asOfJoin requires one ref row per (key, ts): pre-reduce like callers do
+      val refs = refs0.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val probeDf = probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("probe_id", "k", "t")
+      val refDf = refs.toDF("k", "t", "payload")
+      val got = graft.operators.TemporalOps
+        .asOfJoin(probeDf, refDf, "k", "t", Seq("payload"))
+        .collect()
+        .map(r => r.getAs[Long]("probe_id") -> Option(r.getAs[Any]("asof_payload")))
+        .toMap
+      val expected = probes.zipWithIndex.map { case ((k, t), i) =>
+        val eligible = refs.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (eligible.isEmpty) None
+                     else Some(eligible.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == expected.map { case (k, v) => k -> v.map(_.asInstanceOf[Any]) }
+    }, minSuccessful = 10)
+  }
+
+  test("rangeJoin fails loudly on an interval spanning too many buckets") {
+    import spark.implicits._
+    val intervals = Seq((1L, 0L, 10000000L)).toDF("k", "lo", "hi")
+    val points = Seq((1L, 5L)).toDF("k", "t")
+    val ex = intercept[Exception] {
+      graft.operators.TemporalOps.rangeJoin(
+        intervals, points, "k", "lo", "hi", "t",
+        bucketWidth = 10L, maxBucketsPerInterval = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rangeJoin")), s"unexpected error: $ex")
+  }
+
   test("typed CommitAggregator matches the untyped reassembly") {
     val schema = StructType(Seq(
       StructField("id", BinaryType), StructField("rev", IntegerType),
