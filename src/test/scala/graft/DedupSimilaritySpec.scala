@@ -150,6 +150,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(qb == sparkQb, s"driver bucket $qb != spark bucket $sparkQb")
   }
 
+  test("reliable-checkpoint path produces identical results to localCheckpoint") {
+    // the cluster escape hatch (Checkpoints.pin(_, reliable = true)) writes
+    // recoverable checkpoints instead of lineage-free local blocks — same
+    // results, different fault story
+    spark.sparkContext.setCheckpointDir(s"${tmpDir()}/ckpt")
+    def pairs(reliable: Boolean) =
+      DedupOps.minHashNearDups(docsDf(), threshold = 0.5, reliable = reliable)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs(reliable = true) == pairs(reliable = false))
+    def clusters(reliable: Boolean) =
+      DedupOps.nearDupClusters(
+          Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), reliable = reliable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(reliable = true) == clusters(reliable = false))
+  }
+
   test("decodeStub emits deterministic byte features at the mapPartitions seam") {
     val media = MultimodalOps.mediaFromDocuments(docsDf())
     val f1 = MultimodalOps.decodeStub(media).orderBy("media_id").collect()
