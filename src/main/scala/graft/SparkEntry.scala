@@ -33,6 +33,20 @@ object SparkEntry {
   private val SqlT10 = "TIMESTAMP '2024-01-10 00:00:00'"
   private val SqlT20 = "TIMESTAMP '2024-01-20 00:00:00'"
 
+  /** ±1.0 hyperplane-sign list literal for the g_embed_neardup oracle: the
+    * identical XXH64 arithmetic as VectorFns.rhpBucket (seed 42,
+    * hash(plane) feeding hash(componentIdx)), evaluated at SQL-construction
+    * time so DuckDB recomputes the same LSH buckets from inline literals —
+    * the planes are deterministic shared state, not model weights. */
+  private def rhpSignsSql(plane: Int, dim: Int): String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val planeSeed = XXH64.hashInt(plane, 42L)
+    (0 until dim).map { j =>
+      val h = XXH64.hashInt(j, planeSeed)
+      if (((h % 2) + 2) % 2 == 1) "1.0" else "-1.0"
+    }.mkString("[", ", ", "]")
+  }
+
   /** Flagship (smoke, sf0.001): the reference's signature pipeline — replay
     * by event type (E1 index branch): day-pruned index range scan (E4) ->
     * join back to the log (C1, hint-free via EventStoreOps — the index slice
@@ -287,6 +301,32 @@ object SparkEntry {
         .groupBy(col("event_type").as("msgid"))
         .agg(count(lit(1)).as("cv"))
         .orderBy(col("msgid"))
+    },
+
+    "q_stream_index" -> { (s, dir) => // streaming A6/E5: continuous index
+      // maintenance — each micro-batch is projected through the batch A6
+      // derivation and landed in the (et, pid) layout via foreachBatch
+      // (StreamingOps.indexTo); readback of the persisted index must equal
+      // the batch derivation, so it shares q_index_build's oracle
+      import org.apache.spark.sql.streaming.Trigger
+      Tables.withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_index_")
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select( // test-table -> canonical event columns (FIXTURES.md §2)
+          col("event_type").as("et"),
+          col("user_id").as("id"),
+          col("event_id").as("rev"),
+          lit(0).as("pos"),
+          TimeFns.microsToFileTime(TimeFns.nanosToMicros(col("ts"))).as("ts"))
+      val q = graft.streaming.StreamingOps.indexTo(src, s"$out/index", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/index")
+        .select(col("et"), col("pid"), col("aid"), col("rev").as("eid"),
+          TimeFns.fileTimeToMicros(col("ts")).as("ts_us"))
+        .orderBy(col("et"), col("pid"), col("ts_us"), col("eid"))
     },
 
     "q_migration" -> { (s, dir) => // E9: read-transform (migration reclassify)
@@ -603,11 +643,13 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     },
 
-    "g_embed_neardup" -> { (s, dir) => // cosine near-dups in LSH buckets (rows-only)
-      // testdata embeddings max pairwise cosine ~0.51 at sf0.01: a "near-dup"
-      // threshold of 0.35 with 3 hyperplanes keeps candidate recall high
-      // enough to emit rows (0.9/4-planes returned an empty — untestable —
-      // result on this corpus)
+    "g_embed_neardup" -> { (s, dir) => // cosine near-dups in LSH buckets,
+      // oracle-gated: the hyperplane signs are deterministic XXH64
+      // arithmetic, inlined as ±1.0 literals into the DuckDB oracle at
+      // SQL-construction time, so bucket assignment AND in-bucket cosine
+      // are recomputed independently. testdata embeddings max pairwise
+      // cosine ~0.51 at sf0.01: a "near-dup" threshold of 0.35 with 3
+      // hyperplanes keeps candidate recall high enough to emit rows
       SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 3)
         .orderBy(col("id1"), col("id2"))
     },
@@ -676,12 +718,13 @@ object SparkEntry {
     },
 
     "g_dedup_clusters" -> { (s, dir) => // near-dup clusters over MinHash
-      // pairs — the 100 TB composition (LSH candidates -> label prop);
-      // rows-only because the MinHash pair list itself has no SQL oracle.
-      // The clustering ALGORITHM is oracle-gated by g_dedup_clusters_exact.
+      // pairs — the 100 TB composition (LSH candidates -> label prop),
+      // oracle-gated end-to-end: the MinHash pair list is oracle-equal to
+      // exact shingle-Jaccard pairs (g_dedup_minhash green), so the DuckDB
+      // recursive-CTE components over those pairs are the exact truth.
       DedupOps.nearDupClusters(
           DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5),
-          maxIter = 3, earlyStop = false) // LSH cliques converge in <=3 hops
+          maxIter = 10) // earlyStop probes convergence; cliques need <=3
         .orderBy(col("doc_id"))
     },
 
@@ -695,9 +738,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    "g_dedup_simhash" -> { (s, dir) => // SimHash near-dups (rows-only)
-      // radius 3 = the 16-bit-block scale regime (4 block keys per doc);
-      // wider radii narrow the blocks and blow up the candidate join
+    "g_dedup_simhash" -> { (s, dir) => // SimHash near-dups, oracle-gated:
+      // the token hash is FNV-1a 64 (reproducible in DuckDB HUGEINT
+      // arithmetic), so the oracle recomputes fingerprints + brute-force
+      // hamming<=3 pairs independently — a green hash certifies the banded
+      // block join is exact at the radius. Radius 3 = the 16-bit-block
+      // scale regime (4 block keys per doc); wider radii narrow the blocks
+      // and blow up the candidate join.
       DedupOps.simHashNearDups(Tables.documents(s, dir), maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
     },
@@ -751,6 +798,20 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
       SimilarityOps.ivfTopK(e, centroids, q, 20, nProbe = 16)
+    },
+
+    "g_sim_ivf_indexed" -> { (s, dir) => // the PERSISTED IVF layout end-to-
+      // end: write partitionBy(cell) directories, read back through the
+      // probe-cell partition filter (directory pruning — the layout the
+      // 100 TB deployment actually queries), probe-all so the brute-force
+      // oracle certifies losslessness of write + pruned read + scoring
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString + "/index"
+      SimilarityOps.writeIvfIndex(e, centroids, path)
+      SimilarityOps.ivfTopKIndexed(s, path, centroids, q, 20, nProbe = 16)
     },
 
     "g_sim_ivf_recall" -> { (s, dir) => // recall@20 probing 8/16 cells,
@@ -1414,6 +1475,77 @@ object SparkEntry {
     "g_dedup_simhash_complete" ->
       "SELECT 3 AS max_hamming, true AS complete",
 
+    "g_embed_neardup" ->
+      // independent recomputation of the full LSH near-dup pipeline: bucket
+      // = sign bits against the inlined ±1 hyperplanes (same XXH64-derived
+      // planes as VectorFns.rhpBucket, dim 64), then exact cosine within
+      // bucket — both sides sequential-left-fold doubles, so parity is
+      // bit-exact up to the shared floor-at-4 rounding
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    (CASE WHEN list_dot_product(v, ${rhpSignsSql(0, 64)}) >= 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${rhpSignsSql(1, 64)}) >= 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${rhpSignsSql(2, 64)}) >= 0 THEN 4 ELSE 0 END) AS bucket
+         |  FROM v)
+         |SELECT a.vec_id AS id1, c.vec_id AS id2,
+         |       floor((list_dot_product(a.v, c.v) /
+         |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000 AS sim
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE floor((list_dot_product(a.v, c.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000 >= 0.35
+         |ORDER BY id1, id2""".stripMargin,
+
+    "g_dedup_simhash" ->
+      // brute-force recomputation: FNV-1a 64 per token (HUGEINT fold ==
+      // Java wrapping-long fold), per-bit majority vote, all-pairs hamming
+      // <= 3 — certifies the banded block join loses no pair at the radius
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS UBIGINT) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(0, 64) t(b)
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) AS UBIGINT) AS fp
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, c.doc_id AS id2,
+        |       CAST(bit_count(xor(a.fp, c.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.fp, c.fp)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
+    "g_dedup_clusters" ->
+      // connected components over the exact shingle-Jaccard pair list (the
+      // proven-equal truth of the MinHash pair list — g_dedup_minhash),
+      // recomputed via recursive-CTE transitive closure; min reachable id
+      // per doc == min-label propagation at convergence
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "g_fingerprints_rolling" ->
       // the identical (acc*31 + code) mod 1e9+7 fold over codepoints
       """SELECT doc_id,
@@ -1474,6 +1606,25 @@ object SparkEntry {
     // probe-all ANN == brute force: the losslessness gates share the
     // brute-force oracle (see the query comments)
     "g_sim_ann" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
+        |FROM embeddings, q
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_stream_index" ->
+      // identical to q_index_build: the streaming maintenance path must
+      // land exactly the batch derivation
+      """SELECT event_type AS et, CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid,
+        |       user_id AS aid, event_id AS eid, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY et, pid, ts_us, eid""".stripMargin,
+
+    "g_sim_ivf_indexed" ->
+      // probe-all over the persisted layout == brute force (same
+      // losslessness contract as g_sim_ivf, now including write + pruned
+      // directory read)
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
         |       floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv) /

@@ -151,14 +151,19 @@ object DedupOps {
   /** SimHash fingerprints in explode + 64-sum hash-aggregate form (same
     * semantics as TextFns.simHash — majority vote per bit over the token
     * multiset — but stays in codegen instead of interpreted per-row
-    * aggregate() lambdas). */
+    * aggregate() lambdas). Token hash is FNV-1a 64 (plans/Fnv64), not
+    * xxhash64: identical distribution quality in codegen, but the fold is
+    * reproducible in ANSI SQL engines, which makes the WHOLE pipeline
+    * (hash -> majority vote -> block join -> hamming) oracle-checkable
+    * rather than property-checked. */
   def simHashFingerprints(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val hashed = docs
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), GraftFunctions.fnv64(col("tok")).as("h"))
     val votes = hashed.groupBy(col("id")).agg(
       sum(when(col("h").bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v0"),
       (1 until 64).map { bit =>

@@ -84,7 +84,8 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(cosineDescription, IntersectionSize.description, PolyFingerprint.description)
+    Seq(cosineDescription, IntersectionSize.description, PolyFingerprint.description,
+        Fnv64.description)
       .foreach { d =>
         if (!registry.functionExists(d._1)) {
           registry.registerFunction(d._1, d._2, d._3)
@@ -102,4 +103,7 @@ object GraftFunctions {
 
   def polyFp(text: Column): Column =
     org.apache.spark.sql.functions.call_function(PolyFingerprint.Name, text)
+
+  def fnv64(text: Column): Column =
+    org.apache.spark.sql.functions.call_function(Fnv64.Name, text)
 }
