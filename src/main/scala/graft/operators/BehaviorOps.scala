@@ -15,7 +15,14 @@ object BehaviorOps {
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event of the same key exceeds `gapUs`. Returns the input plus
     * (session_id) — session_id is a per-key running count, deterministic
-    * given the (tsCol, tieCol) total order. */
+    * given the (tsCol, tieCol) total order.
+    *
+    * Hot-key skew: one key's timeline is one window partition/task (AQE
+    * does not split window partitions). Correct regardless of the input
+    * distribution (SkewSpec pins a 90%-hot-key run); for a key too large
+    * for one task, compute per-(key, time-chunk) boundaries first and
+    * prefix-sum session counts across chunks — the tokenPacking two-phase
+    * shape. */
   def sessionize(
       events: DataFrame,
       keyCol: String = "user_id",

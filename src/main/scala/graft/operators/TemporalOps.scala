@@ -28,6 +28,14 @@ object TemporalOps {
     * side first (e.g. max payload per key+ts); ties are otherwise
     * nondeterministic under shuffle.
     *
+    * Hot-key skew: one key = one window partition = one task (AQE splits
+    * skewed JOIN partitions, not window partitions), so a key holding a
+    * large share of both streams serializes on one core. Correctness is
+    * unaffected (SkewSpec pins a 90%-hot-key run); if one key's rows
+    * exceed a task's comfort zone, split the window by time-chunk and
+    * carry each chunk's last reference into the next (the two-phase
+    * carry shape of CurationOps.tokenPacking).
+    *
     * @param refPayload reference columns to expose (each becomes
     *                   `asof_<name>` on the output)
     */

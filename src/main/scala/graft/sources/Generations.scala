@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object-store-durable delete/compaction for the bucketed events layout
+  * (SURVEY.md §2 A5; reference `CassandraEventStore.cs:126-146`, whose
+  * DELETE is durable because Cassandra owns the storage engine).
+  *
+  * `Storage.deleteAndRewrite` overwrites bucket partitions in place — safe
+  * on HDFS-style filesystems, not on object stores (no atomic directory
+  * replace; a failed rewrite leaves a half-deleted bucket). This layer is
+  * the object-store path: data is IMMUTABLE once written, organized as
+  * generation directories under one table root, and the only mutation is
+  * an atomic swap of a small `_CURRENT` manifest:
+  *
+  * {{{
+  *   root/_CURRENT            # "<bucket>\t<generation dir>" per bucket
+  *   root/g-00000001/bucket=0/...parquet   # never modified after write
+  *   root/g-00000002/bucket=7/...parquet   # rewrite of bucket 7 only
+  * }}}
+  *
+  * A delete rewrites ONLY the affected buckets into a fresh generation
+  * directory (O(affected slice) I/O, not O(table)) and points those
+  * buckets' manifest entries at it; untouched buckets keep referencing
+  * their old generation — no data copy, no rename of data files. Readers
+  * that resolved the previous manifest keep reading intact files; the old
+  * generation stays on disk until `vacuum`. The manifest write is a
+  * write-temp + atomic-rename (an atomic small-object PUT on object
+  * stores), so a crash anywhere leaves either the old or the new manifest,
+  * never a torn table.
+  *
+  * Single-writer per table root (matching the reference's per-partition
+  * writer); concurrent readers are always safe.
+  */
+object Generations {
+
+  val ManifestFile = "_CURRENT"
+
+  /** bucket -> generation directory name (relative to the table root). */
+  final case class Manifest(entries: Map[Int, String]) {
+    def generations: Set[String] = entries.values.toSet
+  }
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read the current manifest; None if the table has no promoted data. */
+  def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
+    val f = fs(spark, root)
+    val p = new Path(root, ManifestFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val entries = text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(b, g) = line.split('\t')
+        b.toInt -> g
+      }.toMap
+      Some(Manifest(entries))
+    }
+  }
+
+  /** Atomically publish a manifest: write to a temp name, then rename over
+    * `_CURRENT` (FileContext rename with OVERWRITE — atomic on HDFS and
+    * local; the object-store translation is an atomic PUT of one small
+    * object). This is the ONLY mutation the layout ever performs. */
+  def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val tmp = new Path(root, s"$ManifestFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(
+      m.entries.toSeq.sortBy(_._1)
+        .map { case (b, g) => s"$b\t$g" }.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(root, ManifestFile), Options.Rename.OVERWRITE)
+  }
+
+  /** Next unused generation directory name (monotonic counter over existing
+    * `g-*` dirs; single-writer by contract, so no CAS is needed). */
+  def nextGeneration(spark: SparkSession, root: String): String = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    val existing =
+      if (!f.exists(p)) Array.empty[Int]
+      else f.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("g-")).map(_.drop(2).toInt)
+    f"g-${(if (existing.isEmpty) 0 else existing.max) + 1}%08d"
+  }
+
+  /** Bootstrap: land `rows` (canonical event columns) as generation 1 and
+    * promote every written bucket. */
+  def bootstrap(
+      spark: SparkSession, root: String, rows: DataFrame,
+      nBuckets: Int = Storage.DefaultBuckets): Unit = {
+    val gen = nextGeneration(spark, root)
+    Storage.appendEvents(rows, s"$root/$gen", nBuckets)
+    val buckets = spark.read.parquet(s"$root/$gen")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    writeManifest(spark, root, Manifest(buckets.map(_ -> gen).toMap))
+  }
+
+  /** Resolve + read the current table state: each bucket from the
+    * generation that owns it. Per-generation reads keep `basePath`, so the
+    * `bucket` partition column (and its directory pruning) survive. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val m = readManifest(spark, root).getOrElse(
+      sys.error(s"Generations.readCurrent: no $ManifestFile under $root"))
+    require(m.entries.nonEmpty, s"Generations.readCurrent: $root is empty (all buckets deleted)")
+    m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, es) =>
+      spark.read.option("basePath", s"$root/$gen")
+        .parquet(es.keys.toSeq.sorted.map(b => s"$root/$gen/bucket=$b"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** A5, object-store flavor: anti-join the tombstones against ONLY the
+    * affected buckets, write survivors to a fresh generation, atomically
+    * repoint those buckets. Untouched buckets are not read, not copied,
+    * not renamed; a fully-tombstoned bucket simply leaves the manifest.
+    * Returns the new generation name (for audit), or None if no manifested
+    * bucket was affected. */
+  def deleteAndPromote(
+      spark: SparkSession, root: String, tombstones: DataFrame,
+      nBuckets: Int = Storage.DefaultBuckets): Option[String] = {
+    val m = readManifest(spark, root).getOrElse(
+      sys.error(s"Generations.deleteAndPromote: no $ManifestFile under $root"))
+    val ids = tombstones.select(col("id")).distinct().collect()
+      .map(_.getAs[Array[Byte]](0))
+    val affected = ids.map(Storage.bucketOf(_, nBuckets)).distinct.toSeq
+      .filter(m.entries.contains).sorted
+    if (affected.isEmpty) return None
+    val slices = affected.map { b =>
+      spark.read.option("basePath", s"$root/${m.entries(b)}")
+        .parquet(s"$root/${m.entries(b)}/bucket=$b")
+    }.reduce(_ unionByName _)
+    // materialize before writing: the new generation is a fresh directory,
+    // but the plan still reads the old one — cut it so the write job does
+    // not re-list paths mid-flight
+    val survivors = Storage.deleteEvents(slices, tombstones).localCheckpoint(true)
+    val gen = nextGeneration(spark, root)
+    survivors
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(s"$root/$gen")
+    val survivorBuckets = survivors.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val entries = (m.entries -- affected) ++ survivorBuckets.map(_ -> gen)
+    writeManifest(spark, root, Manifest(entries))
+    Some(gen)
+  }
+
+  /** Compaction, object-store flavor (cf. `Storage.compact`): rewrite the
+    * whole current state as one generation of few large sorted files per
+    * bucket, then promote. Old generations remain for in-flight readers
+    * until `vacuum`. */
+  def compactAndPromote(spark: SparkSession, root: String): String = {
+    val gen = nextGeneration(spark, root)
+    readCurrent(spark, root)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(s"$root/$gen")
+    val buckets = spark.read.parquet(s"$root/$gen")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    writeManifest(spark, root, Manifest(buckets.map(_ -> gen).toMap))
+    gen
+  }
+
+  /** Drop generation directories no manifest entry references (run once
+    * in-flight readers of old manifests have drained — the retention
+    * window is the caller's policy, like any MVCC vacuum). */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val live = readManifest(spark, root).map(_.generations).getOrElse(Set.empty)
+    val dead = f.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(n => n.startsWith("g-") && !live.contains(n)).toSeq.sorted
+    dead.foreach(n => f.delete(new Path(root, n), true): Unit)
+    dead
+  }
+}

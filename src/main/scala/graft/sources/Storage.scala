@@ -174,10 +174,10 @@ object Storage {
     *
     * Survivors are materialized (localCheckpoint) before the overwrite:
     * Spark refuses to overwrite a path it is still reading from, and the
-    * affected slice is 1/nBuckets of the table by construction. On an
-    * object store at 100 TB the same flow writes the surviving slice to a
-    * fresh prefix and swaps pointers (see `compact`) — this in-place
-    * variant is the HDFS-style path. */
+    * affected slice is 1/nBuckets of the table by construction. This
+    * in-place variant is the HDFS-style path; the object-store path —
+    * surviving slice to a fresh generation prefix, atomic `_CURRENT`
+    * manifest swap — is `Generations.deleteAndPromote`. */
   def deleteAndRewrite(
       spark: SparkSession,
       path: String,
@@ -225,8 +225,8 @@ object Storage {
     * few large sorted files instead of many per-append small ones
     * (streaming ingest produces one file per micro-batch per bucket; scan
     * cost and footer overhead grow with file count). Writes to a new
-    * directory — object-store-style immutable swap, the caller promotes
-    * it; this engine does not depend on in-place mutation. */
+    * directory — object-store-style immutable swap; the promote step
+    * (atomic `_CURRENT` manifest) is `Generations.compactAndPromote`. */
   def compact(spark: SparkSession, path: String, outPath: String): Unit =
     spark.read.parquet(path)
       .repartition(col("bucket"))

@@ -75,6 +75,22 @@ object StreamingOps {
         graft.sources.Storage.appendEvents(batch, path, nBuckets)
       }
 
+  /** Continuous index MAINTENANCE (E5's streaming analogue): each
+    * micro-batch of canonical event rows is projected through the A6
+    * derivation (indexStream/IndexOps.buildIndex) and appended into the
+    * (et, pid)-partitioned index layout — the streaming twin of ingestTo,
+    * so the index stays current as events land (the reference's client
+    * code maintains its index table on every AppendAsync;
+    * IndexByEventTypeStore.cs:44-61). Gated by q_stream_index: an
+    * availability-now run's readback equals the batch derivation oracle. */
+  def indexTo(events: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Storage.appendIndex(indexStream(batch), path)
+      }
+
   /** Idempotent ingest: drop duplicate (id, rev, pos) rows across
     * micro-batches within the watermark horizon. The reference marks its
     * commit batches non-idempotent and simply swallows write timeouts

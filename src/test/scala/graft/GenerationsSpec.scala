@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{Generations, Storage}
+
+/** Object-store generation lifecycle (A5's durable flavor): bootstrap ->
+  * delete-with-promote -> compact -> vacuum, asserting the two invariants
+  * that make the layout object-store-safe: data files are never mutated
+  * (old generations stay byte-identical until vacuum) and a delete
+  * rewrites ONLY the affected buckets (everything else keeps pointing at
+  * its old generation — no table copy). */
+class GenerationsSpec extends SparkSpec {
+
+  private def mkLog(ids: Seq[String], nRevs: Int): DataFrame = {
+    import spark.implicits._
+    ids.flatMap(id => (1 to nRevs).map(r => (id, r)))
+      .toDF("ids", "rev")
+      .select(
+        col("ids").cast("binary").as("id"), col("rev"),
+        lit(0).as("pos"), lit(1L).as("ts"), lit("d".getBytes).as("data"))
+  }
+
+  private def mkTomb(rows: Seq[(String, Int, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("ids", "rev", "pos")
+      .select(col("ids").cast("binary").as("id"), col("rev"), col("pos"))
+  }
+
+  /** Relative path -> size for every file under `p` (byte-identity probe). */
+  private def fileSet(p: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(p)).map(f => f.getPath.stripPrefix(p) -> f.length()).toMap
+  }
+
+  test("bootstrap then readCurrent round-trips the log") {
+    val root = tmpDir() + "/events"
+    val log = mkLog(Seq("a", "b", "c", "d", "e", "f"), nRevs = 3)
+    Generations.bootstrap(spark, root, log, nBuckets = 4)
+    val cur = Generations.readCurrent(spark, root)
+    assert(cur.count() == 18)
+    assert(cur.filter(col("id") === lit("c".getBytes)).count() == 3)
+    // the bucket partition column survives the manifest-resolved read
+    assert(cur.columns.contains("bucket"))
+  }
+
+  test("deleteAndPromote rewrites only affected buckets; old generation intact") {
+    val root = tmpDir() + "/events"
+    val ids = Seq("a", "b", "c", "d", "e", "f")
+    Generations.bootstrap(spark, root, mkLog(ids, nRevs = 3), nBuckets = 4)
+    val m1 = Generations.readManifest(spark, root).get
+    val gen1 = m1.entries.values.toSet.head
+    val before = fileSet(s"$root/$gen1")
+
+    val vBucket = Storage.bucketOf("a".getBytes, 4)
+    val gen2 = Generations.deleteAndPromote(
+      spark, root, mkTomb(Seq(("a", 2, 0))), nBuckets = 4).get
+
+    // survivors visible, tombstoned row gone, everyone else untouched
+    val cur = Generations.readCurrent(spark, root)
+    assert(cur.count() == 17)
+    val aRevs = cur.filter(col("id") === lit("a".getBytes))
+      .select("rev").collect().map(_.getInt(0)).sorted
+    assert(aRevs.sameElements(Array(1, 3)))
+
+    // immutability: generation 1's files are byte-identical post-promote
+    assert(fileSet(s"$root/$gen1") == before)
+
+    // only the victim's bucket moved generations; the rest still point at g1
+    val m2 = Generations.readManifest(spark, root).get
+    assert(m2.entries(vBucket) == gen2)
+    (m1.entries.keySet - vBucket).foreach(b => assert(m2.entries(b) == m1.entries(b)))
+    // and the new generation holds ONLY the affected bucket's directory
+    val gen2Buckets = new java.io.File(s"$root/$gen2").listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(gen2Buckets == Set(s"bucket=$vBucket"))
+  }
+
+  test("fully-tombstoned bucket leaves the manifest") {
+    val root = tmpDir() + "/events"
+    // nBuckets=64: "x" and "y" land in different buckets (deterministic)
+    assert(Storage.bucketOf("x".getBytes) != Storage.bucketOf("y".getBytes))
+    Generations.bootstrap(spark, root, mkLog(Seq("x", "y"), nRevs = 2))
+    val gen2 = Generations.deleteAndPromote(
+      spark, root, mkTomb(Seq(("x", 1, 0), ("x", 2, 0))))
+    assert(gen2.nonEmpty)
+    val m = Generations.readManifest(spark, root).get
+    assert(!m.entries.contains(Storage.bucketOf("x".getBytes)))
+    val cur = Generations.readCurrent(spark, root)
+    assert(cur.count() == 2)
+    assert(cur.filter(col("id") === lit("x".getBytes)).count() == 0)
+  }
+
+  test("compactAndPromote + vacuum drop unreferenced generations only") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4)
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("b", 1, 0))), nBuckets = 4)
+    // both generations are still referenced -> vacuum is a no-op
+    assert(Generations.vacuum(spark, root).isEmpty)
+    val gen3 = Generations.compactAndPromote(spark, root)
+    val m = Generations.readManifest(spark, root).get
+    assert(m.generations == Set(gen3))
+    // now g1/g2 are dead; vacuum removes exactly them
+    val dead = Generations.vacuum(spark, root)
+    assert(dead.sorted == Seq("g-00000001", "g-00000002"))
+    assert(!new java.io.File(s"$root/g-00000001").exists())
+    val cur = Generations.readCurrent(spark, root)
+    assert(cur.count() == 8)
+    assert(cur.filter(col("id") === lit("b".getBytes)).count() == 2)
+  }
+}

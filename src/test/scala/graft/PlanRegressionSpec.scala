@@ -68,6 +68,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed below the window:\n$p")
   }
 
+  test("g_sim_ivf_indexed reads the persisted layout through cell partition filters") {
+    // the whole point of writeIvfIndex's partitionBy(cell): a probe query
+    // must list/read only its probe-cell directories, not scan the corpus
+    val p = plan("g_sim_ivf_indexed")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"probe-cell filter not a partition filter:\n$p")
+  }
+
   test("entry / q_index_join / q_semi_join carry no broadcast hints") {
     // Policy (round-2 verdict #1): the index side of C1/C2 is unbounded at
     // 100 TB — a hard broadcast() hint is honored regardless of size and

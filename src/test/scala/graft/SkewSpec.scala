@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BehaviorOps, TemporalOps}
+
+/** Hot-key skew: the per-key window operators (sessionize, asOfJoin) place
+  * one key's rows in one window partition — at 100 TB a key holding a
+  * disproportionate share of the table makes that ONE task the straggler
+  * (AQE splits skewed shuffle-join partitions, but not window partitions).
+  * These tests pin CORRECTNESS under a 90%-hot-key distribution — the
+  * semantics must not depend on how rows spread over input partitions —
+  * and the operators' scaladocs document the mitigation (chunked two-phase
+  * carry, same shape as CurationOps.tokenPacking). */
+class SkewSpec extends SparkSpec {
+
+  test("sessionize: one key holding 90% of rows still sessionizes exactly") {
+    import spark.implicits._
+    val gap = 100L
+    // deterministic timeline: every 7th delta exceeds the gap
+    def times(n: Int): Seq[Long] =
+      (1 until n).scanLeft(0L)((t, i) => t + (if (i % 7 == 0) gap + 5 else 3))
+    val hot = times(9000).zipWithIndex.map { case (t, i) => ("hot", t, i.toLong) }
+    val cold = (0 until 10).flatMap { k =>
+      times(100).zipWithIndex.map { case (t, i) => (s"cold$k", t, i.toLong) }
+    }
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(hot ++ cold), 16)
+      .toDF("user_id", "ts_us", "event_id")
+
+    val got = BehaviorOps.sessionize(df, gapUs = gap)
+    assert(got.count() == hot.size + cold.size)
+
+    // sequential reference over the hot key's sorted timeline
+    def expectedSessions(ts: Seq[Long]): Seq[Long] =
+      ts.zip((-10 * gap) +: ts.dropRight(1)) // sentinel: first row opens a session
+        .scanLeft(0L) { case (s, (t, prev)) => if (t - prev > gap) s + 1 else s }
+        .tail
+    Seq("hot", "cold3").foreach { key =>
+      val rows = got.filter(col("user_id") === key)
+        .select("ts_us", "session_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val exp = expectedSessions(rows.map(_._1).toSeq)
+      assert(rows.map(_._2).toSeq == exp, s"session ids diverge for $key")
+    }
+  }
+
+  test("asOfJoin: 90%-hot probe key matches the brute-force truth") {
+    import spark.implicits._
+    val hotProbes = (0 until 9000).map(i => (i.toLong, "hot", (i * 3).toLong))
+    val coldProbes = (0 until 1000).map(i => (9000L + i, s"cold${i % 10}", (i * 5).toLong))
+    val probes = (hotProbes ++ coldProbes).toDF("probe_id", "k", "t")
+    // refs sparse: one per ~50 time units on the hot key, a few cold
+    val refs = ((0 until 500).map(i => ("hot", (i * 53).toLong, i.toLong)) ++
+      (0 until 10).flatMap(k => (0 until 5).map(i => (s"cold$k", (i * 700).toLong, 1000L + i))))
+      .toDF("k", "t", "payload")
+
+    val got = TemporalOps.asOfJoin(probes, refs, "k", "t", Seq("payload"))
+      .select(col("probe_id"), col("asof_payload"))
+    // brute-force truth: max-ts eligible ref per probe via plain join
+    val truth = probes.as("p")
+      .join(refs.as("r"), col("p.k") === col("r.k") && col("r.t") <= col("p.t"), "left")
+      .groupBy(col("probe_id"))
+      .agg(max_by(col("r.payload"), col("r.t")).as("asof_payload"))
+    assert(got.count() == probes.count())
+    assert(got.except(truth).isEmpty && truth.except(got).isEmpty,
+      s"asOfJoin diverges from brute force: ${got.except(truth).take(5).mkString}")
+  }
+}
