@@ -1135,6 +1135,119 @@ object SparkEntry {
           sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_bal"))
         .orderBy(col("c_nationkey"))
     },
+
+    "q2_min_supplier" -> { (s, dir) => // TPC-H Q2 shape: correlated min over
+      // a priced-offer relation + join back (no partsupp table in the
+      // fixtures, so lineitem's min extended price per (part, supplier)
+      // stands in as the offer list — the plan shape is identical: regional
+      // dimension reduction, grouped min, equality join back on the min)
+      val eu = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val px = Tables.part(s, dir)
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val offers = Tables.lineitem(s, dir)
+        .join(eu.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(px.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("price"))
+      val minPer = offers.groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min(col("price")).as("min_price"))
+      offers
+        .join(minPer, col("l_partkey") === col("mp_partkey") && col("price") === col("min_price"))
+        .join(px, col("l_partkey") === col("p_partkey"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"), col("price"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    },
+
+    "q8_market_share" -> { (s, dir) => // TPC-H Q8 shape: one nation's share
+      // of regional import volume per year — 7-table join, conditional
+      // aggregation, exact-decimal volume, double division at the end
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, dir).filter(col("o_orderdate").between(
+            lit("1995-01-01").cast("timestamp_ntz"), lit("1996-12-31").cast("timestamp_ntz"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("c_rk") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(17,4)"))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    "q13_order_histogram" -> { (s, dir) => // TPC-H Q13 shape: outer-join
+      // count (customers with zero orders must survive) -> histogram
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    "q20_semi_chain" -> { (s, dir) => // TPC-H Q20 shape: nested semi chain —
+      // region-filtered suppliers semi-joined against a grouped HAVING
+      // subquery that itself semi-joins a name-filtered part list
+      val asia = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      val smallParts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("small ")).select(col("p_partkey"))
+      val qualified = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+        .filter(col("qty") > 40) // tuned: nonzero qualifiers at every sf
+        .select(col("l_suppkey"))
+      asia.join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy(col("s_suppkey"))
+    },
+
+    "q21_late_supplier" -> { (s, dir) => // TPC-H Q21 shape: exists + not-
+      // exists against the self-joined fact — suppliers whose line shipped
+      // last among multi-supplier 'F' orders (l_shipdate stands in for the
+      // missing receipt/commit pair; the semi + anti join pair is the shape)
+      val l1 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val fOrders = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val l2 = l1.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      l1.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("o3") === col("l_orderkey") && col("s3") =!= col("l_suppkey") &&
+          col("d3") > col("l_shipdate"), "left_anti")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -1996,5 +2109,72 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q2_min_supplier" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |            JOIN nation ON s_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |px AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 10 AND p_type = 'STANDARD'),
+        |offers AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS price
+        |           FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+        |           JOIN px ON l_partkey = p_partkey
+        |           GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, price
+        |FROM offers o JOIN px ON l_partkey = p_partkey JOIN eu ON l_suppkey = s_suppkey
+        |WHERE price = (SELECT min(price) FROM offers o2 WHERE o2.l_partkey = o.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |       CAST(sum(vol) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT o_orderdate, n2.n_name AS supp_nation,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |   AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q13_order_histogram" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q20_semi_chain" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+        |    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(40 AS DECIMAL(12,2)))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_late_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
   )
 }
