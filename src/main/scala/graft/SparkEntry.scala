@@ -1149,15 +1149,21 @@ object SparkEntry {
       val px = Tables.part(s, dir)
         .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
         .select(col("p_partkey"), col("p_name"))
+      // per-part min via a window over the ALREADY-AGGREGATED offers frame:
+      // one lineitem scan total (a groupBy-min + join-back would re-run the
+      // whole fact pipeline for the second aggregate — the offers relation
+      // after grouping is |parts x suppliers| small, so one extra exchange
+      // of it beats a second 100 TB scan)
       val offers = Tables.lineitem(s, dir)
         .join(eu.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .join(px.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice")).as("price"))
-      val minPer = offers.groupBy(col("l_partkey").as("mp_partkey"))
-        .agg(min(col("price")).as("min_price"))
+      import org.apache.spark.sql.expressions.Window
       offers
-        .join(minPer, col("l_partkey") === col("mp_partkey") && col("price") === col("min_price"))
+        .withColumn("min_price",
+          min(col("price")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("price") === col("min_price"))
         .join(px, col("l_partkey") === col("p_partkey"))
         .join(eu, col("l_suppkey") === col("s_suppkey"))
         .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),

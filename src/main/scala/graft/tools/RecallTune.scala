@@ -7,7 +7,13 @@ import graft.sources.Tables
 
 /** One-off harness: measure ANN recall@k vs brute force across parameter
   * settings, per scale factor — used to pick the full-recall params that
-  * back the g_sim_ann / g_sim_ivf oracle gates. */
+  * back the g_sim_ann / g_sim_ivf oracle gates.
+  *
+  * Driver-side by design: it collect()s top-k id sets and (below) pair
+  * lists, which is fine at tuning scale (k=20 sets; sf<=0.01 pair lists)
+  * but NOT a pattern for production paths — at 100 TB a pair list does not
+  * fit a driver. Tune on a sample; the engine operators themselves never
+  * collect unbounded sets. */
 object RecallTune {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
