@@ -39,6 +39,72 @@ object BehaviorOps {
       .drop("prev_ts", "new_session")
   }
 
+  /** Skew-proof sessionize: identical semantics to `sessionize`, but the
+    * per-key timeline is split into fixed-width TIME CHUNKS so a hot key
+    * spreads over (key span / chunkWidth) tasks instead of serializing on
+    * one — the two-phase carry shape of CurationOps.tokenPacking:
+    *
+    *  1. window per (key, chunk): local lag + local session-start count;
+    *  2. per-(key, chunk) aggregates (last ts, #starts) — a TINY frame —
+    *     carry the previous chunk's last ts and the exclusive prefix sum
+    *     of starts across chunks with one window over it;
+    *  3. join the carries back on (key, chunk): a row's session id =
+    *     chunk offset + local running count, and the first rows of a chunk
+    *     decide their boundary against the carried last-event ts.
+    *
+    * Empty chunks need no handling: lag over the chunks that EXIST yields
+    * the last preceding event time whatever the gap in chunk ids. The big
+    * shuffles are keyed (key, chunk); only the per-chunk aggregate — two
+    * longs per (key, chunk) — passes through a per-key window. */
+  def sessionizeChunked(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_us",
+      tieCol: String = "event_id",
+      gapUs: Long = 21600000000L,
+      chunkWidthUs: Long = 86400000000L): DataFrame = {
+    require(chunkWidthUs > 0, "chunkWidthUs must be positive")
+    val cid = expr(s"`$tsCol` DIV ${chunkWidthUs}L") // exact integral div; ts >= 0
+    val wLocal = Window.partitionBy(col(keyCol), col("__cid"))
+      .orderBy(col(tsCol), col(tieCol))
+    val cumLocal = wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // phase 1: chunk-local boundaries (the first row of a chunk is decided
+    // in phase 3 against the carried previous-chunk last ts)
+    val local = events
+      .withColumn("__cid", cid)
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(wLocal))
+      .withColumn("__local_start",
+        when(col("__prev_ts").isNotNull && col(tsCol) - col("__prev_ts") > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__local_sid", sum(col("__local_start")).over(cumLocal))
+      .withColumn("__head", col("__prev_ts").isNull)
+    // phase 2: per-(key, chunk) stats; carries via one window over the
+    // tiny aggregate — last event ts of the PREVIOUS chunk, and the
+    // exclusive prefix of session starts (head rows resolved here: a
+    // chunk's head starts a session iff no previous chunk or gap exceeded)
+    val wChunks = Window.partitionBy(col(keyCol)).orderBy(col("__cid"))
+    val stats = local.groupBy(col(keyCol), col("__cid"))
+      .agg(max(col(tsCol)).as("__last_ts"),
+        sum(col("__local_start")).as("__starts"),
+        min(col(tsCol)).as("__head_ts"))
+      .withColumn("__carry_ts", lag(col("__last_ts"), 1).over(wChunks))
+      .withColumn("__head_start",
+        when(col("__carry_ts").isNull || col("__head_ts") - col("__carry_ts") > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__offset",
+        coalesce(sum(col("__starts") + col("__head_start"))
+          .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol).as("__k"), col("__cid").as("__c"),
+        col("__head_start"), col("__offset"))
+    // phase 3: session id = prior-chunk offset + head start + local count
+    local
+      .join(stats, col(keyCol) === col("__k") && col("__cid") === col("__c"))
+      .withColumn("session_id",
+        col("__offset") + col("__head_start") + col("__local_sid"))
+      .drop("__cid", "__prev_ts", "__local_start", "__local_sid", "__head",
+        "__k", "__c", "__head_start", "__offset")
+  }
+
   /** N-step ordered funnel: for each key, the first time of step i that
     * happens AFTER the matched time of step i-1 is found greedily. Missing
     * steps yield 0 (non-null outputs survive engine round trips). Returns

@@ -67,6 +67,64 @@ object TemporalOps {
           refPayload.map(c => col(s"__last_r.$c").as(s"asof_$c")): _*)
   }
 
+  /** Skew-proof as-of join: identical semantics to `asOfJoin`, but each
+    * key's timeline is split into fixed-width TIME CHUNKS so a hot key
+    * spreads over (key span / chunkWidth) tasks — the same two-phase carry
+    * shape as BehaviorOps.sessionizeChunked:
+    *
+    *  1. window per (key, chunk): chunk-local carry-forward of the last
+    *     reference;
+    *  2. per-(key, chunk) last-reference aggregate (a TINY frame) + one
+    *     per-key window over it for the latest reference of PRECEDING
+    *     chunks;
+    *  3. a probe's match = its chunk-local last reference, else the
+    *     carried one (the carried reference's true ts is below the chunk
+    *     start, so an equal-ts in-chunk reference correctly wins).
+    *
+    * Probes in chunks with no reference rows are covered because the
+    * carry is computed over every (key, chunk) present in the UNION. */
+  def asOfJoinChunked(
+      probe: DataFrame,
+      ref: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      refPayload: Seq[String],
+      chunkWidth: Long): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    val probeCols = probe.columns.toSeq
+    val refStructT = ref.select(struct(refPayload.map(col): _*).as("r")).schema("r").dataType
+    val probeStructT = probe.select(struct(probeCols.map(col): _*).as("p")).schema("p").dataType
+    val pSide = probe.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(false).as("__is_ref"),
+      struct(probeCols.map(col): _*).as("__p"),
+      lit(null).cast(refStructT).as("__r"))
+    val rSide = ref.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(true).as("__is_ref"),
+      lit(null).cast(probeStructT).as("__p"),
+      struct(refPayload.map(col): _*).as("__r"))
+    val u = pSide.unionByName(rSide)
+      .withColumn("__cid", expr(s"__t DIV ${chunkWidth}L")) // ts >= 0
+    val wLocal = Window.partitionBy(col("__k"), col("__cid"))
+      .orderBy(col("__t"), col("__is_ref").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // phase 2 frame: latest reference per (key, chunk) — struct max is
+    // lexicographic on (__t, ...), and refs are unique per (key, ts)
+    val wChunks = Window.partitionBy(col("__sk")).orderBy(col("__sc"))
+    val stats = u.groupBy(col("__k").as("__sk"), col("__cid").as("__sc"))
+      .agg(max(when(col("__is_ref"), struct(col("__t"), col("__r")))).as("__chunk_last"))
+      .withColumn("__carry",
+        last(col("__chunk_last"), ignoreNulls = true)
+          .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__sk"), col("__sc"), col("__carry").getField("__r").as("__carry_r"))
+    u.join(stats, col("__k") === col("__sk") && col("__cid") === col("__sc"))
+      .withColumn("__last_r",
+        coalesce(last(col("__r"), ignoreNulls = true).over(wLocal), col("__carry_r")))
+      .filter(!col("__is_ref"))
+      .select(
+        probeCols.map(c => col(s"__p.$c").as(c)) ++
+          refPayload.map(c => col(s"__last_r.$c").as(s"asof_$c")): _*)
+  }
+
   /** Interval-point range join: rows of `points` whose `tCol` falls inside
     * `[loCol, hiCol]` of an `intervals` row with the same key.
     *

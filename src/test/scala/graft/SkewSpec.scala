@@ -43,6 +43,31 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeChunked == sessionize, hot key split over many chunks") {
+    import spark.implicits._
+    val gap = 100L
+    // irregular timeline crossing many chunk boundaries, incl. gaps that
+    // straddle chunk edges and empty chunks (the i%31 jump)
+    def times(n: Int, seed: Long): Seq[Long] =
+      (1 until n).scanLeft(seed)((t, i) =>
+        t + (if (i % 31 == 0) 5000 else if (i % 7 == 0) gap + 5 else 3))
+    val rows = times(8000, 0L).zipWithIndex.map { case (t, i) => ("hot", t, i.toLong) } ++
+      (0 until 8).flatMap { k =>
+        times(120, k * 13L).zipWithIndex.map { case (t, i) => (s"cold$k", t, i.toLong) }
+      }
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 16)
+      .toDF("user_id", "ts_us", "event_id")
+    // chunk width 997us: thousands of chunks for the hot key, heads landing
+    // both inside sessions and on session starts
+    val chunked = BehaviorOps.sessionizeChunked(df, gapUs = gap, chunkWidthUs = 997L)
+      .select("user_id", "event_id", "session_id")
+    val plain = BehaviorOps.sessionize(df, gapUs = gap)
+      .select("user_id", "event_id", "session_id")
+    assert(chunked.count() == rows.size)
+    assert(chunked.except(plain).isEmpty && plain.except(chunked).isEmpty,
+      s"chunked diverges: ${chunked.except(plain).take(5).mkString}")
+  }
+
   test("asOfJoin: 90%-hot probe key matches the brute-force truth") {
     import spark.implicits._
     val hotProbes = (0 until 9000).map(i => (i.toLong, "hot", (i * 3).toLong))
@@ -63,5 +88,14 @@ class SkewSpec extends SparkSpec {
     assert(got.count() == probes.count())
     assert(got.except(truth).isEmpty && truth.except(got).isEmpty,
       s"asOfJoin diverges from brute force: ${got.except(truth).take(5).mkString}")
+
+    // the chunked variant must agree exactly, with chunks far narrower
+    // than the ref spacing (forcing empty-ref chunks + carries) and with
+    // an equal-ts in-chunk-ref tie at every chunkWidth multiple of 53
+    val chunked = TemporalOps
+      .asOfJoinChunked(probes, refs, "k", "t", Seq("payload"), chunkWidth = 17L)
+      .select(col("probe_id"), col("asof_payload"))
+    assert(chunked.except(got).isEmpty && got.except(chunked).isEmpty,
+      s"asOfJoinChunked diverges: ${chunked.except(got).take(5).mkString}")
   }
 }
