@@ -470,6 +470,36 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    "q_sessionize_chunked" -> { (s, dir) => // the skew-proof two-phase
+      // sessionizer (hot key spreads over time chunks) against the SAME
+      // oracle as q_sessionize — 1-day chunks over the 30-day corpus
+      graft.operators.BehaviorOps.sessionizeChunked(Tables.events(s, dir),
+          gapUs = 21600000000L, chunkWidthUs = 86400000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"),
+          (max("ts_us") - min("ts_us")).as("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    "q_asof_chunked" -> { (s, dir) => // the skew-proof chunked-carry as-of
+      // join against the SAME oracle as q_asof_lastview — 1-day chunks
+      val ev = Tables.events(s, dir)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val ref = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      TemporalOps.asOfJoinChunked(probe, ref, "user_id", "ts_us",
+          Seq("view_event_id", "ts_us"), chunkWidth = 86400000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_ts_us").as("view_ts_us"),
+          (col("ts_us") - col("asof_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
     "q_top2_per_user" -> { (s, dir) => // windowed top-k per aggregate
       graft.operators.BehaviorOps.topKPerGroup(
           Tables.events(s, dir),
@@ -1467,6 +1497,24 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    "q_sessionize_chunked" ->
+      // same oracle as q_sessionize: the two-phase chunked path must
+      // produce identical sessions
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000 THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
     "q_top2_per_user" ->
       """SELECT user_id, rn, event_id, value FROM (
         |  SELECT user_id, event_id, value,
@@ -1902,6 +1950,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_asof_lastview" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |       v.view_event_id, v.ts_us AS view_ts_us, p.ts_us - v.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_chunked" ->
+      // same oracle as q_asof_lastview: the chunked-carry variant must
+      // produce the identical as-of matching
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |     p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
