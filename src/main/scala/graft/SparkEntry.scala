@@ -329,6 +329,26 @@ object SparkEntry {
         .orderBy(col("et"), col("pid"), col("ts_us"), col("eid"))
     },
 
+    "q_generation_delete" -> { (s, dir) => // A5, object-store flavor,
+      // end-to-end: land the log as generation 1 (bucketed + _CURRENT
+      // manifest), tombstone every event of aggregate 7, deleteAndPromote
+      // (rewrites ONLY bucket(7) into generation 2, atomic manifest swap),
+      // then read back through the manifest — must equal the oracle's
+      // WHERE user_id <> 7 over the source table
+      val root = java.nio.file.Files.createTempDirectory("graft_gen_").toString + "/events"
+      val log = Tables.eventLog(s, dir).drop("et")
+        .withColumn("id", col("id").cast("string").cast("binary"))
+      graft.sources.Generations.bootstrap(s, root, log, nBuckets = 16)
+      val tomb = log.filter(col("id") === lit("7".getBytes)).select("id", "rev", "pos")
+      graft.sources.Generations.deleteAndPromote(s, root, tomb, nBuckets = 16)
+      graft.sources.Generations.readCurrent(s, root)
+        .select(
+          col("id").cast("string").cast("long").as("user_id"),
+          col("rev").as("event_id"),
+          TimeFns.fileTimeToMicros(col("ts")).as("ts_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     "q_migration" -> { (s, dir) => // E9: read-transform (migration reclassify)
       Tables.events(s, dir)
         .select(
@@ -1780,6 +1800,13 @@ object SparkEntry {
         |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_generation_delete" ->
+      // the durable-delete lifecycle must leave exactly the non-tombstoned
+      // rows visible through the manifest
+      """SELECT user_id, CAST(event_id AS INT) AS event_id, epoch_us(ts) AS ts_us
+        |FROM events WHERE user_id <> 7
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_stream_index" ->
       // identical to q_index_build: the streaming maintenance path must

@@ -41,7 +41,11 @@ object TextFns {
     }: _*)
 
   /** 64-bit SimHash over the token multiset, built bit-by-bit from
-    * majority votes of per-token hash bits. Returns a long. */
+    * majority votes of per-token hash bits. Returns a long. Kept as the
+    * interpreted HOF reference of the vote semantics; the production path
+    * (DedupOps.simHashFingerprints) uses the same votes over FNV-1a token
+    * hashes (plans/Fnv64) so the whole pipeline is oracle-checkable —
+    * fingerprints from the two paths differ by token hash, not shape. */
   def simHash(tokenCol: Column): Column = {
     val hashes = transform(tokenCol, t => xxhash64(t))
     (0 until 64).map { bit =>
