@@ -534,6 +534,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    "q_funnel3_agg" -> { (s, dir) => // the skew-proof min-agg-chain funnel
+      // against the SAME oracle as q_funnel3 (which is itself written in
+      // the agg-chain form) — no per-key collect_list
+      graft.operators.BehaviorOps.funnelAgg(
+          Tables.events(s, dir), Seq("signup", "view", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
     "q_running_value" -> { (s, dir) => // cumulative per-aggregate fold
       import org.apache.spark.sql.expressions.Window
       val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -1860,6 +1868,31 @@ object SparkEntry {
         |FROM curated GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q_funnel3" ->
+      """WITH base AS (SELECT DISTINCT user_id FROM events
+        |              WHERE event_type IN ('signup', 'view', 'purchase')),
+        |su AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |      FROM events e JOIN su ON e.user_id = su.user_id
+        |      WHERE e.event_type = 'view' AND epoch_us(e.ts) > su.t
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t
+        |      GROUP BY e.user_id)
+        |SELECT b.user_id,
+        |       coalesce(su.t, 0) AS signup_us,
+        |       coalesce(v.t, 0) AS view_us,
+        |       coalesce(p.t, 0) AS purchase_us
+        |FROM base b
+        |LEFT JOIN su USING (user_id)
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_funnel3_agg" ->
+      // same oracle as q_funnel3: the agg-chain operator must reproduce
+      // the greedy funnel exactly
       """WITH base AS (SELECT DISTINCT user_id FROM events
         |              WHERE event_type IN ('signup', 'view', 'purchase')),
         |su AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events

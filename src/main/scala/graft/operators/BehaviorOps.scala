@@ -111,7 +111,10 @@ object BehaviorOps {
     * one row per key with `<step>_us` columns.
     *
     * One aggregation pass: per (key, step) ordered event-time lists, then a
-    * driver-free fold across the step columns. */
+    * driver-free fold across the step columns. NOTE: collect_list builds a
+    * key's whole step-event list in one reducer row — for corpora where
+    * one key can hold a huge share of step events, use `funnelAgg` (same
+    * semantics, min-agg chain, skew-safe; SkewSpec pins equality). */
   def funnel(
       events: DataFrame,
       steps: Seq[String],
@@ -140,6 +143,43 @@ object BehaviorOps {
       case _ => ()
     }
     out.select(col(keyCol) +: steps.map(s => col(s"${s}_us")): _*)
+  }
+
+  /** Skew-proof funnel: identical semantics to `funnel`, expressed as a
+    * chain of min-aggregations — step i's time is min ts of step-i events
+    * above step i-1's matched time, joined back per key. No per-key
+    * collect_list: `funnel` materializes each key's full step-event list
+    * in ONE reducer row (a hot key = one giant array in one task), while
+    * this variant is hash-aggs with map-side combine plus equi-joins AQE
+    * can skew-split — the 100 TB shape. k steps = k passes over the
+    * step-filtered slice (tiny vs the corpus). */
+  def funnelAgg(
+      events: DataFrame,
+      steps: Seq[String],
+      keyCol: String = "user_id",
+      etCol: String = "event_type",
+      tsCol: String = "ts_us"): DataFrame = {
+    require(steps.nonEmpty)
+    val stepEv = events.filter(col(etCol).isin(steps: _*))
+      .select(col(keyCol).as("__k"), col(etCol).as("__et"), col(tsCol).as("__t"))
+    val base = stepEv.select(col("__k")).distinct()
+    val first = stepEv.filter(col("__et") === steps.head)
+      .groupBy(col("__k")).agg(min(col("__t")).as("__mt"))
+    var out = base.join(first, Seq("__k"), "left")
+      .select(col("__k"), coalesce(col("__mt"), lit(0L)).as(s"${steps.head}_us"))
+    steps.sliding(2).foreach {
+      case Seq(prev, s) =>
+        val reached = out.filter(col(s"${prev}_us") > 0)
+          .select(col("__k").as("__pk"), col(s"${prev}_us").as("__pt"))
+        val nxt = stepEv.filter(col("__et") === s)
+          .join(reached, col("__k") === col("__pk") && col("__t") > col("__pt"))
+          .groupBy(col("__k")).agg(min(col("__t")).as("__mt"))
+        out = out.join(nxt, Seq("__k"), "left")
+          .withColumn(s"${s}_us", coalesce(col("__mt"), lit(0L)))
+          .drop("__mt")
+      case _ => ()
+    }
+    out.select(col("__k").as(keyCol) +: steps.map(s => col(s"${s}_us")): _*)
   }
 
   /** Top-k rows per group by an ordering (window row_number pattern). */

@@ -68,6 +68,27 @@ class SkewSpec extends SparkSpec {
       s"chunked diverges: ${chunked.except(plain).take(5).mkString}")
   }
 
+  test("funnelAgg == funnel, hot key holding 90% of step events") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    // hot key: long interleaved step sequence incl. out-of-order noise;
+    // cold keys cover missing-step and wrong-order corners
+    val hot = (0 until 9000).map { i =>
+      ("hot", steps((i * 7) % 3), (i * 11 % 2977).toLong * 3 + i % 3)
+    }
+    val cold = Seq(
+      ("c_no_a", "b", 5L), ("c_no_a", "c", 9L),
+      ("c_rev", "c", 1L), ("c_rev", "b", 2L), ("c_rev", "a", 3L),
+      ("c_full", "a", 1L), ("c_full", "b", 2L), ("c_full", "c", 3L))
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(hot ++ cold), 16)
+      .toDF("user_id", "event_type", "ts_us")
+    val viaAgg = BehaviorOps.funnelAgg(df, steps)
+    val viaList = BehaviorOps.funnel(df, steps)
+    assert(viaAgg.count() == viaList.count())
+    assert(viaAgg.except(viaList).isEmpty && viaList.except(viaAgg).isEmpty,
+      s"funnelAgg diverges: ${viaAgg.except(viaList).take(5).mkString}")
+  }
+
   test("asOfJoin: 90%-hot probe key matches the brute-force truth") {
     import spark.implicits._
     val hotProbes = (0 until 9000).map(i => (i.toLong, "hot", (i * 3).toLong))
