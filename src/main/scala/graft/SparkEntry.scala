@@ -916,6 +916,12 @@ object SparkEntry {
       TextOps.tokenCounts(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
+    "g_token_commonness" -> { (s, dir) => // corpus-frequency quality profile
+      // (TF side of an LM-score filter): corpus freq table -> skew-prone
+      // token join back -> per-doc integer stats
+      TextOps.tokenCommonness(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
     "g_lang_id" -> { (s, dir) => // n-gram-heuristic language id
       TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
@@ -1983,6 +1989,17 @@ object SparkEntry {
         |       CAST(len(string_split_regex(text, '\s+')) +
         |            length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_token_commonness" ->
+      // all-integer until the final exact-sum/count division
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(min(c) AS BIGINT) AS min_freq,
+        |       CAST(sum(c) AS BIGINT) AS sum_freq,
+        |       CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_freq
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "g_lang_id" ->
       """SELECT doc_id, lang AS lang_label,

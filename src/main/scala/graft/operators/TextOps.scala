@@ -21,6 +21,29 @@ object TextOps {
       size(TextFns.tokenSet(col("text"))).as("n_distinct"),
       TextFns.approxBpeCount(col("text")).as("n_bpeish"))
 
+  /** Per-doc corpus-frequency profile — the TF side of an LM-score quality
+    * filter (CCNet-style: documents made of corpus-rare tokens are
+    * outliers worth flagging; made of ultra-common ones, boilerplate).
+    * Shape at 100 TB: one corpus-wide token-frequency aggregation, one
+    * token-keyed join back (hot stopword tokens = the classic skewed join;
+    * AQE's skew-split applies, unlike window skew), one per-doc
+    * aggregation. All-integer arithmetic until the final exact-sum/count
+    * division, so the oracle compares exactly. */
+  def tokenCommonness(docs: DataFrame, reliable: Boolean = false): DataFrame = {
+    // token explosion feeds both the frequency table and the join back:
+    // compute once (lineage cut; reliable=true on clusters)
+    val toks = Checkpoints.pin(
+      docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")), reliable)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    toks.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("c")).as("min_freq"),
+        sum(col("c")).as("sum_freq"),
+        (sum(col("c")).cast("double") / count(lit(1))).as("mean_freq"))
+  }
+
   /** Corpus statistics per (lang, source). */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"), col("source"))
