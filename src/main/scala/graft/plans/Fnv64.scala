@@ -21,9 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the high bits of short tokens zero, which would degenerate the simhash
   * block keys).
   *
-  * Byte-level by design: on ASCII corpora bytes equal codepoints, matching
-  * the oracle's `unicode(tok[i])` formulation (same convention as
-  * PolyFingerprint).
+  * Folds CODE POINTS (decoded inline from the UTF-8 bytes, see
+  * Utf8CodePoints), exactly the oracle's `unicode(tok[i])` formulation —
+  * identical to a byte fold on ASCII, and parity holds on multi-byte
+  * characters too (same convention as PolyFingerprint).
   */
 case class Fnv64(child: Expression) extends UnaryExpression {
 
@@ -31,26 +32,16 @@ case class Fnv64(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_fnv64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val n = s.numBytes()
-    var acc = 0xcbf29ce484222325L
-    var i = 0
-    while (i < n) {
-      acc = (acc ^ (s.getByte(i) & 0xFFL)) * 0x100000001b3L
-      i += 1
+  override protected def nullSafeEval(input: Any): Any =
+    Utf8CodePoints.fold(input.asInstanceOf[UTF8String], 0xcbf29ce484222325L) {
+      (acc, cp) => (acc ^ cp) * 0x100000001b3L
     }
-    acc
-  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |int n = $c.numBytes();
-         |long acc = 0xcbf29ce484222325L;
-         |for (int i = 0; i < n; i++) {
-         |  acc = (acc ^ ($c.getByte(i) & 0xFFL)) * 0x100000001b3L;
-         |}
+         |${Utf8CodePoints.loopCode(c, "0xcbf29ce484222325L",
+             "acc = (acc ^ cp) * 0x100000001b3L;")}
          |${ev.value} = acc;
        """.stripMargin
     })

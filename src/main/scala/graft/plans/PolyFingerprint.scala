@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * character and dominated the fingerprint query's runtime (3.3s -> sub-
   * second at sf0.1).
   *
-  * Byte-level by design: on ASCII corpora bytes equal codepoints, which is
-  * exactly the oracle's `list_reduce` over `unicode(text[i])` formulation;
-  * the modulus keeps every intermediate below 2^35, overflow-free in both
-  * engines.
+  * Folds CODE POINTS (decoded inline from the UTF-8 bytes, see
+  * Utf8CodePoints), exactly the oracle's `list_reduce` over
+  * `unicode(text[i])` formulation — identical to a byte fold on ASCII,
+  * and parity holds on multi-byte characters too. The modulus keeps every
+  * intermediate below 2^51 (acc < 1e9+7, cp < 2^21), overflow-free in
+  * both engines.
   */
 case class PolyFingerprint(child: Expression) extends UnaryExpression {
 
@@ -25,26 +27,16 @@ case class PolyFingerprint(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_poly_fp"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val n = s.numBytes()
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      acc = (acc * 31L + (s.getByte(i) & 0xFF)) % 1000000007L
-      i += 1
+  override protected def nullSafeEval(input: Any): Any =
+    Utf8CodePoints.fold(input.asInstanceOf[UTF8String], 0L) {
+      (acc, cp) => (acc * 31L + cp) % 1000000007L
     }
-    acc
-  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |int n = $c.numBytes();
-         |long acc = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  acc = (acc * 31L + ($c.getByte(i) & 0xFF)) % 1000000007L;
-         |}
+         |${Utf8CodePoints.loopCode(c, "0L",
+             "acc = (acc * 31L + cp) % 1000000007L;")}
          |${ev.value} = acc;
        """.stripMargin
     })
