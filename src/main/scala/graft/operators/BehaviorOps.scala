@@ -64,7 +64,10 @@ object BehaviorOps {
       gapUs: Long = 21600000000L,
       chunkWidthUs: Long = 86400000000L): DataFrame = {
     require(chunkWidthUs > 0, "chunkWidthUs must be positive")
-    val cid = expr(s"`$tsCol` DIV ${chunkWidthUs}L") // exact integral div; ts >= 0
+    // exact FLOOR division (TimeFns.ldiv), not `DIV`: DIV truncates toward
+    // zero, which would merge the chunks either side of ts=0 into one
+    // double-width chunk for negative timestamps
+    val cid = graft.functions.TimeFns.ldiv(col(tsCol), chunkWidthUs)
     val wLocal = Window.partitionBy(col(keyCol), col("__cid"))
       .orderBy(col(tsCol), col(tieCol))
     val cumLocal = wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)

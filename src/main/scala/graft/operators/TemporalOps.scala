@@ -103,7 +103,9 @@ object TemporalOps {
       lit(null).cast(probeStructT).as("__p"),
       struct(refPayload.map(col): _*).as("__r"))
     val u = pSide.unionByName(rSide)
-      .withColumn("__cid", expr(s"__t DIV ${chunkWidth}L")) // ts >= 0
+      // floor division (not DIV, which truncates toward zero) keeps chunks
+      // uniform across ts=0 for negative timestamps
+      .withColumn("__cid", graft.functions.TimeFns.ldiv(col("__t"), chunkWidth))
     val wLocal = Window.partitionBy(col("__k"), col("__cid"))
       .orderBy(col("__t"), col("__is_ref").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

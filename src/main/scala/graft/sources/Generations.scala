@@ -80,6 +80,14 @@ object Generations {
       .rename(tmp, new Path(root, ManifestFile), Options.Rename.OVERWRITE)
   }
 
+  /** A generation directory name this layout wrote: `g-` + digits. Foreign
+    * `g-*` entries a user drops under the root (e.g. `g-backup`) must be
+    * ignored everywhere — parsed here, and never vacuumed. */
+  private val GenName = "g-(\\d+)".r
+
+  private def genNumber(name: String): Option[Int] =
+    name match { case GenName(d) => d.toIntOption; case _ => None }
+
   /** Next unused generation directory name (monotonic counter over existing
     * `g-*` dirs; single-writer by contract, so no CAS is needed). */
   def nextGeneration(spark: SparkSession, root: String): String = {
@@ -87,8 +95,7 @@ object Generations {
     val p = new Path(root)
     val existing =
       if (!f.exists(p)) Array.empty[Int]
-      else f.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("g-")).map(_.drop(2).toInt)
+      else f.listStatus(p).map(_.getPath.getName).flatMap(genNumber)
     f"g-${(if (existing.isEmpty) 0 else existing.max) + 1}%08d"
   }
 
@@ -128,9 +135,12 @@ object Generations {
       nBuckets: Int = Storage.DefaultBuckets): Option[String] = {
     val m = readManifest(spark, root).getOrElse(
       sys.error(s"Generations.deleteAndPromote: no $ManifestFile under $root"))
-    val ids = tombstones.select(col("id")).distinct().collect()
-      .map(_.getAs[Array[Byte]](0))
-    val affected = ids.map(Storage.bucketOf(_, nBuckets)).distinct.toSeq
+    // derive affected buckets DISTRIBUTED (the same xxhash64 expression the
+    // writer used): the collect is bounded by nBuckets, not by the
+    // tombstone frame, which at 100 TB may itself be huge
+    val affected = tombstones
+      .select(pmod(xxhash64(col("id")), lit(nBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
       .filter(m.entries.contains).sorted
     if (affected.isEmpty) return None
     val slices = affected.map { b =>
@@ -176,7 +186,7 @@ object Generations {
     val f = fs(spark, root)
     val live = readManifest(spark, root).map(_.generations).getOrElse(Set.empty)
     val dead = f.listStatus(new Path(root)).map(_.getPath.getName)
-      .filter(n => n.startsWith("g-") && !live.contains(n)).toSeq.sorted
+      .filter(n => genNumber(n).isDefined && !live.contains(n)).toSeq.sorted
     dead.foreach(n => f.delete(new Path(root, n), true): Unit)
     dead
   }

@@ -183,10 +183,12 @@ object Storage {
       path: String,
       tombstones: DataFrame,
       nBuckets: Int = DefaultBuckets): Unit = {
-    val ids = tombstones.select(col("id")).distinct().collect()
-      .map(_.getAs[Array[Byte]](0))
-    if (ids.isEmpty) return
-    val buckets = ids.map(bucketOf(_, nBuckets)).distinct.toSeq
+    // affected buckets computed distributed (writer's xxhash64 expression);
+    // the collect is bounded by nBuckets even when the tombstone frame isn't
+    val buckets = tombstones
+      .select(pmod(xxhash64(col("id")), lit(nBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return
     val survivors = deleteEvents(
         spark.read.parquet(path).filter(col("bucket").isin(buckets: _*)),
         tombstones)

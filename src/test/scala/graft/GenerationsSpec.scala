@@ -92,6 +92,22 @@ class GenerationsSpec extends SparkSpec {
     assert(cur.filter(col("id") === lit("x".getBytes)).count() == 0)
   }
 
+  test("foreign g-* entries under the root are ignored, never vacuumed") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b"), nRevs = 2), nBuckets = 4)
+    // a user-created dir that merely LOOKS like a generation
+    val foreign = new java.io.File(s"$root/g-backup")
+    assert(foreign.mkdirs())
+    // name parsing must skip it (previously: NumberFormatException)
+    val gen2 = Generations.compactAndPromote(spark, root)
+    assert(gen2 == "g-00000002")
+    // vacuum drops the dead g-00000001 but leaves the foreign dir intact
+    val dead = Generations.vacuum(spark, root)
+    assert(dead == Seq("g-00000001"))
+    assert(foreign.exists())
+    assert(Generations.readCurrent(spark, root).count() == 4)
+  }
+
   test("compactAndPromote + vacuum drop unreferenced generations only") {
     val root = tmpDir() + "/events"
     Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4)

@@ -68,6 +68,36 @@ class SkewSpec extends SparkSpec {
       s"chunked diverges: ${chunked.except(plain).take(5).mkString}")
   }
 
+  test("chunked variants stay exact for NEGATIVE timestamps (floor chunk ids)") {
+    import spark.implicits._
+    val gap = 100L
+    // timeline straddling ts=0: truncating division (DIV) would merge the
+    // chunks either side of zero into one double-width chunk; floor division
+    // keeps them uniform, so chunked == plain must hold here too
+    def times(n: Int): Seq[Long] =
+      (1 until n).scanLeft(-40000L)((t, i) => t + (if (i % 7 == 0) gap + 5 else 29))
+    val rows = times(3000).zipWithIndex.map { case (t, i) => ("hot", t, i.toLong) } ++
+      times(80).zipWithIndex.map { case (t, i) => ("cold", t, i.toLong) }
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 16)
+      .toDF("user_id", "ts_us", "event_id")
+    val chunked = BehaviorOps.sessionizeChunked(df, gapUs = gap, chunkWidthUs = 997L)
+      .select("user_id", "event_id", "session_id")
+    val plain = BehaviorOps.sessionize(df, gapUs = gap)
+      .select("user_id", "event_id", "session_id")
+    assert(chunked.except(plain).isEmpty && plain.except(chunked).isEmpty,
+      s"sessionizeChunked diverges on negative ts: ${chunked.except(plain).take(5).mkString}")
+
+    val probes = (0 until 2000).map(i => (i.toLong, "k", -3000L + i * 3)).toDF("probe_id", "k", "t")
+    val refs = (0 until 120).map(i => ("k", -3100L + i * 53, i.toLong)).toDF("k", "t", "payload")
+    val got = TemporalOps.asOfJoin(probes, refs, "k", "t", Seq("payload"))
+      .select(col("probe_id"), col("asof_payload"))
+    val chunkedAsof = TemporalOps
+      .asOfJoinChunked(probes, refs, "k", "t", Seq("payload"), chunkWidth = 17L)
+      .select(col("probe_id"), col("asof_payload"))
+    assert(chunkedAsof.except(got).isEmpty && got.except(chunkedAsof).isEmpty,
+      s"asOfJoinChunked diverges on negative ts: ${chunkedAsof.except(got).take(5).mkString}")
+  }
+
   test("funnelAgg == funnel, hot key holding 90% of step events") {
     import spark.implicits._
     val steps = Seq("a", "b", "c")
