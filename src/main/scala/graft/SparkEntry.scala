@@ -930,6 +930,33 @@ object SparkEntry {
       TextOps.qualityScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
+    "g_redact" -> { (s, dir) => // PII-style regex scrubbing: mask term list
+      // + digit runs, count redactions; map-only codegen pass
+      TextOps.redact(Tables.documents(s, dir), RedactPatterns).orderBy(col("doc_id"))
+    },
+
+    "g_distinctive_terms" -> { (s, dir) => // per-doc top-3 TF-IDF-shape
+      // terms with exact integer ranking (df asc, tf desc, term asc)
+      TextOps.distinctiveTerms(Tables.documents(s, dir), perDoc = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    "g_chunk_windows" -> { (s, dir) => // context-window/RAG chunking:
+      // 32-token windows every 24 tokens (8-token overlap), map-only
+      TextOps.chunkTokens(Tables.documents(s, dir), chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    "g_cooccur_lift" -> { (s, dir) => // token-pair association mining:
+      // top-50 co-occurring pairs by exact integer lift (basis points)
+      TextOps.cooccurrenceLift(Tables.documents(s, dir), topK = 50)
+    },
+
+    "g_quality_unigram" -> { (s, dir) => // corpus unigram-LM quality score
+      // (KenLM-style mean token log-prob, decimal-quantized for parity)
+      TextOps.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
     "g_length_quantiles" -> { (s, dir) => // corpus length distribution
       val fl = (c: org.apache.spark.sql.Column) =>
         graft.functions.NumFns.floorAt(c, 4)

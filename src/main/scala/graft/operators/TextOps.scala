@@ -103,6 +103,119 @@ object TextOps {
       .orderBy(col("n").desc, col("shingle"))
       .limit(topK)
 
+  /** PII-style regex scrubbing: every pattern is replaced (all occurrences)
+    * by its mask, in order; `n_redactions` counts the masked matches. The
+    * patterns stick to the regex subset where Java (Spark) and RE2-family
+    * engines agree — literal alternations, `\b`, character classes — so the
+    * operator is oracle-checkable. Pure codegen projection: at 100 TB this
+    * is a map-only pass, no shuffle. */
+  def redact(docs: DataFrame, patterns: Seq[(String, String)]): DataFrame = {
+    val redacted = patterns.foldLeft(col("text")) { case (c, (pat, mask)) =>
+      regexp_replace(c, pat, mask)
+    }
+    val nRedactions = patterns
+      .map(p => size(regexp_extract_all(col("text"), lit(p._1), lit(0))))
+      .reduce(_ + _)
+    docs.select(col("doc_id"), nRedactions.as("n_redactions"), redacted.as("redacted"))
+  }
+
+  /** Per-doc distinctive terms — the TF-IDF shape with EXACT integer
+    * ranking: terms ordered by (document frequency asc, term frequency
+    * desc, term asc), top `perDoc` per document. Avoiding the float idf
+    * log keeps the operator bit-reproducible across engines while ranking
+    * identically to tf-idf for fixed tf (log is monotonic in df).
+    * Shape at 100 TB: token explode -> (doc,tok) count -> corpus df agg ->
+    * token-keyed join back (AQE skew-split applies) -> per-doc top-k
+    * window. Same two-shuffle skeleton as tokenCommonness. */
+  def distinctiveTerms(docs: DataFrame, perDoc: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tf").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** Fixed-size token-window chunking with overlap — the context-window /
+    * RAG prep pass that splits every document into `chunkSize`-token
+    * windows starting every `stride` tokens (stride < chunkSize =>
+    * overlapping windows; the tail window may be short). Map-only
+    * projection + explode: no shuffle, distributes trivially. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val t = TextFns.tokens(col("text"))
+    val starts = sequence(lit(0), size(t) - 1, lit(stride))
+    docs
+      .select(col("doc_id"), t.as("__t"), explode(starts).as("__s"))
+      .select(
+        col("doc_id"),
+        (col("__s") / stride).cast("int").as("chunk_idx"),
+        slice(col("__t"), col("__s") + 1, lit(chunkSize)).as("__c"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("__c")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
+  /** Co-occurrence lift over document-level token sets: for token pairs
+    * appearing together in >= `minPairDocs` documents, lift =
+    * P(x,y)/(P(x)P(y)) — the association-mining pass behind embedding /
+    * phrase-table training. Reported in EXACT basis points via integer
+    * floor division (c_xy * N * 10000 div (c_x * c_y)), so both engines
+    * rank identically with zero float drift.
+    * Shape at 100 TB: per-doc DISTINCT token explode, within-doc pair
+    * self-join (bounded by doc length, not corpus size), one pair-keyed
+    * count, token-keyed df joins. The pair shuffle is the big one and it
+    * is keyed on (tok1, tok2) — no all-pairs blowup across documents. */
+  def cooccurrenceLift(docs: DataFrame, topK: Int = 50, minPairDocs: Long = 2L): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokenSet(col("text"))).as("tok"))
+    val pairs = toks.as("a")
+      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok1"), col("b.tok").as("tok2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minPairDocs)
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    pairs
+      .join(df.select(col("tok").as("tok1"), col("c").as("c_x")), "tok1")
+      .join(df.select(col("tok").as("tok2"), col("c").as("c_y")), "tok2")
+      .crossJoin(broadcast(n)) // one-row corpus size
+      .select(
+        col("tok1"), col("tok2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("c_xy * __n * 10000 DIV (c_x * c_y)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("tok1"), col("tok2"))
+      .limit(topK)
+  }
+
+  /** Per-doc unigram language-model score — the KenLM-style quality signal
+    * computed from the corpus itself: mean over tokens of
+    * ln(corpus_freq(tok) / corpus_tokens). More negative = rarer tokens =
+    * outlier doc; boilerplate scores near zero. Float output is floored at
+    * 4 digits (NumFns.floorAt convention). Same skeleton as
+    * tokenCommonness: corpus freq agg + token join back + per-doc agg. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.select(sum(col("c")).as("__total"))
+    // per-token logs are quantized to DECIMAL(18,8) BEFORE summing: a
+    // double sum is accumulation-order-sensitive (engine/partition
+    // dependent), a decimal sum is exact and order-free; 1e-8 quantization
+    // is far below any quality-threshold use of the score
+    val lp = log(col("c").cast("double") / col("__total").cast("double"))
+      .cast("decimal(18,8)")
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total)) // one-row corpus token count
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        NumFns.floorAt(
+          sum(lp).cast("double") / count(lit(1)).cast("double"), 4).as("avg_logprob"))
+  }
+
   /** Content fingerprints: cryptographic (md5 of normalized text) +
     * rolling hashes — the engine-local xxhash token fold for shard-local
     * joins and the char-level polynomial variant whose arithmetic is
