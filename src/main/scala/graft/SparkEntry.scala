@@ -932,7 +932,7 @@ object SparkEntry {
 
     "g_redact" -> { (s, dir) => // PII-style regex scrubbing: mask term list
       // + digit runs, count redactions; map-only codegen pass
-      TextOps.redact(Tables.documents(s, dir), RedactPatterns).orderBy(col("doc_id"))
+      TextOps.redact(Tables.documents(s, dir), TextOps.RedactPatterns).orderBy(col("doc_id"))
     },
 
     "g_distinctive_terms" -> { (s, dir) => // per-doc top-3 TF-IDF-shape
@@ -2052,6 +2052,73 @@ object SparkEntry {
         |                CAST(length(text) AS DOUBLE)) * 0.2,
         |         0.0), 1.0) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_redact" ->
+      // sequential replace; each pattern counted against the text AFTER the
+      // earlier patterns applied (exactly the spans masked)
+      """WITH r1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS INT) AS c1,
+        |    regexp_replace(text, '\bcustomer\b', '<NAME>', 'g') AS t1 FROM documents),
+        |r2 AS (SELECT doc_id, c1,
+        |    CAST(len(regexp_extract_all(t1, '[0-9]+')) AS INT) AS c2,
+        |    regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS t2 FROM r1),
+        |r3 AS (SELECT doc_id, c1, c2,
+        |    CAST(len(regexp_extract_all(t2, '\bkey\b')) AS INT) AS c3,
+        |    regexp_replace(t2, '\bkey\b', '<KEY>', 'g') AS t3 FROM r2)
+        |SELECT doc_id, CAST(c1 + c2 + c3 AS INT) AS n_redactions, t3 AS redacted
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+
+    "g_distinctive_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |ranked AS (SELECT doc_id, tok AS term, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY df ASC, tf DESC, tok ASC) AS INT) AS rank
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, term, tf, df, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "g_chunk_windows" ->
+      // range(0, len, 24) == sequence(0, len-1, 24); list_slice is 1-based
+      // inclusive-both-ends and clamps, like Spark slice(arr, start, len)
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+        |       CAST(len(list_slice(toks, st + 1, st + 32)) AS INT) AS n_chunk_tokens,
+        |       array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "g_cooccur_lift" ->
+      // HUGEINT numerator mirrors the Spark DECIMAL(38,0) cast; // is floor
+      // division on positives, same as Spark DIV
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |pairs AS (SELECT a.tok AS tok1, b.tok AS tok2, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+        |SELECT tok1, tok2, c_xy, dx.c AS c_x, dy.c AS c_y,
+        |       CAST(CAST(c_xy AS HUGEINT) * nn * 10000
+        |            // (CAST(dx.c AS HUGEINT) * dy.c) AS BIGINT) AS lift_bp
+        |FROM pairs
+        |JOIN df dx ON dx.tok = pairs.tok1
+        |JOIN df dy ON dy.tok = pairs.tok2
+        |CROSS JOIN n
+        |ORDER BY lift_bp DESC, tok1, tok2 LIMIT 50""".stripMargin,
+
+    "g_quality_unigram" ->
+      // per-token logs quantized to DECIMAL(18,8) BEFORE the sum on both
+      // sides (order-free exact sum), mean floored at 4 digits
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       floor((CAST(sum(CAST(ln(CAST(c AS DOUBLE) / total) AS DECIMAL(18,8)))
+        |                   AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_logprob
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_asof_lastview" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id

@@ -103,20 +103,34 @@ object TextOps {
       .orderBy(col("n").desc, col("shingle"))
       .limit(topK)
 
+  /** Default PII-style scrub list: masks stay digit-free and outside the
+    * corpus alphabet so a later pattern can never re-match an earlier
+    * pattern's mask. Restricted to the regex subset where Java (Spark) and
+    * RE2-family engines agree: literal words, `\b`, digit classes. */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    "\\bcustomer\\b" -> "<NAME>",
+    "[0-9]+" -> "<NUM>",
+    "\\bkey\\b" -> "<KEY>")
+
   /** PII-style regex scrubbing: every pattern is replaced (all occurrences)
-    * by its mask, in order; `n_redactions` counts the masked matches. The
-    * patterns stick to the regex subset where Java (Spark) and RE2-family
-    * engines agree — literal alternations, `\b`, character classes — so the
-    * operator is oracle-checkable. Pure codegen projection: at 100 TB this
-    * is a map-only pass, no shuffle. */
+    * by its mask, in order; `n_redactions` counts the matches of pattern i
+    * against the text AFTER patterns 0..i-1 applied — i.e. exactly the
+    * spans that were masked, even when patterns overlap. Empty pattern
+    * lists are legal (0 redactions, text unchanged). The patterns stick to
+    * the regex subset where Java (Spark) and RE2-family engines agree —
+    * literal alternations, `\b`, character classes — so the operator is
+    * oracle-checkable. Pure codegen projection: at 100 TB this is a
+    * map-only pass, no shuffle. */
   def redact(docs: DataFrame, patterns: Seq[(String, String)]): DataFrame = {
-    val redacted = patterns.foldLeft(col("text")) { case (c, (pat, mask)) =>
-      regexp_replace(c, pat, mask)
-    }
-    val nRedactions = patterns
-      .map(p => size(regexp_extract_all(col("text"), lit(p._1), lit(0))))
-      .reduce(_ + _)
-    docs.select(col("doc_id"), nRedactions.as("n_redactions"), redacted.as("redacted"))
+    val (redacted, nRedactions) =
+      patterns.foldLeft((col("text"), lit(0))) { case ((txt, n), (pat, mask)) =>
+        (regexp_replace(txt, pat, mask),
+         n + size(regexp_extract_all(txt, lit(pat), lit(0))))
+      }
+    docs.select(
+      col("doc_id"),
+      nRedactions.cast("int").as("n_redactions"),
+      redacted.as("redacted"))
   }
 
   /** Per-doc distinctive terms — the TF-IDF shape with EXACT integer
@@ -166,7 +180,9 @@ object TextOps {
     * P(x,y)/(P(x)P(y)) — the association-mining pass behind embedding /
     * phrase-table training. Reported in EXACT basis points via integer
     * floor division (c_xy * N * 10000 div (c_x * c_y)), so both engines
-    * rank identically with zero float drift.
+    * rank identically with zero float drift. The numerator is computed in
+    * DECIMAL(38,0): c_xy and N both grow with the corpus, so the Long
+    * product overflows beyond ~3e7 documents.
     * Shape at 100 TB: per-doc DISTINCT token explode, within-doc pair
     * self-join (bounded by doc length, not corpus size), one pair-keyed
     * count, token-keyed df joins. The pair shuffle is the big one and it
@@ -186,7 +202,8 @@ object TextOps {
       .crossJoin(broadcast(n)) // one-row corpus size
       .select(
         col("tok1"), col("tok2"), col("c_xy"), col("c_x"), col("c_y"),
-        expr("c_xy * __n * 10000 DIV (c_x * c_y)").as("lift_bp"))
+        expr("CAST(CAST(c_xy AS DECIMAL(38,0)) * __n * 10000 DIV (c_x * c_y) AS BIGINT)")
+          .as("lift_bp"))
       .orderBy(col("lift_bp").desc, col("tok1"), col("tok2"))
       .limit(topK)
   }
