@@ -187,6 +187,15 @@ object TextOps {
     * self-join (bounded by doc length, not corpus size), one pair-keyed
     * count, token-keyed df joins. The pair shuffle is the big one and it
     * is keyed on (tok1, tok2) — no all-pairs blowup across documents. */
+  /** lift in exact basis points: c_xy * n * 10000 div (c_x * c_y), BOTH
+    * sides of the division in DECIMAL(38,0): corpus-scale counts overflow
+    * the Long product in the numerator (c_xy, n ~ 1e11 at 100 TB =>
+    * ~ 1e26) AND the denominator (c_x * c_y ~ 1e22) — 1e26 << 1e38 is
+    * safe. DIV on decimal operands is Spark IntegralDivide => BIGINT out. */
+  private[graft] val liftBpExpr =
+    expr("CAST(CAST(c_xy AS DECIMAL(38,0)) * __n * 10000" +
+      " DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)")
+
   def cooccurrenceLift(docs: DataFrame, topK: Int = 50, minPairDocs: Long = 2L): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(TextFns.tokenSet(col("text"))).as("tok"))
     val pairs = toks.as("a")
@@ -202,8 +211,7 @@ object TextOps {
       .crossJoin(broadcast(n)) // one-row corpus size
       .select(
         col("tok1"), col("tok2"), col("c_xy"), col("c_x"), col("c_y"),
-        expr("CAST(CAST(c_xy AS DECIMAL(38,0)) * __n * 10000 DIV (c_x * c_y) AS BIGINT)")
-          .as("lift_bp"))
+        liftBpExpr.as("lift_bp"))
       .orderBy(col("lift_bp").desc, col("tok1"), col("tok2"))
       .limit(topK)
   }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Unit coverage for the text-pipeline operators added in round 6
+  * (redaction, chunking, distinctive terms, co-occurrence lift, unigram
+  * LM score) — especially the sequential-redaction counting semantics and
+  * the overflow-safe lift arithmetic. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("redact: counts match the spans actually masked under sequential replace") {
+    // pattern 1 consumes the digits; pattern 2 must NOT count the original
+    // "42" (it no longer exists in the text pattern 2 sees)
+    val out = TextOps.redact(
+        docs("customer 42 pays"),
+        Seq("customer 42" -> "<X>", "[0-9]+" -> "<NUM>"))
+      .head()
+    assert(out.getInt(1) == 1)
+    assert(out.getString(2) == "<X> pays")
+  }
+
+  test("redact: a mask introducing later-pattern matches is counted on the redacted text") {
+    // sequential semantics: pattern 2 runs on "<C1> pays", so the mask's
+    // own digit gets masked AND counted — count == spans masked, always
+    val out = TextOps.redact(
+        docs("customer pays"),
+        Seq("customer" -> "<C1>", "[0-9]+" -> "#"))
+      .head()
+    assert(out.getInt(1) == 2)
+    assert(out.getString(2) == "<C#> pays")
+  }
+
+  test("redact: empty pattern list is legal (0 redactions, text unchanged)") {
+    val out = TextOps.redact(docs("anything 7 goes"), Seq.empty).head()
+    assert(out.getInt(1) == 0)
+    assert(out.getString(2) == "anything 7 goes")
+  }
+
+  test("redact: default patterns mask all occurrences") {
+    val out = TextOps.redact(docs("customer key customer"), TextOps.RedactPatterns).head()
+    assert(out.getInt(1) == 3)
+    assert(out.getString(2) == "<NAME> <KEY> <NAME>")
+  }
+
+  test("chunkTokens: overlapping windows, short tail window") {
+    val got = TextOps.chunkTokens(docs("a b c d e"), chunkSize = 3, stride = 2)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq((0, 3, "a b c"), (1, 3, "c d e"), (2, 1, "e")))
+  }
+
+  test("chunkTokens: doc shorter than one chunk yields a single short window") {
+    val got = TextOps.chunkTokens(docs("a b"), chunkSize = 32, stride = 24).collect()
+    assert(got.length == 1)
+    assert(got.head.getInt(1) == 0 && got.head.getInt(2) == 2 && got.head.getString(3) == "a b")
+  }
+
+  test("distinctiveTerms: ranks by (df asc, tf desc, term asc)") {
+    // "rare" appears in 1 doc (df=1) -> outranks "both" (df=2) even though
+    // tf("both") is larger; ties inside a df level break by tf desc
+    val got = TextOps.distinctiveTerms(
+        docs("both both both rare rare", "both other"), perDoc = 2)
+      .filter(col("doc_id") === 0)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq
+    assert(got == Seq(("rare", 2L, 1L, 1), ("both", 3L, 2L, 2)))
+  }
+
+  test("cooccurrenceLift: exact basis points on a hand corpus") {
+    // pair (x,y): c_xy=2, c_x=3, c_y=2, n=3 -> 2*3*10000/(3*2) = 10000 bp
+    val got = TextOps.cooccurrenceLift(docs("x y", "x y z", "x"), topK = 10, minPairDocs = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(("x", "y", 10000L)))
+  }
+
+  test("liftBp arithmetic survives corpus-scale counts (Long product would overflow)") {
+    // c_xy = n = 4e9: the Long product c_xy*n*10000 = 1.6e23 overflows
+    // Int64 (~9.2e18); the DECIMAL(38,0) path must stay exact
+    val big = 4000000000L
+    val row = Seq((big, big, big, big)).toDF("c_xy", "__n", "c_x", "c_y")
+      .select(TextOps.liftBpExpr.as("lift_bp"))
+      .head()
+    val expected =
+      (BigInt(big) * BigInt(big) * 10000 / (BigInt(big) * BigInt(big))).toLong
+    assert(row.getLong(0) == expected) // == 10000
+  }
+
+  test("unigramLogProb: uniform corpus scores floor(ln(1/2)) at 4 digits") {
+    // every token has corpus frequency 2 of 4 total -> lp = ln(0.5),
+    // quantized to DECIMAL(18,8) then averaged then floored at 1e-4
+    val got = TextOps.unigramLogProb(docs("x y", "x y"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val q = BigDecimal(math.log(0.5)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val expected = math.floor(q.toDouble * 10000) / 10000
+    assert(got == Seq((2L, expected), (2L, expected)))
+  }
+}
