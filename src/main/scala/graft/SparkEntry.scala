@@ -730,6 +730,29 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     },
 
+    "g_dedup_incremental" -> { (s, dir) => // increment-vs-corpus near-dups:
+      // the daily-batch shape — the new slice band-joins the existing
+      // corpus' LSH index, the corpus never self-joins or re-clusters.
+      // Oracle = exact cross-split shingle Jaccard (same recall-1.0 regime
+      // g_dedup_minhash certifies for these banding parameters).
+      val docs = Tables.documents(s, dir)
+      DedupOps.minHashNearDupsAgainst(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), threshold = 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+
+    "g_dedup_incremental_exact" -> { (s, dir) => // exact incremental dedup:
+      // every increment doc annotated with its corpus copy count + first
+      // copy id (null = novel); the join ships 32-byte content digests,
+      // not text
+      val docs = Tables.documents(s, dir)
+      DedupOps.incrementalExact(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0))
+        .orderBy(col("new_id"))
+    },
+
     "g_embed_neardup_recall" -> { (s, dir) => // the LSH-bucketed embedding
       // near-dup gate: precision is exact by construction (in-bucket pairs
       // are rescored with true cosine), recall vs the exact all-pairs truth
@@ -928,6 +951,11 @@ object SparkEntry {
 
     "g_quality" -> { (s, dir) => // per-doc quality scoring
       TextOps.qualityScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    "g_quality_rules" -> { (s, dir) => // Gopher/C4-style rule filter:
+      // per-rule audit flags + kept conjunction, one map-only pass
+      TextOps.qualityRules(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
     "g_redact" -> { (s, dir) => // PII-style regex scrubbing: mask term list
@@ -1696,6 +1724,33 @@ object SparkEntry {
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    "g_dedup_incremental" ->
+      // exact cross-split shingle Jaccard: increment (doc_id % 5 = 0)
+      // against corpus (the rest)
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |       floor((len(list_intersect(a.toks, b.toks)) /
+        |             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) * 10000) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |WHERE len(list_intersect(a.toks, b.toks)) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    "g_dedup_incremental_exact" ->
+      // text equality stands in for the digest join (no SHA-256 collision
+      // at any plausible corpus size)
+      """SELECT a.doc_id AS new_id,
+        |       CAST(count(b.doc_id) AS BIGINT) AS n_corpus_copies,
+        |       min(b.doc_id) AS first_copy_id
+        |FROM documents a LEFT JOIN documents b
+        |  ON b.doc_id % 5 <> 0 AND a.text = b.text
+        |WHERE a.doc_id % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "g_embed_neardup_recall" ->
       ("SELECT CAST(0.35 AS DOUBLE) AS threshold, true AS precision_exact, " +
         "CAST(0.2 AS DOUBLE) AS recall_floor, true AS meets_floor"),
@@ -2052,6 +2107,28 @@ object SparkEntry {
         |                CAST(length(text) AS DOUBLE)) * 0.2,
         |         0.0), 1.0) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_quality_rules" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         (length(text) - (len(string_split(text, ' ')) - 1))
+        |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+        |         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+        |           / CAST(length(text) AS DOUBLE) AS punct,
+        |         len(list_intersect(list_distinct(string_split(text, ' ')),
+        |             ['the','a','of','and','to','in','is'])) AS hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |       floor(mtl * 10000) / 10000 AS mean_tok_len,
+        |       (n_tokens >= 30 AND n_tokens <= 80) AS r_len,
+        |       (mtl >= 3.8 AND mtl <= 4.6) AS r_tok_len,
+        |       (punct <= 0.2) AS r_punct,
+        |       (hits >= 2) AS r_stopword,
+        |       ((n_tokens >= 30 AND n_tokens <= 80)
+        |        AND (mtl >= 3.8 AND mtl <= 4.6)
+        |        AND (punct <= 0.2) AND (hits >= 2)) AS kept
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "g_redact" ->
       // sequential replace; each pattern counted against the text AFTER the

@@ -48,18 +48,97 @@ object DedupOps {
       bands: Int = 4,
       threshold: Double = 0.7,
       reliable: Boolean = false): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, shingleK, nHashes, bands, reliable)
+    val candidates = banded.select(col("band"), col("bandsig"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("bandsig"), col("id").as("id2")), Seq("band", "bandsig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+      .transform(Checkpoints.pin(_, reliable))
+    candidates
+      .join(candidateShingles(docs, candidates, "id1", idCol, textCol, shingleK), Seq("id1"))
+      .join(candidateShingles(docs, candidates, "id2", idCol, textCol, shingleK), Seq("id2"))
+      .withColumn("jaccard", jaccardArrays(col("toks_id1"), col("toks_id2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Incremental near-dup detection: candidate pairs between a NEW batch
+    * and the EXISTING corpus via the same banded MinHash keys, rescored
+    * with exact Jaccard. This is the daily-increment shape at 100 TB —
+    * the corpus never self-joins or re-clusters; the increment's band
+    * keys hash-join against the corpus' (in production: pre-materialized)
+    * band index, one band-keyed shuffle in total. Output:
+    * (new_id, corpus_id, jaccard >= threshold). */
+  def minHashNearDupsAgainst(
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      nHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      reliable: Boolean = false): DataFrame = {
+    val bi = bandedSignatures(increment, idCol, textCol, shingleK, nHashes, bands, reliable)
+    val bc = bandedSignatures(corpus, idCol, textCol, shingleK, nHashes, bands, reliable)
+    val candidates = bi.select(col("band"), col("bandsig"), col("id").as("new_id"))
+      .join(bc.select(col("band"), col("bandsig"), col("id").as("corpus_id")), Seq("band", "bandsig"))
+      .select("new_id", "corpus_id").distinct()
+      .transform(Checkpoints.pin(_, reliable))
+    candidates
+      .join(candidateShingles(increment, candidates, "new_id", idCol, textCol, shingleK),
+        Seq("new_id"))
+      .join(candidateShingles(corpus, candidates, "corpus_id", idCol, textCol, shingleK),
+        Seq("corpus_id"))
+      .withColumn("jaccard", jaccardArrays(col("toks_new_id"), col("toks_corpus_id")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact incremental dedup: every increment doc annotated with how many
+    * byte-identical copies already exist in the corpus, and the first such
+    * id (null when novel). The join key is the 256-bit content digest, not
+    * the text: at 100 TB the shuffle ships 32-byte hashes, and the corpus
+    * side is typically a pre-hashed index table that never rescans the
+    * raw bytes. */
+  def incrementalExact(
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val inc = increment.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("h"))
+    val cor = corpus.select(col(idCol).as("cid"), sha2(col(textCol), 256).as("h"))
+    inc.join(cor, Seq("h"), "left")
+      .groupBy(col("new_id"))
+      .agg(
+        count(col("cid")).as("n_corpus_copies"),
+        min(col("cid")).as("first_copy_id"))
+  }
+
+  /** (id, band, bandsig) banded MinHash signatures — the LSH key layout
+    * shared by the self-join (minHashNearDups) and increment-vs-corpus
+    * (minHashNearDupsAgainst) paths.
+    *
+    * Signature construction never builds shingle strings: a shingle's
+    * minhash only needs a hash of its k consecutive tokens, so we hash
+    * (tok, lead(tok,1), .., lead(tok,k-1), seed) straight off a window —
+    * everything stays in whole-stage codegen. (The per-row
+    * transform/element_at/concat_ws formulation evaluates interpreted and
+    * dominated the runtime.) min() over the shingle multiset equals min()
+    * over the set, so no dedup is needed either. */
+  private def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      nHashes: Int,
+      bands: Int,
+      reliable: Boolean): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     GraftFunctions.register(docs.sparkSession)
     val rows = nHashes / bands
     import org.apache.spark.sql.expressions.Window
 
-    // Signature construction never builds shingle strings: a shingle's
-    // minhash only needs a hash of its k consecutive tokens, so we hash
-    // (tok, lead(tok,1), .., lead(tok,k-1), seed) straight off a window —
-    // everything stays in whole-stage codegen. (The per-row
-    // transform/element_at/concat_ws formulation evaluates interpreted and
-    // dominated the runtime.) min() over the shingle multiset equals min()
-    // over the set, so no dedup is needed either.
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val toks = base.select(col("id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
     val w = Window.partitionBy(col("id")).orderBy(col("p"))
@@ -77,7 +156,7 @@ object DedupOps {
     val sigShort = base.filter(size(split(col("text"), " ")) < shingleK)
       .select(col("id") +: (0 until nHashes).map(i =>
         xxhash64(col("text"), lit(i)).as(s"m$i")): _*)
-    // The signature table feeds both sides of the band self-join: compute
+    // The signature table can feed both sides of a band self-join: compute
     // once. localCheckpoint (not persist): cuts the logical plan so the
     // self-join doesn't re-analyze the window pipeline twice, and its
     // blocks are released by the ContextCleaner once the frame is
@@ -85,33 +164,29 @@ object DedupOps {
     // call unless the caller remembered to unpersist. (At cluster scale
     // with lineage-loss concerns, pass reliable = true — see Checkpoints.)
     val sig = Checkpoints.pin(sigLong.unionByName(sigShort), reliable)
-    val banded = sig.select(
+    sig.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}"))): _*)
       }: _*)).as(Seq("band", "bandsig")))
-    val candidates = banded.select(col("band"), col("bandsig"), col("id").as("id1"))
-      .join(banded.select(col("band"), col("bandsig"), col("id").as("id2")), Seq("band", "bandsig"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-      .transform(Checkpoints.pin(_, reliable))
-    // exact-Jaccard rescore: shingle STRINGS are built only for candidate
-    // docs — semi-join first, project after, so the expensive projection
-    // runs over |candidates| docs, not the corpus
-    def candidateShingles(side: String): DataFrame =
-      // candidate-id set scales with the corpus' near-dup density: no
-      // broadcast hint (AQE broadcasts it when it is actually small)
-      docs.join(candidates.select(col(side).as("cid")).distinct(),
-          col(idCol) === col("cid"), "left_semi")
-        .select(col(idCol).as(side),
-          array_distinct(TextFns.shingles(col(textCol), shingleK)).as(s"toks_$side"))
-    candidates
-      .join(candidateShingles("id1"), Seq("id1"))
-      .join(candidateShingles("id2"), Seq("id2"))
-      .withColumn("jaccard", jaccardArrays(col("toks_id1"), col("toks_id2")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Exact-Jaccard rescore input: shingle STRINGS are built only for
+    * candidate docs — semi-join first, project after, so the expensive
+    * projection runs over |candidates| docs, not the corpus. The
+    * candidate-id set scales with the corpus' near-dup density: no
+    * broadcast hint (AQE broadcasts it when it is actually small). */
+  private def candidateShingles(
+      src: DataFrame,
+      candidates: DataFrame,
+      side: String,
+      idCol: String,
+      textCol: String,
+      shingleK: Int): DataFrame =
+    src.join(candidates.select(col(side).as("cid")).distinct(),
+        col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as(side),
+        array_distinct(TextFns.shingles(col(textCol), shingleK)).as(s"toks_$side"))
 
   /** SimHash near-dup candidates: pairs within `maxHamming` of each other.
     * Block key trick: split the 64-bit fingerprint into (maxHamming+1)

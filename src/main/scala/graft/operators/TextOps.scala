@@ -78,6 +78,40 @@ object TextOps {
       NumFns.floorAt(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
       NumFns.floorAt(TextFns.qualityScore(col("text")), 4).as("quality"))
 
+  /** Gopher/C4-style rule-based quality filter: each heuristic is its own
+    * boolean column (auditable and composable downstream — a curation
+    * pipeline wants to know WHY a doc was dropped, not just that it was);
+    * `kept` is their conjunction. Mean token length divides two exact
+    * integers, so the rule thresholds compare identically across engines.
+    * One map-only codegen pass: no shuffle at any scale. */
+  def qualityRules(
+      docs: DataFrame,
+      minTokens: Int = 30,
+      maxTokens: Int = 80,
+      minMeanTokLen: Double = 3.8,
+      maxMeanTokLen: Double = 4.6,
+      maxPunctRatio: Double = 0.2,
+      minStopwordHits: Int = 2): DataFrame = {
+    val nTok = size(TextFns.tokens(col("text")))
+    // tokens are single-space separated: chars minus separators over count
+    val meanTokLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    val punct = TextFns.punctRatio(col("text"))
+    val hits = TextFns.stopwordHits(col("text"), EnStopwords)
+    val rLen = nTok >= minTokens && nTok <= maxTokens
+    val rTokLen = meanTokLen >= minMeanTokLen && meanTokLen <= maxMeanTokLen
+    val rPunct = punct <= maxPunctRatio
+    val rStopword = hits >= minStopwordHits
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      NumFns.floorAt(meanTokLen, 4).as("mean_tok_len"),
+      rLen.as("r_len"),
+      rTokLen.as("r_tok_len"),
+      rPunct.as("r_punct"),
+      rStopword.as("r_stopword"),
+      (rLen && rTokLen && rPunct && rStopword).as("kept"))
+  }
+
   /** Canonical text normalization for dedup: lowercase, strip every char
     * outside [a-z0-9 ], collapse whitespace runs, trim. The standard
     * pre-pass that lets exact dedup catch case/punctuation variants the

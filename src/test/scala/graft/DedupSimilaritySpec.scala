@@ -26,6 +26,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
+  test("incremental minhash: increment docs match corpus dups, corpus never pairs with itself") {
+    // increment = {2, 3}; corpus = {1, 4, 5}. 2 is an exact copy of corpus
+    // doc 1 — every band collides, guaranteed surfaced with jaccard 1.0.
+    // (3 vs 1 differ in one token: shingle-jaccard 0.4, below threshold —
+    // correctly absent.) The corpus-internal pair space must not appear.
+    val docs = docsDf()
+    val got = DedupOps.minHashNearDupsAgainst(
+        docs.filter(col("doc_id").isin(2L, 3L)),
+        docs.filter(col("doc_id").isin(1L, 4L, 5L)), threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"), r.getAs[Double]("jaccard")))
+      .toSeq
+    assert(got.exists { case (n, c, j) => n == 2L && c == 1L && j == 1.0 })
+    assert(got.forall { case (n, c, _) => Set(2L, 3L)(n) && Set(1L, 4L, 5L)(c) })
+  }
+
+  test("incremental exact: copy count + first corpus id, novel docs get 0/null") {
+    val docs = docsDf()
+    val got = DedupOps.incrementalExact(
+        docs.filter(col("doc_id").isin(2L, 4L)),
+        docs.filter(col("doc_id").isin(1L, 3L, 5L)))
+      .orderBy("new_id")
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("n_corpus_copies"),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSeq
+    assert(got == Seq((2L, 1L, Some(1L)), (4L, 0L, None)))
+  }
+
   test("blocked exact jaccard finds exact and near dup, skips cross-lang") {
     val got = DedupOps.ngramJaccardPairs(docsDf(), blockWidth = 8, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSeq
