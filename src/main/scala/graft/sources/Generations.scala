@@ -32,11 +32,23 @@ import org.apache.spark.sql.functions._
   * never a torn table.
   *
   * Single-writer per table root (matching the reference's per-partition
-  * writer); concurrent readers are always safe.
+  * writer); concurrent readers are always safe. Upgrading to concurrent
+  * writers needs exactly one primitive this layer deliberately leaves to
+  * the deployment: a compare-and-swap publish of `_CURRENT` (HDFS: create
+  * + rename without OVERWRITE; S3-style stores: conditional PUT on the
+  * manifest's ETag) — generation directories are already write-once and
+  * collision-free under racing writers, only the pointer swap races.
+  *
+  * Every promote also appends an immutable snapshot under `_manifests/`,
+  * giving MVCC time travel: `readAt(root, v)` reads the table exactly as
+  * of promote `v` for as long as `vacuum` has not dropped the generations
+  * that version references (the retention window is the caller's policy).
   */
 object Generations {
 
   val ManifestFile = "_CURRENT"
+
+  val ManifestDir = "_manifests"
 
   /** bucket -> generation directory name (relative to the table root). */
   final case class Manifest(entries: Map[Int, String]) {
@@ -46,21 +58,23 @@ object Generations {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Read the current manifest; None if the table has no promoted data. */
-  def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
-    val f = fs(spark, root)
-    val p = new Path(root, ManifestFile)
+  private def parseManifest(text: String): Manifest =
+    Manifest(text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, g) = line.split('\t')
+      b.toInt -> g
+    }.toMap)
+
+  private def readManifestFile(f: FileSystem, p: Path): Option[Manifest] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val entries = text.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(b, g) = line.split('\t')
-        b.toInt -> g
-      }.toMap
-      Some(Manifest(entries))
+      Some(parseManifest(text))
     }
-  }
+
+  /** Read the current manifest; None if the table has no promoted data. */
+  def readManifest(spark: SparkSession, root: String): Option[Manifest] =
+    readManifestFile(fs(spark, root), new Path(root, ManifestFile))
 
   /** Atomically publish a manifest: write to a temp name, then rename over
     * `_CURRENT` (FileContext rename with OVERWRITE — atomic on HDFS and
@@ -69,16 +83,40 @@ object Generations {
   def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
+    val body = m.entries.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b\t$g" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8")
+    // history snapshot FIRST (write-once, never renamed-over): a crash
+    // between the two writes leaves a snapshot that never became current —
+    // harmless for time travel, since the data generations it references
+    // were fully written before any promote attempt
+    f.mkdirs(new Path(root, ManifestDir))
+    val version = manifestVersions(spark, root).lastOption.getOrElse(0) + 1
+    val snap = f.create(new Path(root, f"$ManifestDir/m-$version%08d"), false)
+    try snap.write(body) finally snap.close()
     val tmp = new Path(root, s"$ManifestFile.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(
-      m.entries.toSeq.sortBy(_._1)
-        .map { case (b, g) => s"$b\t$g" }.mkString("", "\n", "\n")
-        .getBytes("UTF-8"))
-    finally out.close()
+    try out.write(body) finally out.close()
     FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, new Path(root, ManifestFile), Options.Rename.OVERWRITE)
   }
+
+  private val SnapName = "m-(\\d+)".r
+
+  /** Promote versions with a retained snapshot, ascending. */
+  def manifestVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val d = new Path(root, ManifestDir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).map(_.getPath.getName)
+      .flatMap { case SnapName(v) => v.toIntOption; case _ => None }
+      .toSeq.sorted
+  }
+
+  /** The manifest as of promote `version`; None if that promote never
+    * happened (or its snapshot was pruned). */
+  def readManifestAt(spark: SparkSession, root: String, version: Int): Option[Manifest] =
+    readManifestFile(fs(spark, root), new Path(root, f"$ManifestDir/m-$version%08d"))
 
   /** A generation directory name this layout wrote: `g-` + digits. Foreign
     * `g-*` entries a user drops under the root (e.g. `g-backup`) must be
@@ -118,11 +156,29 @@ object Generations {
     val m = readManifest(spark, root).getOrElse(
       sys.error(s"Generations.readCurrent: no $ManifestFile under $root"))
     require(m.entries.nonEmpty, s"Generations.readCurrent: $root is empty (all buckets deleted)")
+    resolve(spark, root, m)
+  }
+
+  /** Time travel: the table exactly as of promote `version`. Valid while
+    * the generations that version references survive `vacuum` (vacuum
+    * retains only what the CURRENT manifest references — an old version's
+    * read fails once its generations are dropped, like any MVCC snapshot
+    * outside the retention window). */
+  def readAt(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val m = readManifestAt(spark, root, version).getOrElse(
+      sys.error(s"Generations.readAt: no promote v$version under $root"))
+    require(m.entries.nonEmpty, s"Generations.readAt: v$version is empty (all buckets deleted)")
+    resolve(spark, root, m)
+  }
+
+  /** Each bucket from the generation that owns it. Per-generation reads
+    * keep `basePath`, so the `bucket` partition column (and its directory
+    * pruning) survive. */
+  private def resolve(spark: SparkSession, root: String, m: Manifest): DataFrame =
     m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, es) =>
       spark.read.option("basePath", s"$root/$gen")
         .parquet(es.keys.toSeq.sorted.map(b => s"$root/$gen/bucket=$b"): _*)
     }.reduce(_ unionByName _)
-  }
 
   /** A5, object-store flavor: anti-join the tombstones against ONLY the
     * affected buckets, write survivors to a fresh generation, atomically

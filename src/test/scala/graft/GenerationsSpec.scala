@@ -108,6 +108,35 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.readCurrent(spark, root).count() == 4)
   }
 
+  test("time travel: every promote is a readable version until vacuum") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4)
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("b", 1, 0))), nBuckets = 4)
+    val gen3 = Generations.compactAndPromote(spark, root)
+    assert(Generations.manifestVersions(spark, root) == Seq(1, 2, 3))
+
+    // v1 = pre-delete, v2 = post-delete, v3 = compacted (== v2's rows)
+    assert(Generations.readAt(spark, root, 1).count() == 9)
+    assert(Generations.readAt(spark, root, 2).count() == 8)
+    assert(Generations.readAt(spark, root, 3).count() == 8)
+    assert(Generations.readAt(spark, root, 1)
+      .filter(col("id") === lit("b".getBytes)).count() == 3)
+    assert(Generations.readAt(spark, root, 2)
+      .filter(col("id") === lit("b".getBytes)).count() == 2)
+    // the latest version and the current pointer agree
+    assert(Generations.readManifestAt(spark, root, 3).get
+      == Generations.readManifest(spark, root).get)
+    assert(Generations.readManifestAt(spark, root, 99).isEmpty)
+
+    // vacuum keeps only what CURRENT references: v3 still reads, v1 cannot
+    // (its generations are outside the retention window)
+    assert(Generations.vacuum(spark, root).nonEmpty)
+    assert(Generations.readAt(spark, root, 3).count() == 8)
+    assert(Generations.readManifestAt(spark, root, 1).get.generations
+      .forall(g => !new java.io.File(s"$root/$g").exists()))
+    assert(Generations.readManifest(spark, root).get.generations == Set(gen3))
+  }
+
   test("compactAndPromote + vacuum drop unreferenced generations only") {
     val root = tmpDir() + "/events"
     Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4)
