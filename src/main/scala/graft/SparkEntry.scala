@@ -303,6 +303,31 @@ object SparkEntry {
         .orderBy(col("msgid"))
     },
 
+    "q_stream_sessions" -> { (s, dir) => // streaming sessionization:
+      // session_window merges events with gaps < 6h per user — the
+      // stateful merging-window shape (state = open sessions only, bounded
+      // by the watermark horizon at scale). Boundary semantics differ from
+      // the batch sessionizer by design: session_window starts a NEW
+      // session at gap == 6h exactly (strict <), and the oracle encodes
+      // that (>= starts a session), so the gate is exact, not approximate.
+      import org.apache.spark.sql.streaming.Trigger
+      Tables.withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = "q_stream_sessions_sink"
+      s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"),
+          timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
+      val sess = graft.streaming.StreamingOps.sessionCounts(src)
+      val q = sess.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("start_us"), col("last_us"), col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+
     "q_stream_index" -> { (s, dir) => // streaming A6/E5: continuous index
       // maintenance — each micro-batch is projected through the batch A6
       // derivation and landed in the (et, pid) layout via foreachBatch
@@ -1585,6 +1610,25 @@ object SparkEntry {
         |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_stream_sessions" ->
+      // session_window semantics: a gap >= 6h STARTS a new session
+      // (strict-< merge), unlike the batch sessionizer's > — encoded
+      // exactly here
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 21600000000 THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts_us
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM t)
+        |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS last_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_sessionize_chunked" ->
       // same oracle as q_sessionize: the two-phase chunked path must

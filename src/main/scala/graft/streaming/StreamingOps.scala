@@ -91,6 +91,29 @@ object StreamingOps {
         graft.sources.Storage.appendIndex(indexStream(batch), path)
       }
 
+  /** Gap-based session windows over the live stream — the canonical
+    * Structured Streaming session shape (`session_window` merges events
+    * whose gap to the previous event is < gapUs; a gap >= gapUs starts a
+    * new session). State is per-(user, open session) and bounded by the
+    * watermark horizon, so it scales with ACTIVE users, not history.
+    * Output: one row per closed session with its first/last event time
+    * (window.end is last + gap by definition, subtracted back out). */
+  def sessionCounts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts_t",
+      gapUs: Long = 21600000000L,
+      latenessDays: Int = 2): DataFrame =
+    events
+      .withWatermark(tsCol, s"$latenessDays days")
+      .groupBy(col(userCol), session_window(col(tsCol), s"$gapUs microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        unix_micros(col("sw.start")).as("start_us"),
+        (unix_micros(col("sw.end")) - gapUs).as("last_us"),
+        col("n_events"))
+
   /** Idempotent ingest: drop duplicate (id, rev, pos) rows across
     * micro-batches within the watermark horizon. The reference marks its
     * commit batches non-idempotent and simply swallows write timeouts
