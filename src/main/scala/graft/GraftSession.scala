@@ -15,6 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineDescription)
     ext.injectFunction(graft.plans.IntersectionSize.description)
     ext.injectFunction(graft.plans.PolyFingerprint.description)
+    // derived-column pushdown: filters on ts_us (= floor(ts/1000)) gain
+    // raw-nanos scan bounds — see plans.DerivedLongBounds
+    ext.injectOptimizerRule(_ => graft.plans.DerivedLongBounds)
   }
 }
 
@@ -37,13 +40,19 @@ object GraftSession {
     "spark.sql.parquet.compression.codec" -> "zstd",
   )
 
-  /** Prepare an existing session (runtime-settable confs + functions). */
+  /** Prepare an existing session (runtime-settable confs + functions +
+    * optimizer rules — driver-owned sessions can't pass extensions at
+    * build time, but `experimental.extraOptimizations` is live-settable
+    * and runs after alias substitution has exposed division shapes). */
   def prepare(spark: SparkSession): SparkSession = {
     clusterDefaults.foreach { case (k, v) =>
       try spark.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf on live session
     }
     GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DerivedLongBounds))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DerivedLongBounds
     spark
   }
 }
