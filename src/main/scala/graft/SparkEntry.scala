@@ -107,6 +107,17 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    "q_ts_range_derived" -> { (s, dir) => // B5 written the way a USER
+      // writes it: the range filter sits on the derived micros column
+      // with no manual raw bound — plans.DerivedLongBounds synthesizes
+      // the nanos scan bounds (pinned in PlanRegressionSpec); shares
+      // q_ts_range's oracle
+      Tables.events(s, dir)
+        .filter(col("ts_us").between(T10, T20))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- A6/E4/C1/C2: the by-event-type index ------------------------
     "q_index_build" -> { (s, dir) => // A6: index derivation from the log
       Tables.events(s, dir)
@@ -1419,6 +1430,13 @@ object SparkEntry {
       """SELECT props FROM events WHERE user_id = 7 ORDER BY event_id LIMIT 1""".stripMargin,
 
     "q_ts_range" ->
+      s"""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         |FROM events WHERE ts BETWEEN $SqlT10 AND $SqlT20
+         |ORDER BY event_id""".stripMargin,
+
+    "q_ts_range_derived" ->
+      // same truth as q_ts_range: the derived-column filter must select
+      // exactly the rows the raw-bound convention selects
       s"""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
          |FROM events WHERE ts BETWEEN $SqlT10 AND $SqlT20
          |ORDER BY event_id""".stripMargin,

@@ -19,6 +19,15 @@ class PlanRegressionSpec extends SparkSpec {
       s"time range not pushed:\n$p")
   }
 
+  test("q_ts_range_derived pushes synthesized raw bounds (DerivedLongBounds)") {
+    // the rule must be registered the way driver-owned sessions get it
+    graft.GraftSession.prepare(spark)
+    val p = plan("q_ts_range_derived")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThanOrEqual(ts,"),
+      s"derived time range not pushed:\n$p")
+  }
+
   test("q_load_aggregate pushes the aggregate-id equality into the scan") {
     val p = plan("q_load_aggregate")
     assert(p.contains("EqualTo(user_id,7)"), s"id filter not pushed:\n$p")

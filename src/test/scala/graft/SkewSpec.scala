@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BehaviorOps, TemporalOps}
+import graft.operators.{BehaviorOps, TemporalOps, TextOps}
 
 /** Hot-key skew: the per-key window operators (sessionize, asOfJoin) place
   * one key's rows in one window partition — at 100 TB a key holding a
@@ -148,5 +148,37 @@ class SkewSpec extends SparkSpec {
       .select(col("probe_id"), col("asof_payload"))
     assert(chunked.except(got).isEmpty && got.except(chunked).isEmpty,
       s"asOfJoinChunked diverges: ${chunked.except(got).take(5).mkString}")
+  }
+
+  test("token-frequency join: one token in 95% of docs still profiles exactly") {
+    // the corpus-frequency operators join exploded tokens back on the
+    // token key — a stopword IS the hot key. Unlike window partitions,
+    // this skewed shuffle JOIN is AQE-splittable; the test pins that the
+    // result stays exact under the hot distribution.
+    import spark.implicits._
+    val docs = (0 until 2000).map { i =>
+      val body = if (i % 20 == 0) s"rare$i word$i" else s"the the the word$i"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+
+    val got = TextOps.tokenCommonness(docs)
+      .select("doc_id", "n_tokens", "min_freq", "sum_freq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val theFreq = 3L * 1900 // "the" appears 3x in each of the 1900 hot docs
+    got.foreach { case (id, n, mn, sm) =>
+      if (id % 20 == 0) { assert(n == 2 && mn == 1 && sm == 2) } // rareN + wordN, freq 1 each
+      else { assert(n == 4 && mn == 1 && sm == 3 * theFreq + 1) }
+    }
+
+    // distinctiveTerms shares the skeleton: the hot token must never win
+    // (df = 1900 puts it last), each doc's rank-1 term is its unique word
+    val top = TextOps.distinctiveTerms(docs, perDoc = 1)
+      .select("doc_id", "term").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(top.length == 2000)
+    top.foreach { case (id, term) =>
+      assert(term == (if (id % 20 == 0) s"rare$id" else s"word$id") || term == s"word$id",
+        s"doc $id picked hot token '$term'")
+    }
   }
 }
