@@ -989,6 +989,23 @@ object SparkEntry {
       TextOps.qualityScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
+    "g_sketch_distinct" -> { (s, dir) => // HLL++ vocabulary cardinality,
+      // invariant-gated: the sketch estimate must sit within 3x the
+      // requested rsd of the exact count (deterministic — HLL is
+      // hash-based, so this is a stable property of the corpus, like the
+      // recall gates). Exact counts cross the oracle; the sketch's scale
+      // win is its fixed-size map-side partial state.
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("lang"), explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      val exact = toks.groupBy(col("lang")).agg(countDistinct(col("tok")).as("n_exact"))
+      TextOps.tokenCardinality(docs, rsd = 0.05)
+        .join(exact, "lang")
+        .select(col("lang"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.15)
+            .as("within_bound"))
+        .orderBy(col("lang"))
+    },
+
     "g_quality_rules" -> { (s, dir) => // Gopher/C4-style rule filter:
       // per-rule audit flags + kept conjunction, one map-only pass
       TextOps.qualityRules(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -2169,6 +2186,14 @@ object SparkEntry {
         |                CAST(length(text) AS DOUBLE)) * 0.2,
         |         0.0), 1.0) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_sketch_distinct" ->
+      // exact side recomputed; within_bound is the deterministic HLL
+      // error invariant (same pattern as the recall gates)
+      """SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+        |       true AS within_bound
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "g_quality_rules" ->
       """WITH q AS (

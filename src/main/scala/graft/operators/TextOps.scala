@@ -275,6 +275,17 @@ object TextOps {
           sum(lp).cast("double") / count(lit(1)).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Sketch-based vocabulary cardinality: HLL++ distinct-token estimate
+    * per language. The 100 TB point of the sketch: the partial aggregate
+    * is a FIXED-SIZE register set (map-side combined, bytes per
+    * partition), where exact distinct shuffles every distinct token.
+    * Deterministic (hash-based, no RNG), so the gate query's error bound
+    * is a stable invariant, not a flaky sample. */
+  def tokenCardinality(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs.select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("tok"), rsd).as("n_approx"))
+
   /** Content fingerprints: cryptographic (md5 of normalized text) +
     * rolling hashes — the engine-local xxhash token fold for shard-local
     * joins and the char-level polynomial variant whose arithmetic is
