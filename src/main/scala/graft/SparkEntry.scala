@@ -967,6 +967,21 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    "g_rag_retrieve" -> { (s, dir) => // the RAG retrieve-then-read
+      // composition: ANN top-k over the embedding column, hits joined
+      // back to the documents table for the payload — embeddings and
+      // documents share ids in the fixtures. The hit set is k×|probes|
+      // (bounded), so AQE broadcasts it into the corpus join; at scale
+      // the retrieval side swaps to the IVF/LSH index (g_sim_ivf_indexed).
+      val hits = SimilarityOps.batchTopK(
+        Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 5)
+      hits.join(Tables.documents(s, dir), hits("vec_id") === col("doc_id"))
+        .select(col("probe_id"), col("rank"), col("doc_id"), col("sim"),
+          col("lang"), col("n_chars"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     "g_text_stats" -> { (s, dir) => // corpus stats per (lang, source)
       TextOps.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"), col("source"))
     },
@@ -2135,6 +2150,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT probe_id, vec_id, sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    "g_rag_retrieve" ->
+      // the g_sim_batch truth (3 probes, rank <= 5) joined to documents
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT probe_id, e.vec_id,
+        |         floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), pv) /
+        |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(pv, pv)))) * 10000) / 10000 AS sim
+        |  FROM embeddings e JOIN probes ON e.vec_id <> probe_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, d.doc_id, sim, d.lang, d.n_chars
+        |FROM ranked JOIN documents d ON ranked.vec_id = d.doc_id
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "g_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
