@@ -86,17 +86,24 @@ object DerivedLongBounds extends Rule[LogicalPlan] {
   private def safe(bound: Long, d: Long): Boolean =
     math.abs(bound) < Long.MaxValue / d - 1
 
-  /** floor: div(x) >= lo <=> x >= lo*d. trunc: same for lo >= 1; around
+  /** Minimal x with div(x, d) >= lo — an EXACT equivalence, not just an
+    * implied bound (PropertySpec pins the iff for both semantics).
+    * floor: div(x) >= lo <=> x >= lo*d. trunc: same for lo >= 1; around
     * zero truncation admits x down to lo*d - (d-1). */
-  private def lower(a: AttributeReference, lo: Long, d: Long, isFloor: Boolean) =
-    GreaterThanOrEqual(a,
-      Literal(if (isFloor || lo >= 1) lo * d else lo * d - (d - 1), LongType))
+  private[graft] def lowerBoundFor(lo: Long, d: Long, isFloor: Boolean): Long =
+    if (isFloor || lo >= 1) lo * d else lo * d - (d - 1)
 
-  /** floor: div(x) <= hi <=> x <= hi*d + d-1. trunc: same for hi >= 0;
+  /** Maximal x with div(x, d) <= hi (exact equivalence, see above).
+    * floor: div(x) <= hi <=> x <= hi*d + d-1. trunc: same for hi >= 0;
     * for hi <= -1 truncation caps at hi*d. */
+  private[graft] def upperBoundFor(hi: Long, d: Long, isFloor: Boolean): Long =
+    if (isFloor || hi >= 0) hi * d + (d - 1) else hi * d
+
+  private def lower(a: AttributeReference, lo: Long, d: Long, isFloor: Boolean) =
+    GreaterThanOrEqual(a, Literal(lowerBoundFor(lo, d, isFloor), LongType))
+
   private def upper(a: AttributeReference, hi: Long, d: Long, isFloor: Boolean) =
-    LessThanOrEqual(a,
-      Literal(if (isFloor || hi >= 0) hi * d + (d - 1) else hi * d, LongType))
+    LessThanOrEqual(a, Literal(upperBoundFor(hi, d, isFloor), LongType))
 
   private def derive(conjunct: Expression): Seq[Expression] = conjunct match {
     case GreaterThanOrEqual(DivD(a, d, fl), LitL(lo)) if safe(lo, d) => Seq(lower(a, lo, d, fl))

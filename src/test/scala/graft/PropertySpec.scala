@@ -167,4 +167,23 @@ class PropertySpec extends SparkSpec {
       (2, 200L, Seq("e2", "e3"), Seq.empty)))
     assert(typed("b") == Seq((1, 300L, Seq("x"), Seq.empty)))
   }
+
+  test("property: DerivedLongBounds bound math is an exact equivalence") {
+    // the rule only needs implication (original => derived), but the
+    // bounds are in fact tight: div(x, d) >= lo <=> x >= lowerBoundFor,
+    // div(x, d) <= hi <=> x <= upperBoundFor — for BOTH division
+    // semantics (SQL DIV truncates toward zero, ldiv floors)
+    import graft.plans.DerivedLongBounds.{lowerBoundFor, upperBoundFor}
+    val xs = Gen.choose(-1000000000000000L, 1000000000000000L)
+    val ds = Gen.choose(1L, 1000000L)
+    val bs = Gen.choose(-1000000000L, 1000000000L)
+    checkProp(Prop.forAll(xs, ds, bs) { (x, d, lo) =>
+      ((x / d >= lo) == (x >= lowerBoundFor(lo, d, isFloor = false))) &&
+      ((Math.floorDiv(x, d) >= lo) == (x >= lowerBoundFor(lo, d, isFloor = true)))
+    })
+    checkProp(Prop.forAll(xs, ds, bs) { (x, d, hi) =>
+      ((x / d <= hi) == (x <= upperBoundFor(hi, d, isFloor = false))) &&
+      ((Math.floorDiv(x, d) <= hi) == (x <= upperBoundFor(hi, d, isFloor = true)))
+    })
+  }
 }
