@@ -314,6 +314,60 @@ object SparkEntry {
         .orderBy(col("msgid"))
     },
 
+    "q_stream_contamination" -> { (s, dir) => // stream-STATIC join: eval
+      // docs stream in and are screened against the static train-corpus
+      // shingle index as they land (the continuous benchmark-decontam
+      // shape); the landed pair set rolled up per eval doc must equal the
+      // batch shingle-overlap truth. Stateless append — no watermark, no
+      // join state; the static side re-plans per micro-batch.
+      import org.apache.spark.sql.streaming.Trigger
+      Tables.withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val name = "q_stream_contamination_sink"
+      s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+      val evalStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+      val trainShingles = CurationOps.shingleRows(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          k = 3, hashed = false)
+        .select(col("shingle")).distinct()
+      val pairs = graft.streaming.StreamingOps.contaminationStream(evalStream, trainShingles)
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared"))
+        .orderBy(col("eval_id"))
+    },
+
+    "q_stream_attrib" -> { (s, dir) => // stream-stream attribution join:
+      // purchases matched to the same user's views from the preceding 6h,
+      // both sides watermarked, the time-range condition bounding join
+      // state. The memory sink collects the append-mode pair stream; the
+      // per-purchase rollup of those pairs must equal the batch self-join
+      // the oracle computes — landing the pairs exactly once is the gate.
+      import org.apache.spark.sql.streaming.Trigger
+      Tables.withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = "q_stream_attrib_sink"
+      s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
+      val pairs = graft.streaming.StreamingOps.attributionPairs(
+        src, srcType = "view", tgtType = "purchase")
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view_id"))
+        .orderBy(col("purchase_id"))
+    },
+
     "q_stream_sessions" -> { (s, dir) => // streaming sessionization:
       // session_window merges events with gaps < 6h per user — the
       // stateful merging-window shape (state = open sessions only, bounded
@@ -815,6 +869,39 @@ object SparkEntry {
           (col("false_pos") === 0L).as("precision_exact"),
           lit(0.2).as("recall_floor"),
           (col("recall") >= 0.2).as("meets_floor"))
+    },
+
+    "g_semdedup" -> { (s, dir) => // SemDeDup-style semantic dedup over the
+      // LSH-blocked pair list: every vector keeps/drops against its
+      // earliest in-block near-dup. Oracle recomputes blocks from inlined
+      // hyperplane signs + the drop rule — the whole decision is
+      // hash-gated, unlike k-means blocking whose cells are driver state.
+      SimilarityOps.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 3)
+        .orderBy(col("vec_id"))
+    },
+
+    "g_semdedup_exact" -> { (s, dir) => // the same drop rule over ALL pairs
+      // (nPlanes = 0 -> single block): the definition truth the blocked
+      // path approximates — verification-scale only (one join task), like
+      // g_embed_pairs' quadratic blocks; production is g_semdedup.
+      SimilarityOps.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 0)
+        .orderBy(col("vec_id"))
+    },
+
+    "g_domain_quota" -> { (s, dir) => // per-domain document cap (top-N by
+      // length per source), two-phase salted ranking so a mega-domain is
+      // saltBuckets parallel tasks, not one window task; survivor ranks
+      // provably equal the single-window formulation the oracle computes
+      CurationOps.domainQuota(Tables.documents(s, dir), quota = 10, saltBuckets = 4)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_dup_passages" -> { (s, dir) => // cross-doc duplicated-passage
+      // fraction per doc (shingle-level dedup companion); string-shingle
+      // mode so DuckDB recomputes the identical counts — hashed mode is
+      // the same plan with 8-byte shingles through the shuffles
+      TextOps.duplicatedPassages(Tables.documents(s, dir), k = 3, hashed = false)
+        .orderBy(col("doc_id"))
     },
 
     "g_dedup_simhash_complete" -> { (s, dir) => // the pigeonhole guarantee,
@@ -1386,6 +1473,50 @@ object SparkEntry {
         .orderBy(col("o_year"))
     },
 
+    "q9_profit" -> { (s, dir) => // TPC-H Q9 shape: profit by supplier
+      // nation x order year over the whole fact — 5-table join, two
+      // decimal products per row, negative-capable sum. No partsupp table
+      // in the fixtures: part retail price stands in for supply cost
+      // (amount = extprice*(1-disc) - retail*qty), both products exact
+      // DECIMAL(18,4) before the subtraction on BOTH engines.
+      val vol = (col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("decimal(18,4)")
+      val cost = (col("p_retailprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,4)")
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(vol - cost).cast("double").as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+
+    "q11_value_parts" -> { (s, dir) => // TPC-H Q11 shape: value
+      // concentration — per-part traded value for one region's suppliers,
+      // kept where value exceeds 1/1000 of the regional total. The
+      // threshold is a one-row scalar crossJoin (q22's bounded-BNL
+      // family) and the comparison is value*1000 > total: pure decimal
+      // integer arithmetic, no float boundary to flip between engines.
+      val asiaSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val pv = Tables.lineitem(s, dir)
+        .join(asiaSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("value"))
+      val total = pv.agg(sum(col("value")).as("total"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value") * 1000 > col("total"))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
     "q13_order_histogram" -> { (s, dir) => // TPC-H Q13 shape: outer-join
       // count (customers with zero orders must survive) -> histogram
       Tables.customer(s, dir)
@@ -1661,6 +1792,32 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    "q_stream_contamination" ->
+      // the batch truth of the streamed pair set: per EVAL doc, distinct
+      // shingles shared with the train corpus (the flipped view of
+      // g_contamination's per-train-doc rollup)
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT s.doc_id AS eval_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared
+        |FROM sh s JOIN tr USING (shingle)
+        |WHERE s.doc_id % 97 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_attrib" ->
+      // the batch truth of the streamed pair set: same-user views in the
+      // 6h window preceding each purchase (inclusive both ends)
+      """SELECT p.event_id AS purchase_id, count(*) AS n_views,
+        |       min(v.event_id) AS first_view_id
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 21600000000 AND epoch_us(p.ts)
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+
     "q_stream_sessions" ->
       // session_window semantics: a gap >= 6h STARTS a new session
       // (strict-< merge), unlike the batch sessionizer's > — encoded
@@ -1872,6 +2029,65 @@ object SparkEntry {
          |WHERE floor((list_dot_product(a.v, c.v) /
          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000 >= 0.35
          |ORDER BY id1, id2""".stripMargin,
+
+    "g_semdedup" ->
+      // blocks recomputed from the inlined hyperplane signs, then the drop
+      // rule: a vector is dropped iff an earlier same-block vector has
+      // floor-at-4 cosine >= 0.35; dup_of = the earliest such winner
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    (CASE WHEN list_dot_product(v, ${rhpSignsSql(0, 64)}) >= 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${rhpSignsSql(1, 64)}) >= 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${rhpSignsSql(2, 64)}) >= 0 THEN 4 ELSE 0 END) AS bucket
+         |  FROM v),
+         |losers AS (
+         |  SELECT b2.vec_id AS vec_id, min(b1.vec_id) AS dup_of
+         |  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+         |  WHERE floor((list_dot_product(b1.v, b2.v) /
+         |        (sqrt(list_dot_product(b1.v, b1.v)) * sqrt(list_dot_product(b2.v, b2.v)))) * 10000) / 10000 >= 0.35
+         |  GROUP BY b2.vec_id)
+         |SELECT v.vec_id, l.dup_of IS NULL AS kept, l.dup_of
+         |FROM v LEFT JOIN losers l USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
+    "g_semdedup_exact" ->
+      // the unblocked definition truth: same drop rule over all pairs
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |losers AS (
+        |  SELECT b2.vec_id AS vec_id, min(b1.vec_id) AS dup_of
+        |  FROM v b1 JOIN v b2 ON b1.vec_id < b2.vec_id
+        |  WHERE floor((list_dot_product(b1.v, b2.v) /
+        |        (sqrt(list_dot_product(b1.v, b1.v)) * sqrt(list_dot_product(b2.v, b2.v)))) * 10000) / 10000 >= 0.35
+        |  GROUP BY b2.vec_id)
+        |SELECT v.vec_id, l.dup_of IS NULL AS kept, l.dup_of
+        |FROM v LEFT JOIN losers l USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    "g_domain_quota" ->
+      // the single-window formulation the two-phase salted ranking must
+      // exactly reproduce
+      """SELECT doc_id, source, n_chars, rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
+
+    "g_dup_passages" ->
+      // distinct 3-token shingles per doc (short docs = whole text, the
+      // shingleRows convention) -> doc frequency -> per-doc dup fraction
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS shingle
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+        |       floor((CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS dup_frac
+        |FROM sh s JOIN df f USING (shingle)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "g_dedup_simhash" ->
       // brute-force recomputation: FNV-1a 64 per token (HUGEINT fold ==
@@ -2578,6 +2794,34 @@ object SparkEntry {
         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
         |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA') t
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+        |       - CAST(CAST(p_retailprice AS DECIMAL(12,2)) *
+        |              CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q11_value_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM pv
+        |WHERE value * 1000 > (SELECT sum(value) FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q13_order_histogram" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (

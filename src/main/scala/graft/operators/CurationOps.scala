@@ -113,6 +113,42 @@ object CurationOps {
       .groupBy(col(stratumCol), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
 
+  /** Per-domain quota: keep the best `quota` documents of every domain —
+    * the "cap every crawl domain, prefer the best pages" curation step
+    * (C4/RefinedWeb keep per-domain caps so no single site dominates the
+    * mix). "Best" = (orderCol DESC, id ASC); any scoring column plugs in.
+    *
+    * Two-phase so a mega-domain never serializes into one window task (the
+    * same skew lesson as tokenPacking): phase 1 ranks within
+    * (domain, salt) where salt = id mod saltBuckets — a doc ranked past
+    * `quota` inside its salt slice cannot be in the domain's global
+    * top-quota (its slice alone already holds `quota` better docs) — so
+    * phase 2's window sees at most quota*saltBuckets rows per domain, a
+    * bounded frame at any corpus size. Survivor ranks are identical to the
+    * single-window formulation; a hot domain costs saltBuckets parallel
+    * tasks instead of one. */
+  def domainQuota(
+      docs: DataFrame,
+      quota: Int = 10,
+      saltBuckets: Int = 8,
+      domainCol: String = "source",
+      orderCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(quota >= 1 && saltBuckets >= 1, "quota and saltBuckets must be >= 1")
+    val salted = docs.withColumn("__salt", pmod(col(idCol), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col(domainCol), col("__salt"))
+      .orderBy(col(orderCol).desc, col(idCol))
+    val pruned = salted
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= quota)
+    val w2 = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    pruned
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= quota)
+      .select(col(idCol), col(domainCol), col(orderCol), col("rank"))
+  }
+
   /** Deterministic alpha-mixture sampling (alpha = 0.5): re-weight a
     * multi-source corpus so expected per-stratum counts follow
     * n_s^alpha instead of n_s — the standard rare-source upsampling /

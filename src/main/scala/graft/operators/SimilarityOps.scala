@@ -265,6 +265,51 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup",
+    * arXiv 2303.09540): block the corpus, score within-block pairwise
+    * cosine, and drop every vector that has an EARLIER (smaller-id)
+    * near-duplicate (cosine >= threshold) in its block — the smallest id
+    * of each duplicate neighborhood survives, a deterministic stand-in for
+    * the paper's keep-furthest-from-centroid choice.
+    *
+    * Blocking is the deterministic random-hyperplane LSH bucket
+    * (`nPlanes >= 1`), which keeps the WHOLE decision oracle-reproducible:
+    * the hyperplane signs are XXH64 constants inlined into the DuckDB SQL
+    * (rhpSignsSql), unlike k-means cells whose assignment depends on
+    * data-derived driver state. The paper's k-means blocking is the
+    * drop-in `assignCells(ivfCentroids(...))` variant — the join shape is
+    * identical. `nPlanes = 0` disables blocking (single block = exact
+    * all-pairs truth; one join task — verification-scale only, like
+    * g_embed_pairs' quadratic blocks).
+    *
+    * Plan: bucket-keyed self-join (never all-pairs at nPlanes >= 1) →
+    * min(id1) per id2 (the earliest near-dup each loser loses to) → left
+    * join back onto the full id set. Two shuffles; the pair list never
+    * leaves the executors. Output: (vec_id, kept, dup_of) for every input
+    * vector, dup_of null iff kept. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val b = embeddings
+      .select(
+        (if (nPlanes >= 1) VectorFns.rhpBucket(VectorFns.toDouble(col(vecCol)), nPlanes)
+         else lit(0)).as("lsh_bucket"),
+        col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val l = b.select(col("lsh_bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = b.select(col("lsh_bucket"), col("id").as("id2"), col("v").as("v2"))
+    val losers = l.join(r, Seq("lsh_bucket")).filter(col("id1") < col("id2"))
+      .filter(NumFns.floorAt(GraftFunctions.cosine(col("v1"), col("v2")), 4) >= threshold)
+      .groupBy(col("id2").as(idCol))
+      .agg(min(col("id1")).as("dup_of"))
+    embeddings.select(col(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
   /** Symmetric int8 quantization stats per vector: q_i = round(x_i * 127 /
     * max|x|) clamped to [-127, 127] (the storage/bandwidth-reduction pass a
     * 100 TB embedding corpus runs before indexing; 4x smaller than float32).

@@ -286,6 +286,34 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(approx_count_distinct(col("tok"), rsd).as("n_approx"))
 
+  /** Cross-document duplicated-passage detection (the shingle-level
+    * companion of doc-level dedup — Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", arXiv 2107.06499, detect phase):
+    * for every document, the fraction of its DISTINCT k-token shingles
+    * that also occur in at least one OTHER document. High dup_frac with no
+    * whole-doc duplicate = boilerplate / template text that doc-level
+    * dedup never sees.
+    *
+    * Plan: shingle rows (codegen window lead, CurationOps.shingleRows) →
+    * per-doc distinct → shingle-keyed doc-frequency agg → shingle-keyed
+    * join back → per-doc agg. The same two-shuffle skeleton as
+    * tokenCommonness; a boilerplate shingle shared by millions of docs is
+    * a hot JOIN key (AQE-splittable), never a window partition.
+    * `hashed = true` is the 100 TB path (8-byte shingle hashes through
+    * both shuffles); `hashed = false` keeps exact strings so the result is
+    * oracle-checkable — identical counts modulo xxhash64 collisions. */
+  def duplicatedPassages(docs: DataFrame, k: Int = 3, hashed: Boolean = true): DataFrame = {
+    val sh = CurationOps.shingleRows(docs, k, hashed = hashed).distinct()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        NumFns.floorAt(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Content fingerprints: cryptographic (md5 of normalized text) +
     * rolling hashes — the engine-local xxhash token fold for shard-local
     * joins and the char-level polynomial variant whose arithmetic is

@@ -114,6 +114,72 @@ object StreamingOps {
         (unix_micros(col("sw.end")) - gapUs).as("last_us"),
         col("n_events"))
 
+  /** Stream-static dedup join: a streaming increment of documents,
+    * content-digest joined against the STATIC corpus digest index — the
+    * continuous version of DedupOps.incrementalExact (each micro-batch is
+    * one "daily increment"). The static side is a bounded relation Spark
+    * re-plans per micro-batch (broadcast or scan — at 100 TB a pre-hashed
+    * digest table, 32 bytes/doc, never the raw text). Inner join, append
+    * mode, stateless: no watermark, no join state — every (new doc,
+    * corpus copy) pair is emitted exactly once as it streams in. */
+  def incrementalExactStream(
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val inc = increment.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("h"))
+    val cor = corpus.select(col(idCol).as("corpus_id"), sha2(col(textCol), 256).as("h"))
+    inc.join(cor, Seq("h")).select(col("new_id"), col("corpus_id"))
+  }
+
+  /** Stream-static contamination screen: streaming eval/benchmark docs
+    * exploded into k-token shingles (per-row HOF shingling — no window
+    * function, so it runs on an unbounded stream; the batch side's
+    * window-lead shingler needs a finite partition) joined against the
+    * STATIC train-corpus shingle index. Stateless inner join, append
+    * mode: one row per (eval doc, shared shingle occurrence); the reader
+    * rolls up distinct shingles per doc. At 100 TB the static side is the
+    * pre-materialized distinct-shingle index (8-byte hashes, not
+    * strings) and each arriving benchmark is screened as it lands. */
+  def contaminationStream(
+      evalDocs: DataFrame,
+      trainShingles: DataFrame,
+      k: Int = 3): DataFrame =
+    evalDocs
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.functions.TextFns.shingles(col("text"), k)).as("shingle"))
+      .join(trainShingles, Seq("shingle"))
+      .select(col("eval_id"), col("shingle"))
+
+  /** Stream-stream attribution join (the ad-attribution shape): every
+    * `tgtType` event paired with the same user's `srcType` events from the
+    * preceding `windowUs` — e.g. the views that led to a purchase. Both
+    * branches read the SAME input stream, carry watermarks, and the join
+    * condition ties the two event times into a bounded range, so Spark
+    * can expire join state: a view is held only until the watermark
+    * passes its window end, purchases match in-flight — state scales with
+    * the window's event volume, not history. Inner join, append mode:
+    * each matched pair is emitted exactly once. */
+  def attributionPairs(
+      events: DataFrame,
+      srcType: String,
+      tgtType: String,
+      windowUs: Long = 21600000000L,
+      latenessDays: Int = 2): DataFrame = {
+    val views = events.filter(col("event_type") === srcType)
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"),
+        col("ts_t").as("v_ts"))
+      .withWatermark("v_ts", s"$latenessDays days")
+    val targets = events.filter(col("event_type") === tgtType)
+      .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+        col("ts_t").as("p_ts"))
+      .withWatermark("p_ts", s"$latenessDays days")
+    require(windowUs % 1000000L == 0, "windowUs must be whole seconds")
+    targets.join(views, expr(
+      s"v_uid = p_uid AND v_ts >= p_ts - INTERVAL ${windowUs / 1000000L} SECONDS" +
+        " AND v_ts <= p_ts"))
+  }
+
   /** Idempotent ingest: drop duplicate (id, rev, pos) rows across
     * micro-batches within the watermark horizon. The reference marks its
     * commit batches non-idempotent and simply swallows write timeouts

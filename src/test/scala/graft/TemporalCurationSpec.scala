@@ -159,4 +159,80 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got(1L) == ((-127L, 127L, 127L + 127L + 64L)))
     assert(got(2L) == ((0L, 0L, 0L)))
   }
+
+  // ---- CurationOps.domainQuota ----------------------------------------
+
+  private def quotaDocs(n: Int, domains: Int) = {
+    // doc i: domain = i mod domains, length = a permuted score so rank
+    // order differs from id order
+    (0 until n).map { i =>
+      (i.toLong, s"src${i % domains}", ((i * 37) % n + 1).toLong)
+    }.toDF("doc_id", "source", "n_chars")
+  }
+
+  test("domainQuota: two-phase salted ranking equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = quotaDocs(200, 5)
+    val got = CurationOps.domainQuota(docs, quota = 7, saltBuckets = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val expected = docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select("doc_id", "source", "n_chars", "rank")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.groupBy(_._2).forall(_._2.size == 7))
+  }
+
+  test("domainQuota: a mega-domain is capped and survivors are its global best") {
+    // one domain holds 90% of rows (the skew shape the salting exists
+    // for); quota survivors must be exactly its top-3 by (n_chars, id)
+    val rows = (0 until 90).map(i => (i.toLong, "mega", (i % 30).toLong + 1)) ++
+      (90 until 100).map(i => (i.toLong, "tail", 5L))
+    val got = CurationOps.domainQuota(rows.toDF("doc_id", "source", "n_chars"),
+        quota = 3, saltBuckets = 8)
+      .filter(col("source") === "mega")
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSeq
+    // n_chars 30 at ids 29, 59, 89 -> ties break on id ascending
+    assert(got == Seq((29L, 1), (59L, 2), (89L, 3)))
+  }
+
+  // ---- SimilarityOps.semanticDedup ------------------------------------
+
+  test("semanticDedup exact: earlier near-dup wins, chains drop greedily") {
+    // angles 0/35/70 deg: cos(35deg)=0.819 >= 0.8, cos(70deg)=0.342 < 0.8 —
+    // b loses to a; c loses to b EVEN THOUGH b itself dropped (the greedy
+    // pairwise rule: any earlier near-dup drops you, SemDeDup keeps one
+    // representative per neighborhood chain)
+    def vec(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val emb = Seq((1L, vec(0)), (2L, vec(35)), (3L, vec(70)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDedup(emb, threshold = 0.8, nPlanes = 0)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSeq
+    assert(got == Seq((1L, true, None), (2L, false, Some(1L)), (3L, false, Some(2L))))
+  }
+
+  test("semanticDedup blocked: never drops a vector the exact rule keeps") {
+    // LSH blocking only REMOVES candidate pairs -> the blocked kept set is
+    // a superset of the exact kept set (precision is exact by construction)
+    val emb = (1 to 40).map { i =>
+      val r = math.toRadians(i * 9.0)
+      (i.toLong, Seq(math.cos(r).toFloat, math.sin(r).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def keptSet(planes: Int) =
+      SimilarityOps.semanticDedup(emb, threshold = 0.9, nPlanes = planes)
+        .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    val exact = keptSet(0)
+    val blocked = keptSet(3)
+    assert(exact.subsetOf(blocked))
+    assert(exact.size < 40) // the threshold actually bites on this fixture
+  }
 }

@@ -96,6 +96,37 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getLong(0) == expected) // == 10000
   }
 
+  test("duplicatedPassages: shared shingles counted once per doc, hashed mode agrees") {
+    // docs 0 and 1 share the shingle "a b c" (doc 1 contains it twice —
+    // distinct-per-doc counts it ONCE); doc 2 shares nothing
+    val d = docs("a b c d", "x a b c a b c", "p q r s")
+    def rows(hashed: Boolean) = TextOps.duplicatedPassages(d, k = 3, hashed = hashed)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // doc 0: shingles {a b c, b c d} -> 1 dup of 2
+    // doc 1: {x a b, a b c, b c a, c a b} -> 1 dup of 4
+    // doc 2: {p q r, q r s} -> 0 dups
+    val expected = Seq(
+      (0L, 2L, 1L, 0.5),
+      (1L, 4L, 1L, 0.25),
+      (2L, 2L, 0L, 0.0))
+    assert(rows(hashed = false) == expected)
+    assert(rows(hashed = true) == expected)
+  }
+
+  test("duplicatedPassages: short docs contribute whole text as one shingle") {
+    // "a b" (< k tokens) = one whole-text shingle; an identical short doc
+    // makes it duplicated
+    val got = TextOps.duplicatedPassages(docs("a b", "a b", "c"), k = 3, hashed = false)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 0L)))
+  }
+
   test("unigramLogProb: uniform corpus scores floor(ln(1/2)) at 4 digits") {
     // every token has corpus frequency 2 of 4 total -> lp = ln(0.5),
     // quantized to DECIMAL(18,8) then averaged then floored at 1e-4
