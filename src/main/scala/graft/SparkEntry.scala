@@ -314,6 +314,24 @@ object SparkEntry {
         .orderBy(col("msgid"))
     },
 
+    "q_zorder_box" -> { (s, dir) => // Z-order layout round trip: events
+      // re-clustered on the (user_id, pid) interleaved-bit key, read back
+      // through a two-dimensional box filter. The result is
+      // layout-independent, so the oracle gates read correctness;
+      // LayoutSpec gates the pruning property (footer min/max tight on
+      // BOTH dimensions) that is the feature's reason to exist at 100 TB.
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("pid").cast("long").as("pid"))
+      graft.sources.Layout.writeZOrdered(ev, s"$out/z", "user_id", "pid",
+        bits = 21, nFiles = 8)
+      s.read.parquet(s"$out/z")
+        .filter(col("user_id").between(3, 10) && col("pid").between(2024010L, 2024020L))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("pid"))
+        .orderBy(col("event_id"))
+    },
+
     "q_stream_contamination" -> { (s, dir) => // stream-STATIC join: eval
       // docs stream in and are screened against the static train-corpus
       // shingle index as they land (the continuous benchmark-decontam
@@ -1791,6 +1809,15 @@ object SparkEntry {
         |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_zorder_box" ->
+      // the layout-independent truth of the two-dimensional box read
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       CAST(year(ts)*1000 + dayofyear(ts) AS BIGINT) AS pid
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 10
+        |  AND year(ts)*1000 + dayofyear(ts) BETWEEN 2024010 AND 2024020
+        |ORDER BY event_id""".stripMargin,
 
     "q_stream_contamination" ->
       // the batch truth of the streamed pair set: per EVAL doc, distinct

@@ -292,13 +292,16 @@ object SimilarityOps {
       threshold: Double,
       nPlanes: Int = 3,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      reliable: Boolean = false): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
+    // bucket assignment feeds both self-join sides: compute once
     val b = embeddings
       .select(
         (if (nPlanes >= 1) VectorFns.rhpBucket(VectorFns.toDouble(col(vecCol)), nPlanes)
          else lit(0)).as("lsh_bucket"),
         col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+      .transform(Checkpoints.pin(_, reliable))
     val l = b.select(col("lsh_bucket"), col("id").as("id1"), col("v").as("v1"))
     val r = b.select(col("lsh_bucket"), col("id").as("id2"), col("v").as("v2"))
     val losers = l.join(r, Seq("lsh_bucket")).filter(col("id1") < col("id2"))

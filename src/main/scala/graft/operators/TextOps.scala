@@ -302,8 +302,15 @@ object TextOps {
     * `hashed = true` is the 100 TB path (8-byte shingle hashes through
     * both shuffles); `hashed = false` keeps exact strings so the result is
     * oracle-checkable — identical counts modulo xxhash64 collisions. */
-  def duplicatedPassages(docs: DataFrame, k: Int = 3, hashed: Boolean = true): DataFrame = {
-    val sh = CurationOps.shingleRows(docs, k, hashed = hashed).distinct()
+  def duplicatedPassages(
+      docs: DataFrame,
+      k: Int = 3,
+      hashed: Boolean = true,
+      reliable: Boolean = false): DataFrame = {
+    // the distinct shingle set feeds both the doc-frequency agg and the
+    // join back: compute once (lineage cut; reliable=true on clusters)
+    val sh = Checkpoints.pin(
+      CurationOps.shingleRows(docs, k, hashed = hashed).distinct(), reliable)
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     sh.join(df, Seq("shingle"))
       .groupBy(col("doc_id"))
