@@ -889,6 +889,15 @@ object SparkEntry {
           (col("recall") >= 0.2).as("meets_floor"))
     },
 
+    "g_embed_pca" -> { (s, dir) => // PCA dimension reduction (64 -> 8)
+      // invariant-gated: covariance via one distributed pass (d^2 driver
+      // state), eigen on the driver, projection per-row. The gate row
+      // asserts the three things a correct PCA cannot violate: orthonormal
+      // projections contract norms, per-component energies follow the
+      // eigenvalue order, top-8 variance clears the floor.
+      SimilarityOps.pcaInvariants(Tables.embeddings(s, dir), k = 8, varFloor = 0.1)
+    },
+
     "g_semdedup" -> { (s, dir) => // SemDeDup-style semantic dedup over the
       // LSH-blocked pair list: every vector keeps/drops against its
       // earliest in-block near-dup. Oracle recomputes blocks from inlined
@@ -2056,6 +2065,15 @@ object SparkEntry {
          |WHERE floor((list_dot_product(a.v, c.v) /
          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000 >= 0.35
          |ORDER BY id1, id2""".stripMargin,
+
+    "g_embed_pca" ->
+      // the invariant gate: the booleans must hold for ANY correct PCA of
+      // this corpus (norm contraction / eigenvalue-ordered energies /
+      // variance floor), so the oracle asserts them as constants
+      """SELECT CAST(8 AS INT) AS k, count(*) AS n_vecs,
+        |       true AS norms_contract, true AS energy_ordered,
+        |       true AS var_frac_ok
+        |FROM embeddings""".stripMargin,
 
     "g_semdedup" ->
       // blocks recomputed from the inlined hyperplane signs, then the drop

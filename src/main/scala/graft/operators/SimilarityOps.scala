@@ -342,6 +342,78 @@ object SimilarityOps {
         sum(abs(col("q"))).as("q_l1"))
   }
 
+  /** PCA projection of the embedding corpus (the dimensionality-reduction
+    * pass before indexing/ANN — 64 dims -> k keeps the index k/64ths the
+    * size). Spark-first: `ml.feature.PCA` computes the d x d covariance
+    * with a distributed treeAggregate (one pass over the corpus, d^2
+    * driver state — d is 64 here, bounded like the IVF centroids) and the
+    * eigendecomposition on the driver; the projection itself is a per-row
+    * matrix multiply, embarrassingly parallel.
+    *
+    * Spark's PCA fits the covariance (centered) but transforms RAW
+    * vectors; we center explicitly first — means are one tiny agg
+    * inlined back as literals — so the projected energies follow the
+    * eigenvalue order exactly and the invariants below are stable.
+    *
+    * Returns (projected frame: vec_id, proj array<double>, orig_norm2,
+    * proj_norm2; explained-variance fractions per component). */
+  def pcaProject(
+      embeddings: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Seq[Double]) = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = embeddings.select(col(idCol), VectorFns.toDouble(col(vecCol)).as("v"))
+    // per-dim means: d rows collected -> literal array (driver state, like
+    // the IVF centroids); centering is then a codegen-friendly projection
+    val means = vecs
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(avg(col("x")).as("m"))
+      .collect().sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq
+    val mArr = array(means.map(lit): _*)
+    val centered = vecs.select(col(idCol),
+      zip_with(col("v"), mArr, (x, m) => x - m).as("c"))
+    val withFeatures = centered.select(col(idCol),
+      array_to_vector(col("c")).as("features"), col("c"))
+    val model = new PCA().setInputCol("features").setOutputCol("p").setK(k)
+      .fit(withFeatures)
+    val projected = model.transform(withFeatures)
+      .select(col(idCol), vector_to_array(col("p")).as("proj"),
+        aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x).as("orig_norm2"),
+        aggregate(vector_to_array(col("p")), lit(0.0), (acc, x) => acc + x * x)
+          .as("proj_norm2"))
+    (projected, model.explainedVariance.toArray.toSeq)
+  }
+
+  /** The PCA correctness gate (one boolean row — the oracle asserts the
+    * invariants, the way g_dedup_simhash_complete gates pigeonhole
+    * completeness): orthonormal projection can only contract norms;
+    * per-component corpus energies must follow the eigenvalue order; the
+    * top-k explained-variance fraction must clear a floor. */
+  def pcaInvariants(
+      embeddings: DataFrame,
+      k: Int,
+      varFloor: Double): DataFrame = {
+    val (proj, explained) = pcaProject(embeddings, k)
+    val varFracOk = explained.sum >= varFloor
+    // corpus energy per projected dimension, eigenvalue-ordered
+    val energies = proj
+      .select(posexplode(col("proj")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x") * col("x")).as("e"))
+      .collect().sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("e")).toSeq
+    val tol = energies.headOption.getOrElse(0.0) * 1e-9
+    val energyOrdered = energies.zip(energies.drop(1)).forall { case (a, b) => a >= b - tol }
+    proj.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("proj_norm2") <= col("orig_norm2") * (1 + 1e-9), 0L)
+          .otherwise(1L)).as("norm_violations"))
+      .select(lit(k).as("k"), col("n_vecs"),
+        (col("norm_violations") === 0L).as("norms_contract"),
+        lit(energyOrdered).as("energy_ordered"),
+        lit(varFracOk).as("var_frac_ok"))
+  }
+
   /** Exact pairwise top-k per probe id for a small probe set (broadcast
     * nested-loop scoring — the "many queries at once" path). */
   def batchTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {

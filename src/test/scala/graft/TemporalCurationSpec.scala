@@ -200,6 +200,29 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got == Seq((29L, 1), (59L, 2), (89L, 3)))
   }
 
+  // ---- SimilarityOps.pcaProject ---------------------------------------
+
+  test("pcaProject: dominant axis captured first, invariants hold on anisotropic data") {
+    // dim 0 has 100x the variance of dims 1/2 -> the first principal
+    // component is (up to sign) e0, its explained-variance share ~1,
+    // and the per-component corpus energies are strictly ordered
+    val emb = (1 to 60).map { i =>
+      val big = if (i % 2 == 0) i.toFloat else -i.toFloat
+      (i.toLong, Seq(big, (i % 3).toFloat * 0.1f, (i % 5).toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val (proj, explained) = SimilarityOps.pcaProject(emb, k = 2)
+    assert(explained.head > 0.95)
+    val rows = proj.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("proj_norm2") <=
+        r.getAs[Double]("orig_norm2") * (1 + 1e-9))
+    }
+    val gate = SimilarityOps.pcaInvariants(emb, k = 2, varFloor = 0.9).head()
+    assert(gate.getAs[Boolean]("norms_contract"))
+    assert(gate.getAs[Boolean]("energy_ordered"))
+    assert(gate.getAs[Boolean]("var_frac_ok"))
+  }
+
   // ---- SimilarityOps.semanticDedup ------------------------------------
 
   test("semanticDedup exact: earlier near-dup wins, chains drop greedily") {
