@@ -889,6 +889,15 @@ object SparkEntry {
           (col("recall") >= 0.2).as("meets_floor"))
     },
 
+    "g_sketch_topk" -> { (s, dir) => // heavy-hitter tokens via the
+      // approx_top_k sketch, oracle-gated EXACTLY: with the vocabulary
+      // inside the tracked-slot budget the sketch provably matches exact
+      // counts (certified by the hash gate); at 100 TB vocab the same
+      // fixed-size state gives guaranteed-error heavy hitters while the
+      // exact path must shuffle every distinct token.
+      TextOps.tokenHeavyHitters(Tables.documents(s, dir), k = 10)
+    },
+
     "g_embed_pca" -> { (s, dir) => // PCA dimension reduction (64 -> 8)
       // invariant-gated: covariance via one distributed pass (d^2 driver
       // state), eigen on the driver, projection per-row. The gate row
@@ -2065,6 +2074,14 @@ object SparkEntry {
          |WHERE floor((list_dot_product(a.v, c.v) /
          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000 >= 0.35
          |ORDER BY id1, id2""".stripMargin,
+
+    "g_sketch_topk" ->
+      // exact recount: the sketch must equal true counts while the
+      // vocabulary fits its slots; deterministic tie-break (count desc,
+      // token asc) on both sides
+      """SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
 
     "g_embed_pca" ->
       // the invariant gate: the booleans must hold for ANY correct PCA of

@@ -321,6 +321,25 @@ object TextOps {
         NumFns.floorAt(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Heavy-hitter tokens via the approx_top_k sketch (DataSketches
+    * frequent-items under Spark 4's ApproxTopK aggregate): fixed-size
+    * map-side-combined state — the sketch ships `maxTracked` slots per
+    * partition where the exact path shuffles every distinct token
+    * (g_sketch_distinct's HLL story, for top-k instead of cardinality).
+    * While the live vocabulary fits `maxTracked` the sketch is EXACT (no
+    * evictions), which is what the oracle gate certifies; beyond it the
+    * same query degrades to guaranteed-error heavy hitters. The final
+    * top-k cut is done deterministically here (count desc, token asc)
+    * rather than by the sketch's arbitrary tie order. */
+  def tokenHeavyHitters(docs: DataFrame, k: Int = 10, maxTracked: Int = 1024): DataFrame =
+    docs.select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .agg(expr(s"approx_top_k(tok, ${math.min(maxTracked, 2 * k + 20)}, $maxTracked)")
+        .as("sketch"))
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+
   /** Content fingerprints: cryptographic (md5 of normalized text) +
     * rolling hashes — the engine-local xxhash token fold for shard-local
     * joins and the char-level polynomial variant whose arithmetic is

@@ -127,6 +127,13 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 0L)))
   }
 
+  test("tokenHeavyHitters: exact counts in the tracked regime, ties break on token") {
+    // counts: a=4, b=3, c=3, d=1 -> top-3 is a, then b before c (tie on 3)
+    val got = TextOps.tokenHeavyHitters(docs("a a b c", "a b c", "a b c d"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+  }
+
   test("unigramLogProb: uniform corpus scores floor(ln(1/2)) at 4 digits") {
     // every token has corpus frequency 2 of 4 total -> lp = ln(0.5),
     // quantized to DECIMAL(18,8) then averaged then floored at 1e-4
