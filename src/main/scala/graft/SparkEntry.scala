@@ -200,6 +200,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    "q_cohort_retention" -> { (s, dir) => // cohort analysis: users grouped
+      // by first-seen day, per (cohort, days-since) active-user counts —
+      // the standard retention matrix. Two aggs + one join: the first-seen
+      // frame is |users| (AQE broadcasts it); the fact shuffles once.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), (col("ts_us") / 86400000000L).cast("long").as("day"))
+      val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("days_since"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_day"), col("days_since"))
+    },
+
+    "q_pivot_types" -> { (s, dir) => // pivot: per-user event-type counts as
+      // columns (Catalyst rewrites the pivot into conditional aggregates —
+      // one shuffle, no per-column scans); explicit value list, so the
+      // schema is static and no values-discovery pre-pass runs at scale
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
+    "q_rollup_daily" -> { (s, dir) => // rollup: (et, pid) counts with both
+      // subtotal levels in one pass — grouping-sets expansion inside a
+      // single hash aggregation, the OLAP subtotal shape
+      Tables.events(s, dir)
+        .rollup(col("event_type"), col("pid"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("event_type"), col("pid"))
+    },
+
     "q_daily_counts" -> { (s, dir) => // E4 partition math: per-day-pid counts
       Tables.events(s, dir)
         .groupBy(col("pid"))
@@ -1699,6 +1733,36 @@ object SparkEntry {
       """SELECT event_type AS msgid, count(*) AS cv
         |FROM (SELECT DISTINCT user_id, event_id, event_type FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cohort_retention" ->
+      // integer day arithmetic on epoch micros (positive -> floor == trunc
+      // on both engines)
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |fs AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, e.day - cohort_day AS days_since,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM ev e JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pivot_types" ->
+      // the conditional-aggregate expansion Catalyst lowers pivot into
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rollup_daily" ->
+      // ROLLUP levels with the standard first-arg-is-MSB grouping id
+      """SELECT event_type, CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid,
+        |       count(*) AS n, CAST(GROUPING(event_type, pid) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP(event_type, pid)
+        |ORDER BY gid, event_type, pid""".stripMargin,
 
     "q_daily_counts" ->
       """SELECT CAST(year(ts)*1000 + dayofyear(ts) AS INT) AS pid, count(*) AS n,

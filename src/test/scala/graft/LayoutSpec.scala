@@ -45,6 +45,39 @@ class LayoutSpec extends SparkSpec {
     assert(zHitsA <= 6)
   }
 
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    // The other half of the layout story: two fact tables bucketed+sorted
+    // on the join key join WITHOUT any shuffle — at 100 TB this turns the
+    // recurring index-events join into a map-side zip of bucket files.
+    val dir = tmpDir()
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ shape
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    try {
+      (1 to 1000).map(i => (i.toLong, i * 2L)).toDF("k", "va")
+        .write.bucketBy(8, "k").sortBy("k")
+        .option("path", s"$dir/ba").saveAsTable("graft_bucket_a")
+      (1 to 1000).map(i => (i.toLong, i * 3L)).toDF("k", "vb")
+        .write.bucketBy(8, "k").sortBy("k")
+        .option("path", s"$dir/bb").saveAsTable("graft_bucket_b")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      saved match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("z-ordered readback is lossless under a two-dimensional box filter") {
     val dir = tmpDir()
     Layout.writeZOrdered(grid(), s"$dir/z", "a", "b", bits = 6, nFiles = 16)
