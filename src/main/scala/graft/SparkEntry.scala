@@ -200,6 +200,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    "q_latest_state" -> { (s, dir) => // current-state table: the newest
+      // event per aggregate in ONE hash aggregation (max_by — no window,
+      // no self-join; the CDC "latest revision wins" read). event_id is
+      // unique per aggregate, so the argmax is deterministic.
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("event_id")).as("last_rev"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          max_by(col("ts_us"), col("event_id")).as("last_ts_us"))
+        .orderBy(col("user_id"))
+    },
+
     "q_cohort_retention" -> { (s, dir) => // cohort analysis: users grouped
       // by first-seen day, per (cohort, days-since) active-user counts —
       // the standard retention matrix. Two aggs + one join: the first-seen
@@ -1733,6 +1746,13 @@ object SparkEntry {
       """SELECT event_type AS msgid, count(*) AS cv
         |FROM (SELECT DISTINCT user_id, event_id, event_type FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_latest_state" ->
+      // arg_max == max_by; the argmax key (event_id) is unique per group
+      """SELECT user_id, max(event_id) AS last_rev,
+        |       arg_max(event_type, event_id) AS last_type,
+        |       arg_max(epoch_us(ts), event_id) AS last_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_cohort_retention" ->
       // integer day arithmetic on epoch micros (positive -> floor == trunc
