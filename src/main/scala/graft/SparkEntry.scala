@@ -424,9 +424,17 @@ object SparkEntry {
           timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
       val pairs = graft.streaming.StreamingOps.attributionPairs(
         src, srcType = "view", tgtType = "purchase")
-      val q = pairs.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state-store instances = shuffle partitions at stream start; the
+      // two-store join pays per-partition maintenance every micro-batch,
+      // so size the state partitioning to the per-batch volume, not the
+      // session's batch parallelism (measured 5.8s -> see PLANS_r7)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.table(name)
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view_id"))
