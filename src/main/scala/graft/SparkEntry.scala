@@ -47,6 +47,19 @@ object SparkEntry {
     }.mkString("[", ", ", "]")
   }
 
+  /** Run `body` (a streaming start + awaitTermination) with the session's
+    * shuffle partitions — which fix the stream's state-store/shuffle
+    * partition count at start — sized to the per-micro-batch volume
+    * instead of the session's batch parallelism. Stateful micro-batches
+    * pay per-partition state maintenance every trigger; at test scale 32
+    * partitions of machinery dominated the actual work (q_stream_attrib:
+    * 5.8s -> 3.1s at 8). Restored afterwards either way. */
+  private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Flagship (smoke, sf0.001): the reference's signature pipeline — replay
     * by event type (E1 index branch): day-pruned index range scan (E4) ->
     * join back to the log (C1, hint-free via EventStoreOps — the index slice
@@ -328,9 +341,11 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val counts = graft.streaming.StreamingOps.liveCounters(src, etCol = "event_type")
-      val q = counts.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).select(col("msgid"), col("cv")).orderBy(col("msgid"))
     },
 
@@ -352,9 +367,11 @@ object SparkEntry {
           timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
       val redelivered = src().unionByName(src())
       val landed = graft.streaming.StreamingOps.dedupedEvents(redelivered, "ts_t")
-      val q = landed.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = landed.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .groupBy(col("event_type").as("msgid"))
         .agg(count(lit(1)).as("cv"))
@@ -424,17 +441,11 @@ object SparkEntry {
           timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
       val pairs = graft.streaming.StreamingOps.attributionPairs(
         src, srcType = "view", tgtType = "purchase")
-      // state-store instances = shuffle partitions at stream start; the
-      // two-store join pays per-partition maintenance every micro-batch,
-      // so size the state partitioning to the per-batch volume, not the
-      // session's batch parallelism (measured 5.8s -> see PLANS_r7)
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStreamParts(s, 8) {
         val q = pairs.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
       s.table(name)
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view_id"))
@@ -458,9 +469,11 @@ object SparkEntry {
         .select(col("user_id"),
           timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
       val sess = graft.streaming.StreamingOps.sessionCounts(src)
-      val q = sess.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = sess.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("user_id"), col("start_us"), col("last_us"), col("n_events"))
         .orderBy(col("user_id"), col("start_us"))
