@@ -896,6 +896,14 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     },
 
+    "g_dedup_edit" -> { (s, dir) => // fuzzy dedup by thresholded edit
+      // distance within (lang, length-band) blocks — the character-level
+      // near-dup flavor (in-word typos); banded early-abandon DP bounds
+      // per-pair cost by the radius, not len^2
+      DedupOps.editDistancePairs(Tables.documents(s, dir), blockWidth = 8, maxDist = 20)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     "g_dedup_minhash" -> { (s, dir) => // MinHash-LSH near-dups, oracle-gated:
       // the DuckDB oracle computes exact 3-gram-shingle Jaccard over ALL
       // pairs; a green hash certifies LSH recall@threshold == 1.0 on this
@@ -2094,6 +2102,20 @@ object SparkEntry {
     "g_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+
+    "g_dedup_edit" ->
+      // same blocking, unthresholded levenshtein recomputation (for pairs
+      // within the radius the thresholded kernel returns the true
+      // distance, so the lists agree exactly)
+      """WITH base AS (
+        |  SELECT doc_id, lang, floor(n_chars / 8) AS len_bucket, text
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM base a JOIN base b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 20
+        |ORDER BY id1, id2""".stripMargin,
 
     "g_dedup_jaccard" ->
       """WITH base AS (

@@ -274,6 +274,35 @@ object DedupOps {
       .select(col("id1"), col("id2"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Blocked fuzzy dedup by edit distance: pairs within (lang, length
+    * band) whose Levenshtein distance <= maxDist — the character-level
+    * complement of token-set Jaccard (catches in-word typos and
+    * transpositions that leave token sets mostly intact and vice versa).
+    * Uses the THRESHOLDED Levenshtein kernel (early-abandon banded DP,
+    * O(len*maxDist) per pair instead of O(len^2); returns -1 past the
+    * radius) so per-pair cost is bounded by the radius. Same documented
+    * caveat as ngramJaccardPairs: quadratic within blocks is the
+    * verification/oracle path — at 100 TB the candidate set comes from
+    * MinHash/SimHash and edit distance is the high-precision rescore. */
+  def editDistancePairs(
+      docs: DataFrame,
+      blockWidth: Int = 8,
+      maxDist: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / blockWidth).as("len_bucket"), col("text"))
+      .transform(Checkpoints.pin(_, reliable))
+    val a = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id1"),
+      col("text").as("t1"))
+    val b = base.select(col("lang"), col("len_bucket"), col("doc_id").as("id2"),
+      col("text").as("t2"))
+    a.join(b, Seq("lang", "len_bucket")).filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** Connected components over a near-dup pair list via iterative
     * min-label propagation: every doc adopts the smallest id reachable
     * through pair edges; after convergence the label is the cluster id

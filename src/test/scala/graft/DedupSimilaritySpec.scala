@@ -55,6 +55,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Seq((2L, 1L, Some(1L)), (4L, 0L, None)))
   }
 
+  test("editDistancePairs: in-block typo pair surfaces with its true distance") {
+    // docs 1/2 identical (dist 0), 1/3 one word changed (jumps->leaps,
+    // 3 substitutions); doc 4 is same-band different content (past the
+    // radius); doc 5 is another lang (blocked out)
+    val got = DedupOps.editDistancePairs(docsDf(), blockWidth = 8, maxDist = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == Map((1L, 2L) -> 0, (1L, 3L) -> 3, (2L, 3L) -> 3))
+  }
+
   test("blocked exact jaccard finds exact and near dup, skips cross-lang") {
     val got = DedupOps.ngramJaccardPairs(docsDf(), blockWidth = 8, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSeq
