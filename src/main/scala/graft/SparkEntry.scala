@@ -1347,6 +1347,14 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    "g_pack_sequences" -> { (s, dir) => // the materialized shards: one row
+      // per (stratum, bin) with documents concatenated in id order — the
+      // physical sequence a trainer reads; in-group order imposed by
+      // sort_array, not shuffle order
+      CurationOps.packedSequences(Tables.documents(s, dir), capacity = 2048L)
+        .orderBy(col("lang"), col("bin"))
+    },
+
     "g_mixture_sample" -> { (s, dir) => // alpha-mixture re-weighting
       // (alpha = 0.5): per-source acceptance rates + realized sample sizes
       CurationOps.mixtureSample(Tables.documents(s, dir))
@@ -2783,6 +2791,23 @@ object SparkEntry {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            - len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS bin
         |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "g_pack_sequences" ->
+      // bins recomputed with the same prefix-sum rule, shards assembled
+      // with ORDER BY doc_id string_agg — byte-equal to the Spark
+      // sort_array concatenation
+      """WITH bins AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(floor((sum(len(string_split(text, ' ')))
+        |                OVER (PARTITION BY lang ORDER BY doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+        |FROM bins GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "g_mixture_sample" ->
       """WITH c AS (

@@ -231,4 +231,33 @@ object CurationOps {
         // rounds, Spark's truncates — floor() agrees on both engines
         floor((col("cum") - col("n_tokens")) / capacity).as("bin"))
   }
+
+  /** Materialize the packed training shards: every (stratum, bin) from
+    * tokenPacking becomes ONE row with its documents concatenated in id
+    * order — the physical sequence a trainer consumes, with doc count and
+    * token total for budget accounting. One hash aggregation over the
+    * packing assignment; the in-group order is imposed by sort_array over
+    * (id, text) structs, not by shuffle order, so the shard text is
+    * deterministic under any partitioning. A shard is at most
+    * capacity+1 documents' text — rows stay bounded by the bin capacity,
+    * never by stratum size. */
+  def packedSequences(
+      docs: DataFrame,
+      capacity: Long,
+      stratumCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bins = tokenPacking(docs, capacity, stratumCol, idCol, textCol)
+      .select(col(idCol), col(stratumCol), col("n_tokens"), col("bin"))
+    bins.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col(stratumCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(idCol).as("id"), col(textCol).as("t")))),
+            x => x.getField("t")),
+          " ").as("packed_text"))
+  }
 }

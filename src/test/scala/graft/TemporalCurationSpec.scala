@@ -200,6 +200,25 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got == Seq((29L, 1), (59L, 2), (89L, 3)))
   }
 
+  // ---- CurationOps.packedSequences ------------------------------------
+
+  test("packedSequences: shards concatenate in id order and respect bins") {
+    // capacity 4, tokens per doc 2: docs 1/2 fill bin 0, docs 3/4 bin 1
+    val docs = Seq(
+      (1L, "en", "a b"), (2L, "en", "c d"), (3L, "en", "e f"), (4L, "en", "g h"),
+      (5L, "de", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val got = CurationOps.packedSequences(docs, capacity = 4L)
+      .orderBy("lang", "bin")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(got == Seq(
+      ("de", 0L, 1L, 2L, "x y"),
+      ("en", 0L, 2L, 4L, "a b c d"),
+      ("en", 1L, 2L, 4L, "e f g h")))
+  }
+
   // ---- SimilarityOps.pcaProject ---------------------------------------
 
   test("pcaProject: dominant axis captured first, invariants hold on anisotropic data") {
