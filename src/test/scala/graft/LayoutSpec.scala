@@ -20,6 +20,22 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(5L, 10L, 15L, 25L))
   }
 
+  test("zValue is a bijection on the quantized grid (deinterleave round-trips)") {
+    // every (a, b) in [0,32)^2 maps to a distinct key whose even/odd bits
+    // deinterleave back to (a, b) — pins the shift/mask arithmetic
+    val got = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), bits = 5).as("z"))
+      .collect()
+    assert(got.map(_.getLong(2)).distinct.length == 1024)
+    got.foreach { r =>
+      val z = r.getLong(2)
+      def deinterleave(offset: Int): Long =
+        (0 until 5).map(i => ((z >> (2 * i + offset)) & 1L) << i).sum
+      assert(deinterleave(0) == r.getLong(0) && deinterleave(1) == r.getLong(1))
+    }
+  }
+
   // 64x64 grid, 16 files: each z-range file is a 16x16 tile of (a, b)
   // space, so a box filter on EITHER dimension prunes to its tile rows.
   private def grid() =
