@@ -231,7 +231,10 @@ object SparkEntry {
       // the standard retention matrix. Two aggs + one join: the first-seen
       // frame is |users| (AQE broadcasts it); the fact shuffles once.
       val ev = Tables.events(s, dir)
-        .select(col("user_id"), (col("ts_us") / 86400000000L).cast("long").as("day"))
+        // integer `div`, not double-divide-then-truncate: matches the
+        // oracle's exact floor-division (//) semantics for all longs, not
+        // just positive ones far from the 2^53 double mantissa limit
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
       ev.join(firstSeen, Seq("user_id"))
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("days_since"))
@@ -385,15 +388,27 @@ object SparkEntry {
       // LayoutSpec gates the pruning property (footer min/max tight on
       // BOTH dimensions) that is the feature's reason to exist at 100 TB.
       val out = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_us"),
-          col("pid").cast("long").as("pid"))
-      graft.sources.Layout.writeZOrdered(ev, s"$out/z", "user_id", "pid",
-        bits = 21, nFiles = 8)
-      s.read.parquet(s"$out/z")
-        .filter(col("user_id").between(3, 10) && col("pid").between(2024010L, 2024020L))
-        .select(col("user_id"), col("event_id"), col("ts_us"), col("pid"))
-        .orderBy(col("event_id"))
+      try {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("pid").cast("long").as("pid"))
+        graft.sources.Layout.writeZOrdered(ev, s"$out/z", "user_id", "pid",
+          bits = 21, nFiles = 8)
+        s.read.parquet(s"$out/z")
+          .filter(col("user_id").between(3, 10) && col("pid").between(2024010L, 2024020L))
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("pid"))
+          .orderBy(col("event_id"))
+          // eager: the box-filtered readback (small by construction) is
+          // materialized before the table copy is deleted — a bench rep
+          // must not orphan a full events copy under /tmp per invocation
+          .localCheckpoint(true)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(out))
+      }
     },
 
     "q_stream_contamination" -> { (s, dir) => // stream-STATIC join: eval

@@ -45,7 +45,16 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a filtered run must NOT overwrite a full run's manifest: stale
+    // per-query parquet dirs from an earlier full dump would then be
+    // silently skipped by the checker and read as a green full verify
+    val manifest =
+      if (only.isDefined) s"$outDir/oracle_sql.partial.json" else s"$outDir/oracle_sql.json"
+    if (only.isEmpty) // a full run supersedes any stale subset manifest
+      Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.partial.json")): Unit
+    Files.writeString(Paths.get(manifest), json)
+    if (only.isDefined)
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY set: manifest written to $manifest")
     spark.stop()
   }
 }

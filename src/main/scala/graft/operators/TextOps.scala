@@ -330,10 +330,14 @@ object TextOps {
     * evictions), which is what the oracle gate certifies; beyond it the
     * same query degrades to guaranteed-error heavy hitters. The final
     * top-k cut is done deterministically here (count desc, token asc)
-    * rather than by the sketch's arbitrary tie order. */
+    * rather than by the sketch's arbitrary tie order — and the FULL
+    * tracked slice (`maxTracked` items, not k + slack) is requested from
+    * the sketch, so tokens tied at the k-th count are all visible to the
+    * deterministic cut instead of being pre-filtered by the sketch's
+    * arbitrary tie order. */
   def tokenHeavyHitters(docs: DataFrame, k: Int = 10, maxTracked: Int = 1024): DataFrame =
     docs.select(explode(TextFns.tokens(col("text"))).as("tok"))
-      .agg(expr(s"approx_top_k(tok, ${math.min(maxTracked, 2 * k + 20)}, $maxTracked)")
+      .agg(expr(s"approx_top_k(tok, $maxTracked, $maxTracked)")
         .as("sketch"))
       .select(explode(col("sketch")).as("e"))
       .select(col("e.item").as("tok"), col("e.count").as("cnt"))

@@ -39,10 +39,12 @@ case class Fnv64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val (loop, acc) = Utf8CodePoints.loopCode(ctx, c, "0xcbf29ce484222325L") {
+        (a, cp) => s"$a = ($a ^ $cp) * 0x100000001b3L;"
+      }
       s"""
-         |${Utf8CodePoints.loopCode(c, "0xcbf29ce484222325L",
-             "acc = (acc ^ cp) * 0x100000001b3L;")}
-         |${ev.value} = acc;
+         |$loop
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -34,10 +34,12 @@ case class PolyFingerprint(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val (loop, acc) = Utf8CodePoints.loopCode(ctx, c, "0L") {
+        (a, cp) => s"$a = ($a * 31L + $cp) % 1000000007L;"
+      }
       s"""
-         |${Utf8CodePoints.loopCode(c, "0L",
-             "acc = (acc * 31L + cp) % 1000000007L;")}
-         |${ev.value} = acc;
+         |$loop
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

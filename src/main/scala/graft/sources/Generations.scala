@@ -31,19 +31,35 @@ import org.apache.spark.sql.functions._
   * stores), so a crash anywhere leaves either the old or the new manifest,
   * never a torn table.
   *
-  * Single-writer per table root (matching the reference's per-partition
-  * writer); concurrent readers are always safe. Upgrading to concurrent
-  * writers needs exactly one primitive this layer deliberately leaves to
-  * the deployment: a compare-and-swap publish of `_CURRENT` (HDFS: create
-  * + rename without OVERWRITE; S3-style stores: conditional PUT on the
-  * manifest's ETag) — generation directories are already write-once and
-  * collision-free under racing writers, only the pointer swap races.
+  * Concurrent writers are safe via optimistic concurrency on the manifest
+  * LOG: the versioned snapshot `_manifests/m-<v>` is the commit point,
+  * published by write-temp + rename-WITHOUT-overwrite — exactly one writer
+  * can create a given version (atomic on HDFS; the object-store
+  * translation is a conditional PUT / if-none-match on the snapshot key).
+  * A loser gets a retryable [[ManifestConflictException]] and must re-read
+  * state before retrying (its generation directory is write-once and
+  * collision-free, so nothing it wrote needs undoing — it is simply
+  * unreferenced and vacuumable). `_CURRENT` is a convergent CACHE of the
+  * newest snapshot, refreshed after each commit with rename-OVERWRITE;
+  * readers resolve the max snapshot version and fall back to `_CURRENT`
+  * only for legacy roots with no `_manifests/` log. This mirrors the
+  * multi-writer safety the reference gets from Cassandra's per-partition
+  * atomic batches (`CassandraEventStore.cs:67-70`).
   *
-  * Every promote also appends an immutable snapshot under `_manifests/`,
+  * Every promote appends an immutable snapshot under `_manifests/`,
   * giving MVCC time travel: `readAt(root, v)` reads the table exactly as
-  * of promote `v` for as long as `vacuum` has not dropped the generations
-  * that version references (the retention window is the caller's policy).
+  * of promote `v` for as long as `vacuum(keepVersions = n)` has retained
+  * that snapshot — vacuum prunes old snapshots TOGETHER with the
+  * generations only they reference, so a retained version always reads
+  * and a pruned one fails fast at manifest resolution (never with a
+  * missing-path crash mid-scan).
   */
+/** A promote lost the compare-and-swap on the manifest log: another writer
+  * committed the same version first. Retryable — re-read the table state
+  * (the conflicting writer's changes included) and promote again. */
+class ManifestConflictException(message: String, cause: Throwable = null)
+    extends java.io.IOException(message, cause)
+
 object Generations {
 
   val ManifestFile = "_CURRENT"
@@ -58,8 +74,10 @@ object Generations {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // '#' lines are writer-provenance comments (unique per promote attempt —
+  // the local-FS TOCTOU guard in `promote` compares full snapshot bytes)
   private def parseManifest(text: String): Manifest =
-    Manifest(text.linesIterator.filter(_.nonEmpty).map { line =>
+    Manifest(text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val Array(b, g) = line.split('\t')
       b.toInt -> g
     }.toMap)
@@ -72,33 +90,110 @@ object Generations {
       Some(parseManifest(text))
     }
 
-  /** Read the current manifest; None if the table has no promoted data. */
-  def readManifest(spark: SparkSession, root: String): Option[Manifest] =
-    readManifestFile(fs(spark, root), new Path(root, ManifestFile))
+  /** Newest committed promote version; 0 if the log is empty (fresh table
+    * or legacy `_CURRENT`-only root). */
+  def currentVersion(spark: SparkSession, root: String): Int =
+    manifestVersions(spark, root).lastOption.getOrElse(0)
 
-  /** Atomically publish a manifest: write to a temp name, then rename over
-    * `_CURRENT` (FileContext rename with OVERWRITE — atomic on HDFS and
-    * local; the object-store translation is an atomic PUT of one small
-    * object). This is the ONLY mutation the layout ever performs. */
-  def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+  /** Read the current manifest: the newest snapshot in the manifest log;
+    * for legacy roots with no log, the `_CURRENT` cache. None if the table
+    * has no promoted data. */
+  def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
     val f = fs(spark, root)
-    f.mkdirs(new Path(root))
-    val body = m.entries.toSeq.sortBy(_._1)
-      .map { case (b, g) => s"$b\t$g" }.mkString("", "\n", "\n")
-      .getBytes("UTF-8")
-    // history snapshot FIRST (write-once, never renamed-over): a crash
-    // between the two writes leaves a snapshot that never became current —
-    // harmless for time travel, since the data generations it references
-    // were fully written before any promote attempt
+    manifestVersions(spark, root).lastOption match {
+      case Some(v) => readManifestFile(f, new Path(root, f"$ManifestDir/m-$v%08d"))
+      case None    => readManifestFile(f, new Path(root, ManifestFile))
+    }
+  }
+
+  /** Compare-and-swap publish: commit `m` as version `expectedVersion + 1`,
+    * failing with a retryable [[ManifestConflictException]] if any other
+    * writer committed since the caller read `expectedVersion`
+    * ([[currentVersion]]). The commit point is an atomic create-if-absent
+    * of the versioned snapshot: rename-WITHOUT-overwrite on HDFS (atomic
+    * under the namenode lock; object stores swap in a conditional PUT on
+    * the snapshot key), hard-link on local filesystems (where Hadoop's
+    * no-overwrite rename is check-then-act). A post-commit read-back
+    * additionally verifies the winner's bytes survived on schemes with
+    * weaker rename guarantees. Returns the committed version. */
+  def promote(spark: SparkSession, root: String, m: Manifest, expectedVersion: Int): Int = {
+    val f = fs(spark, root)
     f.mkdirs(new Path(root, ManifestDir))
-    val version = manifestVersions(spark, root).lastOption.getOrElse(0) + 1
-    val snap = f.create(new Path(root, f"$ManifestDir/m-$version%08d"), false)
-    try snap.write(body) finally snap.close()
-    val tmp = new Path(root, s"$ManifestFile.tmp-${java.util.UUID.randomUUID()}")
+    val latest = currentVersion(spark, root)
+    if (latest != expectedVersion)
+      throw new ManifestConflictException(
+        s"promote of $root expected v$expectedVersion but the table is at v$latest; " +
+          "re-read state and retry")
+    val next = expectedVersion + 1
+    val body = (m.entries.toSeq.sortBy(_._1).map { case (b, g) => s"$b\t$g" }
+      :+ s"# promote v$next by ${java.util.UUID.randomUUID()}")
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    val snapPath = new Path(root, f"$ManifestDir/m-$next%08d")
+    val tmp = new Path(root, s"$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(body) finally out.close()
-    FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new Path(root, ManifestFile), Options.Rename.OVERWRITE)
+    try {
+      if (f.getUri.getScheme == "file") {
+        // local FS: rename-without-overwrite is check-then-act in Hadoop's
+        // LocalFs (two racing writers can both pass the check, and the
+        // .crc sidecar renames separately from the data file), so the only
+        // truly atomic create-if-absent the OS offers is a hard link —
+        // link(2) fails with EEXIST atomically
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(snapPath.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath)): Unit
+        f.delete(tmp, false): Unit
+      } else {
+        // HDFS: rename-without-overwrite is atomic under the namenode
+        // lock; object stores swap in a conditional PUT on the key
+        FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, snapPath, Options.Rename.NONE)
+      }
+    } catch {
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        throw new ManifestConflictException(
+          s"promote of $root lost the race for v$next; re-read state and retry", e)
+    }
+    // belt-and-braces for non-local schemes whose no-overwrite rename is
+    // weaker than documented: confirm OUR bytes are what v<next> holds
+    val readBack = {
+      val in = f.open(snapPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.getBytes("UTF-8")
+      finally in.close()
+    }
+    if (!java.util.Arrays.equals(readBack, body))
+      throw new ManifestConflictException(
+        s"promote of $root lost the race for v$next (another writer's snapshot survived); " +
+          "re-read state and retry")
+    refreshCurrent(spark, root)
+    next
+  }
+
+  /** Refresh the `_CURRENT` cache from the newest snapshot (write-temp +
+    * rename-OVERWRITE — atomic small-object PUT). Best-effort and
+    * idempotent: out-of-order refreshes from slower committers converge
+    * because each refresh re-reads the newest snapshot at copy time, and
+    * readers treat the log, not the cache, as authoritative. */
+  private def refreshCurrent(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    manifestVersions(spark, root).lastOption.foreach { v =>
+      val in = f.open(new Path(root, f"$ManifestDir/m-$v%08d"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.getBytes("UTF-8")
+      finally in.close()
+      val tmp = new Path(root, s"$ManifestFile.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(body) finally out.close()
+      FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, new Path(root, ManifestFile), Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Single-writer publish: promote from whatever the current version is.
+    * Read-modify-write callers that must detect racing writers should read
+    * [[currentVersion]] themselves and call [[promote]] with it. */
+  def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+    promote(spark, root, m, currentVersion(spark, root)): Unit
   }
 
   private val SnapName = "m-(\\d+)".r
@@ -114,7 +209,7 @@ object Generations {
   }
 
   /** The manifest as of promote `version`; None if that promote never
-    * happened (or its snapshot was pruned). */
+    * happened (or its snapshot was pruned by `vacuum`). */
   def readManifestAt(spark: SparkSession, root: String, version: Int): Option[Manifest] =
     readManifestFile(fs(spark, root), new Path(root, f"$ManifestDir/m-$version%08d"))
 
@@ -127,7 +222,9 @@ object Generations {
     name match { case GenName(d) => d.toIntOption; case _ => None }
 
   /** Next unused generation directory name (monotonic counter over existing
-    * `g-*` dirs; single-writer by contract, so no CAS is needed). */
+    * `g-*` dirs). Racing writers may pick colliding names; the loser fails
+    * at its `SaveMode.ErrorIfExists` data write or at [[promote]] — both
+    * before any committed state is damaged (directories are write-once). */
   def nextGeneration(spark: SparkSession, root: String): String = {
     val f = fs(spark, root)
     val p = new Path(root)
@@ -154,19 +251,20 @@ object Generations {
     * `bucket` partition column (and its directory pruning) survive. */
   def readCurrent(spark: SparkSession, root: String): DataFrame = {
     val m = readManifest(spark, root).getOrElse(
-      sys.error(s"Generations.readCurrent: no $ManifestFile under $root"))
+      sys.error(s"Generations.readCurrent: no manifest under $root"))
     require(m.entries.nonEmpty, s"Generations.readCurrent: $root is empty (all buckets deleted)")
     resolve(spark, root, m)
   }
 
   /** Time travel: the table exactly as of promote `version`. Valid while
-    * the generations that version references survive `vacuum` (vacuum
-    * retains only what the CURRENT manifest references — an old version's
-    * read fails once its generations are dropped, like any MVCC snapshot
-    * outside the retention window). */
+    * `vacuum(keepVersions = n)` retains that version; a pruned version
+    * fails HERE, at manifest resolution, with a clear error — never with a
+    * missing-path crash mid-scan — because vacuum prunes a snapshot and
+    * the generations only it references together. */
   def readAt(spark: SparkSession, root: String, version: Int): DataFrame = {
     val m = readManifestAt(spark, root, version).getOrElse(
-      sys.error(s"Generations.readAt: no promote v$version under $root"))
+      sys.error(s"Generations.readAt: no promote v$version under $root " +
+        "(never promoted, or outside the vacuum retention window)"))
     require(m.entries.nonEmpty, s"Generations.readAt: v$version is empty (all buckets deleted)")
     resolve(spark, root, m)
   }
@@ -189,8 +287,12 @@ object Generations {
   def deleteAndPromote(
       spark: SparkSession, root: String, tombstones: DataFrame,
       nBuckets: Int = Storage.DefaultBuckets): Option[String] = {
+    // capture the base version BEFORE reading state: any writer that
+    // commits after this line makes the final promote() a conflict, so the
+    // read-modify-write can never silently overwrite a concurrent commit
+    val baseVersion = currentVersion(spark, root)
     val m = readManifest(spark, root).getOrElse(
-      sys.error(s"Generations.deleteAndPromote: no $ManifestFile under $root"))
+      sys.error(s"Generations.deleteAndPromote: no manifest under $root"))
     // derive affected buckets DISTRIBUTED (the same xxhash64 expression the
     // writer used): the collect is bounded by nBuckets, not by the
     // tombstone frame, which at 100 TB may itself be huge
@@ -215,7 +317,7 @@ object Generations {
     val survivorBuckets = survivors.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     val entries = (m.entries -- affected) ++ survivorBuckets.map(_ -> gen)
-    writeManifest(spark, root, Manifest(entries))
+    promote(spark, root, Manifest(entries), baseVersion): Unit
     Some(gen)
   }
 
@@ -224,6 +326,7 @@ object Generations {
     * bucket, then promote. Old generations remain for in-flight readers
     * until `vacuum`. */
   def compactAndPromote(spark: SparkSession, root: String): String = {
+    val baseVersion = currentVersion(spark, root)
     val gen = nextGeneration(spark, root)
     readCurrent(spark, root)
       .repartition(col("bucket"))
@@ -231,16 +334,32 @@ object Generations {
       .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(s"$root/$gen")
     val buckets = spark.read.parquet(s"$root/$gen")
       .select(col("bucket")).distinct().collect().map(_.getInt(0))
-    writeManifest(spark, root, Manifest(buckets.map(_ -> gen).toMap))
+    promote(spark, root, Manifest(buckets.map(_ -> gen).toMap), baseVersion): Unit
     gen
   }
 
-  /** Drop generation directories no manifest entry references (run once
-    * in-flight readers of old manifests have drained — the retention
-    * window is the caller's policy, like any MVCC vacuum). */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  /** Retention-aware vacuum: keep the newest `keepVersions` promote
+    * snapshots and every generation any of them references; prune older
+    * snapshots TOGETHER with the generations only they reference, so time
+    * travel inside the window always reads and outside it fails fast at
+    * `readAt`'s manifest resolution (no snapshot left pointing at deleted
+    * paths). Snapshots are pruned before generations: a crash mid-vacuum
+    * leaves unreferenced-but-present generations (re-vacuumable), never a
+    * readable snapshot with missing data. Run once in-flight readers of
+    * evicted versions have drained — the window length is the caller's
+    * retention policy, like any MVCC vacuum. Returns dropped generations. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"vacuum must retain the current version (got $keepVersions)")
     val f = fs(spark, root)
-    val live = readManifest(spark, root).map(_.generations).getOrElse(Set.empty)
+    val versions = manifestVersions(spark, root)
+    val retained = versions.takeRight(keepVersions)
+    val live: Set[String] =
+      if (retained.isEmpty) readManifest(spark, root).map(_.generations).getOrElse(Set.empty)
+      else retained.flatMap(v => readManifestAt(spark, root, v)
+        .map(_.generations).getOrElse(Set.empty[String])).toSet
+    versions.dropRight(keepVersions).foreach { v =>
+      f.delete(new Path(root, f"$ManifestDir/m-$v%08d"), false): Unit
+    }
     val dead = f.listStatus(new Path(root)).map(_.getPath.getName)
       .filter(n => genNumber(n).isDefined && !live.contains(n)).toSeq.sorted
     dead.foreach(n => f.delete(new Path(root, n), true): Unit)

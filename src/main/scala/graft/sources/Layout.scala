@@ -26,15 +26,27 @@ object Layout {
 
   /** Interleave the low `bits` of two non-negative longs: bit i of `a`
     * lands at position 2i, bit i of `b` at 2i+1. Pure codegen arithmetic
-    * (no UDF); 2*bits <= 62 keeps the key in a positive long. Quantize
-    * skewed/huge-domain columns BEFORE interleaving (e.g. day number, id
-    * div blockSize) — z-order clusters the quantized grid. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    * (no UDF); 2*bits <= 62 keeps the key in a positive long.
+    *
+    * QUANTIZATION CONTRACT: only the low `bits` of each input
+    * participate — values differing solely in higher bits alias to the
+    * same z-key. That never affects correctness (readers filter the
+    * natural columns, not the key) but silently degrades clustering and
+    * therefore pruning, so quantize skewed/huge-domain columns BEFORE
+    * interleaving (day number, id div blockSize, ...) and size `bits` to
+    * the quantized domain. Pass `strict = true` in layout-validation jobs
+    * to fail loudly on any out-of-domain input instead of aliasing. */
+  def zValue(a: Column, b: Column, bits: Int = 16, strict: Boolean = false): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1,31]")
+    def checked(c: Column): Column =
+      if (!strict) c
+      else when(c >= 0 && c < (1L << bits), c).otherwise(raise_error(concat(
+        lit(s"Layout.zValue: input outside [0, 2^$bits): "), c.cast("string"))))
+    val (ac, bc) = (checked(a), checked(b))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_.bitwiseOR(_))
   }

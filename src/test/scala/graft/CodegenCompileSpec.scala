@@ -1,0 +1,101 @@
+package graft
+
+import graft.plans.{CosineSimilarity, Fnv64, GraftFunctions, IntersectionSize, PolyFingerprint}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** No-fallback gate for the native codegen kernels.
+  *
+  * `GenerateUnsafeProjection.generate` compiles the generated Java with
+  * Janino and THROWS on a compile error — unlike the query path, where
+  * `UnsafeProjection.create` catches the `CompileException` and silently
+  * falls back to interpreted eval (the round-7 defect: the continuation-
+  * byte decode emitted `($c.getByte(i+1) & 0x3F) << 6`, which Janino
+  * rejects with `Expression "..." is not a type`, so graft_fnv64 /
+  * graft_poly_fp ran interpreted on every row while the oracles stayed
+  * green). Compiling here, without the safety net, makes any regression a
+  * hard test failure instead of a WARN line nobody reads.
+  */
+class CodegenCompileSpec extends SparkSpec {
+
+  // multi-byte coverage: 2-byte (é, ö), 3-byte (CJK, cyrillic), 4-byte (emoji)
+  private val samples = Seq(
+    "", "a", "hello world 42", "héllo wörld", "ζωή και επιστήμη",
+    "наука о данных", "日本語テキスト処理", "mixed ascii + é + 日本 + 🌍🚀")
+
+  private def strRow(s: String): InternalRow = InternalRow(UTF8String.fromString(s))
+
+  test("Fnv64 generated code compiles and matches the interpreted path") {
+    val expr = Fnv64(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on Janino failure
+    for (s <- samples) {
+      assert(proj(strRow(s)).getLong(0) === expr.eval(strRow(s)),
+        s"codegen/interpreted divergence on '$s'")
+    }
+  }
+
+  test("PolyFingerprint generated code compiles and matches the interpreted path") {
+    val expr = PolyFingerprint(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    for (s <- samples) {
+      assert(proj(strRow(s)).getLong(0) === expr.eval(strRow(s)),
+        s"codegen/interpreted divergence on '$s'")
+    }
+  }
+
+  test("two kernel instances in one projection compile (locals block-scoped, non-nullable child)") {
+    // non-nullable children: nullSafeCodeGen emits the kernel body without
+    // an if-wrapper, so without explicit braces the fixed-name locals of
+    // two instances would collide in the same generated method
+    val exprs = Seq(
+      Fnv64(BoundReference(0, StringType, nullable = false)),
+      PolyFingerprint(BoundReference(0, StringType, nullable = false)),
+      Fnv64(BoundReference(1, StringType, nullable = false)))
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = InternalRow(UTF8String.fromString("héllo 🌍"), UTF8String.fromString("日本語"))
+    assert(proj(row).getLong(0) === exprs(0).eval(row))
+    assert(proj(row).getLong(1) === exprs(1).eval(row))
+    assert(proj(row).getLong(2) === exprs(2).eval(row))
+  }
+
+  test("CosineSimilarity and IntersectionSize generated code compiles") {
+    val cos = CosineSimilarity(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true))
+    val isect = IntersectionSize(
+      BoundReference(2, ArrayType(StringType), nullable = true),
+      BoundReference(3, ArrayType(StringType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(cos, isect))
+    val row = InternalRow(
+      new GenericArrayData(Array(1.0, 2.0, 3.0)),
+      new GenericArrayData(Array(3.0, 2.0, 1.0)),
+      new GenericArrayData(Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"))),
+      new GenericArrayData(Array[Any](UTF8String.fromString("b"), UTF8String.fromString("c"))))
+    assert(proj(row).getDouble(0) === cos.eval(row))
+    assert(proj(row).getInt(1) === 1)
+  }
+
+  test("kernels run end-to-end with codegen fallback disabled") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = spark.range(64)
+        .selectExpr(
+          "graft_fnv64(concat('héé-', cast(id as string))) AS f",
+          "graft_poly_fp(repeat('日本🌍', cast(id % 5 as int))) AS p")
+        .collect()
+      assert(rows.length === 64)
+      assert(rows.map(_.getLong(0)).distinct.length === 64)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+}

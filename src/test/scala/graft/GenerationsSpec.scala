@@ -128,13 +128,95 @@ class GenerationsSpec extends SparkSpec {
       == Generations.readManifest(spark, root).get)
     assert(Generations.readManifestAt(spark, root, 99).isEmpty)
 
-    // vacuum keeps only what CURRENT references: v3 still reads, v1 cannot
-    // (its generations are outside the retention window)
+    // default vacuum (keepVersions=1) prunes v1/v2's snapshots WITH their
+    // generations: v3 still reads, v1/v2 fail fast at manifest resolution
+    // (the snapshot is gone — no dangling pointer at deleted parquet paths)
     assert(Generations.vacuum(spark, root).nonEmpty)
     assert(Generations.readAt(spark, root, 3).count() == 8)
-    assert(Generations.readManifestAt(spark, root, 1).get.generations
-      .forall(g => !new java.io.File(s"$root/$g").exists()))
+    assert(Generations.manifestVersions(spark, root) == Seq(3))
+    assert(Generations.readManifestAt(spark, root, 1).isEmpty)
+    val e = intercept[RuntimeException](Generations.readAt(spark, root, 1))
+    assert(e.getMessage.contains("retention window"))
     assert(Generations.readManifest(spark, root).get.generations == Set(gen3))
+  }
+
+  test("vacuum(keepVersions = n) retains a readable time-travel window") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4) // v1
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("b", 1, 0))), nBuckets = 4)      // v2
+    Generations.compactAndPromote(spark, root)                                             // v3
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("c", 1, 0))), nBuckets = 4)      // v4
+
+    val dropped = Generations.vacuum(spark, root, keepVersions = 2)
+    // v3 and v4 both survive — including v3's compacted generation, which
+    // v4 also references for untouched buckets
+    assert(Generations.manifestVersions(spark, root) == Seq(3, 4))
+    assert(Generations.readAt(spark, root, 3).count() == 8)
+    assert(Generations.readAt(spark, root, 4).count() == 7)
+    // evicted versions fail at resolution, their snapshots are gone
+    assert(Generations.readManifestAt(spark, root, 2).isEmpty)
+    assert(intercept[RuntimeException](Generations.readAt(spark, root, 2))
+      .getMessage.contains("retention window"))
+    // dropped = generations referenced only by evicted versions
+    assert(dropped.nonEmpty)
+    dropped.foreach(g => assert(!new java.io.File(s"$root/$g").exists()))
+    // every retained version's generations are fully present
+    Seq(3, 4).flatMap(v => Generations.readManifestAt(spark, root, v).get.generations)
+      .foreach(g => assert(new java.io.File(s"$root/$g").exists()))
+    assert(intercept[IllegalArgumentException](
+      Generations.vacuum(spark, root, keepVersions = 0)).getMessage.contains("retain"))
+  }
+
+  test("promote is a CAS: a stale expectedVersion conflicts, retry succeeds") {
+    import graft.sources.ManifestConflictException
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b"), nRevs = 2), nBuckets = 4) // v1
+    val base = Generations.currentVersion(spark, root)
+    val m = Generations.readManifest(spark, root).get
+
+    // writer A commits from base -> v2
+    assert(Generations.promote(spark, root, m, base) == base + 1)
+    // writer B, still holding base, must NOT silently clobber A's commit
+    val e = intercept[ManifestConflictException](Generations.promote(spark, root, m, base))
+    assert(e.getMessage.contains("retry"))
+    // B re-reads and retries — the documented recovery path
+    assert(Generations.promote(spark, root, m, Generations.currentVersion(spark, root)) == base + 2)
+    assert(Generations.manifestVersions(spark, root) == Seq(1, 2, 3))
+  }
+
+  test("two racing promoters: exactly one wins, the loser's conflict is retryable") {
+    import graft.sources.ManifestConflictException
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c", "d"), nRevs = 2), nBuckets = 4)
+    val base = Generations.currentVersion(spark, root)
+    val m = Generations.readManifest(spark, root).get
+
+    val nWriters = 8
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val results = (0 until nWriters).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+        def call(): Either[Throwable, Int] = {
+          start.await()
+          try Right(Generations.promote(spark, root, m, base))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    val winners = outcomes.collect { case Right(v) => v }
+    val losers = outcomes.collect { case Left(t) => t }
+    assert(winners == Seq(base + 1), s"expected exactly one winner, got $winners")
+    assert(losers.size == nWriters - 1)
+    losers.foreach(t => assert(t.isInstanceOf[ManifestConflictException],
+      s"loser must get a retryable conflict, got $t"))
+    // the committed state is intact and readable
+    assert(Generations.currentVersion(spark, root) == base + 1)
+    assert(Generations.readCurrent(spark, root).count() == 8)
   }
 
   test("compactAndPromote + vacuum drop unreferenced generations only") {

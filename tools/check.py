@@ -22,7 +22,15 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    with open(f"{out_dir}/oracle_sql.json") as f:
+    # a SPARK_GRAFT_ONLY-filtered Verify run writes oracle_sql.partial.json
+    # (never overwriting a full manifest); prefer it when present so local
+    # subset iteration checks exactly what was just dumped
+    import os
+    partial = f"{out_dir}/oracle_sql.partial.json"
+    manifest = partial if os.path.exists(partial) else f"{out_dir}/oracle_sql.json"
+    if manifest == partial:
+        print(f"note: using partial manifest {partial}")
+    with open(manifest) as f:
         oracles = json.load(f)
     failures = 0
     for name, sql in sorted(oracles.items()):
