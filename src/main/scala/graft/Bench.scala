@@ -32,8 +32,13 @@ object Bench {
     // the alphabetically-first measured queries absorb multi-second JIT
     // (observed: g_contamination 6.9s first run, 1.1s steady-state);
     // warming one representative of each plan family measures plan cost,
-    // not JVM ramp-up.
-    Seq("q_min_ts", "g_curation", "q_sessionize", "g_sim_topk")
+    // not JVM ramp-up. q_commit_split covers the collect_list/posexplode
+    // write→read reassembly shape no other family exercises (its r7 record
+    // was 10.3s against a 1.1s steady state — pure uncovered warmup);
+    // q_stream_counters boots the micro-batch/state-store machinery the
+    // six streaming fixtures share.
+    Seq("q_min_ts", "g_curation", "q_sessionize", "g_sim_topk",
+        "q_commit_split", "q_stream_counters")
       .foreach(n => try run(n) catch { case _: Throwable => () })
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>

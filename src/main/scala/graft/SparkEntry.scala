@@ -831,6 +831,31 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    "q_payload_envelope" -> { (s, dir) => // the SECOND serializer at the
+      // same seam (reference ISerializer is deployment-pluggable): binary
+      // pass-through envelope (magic + schema id + verbatim payload bytes),
+      // full write -> read round trip with schema-id DISPATCH — id 1
+      // decodes as JSON, other ids pass through opaque. All codegen'd
+      // substring/concat arithmetic, no UDF; the oracle replays the same
+      // byte arithmetic on the VARCHAR side.
+      import graft.operators.SerdeOps
+      val enc = Tables.events(s, dir).select(
+        col("event_id"),
+        SerdeOps.encodeEnvelope(col("props"),
+          when(col("event_id") % 2 === 0, lit(1)).otherwise(lit(2))).as("data"))
+      enc.select(col("event_id"), SerdeOps.decodeEnvelope(col("data")).as("env"))
+        .filter(col("env.schema_id").isNotNull)
+        .select(
+          col("event_id"),
+          col("env.schema_id").as("schema_id"),
+          when(col("env.schema_id") === 1,
+            from_json(col("env.payload").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+            .as("k"),
+          col("env.payload").cast("string").as("payload"))
+        .orderBy(col("event_id"))
+    },
+
     "q_salted_counter" -> { (s, dir) => // D2 under skew: two-phase salted agg
       // phase 1 fans each hot key over 16 salt buckets (partial counts),
       // phase 2 folds the 16 partials — bounds any single reducer's input
@@ -1013,6 +1038,37 @@ object SparkEntry {
       // g_embed_pairs' quadratic blocks; production is g_semdedup.
       SimilarityOps.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 0)
         .orderBy(col("vec_id"))
+    },
+
+    "g_semdedup_kmeans" -> { (s, dir) => // the paper's k-means blocking
+      // (semanticDedupKMeans): cells are data-derived driver state, so the
+      // oracle cannot replay the assignment from inlined constants the way
+      // g_semdedup replays hyperplane signs. Gate the two invariants any
+      // correct blocking must satisfy instead: (a) every dropped vector
+      // names an earlier TRUE near-dup (floor-at-4 cosine >= threshold) —
+      // which is exactly losers ⊆ exact-losers; (b) therefore the kept set
+      // is a superset of g_semdedup_exact's, checked against the real
+      // all-pairs run. Both booleans are computed from the data; the
+      // oracle pins them true and pins n_vecs.
+      import graft.functions.{NumFns, VectorFns}
+      import graft.plans.GraftFunctions
+      val emb = Tables.embeddings(s, dir)
+      val km = SimilarityOps.semanticDedupKMeans(emb, threshold = 0.35, k = 8, nIters = 2)
+        .localCheckpoint(true) // centroids are data-derived; pin one assignment
+      val v = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+      val validity = km.filter(!col("kept"))
+        .join(v.select(col("vec_id"), col("v").as("v2")), Seq("vec_id"))
+        .join(v.select(col("vec_id").as("dup_of"), col("v").as("v1")), Seq("dup_of"))
+        .select(((col("dup_of") < col("vec_id")) &&
+          (NumFns.floorAt(GraftFunctions.cosine(col("v1"), col("v2")), 4) >= 0.35)).as("ok"))
+        .agg(coalesce(bool_and(col("ok")), lit(true)).as("losers_valid"))
+      val exactKept = SimilarityOps
+        .semanticDedup(emb, threshold = 0.35, nPlanes = 0)
+        .filter(col("kept")).select(col("vec_id"))
+      val superset = exactKept
+        .join(km.filter(col("kept")).select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("kept_superset"))
+      emb.agg(count(lit(1)).as("n_vecs")).crossJoin(validity).crossJoin(superset)
     },
 
     "g_domain_quota" -> { (s, dir) => // per-domain document cap (top-N by
@@ -2116,6 +2172,23 @@ object SparkEntry {
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
         |ORDER BY event_id""".stripMargin,
 
+    "q_payload_envelope" ->
+      // same envelope byte arithmetic on the VARCHAR side: ASCII header
+      // "GB1" + 0-padded 4-digit schema id, payload verbatim after byte 7
+      """WITH enc AS (
+        |  SELECT event_id,
+        |    'GB1' || lpad(CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS VARCHAR), 4, '0')
+        |        || props AS data
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(substring(data, 4, 4) AS INT) AS schema_id,
+        |  CASE WHEN CAST(substring(data, 4, 4) AS INT) = 1
+        |       THEN CAST(json_extract_string(substring(data, 8), '$.k') AS BIGINT) END AS k,
+        |  substring(data, 8) AS payload
+        |FROM enc
+        |WHERE substring(data, 1, 3) = 'GB1'
+        |ORDER BY event_id""".stripMargin,
+
     "q_salted_counter" ->
       """SELECT msgid, CAST(sum(partial) AS BIGINT) AS cv FROM (
         |  SELECT event_type AS msgid, hash(event_id) % 16 AS salt, count(*) AS partial
@@ -2262,6 +2335,14 @@ object SparkEntry {
          |SELECT v.vec_id, l.dup_of IS NULL AS kept, l.dup_of
          |FROM v LEFT JOIN losers l USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+
+    "g_semdedup_kmeans" ->
+      // k-means cells are driver state the oracle cannot replay; it pins
+      // the blocking-approximation invariants the Spark side computes from
+      // the data (validity of every drop + kept-superset-of-exact)
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |       true AS losers_valid, true AS kept_superset
+        |FROM embeddings""".stripMargin,
 
     "g_semdedup_exact" ->
       // the unblocked definition truth: same drop rule over all pairs

@@ -26,4 +26,38 @@ object SerdeOps {
     * serializer). */
   def encodeJson(df: DataFrame, payload: Column*): Column =
     to_json(struct(payload: _*))
+
+  /** Envelope wire format magic. */
+  val EnvelopeMagic = "GB1"
+
+  /** Second serializer at the same seam: a binary PASS-THROUGH envelope
+    * (the schema-registry wire-format pattern — magic + schema id header,
+    * then the payload bytes verbatim, never interpreted). Header is a
+    * fixed 7 ASCII bytes — "GB1" + zero-padded 4-digit schema id — so the
+    * byte arithmetic is reproducible in any SQL engine (no endianness, no
+    * hex). This is what the reference's pluggable `ISerializer` reduces to
+    * when the codec is not JSON: the store moves byte[] it cannot read,
+    * and readers dispatch on the envelope's schema id
+    * (ICassandraEventStoreSettings.cs:6 — the serializer is settings-
+    * injected, one per deployment, identified only by its output bytes). */
+  def encodeEnvelope(payload: Column, schemaId: Column): Column =
+    concat(
+      lit(EnvelopeMagic).cast("binary"),
+      lpad(schemaId.cast("string"), 4, "0").cast("binary"),
+      payload.cast("binary"))
+
+  def encodeEnvelope(payload: Column, schemaId: Int): Column =
+    encodeEnvelope(payload, lit(schemaId))
+
+  /** Decode the envelope into `struct(schema_id INT, payload BINARY)`.
+    * Bytes without the magic get a NULL schema_id and pass through
+    * unchanged — the caller's dead-letter/legacy route; nothing is ever
+    * dropped or re-encoded at this boundary. */
+  def decodeEnvelope(data: Column): Column = {
+    val bin = data.cast("binary")
+    val isEnv = substring(bin, 1, 3).cast("string") === EnvelopeMagic
+    struct(
+      when(isEnv, substring(bin, 4, 4).cast("string").cast("int")).as("schema_id"),
+      when(isEnv, bin.substr(lit(8), length(bin) - 7)).otherwise(bin).as("payload"))
+  }
 }

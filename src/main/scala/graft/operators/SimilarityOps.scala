@@ -276,9 +276,9 @@ object SimilarityOps {
     * (`nPlanes >= 1`), which keeps the WHOLE decision oracle-reproducible:
     * the hyperplane signs are XXH64 constants inlined into the DuckDB SQL
     * (rhpSignsSql), unlike k-means cells whose assignment depends on
-    * data-derived driver state. The paper's k-means blocking is the
-    * drop-in `assignCells(ivfCentroids(...))` variant — the join shape is
-    * identical. `nPlanes = 0` disables blocking (single block = exact
+    * data-derived driver state. The paper's k-means blocking is
+    * [[semanticDedupKMeans]] — same drop rule and join shape, different
+    * block key. `nPlanes = 0` disables blocking (single block = exact
     * all-pairs truth; one join task — verification-scale only, like
     * g_embed_pairs' quadratic blocks).
     *
@@ -299,12 +299,51 @@ object SimilarityOps {
     val b = embeddings
       .select(
         (if (nPlanes >= 1) VectorFns.rhpBucket(VectorFns.toDouble(col(vecCol)), nPlanes)
-         else lit(0)).as("lsh_bucket"),
+         else lit(0)).as("block"),
         col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
       .transform(Checkpoints.pin(_, reliable))
-    val l = b.select(col("lsh_bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = b.select(col("lsh_bucket"), col("id").as("id2"), col("v").as("v2"))
-    val losers = l.join(r, Seq("lsh_bucket")).filter(col("id1") < col("id2"))
+    dedupWithinBlocks(embeddings, b, threshold, idCol)
+  }
+
+  /** SemDeDup with the paper's k-means blocking (Abbas et al. §2: cluster
+    * with k-means, dedup within clusters): the identical drop rule and
+    * block-join shape as [[semanticDedup]], with blocks = nearest-centroid
+    * cells (`assignCells` over `ivfCentroids`) instead of hyperplane
+    * buckets. Cells are data-derived driver state, so this variant's
+    * decisions are not reproducible from inlined constants by an
+    * independent SQL oracle; its gates are the blocking-approximation
+    * invariants (g_semdedup_kmeans): every dropped vector names an earlier
+    * true near-duplicate (which is exactly losers ⊆ exact-losers, i.e. the
+    * kept set is a superset of g_semdedup_exact's), plus the fixture-level
+    * superset spec shared with the LSH variant. */
+  def semanticDedupKMeans(
+      embeddings: DataFrame,
+      threshold: Double,
+      k: Int = 16,
+      nIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      reliable: Boolean = false): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val centroids = ivfCentroids(embeddings, k, nIters, idCol, vecCol)
+    val b = assignCells(
+        embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v")),
+        centroids)
+      .select(col("cell").as("block"), col("id"), col("v"))
+      .transform(Checkpoints.pin(_, reliable))
+    dedupWithinBlocks(embeddings, b, threshold, idCol)
+  }
+
+  /** Shared SemDeDup core: block-keyed self-join (never all-pairs when the
+    * blocking is real) → min(id1) per id2 (the earliest near-dup each
+    * loser loses to) → left join back onto the full id set. Two shuffles;
+    * the pair list never leaves the executors. `blocked` columns:
+    * (block, id, v). */
+  private def dedupWithinBlocks(
+      embeddings: DataFrame, blocked: DataFrame, threshold: Double, idCol: String): DataFrame = {
+    val l = blocked.select(col("block"), col("id").as("id1"), col("v").as("v1"))
+    val r = blocked.select(col("block"), col("id").as("id2"), col("v").as("v2"))
+    val losers = l.join(r, Seq("block")).filter(col("id1") < col("id2"))
       .filter(NumFns.floorAt(GraftFunctions.cosine(col("v1"), col("v2")), 4) >= threshold)
       .groupBy(col("id2").as(idCol))
       .agg(min(col("id1")).as("dup_of"))

@@ -64,4 +64,66 @@ class DerivedLongBoundsSpec extends SparkSpec {
     val want = (-3000L to 3000L).filter(v => v / 1000 > 0 && v / 1000 < 2).toSet
     assert(got == want) // [1000, 1999]
   }
+
+  test("property: random division shapes stay correct with the rule active") {
+    // end-to-end through the OPTIMIZER, not just the bound math
+    // (PropertySpec pins that): random divisor (positive, negative — which
+    // the rule must leave alone), comparison op, operand side, floor vs
+    // truncate semantics, Int vs Long literal, optional no-op cast around
+    // the division — every combination must return exactly the rows plain
+    // Scala arithmetic says, with DerivedLongBounds registered on the
+    // session.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val xsRange = (-4000L to 4000L)
+    val df = xsRange.toDF("x").cache()
+    df.count(): Unit
+
+    val gen = for {
+      d <- Gen.oneOf(Gen.choose(1L, 3000L), Gen.oneOf(-1000L, -7L, -1L))
+      b <- Gen.choose(-9L, 9L)
+      op <- Gen.oneOf("geq", "gt", "leq", "lt", "eq")
+      floorSem <- Gen.oneOf(true, false)
+      litIsInt <- Gen.oneOf(true, false)
+      flip <- Gen.oneOf(true, false)
+      castWrap <- Gen.oneOf(true, false)
+    } yield (d, b, op, floorSem, litIsInt, flip, castWrap)
+
+    val prop = Prop.forAll(gen) { case (d, b, op, floorSem, litIsInt, flip, castWrap) =>
+      val div0 = if (floorSem) TimeFns.ldiv(col("x"), d) else expr(s"x DIV $d")
+      val divCol = if (castWrap) div0.cast("long") else div0
+      val bLit = if (litIsInt) lit(b.toInt) else lit(b)
+      val cond = (op, flip) match {
+        case ("geq", false) => divCol >= bLit
+        case ("gt", false)  => divCol > bLit
+        case ("leq", false) => divCol <= bLit
+        case ("lt", false)  => divCol < bLit
+        case ("eq", false)  => divCol === bLit
+        case ("geq", true)  => bLit >= divCol
+        case ("gt", true)   => bLit > divCol
+        case ("leq", true)  => bLit <= divCol
+        case ("lt", true)   => bLit < divCol
+        case ("eq", true)   => bLit === divCol
+      }
+      val got = df.filter(cond).collect().map(_.getLong(0)).toSet
+      def q(x: Long) = if (floorSem) Math.floorDiv(x, d) else x / d
+      val want = xsRange.filter { x =>
+        (op, flip) match {
+          case ("geq", false) => q(x) >= b
+          case ("gt", false)  => q(x) > b
+          case ("leq", false) => q(x) <= b
+          case ("lt", false)  => q(x) < b
+          case ("eq", false)  => q(x) == b
+          case ("geq", true)  => b >= q(x)
+          case ("gt", true)   => b > q(x)
+          case ("leq", true)  => b <= q(x)
+          case ("lt", true)   => b < q(x)
+          case ("eq", true)   => b == q(x)
+        }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+    df.unpersist(): Unit
+  }
 }

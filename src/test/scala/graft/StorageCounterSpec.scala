@@ -133,6 +133,29 @@ class StorageCounterSpec extends SparkSpec {
     assert(encoded == """{"k":87}""")
   }
 
+  test("binary envelope serializer: byte-exact round trip, dead-letter passthrough") {
+    import graft.operators.SerdeOps
+    // payload bytes are OPAQUE — include non-UTF8 bytes to pin that the
+    // envelope never reinterprets them
+    val raw = Array[Byte](0x00, 0x7F, -1, -128, 42)
+    val rows = Seq((1L, raw), (2L, "plain bytes, no envelope".getBytes))
+      .toDF("event_id", "payload")
+    // enveloped: round trip restores schema id and the exact bytes
+    val rt = rows.filter(col("event_id") === 1)
+      .select(SerdeOps.decodeEnvelope(
+        SerdeOps.encodeEnvelope(col("payload"), 7)).as("env"))
+      .select(col("env.schema_id"), col("env.payload")).head
+    assert(rt.getInt(0) == 7)
+    assert(rt.getAs[Array[Byte]](1).sameElements(raw))
+    // non-envelope bytes: NULL schema id, payload unchanged (dead-letter
+    // route — the boundary drops/mutates nothing)
+    val dl = rows.filter(col("event_id") === 2)
+      .select(SerdeOps.decodeEnvelope(col("payload")).as("env"))
+      .select(col("env.schema_id"), col("env.payload")).head
+    assert(dl.isNullAt(0))
+    assert(new String(dl.getAs[Array[Byte]](1)) == "plain bytes, no envelope")
+  }
+
   test("index-record delete anti-joins on the full primary key") {
     val idx = Seq(
       ("click", 2024001, "a".getBytes, 1, 0, 100L),

@@ -277,4 +277,28 @@ class TemporalCurationSpec extends SparkSpec {
     assert(exact.subsetOf(blocked))
     assert(exact.size < 40) // the threshold actually bites on this fixture
   }
+
+  test("semanticDedupKMeans: superset of exact keepers, every drop names a true near-dup") {
+    // the paper's k-means blocking must satisfy the same approximation
+    // contract as the LSH blocking: cells only REMOVE candidate pairs, so
+    // the kept set is a superset of the exact rule's, and each dropped
+    // vector's dup_of is a genuine earlier near-duplicate
+    val emb = (1 to 40).map { i =>
+      val r = math.toRadians(i * 9.0)
+      (i.toLong, Seq(math.cos(r).toFloat, math.sin(r).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = SimilarityOps.semanticDedup(emb, threshold = 0.9, nPlanes = 0)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    val km = SimilarityOps.semanticDedupKMeans(emb, threshold = 0.9, k = 4, nIters = 2)
+    val kmKept = km.filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(exact.subsetOf(kmKept))
+    assert(exact.size < 40)
+    // validity of every drop: dup_of < vec_id and cosine >= threshold
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    km.filter(!col("kept")).select("vec_id", "dup_of").collect().foreach { r =>
+      val (id, dupOf) = (r.getLong(0), r.getLong(1))
+      assert(dupOf < id)
+      assert(SimilarityOps.cosineOf(vecs(dupOf), vecs(id)) >= 0.9)
+    }
+  }
 }
