@@ -1323,6 +1323,28 @@ object SparkEntry {
       TextOps.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
+    "g_quality_bigram" -> { (s, dir) => // bigram-LM quality score (CCNet-
+      // style perplexity filter one Markov order up): per-doc mean
+      // log P(w2|w1), MLE pair/context counts, decimal quantize-then-sum
+      TextOps.bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    "g_oov_rate" -> { (s, dir) => // tokenizer-fit report: per-doc OOV
+      // fraction against the corpus top-100 vocabulary (deterministic
+      // count-desc/token-asc cut); vocab broadcasts, token stream never
+      // shuffles on the token key
+      TextOps.oovRate(Tables.documents(s, dir), vocabSize = 100).orderBy(col("doc_id"))
+    },
+
+    "g_hard_negatives" -> { (s, dir) => // contrastive-training hard
+      // negatives: per probe, top-10 most-similar DIFFERENT-label vectors
+      // (label inequality rides the broadcast join condition)
+      SimilarityOps.hardNegatives(
+          Tables.embeddings(s, dir),
+          Tables.embeddings(s, dir).filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     "g_length_quantiles" -> { (s, dir) => // corpus length distribution
       val fl = (c: org.apache.spark.sql.Column) =>
         graft.functions.NumFns.floorAt(c, 4)
@@ -2826,6 +2848,55 @@ object SparkEntry {
         |                   AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_logprob
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g_quality_bigram" ->
+      // pairs via 1-based list indexing (range(1, len) = positions of
+      // bigram left-sides); context count = bigram left-side count, so
+      // edge effects cancel exactly as in the Spark window-lead pairs
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i + 1]])) AS pr
+        |        FROM t)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       floor((CAST(sum(CAST(ln(CAST(c2 AS DOUBLE) / c1) AS DECIMAL(18,8)))
+        |                   AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_logprob
+        |FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM toks GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 100)),
+        |marked AS (
+        |  SELECT doc_id, CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END AS oov
+        |  FROM toks LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       floor((sum(oov) / count(*)) * 1000000) / 1000000 AS oov_frac
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g_hard_negatives" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, label AS probe_label, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT probe_id, e.vec_id, e.label,
+        |         floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), pv) /
+        |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(pv, pv)))) * 10000) / 10000 AS sim
+        |  FROM embeddings e JOIN probes
+        |    ON e.vec_id <> probe_id AND e.label <> probe_label),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, label, sim,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, label, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
     "q_asof_lastview" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id

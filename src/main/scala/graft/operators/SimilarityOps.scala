@@ -467,4 +467,34 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("probe_id", "vec_id", "sim", "rank")
   }
+
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * probe, the k corpus vectors MOST similar to it whose label differs —
+    * the similar-but-wrong examples a contrastive objective learns the
+    * most from (in-batch random negatives are trivially dissimilar at
+    * scale; mined hard negatives are the standard fix — e.g. DPR,
+    * Karpukhin et al. 2020, §3 "hard negatives").
+    *
+    * Plan: the same bounded-probe broadcast nested-loop + per-probe
+    * window as [[batchTopK]]; the label-inequality rides the join
+    * condition, so mismatched pairs are discarded before the cosine is
+    * evaluated. At corpus scale the probe batch stays the broadcast side
+    * and the scan parallelizes over the corpus — no shuffle before the
+    * per-probe top-k window over k·|probes| candidates. */
+  def hardNegatives(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(
+      col("vec_id"), col("label"), VectorFns.toDouble(col("embedding")).as("v"))
+    val p = probes.select(
+      col("vec_id").as("probe_id"), col("label").as("probe_label"),
+      VectorFns.toDouble(col("embedding")).as("pv"))
+    import org.apache.spark.sql.expressions.Window
+    e.join(broadcast(p),
+        col("vec_id") =!= col("probe_id") && col("label") =!= col("probe_label"))
+      .withColumn("sim", NumFns.floorAt(GraftFunctions.cosine(col("v"), col("pv")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("probe_id", "vec_id", "label", "sim", "rank")
+  }
 }

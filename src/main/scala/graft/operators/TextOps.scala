@@ -275,6 +275,64 @@ object TextOps {
           sum(lp).cast("double") / count(lit(1)).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Corpus bigram-LM quality score — the CCNet-style perplexity filter
+    * one Markov order above [[unigramLogProb]]: per-doc mean of
+    * log P(tok_i | tok_{i-1}) with corpus MLE estimates
+    * c(w1,w2) / c(w1,·) over consecutive token pairs (contexts counted as
+    * bigram left-sides, so edge effects cancel exactly).
+    *
+    * Plan: window-lead pair rows (doc-keyed window — bounded by document
+    * length, never corpus-keyed) → two hash aggregations for pair and
+    * context counts (map-side combined) → pair-keyed join back → per-doc
+    * aggregation. Per-pair logs quantize to DECIMAL(18,8) BEFORE summing,
+    * the same order-free-exact-sum convention as unigramLogProb. Docs
+    * with fewer than two tokens have no bigrams and drop out, matching
+    * the SQL GROUP BY over pairs. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("p", "w1")))
+    val pairs = toks
+      .withColumn("w2",
+        lead(col("w1"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val pairFreq = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctxFreq = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lp = log(col("c2").cast("double") / col("c1").cast("double"))
+      .cast("decimal(18,8)")
+    pairs.join(pairFreq, Seq("w1", "w2")).join(ctxFreq, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        NumFns.floorAt(
+          sum(lp).cast("double") / count(lit(1)).cast("double"), 4).as("avg_logprob"))
+  }
+
+  /** Tokenizer-fit / out-of-vocabulary report: per-doc fraction of tokens
+    * outside the corpus' top-`vocabSize` vocabulary (count desc, token asc
+    * tie-break — fully deterministic cut). The vocabulary-coverage pass a
+    * tokenizer-training pipeline runs before freezing a vocab: a rising
+    * OOV fraction on new data is the retrain signal.
+    *
+    * Plan: one hash agg for the corpus frequency table, a bounded
+    * (vocabSize-row) sort-limit, then a BROADCAST left join of the token
+    * stream against the vocab — per-doc agg; the token stream is never
+    * shuffled on the token key. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        NumFns.floorAt(
+          sum(when(col("in_vocab").isNull, 1.0).otherwise(0.0))
+            / count(lit(1)).cast("double"), 6).as("oov_frac"))
+  }
+
   /** Sketch-based vocabulary cardinality: HLL++ distinct-token estimate
     * per language. The 100 TB point of the sketch: the partial aggregate
     * is a FIXED-SIZE register set (map-side combined, bytes per
