@@ -196,6 +196,29 @@ object Generations {
     promote(spark, root, m, currentVersion(spark, root)): Unit
   }
 
+  /** Optimistic-concurrency retry loop around a read-modify-write promote:
+    * `body` receives the table state it must base its new manifest on
+    * (never cached across attempts — each retry re-reads) and is re-run
+    * from fresh state when its final [[promote]] (or any promote inside
+    * it, e.g. via [[deleteAndPromote]]) loses the CAS. This is the loser's
+    * documented recovery path made into an operator, mirroring how the
+    * reference's callers re-issue a batch after a Cassandra write-conflict
+    * (per-partition LWT/batch atomicity, CassandraEventStore.cs:67-70).
+    * Backoff-free by design: the conflict window is one small-file commit,
+    * and the caller count is writers-per-table, not queries. */
+  def withConflictRetry[T](maxAttempts: Int = 5)(body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: ManifestConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private val SnapName = "m-(\\d+)".r
 
   /** Promote versions with a retained snapshot, ascending. */
@@ -310,10 +333,7 @@ object Generations {
     // not re-list paths mid-flight
     val survivors = Storage.deleteEvents(slices, tombstones).localCheckpoint(true)
     val gen = nextGeneration(spark, root)
-    survivors
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(s"$root/$gen")
+    writeGeneration(survivors, root, gen)
     val survivorBuckets = survivors.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     val entries = (m.entries -- affected) ++ survivorBuckets.map(_ -> gen)
@@ -328,15 +348,30 @@ object Generations {
   def compactAndPromote(spark: SparkSession, root: String): String = {
     val baseVersion = currentVersion(spark, root)
     val gen = nextGeneration(spark, root)
-    readCurrent(spark, root)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(s"$root/$gen")
+    writeGeneration(readCurrent(spark, root), root, gen)
     val buckets = spark.read.parquet(s"$root/$gen")
       .select(col("bucket")).distinct().collect().map(_.getInt(0))
     promote(spark, root, Manifest(buckets.map(_ -> gen).toMap), baseVersion): Unit
     gen
   }
+
+  /** Write a generation directory (bucket-partitioned, sorted within
+    * buckets, error-if-exists). Racing writers can pick the same
+    * [[nextGeneration]] name; the loser's path collision surfaces as a
+    * retryable [[ManifestConflictException]], same as losing the manifest
+    * CAS — [[withConflictRetry]] handles both uniformly. */
+  private def writeGeneration(rows: DataFrame, root: String, gen: String): Unit =
+    try {
+      rows
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("id"), col("rev"), col("pos"))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(s"$root/$gen")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        throw new ManifestConflictException(
+          s"generation $gen under $root was claimed by a racing writer; retry", e)
+    }
 
   /** Retention-aware vacuum: keep the newest `keepVersions` promote
     * snapshots and every generation any of them references; prune older

@@ -184,6 +184,40 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.manifestVersions(spark, root) == Seq(1, 2, 3))
   }
 
+  test("concurrent deleteAndPromote under withConflictRetry: both deletes land") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = tmpDir() + "/events"
+    // 64 buckets: "a" and "b" land in different buckets, but the retry
+    // path is exercised regardless — both writers race the same manifest
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    def submitDelete(victim: String) =
+      pool.submit(new java.util.concurrent.Callable[Option[String]] {
+        def call(): Option[String] = {
+          start.await()
+          Generations.withConflictRetry() {
+            Generations.deleteAndPromote(spark, root, mkTomb(Seq((victim, 1, 0))))
+          }
+        }
+      })
+    val fa = submitDelete("a")
+    val fb = submitDelete("b")
+    start.countDown()
+    assert(fa.get(120, TimeUnit.SECONDS).nonEmpty)
+    assert(fb.get(120, TimeUnit.SECONDS).nonEmpty)
+    pool.shutdown()
+
+    // serializability: the final state reflects BOTH deletes — neither
+    // writer silently overwrote the other's promote
+    val cur = Generations.readCurrent(spark, root)
+    assert(cur.count() == 7)
+    assert(cur.filter(col("id") === lit("a".getBytes) && col("rev") === 1).count() == 0)
+    assert(cur.filter(col("id") === lit("b".getBytes) && col("rev") === 1).count() == 0)
+    assert(cur.filter(col("id") === lit("c".getBytes)).count() == 3)
+  }
+
   test("two racing promoters: exactly one wins, the loser's conflict is retryable") {
     import graft.sources.ManifestConflictException
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
