@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineDescription)
     ext.injectFunction(graft.plans.IntersectionSize.description)
     ext.injectFunction(graft.plans.PolyFingerprint.description)
+    ext.injectFunction(graft.plans.Fnv64.description)
     // derived-column pushdown: filters on ts_us (= floor(ts/1000)) gain
     // raw-nanos scan bounds — see plans.DerivedLongBounds
     ext.injectOptimizerRule(_ => graft.plans.DerivedLongBounds)

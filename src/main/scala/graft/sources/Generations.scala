@@ -129,32 +129,9 @@ object Generations {
       :+ s"# promote v$next by ${java.util.UUID.randomUUID()}")
       .mkString("", "\n", "\n").getBytes("UTF-8")
     val snapPath = new Path(root, f"$ManifestDir/m-$next%08d")
-    val tmp = new Path(root, s"$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(body) finally out.close()
-    try {
-      if (f.getUri.getScheme == "file") {
-        // local FS: rename-without-overwrite is check-then-act in Hadoop's
-        // LocalFs (two racing writers can both pass the check, and the
-        // .crc sidecar renames separately from the data file), so the only
-        // truly atomic create-if-absent the OS offers is a hard link —
-        // link(2) fails with EEXIST atomically
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(snapPath.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath)): Unit
-        f.delete(tmp, false): Unit
-      } else {
-        // HDFS: rename-without-overwrite is atomic under the namenode
-        // lock; object stores swap in a conditional PUT on the key
-        FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, snapPath, Options.Rename.NONE)
-      }
-    } catch {
-      case e: java.io.IOException =>
-        f.delete(tmp, false)
-        throw new ManifestConflictException(
-          s"promote of $root lost the race for v$next; re-read state and retry", e)
-    }
+    if (!atomicCreateIfAbsent(spark, f, snapPath, body))
+      throw new ManifestConflictException(
+        s"promote of $root lost the race for v$next; re-read state and retry")
     // belt-and-braces for non-local schemes whose no-overwrite rename is
     // weaker than documented: confirm OUR bytes are what v<next> holds
     val readBack = {
@@ -168,6 +145,40 @@ object Generations {
           "re-read state and retry")
     refreshCurrent(spark, root)
     next
+  }
+
+  /** The shared atomic create-if-absent primitive (both CAS points — the
+    * manifest snapshot and the generation-name claim — commit through
+    * it): write the body to a temp sibling, then transfer it to `target`
+    * failing if `target` exists. Local FS: hard link — link(2) fails with
+    * EEXIST atomically, where Hadoop's LocalFs no-overwrite rename is
+    * check-then-act and its .crc sidecar renames separately. HDFS:
+    * rename-without-overwrite (atomic under the namenode lock). Object
+    * stores swap in a conditional PUT on the key. Returns whether THIS
+    * caller created the target; the temp file never survives. */
+  private def atomicCreateIfAbsent(
+      spark: SparkSession, f: FileSystem, target: Path, body: Array[Byte]): Boolean = {
+    val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body) finally out.close()
+    try {
+      if (f.getUri.getScheme == "file") {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath)): Unit
+        f.delete(tmp, false): Unit
+      } else {
+        FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, target, Options.Rename.NONE)
+      }
+      true
+    } catch {
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        // lost the race only if someone's target actually exists;
+        // anything else (permissions, disk) is a real error, not a CAS loss
+        if (f.exists(target)) false else throw e
+    }
   }
 
   /** Refresh the `_CURRENT` cache from the newest snapshot (write-temp +
@@ -244,17 +255,47 @@ object Generations {
   private def genNumber(name: String): Option[Int] =
     name match { case GenName(d) => d.toIntOption; case _ => None }
 
-  /** Next unused generation directory name (monotonic counter over existing
-    * `g-*` dirs). Racing writers may pick colliding names; the loser fails
-    * at its `SaveMode.ErrorIfExists` data write or at [[promote]] — both
-    * before any committed state is damaged (directories are write-once). */
+  /** A claim marker name for generation number `n`. Markers make the
+    * generation-name grab a CAS instead of a check-then-act: two writers
+    * that both computed the same next number would otherwise race
+    * `SaveMode.ErrorIfExists`' existence check and collide MID-WRITE
+    * inside one directory (TASK_WRITE_FAILED, not a clean conflict). */
+  private def claimPath(root: String, n: Int): Path =
+    new Path(root, f".g-$n%08d.claim")
+
+  private val ClaimName = "\\.g-(\\d+)\\.claim".r
+
+  private def claimedNumber(name: String): Option[Int] =
+    name match { case ClaimName(d) => d.toIntOption; case _ => None }
+
+  /** Next unused generation number, counting both existing directories
+    * and outstanding claims (a crashed writer's orphan claim just skips
+    * a number — harmless). */
   def nextGeneration(spark: SparkSession, root: String): String = {
     val f = fs(spark, root)
     val p = new Path(root)
     val existing =
       if (!f.exists(p)) Array.empty[Int]
-      else f.listStatus(p).map(_.getPath.getName).flatMap(genNumber)
+      else f.listStatus(p).map(_.getPath.getName)
+        .flatMap(n => genNumber(n).orElse(claimedNumber(n)))
     f"g-${(if (existing.isEmpty) 0 else existing.max) + 1}%08d"
+  }
+
+  /** Atomically claim a fresh generation directory name: create-if-absent
+    * on the claim marker, advancing past numbers other writers grab
+    * concurrently. After this returns, the name is exclusively owned and
+    * the data write cannot collide with a racing writer's. */
+  def claimGeneration(spark: SparkSession, root: String): String = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root)): Unit
+    var name = nextGeneration(spark, root)
+    var n = name.stripPrefix("g-").toInt
+    while (!atomicCreateIfAbsent(spark, f, claimPath(root, n),
+        s"claimed ${java.util.UUID.randomUUID()}\n".getBytes("UTF-8"))) {
+      n += 1
+      name = f"g-$n%08d"
+    }
+    name
   }
 
   /** Bootstrap: land `rows` (canonical event columns) as generation 1 and
@@ -262,7 +303,7 @@ object Generations {
   def bootstrap(
       spark: SparkSession, root: String, rows: DataFrame,
       nBuckets: Int = Storage.DefaultBuckets): Unit = {
-    val gen = nextGeneration(spark, root)
+    val gen = claimGeneration(spark, root)
     Storage.appendEvents(rows, s"$root/$gen", nBuckets)
     val buckets = spark.read.parquet(s"$root/$gen")
       .select(col("bucket")).distinct().collect().map(_.getInt(0))
@@ -332,7 +373,7 @@ object Generations {
     // but the plan still reads the old one — cut it so the write job does
     // not re-list paths mid-flight
     val survivors = Storage.deleteEvents(slices, tombstones).localCheckpoint(true)
-    val gen = nextGeneration(spark, root)
+    val gen = claimGeneration(spark, root)
     writeGeneration(survivors, root, gen)
     val survivorBuckets = survivors.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -347,7 +388,7 @@ object Generations {
     * until `vacuum`. */
   def compactAndPromote(spark: SparkSession, root: String): String = {
     val baseVersion = currentVersion(spark, root)
-    val gen = nextGeneration(spark, root)
+    val gen = claimGeneration(spark, root)
     writeGeneration(readCurrent(spark, root), root, gen)
     val buckets = spark.read.parquet(s"$root/$gen")
       .select(col("bucket")).distinct().collect().map(_.getInt(0))
@@ -397,7 +438,13 @@ object Generations {
     }
     val dead = f.listStatus(new Path(root)).map(_.getPath.getName)
       .filter(n => genNumber(n).isDefined && !live.contains(n)).toSeq.sorted
-    dead.foreach(n => f.delete(new Path(root, n), true): Unit)
+    dead.foreach { n =>
+      f.delete(new Path(root, n), true): Unit
+      // the name's claim marker goes with its directory; orphan claims of
+      // crashed writers (marker, no directory) are left alone — numbering
+      // skips them, and an in-flight writer may still own one
+      genNumber(n).foreach(num => f.delete(claimPath(root, num), false): Unit)
+    }
     dead
   }
 }

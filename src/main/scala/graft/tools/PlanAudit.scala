@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
   * broadcast / cartesian / nested-loop / sort-merge counts of each
   * executed plan — the quick scale-smell check (a CartesianProduct or an
   * unexpected SortMergeJoin where a broadcast was intended shows up as a
-  * count, without reading full explain output).
+  * count, without reading full explain output). [[ExplainAudit]] is the
+  * companion that prints the full formatted plans once a count here
+  * looks wrong.
   *
   * Usage: runMain graft.tools.PlanAudit q_index_join g_dedup_minhash ...
-  * (SPARK_GRAFT_SF_DIR overrides the default sf0.01 fixture dir.)
+  * (no args = all queries; SPARK_GRAFT_SF_DIR overrides the fixture dir.)
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -205,8 +205,10 @@ class GenerationsSpec extends SparkSpec {
     val fa = submitDelete("a")
     val fb = submitDelete("b")
     start.countDown()
-    assert(fa.get(120, TimeUnit.SECONDS).nonEmpty)
-    assert(fb.get(120, TimeUnit.SECONDS).nonEmpty)
+    // generous: two threads of real Spark jobs share the test session with
+    // whatever else the suite run has in flight on a loaded host
+    assert(fa.get(300, TimeUnit.SECONDS).nonEmpty)
+    assert(fb.get(300, TimeUnit.SECONDS).nonEmpty)
     pool.shutdown()
 
     // serializability: the final state reflects BOTH deletes — neither
@@ -239,7 +241,7 @@ class GenerationsSpec extends SparkSpec {
       })
     }
     start.countDown()
-    val outcomes = results.map(_.get(60, TimeUnit.SECONDS))
+    val outcomes = results.map(_.get(300, TimeUnit.SECONDS))
     pool.shutdown()
 
     val winners = outcomes.collect { case Right(v) => v }
