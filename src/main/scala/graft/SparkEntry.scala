@@ -1014,6 +1014,15 @@ object SparkEntry {
       TextOps.tokenHeavyHitters(Tables.documents(s, dir), k = 10)
     },
 
+    "g_sketch_quantiles" -> { (s, dir) => // third sketch-family member:
+      // per-language length quantiles via approx_percentile (fixed-size
+      // mergeable GK state vs the exact path's full per-group multiset),
+      // gated on the GK RANK contract — definition-convention-immune:
+      // the true rank of each sketch output must sit within p*n ± n/acc+1,
+      // booleans pinned by the oracle
+      TextOps.quantileSketchGate(Tables.documents(s, dir)).orderBy(col("lang"))
+    },
+
     "g_embed_pca" -> { (s, dir) => // PCA dimension reduction (64 -> 8)
       // invariant-gated: covariance via one distributed pass (d^2 driver
       // state), eigen on the driver, projection per-row. The gate row
@@ -2327,6 +2336,12 @@ object SparkEntry {
       """SELECT tok, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
+
+    "g_sketch_quantiles" ->
+      // the rank-contract booleans must hold for any correct quantile
+      // sketch at this accuracy; sizes pin the sketch ran per group
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, true AS rank_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "g_embed_pca" ->
       // the invariant gate: the booleans must hold for ANY correct PCA of

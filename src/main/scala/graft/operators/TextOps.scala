@@ -402,6 +402,46 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
 
+  /** Quantile SKETCH with a self-verifying rank gate — the third member
+    * of the sketch family (HLL cardinality, frequent-items top-k, and
+    * now quantiles): per-language length quantiles from
+    * `approx_percentile` (Spark's GK summary — fixed-size map-side
+    * partial state, mergeable, deterministic), where the exact
+    * percentile needs the full value multiset per group.
+    *
+    * The gate is rank-based, not value-based, so it is immune to the
+    * engines' differing percentile-definition conventions: each sketch
+    * output q at fraction p over n values occupies the exact rank
+    * INTERVAL [count(< q) + 1, count(<= q)] (an interval because of
+    * ties), and the GK contract promises it intersects
+    * p*n ± (n/accuracy + 1). The oracle pins the booleans true and the
+    * group sizes; a sketch regression (or accuracy misconfiguration)
+    * flips a boolean. Exact-rank verification joins the corpus once —
+    * a verification-scale companion, like every other gate's exact
+    * side; production reads just the sketch aggregate. */
+  def quantileSketchGate(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val sk = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      expr(s"approx_percentile(n_chars, array(${ps.mkString(", ")}), $accuracy)").as("qs"))
+    val rankCols = ps.indices.flatMap(i => Seq(
+      sum(when(col("n_chars") < col("qs")(i), 1L).otherwise(0L)).as(s"lt$i"),
+      sum(when(col("n_chars") <= col("qs")(i), 1L).otherwise(0L)).as(s"le$i")))
+    val ranks = docs.select(col("lang"), col("n_chars"))
+      .join(sk.select(col("lang"), col("qs")), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(rankCols.head, rankCols.tail: _*)
+    val err = col("n_docs").cast("double") / accuracy + 1.0
+    val ok = ps.indices.map { i =>
+      val target = col("n_docs").cast("double") * ps(i)
+      // [lt+1, le] must intersect [target - err, target + err]
+      (col(s"le$i").cast("double") >= target - err) &&
+        (col(s"lt$i").cast("double") + 1.0 <= target + err)
+    }.reduce(_ && _)
+    sk.join(ranks, Seq("lang"))
+      .select(col("lang"), col("n_docs"), ok.as("rank_ok"))
+  }
+
   /** Content fingerprints: cryptographic (md5 of normalized text) +
     * rolling hashes — the engine-local xxhash token fold for shard-local
     * joins and the char-level polynomial variant whose arithmetic is
