@@ -184,6 +184,28 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.manifestVersions(spark, root) == Seq(1, 2, 3))
   }
 
+  test("legacy _CURRENT-only root: readable, and the first promote starts the log") {
+    // a root written before the manifest log existed has _CURRENT but no
+    // _manifests/ — readManifest must fall back to it, and the next
+    // promote must upgrade the root to the CAS log without losing state
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b"), nRevs = 2), nBuckets = 4)
+    // strip the log, leaving only the _CURRENT cache (legacy shape)
+    val mdir = new java.io.File(s"$root/${Generations.ManifestDir}")
+    mdir.listFiles().foreach(f => assert(f.delete()))
+    assert(mdir.delete())
+    assert(Generations.currentVersion(spark, root) == 0)
+    val legacy = Generations.readManifest(spark, root)
+    assert(legacy.nonEmpty && legacy.get.entries.nonEmpty)
+    assert(Generations.readCurrent(spark, root).count() == 4)
+
+    // first write on the legacy root commits v1 and preserves the state
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("a", 1, 0))), nBuckets = 4)
+    assert(Generations.manifestVersions(spark, root) == Seq(1))
+    assert(Generations.readCurrent(spark, root).count() == 3)
+    assert(Generations.readAt(spark, root, 1).count() == 3)
+  }
+
   test("concurrent deleteAndPromote under withConflictRetry: both deletes land") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val root = tmpDir() + "/events"
