@@ -36,9 +36,11 @@ object Bench {
     // write→read reassembly shape no other family exercises (its r7 record
     // was 10.3s against a 1.1s steady state — pure uncovered warmup);
     // q_stream_counters boots the micro-batch/state-store machinery the
-    // six streaming fixtures share.
+    // six streaming fixtures share; g_chunk_windows covers the map-only
+    // tokenize+explode shape (its r8 record was 4.6s against a 0.7s steady
+    // state — the alphabetically-first query was absorbing this warmup).
     Seq("q_min_ts", "g_curation", "q_sessionize", "g_sim_topk",
-        "q_commit_split", "q_stream_counters")
+        "q_commit_split", "q_stream_counters", "g_chunk_windows")
       .foreach(n => try run(n) catch { case _: Throwable => () })
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>

@@ -50,12 +50,20 @@ object SerdeOps {
     encodeEnvelope(payload, lit(schemaId))
 
   /** Decode the envelope into `struct(schema_id INT, payload BINARY)`.
-    * Bytes without the magic get a NULL schema_id and pass through
-    * unchanged — the caller's dead-letter/legacy route; nothing is ever
-    * dropped or re-encoded at this boundary. */
+    * Bytes without a complete, well-formed header — wrong/short magic, or a
+    * header whose 4 id bytes are not digits (the encoder always writes
+    * zero-padded digits) — get a NULL schema_id and pass through unchanged,
+    * the caller's dead-letter/legacy route; nothing is ever dropped or
+    * mutated at this boundary. In particular a short magic-prefixed record
+    * like "GB1x" (< 7 header bytes) is malformed, not an envelope: it takes
+    * the pass-through route with its bytes intact rather than being
+    * truncated to an empty payload. A 7-byte envelope (empty payload) is
+    * valid — encodeEnvelope(empty, id) round-trips. */
   def decodeEnvelope(data: Column): Column = {
     val bin = data.cast("binary")
-    val isEnv = substring(bin, 1, 3).cast("string") === EnvelopeMagic
+    val isEnv = (length(bin) >= 7) &&
+      (substring(bin, 1, 3).cast("string") === EnvelopeMagic) &&
+      substring(bin, 4, 4).cast("string").rlike("^[0-9]{4}$")
     struct(
       when(isEnv, substring(bin, 4, 4).cast("string").cast("int")).as("schema_id"),
       when(isEnv, bin.substr(lit(8), length(bin) - 7)).otherwise(bin).as("payload"))

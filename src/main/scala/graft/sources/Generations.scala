@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * Concurrent writers are safe via optimistic concurrency on the manifest
   * LOG: the versioned snapshot `_manifests/m-<v>` is the commit point,
   * published by write-temp + rename-WITHOUT-overwrite — exactly one writer
-  * can create a given version (atomic on HDFS; the object-store
-  * translation is a conditional PUT / if-none-match on the snapshot key).
+  * can create a given version (atomic on HDFS; object stores inject their
+  * native conditional PUT / if-none-match via [[Generations.withCommitPrimitive]]
+  * — see CommitPrimitive.scala).
   * A loser gets a retryable [[ManifestConflictException]] and must re-read
   * state before retrying (its generation directory is write-once and
   * collision-free, so nothing it wrote needs undoing — it is simply
@@ -110,12 +111,16 @@ object Generations {
     * failing with a retryable [[ManifestConflictException]] if any other
     * writer committed since the caller read `expectedVersion`
     * ([[currentVersion]]). The commit point is an atomic create-if-absent
-    * of the versioned snapshot: rename-WITHOUT-overwrite on HDFS (atomic
-    * under the namenode lock; object stores swap in a conditional PUT on
-    * the snapshot key), hard-link on local filesystems (where Hadoop's
-    * no-overwrite rename is check-then-act). A post-commit read-back
-    * additionally verifies the winner's bytes survived on schemes with
-    * weaker rename guarantees. Returns the committed version. */
+    * of the versioned snapshot through the scheme's [[CommitPrimitive]]:
+    * hard-link on local filesystems (where Hadoop's no-overwrite rename is
+    * check-then-act), rename-WITHOUT-overwrite on HDFS (atomic under the
+    * namenode lock), an injected conditional PUT on object stores
+    * ([[withCommitPrimitive]]). A post-commit read-back additionally
+    * verifies the winner's bytes survived, so even a NON-atomic fallback
+    * primitive (connector rename = copy + last-writer-wins) degrades to
+    * detection — the overwritten writer gets a retryable conflict, never a
+    * silent loss (CommitPrimitiveSpec proves this against a lossy double).
+    * Returns the committed version. */
   def promote(spark: SparkSession, root: String, m: Manifest, expectedVersion: Int): Int = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root, ManifestDir))
@@ -124,6 +129,17 @@ object Generations {
       throw new ManifestConflictException(
         s"promote of $root expected v$expectedVersion but the table is at v$latest; " +
           "re-read state and retry")
+    // lease-expiry guard: every generation the new manifest references must
+    // exist at commit time. Normally trivially true (own claimed+written gen
+    // + gens carried from the live manifest, which vacuum never deletes);
+    // it fires only when a writer stalled past vacuum's orphanGraceMs and
+    // its claimed generation was reclaimed — a loud failure here instead of
+    // a committed manifest pointing at deleted files (silent loss on read).
+    val missing = m.generations.filterNot(g => f.exists(new Path(root, g)))
+    if (missing.nonEmpty)
+      sys.error(s"promote of $root references missing generation(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")} — vacuumed while this writer was " +
+        "stalled past the orphan grace window; re-run the write from current state")
     val next = expectedVersion + 1
     val body = (m.entries.toSeq.sortBy(_._1).map { case (b, g) => s"$b\t$g" }
       :+ s"# promote v$next by ${java.util.UUID.randomUUID()}")
@@ -147,31 +163,35 @@ object Generations {
     next
   }
 
-  /** The shared atomic create-if-absent primitive (both CAS points — the
-    * manifest snapshot and the generation-name claim — commit through
-    * it): write the body to a temp sibling, then transfer it to `target`
-    * failing if `target` exists. Local FS: hard link — link(2) fails with
-    * EEXIST atomically, where Hadoop's LocalFs no-overwrite rename is
-    * check-then-act and its .crc sidecar renames separately. HDFS:
-    * rename-without-overwrite (atomic under the namenode lock). Object
-    * stores swap in a conditional PUT on the key. Returns whether THIS
-    * caller created the target; the temp file never survives. */
+  @volatile private var commitPrimitiveOverride: Option[CommitPrimitive] = None
+
+  /** Run `body` with an injected [[CommitPrimitive]] — an object-store
+    * conditional-PUT implementation, or a test double. Process-wide for the
+    * duration (the layer is an `object`); deployments wire it once at
+    * session setup, specs restore the default in a finally. */
+  def withCommitPrimitive[T](p: CommitPrimitive)(body: => T): T = {
+    val prev = commitPrimitiveOverride
+    commitPrimitiveOverride = Some(p)
+    try body finally commitPrimitiveOverride = prev
+  }
+
+  /** The shared atomic create-if-absent (both CAS points — the manifest
+    * snapshot and the generation-name claim — commit through it): write the
+    * body to a temp sibling, then publish it as `target` through the
+    * [[CommitPrimitive]] for the scheme (local hard link / HDFS no-overwrite
+    * rename / an injected conditional PUT — see CommitPrimitive.scala).
+    * Returns whether THIS caller created the target; the temp file never
+    * survives. */
   private def atomicCreateIfAbsent(
       spark: SparkSession, f: FileSystem, target: Path, body: Array[Byte]): Boolean = {
     val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(body) finally out.close()
+    val primitive = commitPrimitiveOverride.getOrElse(CommitPrimitive.forFileSystem(f))
     try {
-      if (f.getUri.getScheme == "file") {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath)): Unit
-        f.delete(tmp, false): Unit
-      } else {
-        FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, target, Options.Rename.NONE)
-      }
-      true
+      val created = primitive.publish(f, spark.sparkContext.hadoopConfiguration, tmp, target)
+      if (!created) f.delete(tmp, false): Unit
+      created
     } catch {
       case e: java.io.IOException =>
         f.delete(tmp, false)
@@ -382,6 +402,53 @@ object Generations {
     Some(gen)
   }
 
+  /** Append `rows` (canonical event columns: id, rev, pos, ts, data) into
+    * the versioned layout with full multi-writer safety: the touched
+    * buckets' current rows are read, unioned with the new rows, written as
+    * a fresh generation, and promoted in one CAS — O(touched slice) I/O,
+    * like [[deleteAndPromote]], never O(table). Untouched buckets keep
+    * their old generation.
+    *
+    * This is the MVCC tier's append (streaming entry:
+    * `StreamingOps.ingestToVersioned`): an append racing a concurrent
+    * [[deleteAndPromote]]/[[compactAndPromote]] loses the manifest CAS and
+    * [[withConflictRetry]] re-runs it from fresh state, so both commits
+    * land — unlike `Storage.appendEvents`' plain bucketed tier, which is
+    * single-writer. The read-merge-write amplification (a micro-batch
+    * re-writes its buckets' current rows) is the LSM-style price of
+    * one-generation-per-bucket manifests; size streaming triggers so a
+    * batch is a meaningful fraction of its buckets, and let periodic
+    * [[compactAndPromote]] + [[vacuum]] bound generation count. Returns the
+    * new generation, or None for an empty batch. */
+  def appendAndPromote(
+      spark: SparkSession, root: String, rows: DataFrame,
+      nBuckets: Int = Storage.DefaultBuckets): Option[String] = {
+    val baseVersion = currentVersion(spark, root)
+    val entries = readManifest(spark, root).map(_.entries).getOrElse(Map.empty)
+    val incoming = rows
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
+    // touched buckets derived distributed (the writer's hash expression);
+    // the collect is bounded by nBuckets, not by the batch
+    val touched = incoming.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return None
+    val existing = touched.filter(entries.contains).map { b =>
+      spark.read.option("basePath", s"$root/${entries(b)}")
+        .parquet(s"$root/${entries(b)}/bucket=$b")
+    }.reduceOption(_ unionByName _)
+    val merged = existing match {
+      case Some(e) => e.unionByName(incoming.select(e.columns.map(col).toSeq: _*))
+      case None    => incoming
+    }
+    // materialize before writing: the plan reads the old generations the
+    // promote below supersedes — cut it so the write job's input is pinned
+    val pinned = merged.localCheckpoint(true)
+    val gen = claimGeneration(spark, root)
+    writeGeneration(pinned, root, gen)
+    promote(spark, root, Manifest(entries ++ touched.map(_ -> gen)), baseVersion): Unit
+    Some(gen)
+  }
+
   /** Compaction, object-store flavor (cf. `Storage.compact`): rewrite the
     * whole current state as one generation of few large sorted files per
     * bucket, then promote. Old generations remain for in-flight readers
@@ -420,31 +487,68 @@ object Generations {
     * travel inside the window always reads and outside it fails fast at
     * `readAt`'s manifest resolution (no snapshot left pointing at deleted
     * paths). Snapshots are pruned before generations: a crash mid-vacuum
-    * leaves unreferenced-but-present generations (re-vacuumable), never a
-    * readable snapshot with missing data. Run once in-flight readers of
-    * evicted versions have drained — the window length is the caller's
-    * retention policy, like any MVCC vacuum. Returns dropped generations. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Seq[String] = {
+    * leaves superseded-but-present generations (reclaimable via
+    * `orphanGraceMs`, below), never a readable snapshot with missing data.
+    *
+    * Safe under the multi-writer model: only a generation some PRUNED
+    * snapshot referenced is provably superseded, so only those are deleted
+    * unconditionally. A generation NO snapshot ever referenced may be a
+    * racing writer's claimed-and-written-but-not-yet-promoted data — its
+    * promote would still succeed (the manifest CAS sees no version change)
+    * and must not commit deleted files — so never-referenced generations
+    * and their claim markers are left alone by default. Pass a finite
+    * `orphanGraceMs` to also reclaim never-referenced generations whose
+    * directory AND claim marker have been untouched for longer than the
+    * grace window (crashed writers, crash-interrupted vacuums); the window
+    * must comfortably exceed any writer's write-then-promote span — the
+    * same lease-expiry contract as any timeout-based reclaim. Claim markers
+    * of reclaimed orphans are kept (numbering skips them), and a writer
+    * stalled PAST the grace window is caught by [[promote]]'s
+    * missing-generation guard: its commit fails loudly instead of
+    * publishing a manifest that references reclaimed files.
+    *
+    * Run once in-flight READERS of evicted versions have drained — the
+    * window length is the caller's retention policy, like any MVCC vacuum.
+    * Returns dropped generations. */
+  def vacuum(
+      spark: SparkSession, root: String, keepVersions: Int = 1,
+      orphanGraceMs: Long = Long.MaxValue): Seq[String] = {
     require(keepVersions >= 1, s"vacuum must retain the current version (got $keepVersions)")
     val f = fs(spark, root)
     val versions = manifestVersions(spark, root)
     val retained = versions.takeRight(keepVersions)
+    val pruned = versions.dropRight(keepVersions)
     val live: Set[String] =
       if (retained.isEmpty) readManifest(spark, root).map(_.generations).getOrElse(Set.empty)
       else retained.flatMap(v => readManifestAt(spark, root, v)
         .map(_.generations).getOrElse(Set.empty[String])).toSet
-    versions.dropRight(keepVersions).foreach { v =>
+    // read the snapshots being pruned BEFORE deleting them: they are the
+    // proof of which generations were once promoted and are now superseded
+    val supersededRefs: Set[String] = pruned.flatMap(v => readManifestAt(spark, root, v)
+      .map(_.generations).getOrElse(Set.empty[String])).toSet
+    pruned.foreach { v =>
       f.delete(new Path(root, f"$ManifestDir/m-$v%08d"), false): Unit
     }
-    val dead = f.listStatus(new Path(root)).map(_.getPath.getName)
+    val unreferenced = f.listStatus(new Path(root)).map(_.getPath.getName)
       .filter(n => genNumber(n).isDefined && !live.contains(n)).toSeq.sorted
-    dead.foreach { n =>
+    val (superseded, orphans) = unreferenced.partition(supersededRefs.contains)
+    superseded.foreach { n =>
       f.delete(new Path(root, n), true): Unit
-      // the name's claim marker goes with its directory; orphan claims of
-      // crashed writers (marker, no directory) are left alone — numbering
-      // skips them, and an in-flight writer may still own one
+      // a promoted-and-superseded generation's claim marker goes with it
       genNumber(n).foreach(num => f.delete(claimPath(root, num), false): Unit)
     }
-    dead
+    val reclaimed =
+      if (orphanGraceMs == Long.MaxValue) Seq.empty[String]
+      else {
+        val now = System.currentTimeMillis()
+        def olderThanGrace(p: Path): Boolean =
+          !f.exists(p) || now - f.getFileStatus(p).getModificationTime >= orphanGraceMs
+        orphans.filter { n =>
+          olderThanGrace(new Path(root, n)) &&
+            genNumber(n).forall(num => olderThanGrace(claimPath(root, num)))
+        }
+      }
+    reclaimed.foreach(n => f.delete(new Path(root, n), true): Unit)
+    superseded ++ reclaimed
   }
 }

@@ -61,11 +61,18 @@ object StreamingOps {
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
 
-  /** Streaming ingest into the bucketed event-store layout: each
+  /** Streaming ingest into the PLAIN bucketed event-store layout: each
     * micro-batch appends through Storage.appendEvents, so the streaming
     * path lands data in exactly the layout batch readers expect (one
     * micro-batch = one atomic append, the analogue of the reference's
-    * per-commit unlogged batch). */
+    * per-commit unlogged batch).
+    *
+    * Tiering: this is the high-throughput landing tier — append-only, no
+    * manifest, and therefore SINGLE-writer with respect to mutation: it
+    * must not run concurrently with `Storage.deleteAndRewrite` (or any
+    * in-place rewrite) on the same path. A stream that must compose with
+    * concurrent deletes/compactions goes through [[ingestToVersioned]],
+    * whose per-batch commit participates in the Generations manifest CAS. */
   def ingestTo(events: DataFrame, path: String, checkpoint: String,
       nBuckets: Int = graft.sources.Storage.DefaultBuckets): DataStreamWriter[Row] =
     events.writeStream
@@ -73,6 +80,33 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sources.Storage.appendEvents(batch, path, nBuckets)
+      }
+
+  /** Streaming ingest into the VERSIONED (MVCC) layout: each micro-batch
+    * is one `Generations.appendAndPromote` under `withConflictRetry`, so a
+    * live stream and a concurrent `deleteAndPromote`/`compactAndPromote`
+    * on the same table both land — the stream's batch loses the manifest
+    * CAS, re-reads state, and re-commits (StreamingGenerationsSpec races
+    * the two). Crash atomicity: a batch that died between writing its
+    * generation and promoting leaves only an unreferenced orphan (vacuum
+    * grace reclaims it); the replayed batch claims a fresh generation.
+    * Delivery is at-least-once across checkpoint-replayed batches (the
+    * foreachBatch contract — same non-idempotent-retry caveat as the
+    * reference's swallowed write timeouts, CassandraEventStore.cs:90-93);
+    * at-least-once sources compose [[dedupedEvents]] upstream for an
+    * exactly-once landing. Size triggers so a micro-batch is a meaningful
+    * fraction of its touched buckets (appendAndPromote's read-merge-write
+    * note). */
+  def ingestToVersioned(events: DataFrame, root: String, checkpoint: String,
+      nBuckets: Int = graft.sources.Storage.DefaultBuckets): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Generations.withConflictRetry() {
+          graft.sources.Generations.appendAndPromote(
+            batch.sparkSession, root, batch, nBuckets)
+        }: Unit
       }
 
   /** Continuous index MAINTENANCE (E5's streaming analogue): each

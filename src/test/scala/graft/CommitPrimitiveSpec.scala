@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import graft.sources.{CommitPrimitive, Generations, ManifestConflictException}
+
+/** The injectable commit primitive (round-9 verdict #1): the manifest CAS
+  * commits through CommitPrimitive, object stores inject a conditional PUT,
+  * and — the part the sandbox CAN prove without S3 — a deployment stuck on
+  * a NON-atomic fallback (connector "rename" = copy + last-writer-wins)
+  * degrades to detection, not silent loss: the writer whose bytes were
+  * overwritten gets a retryable ManifestConflictException from promote()'s
+  * read-back. */
+class CommitPrimitiveSpec extends SparkSpec {
+
+  private def mkLog(ids: Seq[String]) = {
+    import spark.implicits._
+    ids.flatMap(id => (1 to 2).map(r => (id, r))).toDF("ids", "rev")
+      .select(col("ids").cast("binary").as("id"), col("rev"),
+        lit(0).as("pos"), lit(1L).as("ts"), lit("d".getBytes).as("data"))
+  }
+
+  private def readBytes(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.getBytes("UTF-8")
+    finally in.close()
+  }
+
+  test("scheme dispatch: local filesystems commit via hard link") {
+    val f = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(CommitPrimitive.forFileSystem(f) eq CommitPrimitive.LocalHardLink)
+  }
+
+  test("a non-atomic last-writer-wins publish is detected by the read-back") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b")), nBuckets = 4) // v1
+    val m = Generations.readManifest(spark, root).get
+    val base = Generations.currentVersion(spark, root)
+
+    // models an object store whose rename/PUT has no precondition: OUR put
+    // lands, then the racing writer's put overwrites the same key last —
+    // both callers observe success, one commit is silently gone at rest
+    val foreignBody = "0\tg-00000099\n# promote by the racing writer\n".getBytes("UTF-8")
+    val lastWriterWins = new CommitPrimitive {
+      def publish(f: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean = {
+        val mine = readBytes(f, tmp)
+        val out1 = f.create(target, true); out1.write(mine); out1.close()
+        val out2 = f.create(target, true); out2.write(foreignBody); out2.close()
+        f.delete(tmp, false): Unit
+        true
+      }
+    }
+    val e = intercept[ManifestConflictException] {
+      Generations.withCommitPrimitive(lastWriterWins) {
+        Generations.promote(spark, root, m, base)
+      }
+    }
+    assert(e.getMessage.contains("another writer's snapshot survived"))
+
+    // the surviving snapshot is the racer's, byte-intact — detection did
+    // not corrupt the winner's commit
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(readBytes(f, new Path(root, "_manifests/m-00000002")).sameElements(foreignBody))
+    assert(Generations.readManifestAt(spark, root, 2).get.entries(0) == "g-00000099")
+
+    // and the loser's documented recovery path — re-read state, retry on
+    // an atomic primitive — commits cleanly as the next version
+    val v = Generations.promote(spark, root, m, Generations.currentVersion(spark, root))
+    assert(v == 3)
+    assert(Generations.readManifestAt(spark, root, 3).get == m)
+  }
+
+  test("an injected conditional PUT (faithful create-if-absent) wins exactly once") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b")), nBuckets = 4)
+    val m = Generations.readManifest(spark, root).get
+    val base = Generations.currentVersion(spark, root)
+    // a conditional PUT: if-none-match on the key, no rename involved —
+    // what an S3/GCS/ABFS integration would inject
+    var puts = 0
+    val conditionalPut = new CommitPrimitive {
+      def publish(f: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean =
+        this.synchronized {
+          puts += 1
+          if (f.exists(target)) { f.delete(tmp, false): Unit; false }
+          else {
+            val b = readBytes(f, tmp)
+            val out = f.create(target, false); out.write(b); out.close()
+            f.delete(tmp, false): Unit
+            true
+          }
+        }
+    }
+    Generations.withCommitPrimitive(conditionalPut) {
+      assert(Generations.promote(spark, root, m, base) == base + 1)
+      // a second writer holding the same base loses BEFORE the put (version
+      // precheck) — and a forced same-version put returns created=false
+      intercept[ManifestConflictException](Generations.promote(spark, root, m, base))
+    }
+    assert(puts >= 1)
+    assert(Generations.currentVersion(spark, root) == base + 1)
+  }
+}

@@ -277,6 +277,99 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.readCurrent(spark, root).count() == 8)
   }
 
+  test("vacuum never reclaims a racing writer's claimed-but-unpromoted generation") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 2), nBuckets = 4) // v1, g1
+    Generations.compactAndPromote(spark, root)                                             // v2, g2
+    // a racing writer mid-flight: generation claimed, data written, promote
+    // still pending — referenced by NO snapshot. Its id must own a bucket
+    // a/b/c don't (the manifest maps each bucket to ONE generation; an
+    // overlapping raw append would shadow — that path is appendAndPromote's
+    // read-merge-write, exercised by StreamingGenerationsSpec)
+    val abcBuckets = Seq("a", "b", "c").map(x => Storage.bucketOf(x.getBytes, 4)).toSet
+    val freshId = ('d' to 'z').map(_.toString)
+      .find(x => !abcBuckets.contains(Storage.bucketOf(x.getBytes, 4))).get
+    val gen3 = Generations.claimGeneration(spark, root)
+    Storage.appendEvents(mkLog(Seq(freshId), nRevs = 2), s"$root/$gen3", nBuckets = 4)
+
+    // default vacuum prunes v1 + the superseded g1, and MUST leave the
+    // in-flight writer's directory and claim marker alone
+    val dead = Generations.vacuum(spark, root)
+    assert(dead == Seq("g-00000001"))
+    assert(new java.io.File(s"$root/$gen3").exists())
+    assert(new java.io.File(s"$root/.g-00000003.claim").exists())
+
+    // the writer's promote then lands its data — nothing was half-deleted
+    val buckets = spark.read.parquet(s"$root/$gen3")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val m = Generations.readManifest(spark, root).get
+    Generations.promote(spark, root,
+      Generations.Manifest(m.entries ++ buckets.map(_ -> gen3)),
+      Generations.currentVersion(spark, root)): Unit
+    val cur = Generations.readCurrent(spark, root)
+    assert(cur.count() == 8)
+    assert(cur.filter(col("id") === lit(freshId.getBytes)).count() == 2)
+  }
+
+  test("orphanGraceMs reclaims stale never-promoted orphans; claim marker survives") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b"), nRevs = 2), nBuckets = 4) // v1, g1
+    val gen2 = Generations.claimGeneration(spark, root)
+    Storage.appendEvents(mkLog(Seq("x"), nRevs = 1), s"$root/$gen2", nBuckets = 4)
+    // default vacuum: the orphan is protected
+    assert(Generations.vacuum(spark, root).isEmpty)
+    assert(new java.io.File(s"$root/$gen2").exists())
+    // explicit zero grace = operator asserts write quiescence: reclaimed
+    val dead = Generations.vacuum(spark, root, keepVersions = 1, orphanGraceMs = 0L)
+    assert(dead == Seq(gen2))
+    assert(!new java.io.File(s"$root/$gen2").exists())
+    // the claim marker is kept — numbering skips the reclaimed name forever
+    assert(new java.io.File(s"$root/.g-00000002.claim").exists())
+    assert(Generations.claimGeneration(spark, root) == "g-00000003")
+    assert(Generations.readCurrent(spark, root).count() == 4)
+  }
+
+  test("a writer stalled past the grace window fails loudly at promote, not silently") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b"), nRevs = 2), nBuckets = 4) // v1, g1
+    val gen2 = Generations.claimGeneration(spark, root)
+    Storage.appendEvents(mkLog(Seq("x"), nRevs = 1), s"$root/$gen2", nBuckets = 4)
+    // the stalled writer computed its manifest BEFORE the reclaim
+    val buckets = spark.read.parquet(s"$root/$gen2")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val intended = Generations.Manifest(
+      Generations.readManifest(spark, root).get.entries ++ buckets.map(_ -> gen2))
+    // operator reclaims the orphan (writer presumed dead past the lease)
+    assert(Generations.vacuum(spark, root, keepVersions = 1, orphanGraceMs = 0L) == Seq(gen2))
+    // the zombie writer's promote must NOT commit a manifest referencing
+    // reclaimed files — loud failure, table state intact
+    val e = intercept[RuntimeException](Generations.promote(
+      spark, root, intended, Generations.currentVersion(spark, root)))
+    assert(e.getMessage.contains("missing generation"))
+    assert(Generations.currentVersion(spark, root) == 1)
+    assert(Generations.readCurrent(spark, root).count() == 4)
+  }
+
+  test("a reader holding a resolved version keeps reading across a concurrent vacuum") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4) // v1
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("b", 1, 0))), nBuckets = 4)      // v2
+    Generations.compactAndPromote(spark, root)                                             // v3
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("c", 1, 0))), nBuckets = 4)      // v4
+    // reader resolves v3 (inside the keep-2 retention window) BEFORE vacuum
+    val reader = Generations.readAt(spark, root, 3)
+    assert(Generations.vacuum(spark, root, keepVersions = 2).nonEmpty) // prunes v1/v2 + g1/g2
+    // the resolved frame still reads its generation files — vacuum pruned
+    // OTHER versions' generations only (on an object store the same holds:
+    // retained generations are never touched; only an EVICTED version's
+    // reader races vacuum, which is the retention contract)
+    assert(reader.count() == 8)
+    assert(reader.filter(col("id") === lit("b".getBytes)).count() == 2)
+    // evicted versions fail fast at resolution, not mid-scan
+    assert(intercept[RuntimeException](Generations.readAt(spark, root, 1))
+      .getMessage.contains("retention window"))
+  }
+
   test("compactAndPromote + vacuum drop unreferenced generations only") {
     val root = tmpDir() + "/events"
     Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4)

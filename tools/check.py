@@ -23,13 +23,20 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     # a SPARK_GRAFT_ONLY-filtered Verify run writes oracle_sql.partial.json
-    # (never overwriting a full manifest); prefer it when present so local
-    # subset iteration checks exactly what was just dumped
+    # (never overwriting a full manifest). Use it ONLY when this check run
+    # is itself a subset iteration (SPARK_GRAFT_ONLY set): a leftover
+    # partial from an interrupted iteration must not silently turn an
+    # intended-full check into a green subset check.
     import os
     partial = f"{out_dir}/oracle_sql.partial.json"
-    manifest = partial if os.path.exists(partial) else f"{out_dir}/oracle_sql.json"
-    if manifest == partial:
-        print(f"note: using partial manifest {partial}")
+    manifest = f"{out_dir}/oracle_sql.json"
+    if os.path.exists(partial):
+        if os.environ.get("SPARK_GRAFT_ONLY"):
+            manifest = partial
+            print(f"note: SUBSET check via partial manifest {partial}")
+        else:
+            print(f"note: ignoring leftover partial manifest {partial} "
+                  "(set SPARK_GRAFT_ONLY to check a subset)")
     with open(manifest) as f:
         oracles = json.load(f)
     failures = 0
