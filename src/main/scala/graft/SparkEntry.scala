@@ -47,6 +47,26 @@ object SparkEntry {
     }.mkString("[", ", ", "]")
   }
 
+  /** Fixture centroids for the k-means-blocked SemDeDup gate: k ±1.0 sign
+    * vectors from the same XXH64 arithmetic as [[rhpSignsSql]] under a
+    * different seed (7), so the g_semdedup_kmeans oracle replays the
+    * nearest-centroid assignment from inline literals — deterministic
+    * shared state, not model weights. The data-derived ivfCentroids
+    * variant stays spec-gated (TemporalCurationSpec). */
+  private def fixtureCentroid(cid: Int, dim: Int): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val cidSeed = XXH64.hashInt(cid, 7L)
+    (0 until dim).map { j =>
+      val h = XXH64.hashInt(j, cidSeed)
+      if (((h % 2) + 2) % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  private val KmFixtureK = 4
+
+  private def fixtureCentroids(dim: Int): Seq[(Int, Seq[Double])] =
+    (1 to KmFixtureK).map(c => (c, fixtureCentroid(c, dim)))
+
   /** Run `body` (a streaming start + awaitTermination) with the session's
     * shuffle partitions — which fix the stream's state-store/shuffle
     * partition count at start — sized to the per-micro-batch volume
@@ -538,6 +558,58 @@ object SparkEntry {
           col("rev").as("event_id"),
           TimeFns.fileTimeToMicros(col("ts")).as("ts_us"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    "q_stream_versioned" -> { (s, dir) => // round-9 verdict #2, oracle side:
+      // streaming ingest composed with the Generations MVCC tier. The
+      // events stream lands through ingestToVersioned (each micro-batch =
+      // appendAndPromote under conflict retry), then a deleteAndPromote
+      // removes aggregate 7 and the manifest-resolved readback must equal
+      // the batch oracle over user_id <> 7 — the q_stream_counters shape
+      // (counts per type) over the versioned layout. The CONCURRENT
+      // stream-vs-delete race is StreamingGenerationsSpec; this gates the
+      // composed data path end-to-end against DuckDB.
+      import org.apache.spark.sql.streaming.Trigger
+      Tables.withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_versioned_")
+      val root = s"$out/events"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select( // test-table -> canonical event columns (FIXTURES.md §2)
+          col("user_id").cast("string").cast("binary").as("id"),
+          col("event_id").cast("int").as("rev"),
+          lit(0).as("pos"),
+          TimeFns.microsToFileTime(TimeFns.nanosToMicros(col("ts"))).as("ts"),
+          col("event_type").cast("binary").as("data"))
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .ingestToVersioned(src, root, s"$out/ckpt", nBuckets = 16)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val tomb = graft.sources.Generations.readCurrent(s, root)
+        .filter(col("id") === lit("7".getBytes)).select("id", "rev", "pos")
+      graft.sources.Generations.deleteAndPromote(s, root, tomb, nBuckets = 16)
+      graft.sources.Generations.readCurrent(s, root)
+        .groupBy(col("data").cast("string").as("msgid"))
+        .agg(count(lit(1)).as("cv"))
+        .orderBy(col("msgid"))
+    },
+
+    "q_rev_monitor" -> { (s, dir) => // streaming revision monitor as a
+      // table (round-9 verdict #7): flatMapGroupsWithState run in BATCH
+      // mode — the same code path the stream executes, state empty-initial,
+      // each aggregate processed once — emitting one row per commit with
+      // its optimistic-concurrency status (ok = rev exactly last+1,
+      // conflict = replayed/duplicate rev, gap = skipped revs), the
+      // reference's rev-based concurrency model as a queryable table.
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("idB64"),
+        col("event_id").cast("int").as("rev"))
+      graft.streaming.StreamingOps.revisionMonitor(ev)
+        .toDF("idB64", "rev", "status")
+        .orderBy(col("idB64"), col("rev"), col("status"))
     },
 
     "q_migration" -> { (s, dir) => // E9: read-transform (migration reclassify)
@@ -1049,35 +1121,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
-    "g_semdedup_kmeans" -> { (s, dir) => // the paper's k-means blocking
-      // (semanticDedupKMeans): cells are data-derived driver state, so the
-      // oracle cannot replay the assignment from inlined constants the way
-      // g_semdedup replays hyperplane signs. Gate the two invariants any
-      // correct blocking must satisfy instead: (a) every dropped vector
-      // names an earlier TRUE near-dup (floor-at-4 cosine >= threshold) —
-      // which is exactly losers ⊆ exact-losers; (b) therefore the kept set
-      // is a superset of g_semdedup_exact's, checked against the real
-      // all-pairs run. Both booleans are computed from the data; the
-      // oracle pins them true and pins n_vecs.
-      import graft.functions.{NumFns, VectorFns}
-      import graft.plans.GraftFunctions
-      val emb = Tables.embeddings(s, dir)
-      val km = SimilarityOps.semanticDedupKMeans(emb, threshold = 0.35, k = 8, nIters = 2)
-        .localCheckpoint(true) // centroids are data-derived; pin one assignment
-      val v = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
-      val validity = km.filter(!col("kept"))
-        .join(v.select(col("vec_id"), col("v").as("v2")), Seq("vec_id"))
-        .join(v.select(col("vec_id").as("dup_of"), col("v").as("v1")), Seq("dup_of"))
-        .select(((col("dup_of") < col("vec_id")) &&
-          (NumFns.floorAt(GraftFunctions.cosine(col("v1"), col("v2")), 4) >= 0.35)).as("ok"))
-        .agg(coalesce(bool_and(col("ok")), lit(true)).as("losers_valid"))
-      val exactKept = SimilarityOps
-        .semanticDedup(emb, threshold = 0.35, nPlanes = 0)
-        .filter(col("kept")).select(col("vec_id"))
-      val superset = exactKept
-        .join(km.filter(col("kept")).select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .agg((count(lit(1)) === 0).as("kept_superset"))
-      emb.agg(count(lit(1)).as("n_vecs")).crossJoin(validity).crossJoin(superset)
+    "g_semdedup_kmeans" -> { (s, dir) => // the paper's k-means blocking,
+      // row-level (round-9 verdict #4): cell assignment = argmax cosine
+      // against 4 inline ±1 FIXTURE centroid vectors (ties to the smallest
+      // cid) via the same codegen'd cellExpr kernel the IVF path uses, so
+      // the oracle replays the WHOLE per-row decision from inline literals
+      // the way g_semdedup replays hyperplane signs — kept/dup_of for every
+      // vector, not a 1-row invariant scalar. The data-derived ivfCentroids
+      // variant (semanticDedupKMeans) keeps its invariant + superset spec
+      // gates in TemporalCurationSpec.
+      SimilarityOps.semanticDedupWithCentroids(
+          Tables.embeddings(s, dir), threshold = 0.35, centroids = fixtureCentroids(64))
+        .orderBy(col("vec_id"))
     },
 
     "g_domain_quota" -> { (s, dir) => // per-domain document cap (top-N by
@@ -1886,6 +1941,32 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id, event_id, event_type FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_stream_versioned" ->
+      // the q_stream_counters shape, post-delete, over the versioned
+      // layout: the streamed-then-deleteAndPromoted table must read back
+      // as the batch truth minus aggregate 7
+      """SELECT event_type AS msgid, count(*) AS cv
+        |FROM events WHERE user_id <> 7
+        |GROUP BY event_type ORDER BY msgid""".stripMargin,
+
+    "q_rev_monitor" ->
+      // the monitor's per-aggregate sorted fold in closed form: scanning
+      // revs ascending, last = max of the preceding revs (0 initially).
+      // Tied revs: whichever tied row is scanned first is judged against
+      // the prior max and the rest are conflicts — the output multiset is
+      // identical for any tie order, so the total ORDER BY pins one form
+      """WITH r AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS idB64, CAST(event_id AS INT) AS rev,
+        |         COALESCE(CAST(max(event_id) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT), 0) AS last
+        |  FROM events)
+        |SELECT idB64, rev,
+        |       CASE WHEN rev = last + 1 THEN 'ok'
+        |            WHEN rev <= last THEN 'conflict'
+        |            ELSE 'gap' END AS status
+        |FROM r ORDER BY idB64, rev, status""".stripMargin,
+
     "q_latest_state" ->
       // arg_max == max_by; the argmax key (event_id) is unique per group
       """SELECT user_id, max(event_id) AS last_rev,
@@ -2374,12 +2455,39 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin,
 
     "g_semdedup_kmeans" ->
-      // k-means cells are driver state the oracle cannot replay; it pins
-      // the blocking-approximation invariants the Spark side computes from
-      // the data (validity of every drop + kept-superset-of-exact)
-      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-        |       true AS losers_valid, true AS kept_superset
-        |FROM embeddings""".stripMargin,
+      // full replay of the fixture-centroid k-means blocking: cosine
+      // against the 4 inlined ±1 centroids (both sides sequential-left-fold
+      // doubles — bit-exact parity), argmax cell with ties to the smallest
+      // cid (the CASE's >= order == cellExpr's (csim, -cid) struct max),
+      // then the identical in-block drop rule as g_semdedup
+      {
+        val cents = fixtureCentroids(64)
+        // interpolation precedes the outer stripMargin; these continuation
+        // lines carry no '|' so the margin strip leaves them untouched
+        val cosExprs = cents.map { case (cid, c) =>
+          val arr = c.mkString("[", ", ", "]")
+          s"(list_dot_product(v, $arr) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($arr, $arr)))) AS c$cid"
+        }.mkString(",\n    ")
+        val assign = (1 until KmFixtureK).map { i =>
+          val conds = ((i + 1) to KmFixtureK).map(j => s"c$i >= c$j").mkString(" AND ")
+          s"WHEN $conds THEN $i"
+        }.mkString("CASE ", " ", s" ELSE $KmFixtureK END")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (
+           |  SELECT vec_id, v,
+           |    $cosExprs
+           |  FROM v),
+           |b AS (SELECT vec_id, v, $assign AS block FROM c),
+           |losers AS (
+           |  SELECT b2.vec_id AS vec_id, min(b1.vec_id) AS dup_of
+           |  FROM b b1 JOIN b b2 ON b1.block = b2.block AND b1.vec_id < b2.vec_id
+           |  WHERE floor((list_dot_product(b1.v, b2.v) /
+           |        (sqrt(list_dot_product(b1.v, b1.v)) * sqrt(list_dot_product(b2.v, b2.v)))) * 10000) / 10000 >= 0.35
+           |  GROUP BY b2.vec_id)
+           |SELECT v.vec_id, l.dup_of IS NULL AS kept, l.dup_of
+           |FROM v LEFT JOIN losers l USING (vec_id)
+           |ORDER BY vec_id""".stripMargin
+      },
 
     "g_semdedup_exact" ->
       // the unblocked definition truth: same drop rule over all pairs

@@ -334,6 +334,34 @@ object SimilarityOps {
     dedupWithinBlocks(embeddings, b, threshold, idCol)
   }
 
+  /** SemDeDup with CALLER-SUPPLIED centroids: the k-means-blocked variant's
+    * drop rule and join shape with the cell assignment pinned to known
+    * centroid vectors instead of ivfCentroids' data-derived ones. Two uses:
+    * incremental dedup at scale (yesterday's corpus centroids re-applied to
+    * today's increment, so blocks are stable across runs and the Lloyd
+    * passes are not re-paid), and oracle-replayable gating — with literal
+    * fixture centroids the entire decision (argmax cell by cosine, ties to
+    * the smallest cid, then the in-block drop rule) recomputes in any SQL
+    * engine, giving the k-means-blocked path the same row-level kept-set
+    * gate as the hyperplane variant (g_semdedup_kmeans). Assignment is the
+    * same codegen'd cellExpr projection as the IVF path: shuffle-free at
+    * any corpus size. */
+  def semanticDedupWithCentroids(
+      embeddings: DataFrame,
+      threshold: Double,
+      centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      reliable: Boolean = false): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val b = assignCells(
+        embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v")),
+        centroids)
+      .select(col("cell").as("block"), col("id"), col("v"))
+      .transform(Checkpoints.pin(_, reliable))
+    dedupWithinBlocks(embeddings, b, threshold, idCol)
+  }
+
   /** Shared SemDeDup core: block-keyed self-join (never all-pairs when the
     * blocking is real) → min(id1) per id2 (the earliest near-dup each
     * loser loses to) → left join back onto the full id set. Two shuffles;

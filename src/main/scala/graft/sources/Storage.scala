@@ -58,6 +58,42 @@ object Storage {
   def keyspaceDir(tenant: String, keyspace: String): String =
     s"${tenant}_$keyspace".take(48)
 
+  /** Session-catalog registration: CREATE DATABASE + external parquet
+    * tables over the existing tenant/keyspace paths, so
+    * `spark.sql("SELECT ... FROM {tenant}_{ks}.events")` reads exactly the
+    * files the path API reads — the metastore face of A10/A12, mirroring
+    * the reference's idempotent DDL bootstrap (CREATE ... IF NOT EXISTS,
+    * re-runnable: CassandraEventStoreSchema.cs:37-100). Partitioned
+    * layouts (events/bucket, index/(et,pid), messages/date) get their
+    * partitions recovered on every call, so re-registering after appends
+    * surfaces new partitions. Only non-empty directories are registered —
+    * parquet is schema-on-write; an empty root has no schema to infer yet.
+    * Catalog entries are metadata over the same files: queries through
+    * them keep partition pruning and row-group skipping. Returns the
+    * database name. */
+  def registerCatalog(root: String, tenant: String, keyspace: String)(
+      implicit spark: SparkSession): String = {
+    val db = keyspaceDir(tenant, keyspace)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`"): Unit
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("events", "index_by_eventtype", "message_counter", "messages").foreach { t =>
+      val path = tablePath(root, tenant, keyspace, t)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(conf)
+      lazy val children = f.listStatus(p)
+      if (f.exists(p) && children.nonEmpty) {
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$t` USING parquet LOCATION '$path'"): Unit
+        // hive-style partition directories -> recover them (idempotent);
+        // MSCK on an unpartitioned table is an error, so detect first
+        if (children.exists(c => c.isDirectory && c.getPath.getName.contains("=")))
+          spark.sql(s"MSCK REPAIR TABLE `$db`.`$t`"): Unit
+        // appends since a previous registration: drop cached file listings
+        spark.sql(s"REFRESH TABLE `$db`.`$t`"): Unit
+      }
+    }
+    db
+  }
+
   /** A11 `EventStoreDataWiper` (EventStoreDataWiper.cs:31-65): drop a
     * keyspace directory, guarded like the reference — the (possibly
     * externally supplied) keyspace name must belong to the calling tenant,

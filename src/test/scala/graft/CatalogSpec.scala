@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Storage
+
+/** Round-9 verdict #5: the session-catalog face of the tenant/keyspace
+  * layout — `SELECT ... FROM tenant_ks.events` must read exactly what the
+  * path API reads, registration must be idempotent (the reference's
+  * re-runnable DDL bootstrap), and re-registering after appends must
+  * surface the new partitions. */
+class CatalogSpec extends SparkSpec {
+
+  private def mkEvents(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.flatMap(id => (1 to 2).map(r => (id, r))).toDF("ids", "rev")
+      .select(col("ids").cast("string").cast("binary").as("id"), col("rev"),
+        lit(0).as("pos"), (col("rev") * 1000L).as("ts"), lit("d".getBytes).as("data"))
+  }
+
+  test("registerCatalog: SQL over the catalog equals the path read; idempotent; sees appends") {
+    implicit val s = spark
+    val root = tmpDir()
+    val (tenant, ks) = ("cattest", "ks")
+    Storage.createStorage(root, tenant, ks)
+    val eventsPath = Storage.tablePath(root, tenant, ks, "events")
+    Storage.appendEvents(mkEvents(1L to 4L), eventsPath, nBuckets = 4)
+
+    val db = Storage.registerCatalog(root, tenant, ks)
+    try {
+      assert(db == "cattest_ks")
+      // the catalog read IS the path read
+      val viaSql = spark.sql(s"SELECT id, rev, pos, ts, bucket FROM `$db`.events")
+      val viaPath = spark.read.parquet(eventsPath).select("id", "rev", "pos", "ts", "bucket")
+      assert(viaSql.count() == 8)
+      assert(viaSql.exceptAll(viaPath).isEmpty && viaPath.exceptAll(viaSql).isEmpty)
+      // partition pruning survives the catalog: a bucket filter prunes dirs
+      val b = Storage.bucketOf("1".getBytes, 4)
+      val pruned = spark.sql(s"SELECT * FROM `$db`.events WHERE bucket = $b")
+      val scanned = pruned.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles
+      }.getOrElse(Array.empty[String])
+      assert(scanned.nonEmpty && scanned.forall(_.contains(s"bucket=$b")))
+      // empty sibling tables were skipped (no schema to infer yet)
+      assert(!spark.catalog.tableExists(s"`$db`.messages"))
+
+      // idempotent re-registration, and appends become visible through it
+      Storage.appendEvents(mkEvents(5L to 6L), eventsPath, nBuckets = 4)
+      assert(Storage.registerCatalog(root, tenant, ks) == db)
+      assert(spark.sql(s"SELECT count(*) AS n FROM `$db`.events").head().getLong(0) == 12)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"): Unit
+    }
+  }
+}
