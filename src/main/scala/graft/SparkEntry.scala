@@ -1038,6 +1038,22 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     },
 
+    "g_dedup_indexed" -> { (s, dir) => // the persisted-LSH-index shape:
+      // the corpus' band signatures are written once, partitionBy(band,
+      // bucket); the increment joins the INDEX (the corpus text is only
+      // touched for candidate rescore), and the join's partition-column
+      // keys let dynamic partition pruning skip untouched directories.
+      // Must equal g_dedup_incremental's truth exactly — same oracle.
+      val docs = Tables.documents(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_mh_index_")
+      val path = s"$out/mhidx"
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      DedupOps.writeMinHashIndex(corpus, path)
+      DedupOps.minHashNearDupsIndexed(
+          docs.filter(col("doc_id") % 5 === 0), corpus, path, threshold = 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+
     "g_dedup_incremental_exact" -> { (s, dir) => // exact incremental dedup:
       // every increment doc annotated with its corpus copy count + first
       // copy id (null = novel); the join ships 32-byte content digests,
@@ -1186,6 +1202,17 @@ object SparkEntry {
       DedupOps.nearDupClusters(
           DedupOps.ngramJaccardPairs(Tables.documents(s, dir), blockWidth = 8, threshold = 0.5),
           maxIter = 10)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_dedup_cc_star" -> { (s, dir) => // the large-star/small-star CC
+      // algorithm (the O(log² n)-round scale path, skew-safe on hub
+      // nodes) over the MinHash pair list — the full 100 TB composition,
+      // gated row-level: the pair list is oracle-equal to exact
+      // shingle-Jaccard pairs (g_dedup_minhash green), and the oracle's
+      // recursive-CTE closure over those pairs is the component truth.
+      DedupOps.nearDupClustersStar(
+          DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5))
         .orderBy(col("doc_id"))
     },
 
@@ -1377,9 +1404,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    "g_para_dedup" -> { (s, dir) => // CCNet/C4-style paragraph dedup with
+      // document reconstruction: split every doc into non-overlapping
+      // 8-token passages (chunkTokens at stride == chunkSize), drop all but
+      // the corpus-wide first occurrence of each distinct passage, and
+      // reassemble each doc from its survivors in order — duplicated docs
+      // come back gutted, unique docs come back verbatim. Row-level gate
+      // over every document (clean_text + kept/dropped counts).
+      DedupOps.paragraphDedup(
+          TextOps.chunkTokens(Tables.documents(s, dir), chunkSize = 8, stride = 8),
+          idxCol = "chunk_idx", paraCol = "chunk_text")
+        .orderBy(col("doc_id"))
+    },
+
     "g_cooccur_lift" -> { (s, dir) => // token-pair association mining:
       // top-50 co-occurring pairs by exact integer lift (basis points)
       TextOps.cooccurrenceLift(Tables.documents(s, dir), topK = 50)
+    },
+
+    "g_quality_logit" -> { (s, dir) => // model-based quality filter: a
+      // logistic classifier over the rule features with FIXTURE
+      // coefficients (stand-ins for a trained model's weights, inlined as
+      // literals the way production would broadcast them) — scored as the
+      // raw logit (monotone-equivalent to sigmoid, bit-exact cross-engine),
+      // kept = floored logit >= 0.6. Map-only codegen projection.
+      TextOps.qualityLogit(Tables.documents(s, dir),
+          wNTokens = 0.01, wMeanTokLen = 0.2, wPunct = -8.0, wStopword = 0.15,
+          bias = -1.0, threshold = 0.6)
+        .orderBy(col("doc_id"))
     },
 
     "g_quality_unigram" -> { (s, dir) => // corpus unigram-LM quality score
@@ -1523,6 +1575,16 @@ object SparkEntry {
     "g_split_stratified" -> { (s, dir) => // deterministic train/val/test split
       CurationOps.stratifiedSplit(Tables.documents(s, dir))
         .orderBy(col("lang"), col("split"))
+    },
+
+    "g_pipeline_e2e" -> { (s, dir) => // the composed curation pipeline:
+      // quality-logit filter -> exact dedup -> corpus-wide paragraph dedup
+      // with reconstruction -> split assignment, one DAG, per-doc output.
+      // The oracle replays ALL four stages in sequence — this row gates
+      // stage composition (each stage feeding the next's corpus), not just
+      // the stages individually.
+      CurationOps.curationPipeline(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
     },
 
     "g_embed_quant" -> { (s, dir) => // int8 quantization stats per vector
@@ -2355,6 +2417,22 @@ object SparkEntry {
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    "g_dedup_indexed" ->
+      // identical truth to g_dedup_incremental: the persisted index is a
+      // materialization of the corpus band keys, not a semantic change
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |       floor((len(list_intersect(a.toks, b.toks)) /
+        |             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) * 10000) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |WHERE len(list_intersect(a.toks, b.toks)) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
     "g_dedup_incremental" ->
       // exact cross-split shingle Jaccard: increment (doc_id % 5 = 0)
       // against corpus (the rest)
@@ -2557,6 +2635,30 @@ object SparkEntry {
       // proven-equal truth of the MinHash pair list — g_dedup_minhash),
       // recomputed via recursive-CTE transitive closure; min reachable id
       // per doc == min-label propagation at convergence
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "g_dedup_cc_star" ->
+      // same truth as g_dedup_clusters (components over the exact
+      // shingle-Jaccard pair list, proven equal to the MinHash pair list);
+      // gates the alternating-star algorithm's output row-level
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
         |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
@@ -2941,6 +3043,25 @@ object SparkEntry {
         |       array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "g_para_dedup" ->
+      // same chunking idiom as g_chunk_windows (stride 8, width 8), then
+      // first-occurrence-wins over (doc_id, idx) per distinct passage and
+      // ordered reassembly; list(... ORDER BY) FILTER replays the
+      // kept-only ordered collect
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS st FROM t),
+        |p AS (SELECT doc_id, CAST(st // 8 AS INT) AS idx,
+        |             array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS para
+        |      FROM s),
+        |r AS (SELECT doc_id, idx, para,
+        |             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |      FROM p)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS clean_text,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "g_cooccur_lift" ->
       // HUGEINT numerator mirrors the Spark DECIMAL(38,0) cast; // is floor
       // division on positives, same as Spark DIV
@@ -2959,6 +3080,31 @@ object SparkEntry {
         |JOIN df dy ON dy.tok = pairs.tok2
         |CROSS JOIN n
         |ORDER BY lift_bp DESC, tok1, tok2 LIMIT 50""".stripMargin,
+
+    "g_quality_logit" ->
+      // identical left-assoc multiply-add chain over the same features.
+      // n_tok/hits are CAST to DOUBLE here: DuckDB parses 0.01/-1.0 as
+      // DECIMAL and would fold decimal*integer EXACTLY, converting to
+      // double mid-chain at a different point than Spark's all-double
+      // arithmetic (one-ulp floor flips, seen at sf0.001 doc 14); with
+      // double operands every step is the same IEEE op in both engines
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |         (length(text) - (len(string_split(text, ' ')) - 1)) /
+        |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len,
+        |         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |           CAST(length(text) AS DOUBLE) AS punct,
+        |         CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |             ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) AS DOUBLE) AS hits
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         floor((-1.0 + 0.01 * n_tok + 0.2 * mean_tok_len
+        |                + -8.0 * punct + 0.15 * hits) * 10000) / 10000 AS logit
+        |  FROM f)
+        |SELECT doc_id, logit, logit >= 0.6 AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "g_quality_unigram" ->
       // per-token logs quantized to DECIMAL(18,8) BEFORE the sum on both
@@ -3118,6 +3264,46 @@ object SparkEntry {
         |            WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_pipeline_e2e" ->
+      // all four stages replayed in sequence: the g_quality_logit logit
+      // (double-cast features), min-id-per-text exact keepers OVER the
+      // quality survivors, the g_para_dedup chunk/window/reassemble OVER
+      // the dedup survivors, then the g_split_stratified modulus rule.
+      // Grouping exact dedup by raw text == grouping by its sha digest.
+      """WITH fq AS (
+        |  SELECT doc_id,
+        |         floor((-1.0 + 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |                + 0.2 * ((length(text) - (len(string_split(text, ' ')) - 1)) /
+        |                         CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |                + -8.0 * (length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |                          CAST(length(text) AS DOUBLE))
+        |                + 0.15 * CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |                       ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) AS DOUBLE)) * 10000) / 10000 AS logit
+        |  FROM documents),
+        |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN fq USING (doc_id) WHERE fq.logit >= 0.6),
+        |k2 AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+        |d2 AS (SELECT d1.doc_id, d1.text FROM d1 JOIN k2 USING (doc_id)),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d2),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS st FROM t),
+        |p AS (SELECT doc_id, CAST(st // 8 AS INT) AS idx,
+        |             array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS para
+        |      FROM s),
+        |r AS (SELECT doc_id, idx, para,
+        |             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |      FROM p),
+        |g AS (SELECT doc_id,
+        |             coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS clean_text,
+        |             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_paras_kept,
+        |             CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_paras_dropped
+        |      FROM r GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 100 < 90 THEN 'train'
+        |            WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+        |       n_paras_kept, n_paras_dropped,
+        |       CAST(CASE WHEN clean_text = '' THEN 0
+        |            ELSE len(string_split(clean_text, ' ')) END AS INT) AS n_clean_tokens
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "g_embed_quant" ->
       """WITH q AS (

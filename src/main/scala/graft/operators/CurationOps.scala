@@ -20,6 +20,54 @@ import graft.functions.NumFns
   */
 object CurationOps {
 
+  /** The curation pipeline composed end-to-end, per document — the shape
+    * a real pretraining-data run takes through this engine:
+    *
+    *   1. model-based quality filter ([[TextOps.qualityLogit]] — map-only)
+    *   2. exact dedup of the survivors ([[DedupOps.exact]] — one
+    *      hash-shuffle, min-id keeper per content class)
+    *   3. corpus-wide paragraph dedup with document reconstruction
+    *      ([[TextOps.chunkTokens]] at stride == chunkSize into
+    *      [[DedupOps.paragraphDedup]] — one paragraph-keyed window +
+    *      one doc-keyed groupBy)
+    *   4. deterministic train/val/test assignment (the
+    *      [[stratifiedSplit]] modulus rule, per-doc)
+    *
+    * Output: (doc_id, split, n_paras_kept, n_paras_dropped,
+    * n_clean_tokens) for every surviving document. Each stage is a
+    * linear pass over the previous one — the whole composition is one
+    * DAG with three keyed shuffles and no collect, so it runs at any
+    * corpus size exactly as its stages do individually. Weights default
+    * to the g_quality_logit fixture coefficients. */
+  def curationPipeline(
+      docs: DataFrame,
+      chunkSize: Int = 8,
+      logitThreshold: Double = 0.6,
+      wNTokens: Double = 0.01,
+      wMeanTokLen: Double = 0.2,
+      wPunct: Double = -8.0,
+      wStopword: Double = 0.15,
+      bias: Double = -1.0): DataFrame = {
+    val quality = TextOps.qualityLogit(
+      docs, wNTokens, wMeanTokLen, wPunct, wStopword, bias, logitThreshold)
+    val kept1 = docs.join(quality.filter(col("kept")).select("doc_id"), Seq("doc_id"))
+    val keepers = DedupOps.exact(kept1).select(col("keep_id").as("doc_id"))
+    val kept2 = kept1.join(keepers, Seq("doc_id"))
+    val cleaned = DedupOps.paragraphDedup(
+      TextOps.chunkTokens(kept2, chunkSize, chunkSize),
+      idxCol = "chunk_idx", paraCol = "chunk_text")
+    cleaned
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(100)) < 90, "train")
+          .when(pmod(col("doc_id"), lit(100)) < 95, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        col("n_kept").as("n_paras_kept"),
+        col("n_dropped").as("n_paras_dropped"),
+        when(col("clean_text") === "", lit(0))
+          .otherwise(size(split(col("clean_text"), " "))).cast("int").as("n_clean_tokens"))
+  }
+
   /** One row per (doc, shingle): k-token shingles via window lead();
     * documents shorter than k tokens contribute their whole text as a
     * single shingle (mirrors TextFns.shingles). NOT deduplicated. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{NumFns, TextFns}
 import graft.plans.GraftFunctions
@@ -83,6 +84,71 @@ object DedupOps {
     val bc = bandedSignatures(corpus, idCol, textCol, shingleK, nHashes, bands, reliable)
     val candidates = bi.select(col("band"), col("bandsig"), col("id").as("new_id"))
       .join(bc.select(col("band"), col("bandsig"), col("id").as("corpus_id")), Seq("band", "bandsig"))
+      .select("new_id", "corpus_id").distinct()
+      .transform(Checkpoints.pin(_, reliable))
+    candidates
+      .join(candidateShingles(increment, candidates, "new_id", idCol, textCol, shingleK),
+        Seq("new_id"))
+      .join(candidateShingles(corpus, candidates, "corpus_id", idCol, textCol, shingleK),
+        Seq("corpus_id"))
+      .withColumn("jaccard", jaccardArrays(col("toks_new_id"), col("toks_corpus_id")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Persist the corpus' banded-MinHash LSH index, `partitionBy(band,
+    * bucket)` with bucket = pmod(bandsig, nBuckets) — the text-space
+    * analogue of [[SimilarityOps.writeIvfIndex]]'s cell directories. A
+    * 100 TB corpus pays the shingle+minhash scan ONCE; every increment
+    * after that joins this table instead of re-signing the corpus
+    * ([[minHashNearDupsIndexed]]). The (band, bucket) directory layout
+    * serves the second access pattern too: point probes ("find this one
+    * doc's candidates") filter on literal band/bucket values, which is
+    * directory-level partition pruning — the probe reads 1/(bands ×
+    * nBuckets) of the index (spec-pinned). */
+  def writeMinHashIndex(
+      corpus: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      nHashes: Int = 16,
+      bands: Int = 4,
+      nBuckets: Int = 64): Unit =
+    bandedSignatures(corpus, idCol, textCol, shingleK, nHashes, bands, reliable = false)
+      .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .partitionBy("band", "bucket").parquet(path)
+
+  /** [[minHashNearDupsAgainst]] with the corpus side served from a
+    * persisted index ([[writeMinHashIndex]]): the increment is signed
+    * fresh (it's new data), the corpus is NOT re-scanned — its band keys
+    * are read back from the index, a (band, bucket, bandsig)-keyed hash
+    * join (the bucket key narrows each shuffle partition to one
+    * directory's worth of index rows; AQE splits skewed buckets). The
+    * exact-Jaccard rescore still projects shingles for candidate corpus
+    * docs only (semi-join first). Same output contract as
+    * minHashNearDupsAgainst. */
+  def minHashNearDupsIndexed(
+      increment: DataFrame,
+      corpus: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      nHashes: Int = 16,
+      bands: Int = 4,
+      nBuckets: Int = 64,
+      threshold: Double = 0.7,
+      reliable: Boolean = false): DataFrame = {
+    val spark = increment.sparkSession
+    val bi = bandedSignatures(increment, idCol, textCol, shingleK, nHashes, bands, reliable)
+      .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
+    val bc = spark.read.parquet(indexPath)
+    val candidates = bi
+      .select(col("band"), col("bucket"), col("bandsig"), col("id").as("new_id"))
+      .join(bc.select(col("band"), col("bucket"), col("bandsig"), col("id").as("corpus_id")),
+        Seq("band", "bucket", "bandsig"))
       .select("new_id", "corpus_id").distinct()
       .transform(Checkpoints.pin(_, reliable))
     candidates
@@ -362,6 +428,114 @@ object DedupOps {
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Paragraph-level dedup with document reconstruction (the CCNet /
+    * C4-style pipeline stage: drop every repeated paragraph corpus-wide,
+    * keep documents). Input is pre-split passages (idCol, idxCol, paraCol)
+    * — compose with [[TextOps.chunkTokens]] at stride == chunkSize for
+    * fixed-width passages, or any splitter. Keeps only the globally FIRST
+    * occurrence of each distinct paragraph (order = (doc id, position)),
+    * then reassembles each document from its surviving paragraphs in
+    * original order, with kept/dropped counts per document. Documents
+    * whose every paragraph was dropped survive as empty clean_text — the
+    * caller decides the document-level fate (C4 drops, CCNet keeps).
+    *
+    * Scale: one window shuffle keyed on the paragraph (`hashed=true`
+    * partitions on the 8-byte xxhash64 instead of the full string — same
+    * keep-set unless 64-bit collision) + one groupBy on doc id; per-doc
+    * state is bounded by document length. Never all-pairs. */
+  def paragraphDedup(
+      paras: DataFrame,
+      idCol: String = "doc_id",
+      idxCol: String = "idx",
+      paraCol: String = "para",
+      sep: String = " ",
+      hashed: Boolean = false): DataFrame = {
+    val key = if (hashed) xxhash64(col(paraCol)) else col(paraCol)
+    // row_number over (doc, position) is a total order per paragraph:
+    // deterministic first-occurrence winner
+    val w = Window.partitionBy(key).orderBy(col(idCol), col(idxCol))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col(idxCol).as("i"), col(paraCol).as("p"))))),
+            x => x.getField("p")),
+          sep).as("clean_text"),
+        count(when(col("__rn") === 1, true)).as("n_kept"),
+        count(when(col("__rn") > 1, true)).as("n_dropped"))
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the scale path next to [[nearDupClusters]]'s label
+    * propagation. Label propagation needs O(diameter) rounds and floods a
+    * high-degree hub's label through every edge each round; star rounds
+    * rewire the edge list itself, so chains collapse in O(log² n) rounds
+    * and a hub is flattened in ONE large-star (all its larger neighbors
+    * attach directly to its neighborhood min — per-node fanout stays
+    * bounded by the node's degree, never grows). Same contract as
+    * nearDupClusters: input near-dup pairs (id1, id2), output one row per
+    * edge endpoint with cluster_id = the component's smallest id.
+    *
+    * Each round = 2 aggregations + 2 joins on the EDGE list (pair-sized,
+    * not corpus-sized), all keyed shuffles, plus a stable-set probe on
+    * materialized checkpoints; lineage is truncated per round like the
+    * label-prop loop. At convergence the edge set is a star forest:
+    * every node holds exactly one edge to its component min. */
+  def nearDupClustersStar(
+      pairs: DataFrame,
+      maxRounds: Int = 12,
+      reliable: Boolean = false): DataFrame = {
+    // canonical undirected form: (u, v) with u > v, no self-loops, distinct
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    // large-star: each node u links every LARGER neighbor to the min of
+    // u's closed neighborhood. Processing the symmetric list means each
+    // undirected edge is seen from both endpoints; min-agg + join, no
+    // neighborhood collect.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canon(sym.join(m, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: each node u links its SMALLER neighbors and itself to
+    // the min of those; on the canonical (u > v) list the smaller
+    // neighborhood of u is exactly its v-side
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      canon(
+        e.join(m, Seq("u")).select(col("v").as("u"), col("m").as("v"))
+          .unionByName(m.select(col("u"), col("m").as("v"))))
+    }
+    var cur = canon(pairs.select(col("id1").as("u"), col("id2").as("v")))
+      .transform(Checkpoints.pin(_, reliable))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).transform(Checkpoints.pin(_, reliable))
+      // star forests are fixed points of both operators, so a stable edge
+      // set == converged; both sides are materialized checkpoints, so the
+      // probe is two scans of the edge list
+      converged = next.count() == cur.count() &&
+        next.join(cur, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      cur = next
+      round += 1
+    }
+    // converged: u = member, v = its component-min root. The min-agg keeps
+    // the output well-formed (one row per endpoint) even on a maxRounds
+    // bailout before convergence.
+    cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(cur.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
   }
 
   /** Jaccard of two pre-deduplicated arrays: |a ∩ b| / (|a| + |b| - |a ∩ b|).

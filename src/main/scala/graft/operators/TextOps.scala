@@ -78,6 +78,39 @@ object TextOps {
       NumFns.floorAt(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
       NumFns.floorAt(TextFns.qualityScore(col("text")), 4).as("quality"))
 
+  /** Model-based quality filter (the trained-classifier stage of C4 /
+    * CCNet-descendant pipelines, next to [[qualityRules]]'s hand rules): a
+    * linear model over the same auditable features, scored as the raw
+    * LOGIT w·x + b. Thresholding the logit is the identical decision to
+    * thresholding sigmoid(logit) — sigmoid is monotone — and staying
+    * linear keeps the score a fixed-order multiply-add chain that
+    * recomputes bit-exactly in any engine (no exp/libm last-ulp
+    * divergence). Weights are caller-supplied model coefficients, inlined
+    * as literals into one codegen'd map-only projection: broadcastable
+    * driver state of size O(#features), no shuffle at any corpus size.
+    * `kept` compares the 4-digit-floored logit so both engines threshold
+    * the same quantized value. */
+  def qualityLogit(
+      docs: DataFrame,
+      wNTokens: Double,
+      wMeanTokLen: Double,
+      wPunct: Double,
+      wStopword: Double,
+      bias: Double,
+      threshold: Double): DataFrame = {
+    val nTok = size(TextFns.tokens(col("text")))
+    val meanTokLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    val punct = TextFns.punctRatio(col("text"))
+    val hits = TextFns.stopwordHits(col("text"), EnStopwords)
+    val logit = NumFns.floorAt(
+      lit(bias) + lit(wNTokens) * nTok + lit(wMeanTokLen) * meanTokLen +
+        lit(wPunct) * punct + lit(wStopword) * hits, 4)
+    docs.select(
+      col("doc_id"),
+      logit.as("logit"),
+      (logit >= threshold).as("kept"))
+  }
+
   /** Gopher/C4-style rule-based quality filter: each heuristic is its own
     * boolean column (auditable and composable downstream — a curation
     * pipeline wants to know WHY a doc was dropped, not just that it was);

@@ -70,8 +70,16 @@ object Storage {
     * parquet is schema-on-write; an empty root has no schema to infer yet.
     * Catalog entries are metadata over the same files: queries through
     * them keep partition pruning and row-group skipping. Returns the
-    * database name. */
-  def registerCatalog(root: String, tenant: String, keyspace: String)(
+    * database name.
+    *
+    * `analyze = true` additionally runs ANALYZE TABLE COMPUTE STATISTICS
+    * on each registered table, feeding the cost-based optimizer the
+    * size/row-count it needs to pick broadcast sides and join order when
+    * queries come in through the catalog (path reads fall back to file
+    * sizes). One metadata-level scan per table — run it after bulk loads,
+    * not per append. */
+  def registerCatalog(root: String, tenant: String, keyspace: String,
+      analyze: Boolean = false)(
       implicit spark: SparkSession): String = {
     val db = keyspaceDir(tenant, keyspace)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`"): Unit
@@ -89,6 +97,8 @@ object Storage {
           spark.sql(s"MSCK REPAIR TABLE `$db`.`$t`"): Unit
         // appends since a previous registration: drop cached file listings
         spark.sql(s"REFRESH TABLE `$db`.`$t`"): Unit
+        if (analyze)
+          spark.sql(s"ANALYZE TABLE `$db`.`$t` COMPUTE STATISTICS"): Unit
       }
     }
     db

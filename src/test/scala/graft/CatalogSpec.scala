@@ -47,6 +47,13 @@ class CatalogSpec extends SparkSpec {
       Storage.appendEvents(mkEvents(5L to 6L), eventsPath, nBuckets = 4)
       assert(Storage.registerCatalog(root, tenant, ks) == db)
       assert(spark.sql(s"SELECT count(*) AS n FROM `$db`.events").head().getLong(0) == 12)
+
+      // analyze=true feeds the CBO: catalog stats carry the exact row count
+      Storage.registerCatalog(root, tenant, ks, analyze = true)
+      val stats = spark.sql(s"DESCRIBE TABLE EXTENDED `$db`.events")
+        .filter(col("col_name") === "Statistics").select("data_type")
+        .collect().map(_.getString(0))
+      assert(stats.nonEmpty && stats.head.contains("12 rows"), s"stats: ${stats.toSeq}")
     } finally {
       spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"): Unit
     }

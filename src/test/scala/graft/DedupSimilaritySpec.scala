@@ -42,6 +42,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall { case (n, c, _) => Set(2L, 3L)(n) && Set(1L, 4L, 5L)(c) })
   }
 
+  test("persisted minhash index: indexed result == against, with partition-pruned reads") {
+    val docs = docsDf()
+    val inc = docs.filter(col("doc_id").isin(2L, 3L))
+    val cor = docs.filter(col("doc_id").isin(1L, 4L, 5L))
+    val path = s"${tmpDir()}/mhidx"
+    DedupOps.writeMinHashIndex(cor, path, nBuckets = 8)
+    // layout: band=*/bucket=* directories
+    val bandDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    assert(bandDirs.forall(_.listFiles().exists(_.getName.startsWith("bucket="))))
+    val indexed = DedupOps.minHashNearDupsIndexed(inc, cor, path, nBuckets = 8, threshold = 0.5)
+    val against = DedupOps.minHashNearDupsAgainst(inc, cor, threshold = 0.5)
+    val gi = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ga = against.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gi == ga && gi.nonEmpty)
+    // point-probe access pattern: literal (band, bucket) filters are
+    // directory-level partition pruning — the probe reads one directory
+    val probe = spark.read.parquet(path).filter(col("band") === 0 && col("bucket") === 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("band") && plan.contains("bucket"),
+      s"no band/bucket partition filter:\n$plan")
+    val probedFiles = probe.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(probedFiles.forall(f => f.contains("band=0") && f.contains("bucket=3")))
+  }
+
   test("incremental exact: copy count + first corpus id, novel docs get 0/null") {
     val docs = docsDf()
     val got = DedupOps.incrementalExact(
@@ -110,6 +135,51 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = DedupOps.nearDupClusters(pairs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("paragraphDedup keeps first occurrences and reassembles documents in order") {
+    val paras = Seq(
+      (1L, 0, "a b"), (1L, 1, "c d"),
+      (2L, 0, "a b"), (2L, 1, "e f"), // first para is doc 1's, second unique
+      (3L, 0, "c d"), (3L, 1, "c d")  // both dups (one cross-doc, one of itself)
+    ).toDF("doc_id", "idx", "para")
+    for (hashed <- Seq(false, true)) {
+      val got = DedupOps.paragraphDedup(paras, hashed = hashed).collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))))
+        .toMap
+      assert(got == Map(
+        1L -> ("a b c d", 2L, 0L),
+        2L -> ("e f", 1L, 1L),
+        3L -> ("", 0L, 2L)), s"hashed=$hashed")
+    }
+  }
+
+  test("nearDupClustersStar matches label propagation on chains and isolated pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val got = DedupOps.nearDupClustersStar(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupClustersStar flattens a high-degree hub whose id is not the min") {
+    // hub 100 connected to 1..20: one component, min = 1. A large-star
+    // round attaches every larger neighbor of 100 straight to 1 — the
+    // skew shape label propagation floods edge-by-edge.
+    val pairs = (1L to 20L).map(i => (100L, i)).toDF("id1", "id2")
+    val got = DedupOps.nearDupClustersStar(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got.keySet == ((1L to 20L).toSet + 100L))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("nearDupClustersStar collapses a 30-edge path within the default round budget") {
+    // diameter 30: label propagation needs 30 rounds (> its default
+    // maxIter); star rounds contract geometrically and finish inside 12
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = DedupOps.nearDupClustersStar(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == (0L to 30L).map(_ -> 0L).toMap)
   }
 
   test("IVF: Lloyd iterations separate orthogonal clusters; probe finds the cluster") {

@@ -95,7 +95,10 @@ class PropertySpec extends SparkSpec {
       val got = graft.operators.DedupOps
         .nearDupClusters(pairs.toDF("id1", "id2"), maxIter = 50)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == expected
+      val gotStar = graft.operators.DedupOps
+        .nearDupClustersStar(pairs.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected && gotStar == expected
     }, minSuccessful = 8)
   }
 

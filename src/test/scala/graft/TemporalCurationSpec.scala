@@ -142,6 +142,32 @@ class TemporalCurationSpec extends SparkSpec {
     assert(nGroups == 6) // ids 1..40 span chunks 0..5
   }
 
+  test("curationPipeline: stages compose — filtered docs gone, exact dups keep min id, shared paragraphs gutted") {
+    // doc 1/2: identical text (exact dups, both pass quality — long enough,
+    // stopwords, no punct). doc 3: shares 1's first 4-token paragraph but
+    // has its own second paragraph. doc 4: punctuation bomb, fails quality.
+    val good = "the quick brown fox and the lazy dog ran to a big red barn door"
+    val docs = Seq(
+      (1L, good), (2L, good),
+      (3L, "the quick brown fox went back in time to visit a very old friend"),
+      (4L, "!!! ??? ... !!! ??? ... !!! ???"),
+    ).toDF("doc_id", "text")
+    val got = CurationOps.curationPipeline(docs, chunkSize = 4, logitThreshold = 0.0)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[Long]("n_paras_kept"),
+          r.getAs[Long]("n_paras_dropped"), r.getAs[Int]("n_clean_tokens"))))
+      .toMap
+    // 4 dropped by quality (punct term -8 * ~0.77 dominates), 2 dropped as
+    // an exact dup of 1; docs 1 and 3 survive
+    assert(got.keySet == Set(1L, 3L))
+    // doc 1 (15 tokens): paragraphs of 4/4/4/3 tokens, all first occurrences
+    assert(got(1L) == (("train", 4L, 0L, 15)))
+    // doc 3 (14 tokens): its first paragraph ("the quick brown fox") lost
+    // to doc 1's; 4+4+2 tokens survive
+    assert(got(3L) == (("train", 3L, 1L, 10)))
+  }
+
   test("stratifiedSplit buckets ids deterministically 90/5/5") {
     val docs = (0L until 200L).map(i => (i, "en", 10L)).toDF("doc_id", "lang", "n_chars")
     val got = CurationOps.stratifiedSplit(docs)

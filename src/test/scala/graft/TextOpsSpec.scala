@@ -13,6 +13,24 @@ class TextOpsSpec extends SparkSpec {
   private def docs(texts: String*) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
+  test("qualityLogit: hand-computed logit and threshold decision") {
+    // "the a b" : n_tok=3, text len=7, mean_tok_len=(7-2)/3, punct=0/7,
+    // stopword hits = 2 (the, a)
+    val out = TextOps.qualityLogit(docs("the a b"),
+        wNTokens = 0.01, wMeanTokLen = 0.2, wPunct = -8.0, wStopword = 0.15,
+        bias = -1.0, threshold = 0.0).head()
+    val expected = math.floor((-1.0 + 0.01 * 3 + 0.2 * (5.0 / 3) + -8.0 * 0.0 + 0.15 * 2) * 10000) / 10000
+    assert(out.getDouble(1) == expected)
+    assert(out.getBoolean(2) == (expected >= 0.0))
+  }
+
+  test("qualityLogit: punctuation-heavy text is penalized below threshold") {
+    val out = TextOps.qualityLogit(docs("!!! ??? ..."),
+        wNTokens = 0.01, wMeanTokLen = 0.2, wPunct = -8.0, wStopword = 0.15,
+        bias = -1.0, threshold = 0.0).head()
+    assert(!out.getBoolean(2)) // punct ratio ~0.8 * -8 dominates
+  }
+
   test("redact: counts match the spans actually masked under sequential replace") {
     // pattern 1 consumes the digits; pattern 2 must NOT count the original
     // "42" (it no longer exists in the text pattern 2 sees)
