@@ -1044,13 +1044,15 @@ object SparkEntry {
       // touched for candidate rescore), and the join's partition-column
       // keys let dynamic partition pruning skip untouched directories.
       // Must equal g_dedup_incremental's truth exactly — same oracle.
+      // nBuckets sized to the SF (16 -> 64 directories here; a 100 TB
+      // corpus would keep the 64-bucket default = 256 directories)
       val docs = Tables.documents(s, dir)
       val out = java.nio.file.Files.createTempDirectory("graft_mh_index_")
       val path = s"$out/mhidx"
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-      DedupOps.writeMinHashIndex(corpus, path)
+      DedupOps.writeMinHashIndex(corpus, path, nBuckets = 16)
       DedupOps.minHashNearDupsIndexed(
-          docs.filter(col("doc_id") % 5 === 0), corpus, path, threshold = 0.5)
+          docs.filter(col("doc_id") % 5 === 0), corpus, path, nBuckets = 16, threshold = 0.5)
         .orderBy(col("new_id"), col("corpus_id"))
     },
 
