@@ -34,11 +34,13 @@ object CurationOps {
     *      [[stratifiedSplit]] modulus rule, per-doc)
     *
     * Output: (doc_id, split, n_paras_kept, n_paras_dropped,
-    * n_clean_tokens) for every surviving document. Each stage is a
-    * linear pass over the previous one — the whole composition is one
-    * DAG with three keyed shuffles and no collect, so it runs at any
-    * corpus size exactly as its stages do individually. Weights default
-    * to the g_quality_logit fixture coefficients. */
+    * n_clean_tokens) for every surviving document. The quality filter
+    * fuses into the scan (a projection predicate, zero shuffles); the
+    * rest is a linear DAG of keyed shuffles (content-hash agg, keeper
+    * semi-join, paragraph window, doc reassembly) with no collect, so
+    * the composition runs at any corpus size exactly as its stages do
+    * individually. Weights default to the g_quality_logit fixture
+    * coefficients. */
   def curationPipeline(
       docs: DataFrame,
       chunkSize: Int = 8,
@@ -48,9 +50,11 @@ object CurationOps {
       wPunct: Double = -8.0,
       wStopword: Double = 0.15,
       bias: Double = -1.0): DataFrame = {
-    val quality = TextOps.qualityLogit(
-      docs, wNTokens, wMeanTokLen, wPunct, wStopword, bias, logitThreshold)
-    val kept1 = docs.join(quality.filter(col("kept")).select("doc_id"), Seq("doc_id"))
+    // stage 1 fuses into the scan: the classifier is a projection, so the
+    // filter costs zero shuffles (vs scoring into a frame and joining back)
+    val kept1 = docs.filter(
+      TextOps.qualityLogitExpr(col("text"), wNTokens, wMeanTokLen, wPunct, wStopword, bias)
+        >= logitThreshold)
     val keepers = DedupOps.exact(kept1).select(col("keep_id").as("doc_id"))
     val kept2 = kept1.join(keepers, Seq("doc_id"))
     val cleaned = DedupOps.paragraphDedup(

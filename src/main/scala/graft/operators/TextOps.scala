@@ -98,17 +98,31 @@ object TextOps {
       wStopword: Double,
       bias: Double,
       threshold: Double): DataFrame = {
-    val nTok = size(TextFns.tokens(col("text")))
-    val meanTokLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
-    val punct = TextFns.punctRatio(col("text"))
-    val hits = TextFns.stopwordHits(col("text"), EnStopwords)
-    val logit = NumFns.floorAt(
-      lit(bias) + lit(wNTokens) * nTok + lit(wMeanTokLen) * meanTokLen +
-        lit(wPunct) * punct + lit(wStopword) * hits, 4)
+    val logit = qualityLogitExpr(col("text"), wNTokens, wMeanTokLen, wPunct, wStopword, bias)
     docs.select(
       col("doc_id"),
       logit.as("logit"),
       (logit >= threshold).as("kept"))
+  }
+
+  /** The 4-digit-floored logit as a bare Column, for fusing the quality
+    * filter into another plan (e.g. [[CurationOps.curationPipeline]]
+    * filters the scan directly instead of joining a scored frame back —
+    * the classifier is a projection, not a join). */
+  def qualityLogitExpr(
+      text: org.apache.spark.sql.Column,
+      wNTokens: Double,
+      wMeanTokLen: Double,
+      wPunct: Double,
+      wStopword: Double,
+      bias: Double): org.apache.spark.sql.Column = {
+    val nTok = size(TextFns.tokens(text))
+    val meanTokLen = (length(text) - (nTok - 1)).cast("double") / nTok
+    val punct = TextFns.punctRatio(text)
+    val hits = TextFns.stopwordHits(text, EnStopwords)
+    NumFns.floorAt(
+      lit(bias) + lit(wNTokens) * nTok + lit(wMeanTokLen) * meanTokLen +
+        lit(wPunct) * punct + lit(wStopword) * hits, 4)
   }
 
   /** Gopher/C4-style rule-based quality filter: each heuristic is its own
