@@ -1419,6 +1419,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_para_dedup_incr" -> { (s, dir) => // incremental paragraph dedup:
+      // the daily landing (doc_id % 5 == 0) deduped against the historical
+      // corpus' paragraphs AND itself, reassembled — the corpus is never
+      // rewritten. Same chunking as g_para_dedup.
+      val docs = Tables.documents(s, dir)
+      def paras(d: org.apache.spark.sql.DataFrame) =
+        TextOps.chunkTokens(d, chunkSize = 8, stride = 8)
+      DedupOps.paragraphDedupAgainst(
+          paras(docs.filter(col("doc_id") % 5 === 0)),
+          paras(docs.filter(col("doc_id") % 5 =!= 0)),
+          idxCol = "chunk_idx", paraCol = "chunk_text")
+        .orderBy(col("doc_id"))
+    },
+
     "g_cooccur_lift" -> { (s, dir) => // token-pair association mining:
       // top-50 co-occurring pairs by exact integer lift (basis points)
       TextOps.cooccurrenceLift(Tables.documents(s, dir), topK = 50)
@@ -3063,6 +3077,28 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g_para_dedup_incr" ->
+      // the g_para_dedup idiom restricted to the increment, with a
+      // NOT-IN-corpus condition on top of first-occurrence-wins
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS st FROM t),
+        |p AS (SELECT doc_id, CAST(st // 8 AS INT) AS idx,
+        |             array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS para
+        |      FROM s),
+        |ip AS (SELECT * FROM p WHERE doc_id % 5 = 0),
+        |cp AS (SELECT DISTINCT para FROM p WHERE doc_id % 5 <> 0),
+        |r AS (SELECT doc_id, idx, para,
+        |             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |      FROM ip),
+        |k AS (SELECT doc_id, idx, para,
+        |             (rn = 1 AND para NOT IN (SELECT para FROM cp)) AS kept
+        |      FROM r)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE kept), ' '), '') AS clean_text,
+        |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+        |       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "g_cooccur_lift" ->
       // HUGEINT numerator mirrors the Spark DECIMAL(38,0) cast; // is floor

@@ -476,6 +476,45 @@ object DedupOps {
         count(when(col("__rn") > 1, true)).as("n_dropped"))
   }
 
+  /** Incremental [[paragraphDedup]]: dedup a NEW batch's paragraphs
+    * against a historical corpus (and within itself), reassembling only
+    * the increment's documents — the daily-landing shape. An increment
+    * paragraph is dropped if the corpus contains it anywhere, or if an
+    * earlier (doc, position) in the increment already produced it; the
+    * corpus is never rewritten or re-deduped. Corpus side ships only
+    * DISTINCT paragraphs (or their 8-byte hashes with `hashed = true` —
+    * the 100 TB mode, where the corpus side is typically a pre-hashed
+    * paragraph index maintained across landings) through one left-anti
+    * style join; within-increment firsts are the same window as the batch
+    * operator. Same output contract as paragraphDedup. */
+  def paragraphDedupAgainst(
+      incParas: DataFrame,
+      corpusParas: DataFrame,
+      idCol: String = "doc_id",
+      idxCol: String = "idx",
+      paraCol: String = "para",
+      sep: String = " ",
+      hashed: Boolean = false): DataFrame = {
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    val w = Window.partitionBy(key(col(paraCol))).orderBy(col(idCol), col(idxCol))
+    val corpusKeys = corpusParas
+      .select(key(col(paraCol)).as("__k"), lit(true).as("__in_corpus")).distinct()
+    incParas
+      .withColumn("__rn", row_number().over(w))
+      .join(corpusKeys, key(col(paraCol)) === col("__k"), "left")
+      .withColumn("__kept", col("__rn") === 1 && col("__in_corpus").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__kept"), struct(col(idxCol).as("i"), col(paraCol).as("p"))))),
+            x => x.getField("p")),
+          sep).as("clean_text"),
+        count(when(col("__kept"), true)).as("n_kept"),
+        count(when(!col("__kept"), true)).as("n_dropped"))
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — the scale path next to [[nearDupClusters]]'s label

@@ -155,6 +155,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("paragraphDedupAgainst: corpus hits and earlier increment firsts both drop") {
+    val inc = Seq(
+      (10L, 0, "a b"), (10L, 1, "x y"),  // "a b" exists in the corpus
+      (11L, 0, "x y"), (11L, 1, "z w")   // "x y" lost to doc 10's earlier one
+    ).toDF("doc_id", "idx", "para")
+    val cor = Seq((1L, 0, "a b"), (1L, 1, "c d")).toDF("doc_id", "idx", "para")
+    for (hashed <- Seq(false, true)) {
+      val got = DedupOps.paragraphDedupAgainst(inc, cor, hashed = hashed).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))))
+        .toMap
+      assert(got == Map(
+        10L -> ("x y", 1L, 1L),
+        11L -> ("z w", 1L, 1L)), s"hashed=$hashed")
+    }
+  }
+
   test("nearDupClustersStar matches label propagation on chains and isolated pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
     val got = DedupOps.nearDupClustersStar(pairs).collect()
