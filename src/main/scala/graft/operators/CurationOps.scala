@@ -61,10 +61,7 @@ object CurationOps {
       TextOps.chunkTokens(kept2, chunkSize, chunkSize),
       idxCol = "chunk_idx", paraCol = "chunk_text")
     cleaned
-      .withColumn("split",
-        when(pmod(col("doc_id"), lit(100)) < 90, "train")
-          .when(pmod(col("doc_id"), lit(100)) < 95, "val")
-          .otherwise("test"))
+      .withColumn("split", splitExpr(col("doc_id")))
       .select(col("doc_id"), col("split"),
         col("n_kept").as("n_paras_kept"),
         col("n_dropped").as("n_paras_dropped"),
@@ -150,6 +147,19 @@ object CurationOps {
   /** Deterministic hash-free train/val/test split on the id (stable across
     * runs, engines and partitionings — a modulus on the id, not a RNG),
     * aggregated per (stratum, split) for distribution checks. */
+  /** The deterministic train/val/test assignment as a bare Column — the
+    * single source of the modulus rule, shared by [[stratifiedSplit]]'s
+    * distribution check and [[curationPipeline]]'s per-doc assignment so
+    * the two can never silently disagree. */
+  def splitExpr(
+      id: org.apache.spark.sql.Column,
+      modulus: Int = 100,
+      trainLt: Int = 90,
+      valLt: Int = 95): org.apache.spark.sql.Column =
+    when(pmod(id, lit(modulus)) < trainLt, "train")
+      .when(pmod(id, lit(modulus)) < valLt, "val")
+      .otherwise("test")
+
   def stratifiedSplit(
       docs: DataFrame,
       stratumCol: String = "lang",
@@ -158,10 +168,7 @@ object CurationOps {
       trainLt: Int = 90,
       valLt: Int = 95): DataFrame =
     docs
-      .withColumn("split",
-        when(pmod(col(idCol), lit(modulus)) < trainLt, "train")
-          .when(pmod(col(idCol), lit(modulus)) < valLt, "val")
-          .otherwise("test"))
+      .withColumn("split", splitExpr(col(idCol), modulus, trainLt, valLt))
       .groupBy(col(stratumCol), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
 

@@ -462,19 +462,29 @@ object DedupOps {
     // row_number over (doc, position) is a total order per paragraph:
     // deterministic first-occurrence winner
     val w = Window.partitionBy(key).orderBy(col(idCol), col(idxCol))
-    paras
-      .withColumn("__rn", row_number().over(w))
+    reassembleKept(
+      paras.withColumn("__kept", row_number().over(w) === 1),
+      idCol, idxCol, paraCol, sep)
+  }
+
+  /** Shared reassembly tail of [[paragraphDedup]] / [[paragraphDedupAgainst]]:
+    * collapse a passage frame carrying a boolean `__kept` column into one
+    * row per document — surviving paragraphs joined in position order,
+    * kept/dropped counts. */
+  private def reassembleKept(
+      flagged: DataFrame, idCol: String, idxCol: String, paraCol: String,
+      sep: String): DataFrame =
+    flagged
       .groupBy(col(idCol))
       .agg(
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("__rn") === 1, struct(col(idxCol).as("i"), col(paraCol).as("p"))))),
+              when(col("__kept"), struct(col(idxCol).as("i"), col(paraCol).as("p"))))),
             x => x.getField("p")),
           sep).as("clean_text"),
-        count(when(col("__rn") === 1, true)).as("n_kept"),
-        count(when(col("__rn") > 1, true)).as("n_dropped"))
-  }
+        count(when(col("__kept"), true)).as("n_kept"),
+        count(when(!col("__kept"), true)).as("n_dropped"))
 
   /** Incremental [[paragraphDedup]]: dedup a NEW batch's paragraphs
     * against a historical corpus (and within itself), reassembling only
@@ -499,20 +509,12 @@ object DedupOps {
     val w = Window.partitionBy(key(col(paraCol))).orderBy(col(idCol), col(idxCol))
     val corpusKeys = corpusParas
       .select(key(col(paraCol)).as("__k"), lit(true).as("__in_corpus")).distinct()
-    incParas
-      .withColumn("__rn", row_number().over(w))
-      .join(corpusKeys, key(col(paraCol)) === col("__k"), "left")
-      .withColumn("__kept", col("__rn") === 1 && col("__in_corpus").isNull)
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("__kept"), struct(col(idxCol).as("i"), col(paraCol).as("p"))))),
-            x => x.getField("p")),
-          sep).as("clean_text"),
-        count(when(col("__kept"), true)).as("n_kept"),
-        count(when(!col("__kept"), true)).as("n_dropped"))
+    reassembleKept(
+      incParas
+        .withColumn("__rn", row_number().over(w))
+        .join(corpusKeys, key(col(paraCol)) === col("__k"), "left")
+        .withColumn("__kept", col("__rn") === 1 && col("__in_corpus").isNull),
+      idCol, idxCol, paraCol, sep)
   }
 
   /** Connected components via alternating large-star / small-star rounds

@@ -325,13 +325,11 @@ object SimilarityOps {
       vecCol: String = "embedding",
       reliable: Boolean = false): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val centroids = ivfCentroids(embeddings, k, nIters, idCol, vecCol)
-    val b = assignCells(
-        embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v")),
-        centroids)
-      .select(col("cell").as("block"), col("id"), col("v"))
-      .transform(Checkpoints.pin(_, reliable))
-    dedupWithinBlocks(embeddings, b, threshold, idCol)
+    // one shape, two centroid sources: the data-derived variant IS the
+    // caller-supplied variant fed by ivfCentroids
+    semanticDedupWithCentroids(
+      embeddings, threshold, ivfCentroids(embeddings, k, nIters, idCol, vecCol),
+      idCol, vecCol, reliable)
   }
 
   /** SemDeDup with CALLER-SUPPLIED centroids: the k-means-blocked variant's

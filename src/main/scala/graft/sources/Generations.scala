@@ -130,12 +130,21 @@ object Generations {
         s"promote of $root expected v$expectedVersion but the table is at v$latest; " +
           "re-read state and retry")
     // lease-expiry guard: every generation the new manifest references must
-    // exist at commit time. Normally trivially true (own claimed+written gen
-    // + gens carried from the live manifest, which vacuum never deletes);
-    // it fires only when a writer stalled past vacuum's orphanGraceMs and
+    // exist at commit time. Generations carried from the base snapshot are
+    // in vacuum's live set (the base IS the current tip — checked above) so
+    // vacuum never deletes them; only NEWLY referenced generations (the
+    // writer's own claimed gen, normally exactly one) are reclaim-eligible,
+    // so only those are probed — O(1) exists calls per commit, not
+    // O(manifest) (matters when every streaming micro-batch promotes).
+    // It fires only when a writer stalled past vacuum's orphanGraceMs and
     // its claimed generation was reclaimed — a loud failure here instead of
     // a committed manifest pointing at deleted files (silent loss on read).
-    val missing = m.generations.filterNot(g => f.exists(new Path(root, g)))
+    val baseGens: Set[String] = readManifestAt(spark, root, expectedVersion)
+      .orElse(readManifestFile(f, new Path(root, ManifestFile)))
+      .map(_.generations).getOrElse(Set.empty)
+    def missingGens(): Set[String] =
+      (m.generations -- baseGens).filterNot(g => f.exists(new Path(root, g)))
+    val missing = missingGens()
     if (missing.nonEmpty)
       sys.error(s"promote of $root references missing generation(s) " +
         s"${missing.toSeq.sorted.mkString(", ")} — vacuumed while this writer was " +
@@ -159,20 +168,49 @@ object Generations {
       throw new ManifestConflictException(
         s"promote of $root lost the race for v$next (another writer's snapshot survived); " +
           "re-read state and retry")
+    // close the guard→CAS window: a concurrent vacuum(orphanGraceMs) may
+    // have reclaimed this writer's generation BETWEEN the guard above and
+    // the CAS (check-then-act). Re-verify after publishing; on loss,
+    // compensate by deleting our own just-created snapshot — the manifest
+    // log returns to the pre-commit tip and readers recover — then fail
+    // loudly. The residual race is now the CAS call itself (milliseconds),
+    // which the orphanGraceMs lease contract absorbs by construction.
+    val missingAfter = missingGens()
+    if (missingAfter.nonEmpty) {
+      f.delete(snapPath, false): Unit
+      refreshCurrent(spark, root)
+      sys.error(s"promote of $root committed v$next referencing generation(s) " +
+        s"${missingAfter.toSeq.sorted.mkString(", ")} reclaimed by a concurrent vacuum " +
+        "(writer stalled past the orphan grace window); the snapshot was retracted — " +
+        "re-run the write from current state")
+    }
     refreshCurrent(spark, root)
     next
   }
 
-  @volatile private var commitPrimitiveOverride: Option[CommitPrimitive] = None
+  @volatile private var commitPrimitiveGlobal: Option[CommitPrimitive] = None
+  private val commitPrimitiveLocal = new ThreadLocal[Option[CommitPrimitive]] {
+    override def initialValue(): Option[CommitPrimitive] = None
+  }
 
-  /** Run `body` with an injected [[CommitPrimitive]] — an object-store
-    * conditional-PUT implementation, or a test double. Process-wide for the
-    * duration (the layer is an `object`); deployments wire it once at
-    * session setup, specs restore the default in a finally. */
+  /** Wire a [[CommitPrimitive]] process-wide — the deployment hook (an
+    * object-store conditional-PUT implementation, set once at session
+    * setup, applies to every thread including streaming micro-batch
+    * threads). Pass None to restore scheme-default resolution. */
+  def setCommitPrimitive(p: Option[CommitPrimitive]): Unit =
+    commitPrimitiveGlobal = p
+
+  /** Run `body` with an injected [[CommitPrimitive]] scoped to the CALLING
+    * THREAD — the test hook. Thread-local so a concurrent committer on
+    * another thread (a live ingestToVersioned stream, a parallel suite)
+    * never commits through this scope's double or loses its own injected
+    * primitive when the scope unwinds. Commits that run on OTHER threads
+    * (foreachBatch inside a stream started here) do not see the override —
+    * wire those with [[setCommitPrimitive]]. */
   def withCommitPrimitive[T](p: CommitPrimitive)(body: => T): T = {
-    val prev = commitPrimitiveOverride
-    commitPrimitiveOverride = Some(p)
-    try body finally commitPrimitiveOverride = prev
+    val prev = commitPrimitiveLocal.get()
+    commitPrimitiveLocal.set(Some(p))
+    try body finally commitPrimitiveLocal.set(prev)
   }
 
   /** The shared atomic create-if-absent (both CAS points — the manifest
@@ -187,7 +225,9 @@ object Generations {
     val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(body) finally out.close()
-    val primitive = commitPrimitiveOverride.getOrElse(CommitPrimitive.forFileSystem(f))
+    val primitive = commitPrimitiveLocal.get()
+      .orElse(commitPrimitiveGlobal)
+      .getOrElse(CommitPrimitive.forFileSystem(f))
     try {
       val created = primitive.publish(f, spark.sparkContext.hadoopConfiguration, tmp, target)
       if (!created) f.delete(tmp, false): Unit
@@ -432,10 +472,14 @@ object Generations {
     val touched = incoming.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return None
-    val existing = touched.filter(entries.contains).map { b =>
-      spark.read.option("basePath", s"$root/${entries(b)}")
-        .parquet(s"$root/${entries(b)}/bucket=$b")
-    }.reduceOption(_ unionByName _)
+    // one read per GENERATION (multi-path), not per bucket — after a
+    // compaction all touched buckets share one generation and this is a
+    // single parquet() call, the same grouped idiom resolve() uses
+    val existing = touched.filter(entries.contains).groupBy(entries)
+      .toSeq.sortBy(_._1).map { case (g, bs) =>
+        spark.read.option("basePath", s"$root/$g")
+          .parquet(bs.map(b => s"$root/$g/bucket=$b"): _*)
+      }.reduceOption(_ unionByName _)
     val merged = existing match {
       case Some(e) => e.unionByName(incoming.select(e.columns.map(col).toSeq: _*))
       case None    => incoming
@@ -503,9 +547,12 @@ object Generations {
     * must comfortably exceed any writer's write-then-promote span — the
     * same lease-expiry contract as any timeout-based reclaim. Claim markers
     * of reclaimed orphans are kept (numbering skips them), and a writer
-    * stalled PAST the grace window is caught by [[promote]]'s
-    * missing-generation guard: its commit fails loudly instead of
-    * publishing a manifest that references reclaimed files.
+    * stalled PAST the grace window is caught by [[promote]]: a pre-CAS
+    * missing-generation guard, plus a post-CAS re-verify that RETRACTS the
+    * just-published snapshot if the reclaim landed inside the guard→CAS
+    * window — either way the commit fails loudly and no surviving manifest
+    * references reclaimed files. The residual race is the CAS call itself
+    * (milliseconds), which the grace-window lease absorbs by construction.
     *
     * Run once in-flight READERS of evicted versions have drained — the
     * window length is the caller's retention policy, like any MVCC vacuum.

@@ -3,7 +3,7 @@ package graft
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import graft.sources.{CommitPrimitive, Generations, ManifestConflictException}
+import graft.sources.{CommitPrimitive, Generations, ManifestConflictException, Storage}
 
 /** The injectable commit primitive (round-9 verdict #1): the manifest CAS
   * commits through CommitPrimitive, object stores inject a conditional PUT,
@@ -69,6 +69,39 @@ class CommitPrimitiveSpec extends SparkSpec {
     val v = Generations.promote(spark, root, m, Generations.currentVersion(spark, root))
     assert(v == 3)
     assert(Generations.readManifestAt(spark, root, 3).get == m)
+  }
+
+  test("promote retracts its snapshot when the generation vanishes inside the CAS window") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b")), nBuckets = 4) // v1
+    val base = Generations.currentVersion(spark, root)
+    val gen2 = Generations.claimGeneration(spark, root)
+    Storage.appendEvents(mkLog(Seq("x")), s"$root/$gen2", nBuckets = 4)
+    val buckets = spark.read.parquet(s"$root/$gen2")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val intended = Generations.Manifest(
+      Generations.readManifest(spark, root).get.entries ++ buckets.map(_ -> gen2))
+    // models a vacuum(orphanGraceMs) landing INSIDE the guard->CAS window:
+    // the pre-CAS existence guard passed, the snapshot publish succeeds,
+    // and the referenced generation is reclaimed concurrently
+    val vacuumDuringCas = new CommitPrimitive {
+      def publish(f: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean = {
+        val created = CommitPrimitive.LocalHardLink.publish(f, conf, tmp, target)
+        f.delete(new Path(root, gen2), true): Unit
+        created
+      }
+    }
+    val e = intercept[RuntimeException] {
+      Generations.withCommitPrimitive(vacuumDuringCas) {
+        Generations.promote(spark, root, intended, base)
+      }
+    }
+    assert(e.getMessage.contains("retracted"))
+    // the compensating delete returned the log to the pre-commit tip:
+    // no manifest version references the reclaimed generation
+    assert(Generations.currentVersion(spark, root) == base)
+    assert(!Generations.readManifest(spark, root).get.generations.contains(gen2))
+    assert(Generations.readCurrent(spark, root).count() == 4)
   }
 
   test("an injected conditional PUT (faithful create-if-absent) wins exactly once") {

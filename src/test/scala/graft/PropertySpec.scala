@@ -102,6 +102,66 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("property: paragraphDedup equals a driver-side first-occurrence reference") {
+    import spark.implicits._
+    // small alphabet so cross-doc and in-doc duplicates arise constantly
+    val parasGen: Gen[Seq[(Long, Int, String)]] = for {
+      nDocs <- Gen.choose(1, 6)
+      perDoc <- Gen.listOfN(nDocs,
+        Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf("p q", "r s", "t u", "v w"))))
+    } yield perDoc.zipWithIndex.flatMap { case (ps, d) =>
+      ps.zipWithIndex.map { case (p, i) => (d.toLong, i, p) }
+    }
+    checkProp(Prop.forAll(parasGen) { rows =>
+      rows.isEmpty || {
+        // reference: scan in (doc_id, idx) order, keep first occurrences
+        val seen = scala.collection.mutable.Set.empty[String]
+        val keptRef = rows.sortBy(r => (r._1, r._2)).filter(r => seen.add(r._3)).toSet
+        val expected = rows.groupBy(_._1).map { case (d, rs) =>
+          val kept = rs.sortBy(_._2).filter(keptRef)
+          d -> ((kept.map(_._3).mkString(" "), kept.size.toLong, (rs.size - kept.size).toLong))
+        }
+        val results = Seq(false, true).map { hashed =>
+          graft.operators.DedupOps
+            .paragraphDedup(rows.toDF("doc_id", "idx", "para"), hashed = hashed)
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+        }
+        results.forall(_ == expected)
+      }
+    }, minSuccessful = 8)
+  }
+
+  test("property: paragraphDedupAgainst equals reference corpus-miss + increment-first") {
+    import spark.implicits._
+    val gen: Gen[(Seq[(Long, Int, String)], Seq[String])] = for {
+      incRows <- Gen.listOfN(8, for {
+        d <- Gen.choose(0L, 3L); i <- Gen.choose(0, 4)
+        p <- Gen.oneOf("p q", "r s", "t u", "v w")
+      } yield (d, i, p))
+      corpus <- Gen.someOf("p q", "r s", "t u", "v w")
+    } yield (incRows.distinctBy(r => (r._1, r._2)), corpus.toSeq)
+    checkProp(Prop.forAll(gen) { case (rows, corpus) =>
+      rows.isEmpty || {
+        val corpusSet = corpus.toSet
+        val seen = scala.collection.mutable.Set.empty[String]
+        val keptRef = rows.sortBy(r => (r._1, r._2))
+          .filter(r => !corpusSet(r._3) && seen.add(r._3)).toSet
+        val expected = rows.groupBy(_._1).map { case (d, rs) =>
+          val kept = rs.sortBy(_._2).filter(keptRef)
+          d -> ((kept.map(_._3).mkString(" "), kept.size.toLong, (rs.size - kept.size).toLong))
+        }
+        val corDf = corpus.zipWithIndex.map { case (p, i) => (100L + i, 0, p) }
+          .toDF("doc_id", "idx", "para")
+        val got = graft.operators.DedupOps
+          .paragraphDedupAgainst(rows.toDF("doc_id", "idx", "para"), corDf)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+        got == expected
+      }
+    }, minSuccessful = 8)
+  }
+
   test("property: asOfJoin equals the per-row latest-at-or-before reference") {
     import spark.implicits._
     val frameGen: Gen[(Seq[(Long, Long)], Seq[(Long, Long, Long)])] = for {
