@@ -53,6 +53,11 @@ object Verify {
     if (only.isEmpty) // a full run supersedes any stale subset manifest
       Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.partial.json")): Unit
     Files.writeString(Paths.get(manifest), json)
+    // sidecar (NOT part of the driver-consumed manifest format): how many
+    // queries SparkEntry declares in total, so check.py can report
+    // "checked N of M declared" and a subset run can never read as full
+    Files.writeString(Paths.get(s"$outDir/declared_count.json"),
+      s"""{"declared": ${SparkEntry.oracleSql.size}}""")
     if (only.isDefined)
       System.err.println(s"[verify] SPARK_GRAFT_ONLY set: manifest written to $manifest")
     spark.stop()

@@ -82,7 +82,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
         else:
             print(f"OK   {name} ({len(o)} rows)")
-    print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
+    declared = None
+    try:
+        with open(f"{out_dir}/declared_count.json") as f:
+            declared = json.load(f).get("declared")
+    except Exception:
+        pass
+    suffix = ""
+    if declared is not None and declared != len(oracles):
+        suffix = f" (SUBSET: {len(oracles)} of {declared} declared queries checked)"
+    print(f"\n{len(oracles) - failures}/{len(oracles)} queries match{suffix}")
     return 1 if failures else 0
 
 
