@@ -471,7 +471,7 @@ object DedupOps {
     * collapse a passage frame carrying a boolean `__kept` column into one
     * row per document — surviving paragraphs joined in position order,
     * kept/dropped counts. */
-  private def reassembleKept(
+  private[graft] def reassembleKept(
       flagged: DataFrame, idCol: String, idxCol: String, paraCol: String,
       sep: String): DataFrame =
     flagged
@@ -506,15 +506,36 @@ object DedupOps {
       sep: String = " ",
       hashed: Boolean = false): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
-    val w = Window.partitionBy(key(col(paraCol))).orderBy(col(idCol), col(idxCol))
-    val corpusKeys = corpusParas
-      .select(key(col(paraCol)).as("__k"), lit(true).as("__in_corpus")).distinct()
     reassembleKept(
-      incParas
-        .withColumn("__rn", row_number().over(w))
-        .join(corpusKeys, key(col(paraCol)) === col("__k"), "left")
-        .withColumn("__kept", col("__rn") === 1 && col("__in_corpus").isNull),
+      flagAgainstKeys(
+        incParas, corpusParas.select(key(col(paraCol)).as("__k")),
+        idCol, idxCol, paraCol, hashed),
       idCol, idxCol, paraCol, sep)
+  }
+
+  /** Flag an increment's passages against a pre-computed corpus KEY set
+    * (column `__k`: paragraph strings, or their xxhash64 when `hashed`):
+    * adds `__key` (this row's key) and `__kept` (first in-increment
+    * occurrence AND not in the corpus). The composition point for
+    * incremental curation that maintains a persisted paragraph-key index
+    * across landings ([[graft.streaming.StreamingOps.curatedIngest]]) —
+    * the flagged frame feeds both the document reassembly and the index
+    * delta (the admitted keys). */
+  private[graft] def flagAgainstKeys(
+      incParas: DataFrame,
+      corpusKeys: DataFrame,
+      idCol: String,
+      idxCol: String,
+      paraCol: String,
+      hashed: Boolean): DataFrame = {
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    val w = Window.partitionBy(key(col(paraCol))).orderBy(col(idCol), col(idxCol))
+    incParas
+      .withColumn("__key", key(col(paraCol)))
+      .withColumn("__rn", row_number().over(w))
+      .join(corpusKeys.select(col("__k")).distinct().withColumn("__in_corpus", lit(true)),
+        col("__key") === col("__k"), "left")
+      .withColumn("__kept", col("__rn") === 1 && col("__in_corpus").isNull)
   }
 
   /** Connected components via alternating large-star / small-star rounds

@@ -125,6 +125,48 @@ object StreamingOps {
         graft.sources.Storage.appendIndex(indexStream(batch), path)
       }
 
+  /** Streaming CURATED landing: each micro-batch of documents (doc_id,
+    * text) is paragraph-deduped against the ACCUMULATED corpus — an
+    * 8-byte paragraph-key index maintained under `outDir/_para_index` —
+    * and against itself, then the reconstructed documents land under
+    * `outDir/docs` and the batch's newly ADMITTED paragraph keys append
+    * to the index. Later batches (and later runs over the same outDir)
+    * never re-admit a paragraph: the streaming twin of
+    * [[graft.operators.DedupOps.paragraphDedupAgainst]], with the corpus
+    * side read from the index instead of re-chunking history — per batch
+    * the corpus contributes ONE distinct key column, O(distinct
+    * paragraphs), not O(corpus text).
+    *
+    * Delivery is at-least-once across checkpoint-replayed batches (the
+    * foreachBatch contract, same caveat as [[ingestTo]]): a replayed
+    * batch's paragraphs are already in the index, so the replay lands
+    * empty-cleaned duplicate doc rows — dedupe doc_ids downstream, or
+    * compose [[dedupedEvents]]-style exactly-once upstream. */
+  def curatedIngest(docs: DataFrame, outDir: String, checkpoint: String,
+      chunkSize: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/_para_index")
+        val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val paras = graft.operators.TextOps.chunkTokens(batch, chunkSize, chunkSize)
+        val corpusKeys =
+          if (f.exists(idxPath)) s.read.parquet(idxPath.toString)
+          else s.emptyDataFrame.withColumn("__k", lit(null).cast("long"))
+        // one flagged frame, two consumers (the landing and the index
+        // delta) — pin it so the window+join runs once per batch
+        val flagged = graft.operators.DedupOps.flagAgainstKeys(
+            paras, corpusKeys, "doc_id", "chunk_idx", "chunk_text", hashed = true)
+          .localCheckpoint(true)
+        graft.operators.DedupOps
+          .reassembleKept(flagged, "doc_id", "chunk_idx", "chunk_text", " ")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$outDir/docs")
+        flagged.filter(col("__kept")).select(col("__key").as("__k")).distinct()
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idxPath.toString)
+      }
+
   /** Gap-based session windows over the live stream — the canonical
     * Structured Streaming session shape (`session_window` merges events
     * whose gap to the previous event is < gapUs; a gap >= gapUs starts a

@@ -54,6 +54,26 @@ class CatalogSpec extends SparkSpec {
         .filter(col("col_name") === "Statistics").select("data_type")
         .collect().map(_.getString(0))
       assert(stats.nonEmpty && stats.head.contains("12 rows"), s"stats: ${stats.toSeq}")
+
+      // the (et, pid)-partitioned index table: MSCK partition recovery and
+      // partition pruning through the catalog
+      import spark.implicits._
+      val idxPath = Storage.tablePath(root, tenant, ks, "index_by_eventtype")
+      Storage.appendIndex(Seq(
+        ("order", 2024001, "1".getBytes, 1, 0, 1000L),
+        ("order", 2024002, "2".getBytes, 1, 0, 2000L),
+        ("user", 2024001, "3".getBytes, 1, 0, 3000L)
+      ).toDF("et", "pid", "id", "rev", "pos", "ts"), idxPath)
+      Storage.registerCatalog(root, tenant, ks)
+      val viaCat = spark.sql(s"SELECT et, pid, id FROM `$db`.index_by_eventtype")
+      assert(viaCat.count() == 3)
+      val prunedIdx = spark.sql(
+        s"SELECT * FROM `$db`.index_by_eventtype WHERE et = 'order' AND pid = 2024001")
+      val idxFiles = prunedIdx.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles
+      }.getOrElse(Array.empty[String])
+      assert(idxFiles.nonEmpty && idxFiles.forall(f =>
+        f.contains("et=order") && f.contains("pid=2024001")), idxFiles.toSeq.toString)
     } finally {
       spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"): Unit
     }
