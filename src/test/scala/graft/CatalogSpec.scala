@@ -55,6 +55,14 @@ class CatalogSpec extends SparkSpec {
         .collect().map(_.getString(0))
       assert(stats.nonEmpty && stats.head.contains("12 rows"), s"stats: ${stats.toSeq}")
 
+      // predicate pushdown survives the catalog path: a ts bound reaches
+      // the parquet scan as a pushed filter (row-group min/max skipping),
+      // same as the path read
+      val tsPlan = spark.sql(s"SELECT * FROM `$db`.events WHERE ts >= 1500")
+        .queryExecution.executedPlan.toString
+      assert(tsPlan.contains("PushedFilters") &&
+        tsPlan.matches("(?s).*PushedFilters[^\\]]*ts[^\\]]*\\].*"), tsPlan)
+
       // the (et, pid)-partitioned index table: MSCK partition recovery and
       // partition pruning through the catalog
       import spark.implicits._
