@@ -144,13 +144,11 @@ object CurationOps {
         NumFns.floorAt(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4)
           .as("repetition"))
 
-  /** Deterministic hash-free train/val/test split on the id (stable across
-    * runs, engines and partitionings — a modulus on the id, not a RNG),
-    * aggregated per (stratum, split) for distribution checks. */
   /** The deterministic train/val/test assignment as a bare Column — the
-    * single source of the modulus rule, shared by [[stratifiedSplit]]'s
-    * distribution check and [[curationPipeline]]'s per-doc assignment so
-    * the two can never silently disagree. */
+    * single source of the modulus rule (stable across runs, engines and
+    * partitionings: a modulus on the id, not a RNG), shared by
+    * [[stratifiedSplit]]'s distribution check and [[curationPipeline]]'s
+    * per-doc assignment so the two can never silently disagree. */
   def splitExpr(
       id: org.apache.spark.sql.Column,
       modulus: Int = 100,
@@ -160,6 +158,8 @@ object CurationOps {
       .when(pmod(id, lit(modulus)) < valLt, "val")
       .otherwise("test")
 
+  /** Deterministic hash-free train/val/test split ([[splitExpr]]),
+    * aggregated per (stratum, split) for distribution checks. */
   def stratifiedSplit(
       docs: DataFrame,
       stratumCol: String = "lang",

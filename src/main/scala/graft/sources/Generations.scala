@@ -130,25 +130,27 @@ object Generations {
         s"promote of $root expected v$expectedVersion but the table is at v$latest; " +
           "re-read state and retry")
     // lease-expiry guard: every generation the new manifest references must
-    // exist at commit time. Generations carried from the base snapshot are
-    // in vacuum's live set (the base IS the current tip — checked above) so
-    // vacuum never deletes them; only NEWLY referenced generations (the
-    // writer's own claimed gen, normally exactly one) are reclaim-eligible,
-    // so only those are probed — O(1) exists calls per commit, not
-    // O(manifest) (matters when every streaming micro-batch promotes).
-    // It fires only when a writer stalled past vacuum's orphanGraceMs and
-    // its claimed generation was reclaimed — a loud failure here instead of
-    // a committed manifest pointing at deleted files (silent loss on read).
+    // exist at commit time. The FULL reference set is probed (not just the
+    // writer's own new generations): carried generations are vacuum-live by
+    // construction, so their probes only fire if the tip is ALREADY corrupt
+    // — and that self-healing property (a bad tip fails loudly at the very
+    // next commit instead of propagating forever) is worth O(manifest)
+    // exists calls per commit. The common loud case remains a writer
+    // stalled past vacuum's orphanGraceMs whose own claimed generation was
+    // reclaimed.
     val baseGens: Set[String] = readManifestAt(spark, root, expectedVersion)
       .orElse(readManifestFile(f, new Path(root, ManifestFile)))
       .map(_.generations).getOrElse(Set.empty)
-    def missingGens(): Set[String] =
-      (m.generations -- baseGens).filterNot(g => f.exists(new Path(root, g)))
-    val missing = missingGens()
+    val missing = m.generations.filterNot(g => f.exists(new Path(root, g)))
     if (missing.nonEmpty)
       sys.error(s"promote of $root references missing generation(s) " +
         s"${missing.toSeq.sorted.mkString(", ")} — vacuumed while this writer was " +
-        "stalled past the orphan grace window; re-run the write from current state")
+        "stalled past the orphan grace window (or the table tip already references " +
+        "reclaimed files); re-run the write from current state")
+    // post-CAS re-verify below only needs the writer's NEW generations:
+    // carried gens were just probed and are live at the (unchanged) base
+    def missingNewGens(): Set[String] =
+      (m.generations -- baseGens).filterNot(g => f.exists(new Path(root, g)))
     val next = expectedVersion + 1
     val body = (m.entries.toSeq.sortBy(_._1).map { case (b, g) => s"$b\t$g" }
       :+ s"# promote v$next by ${java.util.UUID.randomUUID()}")
@@ -168,21 +170,27 @@ object Generations {
       throw new ManifestConflictException(
         s"promote of $root lost the race for v$next (another writer's snapshot survived); " +
           "re-read state and retry")
-    // close the guard→CAS window: a concurrent vacuum(orphanGraceMs) may
+    // narrow the guard→CAS window: a concurrent vacuum(orphanGraceMs) may
     // have reclaimed this writer's generation BETWEEN the guard above and
-    // the CAS (check-then-act). Re-verify after publishing; on loss,
-    // compensate by deleting our own just-created snapshot — the manifest
-    // log returns to the pre-commit tip and readers recover — then fail
-    // loudly. The residual race is now the CAS call itself (milliseconds),
-    // which the orphanGraceMs lease contract absorbs by construction.
-    val missingAfter = missingGens()
+    // the CAS (check-then-act). Re-verify after publishing; on loss, make
+    // a BEST-EFFORT retraction of our own just-created snapshot and fail
+    // loudly either way. This is defense-in-depth inside the lease
+    // contract, not a guarantee: a successor that CAS'd on top of our
+    // snapshot before the retraction, or a vacuum that pruned versions
+    // around it, can still observe the bad reference — the orphanGraceMs
+    // window must cover the whole claim→promote span (including this
+    // re-verify), and the full pre-CAS probe above makes any surviving
+    // corruption fail loudly at the next commit instead of propagating.
+    val missingAfter = missingNewGens()
     if (missingAfter.nonEmpty) {
-      f.delete(snapPath, false): Unit
+      val retracted = f.delete(snapPath, false)
       refreshCurrent(spark, root)
       sys.error(s"promote of $root committed v$next referencing generation(s) " +
         s"${missingAfter.toSeq.sorted.mkString(", ")} reclaimed by a concurrent vacuum " +
-        "(writer stalled past the orphan grace window); the snapshot was retracted — " +
-        "re-run the write from current state")
+        "(writer stalled past the orphan grace window); " +
+        (if (retracted) "the snapshot was retracted" else
+          s"RETRACTION FAILED — v$next still references reclaimed files, repair manually") +
+        " — re-run the write from current state")
     }
     refreshCurrent(spark, root)
     next
@@ -472,14 +480,13 @@ object Generations {
     val touched = incoming.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return None
-    // one read per GENERATION (multi-path), not per bucket — after a
-    // compaction all touched buckets share one generation and this is a
-    // single parquet() call, the same grouped idiom resolve() uses
-    val existing = touched.filter(entries.contains).groupBy(entries)
-      .toSeq.sortBy(_._1).map { case (g, bs) =>
-        spark.read.option("basePath", s"$root/$g")
-          .parquet(bs.map(b => s"$root/$g/bucket=$b"): _*)
-      }.reduceOption(_ unionByName _)
+    // one read per GENERATION (multi-path), not per bucket — reuse
+    // resolve() on the manifest restricted to the touched buckets, so the
+    // append path and the read path share one manifest-resolution idiom
+    val touchedEntries = entries.view.filterKeys(touched.contains).toMap
+    val existing =
+      if (touchedEntries.isEmpty) None
+      else Some(resolve(spark, root, Manifest(touchedEntries)))
     val merged = existing match {
       case Some(e) => e.unionByName(incoming.select(e.columns.map(col).toSeq: _*))
       case None    => incoming
@@ -548,11 +555,12 @@ object Generations {
     * same lease-expiry contract as any timeout-based reclaim. Claim markers
     * of reclaimed orphans are kept (numbering skips them), and a writer
     * stalled PAST the grace window is caught by [[promote]]: a pre-CAS
-    * missing-generation guard, plus a post-CAS re-verify that RETRACTS the
-    * just-published snapshot if the reclaim landed inside the guard→CAS
-    * window — either way the commit fails loudly and no surviving manifest
-    * references reclaimed files. The residual race is the CAS call itself
-    * (milliseconds), which the grace-window lease absorbs by construction.
+    * missing-generation guard over the FULL reference set (so a corrupt
+    * tip also fails loudly at the next commit — self-healing), plus a
+    * best-effort post-CAS re-verify that retracts the just-published
+    * snapshot if the reclaim landed inside the guard→CAS window. These
+    * narrow but do not replace the lease contract: orphanGraceMs must
+    * comfortably exceed any writer's whole claim→promote span.
     *
     * Run once in-flight READERS of evicted versions have drained — the
     * window length is the caller's retention policy, like any MVCC vacuum.

@@ -138,10 +138,16 @@ object StreamingOps {
     * paragraphs), not O(corpus text).
     *
     * Delivery is at-least-once across checkpoint-replayed batches (the
-    * foreachBatch contract, same caveat as [[ingestTo]]): a replayed
-    * batch's paragraphs are already in the index, so the replay lands
-    * empty-cleaned duplicate doc rows — dedupe doc_ids downstream, or
-    * compose [[dedupedEvents]]-style exactly-once upstream. */
+    * foreachBatch contract, same caveat as [[ingestTo]]). The index delta
+    * is appended BEFORE the documents: a crash between the two replays
+    * the batch against an index that already holds its keys, so the
+    * replay lands empty-cleaned duplicate doc rows (never re-admitted
+    * paragraphs) — dedupe doc_ids downstream, or compose
+    * [[dedupedEvents]]-style exactly-once upstream. Null text is treated
+    * as empty (the doc row still lands, per the paragraphDedup contract).
+    * The index grows by one small file per admitting batch (the delta is
+    * coalesced); compact it periodically like any streaming sink
+    * directory. */
   def curatedIngest(docs: DataFrame, outDir: String, checkpoint: String,
       chunkSize: Int = 8): DataStreamWriter[Row] =
     docs.writeStream
@@ -151,7 +157,9 @@ object StreamingOps {
         val s = batch.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/_para_index")
         val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val paras = graft.operators.TextOps.chunkTokens(batch, chunkSize, chunkSize)
+        val paras = graft.operators.TextOps.chunkTokens(
+          batch.withColumn("text", coalesce(col("text"), lit(""))),
+          chunkSize, chunkSize)
         val corpusKeys =
           if (f.exists(idxPath)) s.read.parquet(idxPath.toString)
           else s.emptyDataFrame.withColumn("__k", lit(null).cast("long"))
@@ -160,11 +168,15 @@ object StreamingOps {
         val flagged = graft.operators.DedupOps.flagAgainstKeys(
             paras, corpusKeys, "doc_id", "chunk_idx", "chunk_text", hashed = true)
           .localCheckpoint(true)
+        // index FIRST (see scaladoc: makes the crash window replay-safe);
+        // the delta is a handful of 8-byte keys — one file, not one per
+        // shuffle partition
+        flagged.filter(col("__kept")).select(col("__key").as("__k")).distinct()
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idxPath.toString)
         graft.operators.DedupOps
           .reassembleKept(flagged, "doc_id", "chunk_idx", "chunk_text", " ")
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$outDir/docs")
-        flagged.filter(col("__kept")).select(col("__key").as("__k")).distinct()
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idxPath.toString)
       }
 
   /** Gap-based session windows over the live stream — the canonical
