@@ -114,7 +114,7 @@ object DedupOps {
       shingleK: Int = 3,
       nHashes: Int = 16,
       bands: Int = 4,
-      nBuckets: Int = 64): Unit =
+      nBuckets: Int = 64): Unit = {
     bandedSignatures(corpus, idCol, textCol, shingleK, nHashes, bands, reliable = false)
       .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
       // co-locate each (band, bucket) into one task before partitionBy:
@@ -125,6 +125,17 @@ object DedupOps {
       .repartition(col("band"), col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .partitionBy("band", "bucket").parquet(path)
+    // parameter sidecar: a probe signed with different LSH parameters than
+    // the index silently yields missing candidates, so record them for
+    // minHashNearDupsIndexed to assert against
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(
+      s"""{"shingleK":$shingleK,"nHashes":$nHashes,"bands":$bands,"nBuckets":$nBuckets}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** [[minHashNearDupsAgainst]] with the corpus side served from a
     * persisted index ([[writeMinHashIndex]]): the increment is signed
@@ -148,6 +159,25 @@ object DedupOps {
       threshold: Double = 0.7,
       reliable: Boolean = false): DataFrame = {
     val spark = increment.sparkSession
+    // the probe's banding must match the index's or candidates silently go
+    // missing — assert against the sidecar writeMinHashIndex recorded
+    val meta = new org.apache.hadoop.fs.Path(indexPath, "_meta.json")
+    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mf.exists(meta)) {
+      val in = mf.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(k: String): Option[Int] =
+        s""""$k":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      val mismatches = Seq(
+        "shingleK" -> shingleK, "nHashes" -> nHashes,
+        "bands" -> bands, "nBuckets" -> nBuckets).flatMap { case (k, v) =>
+        field(k).filter(_ != v).map(rec => s"$k: index=$rec probe=$v")
+      }
+      require(mismatches.isEmpty,
+        s"minHashNearDupsIndexed parameters disagree with the index at $indexPath " +
+          s"(${mismatches.mkString(", ")}) — probe with the index's parameters " +
+          "or rebuild it with writeMinHashIndex")
+    }
     val bi = bandedSignatures(increment, idCol, textCol, shingleK, nHashes, bands, reliable)
       .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
     val bc = spark.read.parquet(indexPath)
@@ -530,12 +560,21 @@ object DedupOps {
       hashed: Boolean): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
     val w = Window.partitionBy(key(col(paraCol))).orderBy(col(idCol), col(idxCol))
-    incParas
+    val base = incParas
       .withColumn("__key", key(col(paraCol)))
       .withColumn("__rn", row_number().over(w))
-      .join(corpusKeys.select(col("__k")).distinct().withColumn("__in_corpus", lit(true)),
-        col("__key") === col("__k"), "left")
-      .withColumn("__kept", col("__rn") === 1 && col("__in_corpus").isNull)
+    val keys = corpusKeys.select(col("__k"))
+    // semi/anti pair instead of distinct-then-left-join: neither join can
+    // multiply increment rows, so duplicate corpus keys (an un-distinct
+    // caller, the overlap window of a crashed compactParaIndex) are
+    // harmless and the per-call distinct() shuffle is gone; the two joins
+    // have identical child subplans on both sides, so ReuseExchange ships
+    // each side's shuffle once
+    base.join(keys, col("__key") === col("__k"), "left_semi")
+      .withColumn("__kept", lit(false))
+      .unionByName(
+        base.join(keys, col("__key") === col("__k"), "left_anti")
+          .withColumn("__kept", col("__rn") === 1))
   }
 
   /** Connected components via alternating large-star / small-star rounds
@@ -591,10 +630,14 @@ object DedupOps {
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(cur)).transform(Checkpoints.pin(_, reliable))
       // star forests are fixed points of both operators, so a stable edge
-      // set == converged; both sides are materialized checkpoints, so the
-      // probe is two scans of the edge list
-      converged = next.count() == cur.count() &&
-        next.join(cur, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      // set == converged. Both sides are distinct edge lists, so set
+      // equality == "no row where either side is absent" — ONE full-outer
+      // probe job over the materialized checkpoints (was two counts plus
+      // an anti-join probe, three jobs per round)
+      converged = next.withColumn("__n", lit(1))
+        .join(cur.withColumn("__c", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__n").isNull || col("__c").isNull)
+        .limit(1).count() == 0
       cur = next
       round += 1
     }

@@ -125,59 +125,168 @@ object StreamingOps {
         graft.sources.Storage.appendIndex(indexStream(batch), path)
       }
 
+  /** Streaming index DELETE maintenance — A7's streaming twin (the
+    * reference deletes index records alongside event deletes,
+    * IndexByEventTypeStore.cs:63-83; here a tombstone stream keeps the
+    * persisted index current as deletes arrive). Each micro-batch of
+    * tombstones (full index PK: et, pid, ts, aid, rev, pos) anti-join
+    * rewrites ONLY the affected (et, pid) partitions through
+    * [[graft.sources.Storage.deleteIndexAndRewrite]]; untouched partitions
+    * keep their files. Single-mutator like [[ingestTo]] (must not run
+    * concurrently with another writer of the same index path), and
+    * at-least-once replay is harmless: re-deleting absent records rewrites
+    * the same survivors (idempotent). */
+  def indexDeleteStream(tombstones: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    tombstones.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Storage.deleteIndexAndRewrite(batch.sparkSession, path, batch)
+      }
+
   /** Streaming CURATED landing: each micro-batch of documents (doc_id,
     * text) is paragraph-deduped against the ACCUMULATED corpus — an
     * 8-byte paragraph-key index maintained under `outDir/_para_index` —
     * and against itself, then the reconstructed documents land under
-    * `outDir/docs` and the batch's newly ADMITTED paragraph keys append
-    * to the index. Later batches (and later runs over the same outDir)
-    * never re-admit a paragraph: the streaming twin of
+    * `outDir/docs/__batch=<id>` and the batch's newly ADMITTED paragraph
+    * keys land under `outDir/_para_index/__batch=<id>/pb=<p>`. Later
+    * batches (and later runs over the same outDir) never re-admit a
+    * paragraph: the streaming twin of
     * [[graft.operators.DedupOps.paragraphDedupAgainst]], with the corpus
     * side read from the index instead of re-chunking history — per batch
-    * the corpus contributes ONE distinct key column, O(distinct
-    * paragraphs), not O(corpus text).
+    * the corpus contributes ONE key column, O(distinct paragraphs), not
+    * O(corpus text).
     *
-    * Delivery is at-least-once across checkpoint-replayed batches (the
-    * foreachBatch contract, same caveat as [[ingestTo]]). The index delta
-    * is appended BEFORE the documents: a crash between the two replays
-    * the batch against an index that already holds its keys, so the
-    * replay lands empty-cleaned duplicate doc rows (never re-admitted
-    * paragraphs) — dedupe doc_ids downstream, or compose
-    * [[dedupedEvents]]-style exactly-once upstream. Null text is treated
-    * as empty (the doc row still lands, per the paragraphDedup contract).
-    * The index grows by one small file per admitting batch (the delta is
-    * coalesced); compact it periodically like any streaming sink
-    * directory. */
+    * Layout, chosen for the 100 TB corpus (billions of keys):
+    *  - the index is key-bucketed: `pb = pmod(xxhash64(para), nPb)` is a
+    *    hive partition directory, and each batch first collects its own
+    *    touched pb set (bounded by nPb — driver-safe) and reads ONLY those
+    *    directories (static partition pruning, the `isin` filter below) —
+    *    a small batch against a huge corpus scans the matching slice of
+    *    the index, never the whole key set;
+    *  - deltas are per-batch directories (`__batch=<id>`), so the landing
+    *    is IDEMPOTENT: both writes go to batch-id-derived paths in
+    *    Overwrite mode, and the corpus read takes only `__batch < id`, so
+    *    a checkpoint-replayed batch sees the exact corpus the crashed
+    *    attempt saw, recomputes the same admissions, and overwrites its
+    *    own partial output — no content loss, no duplicate doc rows,
+    *    whatever the crash point (exactly-once landing on top of
+    *    foreachBatch's at-least-once replay);
+    *  - one file per touched pb per batch; fold the per-batch deltas with
+    *    [[compactParaIndex]] when they accumulate.
+    *
+    * Readers of `outDir/docs` see the partition column `__batch` alongside
+    * (doc_id, clean_text, n_kept, n_dropped); project it away. Null text
+    * is treated as empty (the doc row still lands, per the paragraphDedup
+    * contract). */
   def curatedIngest(docs: DataFrame, outDir: String, checkpoint: String,
-      chunkSize: Int = 8): DataStreamWriter[Row] =
+      chunkSize: Int = 8, nPb: Int = 64): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/_para_index")
-        val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val paras = graft.operators.TextOps.chunkTokens(
-          batch.withColumn("text", coalesce(col("text"), lit(""))),
-          chunkSize, chunkSize)
-        val corpusKeys =
-          if (f.exists(idxPath)) s.read.parquet(idxPath.toString)
-          else s.emptyDataFrame.withColumn("__k", lit(null).cast("long"))
-        // one flagged frame, two consumers (the landing and the index
-        // delta) — pin it so the window+join runs once per batch
-        val flagged = graft.operators.DedupOps.flagAgainstKeys(
-            paras, corpusKeys, "doc_id", "chunk_idx", "chunk_text", hashed = true)
-          .localCheckpoint(true)
-        // index FIRST (see scaladoc: makes the crash window replay-safe);
-        // the delta is a handful of 8-byte keys — one file, not one per
-        // shuffle partition
-        flagged.filter(col("__kept")).select(col("__key").as("__k")).distinct()
-          .coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idxPath.toString)
-        graft.operators.DedupOps
-          .reassembleKept(flagged, "doc_id", "chunk_idx", "chunk_text", " ")
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$outDir/docs")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curatedBatch(batch, batchId, outDir, chunkSize, nPb)
       }
+
+  /** One [[curatedIngest]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). Deterministic given (batch contents,
+    * batchId, prior-batch index state) — the idempotence contract above
+    * rests on that. */
+  private[graft] def curatedBatch(batch: DataFrame, batchId: Long, outDir: String,
+      chunkSize: Int, nPb: Int): Unit = {
+    val s = batch.sparkSession
+    val idx = s"$outDir/_para_index"
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val paras = graft.operators.TextOps.chunkTokens(
+        batch.withColumn("text", coalesce(col("text"), lit(""))),
+        chunkSize, chunkSize)
+      .localCheckpoint(true)
+    // the batch's touched key buckets, bounded by nPb — prunes the corpus
+    // read to the matching pb directories
+    val touched = paras
+      .select(pmod(xxhash64(col("chunk_text")), lit(nPb.toLong)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpusKeys =
+      if (f.exists(idxPath))
+        // explicit schema (incl. the partition columns, pinning their
+        // types): skips footer inference, and tolerates an index whose
+        // every batch admitted nothing
+        s.read.schema("__k LONG, pb INT, __batch LONG")
+          .option("basePath", idx).parquet(idx)
+          .filter(col("__batch") < batchId && col("pb").isin(touched: _*))
+          .select("__k")
+      else s.emptyDataFrame.withColumn("__k", lit(null).cast("long"))
+    // one flagged frame, two consumers (the landing and the index delta) —
+    // pin it so the window+join runs once per batch
+    val flagged = graft.operators.DedupOps.flagAgainstKeys(
+        paras, corpusKeys, "doc_id", "chunk_idx", "chunk_text", hashed = true)
+      .localCheckpoint(true)
+    graft.operators.DedupOps
+      .reassembleKept(flagged, "doc_id", "chunk_idx", "chunk_text", " ")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/docs/__batch=$batchId")
+    // the delta is a handful of 8-byte keys — one file per touched pb, not
+    // one per shuffle partition
+    flagged.filter(col("__kept"))
+      .select(col("__key").as("__k"),
+        pmod(col("__key"), lit(nPb.toLong)).cast("int").as("pb"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pb").parquet(s"$idx/__batch=$batchId")
+  }
+
+  /** Fold [[curatedIngest]]'s one-directory-per-batch index deltas into a
+    * single base (`__batch=-1`, one file per pb directory) so the per-batch
+    * corpus read stays O(touched pb directories) instead of growing a file
+    * per historical batch. MUST NOT run concurrently with the stream (the
+    * same single-maintainer contract as [[graft.sources.Storage.compact]]).
+    *
+    * Crash-safe by ordering, not atomicity: the distinct key set is staged
+    * under an underscore-prefixed directory (invisible to readers), the old
+    * base is retired, the staging renamed in, and only then are the deltas
+    * dropped. Every intermediate state either preserves all keys in
+    * visible directories or is recoverable by RERUNNING compactParaIndex
+    * (which unions staging/retired back in); the one overlap window —
+    * base installed, deltas not yet dropped — duplicates keys, which the
+    * semi/anti flag join tolerates by construction (no row multiplication,
+    * no re-admission). */
+  def compactParaIndex(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idx = s"$outDir/_para_index"
+    val idxPath = new Path(idx)
+    val f = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(idxPath)) return
+    val staging = new Path(idxPath, "_compacting")
+    val retired = new Path(idxPath, "_retired")
+    val base = new Path(idxPath, "__batch=-1")
+    val batchDirs = f.listStatus(idxPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+    val visible =
+      if (batchDirs.nonEmpty)
+        Seq(spark.read.schema("__k LONG, pb INT, __batch LONG").option("basePath", idx)
+          .parquet(batchDirs.map(_.getPath.toString): _*).select("__k", "pb"))
+      else Seq.empty
+    // a crashed prior compaction leaves keys in staging/retired — union
+    // them back so a rerun always recovers the full set
+    val extras = Seq(staging, retired).filter(f.exists).map(p =>
+      spark.read.schema("__k LONG, pb INT").parquet(p.toString).select("__k", "pb"))
+    val parts = visible ++ extras
+    if (parts.isEmpty) return
+    // materialized (localCheckpoint) before any directory is touched: the
+    // plan reads the very directories the steps below retire
+    val compacted = parts.reduce(_ unionByName _).distinct()
+      .repartition(col("pb")).localCheckpoint(true)
+    compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pb").parquet(staging.toString)
+    // retired's content is now ⊆ staging, safe to drop before reusing it
+    if (f.exists(retired)) f.delete(retired, true): Unit
+    if (f.exists(base)) require(f.rename(base, retired), s"rename $base failed")
+    require(f.rename(staging, base), s"rename $staging -> $base failed")
+    batchDirs.filter(_.getPath.getName != "__batch=-1")
+      .foreach(s => f.delete(s.getPath, true): Unit)
+    f.delete(retired, true): Unit
+  }
 
   /** Gap-based session windows over the live stream — the canonical
     * Structured Streaming session shape (`session_window` merges events

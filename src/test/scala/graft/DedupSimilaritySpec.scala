@@ -65,6 +65,12 @@ class DedupSimilaritySpec extends SparkSpec {
       s"no band/bucket partition filter:\n$plan")
     val probedFiles = probe.select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(probedFiles.forall(f => f.contains("band=0") && f.contains("bucket=3")))
+    // the _meta sidecar pins the index's LSH parameters: probing with a
+    // different banding fails loudly instead of silently missing candidates
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.minHashNearDupsIndexed(inc, cor, path, nBuckets = 64, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("nBuckets: index=8 probe=64"))
   }
 
   test("incremental exact: copy count + first corpus id, novel docs get 0/null") {

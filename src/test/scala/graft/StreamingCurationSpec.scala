@@ -7,8 +7,21 @@ import graft.streaming.StreamingOps
 /** Streaming curated landing: paragraphs are admitted corpus-wide exactly
   * once ACROSS micro-batches and ACROSS runs — the persisted paragraph-key
   * index carries the dedup frontier, so a paragraph admitted in run 1
-  * blocks its recurrence in run 2 without re-reading run 1's text. */
+  * blocks its recurrence in run 2 without re-reading run 1's text. The
+  * batch-id-derived layout makes every micro-batch idempotent under
+  * checkpoint replay (no content loss, no duplicate doc rows at any crash
+  * point), the index is pb-bucketed so per-batch corpus reads prune to the
+  * touched directories, and compactParaIndex folds the per-batch deltas. */
 class StreamingCurationSpec extends SparkSpec {
+
+  private def keys(out: String): Set[Long] =
+    spark.read.parquet(s"$out/_para_index").select("__k")
+      .distinct().collect().map(_.getLong(0)).toSet
+
+  private def landed(out: String) = spark.read.parquet(s"$out/docs").collect()
+    .map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))))
+    .toMap
 
   test("curatedIngest admits each paragraph once across batches and runs") {
     import spark.implicits._
@@ -22,10 +35,6 @@ class StreamingCurationSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    def landed() = spark.read.parquet(s"$out/docs").collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))))
-      .toMap
 
     // run 1: doc 1 = paragraphs P, Q; doc 2 repeats P in-batch and adds R
     Seq(
@@ -33,20 +42,116 @@ class StreamingCurationSpec extends SparkSpec {
       (2L, "p1 p2 p3 p4 r1 r2 r3 r4")
     ).toDF("doc_id", "text").write.parquet(land)
     run()
-    assert(landed() == Map(
+    assert(landed(out) == Map(
       1L -> (("p1 p2 p3 p4 q1 q2 q3 q4", 2L, 0L)),
       2L -> (("r1 r2 r3 r4", 1L, 1L)))) // P lost to doc 1 inside the batch
-    val idx1 = spark.read.parquet(s"$out/_para_index").distinct().count()
-    assert(idx1 == 3) // P, Q, R admitted
+    assert(keys(out).size == 3) // P, Q, R admitted
 
     // run 2: doc 3 repeats Q (admitted LAST run — only the index knows)
     // and adds S; the checkpoint ensures run 1's files are not reprocessed
     Seq((3L, "q1 q2 q3 q4 s1 s2 s3 s4")).toDF("doc_id", "text")
       .write.mode("append").parquet(land)
     run()
-    val all = landed()
+    val all = landed(out)
     assert(all.keySet == Set(1L, 2L, 3L)) // no duplicate doc rows
     assert(all(3L) == (("s1 s2 s3 s4", 1L, 1L))) // Q blocked by the index
-    assert(spark.read.parquet(s"$out/_para_index").distinct().count() == 4)
+    assert(keys(out).size == 4)
+  }
+
+  test("curatedBatch replay is idempotent at every crash point") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def del(p: String) = fs.delete(new org.apache.hadoop.fs.Path(p), true)
+
+    val b0 = Seq(
+      (1L, "p1 p2 p3 p4 q1 q2 q3 q4"),
+      (2L, "p1 p2 p3 p4 r1 r2 r3 r4")).toDF("doc_id", "text")
+    StreamingOps.curatedBatch(b0, 0L, out, chunkSize = 4, nPb = 8)
+    val docs0 = landed(out); val keys0 = keys(out)
+    assert(keys0.size == 3)
+
+    // crash after checkpoint-commit failure: full re-execution of batch 0
+    StreamingOps.curatedBatch(b0, 0L, out, chunkSize = 4, nPb = 8)
+    assert(landed(out) == docs0 && keys(out) == keys0)
+
+    // crash between the docs write and the index write: replay recomputes
+    // the SAME admissions (corpus read takes __batch < 0 only) — this is
+    // the window that lost the batch's text under the append-based layout
+    del(s"$out/_para_index/__batch=0")
+    StreamingOps.curatedBatch(b0, 0L, out, chunkSize = 4, nPb = 8)
+    assert(landed(out) == docs0 && keys(out) == keys0)
+
+    // crash mid-docs-write: replay overwrites the partial landing
+    del(s"$out/docs/__batch=0")
+    StreamingOps.curatedBatch(b0, 0L, out, chunkSize = 4, nPb = 8)
+    assert(landed(out) == docs0 && keys(out) == keys0)
+
+    // the frontier survives it all: batch 1 dedups against batch 0
+    val b1 = Seq((3L, "q1 q2 q3 q4 s1 s2 s3 s4")).toDF("doc_id", "text")
+    StreamingOps.curatedBatch(b1, 1L, out, chunkSize = 4, nPb = 8)
+    assert(landed(out)(3L) == (("s1 s2 s3 s4", 1L, 1L)))
+    assert(keys(out).size == 4)
+  }
+
+  test("para index is pb-bucketed and point probes prune to one directory") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    val docs = (1L to 40L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+    StreamingOps.curatedBatch(docs, 0L, out, chunkSize = 4, nPb = 8)
+    val idx = s"$out/_para_index"
+    // layout: __batch=0/pb=* directories
+    val pbDirs = new java.io.File(s"$idx/__batch=0").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("pb="))
+    assert(pbDirs.length > 1)
+    val pb = pbDirs.head.getName.stripPrefix("pb=").toInt
+    val probe = spark.read.parquet(idx).filter(col("pb") === pb)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"),
+      s"no pb partition filter:\n$plan")
+    val probed = probe.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(probed.nonEmpty && probed.forall(_.contains(s"pb=$pb")))
+  }
+
+  test("compactParaIndex folds deltas, survives crash leftovers, tolerates overlap") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val idx = s"$out/_para_index"
+
+    StreamingOps.curatedBatch(
+      Seq((1L, "p1 p2 p3 p4 q1 q2 q3 q4")).toDF("doc_id", "text"), 0L, out, 4, 8)
+    StreamingOps.curatedBatch(
+      Seq((2L, "p1 p2 p3 p4 r1 r2 r3 r4")).toDF("doc_id", "text"), 1L, out, 4, 8)
+    val keysBefore = keys(out)
+    assert(keysBefore.size == 3)
+    assert(new java.io.File(idx).listFiles().count(_.getName.startsWith("__batch=")) == 2)
+
+    StreamingOps.compactParaIndex(spark, out)
+    val dirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("__batch="))
+    assert(dirs.map(_.getName).toSeq == Seq("__batch=-1"))
+    // one file per pb directory — the small-file pile is folded
+    for (d <- new java.io.File(s"$idx/__batch=-1").listFiles() if d.getName.startsWith("pb="))
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(keys(out) == keysBefore)
+
+    // crash window: base retired but staging not yet installed — a rerun
+    // unions the invisible directories back in and restores the base
+    require(fs.rename(p(s"$idx/__batch=-1"), p(s"$idx/_retired")))
+    StreamingOps.compactParaIndex(spark, out)
+    assert(keys(out) == keysBefore)
+    assert(!fs.exists(p(s"$idx/_retired")) && !fs.exists(p(s"$idx/_compacting")))
+
+    // overlap window: base installed, a delta not yet dropped — duplicate
+    // keys must neither re-admit a paragraph nor multiply doc rows
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, p(s"$idx/__batch=-1"), fs, p(s"$idx/__batch=1"), false, conf)
+    StreamingOps.curatedBatch(
+      Seq((3L, "q1 q2 q3 q4 s1 s2 s3 s4")).toDF("doc_id", "text"), 2L, out, 4, 8)
+    val all = landed(out)
+    assert(all.keySet == Set(1L, 2L, 3L)) // exactly one row per doc
+    assert(all(3L) == (("s1 s2 s3 s4", 1L, 1L)))
   }
 }
