@@ -35,10 +35,8 @@ object Storage {
 
   /** Tenant/keyspace -> path, mirroring KeyspacePerTenantKeyspace (48-char
     * cap) + TablePerBoundedContext naming. */
-  def tablePath(root: String, tenant: String, keyspace: String, table: String): String = {
-    val ks = s"${tenant}_$keyspace".take(48)
-    s"$root/$ks/${table.toLowerCase}"
-  }
+  def tablePath(root: String, tenant: String, keyspace: String, table: String): String =
+    s"$root/${keyspaceDir(tenant, keyspace)}/${table.toLowerCase}"
 
   /** A10 schema bootstrap (CassandraEventStoreSchema.cs:37-100) — idempotent
     * directory creation; parquet is schema-on-write so there is no DDL to
@@ -54,9 +52,21 @@ object Storage {
     }
   }
 
+  /** Tenant/keyspace name guard (the identifier analogue of `wipe`'s path
+    * guard): externally supplied names flow into directory paths and — via
+    * [[registerCatalog]] — into SQL identifiers and a LOCATION literal, so
+    * restrict them to the same safe charset the reference's name mangling
+    * produces (KeyspacePerTenantKeyspace.cs sanitizes to word chars). */
+  private def requireSafeName(kind: String, name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"$kind '$name' contains characters outside [A-Za-z0-9_]")
+
   /** Resolved keyspace directory name for (tenant, keyspace). */
-  def keyspaceDir(tenant: String, keyspace: String): String =
+  def keyspaceDir(tenant: String, keyspace: String): String = {
+    requireSafeName("tenant", tenant)
+    requireSafeName("keyspace", keyspace)
     s"${tenant}_$keyspace".take(48)
+  }
 
   /** Session-catalog registration: CREATE DATABASE + external parquet
     * tables over the existing tenant/keyspace paths, so
@@ -90,7 +100,11 @@ object Storage {
       val f = p.getFileSystem(conf)
       lazy val children = f.listStatus(p)
       if (f.exists(p) && children.nonEmpty) {
-        spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$t` USING parquet LOCATION '$path'"): Unit
+        // tenant/keyspace are charset-guarded (keyspaceDir), but `root` is a
+        // caller path — escape single quotes so the LOCATION literal cannot
+        // break or inject into the DDL
+        val loc = path.replace("'", "''")
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$t` USING parquet LOCATION '$loc'"): Unit
         // hive-style partition directories -> recover them (idempotent);
         // MSCK on an unpartitioned table is an error, so detect first
         if (children.exists(c => c.isDirectory && c.getPath.getName.contains("=")))
@@ -101,6 +115,38 @@ object Storage {
           spark.sql(s"ANALYZE TABLE `$db`.`$t` COMPUTE STATISTICS"): Unit
       }
     }
+    db
+  }
+
+  /** Session-catalog face of the VERSIONED (MVCC) tier — [[registerCatalog]]
+    * covers the plain layouts only, this registers a [[Generations]]-managed
+    * table: a persistent VIEW whose body pins the CURRENT manifest, each
+    * manifest entry becoming a per-bucket parquet read of the generation
+    * that owns it (with the bucket re-attached as a literal), so
+    * `SELECT ... FROM {db}.{table}` resolves exactly the files
+    * `Generations.readCurrent` resolves — stale bucket directories left
+    * behind in superseded generations are invisible, and a
+    * `WHERE bucket = n` constant-folds every other branch away (the view
+    * keeps directory-level pruning). Metadata-only and idempotent:
+    * re-run after a promote to repoint the view at the new manifest (the
+    * catalog analogue of the path API re-reading `_manifests`); CatalogSpec
+    * drives promote -> re-register -> new manifest visible. Returns the
+    * database name. */
+  def registerVersioned(root: String, tenant: String, keyspace: String,
+      table: String = "events_versioned")(
+      implicit spark: SparkSession): String = {
+    val db = keyspaceDir(tenant, keyspace)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`"): Unit
+    val vroot = tablePath(root, tenant, keyspace, table)
+    val m = Generations.readManifest(spark, vroot).getOrElse(
+      sys.error(s"registerVersioned: no manifest under $vroot (never promoted)"))
+    require(m.entries.nonEmpty, s"registerVersioned: $vroot is empty (all buckets deleted)")
+    def ident(p: String) = p.replace("`", "``")
+    val branches = m.entries.toSeq.sortBy(_._1).map { case (b, g) =>
+      s"SELECT *, CAST($b AS INT) AS bucket FROM parquet.`${ident(s"$vroot/$g/bucket=$b")}`"
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$table` AS " +
+      branches.mkString(" UNION ALL ")): Unit
     db
   }
 
@@ -266,18 +312,75 @@ object Storage {
       keys.map(k => col(k) === col(s"t_$k")).reduce(_ && _), "left_anti")
   }
 
+  /** A7 end-to-end against the persisted (et, pid)-partitioned layout —
+    * the index analogue of [[deleteAndRewrite]] (reference delete path:
+    * IndexByEventTypeStore.cs:63-83). The affected (et, pid) partitions are
+    * computed from the tombstones (a delete touches few — the collect is
+    * partition-scale, not record-scale), ONLY those directories are read
+    * (literal partition filters prune the scan) and anti-joined on the full
+    * primary key, then rewritten via dynamic partition overwrite; every
+    * other partition's files are physically untouched. Idempotent: deleting
+    * already-absent records rewrites the same survivors. */
+  def deleteIndexAndRewrite(spark: SparkSession, path: String, tombstones: DataFrame): Unit = {
+    val parts = tombstones.select(col("et"), col("pid")).distinct().collect()
+      .map(r => (r.getAs[String]("et"), r.getAs[Int]("pid"))).toSeq
+    if (parts.isEmpty) return
+    val cond = parts.map { case (e, p) => col("et") === lit(e) && col("pid") === lit(p) }
+      .reduce(_ || _)
+    val survivors = deleteIndexRecords(spark.read.parquet(path).filter(cond), tombstones)
+      .localCheckpoint(true)
+    val survivorParts = survivors.select(col("et"), col("pid")).distinct().collect()
+      .map(r => (r.getAs[String]("et"), r.getAs[Int]("pid"))).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors
+      .repartition(col("et"), col("pid"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode(SaveMode.Overwrite).partitionBy("et", "pid").parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // dynamic overwrite only replaces partitions present in the written
+    // data: a partition whose every record was tombstoned is dropped by hand
+    // (escapePathName is the writer's own partition-directory encoding)
+    val conf = spark.sparkContext.hadoopConfiguration
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    parts.filterNot(survivorParts).foreach { case (e, p) =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/et=${escapePathName(e)}/pid=$p")
+      d.getFileSystem(conf).delete(d, true): Unit
+    }
+  }
+
   def readEvents(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path)
 
-  /** Compaction: rewrite a bucketed events table so each bucket holds
-    * few large sorted files instead of many per-append small ones
-    * (streaming ingest produces one file per micro-batch per bucket; scan
-    * cost and footer overhead grow with file count). Writes to a new
+  /** Compaction for any hive-partitioned layout this engine writes:
+    * rewrite so each partition directory holds ONE large sorted file
+    * instead of many per-append small ones (streaming ingest — ingestTo,
+    * indexTo, appendMessages per micro-batch — produces a file per batch
+    * per partition; scan cost and footer overhead grow with file count).
+    * The repartition-on-partition-columns co-locates each directory into
+    * one task, so the output is one file per directory, and the partition
+    * scheme (with its directory pruning) is preserved. Writes to a new
     * directory — object-store-style immutable swap; the promote step
     * (atomic `_CURRENT` manifest) is `Generations.compactAndPromote`. */
-  def compact(spark: SparkSession, path: String, outPath: String): Unit =
+  def compactPartitioned(
+      spark: SparkSession, path: String, outPath: String,
+      partitionCols: Seq[String], sortCols: Seq[String]): Unit =
     spark.read.parquet(path)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("id"), col("rev"), col("pos"))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(outPath)
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(partitionCols: _*).parquet(outPath)
+
+  /** [[compactPartitioned]] for the bucketed events layout. */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit =
+    compactPartitioned(spark, path, outPath, Seq("bucket"), Seq("id", "rev", "pos"))
+
+  /** [[compactPartitioned]] for the (et, pid) index layout — folds the
+    * one-file-per-micro-batch pile a long-running [[graft.streaming.StreamingOps.indexTo]]
+    * accumulates. */
+  def compactIndex(spark: SparkSession, path: String, outPath: String): Unit =
+    compactPartitioned(spark, path, outPath, Seq("et", "pid"), Seq("ts"))
+
+  /** [[compactPartitioned]] for the day-partitioned message layout. */
+  def compactMessages(spark: SparkSession, path: String, outPath: String): Unit =
+    compactPartitioned(spark, path, outPath, Seq("date"), Seq("ts"))
 }

@@ -17,6 +17,46 @@ class CatalogSpec extends SparkSpec {
         lit(0).as("pos"), (col("rev") * 1000L).as("ts"), lit("d".getBytes).as("data"))
   }
 
+  test("registerVersioned: catalog view == readCurrent; re-register picks up a promote") {
+    import graft.sources.Generations
+    implicit val s = spark
+    val root = tmpDir()
+    val (tenant, ks) = ("verstest", "ks")
+    val vroot = Storage.tablePath(root, tenant, ks, "events_versioned")
+    Generations.bootstrap(spark, vroot, mkEvents(1L to 4L), nBuckets = 4)
+
+    val db = Storage.registerVersioned(root, tenant, ks)
+    try {
+      // the catalog view resolves exactly the manifest's files
+      val viaSql = spark.sql(s"SELECT id, rev, pos, ts, bucket FROM `$db`.events_versioned")
+      val viaApi = Generations.readCurrent(spark, vroot)
+        .select("id", "rev", "pos", "ts", "bucket")
+      assert(viaSql.count() == 8)
+      assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+      // a bucket literal folds every other branch away: only that bucket's
+      // generation directory is scanned
+      val b = Storage.bucketOf("1".getBytes, 4)
+      val pruned = spark.sql(s"SELECT * FROM `$db`.events_versioned WHERE bucket = $b")
+      val files = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles
+      }.flatten
+      assert(files.nonEmpty && files.forall(_.contains(s"bucket=$b")))
+
+      // promote a delete, re-register: the view repoints to the new manifest
+      val tomb = Generations.readCurrent(spark, vroot)
+        .filter(col("id") === lit("1".getBytes)).select("id", "rev", "pos")
+      Generations.deleteAndPromote(spark, vroot, tomb, nBuckets = 4)
+      Storage.registerVersioned(root, tenant, ks)
+      val after = spark.sql(s"SELECT id, rev, pos, ts, bucket FROM `$db`.events_versioned")
+      val afterApi = Generations.readCurrent(spark, vroot)
+        .select("id", "rev", "pos", "ts", "bucket")
+      assert(after.count() == 6)
+      assert(after.exceptAll(afterApi).isEmpty && afterApi.exceptAll(after).isEmpty)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"): Unit
+    }
+  }
+
   test("registerCatalog: SQL over the catalog equals the path read; idempotent; sees appends") {
     implicit val s = spark
     val root = tmpDir()
