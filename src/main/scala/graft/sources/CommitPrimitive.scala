@@ -61,9 +61,66 @@ object CommitPrimitive {
     }
   }
 
-  /** Scheme dispatch: local -> hard link; everything else -> no-overwrite
-    * rename (atomic on HDFS; object-store deployments inject their
-    * conditional-PUT primitive instead). */
-  def forFileSystem(f: FileSystem): CommitPrimitive =
-    if (f.getUri.getScheme == "file") LocalHardLink else RenameNoOverwrite
+  /** Object stores with a native conditional create: the arbitration step
+    * is the store's conditional PUT — the one genuinely atomic point those
+    * systems offer (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS
+    * ETag create) — and the winner then materializes `target` through the
+    * FileSystem so the filesystem view carries the committed bytes. In a
+    * real deployment the [[ConditionalStore]] is the SDK call against the
+    * same bucket the FileSystem reads, so the PUT itself creates `target`
+    * and the mirror write merely overwrites it with identical bytes.
+    * Proven against [[MemoryObjectStore]] (CommitPrimitiveSpec races two
+    * writers; exactly one wins, the loser's bytes never land). */
+  final class ObjectStoreConditionalPut(store: ConditionalStore) extends CommitPrimitive {
+    def publish(f: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean = {
+      val in = f.open(tmp)
+      val bytes = try in.readAllBytes() finally in.close()
+      val won = store.putIfAbsent(target.toString, bytes)
+      if (won) {
+        val out = f.create(target, true)
+        try out.write(bytes) finally out.close()
+      }
+      f.delete(tmp, false): Unit
+      won
+    }
+  }
+
+  /** Scheme dispatch: local -> hard link; object-store schemes -> fail
+    * loudly (their Hadoop connectors implement rename as copy + delete,
+    * last-writer-wins — a silent-loss CAS; the deployment must inject a
+    * conditional-PUT primitive, see [[ObjectStoreConditionalPut]]);
+    * everything else -> no-overwrite rename (atomic on HDFS, and the
+    * best-effort fallback backstopped by promote's read-back). */
+  def forFileSystem(f: FileSystem): CommitPrimitive = forScheme(f.getUri.getScheme)
+
+  private[sources] val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
+  def forScheme(scheme: String): CommitPrimitive =
+    if (scheme == "file") LocalHardLink
+    else if (ObjectStoreSchemes(scheme))
+      sys.error(s"scheme '$scheme' has no atomic rename: inject the store's " +
+        "conditional-PUT primitive via Generations.setCommitPrimitive / " +
+        "withCommitPrimitive (see CommitPrimitive.ObjectStoreConditionalPut " +
+        "for the tested exemplar over an If-None-Match PUT)")
+    else RenameNoOverwrite
+}
+
+/** The one call an object-store deployment supplies: create `key` holding
+  * `bytes` iff the key is absent, atomically, returning whether THIS call
+  * created it — S3's `If-None-Match: *` PUT, GCS's `ifGenerationMatch=0`,
+  * ABFS's ETag-conditional create are each exactly this. */
+trait ConditionalStore {
+  def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
+}
+
+/** In-memory [[ConditionalStore]] with the S3 conditional-PUT semantics
+  * (linearizable create-if-absent; losers observe `false`, never partial
+  * state) — the double [[CommitPrimitive.ObjectStoreConditionalPut]] is
+  * raced against in CommitPrimitiveSpec. */
+final class MemoryObjectStore extends ConditionalStore {
+  private val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    objects.putIfAbsent(key, bytes.clone()) == null
+  def get(key: String): Option[Array[Byte]] = Option(objects.get(key)).map(_.clone())
 }

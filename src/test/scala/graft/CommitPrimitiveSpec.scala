@@ -32,6 +32,58 @@ class CommitPrimitiveSpec extends SparkSpec {
     assert(CommitPrimitive.forFileSystem(f) eq CommitPrimitive.LocalHardLink)
   }
 
+  test("scheme dispatch: object-store schemes demand an injected conditional PUT") {
+    for (s <- Seq("s3a", "gs", "abfss")) {
+      val e = intercept[RuntimeException](CommitPrimitive.forScheme(s))
+      assert(e.getMessage.contains("conditional-PUT") && e.getMessage.contains(s))
+    }
+    assert(CommitPrimitive.forScheme("hdfs") eq CommitPrimitive.RenameNoOverwrite)
+  }
+
+  test("object-store conditional PUT: two racing writers, exactly one winner") {
+    import graft.sources.{MemoryObjectStore, ManifestConflictException}
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b")), nBuckets = 4) // v1
+    val base = Generations.currentVersion(spark, root)
+    val m = Generations.readManifest(spark, root).get
+    // two writers race DIFFERENT intended manifests from the same base
+    // through the S3-semantics double; the conditional PUT is the only
+    // atomic point, and it must pick exactly one
+    val mA = Generations.Manifest(m.entries.map { case (b, _) => b -> "g-0000000a" })
+    val mB = Generations.Manifest(m.entries.map { case (b, _) => b -> "g-0000000b" })
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (g <- Seq("g-0000000a", "g-0000000b")) f.mkdirs(new Path(root, g))
+    val store = new MemoryObjectStore
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
+    val threads = Seq("a" -> mA, "b" -> mB).map { case (tag, mi) =>
+      new Thread(() => {
+        // withCommitPrimitive is thread-local: each racer wires the double
+        // on its own thread
+        Generations.withCommitPrimitive(
+          new CommitPrimitive.ObjectStoreConditionalPut(store)) {
+          gate.countDown(); gate.await()
+          results.put(tag,
+            try Right(Generations.promote(spark, root, mi, base))
+            catch { case t: Throwable => Left(t) })
+        }: Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (wins, losses) = Seq("a", "b").map(results.get).partition(_.isRight)
+    assert(wins.size == 1 && losses.size == 1)
+    assert(losses.head.left.exists(_.isInstanceOf[ManifestConflictException]))
+    // the store arbitrated: the surviving snapshot is the winner's, both in
+    // the store's view and the filesystem mirror
+    val winnerGen = if (results.get("a").isRight) "g-0000000a" else "g-0000000b"
+    val snap = new Path(root, "_manifests/m-00000002")
+    assert(readBytes(f, snap).sameElements(store.get(snap.toString).get))
+    assert(Generations.readManifestAt(spark, root, 2).get.entries.values.toSet == Set(winnerGen))
+    // no stray tmp files survive the race
+    assert(!f.listStatus(new Path(root, "_manifests"))
+      .exists(_.getPath.getName.startsWith(".tmp-")))
+  }
+
   test("a non-atomic last-writer-wins publish is detected by the read-back") {
     val root = tmpDir() + "/events"
     Generations.bootstrap(spark, root, mkLog(Seq("a", "b")), nBuckets = 4) // v1
