@@ -52,7 +52,14 @@ object Verify {
       if (only.isDefined) s"$outDir/oracle_sql.partial.json" else s"$outDir/oracle_sql.json"
     if (only.isEmpty) // a full run supersedes any stale subset manifest
       Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.partial.json")): Unit
-    Files.writeString(Paths.get(manifest), json)
+    // the partial manifest records WHICH subset produced it, so check.py
+    // can refuse a stale partial from a different SPARK_GRAFT_ONLY value
+    // (the full manifest keeps the driver's flat format)
+    val body =
+      if (only.isDefined)
+        s"""{"only": ${q(sys.env("SPARK_GRAFT_ONLY"))}, "oracles": $json}"""
+      else json
+    Files.writeString(Paths.get(manifest), body)
     // sidecar (NOT part of the driver-consumed manifest format): how many
     // queries SparkEntry declares in total, so check.py can report
     // "checked N of M declared" and a subset run can never read as full

@@ -30,15 +30,32 @@ def main(sf_dir: str, out_dir: str) -> int:
     import os
     partial = f"{out_dir}/oracle_sql.partial.json"
     manifest = f"{out_dir}/oracle_sql.json"
+    oracles = None
     if os.path.exists(partial):
         if os.environ.get("SPARK_GRAFT_ONLY"):
-            manifest = partial
+            # the partial records which SPARK_GRAFT_ONLY produced it; a stale
+            # partial from a DIFFERENT subset run must not report green for
+            # the wrong queries
+            with open(partial) as f:
+                pdata = json.load(f)
+            recorded = pdata.get("only") if isinstance(pdata, dict) else None
+            if not (isinstance(pdata, dict) and "oracles" in pdata):
+                print(f"FAIL: partial manifest {partial} has no subset record "
+                      "(written by an older Verify?) — rerun Verify")
+                return 1
+            if recorded != os.environ["SPARK_GRAFT_ONLY"]:
+                print(f"FAIL: partial manifest was produced by SPARK_GRAFT_ONLY="
+                      f"{recorded!r} but this check runs with "
+                      f"{os.environ['SPARK_GRAFT_ONLY']!r} — rerun Verify")
+                return 1
+            oracles = pdata["oracles"]
             print(f"note: SUBSET check via partial manifest {partial}")
         else:
             print(f"note: ignoring leftover partial manifest {partial} "
                   "(set SPARK_GRAFT_ONLY to check a subset)")
-    with open(manifest) as f:
-        oracles = json.load(f)
+    if oracles is None:
+        with open(manifest) as f:
+            oracles = json.load(f)
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
