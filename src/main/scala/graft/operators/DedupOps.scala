@@ -559,22 +559,34 @@ object DedupOps {
       paraCol: String,
       hashed: Boolean): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
-    val w = Window.partitionBy(key(col(paraCol))).orderBy(col(idCol), col(idxCol))
-    val base = incParas
+    // single-pass union-window formulation: the increment's passages and
+    // the corpus' keys ship through ONE shuffle keyed on the paragraph —
+    // a partition-wide max flags corpus presence, a row_number ordered
+    // (corpus-last, doc, position) ranks the increment's occurrences, and
+    // corpus rows are filtered back out. No join, no corpus distinct():
+    // duplicate corpus keys (an un-distinct caller, the overlap window of
+    // a crashed compactParaIndex) change nothing, and the corpus side is
+    // never shuffled twice (a semi/anti join pair re-ships it per join —
+    // measured: no exchange reuse fires, even under AQE)
+    val i = incParas
       .withColumn("__key", key(col(paraCol)))
-      .withColumn("__rn", row_number().over(w))
-    val keys = corpusKeys.select(col("__k"))
-    // semi/anti pair instead of distinct-then-left-join: neither join can
-    // multiply increment rows, so duplicate corpus keys (an un-distinct
-    // caller, the overlap window of a crashed compactParaIndex) are
-    // harmless and the per-call distinct() shuffle is gone; the two joins
-    // have identical child subplans on both sides, so ReuseExchange ships
-    // each side's shuffle once
-    base.join(keys, col("__key") === col("__k"), "left_semi")
-      .withColumn("__kept", lit(false))
-      .unionByName(
-        base.join(keys, col("__key") === col("__k"), "left_anti")
-          .withColumn("__kept", col("__rn") === 1))
+      .withColumn("__corp", lit(false))
+    val extra = i.columns.filterNot(c => c == "__key" || c == "__corp")
+    val c = extra.foldLeft(
+        corpusKeys.select(col("__k").as("__key")).withColumn("__corp", lit(true))) {
+      case (df, name) => df.withColumn(name, lit(null).cast(i.schema(name).dataType))
+    }.select(i.columns.map(col): _*)
+    val wAll = Window.partitionBy(col("__key"))
+    // __corp leads the sort, so every increment row precedes every corpus
+    // row (their null ids never order) and row_number 1..n lands on the
+    // increment's occurrences in (doc, position) order
+    val wOrd = wAll.orderBy(col("__corp"), col(idCol), col(idxCol))
+    i.unionByName(c)
+      .withColumn("__in", max(when(col("__corp"), 1).otherwise(0)).over(wAll) === 1)
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(!col("__corp"))
+      .withColumn("__kept", col("__rn") === 1 && !col("__in"))
+      .drop("__corp", "__in")
   }
 
   /** Connected components via alternating large-star / small-star rounds

@@ -249,8 +249,9 @@ object StreamingOps {
     * visible directories or is recoverable by RERUNNING compactParaIndex
     * (which unions staging/retired back in); the one overlap window —
     * base installed, deltas not yet dropped — duplicates keys, which the
-    * semi/anti flag join tolerates by construction (no row multiplication,
-    * no re-admission). */
+    * union-window flag pass tolerates by construction (corpus presence is
+    * a partition max, never a join — no row multiplication, no
+    * re-admission). */
   def compactParaIndex(spark: SparkSession, outDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val idx = s"$outDir/_para_index"
