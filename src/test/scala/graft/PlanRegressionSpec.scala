@@ -77,6 +77,20 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed below the window:\n$p")
   }
 
+  test("g_para_dedup_incr flags corpus membership in one shuffle — no join") {
+    // the union-window formulation: increment passages + corpus keys
+    // through ONE exchange keyed on the paragraph, presence = partition
+    // max, first-occurrence = corpus-last row_number. A refactor back to
+    // any join form re-ships the corpus per join (measured: identical
+    // corpus subtrees get NO exchange reuse, even under AQE)
+    val p = plan("g_para_dedup_incr")
+    assert(!p.contains("Join"), s"membership flag became a join:\n$p")
+    assert("Window".r.findAllIn(p).size == 2, s"expected the two window passes:\n$p")
+    // union-window exchange + reassembly agg exchange + final sort range
+    // exchange and nothing else
+    assert("Exchange".r.findAllIn(p).size <= 3, s"extra shuffles crept in:\n$p")
+  }
+
   test("g_sim_ivf_indexed reads the persisted layout through cell partition filters") {
     // the whole point of writeIvfIndex's partitionBy(cell): a probe query
     // must list/read only its probe-cell directories, not scan the corpus
