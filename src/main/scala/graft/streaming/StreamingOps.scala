@@ -176,9 +176,12 @@ object StreamingOps {
     *    [[compactParaIndex]] when they accumulate.
     *
     * Readers of `outDir/docs` see the partition column `__batch` alongside
-    * (doc_id, clean_text, n_kept, n_dropped); project it away. Null text
-    * is treated as empty (the doc row still lands, per the paragraphDedup
-    * contract). */
+    * (doc_id, clean_text, n_kept, n_dropped); project it away. The docs
+    * side accumulates one directory per batch too; a checkpoint only ever
+    * replays the NEWEST batch, so directories below the maximum are
+    * immutable and may be folded offline without disturbing idempotence
+    * (the key index has [[compactParaIndex]]). Null text is treated as
+    * empty (the doc row still lands, per the paragraphDedup contract). */
   def curatedIngest(docs: DataFrame, outDir: String, checkpoint: String,
       chunkSize: Int = 8, nPb: Int = 64): DataStreamWriter[Row] =
     docs.writeStream
@@ -198,6 +201,21 @@ object StreamingOps {
     val idx = s"$outDir/_para_index"
     val idxPath = new org.apache.hadoop.fs.Path(idx)
     val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // checkpoint-lineage guard: under ONE checkpoint batch ids only move
+    // forward, so an existing delta AHEAD of this batch means the outDir
+    // belongs to a different (older) checkpoint — proceeding would clobber
+    // its batch-id-derived directories and read a wrong corpus frontier.
+    // (A replay of THIS batch legitimately sees its own id, never more.)
+    if (f.exists(idxPath)) {
+      val ahead = f.listStatus(idxPath)
+        .map(_.getPath.getName).filter(_.startsWith("__batch="))
+        .map(_.stripPrefix("__batch=").toLong).filter(_ > batchId)
+      require(ahead.isEmpty,
+        s"curatedIngest: $outDir already holds batch ${ahead.max} but this " +
+          s"checkpoint is at batch $batchId — the outDir was written by a " +
+          "different checkpoint lineage; use a fresh outDir (or the original " +
+          "checkpoint) instead of silently overwriting its history")
+    }
     val paras = graft.operators.TextOps.chunkTokens(
         batch.withColumn("text", coalesce(col("text"), lit(""))),
         chunkSize, chunkSize)

@@ -139,8 +139,12 @@ class PropertySpec extends SparkSpec {
         d <- Gen.choose(0L, 3L); i <- Gen.choose(0, 4)
         p <- Gen.oneOf("p q", "r s", "t u", "v w")
       } yield (d, i, p))
-      corpus <- Gen.someOf("p q", "r s", "t u", "v w")
-    } yield (incRows.distinctBy(r => (r._1, r._2)), corpus.toSeq)
+      // WITH duplicates: the flag pass must treat corpus multiplicity as
+      // presence (a compaction overlap window duplicates index keys) —
+      // never multiply increment rows or change the keep-set
+      corpus <- Gen.choose(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("p q", "r s", "t u", "v w")))
+    } yield (incRows.distinctBy(r => (r._1, r._2)), corpus)
     checkProp(Prop.forAll(gen) { case (rows, corpus) =>
       rows.isEmpty || {
         val corpusSet = corpus.toSet
@@ -153,11 +157,14 @@ class PropertySpec extends SparkSpec {
         }
         val corDf = corpus.zipWithIndex.map { case (p, i) => (100L + i, 0, p) }
           .toDF("doc_id", "idx", "para")
-        val got = graft.operators.DedupOps
-          .paragraphDedupAgainst(rows.toDF("doc_id", "idx", "para"), corDf)
-          .collect()
-          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
-        got == expected
+        Seq(false, true).forall { hashed =>
+          val got = graft.operators.DedupOps
+            .paragraphDedupAgainst(rows.toDF("doc_id", "idx", "para"), corDf,
+              hashed = hashed)
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+          got == expected
+        }
       }
     }, minSuccessful = 8)
   }

@@ -94,6 +94,23 @@ class StreamingCurationSpec extends SparkSpec {
     assert(keys(out).size == 4)
   }
 
+  test("curatedBatch refuses an outDir written by a different checkpoint lineage") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    val b = Seq((1L, "p1 p2 p3 p4")).toDF("doc_id", "text")
+    StreamingOps.curatedBatch(b, 3L, out, chunkSize = 4, nPb = 8)
+    // a FRESH checkpoint restarts batch ids at 0 — proceeding would clobber
+    // batch 3's directories and dedup against a wrong frontier
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.curatedBatch(b, 0L, out, chunkSize = 4, nPb = 8)
+    }
+    assert(e.getMessage.contains("different checkpoint lineage"))
+    // the rightful lineage continues: replay of 3 and the next batch work
+    StreamingOps.curatedBatch(b, 3L, out, chunkSize = 4, nPb = 8)
+    StreamingOps.curatedBatch(b, 4L, out, chunkSize = 4, nPb = 8)
+    assert(landed(out).keySet == Set(1L))
+  }
+
   test("para index is pb-bucketed and point probes prune to one directory") {
     import spark.implicits._
     val out = s"${tmpDir()}/curated"
