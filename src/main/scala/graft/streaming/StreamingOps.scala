@@ -269,7 +269,18 @@ object StreamingOps {
     * base installed, deltas not yet dropped — duplicates keys, which the
     * union-window flag pass tolerates by construction (corpus presence is
     * a partition max, never a join — no row multiplication, no
-    * re-admission). */
+    * re-admission).
+    *
+    * The NEWEST delta is never folded: the stream may have crashed after
+    * writing it but before the checkpoint committed, in which case that
+    * batch will REPLAY on restart — and a replay must still find its own
+    * keys under its own `__batch=<id>` directory, where the corpus read's
+    * `__batch < id` filter excludes them. Folded into the `-1` base they
+    * would read as prior corpus and the replay would flag every one of its
+    * own paragraphs as a duplicate, landing the batch with empty text
+    * (the content-loss window the batch-id layout exists to close). Only
+    * deltas strictly below the newest are provably checkpoint-committed
+    * (batch N+1 ran ⇒ batch N committed) and safe to relabel. */
   def compactParaIndex(spark: SparkSession, outDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val idx = s"$outDir/_para_index"
@@ -279,8 +290,17 @@ object StreamingOps {
     val staging = new Path(idxPath, "_compacting")
     val retired = new Path(idxPath, "_retired")
     val base = new Path(idxPath, "__batch=-1")
-    val batchDirs = f.listStatus(idxPath).toSeq
+    val allBatchDirs = f.listStatus(idxPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+    val newest = allBatchDirs
+      .map(_.getPath.getName.stripPrefix("__batch=").toLong)
+      .filter(_ >= 0).sorted.lastOption
+    val batchDirs = allBatchDirs.filterNot(s =>
+      newest.contains(s.getPath.getName.stripPrefix("__batch=").toLong))
+    // nothing foldable (just the base and/or the protected newest delta)
+    // and no crash leftovers to recover — leave the directory untouched
+    if (batchDirs.forall(_.getPath.getName == "__batch=-1") &&
+        batchDirs.size <= 1 && !f.exists(staging) && !f.exists(retired)) return
     val visible =
       if (batchDirs.nonEmpty)
         Seq(spark.read.schema("__k LONG, pb INT, __batch LONG").option("basePath", idx)

@@ -148,11 +148,18 @@ class StreamingCurationSpec extends SparkSpec {
 
     StreamingOps.compactParaIndex(spark, out)
     val dirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("__batch="))
-    assert(dirs.map(_.getName).toSeq == Seq("__batch=-1"))
+    // the NEWEST delta is protected (batch 1 may still checkpoint-replay);
+    // everything below it is folded into the base
+    assert(dirs.map(_.getName).toSeq.sorted == Seq("__batch=-1", "__batch=1"))
     // one file per pb directory — the small-file pile is folded
     for (d <- new java.io.File(s"$idx/__batch=-1").listFiles() if d.getName.startsWith("pb="))
       assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
     assert(keys(out) == keysBefore)
+
+    // a second compaction with nothing foldable is a no-op (no base churn)
+    val baseMtime = new java.io.File(s"$idx/__batch=-1").lastModified()
+    StreamingOps.compactParaIndex(spark, out)
+    assert(new java.io.File(s"$idx/__batch=-1").lastModified() == baseMtime)
 
     // crash window: base retired but staging not yet installed — a rerun
     // unions the invisible directories back in and restores the base
@@ -161,14 +168,40 @@ class StreamingCurationSpec extends SparkSpec {
     assert(keys(out) == keysBefore)
     assert(!fs.exists(p(s"$idx/_retired")) && !fs.exists(p(s"$idx/_compacting")))
 
-    // overlap window: base installed, a delta not yet dropped — duplicate
-    // keys must neither re-admit a paragraph nor multiply doc rows
+    // overlap window: base installed, a folded delta not yet dropped —
+    // duplicate keys must neither re-admit a paragraph nor multiply doc rows
     org.apache.hadoop.fs.FileUtil.copy(
-      fs, p(s"$idx/__batch=-1"), fs, p(s"$idx/__batch=1"), false, conf)
+      fs, p(s"$idx/__batch=-1"), fs, p(s"$idx/__batch=0"), false, conf)
     StreamingOps.curatedBatch(
       Seq((3L, "q1 q2 q3 q4 s1 s2 s3 s4")).toDF("doc_id", "text"), 2L, out, 4, 8)
     val all = landed(out)
     assert(all.keySet == Set(1L, 2L, 3L)) // exactly one row per doc
     assert(all(3L) == (("s1 s2 s3 s4", 1L, 1L)))
+  }
+
+  test("compaction never folds the newest delta: a checkpoint replay keeps its text") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    // batch 0 admits P,Q; batch 1 admits R (Q blocked by the index); then
+    // the stream dies AFTER batch 1's writes but BEFORE its checkpoint
+    // commit — so batch 1 WILL replay on restart
+    val b1 = Seq((2L, "q1 q2 q3 q4 r1 r2 r3 r4")).toDF("doc_id", "text")
+    StreamingOps.curatedBatch(
+      Seq((1L, "p1 p2 p3 p4 q1 q2 q3 q4")).toDF("doc_id", "text"), 0L, out, 4, 8)
+    StreamingOps.curatedBatch(b1, 1L, out, 4, 8)
+    val docsBefore = landed(out)
+    assert(docsBefore(2L) == (("r1 r2 r3 r4", 1L, 1L)))
+
+    // operator compacts while the stream is down (allowed by the contract)
+    StreamingOps.compactParaIndex(spark, out)
+    // batch 1's delta must have survived under its own id: were it folded
+    // into the base, the replay below would read its own R keys as prior
+    // corpus and land doc 2 with EMPTY text — permanent content loss
+    assert(new java.io.File(s"$out/_para_index/__batch=1").exists())
+
+    // restart: checkpoint replays batch 1; the landing must be unchanged
+    StreamingOps.curatedBatch(b1, 1L, out, 4, 8)
+    assert(landed(out) == docsBefore)
+    assert(keys(out).size == 3)
   }
 }
