@@ -179,9 +179,9 @@ object StreamingOps {
     * (doc_id, clean_text, n_kept, n_dropped); project it away. The docs
     * side accumulates one directory per batch too; a checkpoint only ever
     * replays the NEWEST batch, so directories below the maximum are
-    * immutable and may be folded offline without disturbing idempotence
-    * (the key index has [[compactParaIndex]]). Null text is treated as
-    * empty (the doc row still lands, per the paragraphDedup contract). */
+    * immutable — fold them with [[compactCuratedDocs]] (the key index has
+    * [[compactParaIndex]]). Null text is treated as empty (the doc row
+    * still lands, per the paragraphDedup contract). */
   def curatedIngest(docs: DataFrame, outDir: String, checkpoint: String,
       chunkSize: Int = 8, nPb: Int = 64): DataStreamWriter[Row] =
     docs.writeStream
@@ -281,16 +281,51 @@ object StreamingOps {
     * (the content-loss window the batch-id layout exists to close). Only
     * deltas strictly below the newest are provably checkpoint-committed
     * (batch N+1 ran ⇒ batch N committed) and safe to relabel. */
-  def compactParaIndex(spark: SparkSession, outDir: String): Unit = {
+  def compactParaIndex(spark: SparkSession, outDir: String): Unit =
+    foldBatchDirs(spark, s"$outDir/_para_index", "__k LONG, pb INT",
+      dedupKeys = Seq("__k", "pb"), partitionCols = Seq("pb"))
+
+  /** Fold [[curatedIngest]]'s one-directory-per-batch DOCS deltas into a
+    * `__batch=-1` base — the docs-side twin of [[compactParaIndex]], same
+    * staged-rename fold, same single-maintainer contract, same
+    * newest-delta protection (the newest batch may checkpoint-replay and
+    * must keep overwriting its OWN `docs/__batch=<id>` directory; folding
+    * it would leave its folded rows in the base AND land the replay's
+    * rows beside them — duplicate documents).
+    *
+    * Doc rows are deduped by doc_id during the fold: the curatedIngest
+    * contract has each doc_id land in exactly ONE batch with deterministic
+    * content, so a duplicate (the overlap window of a crashed prior fold —
+    * base installed, folded delta not yet dropped) carries identical
+    * columns and collapsing on the key is lossless. Unlike the key index
+    * (whose duplicates the flag pass absorbs), duplicated doc rows ARE
+    * visible to readers inside that crash window; rerunning this operator
+    * converges the directory. */
+  def compactCuratedDocs(spark: SparkSession, outDir: String): Unit =
+    foldBatchDirs(spark, s"$outDir/docs",
+      "doc_id LONG, clean_text STRING, n_kept LONG, n_dropped LONG",
+      dedupKeys = Seq("doc_id"), partitionCols = Seq.empty)
+
+  /** Shared staged-rename fold under a `__batch=<id>`-structured directory:
+    * read every delta strictly below the newest (plus the existing base
+    * and any staging/retired leftovers of a crashed prior fold), dedup on
+    * `dedupKeys`, write to an invisible staging dir, then
+    * retire-old-base → install-staging → drop-folded-deltas. Every crash
+    * point either keeps all rows in visible directories or is recovered by
+    * rerunning; the one overlap window (base installed, folded delta not
+    * yet dropped) only duplicates rows the callers tolerate (see each
+    * caller's contract). */
+  private def foldBatchDirs(spark: SparkSession, dir: String, dataDDL: String,
+      dedupKeys: Seq[String], partitionCols: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    val idx = s"$outDir/_para_index"
-    val idxPath = new Path(idx)
-    val f = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(idxPath)) return
-    val staging = new Path(idxPath, "_compacting")
-    val retired = new Path(idxPath, "_retired")
-    val base = new Path(idxPath, "__batch=-1")
-    val allBatchDirs = f.listStatus(idxPath).toSeq
+    val dirPath = new Path(dir)
+    val f = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dirPath)) return
+    val staging = new Path(dirPath, "_compacting")
+    val retired = new Path(dirPath, "_retired")
+    val base = new Path(dirPath, "__batch=-1")
+    val dataCols = org.apache.spark.sql.types.StructType.fromDDL(dataDDL).fieldNames.toSeq
+    val allBatchDirs = f.listStatus(dirPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
     val newest = allBatchDirs
       .map(_.getPath.getName.stripPrefix("__batch=").toLong)
@@ -303,21 +338,24 @@ object StreamingOps {
         batchDirs.size <= 1 && !f.exists(staging) && !f.exists(retired)) return
     val visible =
       if (batchDirs.nonEmpty)
-        Seq(spark.read.schema("__k LONG, pb INT, __batch LONG").option("basePath", idx)
-          .parquet(batchDirs.map(_.getPath.toString): _*).select("__k", "pb"))
+        Seq(spark.read.schema(s"$dataDDL, __batch LONG").option("basePath", dir)
+          .parquet(batchDirs.map(_.getPath.toString): _*)
+          .select(dataCols.map(col): _*))
       else Seq.empty
-    // a crashed prior compaction leaves keys in staging/retired — union
-    // them back so a rerun always recovers the full set
+    // a crashed prior fold leaves rows in staging/retired — union them
+    // back so a rerun always recovers the full set
     val extras = Seq(staging, retired).filter(f.exists).map(p =>
-      spark.read.schema("__k LONG, pb INT").parquet(p.toString).select("__k", "pb"))
+      spark.read.schema(dataDDL).parquet(p.toString).select(dataCols.map(col): _*))
     val parts = visible ++ extras
     if (parts.isEmpty) return
     // materialized (localCheckpoint) before any directory is touched: the
     // plan reads the very directories the steps below retire
-    val compacted = parts.reduce(_ unionByName _).distinct()
-      .repartition(col("pb")).localCheckpoint(true)
+    val deduped = parts.reduce(_ unionByName _).dropDuplicates(dedupKeys)
+    val compacted =
+      (if (partitionCols.nonEmpty) deduped.repartition(partitionCols.map(col): _*)
+       else deduped).localCheckpoint(true)
     compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("pb").parquet(staging.toString)
+      .partitionBy(partitionCols: _*).parquet(staging.toString)
     // retired's content is now ⊆ staging, safe to drop before reusing it
     if (f.exists(retired)) f.delete(retired, true): Unit
     if (f.exists(base)) require(f.rename(base, retired), s"rename $base failed")

@@ -179,6 +179,50 @@ class StreamingCurationSpec extends SparkSpec {
     assert(all(3L) == (("s1 s2 s3 s4", 1L, 1L)))
   }
 
+  test("compactCuratedDocs folds doc deltas, keeps the newest, converges after a crash") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val docsDir = s"$out/docs"
+
+    val b2 = Seq((3L, "q1 q2 q3 q4 s1 s2 s3 s4")).toDF("doc_id", "text")
+    StreamingOps.curatedBatch(
+      Seq((1L, "p1 p2 p3 p4 q1 q2 q3 q4")).toDF("doc_id", "text"), 0L, out, 4, 8)
+    StreamingOps.curatedBatch(
+      Seq((2L, "p1 p2 p3 p4 r1 r2 r3 r4")).toDF("doc_id", "text"), 1L, out, 4, 8)
+    StreamingOps.curatedBatch(b2, 2L, out, 4, 8)
+    val docsBefore = landed(out)
+
+    StreamingOps.compactCuratedDocs(spark, out)
+    // batches 0 and 1 folded into the base; batch 2 (may replay) survives
+    val dirs = new java.io.File(docsDir).listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+    assert(dirs == Seq("__batch=-1", "__batch=2"))
+    assert(landed(out) == docsBefore)
+
+    // the protected newest delta replays onto its own directory: no dup rows
+    StreamingOps.curatedBatch(b2, 2L, out, 4, 8)
+    assert(landed(out) == docsBefore)
+
+    // overlap window: base installed but a folded delta not yet dropped —
+    // readers see duplicate doc rows until a rerun converges the directory
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, p(s"$docsDir/__batch=-1"), fs, p(s"$docsDir/__batch=0"), false, conf)
+    StreamingOps.curatedBatch(Seq((4L, "t1 t2 t3 t4")).toDF("doc_id", "text"), 3L, out, 4, 8)
+    StreamingOps.compactCuratedDocs(spark, out)
+    val rows = spark.read.parquet(docsDir).groupBy("doc_id").count().collect()
+    assert(rows.forall(_.getLong(1) == 1L)) // converged: one row per doc
+    assert(landed(out).keySet == Set(1L, 2L, 3L, 4L))
+
+    // crash window: base retired, staging not installed — rerun recovers
+    require(fs.rename(p(s"$docsDir/__batch=-1"), p(s"$docsDir/_retired")))
+    StreamingOps.compactCuratedDocs(spark, out)
+    assert(landed(out).keySet == Set(1L, 2L, 3L, 4L))
+    assert(!fs.exists(p(s"$docsDir/_retired")) && !fs.exists(p(s"$docsDir/_compacting")))
+  }
+
   test("compaction never folds the newest delta: a checkpoint replay keeps its text") {
     import spark.implicits._
     val out = s"${tmpDir()}/curated"
