@@ -238,7 +238,11 @@ object SimilarityOps {
       vecCol: String = "embedding"): Unit = {
     GraftFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    // repartition on the partition column first: one file per cell, not
+    // one per (task × cell) — the measured g_dedup_indexed small-file fix.
+    // A skewed cell serializes into one writer; salt at very large builds.
     assignCells(vecs, centroids)
+      .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .partitionBy("cell").parquet(path)
   }

@@ -201,21 +201,7 @@ object StreamingOps {
     val idx = s"$outDir/_para_index"
     val idxPath = new org.apache.hadoop.fs.Path(idx)
     val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // checkpoint-lineage guard: under ONE checkpoint batch ids only move
-    // forward, so an existing delta AHEAD of this batch means the outDir
-    // belongs to a different (older) checkpoint — proceeding would clobber
-    // its batch-id-derived directories and read a wrong corpus frontier.
-    // (A replay of THIS batch legitimately sees its own id, never more.)
-    if (f.exists(idxPath)) {
-      val ahead = f.listStatus(idxPath)
-        .map(_.getPath.getName).filter(_.startsWith("__batch="))
-        .map(_.stripPrefix("__batch=").toLong).filter(_ > batchId)
-      require(ahead.isEmpty,
-        s"curatedIngest: $outDir already holds batch ${ahead.max} but this " +
-          s"checkpoint is at batch $batchId — the outDir was written by a " +
-          "different checkpoint lineage; use a fresh outDir (or the original " +
-          "checkpoint) instead of silently overwriting its history")
-    }
+    requireBatchLineage(f, idxPath, batchId, "curatedIngest", outDir)
     val paras = graft.operators.TextOps.chunkTokens(
         batch.withColumn("text", coalesce(col("text"), lit(""))),
         chunkSize, chunkSize)
@@ -305,6 +291,99 @@ object StreamingOps {
     foldBatchDirs(spark, s"$outDir/docs",
       "doc_id LONG, clean_text STRING, n_kept LONG, n_dropped LONG",
       dedupKeys = Seq("doc_id"), partitionCols = Seq.empty)
+
+  /** Checkpoint-lineage guard for `__batch=<id>`-structured sinks: under
+    * ONE checkpoint batch ids only move forward, so an existing delta
+    * AHEAD of this batch means the directory belongs to a different
+    * (older) checkpoint — proceeding would clobber its batch-id-derived
+    * directories and (for frontier-carrying sinks) read a wrong corpus
+    * frontier. A replay of THIS batch legitimately sees its own id,
+    * never more. */
+  private def requireBatchLineage(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, batchId: Long, op: String, outDir: String): Unit =
+    if (f.exists(dir)) {
+      val ahead = f.listStatus(dir)
+        .map(_.getPath.getName).filter(_.startsWith("__batch="))
+        .map(_.stripPrefix("__batch=").toLong).filter(_ > batchId)
+      require(ahead.isEmpty,
+        s"$op: $outDir already holds batch ${if (ahead.isEmpty) -1 else ahead.max} " +
+          s"but this checkpoint is at batch $batchId — the sink was written by a " +
+          "different checkpoint lineage; use a fresh output directory (or the " +
+          "original checkpoint) instead of silently overwriting its history")
+    }
+
+  /** Streaming ANN-index maintenance: each micro-batch of embeddings is
+    * assigned to its nearest FROZEN centroid (a shuffle-free codegen
+    * projection — [[graft.operators.SimilarityOps.assignCells]]; the k·d
+    * centroids are driver state, exactly like the batch IVF path) and
+    * landed in the cell-partitioned IVF layout under a batch-id-derived
+    * directory: `path/__batch=<id>/cell=<c>`. Probes
+    * ([[graft.operators.SimilarityOps.ivfTopKIndexed]]) read the same root
+    * unchanged — partition discovery picks up (__batch, cell) and the
+    * probe-cell filter still prunes to the matching `cell=` directories of
+    * every batch level.
+    *
+    * Idempotent the [[curatedIngest]] way: the per-batch Overwrite to its
+    * own directory makes checkpoint replay rewrite rather than duplicate,
+    * at every crash point. Bootstrap an existing corpus with
+    * [[ivfIndexBase]] (lands at `__batch=-1`), fold accumulated deltas
+    * with [[compactIvfIndex]]. Centroids are FROZEN for the index's
+    * lifetime — retraining means a rebuild, the standard IVF contract
+    * (a drifted cell assignment would silently miss probes).
+    *
+    * vec ids must be unique across the stream's lifetime (an at-least-once
+    * source composes [[dedupedEvents]]-style upstream dedup); duplicate
+    * ids across batches would surface as duplicate top-k rows. */
+  def ivfIndexStream(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      path: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfBatch(batch, batchId, centroids, path, idCol, vecCol)
+      }
+
+  /** One [[ivfIndexStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def ivfBatch(batch: DataFrame, batchId: Long,
+      centroids: Seq[(Int, Seq[Double])], path: String,
+      idCol: String, vecCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "ivfIndexStream", path)
+    writeIvfCells(batch, centroids, s"$path/__batch=$batchId", idCol, vecCol)
+  }
+
+  /** Bootstrap the versioned IVF layout from an existing corpus: the
+    * batch assignment lands at `__batch=-1` (the base), after which
+    * [[ivfIndexStream]] appends deltas above it. */
+  def ivfIndexBase(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeIvfCells(embeddings, centroids, s"$path/__batch=-1", idCol, vecCol)
+
+  private def writeIvfCells(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      dir: String, idCol: String, vecCol: String): Unit = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
+    // repartition on the partition column first: one file per cell per
+    // batch, not one per (task × cell). A skewed cell serializes into one
+    // writer — at very large batch sizes salt the repartition.
+    graft.operators.SimilarityOps.assignCells(vecs, centroids)
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(dir)
+  }
+
+  /** Fold [[ivfIndexStream]]'s per-batch deltas into the `__batch=-1`
+    * base — same staged-rename fold, single-maintainer contract and
+    * newest-delta protection as [[compactParaIndex]]. Dedup on the vec id
+    * is lossless for the same reason as the docs fold: each id lands in
+    * exactly one batch with deterministic content. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    foldBatchDirs(spark, path, "id LONG, v ARRAY<DOUBLE>, cell INT",
+      dedupKeys = Seq("id"), partitionCols = Seq("cell"))
 
   /** Shared staged-rename fold under a `__batch=<id>`-structured directory:
     * read every delta strictly below the newest (plus the existing base
