@@ -644,6 +644,32 @@ object SparkEntry {
       SimilarityOps.ivfTopKIndexed(s, s"$out/index", centroids, qv, 20, nProbe = 16)
     },
 
+    "q_stream_lsh" -> { (s, dir) => // streaming LSH-index maintenance,
+      // oracle side: an AvailableNow run of lshIndexStream signs the
+      // corpus split into the versioned (band, bucket) layout, and an
+      // increment probed against the STREAMED index must equal the exact
+      // cross-split Jaccard truth — g_dedup_indexed's oracle verbatim
+      // (banding is deterministic, so a streamed corpus signs identically
+      // to a batch-built one). Cross-batch replay/fold semantics are
+      // StreamingLshSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_lsh_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
+      val q = graft.streaming.StreamingOps
+        .lshIndexStream(src, s"$out/lshidx", s"$out/ckpt", nBuckets = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      DedupOps.minHashNearDupsIndexed(
+          docs.filter(col("doc_id") % 5 === 0), corpus, s"$out/lshidx",
+          nBuckets = 16, threshold = 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+
     "q_rev_monitor" -> { (s, dir) => // streaming revision monitor as a
       // table (round-9 verdict #7): flatMapGroupsWithState run in BATCH
       // mode — the same code path the stream executes, state empty-initial,
@@ -2501,6 +2527,22 @@ object SparkEntry {
     "g_dedup_indexed" ->
       // identical truth to g_dedup_incremental: the persisted index is a
       // materialization of the corpus band keys, not a semantic change
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |       floor((len(list_intersect(a.toks, b.toks)) /
+        |             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) * 10000) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |WHERE len(list_intersect(a.toks, b.toks)) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    "q_stream_lsh" ->
+      // identical truth to g_dedup_indexed: the streamed index is the same
+      // materialization of the corpus band keys, landed per micro-batch
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
         |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))

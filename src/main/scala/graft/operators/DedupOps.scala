@@ -115,8 +115,7 @@ object DedupOps {
       nHashes: Int = 16,
       bands: Int = 4,
       nBuckets: Int = 64): Unit = {
-    bandedSignatures(corpus, idCol, textCol, shingleK, nHashes, bands, reliable = false)
-      .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
+    bandedWithBucket(corpus, idCol, textCol, shingleK, nHashes, bands, nBuckets)
       // co-locate each (band, bucket) into one task before partitionBy:
       // without this every shuffle partition writes its own file into
       // every directory it touches — tasks × directories small files
@@ -125,16 +124,51 @@ object DedupOps {
       .repartition(col("band"), col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .partitionBy("band", "bucket").parquet(path)
-    // parameter sidecar: a probe signed with different LSH parameters than
-    // the index silently yields missing candidates, so record them for
-    // minHashNearDupsIndexed to assert against
+    writeLshMeta(corpus.sparkSession, path, shingleK, nHashes, bands, nBuckets)
+  }
+
+  /** Band signatures with the directory bucket attached — the row shape
+    * every LSH-index writer lands. */
+  private[graft] def bandedWithBucket(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): DataFrame =
+    bandedSignatures(docs, idCol, textCol, shingleK, nHashes, bands, reliable = false)
+      .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
+
+  /** Parameter sidecar: a probe signed with different LSH parameters than
+    * the index silently yields missing candidates, so record them for
+    * [[assertLshMeta]] to check. */
+  private[graft] def writeLshMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit = {
     val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = f.create(meta, true)
     try out.write(
       s"""{"shingleK":$shingleK,"nHashes":$nHashes,"bands":$bands,"nBuckets":$nBuckets}"""
         .getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Assert the caller's LSH parameters against the index's `_meta.json`
+    * sidecar (no-op when the sidecar is absent — pre-sidecar indexes). */
+  private[graft] def assertLshMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mf.exists(meta)) {
+      val in = mf.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(k: String): Option[Int] =
+        s""""$k":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      val mismatches = Seq(
+        "shingleK" -> shingleK, "nHashes" -> nHashes,
+        "bands" -> bands, "nBuckets" -> nBuckets).flatMap { case (k, v) =>
+        field(k).filter(_ != v).map(rec => s"$k: index=$rec probe=$v")
+      }
+      require(mismatches.isEmpty,
+        s"LSH parameters disagree with the index at $path " +
+          s"(${mismatches.mkString(", ")}) — probe with the index's parameters " +
+          "or rebuild it with writeMinHashIndex")
+    }
   }
 
   /** [[minHashNearDupsAgainst]] with the corpus side served from a
@@ -161,23 +195,7 @@ object DedupOps {
     val spark = increment.sparkSession
     // the probe's banding must match the index's or candidates silently go
     // missing — assert against the sidecar writeMinHashIndex recorded
-    val meta = new org.apache.hadoop.fs.Path(indexPath, "_meta.json")
-    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mf.exists(meta)) {
-      val in = mf.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(k: String): Option[Int] =
-        s""""$k":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
-      val mismatches = Seq(
-        "shingleK" -> shingleK, "nHashes" -> nHashes,
-        "bands" -> bands, "nBuckets" -> nBuckets).flatMap { case (k, v) =>
-        field(k).filter(_ != v).map(rec => s"$k: index=$rec probe=$v")
-      }
-      require(mismatches.isEmpty,
-        s"minHashNearDupsIndexed parameters disagree with the index at $indexPath " +
-          s"(${mismatches.mkString(", ")}) — probe with the index's parameters " +
-          "or rebuild it with writeMinHashIndex")
-    }
+    assertLshMeta(spark, indexPath, shingleK, nHashes, bands, nBuckets)
     val bi = bandedSignatures(increment, idCol, textCol, shingleK, nHashes, bands, reliable)
       .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
     val bc = spark.read.parquet(indexPath)

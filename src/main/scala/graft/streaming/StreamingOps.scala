@@ -385,6 +385,80 @@ object StreamingOps {
     foldBatchDirs(spark, path, "id LONG, v ARRAY<DOUBLE>, cell INT",
       dedupKeys = Seq("id"), partitionCols = Seq("cell"))
 
+  /** Streaming MinHash-LSH index maintenance — the text-space twin of
+    * [[ivfIndexStream]]: each micro-batch of documents is shingled,
+    * min-hashed and banded (the [[graft.operators.DedupOps.writeMinHashIndex]]
+    * derivation, deterministic — a streamed corpus signs identically to a
+    * batch-built one) and landed in the (band, bucket)-partitioned layout
+    * under a batch-id-derived directory:
+    * `path/__batch=<id>/band=<b>/bucket=<k>`. Probes
+    * ([[graft.operators.DedupOps.minHashNearDupsIndexed]]) read the root
+    * unchanged; point probes with literal (band, bucket) still prune to
+    * the matching directories of every batch level.
+    *
+    * Idempotent via per-batch Overwrite like the other versioned sinks;
+    * the first landing records the `_meta.json` parameter sidecar and
+    * every later batch asserts against it, so a restart with different
+    * LSH parameters fails loudly instead of silently writing an index
+    * whose halves don't join. Bootstrap with [[lshIndexBase]]
+    * (`__batch=-1`), fold deltas with [[compactLshIndex]]. Doc ids must
+    * be unique across the stream's lifetime, as for [[ivfIndexStream]]. */
+  def lshIndexStream(docs: DataFrame, path: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
+      nBuckets: Int = 64): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lshBatch(batch, batchId, path, idCol, textCol, shingleK, nHashes, bands, nBuckets)
+      }
+
+  /** One [[lshIndexStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def lshBatch(batch: DataFrame, batchId: Long, path: String,
+      idCol: String, textCol: String, shingleK: Int, nHashes: Int,
+      bands: Int, nBuckets: Int): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "lshIndexStream", path)
+    graft.operators.DedupOps.assertLshMeta(s, path, shingleK, nHashes, bands, nBuckets)
+    graft.operators.DedupOps
+      .bandedWithBucket(batch, idCol, textCol, shingleK, nHashes, bands, nBuckets)
+      .repartition(col("band"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band", "bucket").parquet(s"$path/__batch=$batchId")
+    // record the parameters once the first landing succeeds; later batches
+    // (and restarts) assert against this sidecar above
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
+      graft.operators.DedupOps.writeLshMeta(s, path, shingleK, nHashes, bands, nBuckets)
+  }
+
+  /** Bootstrap the versioned LSH layout from an existing corpus: the batch
+    * signing lands at `__batch=-1` (the base) with the parameter sidecar,
+    * after which [[lshIndexStream]] appends deltas above it. */
+  def lshIndexBase(corpus: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4, nBuckets: Int = 64): Unit = {
+    graft.operators.DedupOps
+      .bandedWithBucket(corpus, idCol, textCol, shingleK, nHashes, bands, nBuckets)
+      .repartition(col("band"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .partitionBy("band", "bucket").parquet(s"$path/__batch=-1")
+    graft.operators.DedupOps.writeLshMeta(
+      corpus.sparkSession, path, shingleK, nHashes, bands, nBuckets)
+  }
+
+  /** Fold [[lshIndexStream]]'s per-batch deltas into the `__batch=-1`
+    * base — same staged-rename fold, single-maintainer contract and
+    * newest-delta protection as the other versioned sinks. Dedup on
+    * (id, band, bandsig) is lossless: signatures are deterministic, so an
+    * overlap-window duplicate carries identical columns. */
+  def compactLshIndex(spark: SparkSession, path: String): Unit =
+    foldBatchDirs(spark, path, "id LONG, bandsig LONG, band INT, bucket INT",
+      dedupKeys = Seq("id", "band", "bandsig"), partitionCols = Seq("band", "bucket"))
+
   /** Shared staged-rename fold under a `__batch=<id>`-structured directory:
     * read every delta strictly below the newest (plus the existing base
     * and any staging/retired leftovers of a crashed prior fold), dedup on
