@@ -670,6 +670,30 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     },
 
+    "q_stream_spans" -> { (s, dir) => // streaming shingle-count index
+      // maintenance, oracle side: an AvailableNow run of shingleIndexStream
+      // lands the corpus split's source-tagged partial counts, and the
+      // increment's span probe against the STREAMED index must equal the
+      // union-truth — g_dup_spans_incr's oracle verbatim (counts are
+      // deterministic and the probe final-merges the partials, so a
+      // streamed corpus counts identically to a batch-signed one).
+      // Cross-batch replay/fold semantics are SpanIndexSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_spans_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
+      val q = graft.streaming.StreamingOps
+        .shingleIndexStream(src, s"$out/spanidx", s"$out/ckpt", k = 3, nPb = 8, hashed = false)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      TextOps.duplicatedSpansAgainst(docs.filter(col("doc_id") % 5 === 0),
+          s"$out/spanidx", k = 3, minSpanTokens = 8, hashed = false)
+        .orderBy(col("doc_id"), col("start_tok"))
+    },
+
     "q_rev_monitor" -> { (s, dir) => // streaming revision monitor as a
       // table (round-9 verdict #7): flatMapGroupsWithState run in BATCH
       // mode — the same code path the stream executes, state empty-initial,
@@ -1240,6 +1264,36 @@ object SparkEntry {
       // the same plan with 8-byte shingles through the shuffles
       TextOps.duplicatedPassages(Tables.documents(s, dir), k = 3, hashed = false)
         .orderBy(col("doc_id"))
+    },
+
+    "g_dup_spans" -> { (s, dir) => // exact substring dedup, detect phase:
+      // maximal token ranges of corpus-duplicated 3-shingle runs, >= 8
+      // tokens; string mode for the oracle, hashed is the 100 TB path
+      TextOps.duplicatedSpans(Tables.documents(s, dir), k = 3, minSpanTokens = 8, hashed = false)
+        .orderBy(col("doc_id"), col("start_tok"))
+    },
+
+    "g_span_clip" -> { (s, dir) => // exact substring dedup, remove phase:
+      // every doc rebuilt with its duplicated spans clipped out (fully-
+      // covered exact-dup docs come back as ''); one codegen HOF pass,
+      // no token explode on the clip side
+      TextOps.clipDuplicatedSpans(Tables.documents(s, dir), k = 3, minSpanTokens = 8, hashed = false)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_dup_spans_incr" -> { (s, dir) => // incremental span detection against
+      // a persisted shingle-COUNT index (counts, not positions — the index
+      // is orders of magnitude smaller than the corpus); must equal
+      // duplicatedSpans over the union restricted to increment docs, which
+      // is exactly what the oracle computes
+      val docs = Tables.documents(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_span_index_")
+      val path = s"$out/spanidx"
+      TextOps.writeShingleIndex(docs.filter(col("doc_id") % 5 =!= 0), path,
+        k = 3, nPb = 8, hashed = false)
+      TextOps.duplicatedSpansAgainst(docs.filter(col("doc_id") % 5 === 0), path,
+        k = 3, minSpanTokens = 8, hashed = false)
+        .orderBy(col("doc_id"), col("start_tok"))
     },
 
     "g_dedup_simhash_complete" -> { (s, dir) => // the pigeonhole guarantee,
@@ -2727,6 +2781,80 @@ object SparkEntry {
         |       floor((CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS dup_frac
         |FROM sh s JOIN df f USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "g_dup_spans" ->
+      // positioned 3-shingles (docs >= 3 tokens) -> corpus occurrence >= 2
+      // -> gaps-and-islands merge (idx - row_number) -> spans >= 8 tokens
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t FROM base WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, i - 1 AS idx, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+        |occ AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY 1) WHERE c >= 2),
+        |isl AS (SELECT doc_id, idx,
+        |               idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |        FROM sh JOIN occ USING (shingle))
+        |SELECT doc_id, CAST(min(idx) AS BIGINT) AS start_tok,
+        |       CAST(max(idx) + 2 AS BIGINT) AS end_tok,
+        |       CAST(max(idx) - min(idx) + 3 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |HAVING max(idx) - min(idx) + 3 >= 8
+        |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "g_span_clip" ->
+      // the remove phase: tokens not covered by any >= 8-token span,
+      // rejoined; LEFT JOIN keeps fully-clipped docs as ''
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t FROM base WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, i - 1 AS idx, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+        |occ AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY 1) WHERE c >= 2),
+        |isl AS (SELECT doc_id, idx,
+        |               idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |        FROM sh JOIN occ USING (shingle)),
+        |spans AS (SELECT doc_id, min(idx) AS s, max(idx) + 2 AS e
+        |          FROM isl GROUP BY doc_id, grp HAVING max(idx) - min(idx) + 3 >= 8),
+        |tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS ti, t FROM base),
+        |keep AS (SELECT k.doc_id, k.ti - 1 AS i, k.t[k.ti] AS tk FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                           WHERE sp.doc_id = k.doc_id AND k.ti - 1 BETWEEN sp.s AND sp.e))
+        |SELECT b.doc_id, coalesce(kc.ct, '') AS clean_text
+        |FROM base b LEFT JOIN (SELECT doc_id, array_to_string(list(tk ORDER BY i), ' ') AS ct
+        |                       FROM keep GROUP BY doc_id) kc USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "g_dup_spans_incr" ->
+      // the spec-pinned identity: spans against the corpus index ==
+      // duplicatedSpans over the UNION, restricted to increment docs
+      // (corpus_cnt + inc_cnt >= 2 is the union occurrence count)
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t FROM base WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, i - 1 AS idx, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+        |occ AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY 1) WHERE c >= 2),
+        |isl AS (SELECT doc_id, idx,
+        |               idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |        FROM sh JOIN occ USING (shingle) WHERE doc_id % 5 = 0)
+        |SELECT doc_id, CAST(min(idx) AS BIGINT) AS start_tok,
+        |       CAST(max(idx) + 2 AS BIGINT) AS end_tok,
+        |       CAST(max(idx) - min(idx) + 3 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |HAVING max(idx) - min(idx) + 3 >= 8
+        |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "q_stream_spans" ->
+      // identical truth to g_dup_spans_incr: the streamed index is the
+      // same source-tagged partial-count materialization of the corpus,
+      // landed per micro-batch and final-merged by the probe
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t FROM base WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, i - 1 AS idx, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+        |occ AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY 1) WHERE c >= 2),
+        |isl AS (SELECT doc_id, idx,
+        |               idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |        FROM sh JOIN occ USING (shingle) WHERE doc_id % 5 = 0)
+        |SELECT doc_id, CAST(min(idx) AS BIGINT) AS start_tok,
+        |       CAST(max(idx) + 2 AS BIGINT) AS end_tok,
+        |       CAST(max(idx) - min(idx) + 3 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |HAVING max(idx) - min(idx) + 3 >= 8
+        |ORDER BY doc_id, start_tok""".stripMargin,
 
     "g_dedup_simhash" ->
       // brute-force recomputation: FNV-1a 64 per token (HUGEINT fold ==

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{NumFns, TextFns}
 
@@ -500,5 +501,210 @@ object TextOps {
       md5(to_binary(lower(col("text")), lit("utf-8"))).as("md5_norm"),
       TextFns.rollingFingerprint(col("text")).as("rolling_fp"),
       graft.plans.GraftFunctions.polyFp(col("text")).as("poly_fp"))
+  }
+
+  /** Positioned k-token shingles: one row per (doc, token offset) with the
+    * shingle starting there. Map-only — the shingle array is built from the
+    * token array with codegen HOFs (`transform` over `sequence`), no window
+    * and no shuffle; `posexplode` keeps the offset. Docs shorter than k
+    * tokens produce no rows (no k-gram can start in them — span semantics,
+    * unlike shingleRows' whole-text convention for membership semantics). */
+  private def positionedShingles(docs: DataFrame, k: Int, hashed: Boolean): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', slice(t, i + 1, $k)))"))
+        .as(Seq("idx", "shingle")))
+    sh.select(col("doc_id"), col("idx").cast("long").as("idx"),
+      (if (hashed) xxhash64(col("shingle")) else col("shingle")).as("shingle"))
+  }
+
+  /** Exact duplicated-SPAN extraction — the span-level "detect" phase of
+    * exact substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv 2107.06499: remove substrings repeated
+    * verbatim anywhere in the corpus). Where duplicatedPassages scores a
+    * per-doc dup FRACTION, this returns the maximal token RANGES: every run
+    * of consecutive k-shingles whose shingle occurs >= 2 times corpus-wide
+    * (within-doc repeats included — substring semantics), merged into
+    * [start_tok, end_tok] islands and cut at minSpanTokens.
+    *
+    * Plan at 100 TB: positioned shingles are map-only (no window); the
+    * corpus-wide occurrence count is a partial-aggregated groupBy (map-side
+    * combined — a boilerplate shingle repeated a billion times arrives at
+    * the reducer as per-partition counts, not a billion rows); the
+    * join back is shingle-keyed (hot keys are AQE-splittable JOIN skew,
+    * never window skew); island-merge is one per-doc window over only the
+    * DUPLICATED positions (post-filter — a tiny fraction of the corpus).
+    * Three exchanges total. The shingle recompute between the agg and the
+    * join is a map-only rescan, deliberately cheaper than persisting.
+    * `hashed = true` ships 8-byte shingle hashes through both shuffles (the
+    * 100 TB path); `hashed = false` keeps strings for the oracle gate. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      k: Int = 3,
+      minSpanTokens: Int = 8,
+      hashed: Boolean = true): DataFrame = {
+    require(minSpanTokens >= k, "a span is at least one whole shingle")
+    val sh = positionedShingles(docs, k, hashed)
+    val dupSet = sh.groupBy(col("shingle")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("shingle"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    sh.join(dupSet, Seq("shingle"))
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("idx")).as("start_tok"), (max(col("idx")) + lit(k - 1).cast("long")).as("end_tok"))
+      .filter(col("end_tok") - col("start_tok") + 1 >= minSpanTokens)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
+  }
+
+  /** The "remove" phase of exact substring dedup: rebuild each document
+    * with its duplicated spans (from duplicatedSpans) clipped out. Spans
+    * are collected per doc (bounded: a doc's span list is at most
+    * n_tokens / minSpanTokens entries), left-joined back, and the clip is
+    * a single codegen HOF pass — `filter` with the index lambda dropping
+    * tokens covered by any span, rejoined with single spaces. Docs with no
+    * spans keep their text verbatim (split/join round-trip is exact:
+    * concat_ws keeps empty tokens); fully-covered docs come back as ''.
+    * One extra shuffle (the per-doc span collect) on top of
+    * duplicatedSpans' three. */
+  def clipDuplicatedSpans(
+      docs: DataFrame,
+      k: Int = 3,
+      minSpanTokens: Int = 8,
+      hashed: Boolean = true): DataFrame = {
+    val spans = duplicatedSpans(docs, k, minSpanTokens, hashed)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text"))
+          .otherwise(expr(
+            "concat_ws(' ', filter(t, (x, i) -> NOT exists(spans, sp -> i >= sp.start_tok AND i <= sp.end_tok)))"))
+          .as("clean_text"))
+  }
+
+  /** Per-source-tagged partial shingle counts — the row shape every
+    * shingle-index writer lands: one (shingle, cnt) row per distinct
+    * shingle of this slice, tagged with the slice id (`src`) and the
+    * directory partition `pb = pmod(hash, nPb)`. The index stores
+    * map-side-combined PARTIALS and probes do the final merge — the
+    * mergeable-aggregate contract (a summing compaction is deliberately
+    * NOT offered: a crash-rerun of a summing fold double-counts, while
+    * source-tagged rows stay dedup-foldable on (shingle, src)). */
+  private[graft] def shinglePartialCounts(
+      docs: DataFrame, k: Int, nPb: Int, hashed: Boolean, src: Long): DataFrame =
+    positionedShingles(docs, k, hashed)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("cnt"))
+      .select(col("shingle"), col("cnt"), lit(src).as("src"),
+        pmod(if (hashed) col("shingle") else xxhash64(col("shingle")), lit(nPb.toLong))
+          .cast("int").as("pb"))
+
+  /** Persist the corpus' shingle-frequency index for incremental span
+    * dedup: the occurrence count of every k-shingle, hive-partitioned by
+    * `pb` under the versioned `__batch=-1` base (StreamingOps.
+    * shingleIndexStream appends per-batch deltas above it). The index is
+    * counts, not positions — orders of magnitude smaller than the corpus;
+    * signing a 100 TB corpus is one partial-aggregated groupBy. A
+    * `_meta.json` sidecar records (k, nPb, hashed) and every probe and
+    * stream batch asserts against it — a parameter-drifted probe would
+    * silently miss spans otherwise (the writeMinHashIndex contract). */
+  def writeShingleIndex(
+      corpus: DataFrame,
+      path: String,
+      k: Int = 3,
+      nPb: Int = 16,
+      hashed: Boolean = true): Unit = {
+    // repartition on the partition column first: one file per pb dir
+    shinglePartialCounts(corpus, k, nPb, hashed, src = -1L)
+      .repartition(col("pb"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .partitionBy("pb").parquet(s"$path/__batch=-1")
+    writeSpanMeta(corpus.sparkSession, path, k, nPb, hashed)
+  }
+
+  /** Merged corpus counts from a shingle index root: reads every batch
+    * level, dedups the fold-overlap window on (shingle, src) — identical
+    * rows, so max(cnt) is exact — then final-merges the source-tagged
+    * partials. Both aggregations are map-side combined. */
+  private[graft] def readShingleCounts(
+      spark: org.apache.spark.sql.SparkSession, path: String, hashed: Boolean): DataFrame = {
+    val shingleType = if (hashed) "LONG" else "STRING"
+    spark.read
+      .schema(s"shingle $shingleType, cnt LONG, src LONG, pb INT, __batch LONG")
+      .parquet(path)
+      .groupBy(col("shingle"), col("src")).agg(max(col("cnt")).as("cnt"))
+      .groupBy(col("shingle")).agg(sum(col("cnt")).as("corpus_cnt"))
+  }
+
+  /** Incremental exact-substring span detection: [[duplicatedSpans]] with
+    * the corpus side served from a persisted [[writeShingleIndex]] /
+    * shingleIndexStream index. A shingle is duplicated when its corpus
+    * count plus its increment count reaches 2 — exactly
+    * `duplicatedSpans(corpus ∪ increment)` restricted to increment docs
+    * (the spec-pinned identity). The increment is shingled and counted
+    * once; the join ships counts, never corpus text; hot boilerplate
+    * shingles are AQE-splittable JOIN skew. */
+  def duplicatedSpansAgainst(
+      increment: DataFrame,
+      indexPath: String,
+      k: Int = 3,
+      minSpanTokens: Int = 8,
+      hashed: Boolean = true): DataFrame = {
+    require(minSpanTokens >= k, "a span is at least one whole shingle")
+    val spark = increment.sparkSession
+    assertSpanMeta(spark, indexPath, k, nPb = None, hashed = Some(hashed))
+    val sh = positionedShingles(increment, k, hashed)
+    val dupSet = sh.groupBy(col("shingle")).agg(count(lit(1)).as("inc_cnt"))
+      .join(readShingleCounts(spark, indexPath, hashed), Seq("shingle"), "left")
+      .filter(col("inc_cnt") + coalesce(col("corpus_cnt"), lit(0L)) >= 2)
+      .select(col("shingle"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    sh.join(dupSet, Seq("shingle"))
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("idx")).as("start_tok"), (max(col("idx")) + lit(k - 1).cast("long")).as("end_tok"))
+      .filter(col("end_tok") - col("start_tok") + 1 >= minSpanTokens)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
+  }
+
+  /** Parameter sidecar for the shingle index (the LSH `_meta.json`
+    * contract: a drifted probe silently misses spans, so fail loudly). */
+  private[graft] def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, nPb: Int, hashed: Boolean): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(
+      s"""{"k":$k,"nPb":$nPb,"hashed":${if (hashed) 1 else 0}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Assert caller parameters against the index sidecar (no-op when
+    * absent). nPb is probe-irrelevant (pb pruning is a read optimization,
+    * not a semantic key), so probes pass None; writers pass Some. */
+  private[graft] def assertSpanMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, nPb: Option[Int], hashed: Option[Boolean]): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mf.exists(meta)) {
+      val in = mf.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): Option[Int] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      val want = Seq("k" -> Some(k), "nPb" -> nPb,
+        "hashed" -> hashed.map(h => if (h) 1 else 0))
+      val mismatches = want.flatMap { case (name, v) =>
+        for (expect <- v; rec <- field(name) if rec != expect)
+          yield s"$name: index=$rec probe=$expect"
+      }
+      require(mismatches.isEmpty,
+        s"shingle-index parameters disagree with the index at $path " +
+          s"(${mismatches.mkString(", ")}) — probe with the index's parameters " +
+          "or rebuild it with writeShingleIndex")
+    }
   }
 }

@@ -145,6 +145,50 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 0L)))
   }
 
+  test("duplicatedSpans: islands merge, within-doc repeats count, min length cuts") {
+    // docs 0/1 share "a b c d e" verbatim -> shingles at idx 0..2 of each
+    // are duplicated, merging into ONE span [0, 4] (5 tokens); doc 2's
+    // lone duplicated shingle run is 3 tokens and is cut by min=5
+    val d = docs(
+      "a b c d e x y z w v",
+      "q a b c d e r s t u",
+      "m n a b c o p")
+    val got = TextOps.duplicatedSpans(d, k = 3, minSpanTokens = 5, hashed = false)
+      .orderBy("doc_id", "start_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 0L, 4L, 5L), (1L, 1L, 5L, 5L)))
+    // within-doc repetition alone is a duplicate (substring semantics):
+    // "a b c" twice -> spans at both sites, and "z z z z" repeats its own
+    // "z z z" shingle at two offsets -> the z-run is a span too
+    val solo = TextOps.duplicatedSpans(docs("a b c z z z z a b c"),
+        k = 3, minSpanTokens = 3, hashed = false)
+      .orderBy("start_tok")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(solo == Seq((0L, 2L), (3L, 6L), (7L, 9L)))
+    // hashed mode returns identical spans
+    val hashedGot = TextOps.duplicatedSpans(d, k = 3, minSpanTokens = 5, hashed = true)
+      .orderBy("doc_id", "start_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(hashedGot == got)
+  }
+
+  test("clipDuplicatedSpans: covered tokens removed, no-span and fully-covered docs exact") {
+    // identical docs 0/1 are fully covered -> ''; doc 2 untouched (keeps
+    // its double space through the split/join round trip)
+    val d = docs("a b c d e f g h", "a b c d e f g h", "p q  r")
+    val got = TextOps.clipDuplicatedSpans(d, k = 3, minSpanTokens = 8, hashed = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((0L, ""), (1L, ""), (2L, "p q  r")))
+    // partial coverage: shared prefix "a b c d e" clipped, tails survive
+    val part = TextOps.clipDuplicatedSpans(
+        docs("a b c d e x y z", "a b c d e u v w"),
+        k = 3, minSpanTokens = 5, hashed = false)
+      .orderBy("doc_id")
+      .collect().map(r => r.getString(1)).toSeq
+    assert(part == Seq("x y z", "u v w"))
+  }
+
   test("tokenHeavyHitters: exact counts in the tracked regime, ties break on token") {
     // counts: a=4, b=3, c=3, d=1 -> top-3 is a, then b before c (tie on 3)
     val got = TextOps.tokenHeavyHitters(docs("a a b c", "a b c", "a b c d"), k = 3)
