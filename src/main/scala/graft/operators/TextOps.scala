@@ -683,16 +683,33 @@ object TextOps {
     finally out.close()
   }
 
+  /** Raw sidecar text, None when the sidecar is absent. */
+  private def readSpanMetaText(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!mf.exists(meta)) None
+    else {
+      val in = mf.open(meta)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+    }
+  }
+
+  /** One integer field of the index sidecar (None: no sidecar or no such
+    * field) — lets maintenance operators derive the index's own parameters
+    * instead of taking them as arguments (compactShingleIndex needs the
+    * shingle storage type). */
+  private[graft] def readSpanMetaField(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String): Option[Int] =
+    readSpanMetaText(spark, path).flatMap(text =>
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt))
+
   /** Assert caller parameters against the index sidecar (no-op when
     * absent). nPb is probe-irrelevant (pb pruning is a read optimization,
     * not a semantic key), so probes pass None; writers pass Some. */
   private[graft] def assertSpanMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int, nPb: Option[Int], hashed: Option[Boolean]): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mf.exists(meta)) {
-      val in = mf.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    for (text <- readSpanMetaText(spark, path)) {
       def field(name: String): Option[Int] =
         s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
       val want = Seq("k" -> Some(k), "nPb" -> nPb,
