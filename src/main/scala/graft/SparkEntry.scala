@@ -387,7 +387,7 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .select(col("user_id").as("id"), col("event_id").cast("int").as("rev"),
           lit(0).as("pos"), col("event_type"),
-          timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
+          timestamp_micros(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts_t"))
       val redelivered = src().unionByName(src())
       val landed = graft.streaming.StreamingOps.dedupedEvents(redelivered, "ts_t")
       withStreamParts(s, 8) {
@@ -473,7 +473,7 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
+          timestamp_micros(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts_t"))
       val pairs = graft.streaming.StreamingOps.attributionPairs(
         src, srcType = "view", tgtType = "purchase")
       withStreamParts(s, 8) {
@@ -502,7 +502,7 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .select(col("user_id"),
-          timestamp_micros(TimeFns.nanosToMicros(col("ts"))).as("ts_t"))
+          timestamp_micros(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts_t"))
       val sess = graft.streaming.StreamingOps.sessionCounts(src)
       withStreamParts(s, 8) {
         val q = sess.writeStream.format("memory").queryName(name)
@@ -530,7 +530,7 @@ object SparkEntry {
           col("user_id").as("id"),
           col("event_id").as("rev"),
           lit(0).as("pos"),
-          TimeFns.microsToFileTime(TimeFns.nanosToMicros(col("ts"))).as("ts"))
+          TimeFns.microsToFileTime(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts"))
       val q = graft.streaming.StreamingOps.indexTo(src, s"$out/index", s"$out/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -580,7 +580,7 @@ object SparkEntry {
           col("user_id").cast("string").cast("binary").as("id"),
           col("event_id").cast("int").as("rev"),
           lit(0).as("pos"),
-          TimeFns.microsToFileTime(TimeFns.nanosToMicros(col("ts"))).as("ts"),
+          TimeFns.microsToFileTime(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts"),
           col("event_type").cast("binary").as("data"))
       withStreamParts(s, 8) {
         val q = graft.streaming.StreamingOps
