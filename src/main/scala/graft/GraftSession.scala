@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.plans.IntersectionSize.description)
     ext.injectFunction(graft.plans.PolyFingerprint.description)
     ext.injectFunction(graft.plans.Fnv64.description)
+    ext.injectFunction(graft.plans.BloomBuildAgg.description)
+    ext.injectFunction(graft.plans.BloomMightContain.description)
     // derived-column pushdown: filters on ts_us (= floor(ts/1000)) gain
     // raw-nanos scan bounds — see plans.DerivedLongBounds
     ext.injectOptimizerRule(_ => graft.plans.DerivedLongBounds)

@@ -1164,6 +1164,21 @@ object SparkEntry {
         .orderBy(col("new_id"))
     },
 
+    "g_dedup_bloom" -> { (s, dir) => // the broadcast Bloom-prefiltered
+      // variant: sketch rejections take n_corpus_copies = 0 map-only, only
+      // sketch hits confirm against the corpus digests — false positives
+      // are removed by the confirm join, false negatives cannot exist, so
+      // the output is row-identical to g_dedup_incremental_exact (and the
+      // oracle is the same SQL). Tiny sketch (forced FPs at this corpus
+      // size) so BOTH paths carry rows at every sf.
+      val docs = Tables.documents(s, dir)
+      DedupOps.incrementalExactBloom(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          expectedItems = 1L << 10, fpp = 0.05)
+        .orderBy(col("new_id"))
+    },
+
     "g_embed_neardup_recall" -> { (s, dir) => // the LSH-bucketed embedding
       // near-dup gate: precision is exact by construction (in-bucket pairs
       // are rescored with true cosine), recall vs the exact all-pairs truth
@@ -2629,6 +2644,18 @@ object SparkEntry {
     "g_dedup_incremental_exact" ->
       // text equality stands in for the digest join (no SHA-256 collision
       // at any plausible corpus size)
+      """SELECT a.doc_id AS new_id,
+        |       CAST(count(b.doc_id) AS BIGINT) AS n_corpus_copies,
+        |       min(b.doc_id) AS first_copy_id
+        |FROM documents a LEFT JOIN documents b
+        |  ON b.doc_id % 5 <> 0 AND a.text = b.text
+        |WHERE a.doc_id % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_dedup_bloom" ->
+      // identical truth to g_dedup_incremental_exact: the Bloom prefilter
+      // is exact once the confirm join removes false positives (and no
+      // false negative can exist)
       """SELECT a.doc_id AS new_id,
         |       CAST(count(b.doc_id) AS BIGINT) AS n_corpus_copies,
         |       min(b.doc_id) AS first_copy_id

@@ -235,6 +235,84 @@ object DedupOps {
         min(col("cid")).as("first_copy_id"))
   }
 
+  /** Serialized Bloom sketch over the corpus' content digests — the
+    * bounded broadcastable membership summary [[incrementalExactBloom]]
+    * probes (build once, reuse across increments; at 1% FPP the sketch is
+    * ~1.2 bytes per corpus doc). One map-side-combined aggregation job;
+    * the result is partitioning-independent (bitwise-OR merge). */
+  def corpusDigestBloom(
+      corpus: DataFrame,
+      textCol: String = "text",
+      expectedItems: Long = 1L << 22,
+      fpp: Double = 0.01): Array[Byte] = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .select(graft.plans.GraftFunctions.bloomAgg(
+        xxhash64(sha2(col(textCol), 256)), expectedItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[incrementalExact]] with a broadcast Bloom prefilter — the
+    * runtime-filter pattern as an explicit operator, and the shape that
+    * survives 100 TB when the increment is large and mostly novel (the
+    * training-data steady state):
+    *
+    *  1. the corpus digest set collapses to a Bloom sketch
+    *     ([[corpusDigestBloom]], or a caller-persisted one) — bounded
+    *     driver state, shipped to executors ONCE in the plan's codegen
+    *     references, never a shuffle;
+    *  2. the increment is split map-only: rows whose digest the sketch
+    *     rejects are DEFINITELY novel (no false negatives — they take
+    *     n_corpus_copies = 0 without touching the corpus); only sketch
+    *     hits (true matches + FPP false positives) continue;
+    *  3. the surviving candidates — matches + ~fpp·|increment|, typically
+    *     orders of magnitude smaller than the increment — confirm against
+    *     the corpus digests with an INNER join (broadcastable build side:
+    *     inner supports building the small side, unlike the left-outer
+    *     formulation, which only builds right and therefore degenerates
+    *     to shuffling the corpus at scale); candidates the confirm did
+    *     NOT match are the false positives, recovered as novel by an
+    *     anti-join against the (match-sized) confirmed id set. The output
+    *     is row-identical to [[incrementalExact]].
+    *
+    * Versus the plain digest join, neither the full increment nor the
+    * corpus is ever shuffled (the classic two-big-sides sort-merge):
+    * every broadcast side — candidates, confirmed ids — is bounded by
+    * matches + fpp·|increment|, and the corpus is touched only as a
+    * streamed scan-and-probe. The plain join still wins when most of the
+    * increment IS duplicated (the prefilter then rejects nothing). */
+  def incrementalExactBloom(
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      expectedItems: Long = 1L << 22,
+      fpp: Double = 0.01,
+      sketch: Option[Array[Byte]] = None): DataFrame = {
+    graft.plans.GraftFunctions.register(increment.sparkSession)
+    val bloom = sketch.getOrElse(corpusDigestBloom(corpus, textCol, expectedItems, fpp))
+    val inc = increment.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("h"))
+      .withColumn("mc", graft.plans.GraftFunctions.bloomMightContain(
+        lit(bloom), xxhash64(col("h"))))
+    // null text -> null digest: can never match the corpus join either,
+    // so it belongs with the definite novels (coalesce keeps the row)
+    val novel = inc.filter(!coalesce(col("mc"), lit(false)))
+      .select(col("new_id"), lit(0L).as("n_corpus_copies"),
+        lit(null).cast(corpus.schema(idCol).dataType).as("first_copy_id"))
+    val candidates = inc.filter(coalesce(col("mc"), lit(false))).drop("mc")
+    val cor = corpus.select(col(idCol).as("cid"), sha2(col(textCol), 256).as("h"))
+    val confirmed = candidates.join(cor, Seq("h"))
+      .groupBy(col("new_id"))
+      .agg(
+        count(col("cid")).as("n_corpus_copies"),
+        min(col("cid")).as("first_copy_id"))
+    val fpNovel = candidates
+      .join(confirmed.select(col("new_id")), Seq("new_id"), "left_anti")
+      .select(col("new_id"), lit(0L).as("n_corpus_copies"),
+        lit(null).cast(corpus.schema(idCol).dataType).as("first_copy_id"))
+    confirmed.unionByName(fpNovel).unionByName(novel)
+  }
+
   /** (id, band, bandsig) banded MinHash signatures — the LSH key layout
     * shared by the self-join (minHashNearDups) and increment-vs-corpus
     * (minHashNearDupsAgainst) paths.

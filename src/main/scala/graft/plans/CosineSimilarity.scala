@@ -96,7 +96,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(cosineDescription, IntersectionSize.description, PolyFingerprint.description,
-        Fnv64.description)
+        Fnv64.description, BloomBuildAgg.description, BloomMightContain.description)
       .foreach { d =>
         if (!registry.functionExists(d._1)) {
           registry.registerFunction(d._1, d._2, d._3)
@@ -117,4 +117,12 @@ object GraftFunctions {
 
   def fnv64(text: Column): Column =
     org.apache.spark.sql.functions.call_function(Fnv64.Name, text)
+
+  def bloomAgg(key: Column, expectedItems: Long, fpp: Double): Column =
+    org.apache.spark.sql.functions.call_function(BloomBuildAgg.Name, key,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(fpp))
+
+  def bloomMightContain(sketch: Column, key: Column): Column =
+    org.apache.spark.sql.functions.call_function(BloomMightContain.Name, sketch, key)
 }

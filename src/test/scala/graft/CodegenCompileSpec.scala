@@ -79,6 +79,23 @@ class CodegenCompileSpec extends SparkSpec {
     assert(proj(row).getInt(1) === 1)
   }
 
+  test("BloomMightContain generated code compiles, probes via references, matches eval") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (1L to 50L).foreach(bf.putLong)
+    val out = new java.io.ByteArrayOutputStream(); bf.writeTo(out)
+    val expr = graft.plans.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(out.toByteArray,
+        org.apache.spark.sql.types.BinaryType),
+      BoundReference(0, org.apache.spark.sql.types.LongType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on Janino failure
+    for (k <- Seq(1L, 25L, 50L, 51L, 9999L)) {
+      val row = InternalRow(k)
+      assert(proj(row).getBoolean(0) === expr.eval(row).asInstanceOf[Boolean],
+        s"codegen/interpreted divergence on $k")
+      if (k <= 50L) assert(proj(row).getBoolean(0), s"false negative on member $k")
+    }
+  }
+
   test("kernels run end-to-end with codegen fallback disabled") {
     GraftFunctions.register(spark)
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

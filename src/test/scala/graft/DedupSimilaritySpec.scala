@@ -86,6 +86,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Seq((2L, 1L, Some(1L)), (4L, 0L, None)))
   }
 
+  test("bloom-prefiltered incremental exact == plain, at every sketch size") {
+    val docs = docsDf()
+    val inc = docs.filter(col("doc_id").isin(2L, 4L))
+    val cor = docs.filter(col("doc_id").isin(1L, 3L, 5L))
+    def collect(df: org.apache.spark.sql.DataFrame) = df.orderBy("new_id").collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("n_corpus_copies"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    val want = collect(DedupOps.incrementalExact(inc, cor))
+    // roomy sketch (no FPs) and a 1-slot-ish sketch (everything collides →
+    // every row confirms): identical output either way — FPs only cost work
+    assert(collect(DedupOps.incrementalExactBloom(inc, cor)) == want)
+    assert(collect(DedupOps.incrementalExactBloom(
+      inc, cor, expectedItems = 1L, fpp = 0.5)) == want)
+  }
+
+  test("corpusDigestBloom is partitioning-independent and has no false negatives") {
+    val docs = docsDf()
+    val cor = docs.filter(col("doc_id").isin(1L, 3L, 5L))
+    val a = DedupOps.corpusDigestBloom(cor)
+    val b = DedupOps.corpusDigestBloom(cor.repartition(7))
+    assert(java.util.Arrays.equals(a, b), "sketch bytes differ across partitionings")
+    // every corpus digest must probe true (the no-false-negative guarantee
+    // the exactness argument rests on)
+    graft.plans.GraftFunctions.register(spark)
+    val misses = cor
+      .withColumn("mc", graft.plans.GraftFunctions.bloomMightContain(
+        lit(a), xxhash64(sha2(col("text"), 256))))
+      .filter(!col("mc")).count()
+    assert(misses == 0)
+  }
+
   test("editDistancePairs: in-block typo pair surfaces with its true distance") {
     // docs 1/2 identical (dist 0), 1/3 one word changed (jumps->leaps,
     // 3 substitutions); doc 4 is same-band different content (past the
