@@ -694,6 +694,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("start_tok"))
     },
 
+    "q_stream_bloom" -> { (s, dir) => // streaming Bloom-sidecar maintenance,
+      // oracle side: an AvailableNow run of bloomIndexStream sketches the
+      // corpus split per micro-batch; the increment probed with the
+      // OR-merged sketch through incrementalExactBloom must equal the
+      // plain incremental-exact truth (no false negatives + exact confirm
+      // — g_dedup_incremental_exact's oracle verbatim). Multi-batch
+      // merge/replay/fold semantics are BloomStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_bloom_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
+      val q = graft.streaming.StreamingOps
+        .bloomIndexStream(src, s"$out/bloomidx", s"$out/ckpt",
+          expectedItems = 1L << 10, fpp = 0.05)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sketch = graft.streaming.StreamingOps.readMergedBloom(s, s"$out/bloomidx")
+      DedupOps.incrementalExactBloom(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          sketch = Some(sketch))
+        .orderBy(col("new_id"))
+    },
+
     "q_rev_monitor" -> { (s, dir) => // streaming revision monitor as a
       // table (round-9 verdict #7): flatMapGroupsWithState run in BATCH
       // mode — the same code path the stream executes, state empty-initial,
@@ -2656,6 +2683,17 @@ object SparkEntry {
       // identical truth to g_dedup_incremental_exact: the Bloom prefilter
       // is exact once the confirm join removes false positives (and no
       // false negative can exist)
+      """SELECT a.doc_id AS new_id,
+        |       CAST(count(b.doc_id) AS BIGINT) AS n_corpus_copies,
+        |       min(b.doc_id) AS first_copy_id
+        |FROM documents a LEFT JOIN documents b
+        |  ON b.doc_id % 5 <> 0 AND a.text = b.text
+        |WHERE a.doc_id % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_bloom" ->
+      // identical truth again: the streamed sidecar OR-merges to the same
+      // bits a batch-built sketch would set, and the probe is exact
       """SELECT a.doc_id AS new_id,
         |       CAST(count(b.doc_id) AS BIGINT) AS n_corpus_copies,
         |       min(b.doc_id) AS first_copy_id

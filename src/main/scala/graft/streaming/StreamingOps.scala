@@ -526,6 +526,152 @@ object StreamingOps {
       dedupKeys = Seq("shingle", "src"), partitionCols = Seq("pb"))
   }
 
+  /** Streaming Bloom-sidecar maintenance — the membership-summary twin of
+    * the other versioned index sinks, and the cheapest of them: each
+    * micro-batch builds the Bloom sketch of its OWN documents' content
+    * digests (one map-side-combined aggregate —
+    * [[graft.operators.DedupOps.corpusDigestBloom]]) and lands the
+    * serialized bytes at `path/__batch=<id>/bloom.bin`. Probes OR-merge
+    * every level ([[readMergedBloom]]) — bitwise OR is exactly what
+    * putting the union would have set, so a streamed corpus sketches
+    * BYTE-IDENTICALLY to a batch-built one (spec-pinned) — and feed the
+    * result straight into
+    * [[graft.operators.DedupOps.incrementalExactBloom]]'s `sketch`
+    * argument: the corpus is never re-signed per increment.
+    *
+    * Idempotent via per-batch Overwrite (sketch bytes are deterministic
+    * given batch contents); the `_meta.json` sidecar pins (expectedItems,
+    * fpp) — sketches with different sizing DO NOT MERGE (the underlying
+    * filter rejects incompatible bit arrays), so a drifted restart fails
+    * at the batch, not at some later probe. Fold deltas with
+    * [[compactBloomIndex]]; all sketch handling is bounded driver state
+    * (sketch bytes × batch levels, and compaction keeps levels small). */
+  def bloomIndexStream(docs: DataFrame, path: String, checkpoint: String,
+      textCol: String = "text",
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bloomBatch(batch, batchId, path, textCol, expectedItems, fpp)
+      }
+
+  /** One [[bloomIndexStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def bloomBatch(batch: DataFrame, batchId: Long, path: String,
+      textCol: String, expectedItems: Long, fpp: Double): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "bloomIndexStream", path)
+    assertBloomMeta(f, p, expectedItems, fpp, path)
+    val bytes = graft.operators.DedupOps.corpusDigestBloom(
+      batch, textCol, expectedItems, fpp)
+    writeFile(f, new org.apache.hadoop.fs.Path(p, s"__batch=$batchId/bloom.bin"), bytes)
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (!f.exists(meta))
+      writeFile(f, meta,
+        s"""{"expectedItems":$expectedItems,"fppMicros":${math.round(fpp * 1e6)}}"""
+          .getBytes("UTF-8"))
+  }
+
+  /** Bootstrap the sidecar from an existing corpus (`__batch=-1`). */
+  def bloomIndexBase(corpus: DataFrame, path: String, textCol: String = "text",
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(p, "__batch=-1")
+    require(!f.exists(dir), s"$dir already exists — bloomIndexBase bootstraps once")
+    val bytes = graft.operators.DedupOps.corpusDigestBloom(
+      corpus, textCol, expectedItems, fpp)
+    writeFile(f, new org.apache.hadoop.fs.Path(dir, "bloom.bin"), bytes)
+    writeFile(f, new org.apache.hadoop.fs.Path(p, "_meta.json"),
+      s"""{"expectedItems":$expectedItems,"fppMicros":${math.round(fpp * 1e6)}}"""
+        .getBytes("UTF-8"))
+  }
+
+  /** OR-merge of every landed sketch level — the corpus membership
+    * summary as of the last committed batch, ready for
+    * incrementalExactBloom's `sketch` argument. Driver-side by design:
+    * each level is one fixed-size sketch, not row data. */
+  def readMergedBloom(spark: SparkSession, path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val levels = f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+      .sortBy(_.getPath.getName.stripPrefix("__batch=").toLong)
+      .map(s => new org.apache.hadoop.fs.Path(s.getPath, "bloom.bin"))
+      .filter(f.exists)
+    require(levels.nonEmpty, s"no sketch levels under $path")
+    val merged = levels.map(readBloom(f, _)).reduce(_ mergeInPlace _)
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Fold committed sketch deltas into the `__batch=-1` base. OR-merge is
+    * idempotent (re-merging the same bits is a no-op), so unlike the row
+    * sinks there is no overlap-window subtlety at all — but the newest
+    * delta is still protected (uniform contract: only deltas strictly
+    * below the newest are provably checkpoint-committed) and the base is
+    * staged-then-renamed so readers never see a partial file. */
+  def compactBloomIndex(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    val all = f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+      .map(_.getPath.getName.stripPrefix("__batch=").toLong)
+    val newest = all.filter(_ >= 0).sorted.lastOption
+    val foldable = all.filterNot(newest.contains)
+    if (foldable.size <= 1 && foldable.forall(_ == -1L)) return
+    val merged = foldable.sorted
+      .map(id => readBloom(f, new org.apache.hadoop.fs.Path(p, s"__batch=$id/bloom.bin")))
+      .reduce(_ mergeInPlace _)
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    val staging = new org.apache.hadoop.fs.Path(p, "_compacting.bin")
+    writeFile(f, staging, out.toByteArray)
+    val base = new org.apache.hadoop.fs.Path(p, "__batch=-1/bloom.bin")
+    f.mkdirs(new org.apache.hadoop.fs.Path(p, "__batch=-1")): Unit
+    if (f.exists(base)) f.delete(base, false): Unit
+    require(f.rename(staging, base), s"rename $staging -> $base failed")
+    foldable.filter(_ >= 0).foreach(id =>
+      f.delete(new org.apache.hadoop.fs.Path(p, s"__batch=$id"), true): Unit)
+  }
+
+  private def readBloom(f: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): org.apache.spark.util.sketch.BloomFilter = {
+    val in = f.open(path)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  private def writeFile(f: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    val out = f.create(path, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def assertBloomMeta(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, expectedItems: Long, fpp: Double,
+      path: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): Option[Long] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val want = Seq("expectedItems" -> expectedItems, "fppMicros" -> math.round(fpp * 1e6))
+      val mismatches = want.flatMap { case (name, expect) =>
+        field(name).filter(_ != expect).map(rec => s"$name: index=$rec batch=$expect")
+      }
+      require(mismatches.isEmpty,
+        s"bloom-sidecar sizing disagrees with the index at $path " +
+          s"(${mismatches.mkString(", ")}) — differently-sized sketches do not " +
+          "merge; restart with the index's parameters or rebuild it")
+    }
+  }
+
   /** Shared staged-rename fold under a `__batch=<id>`-structured directory:
     * read every delta strictly below the newest (plus the existing base
     * and any staging/retired leftovers of a crashed prior fold), dedup on

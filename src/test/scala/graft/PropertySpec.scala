@@ -255,5 +255,17 @@ class PropertySpec extends SparkSpec {
       ((x / d <= hi) == (x <= upperBoundFor(hi, d, isFloor = false))) &&
       ((Math.floorDiv(x, d) <= hi) == (x <= upperBoundFor(hi, d, isFloor = true)))
     })
+    // the multiply transport (ts_ns = ts_us * 1000 on the NTZ layout) is
+    // tight the same way: x*d >= lo <=> x >= lowerBoundForMul, x*d <= hi
+    // <=> x <= upperBoundForMul — every sign of the bound
+    import graft.plans.DerivedLongBounds.{lowerBoundForMul, upperBoundForMul}
+    val mxs = Gen.choose(-4000000000000L, 4000000000000L)
+    val mds = Gen.choose(1L, 1000000L)
+    checkProp(Prop.forAll(mxs, mds, bs) { (x, d, lo) =>
+      (x * d >= lo) == (x >= lowerBoundForMul(lo, d))
+    })
+    checkProp(Prop.forAll(mxs, mds, bs) { (x, d, hi) =>
+      (x * d <= hi) == (x <= upperBoundForMul(hi, d))
+    })
   }
 }
