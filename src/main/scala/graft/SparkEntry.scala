@@ -1387,6 +1387,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_dedup_cc_incr" -> { (s, dir) => // incremental CC, the daily-crawl
+      // shape: prior assignment over the corpus-only pair list + today's
+      // pairs touching increment docs == the full-recompute component
+      // truth (g_dedup_cc_star's oracle verbatim). History's pair list is
+      // never rematerialized — the assignment is its lossless
+      // connectivity summary.
+      val docs = Tables.documents(s, dir)
+      val all = DedupOps.minHashNearDups(docs, threshold = 0.5)
+      val prior = DedupOps.nearDupClustersStar(
+        all.filter(col("id1") % 5 =!= 0 && col("id2") % 5 =!= 0))
+      val fresh = all.filter(col("id1") % 5 === 0 || col("id2") % 5 === 0)
+      DedupOps.nearDupClustersIncremental(prior, fresh).orderBy(col("doc_id"))
+    },
+
     "g_dedup_simhash" -> { (s, dir) => // SimHash near-dups, oracle-gated:
       // the token hash is FNV-1a 64 (reproducible in DuckDB HUGEINT
       // arithmetic), so the oracle recomputes fingerprints + brute-force
@@ -2975,6 +2989,29 @@ object SparkEntry {
       // same truth as g_dedup_clusters (components over the exact
       // shingle-Jaccard pair list, proven equal to the MinHash pair list);
       // gates the alternating-star algorithm's output row-level
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "g_dedup_cc_incr" ->
+      // identical truth to g_dedup_cc_star: merging the delta pairs into
+      // the prior assignment must reproduce the full recursive closure
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
         |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))

@@ -757,6 +757,48 @@ object DedupOps {
       .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
   }
 
+  /** Incremental connected components — merge a day's NEW near-dup edges
+    * into an existing cluster assignment without recomputing over the
+    * historical pair list (the daily-crawl steady state: pairs are found
+    * increment-vs-corpus, e.g. [[minHashNearDupsIndexed]], and the full
+    * historical pair list is never materialized again).
+    *
+    * The prior assignment IS a lossless connectivity summary: each
+    * (doc, cluster) row is an edge to the cluster's canonical member, so
+    * clustering `assignment-edges ∪ new-pairs` with the same
+    * alternating-star algorithm yields exactly the components of the
+    * full union graph — clusters bridged by a new pair merge, untouched
+    * clusters are already star-shaped fixed points and stabilize
+    * immediately (the iteration cost tracks the NEW merges' diameter,
+    * not history). Shuffle volume per run is O(|assignment| + |new
+    * pairs|), vs O(|all pairs ever|) for a recompute; the spec pins
+    * incremental == full-recompute row-level.
+    *
+    * Contract: `cluster_id` must be a MEMBER of its cluster (the
+    * canonical min every clustering operator here emits) — labels are
+    * graph nodes, so a synthetic non-member label would join components
+    * that share it. Prior singletons (doc_id == cluster_id, degree 0)
+    * are carried through unchanged unless a new pair touches them. */
+  def nearDupClustersIncremental(
+      prevAssign: DataFrame,
+      newPairs: DataFrame,
+      maxRounds: Int = 12,
+      reliable: Boolean = false): DataFrame = {
+    val priorEdges = prevAssign.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
+    val merged = nearDupClustersStar(
+      priorEdges.unionByName(newPairs.select(col("id1"), col("id2"))),
+      maxRounds, reliable)
+    // prior singletons have no edge to survive through the star rounds;
+    // re-attach the ones no new pair connected (left_anti: bounded by the
+    // assignment, broadcastable at the merged-result side's match size)
+    val untouchedSingletons = prevAssign
+      .filter(col("doc_id") === col("cluster_id"))
+      .join(merged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    merged.unionByName(untouchedSingletons)
+  }
+
   /** Jaccard of two pre-deduplicated arrays: |a ∩ b| / (|a| + |b| - |a ∩ b|).
     * int/int division -> double, same as DuckDB's `/`. Uses the fused
     * native IntersectionSize expression (GraftFunctions.register must have

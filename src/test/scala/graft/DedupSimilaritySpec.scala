@@ -216,6 +216,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("nearDupClustersIncremental merges bridged clusters, carries untouched singletons") {
+    import spark.implicits._
+    // prior: {1,2} rooted at 1, {10,11} rooted at 10, singleton 20
+    val prev = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_id")
+    // a new pair bridges the two clusters; nothing touches 20
+    val got = DedupOps.nearDupClustersIncremental(
+        prev, Seq((2L, 11L)).toDF("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 20L -> 20L))
+  }
+
   test("nearDupClustersStar flattens a high-degree hub whose id is not the min") {
     // hub 100 connected to 1..20: one component, min = 1. A large-star
     // round attaches every larger neighbor of 100 straight to 1 — the

@@ -102,6 +102,36 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("property: incremental CC over (prior assignment + new edges) == full recompute") {
+    import spark.implicits._
+    val gen: Gen[(Seq[(Long, Long)], Seq[(Long, Long)])] = for {
+      n <- Gen.choose(2, 25)
+      mPrior <- Gen.choose(0, 25)
+      mNew <- Gen.choose(1, 25)
+      mk = (m: Int) => Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      prior <- mk(mPrior)
+      fresh <- mk(mNew)
+    } yield (prior, fresh)
+    checkProp(Prop.forAll(gen) { case (prior, fresh) =>
+      val full = graft.operators.DedupOps
+        .nearDupClustersStar((prior ++ fresh).toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prevAssign =
+        if (prior.isEmpty)
+          Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+        else graft.operators.DedupOps.nearDupClustersStar(prior.toDF("id1", "id2"))
+      val inc = graft.operators.DedupOps
+        .nearDupClustersIncremental(prevAssign, fresh.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the incremental run sees only prior ENDPOINT nodes + new-edge
+      // nodes — the same node set the full recompute sees
+      inc == full
+    }, minSuccessful = 8)
+  }
+
   test("property: paragraphDedup equals a driver-side first-occurrence reference") {
     import spark.implicits._
     // small alphabet so cross-doc and in-doc duplicates arise constantly
