@@ -694,6 +694,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("start_tok"))
     },
 
+    "q_stream_cc" -> { (s, dir) => // the full streaming dedup-clustering
+      // loop, oracle side: an AvailableNow clusterIngest run over the
+      // corpus split (self-join pairs + LSH-index cross pairs folded into
+      // the versioned assignment per batch); the newest assignment version
+      // must equal the recursive-CTE component truth over the corpus
+      // split's exact-Jaccard pairs. Multi-batch/replay/lineage semantics
+      // are ClusterStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_cc_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val q = graft.streaming.StreamingOps
+        .clusterIngest(src, s"$out/loop", s"$out/ckpt", nBuckets = 8)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val versions = new java.io.File(s"$out/loop/_assign").listFiles()
+        .map(_.getName).filter(_.startsWith("__batch="))
+        .map(_.stripPrefix("__batch=").toLong)
+      s.read.parquet(s"$out/loop/_assign/__batch=${versions.max}")
+        .orderBy(col("doc_id"))
+    },
+
     "q_stream_bloom" -> { (s, dir) => // streaming Bloom-sidecar maintenance,
       // oracle side: an AvailableNow run of bloomIndexStream sketches the
       // corpus split per micro-batch; the increment probed with the
@@ -2704,6 +2729,31 @@ object SparkEntry {
         |  ON b.doc_id % 5 <> 0 AND a.text = b.text
         |WHERE a.doc_id % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_cc" ->
+      // the recursive component truth over the CORPUS SPLIT's exact
+      // shingle-Jaccard pairs — what the streamed loop's newest
+      // assignment version must reproduce
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |        WHERE doc_id % 5 <> 0)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q_stream_bloom" ->
       // identical truth again: the streamed sidecar OR-merges to the same

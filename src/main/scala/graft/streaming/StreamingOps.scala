@@ -526,6 +526,124 @@ object StreamingOps {
       dedupKeys = Seq("shingle", "src"), partitionCols = Seq("pb"))
   }
 
+  /** The full streaming dedup-clustering loop — the daily-crawl
+    * composition, one micro-batch at a time:
+    *
+    *  1. WITHIN-batch near-dup pairs via the banded MinHash self-join
+    *     ([[graft.operators.DedupOps.minHashNearDups]] — the batch is the
+    *     small side, its self-join is cheap);
+    *  2. CROSS pairs against the ACCUMULATED corpus via the standing
+    *     (band, bucket)-partitioned LSH index
+    *     ([[graft.operators.DedupOps.minHashNearDupsIndexed]] — the
+    *     corpus is never re-signed or self-joined; both paths share the
+    *     bandsig-equality collision criterion, so pairs found across
+    *     batches are exactly the pairs a single-batch run would find);
+    *  3. both pair lists fold into the standing cluster assignment with
+    *     [[graft.operators.DedupOps.nearDupClustersIncremental]] — per
+    *     batch the shuffle is O(|assignment| + |new pairs|), never
+    *     O(|all pairs ever|);
+    *  4. the batch's docs land under `docs/__batch=<id>`, its signatures
+    *     append to the LSH index (`_lsh/__batch=<id>`, the
+    *     [[lshIndexStream]] landing — lineage guard + `_meta.json`
+    *     sidecar included), and the UPDATED FULL assignment lands at
+    *     `_assign/__batch=<id>`.
+    *
+    * Idempotent the [[curatedIngest]] way: every write is batch-id-derived
+    * Overwrite and every read of accumulated state takes `__batch <
+    * batchId` (docs, prior assignment), so a checkpoint-replayed batch
+    * sees the exact state the crashed attempt saw, recomputes the same
+    * pairs and assignment, and overwrites its own partial output — at any
+    * crash point between the four writes. Assignment versions below
+    * `newest - 1` are dead (no replay can read them) and may be deleted
+    * any time; docs/LSH deltas fold with [[compactCuratedDocs]]-style
+    * maintenance ([[compactLshIndex]] for the index).
+    *
+    * The assignment covers PAIRED docs (the clustering operators'
+    * contract); unpaired docs are implicitly their own cluster. Spec pins
+    * multi-batch == single-batch recompute row-level, replay idempotence,
+    * and the lineage guard. */
+  def clusterIngest(docs: DataFrame, outDir: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
+      nBuckets: Int = 64, threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clusterBatch(batch, batchId, outDir, idCol, textCol,
+          shingleK, nHashes, bands, nBuckets, threshold)
+      }
+
+  /** One [[clusterIngest]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def clusterBatch(batch: DataFrame, batchId: Long, outDir: String,
+      idCol: String, textCol: String, shingleK: Int, nHashes: Int,
+      bands: Int, nBuckets: Int, threshold: Double): Unit = {
+    val s = batch.sparkSession
+    val docsDir = s"$outDir/docs"
+    val lshDir = s"$outDir/_lsh"
+    val assignDir = s"$outDir/_assign"
+    val docsPath = new org.apache.hadoop.fs.Path(docsDir)
+    val f = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, docsPath, batchId, "clusterIngest", outDir)
+    // the batch feeds three derivations — pin it once
+    val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val selfPairs = graft.operators.DedupOps
+      .minHashNearDups(b, idCol, textCol, shingleK, nHashes, bands, threshold)
+      .select("id1", "id2")
+    val corpus =
+      if (f.exists(docsPath))
+        s.read.schema(s"$idCol LONG, $textCol STRING, __batch LONG")
+          .option("basePath", docsDir).parquet(docsDir)
+          .filter(col("__batch") < batchId)
+          .select(col(idCol), col(textCol))
+      else null
+    val crossPairs =
+      if (corpus != null)
+        graft.operators.DedupOps.minHashNearDupsIndexed(
+            b, corpus, lshDir, idCol, textCol, shingleK, nHashes, bands,
+            nBuckets, threshold)
+          .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
+      else selfPairs.limit(0)
+    val prior = latestAssignment(s, assignDir, batchId)
+    val next = graft.operators.DedupOps
+      .nearDupClustersIncremental(prior, selfPairs.unionByName(crossPairs))
+      .localCheckpoint(true)
+    // default partitioning, not coalesce(1): the assignment (paired docs)
+    // can be corpus-sized in the worst case, and a version directory is
+    // the read unit anyway — files per version stay bounded by the
+    // shuffle width, versions below newest-1 are dead and reclaimable
+    next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$assignDir/__batch=$batchId")
+    lshBatch(b, batchId, lshDir, idCol, textCol, shingleK, nHashes, bands, nBuckets)
+    b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$docsDir/__batch=$batchId")
+  }
+
+  /** Newest assignment version strictly below `batchId` (the replay-safe
+    * frontier), or an empty assignment when none exists. */
+  private def latestAssignment(spark: SparkSession, assignDir: String,
+      batchId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(assignDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (f.exists(p))
+        f.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("__batch="))
+          .map(_.stripPrefix("__batch=").toLong)
+          .filter(_ < batchId).sorted.lastOption
+      else None
+    prior match {
+      case Some(v) =>
+        spark.read.schema("doc_id LONG, cluster_id LONG")
+          .parquet(s"$assignDir/__batch=$v")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, cluster_id LONG"))
+    }
+  }
+
   /** Streaming Bloom-sidecar maintenance — the membership-summary twin of
     * the other versioned index sinks, and the cheapest of them: each
     * micro-batch builds the Bloom sketch of its OWN documents' content

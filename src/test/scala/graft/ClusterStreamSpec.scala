@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+import graft.streaming.StreamingOps
+
+/** The streaming dedup-clustering loop: multi-batch ingestion produces
+  * the same cluster assignment as a single-batch recompute, replay is
+  * idempotent (including the stale-own-signatures-in-index case), and
+  * the lineage guard refuses a foreign checkpoint. */
+class ClusterStreamSpec extends SparkSpec {
+
+  // 1,2 exact dups; 3 near-dup of both; 4,6 unrelated; 5 near-dup of 1
+  // arriving in a LATER batch (the cross-batch merge case)
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river"),
+      (3L, "the quick brown fox leaps over the lazy dog by the river"),
+      (4L, "completely different words about training data pipelines at scale"),
+      (5L, "the quick brown fox jumps over the lazy dog by the stream"),
+      (6L, "unrelated content about distributed query engines and storage")
+    ).toDF("doc_id", "text")
+  }
+
+  private def run(dir: String, batches: Seq[Seq[Long]]): Unit =
+    batches.zipWithIndex.foreach { case (ids, i) =>
+      StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(ids: _*)),
+        i.toLong, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+    }
+
+  private def assignment(dir: String): Map[Long, Long] = {
+    val p = new java.io.File(s"$dir/_assign")
+    val newest = p.listFiles().map(_.getName).filter(_.startsWith("__batch="))
+      .map(_.stripPrefix("__batch=").toLong).max
+    spark.read.parquet(s"$dir/_assign/__batch=$newest")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def fullTruth(): Map[Long, Long] =
+    DedupOps.nearDupClustersStar(
+        DedupOps.minHashNearDups(docs(), threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("three batches converge to the single-batch recompute assignment") {
+    val dir = tmpDir()
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L), Seq(5L, 6L)))
+    val truth = fullTruth()
+    assert(truth.nonEmpty)
+    assert(assignment(dir) == truth,
+      s"streamed assignment != batch truth ($truth)")
+  }
+
+  test("checkpoint replay of the newest batch is idempotent") {
+    val dir = tmpDir()
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L), Seq(5L, 6L)))
+    val before = assignment(dir)
+    // replay: the index already holds batch 2's signatures; the corpus
+    // frontier (__batch < 2) must keep them from producing phantom pairs
+    StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(5L, 6L)),
+      2L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+    assert(assignment(dir) == before)
+    assert(assignment(dir) == fullTruth())
+  }
+
+  test("clusterBatch refuses a sink written by a different checkpoint lineage") {
+    val dir = tmpDir()
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.clusterBatch(docs().filter(col("doc_id") === 5L),
+        0L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+    }
+    assert(e.getMessage.contains("different checkpoint lineage"))
+  }
+}
