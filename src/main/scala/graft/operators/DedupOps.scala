@@ -288,18 +288,26 @@ object DedupOps {
       textCol: String = "text",
       expectedItems: Long = 1L << 22,
       fpp: Double = 0.01,
-      sketch: Option[Array[Byte]] = None): DataFrame = {
+      sketch: Option[Array[Byte]] = None,
+      reliable: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(increment.sparkSession)
     val bloom = sketch.getOrElse(corpusDigestBloom(corpus, textCol, expectedItems, fpp))
-    val inc = increment.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("h"))
-      .withColumn("mc", graft.plans.GraftFunctions.bloomMightContain(
-        lit(bloom), xxhash64(col("h"))))
-    // null text -> null digest: can never match the corpus join either,
-    // so it belongs with the definite novels (coalesce keeps the row)
-    val novel = inc.filter(!coalesce(col("mc"), lit(false)))
+    // the digested+probed increment feeds three consumers (novel filter,
+    // confirm join, FP anti-join) — materialize it once
+    val inc = Checkpoints.pin(
+      increment.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("h"))
+        .withColumn("mc", graft.plans.GraftFunctions.bloomMightContain(
+          lit(bloom), xxhash64(col("h")))),
+      reliable)
+    // mc is never null (xxhash64 hashes a null digest to its seed), so a
+    // null-text row routes by the probe of that seed key: sketch-miss ->
+    // novel directly; sketch-hit -> candidate, where the confirm join's
+    // null digest matches nothing and the anti-join recovers it as novel
+    val nullId = lit(null).cast(corpus.schema(idCol).dataType)
+    val novel = inc.filter(!col("mc"))
       .select(col("new_id"), lit(0L).as("n_corpus_copies"),
-        lit(null).cast(corpus.schema(idCol).dataType).as("first_copy_id"))
-    val candidates = inc.filter(coalesce(col("mc"), lit(false))).drop("mc")
+        nullId.as("first_copy_id"))
+    val candidates = inc.filter(col("mc")).drop("mc")
     val cor = corpus.select(col(idCol).as("cid"), sha2(col(textCol), 256).as("h"))
     val confirmed = candidates.join(cor, Seq("h"))
       .groupBy(col("new_id"))
@@ -309,8 +317,16 @@ object DedupOps {
     val fpNovel = candidates
       .join(confirmed.select(col("new_id")), Seq("new_id"), "left_anti")
       .select(col("new_id"), lit(0L).as("n_corpus_copies"),
-        lit(null).cast(corpus.schema(idCol).dataType).as("first_copy_id"))
+        nullId.as("first_copy_id"))
+    // final per-id aggregate: an increment carrying DUPLICATE ids (several
+    // rows, possibly different texts) must collapse to one row per id
+    // exactly like incrementalExact's groupBy does — summing the branch
+    // counts equals counting over all of the id's rows
     confirmed.unionByName(fpNovel).unionByName(novel)
+      .groupBy(col("new_id"))
+      .agg(
+        sum(col("n_corpus_copies")).as("n_corpus_copies"),
+        min(col("first_copy_id")).as("first_copy_id"))
   }
 
   /** (id, band, bandsig) banded MinHash signatures — the LSH key layout

@@ -424,15 +424,16 @@ object StreamingOps {
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, p, batchId, "lshIndexStream", path)
     graft.operators.DedupOps.assertLshMeta(s, path, shingleK, nHashes, bands, nBuckets)
+    // record the parameters BEFORE the first landing: a crash between the
+    // two leaves the sidecar and no data, so a parameter-drifted restart
+    // still fails loudly instead of landing an unjoinable index half
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
+      graft.operators.DedupOps.writeLshMeta(s, path, shingleK, nHashes, bands, nBuckets)
     graft.operators.DedupOps
       .bandedWithBucket(batch, idCol, textCol, shingleK, nHashes, bands, nBuckets)
       .repartition(col("band"), col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("band", "bucket").parquet(s"$path/__batch=$batchId")
-    // record the parameters once the first landing succeeds; later batches
-    // (and restarts) assert against this sidecar above
-    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
-      graft.operators.DedupOps.writeLshMeta(s, path, shingleK, nHashes, bands, nBuckets)
   }
 
   /** Bootstrap the versioned LSH layout from an existing corpus: the batch
@@ -499,12 +500,14 @@ object StreamingOps {
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, p, batchId, "shingleIndexStream", path)
     graft.operators.TextOps.assertSpanMeta(s, path, k, Some(nPb), Some(hashed))
+    // meta BEFORE data — same first-landing crash-window reasoning as
+    // lshBatch/bloomBatch
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
+      graft.operators.TextOps.writeSpanMeta(s, path, k, nPb, hashed)
     graft.operators.TextOps.shinglePartialCounts(batch, k, nPb, hashed, src = batchId)
       .repartition(col("pb"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("pb").parquet(s"$path/__batch=$batchId")
-    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
-      graft.operators.TextOps.writeSpanMeta(s, path, k, nPb, hashed)
   }
 
   /** Fold [[shingleIndexStream]]'s per-batch deltas into the `__batch=-1`
@@ -683,14 +686,14 @@ object StreamingOps {
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, p, batchId, "bloomIndexStream", path)
     assertBloomMeta(f, p, expectedItems, fpp, path)
+    // meta BEFORE data: a crash between the two then leaves the sizing
+    // recorded and no sketch — a drifted restart still fails loudly at
+    // the batch, never by landing an unmergeable sketch
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (!f.exists(meta)) writeFile(f, meta, bloomMetaJson(expectedItems, fpp))
     val bytes = graft.operators.DedupOps.corpusDigestBloom(
       batch, textCol, expectedItems, fpp)
     writeFile(f, new org.apache.hadoop.fs.Path(p, s"__batch=$batchId/bloom.bin"), bytes)
-    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
-    if (!f.exists(meta))
-      writeFile(f, meta,
-        s"""{"expectedItems":$expectedItems,"fppMicros":${math.round(fpp * 1e6)}}"""
-          .getBytes("UTF-8"))
   }
 
   /** Bootstrap the sidecar from an existing corpus (`__batch=-1`). */
@@ -700,62 +703,84 @@ object StreamingOps {
     val f = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(p, "__batch=-1")
     require(!f.exists(dir), s"$dir already exists — bloomIndexBase bootstraps once")
+    writeFile(f, new org.apache.hadoop.fs.Path(p, "_meta.json"),
+      bloomMetaJson(expectedItems, fpp))
     val bytes = graft.operators.DedupOps.corpusDigestBloom(
       corpus, textCol, expectedItems, fpp)
     writeFile(f, new org.apache.hadoop.fs.Path(dir, "bloom.bin"), bytes)
-    writeFile(f, new org.apache.hadoop.fs.Path(p, "_meta.json"),
-      s"""{"expectedItems":$expectedItems,"fppMicros":${math.round(fpp * 1e6)}}"""
-        .getBytes("UTF-8"))
+  }
+
+  private def bloomMetaJson(expectedItems: Long, fpp: Double): Array[Byte] =
+    s"""{"expectedItems":$expectedItems,"fppMicros":${math.round(fpp * 1e6)}}"""
+      .getBytes("UTF-8")
+
+  private def bloomBytes(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
   }
 
   /** OR-merge of every landed sketch level — the corpus membership
     * summary as of the last committed batch, ready for
     * incrementalExactBloom's `sketch` argument. Driver-side by design:
-    * each level is one fixed-size sketch, not row data. */
+    * each level is one fixed-size sketch, not row data. Staging/retired
+    * leftovers of a crashed [[compactBloomIndex]] are unioned in too —
+    * OR is idempotent, so over-merging a leftover is always safe and a
+    * reader never loses bits whatever the crash point. */
   def readMergedBloom(spark: SparkSession, path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val levels = f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
       .sortBy(_.getPath.getName.stripPrefix("__batch=").toLong)
-      .map(s => new org.apache.hadoop.fs.Path(s.getPath, "bloom.bin"))
-      .filter(f.exists)
-    require(levels.nonEmpty, s"no sketch levels under $path")
-    val merged = levels.map(readBloom(f, _)).reduce(_ mergeInPlace _)
-    val out = new java.io.ByteArrayOutputStream()
-    merged.writeTo(out)
-    out.toByteArray
+      .map(s => new org.apache.hadoop.fs.Path(s.getPath, "bloom.bin")) ++
+      Seq(new org.apache.hadoop.fs.Path(p, "_compacting.bin"),
+        new org.apache.hadoop.fs.Path(p, "_retired.bin"))
+    val present = levels.filter(f.exists)
+    require(present.nonEmpty, s"no sketch levels under $path")
+    bloomBytes(present.map(readBloom(f, _)).reduce(_ mergeInPlace _))
   }
 
   /** Fold committed sketch deltas into the `__batch=-1` base. OR-merge is
-    * idempotent (re-merging the same bits is a no-op), so unlike the row
-    * sinks there is no overlap-window subtlety at all — but the newest
-    * delta is still protected (uniform contract: only deltas strictly
-    * below the newest are provably checkpoint-committed) and the base is
-    * staged-then-renamed so readers never see a partial file. */
+    * idempotent (re-merging the same bits is a no-op), so the fold is
+    * crash-safe by the retired ordering alone: merge (including any
+    * staging/retired leftover of a crashed prior fold) → write staging →
+    * retire old base → install staging → drop folded deltas → drop
+    * retired. Every intermediate state keeps all bits reachable by
+    * [[readMergedBloom]] (which unions the leftovers), and rerunning the
+    * fold converges. The newest delta is still protected (uniform
+    * contract: only deltas strictly below the newest are provably
+    * checkpoint-committed). */
   def compactBloomIndex(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return
+    val staging = new org.apache.hadoop.fs.Path(p, "_compacting.bin")
+    val retired = new org.apache.hadoop.fs.Path(p, "_retired.bin")
     val all = f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
       .map(_.getPath.getName.stripPrefix("__batch=").toLong)
     val newest = all.filter(_ >= 0).sorted.lastOption
     val foldable = all.filterNot(newest.contains)
-    if (foldable.size <= 1 && foldable.forall(_ == -1L)) return
-    val merged = foldable.sorted
-      .map(id => readBloom(f, new org.apache.hadoop.fs.Path(p, s"__batch=$id/bloom.bin")))
-      .reduce(_ mergeInPlace _)
-    val out = new java.io.ByteArrayOutputStream()
-    merged.writeTo(out)
-    val staging = new org.apache.hadoop.fs.Path(p, "_compacting.bin")
-    writeFile(f, staging, out.toByteArray)
-    val base = new org.apache.hadoop.fs.Path(p, "__batch=-1/bloom.bin")
-    f.mkdirs(new org.apache.hadoop.fs.Path(p, "__batch=-1")): Unit
-    if (f.exists(base)) f.delete(base, false): Unit
+    if (foldable.size <= 1 && foldable.forall(_ == -1L) &&
+        !f.exists(staging) && !f.exists(retired)) return
+    // a crashed prior fold may have left the base missing (retired holds
+    // its bits) — merge whatever exists among levels + leftovers
+    val sources = (foldable.sorted.map(id =>
+        new org.apache.hadoop.fs.Path(p, s"__batch=$id/bloom.bin")) ++
+      Seq(staging, retired)).filter(f.exists)
+    if (sources.isEmpty) return
+    val merged = sources.map(readBloom(f, _)).reduce(_ mergeInPlace _)
+    writeFile(f, staging, bloomBytes(merged))
+    val baseDir = new org.apache.hadoop.fs.Path(p, "__batch=-1")
+    val base = new org.apache.hadoop.fs.Path(baseDir, "bloom.bin")
+    f.mkdirs(baseDir): Unit
+    if (f.exists(retired)) f.delete(retired, false): Unit
+    if (f.exists(base)) require(f.rename(base, retired), s"retire $base failed")
     require(f.rename(staging, base), s"rename $staging -> $base failed")
     foldable.filter(_ >= 0).foreach(id =>
       f.delete(new org.apache.hadoop.fs.Path(p, s"__batch=$id"), true): Unit)
+    f.delete(retired, false): Unit
   }
 
   private def readBloom(f: org.apache.hadoop.fs.FileSystem,

@@ -79,6 +79,16 @@ class BloomStreamSpec extends SparkSpec {
     // rerunning the fold is a no-op on the merge (OR is idempotent)
     StreamingOps.compactBloomIndex(spark, idx)
     assert(java.util.Arrays.equals(StreamingOps.readMergedBloom(spark, idx), before))
+
+    // crash window: base retired but staging not yet installed — readers
+    // union the leftover, and a fold rerun restores the base
+    val baseFile = new java.io.File(s"$idx/__batch=-1/bloom.bin")
+    val retiredFile = new java.io.File(s"$idx/_retired.bin")
+    assert(baseFile.renameTo(retiredFile))
+    assert(java.util.Arrays.equals(StreamingOps.readMergedBloom(spark, idx), before))
+    StreamingOps.compactBloomIndex(spark, idx)
+    assert(baseFile.exists() && !retiredFile.exists())
+    assert(java.util.Arrays.equals(StreamingOps.readMergedBloom(spark, idx), before))
   }
 
   test("bloomBatch refuses an index written by a different checkpoint lineage") {

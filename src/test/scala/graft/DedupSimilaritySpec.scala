@@ -99,6 +99,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(collect(DedupOps.incrementalExactBloom(inc, cor)) == want)
     assert(collect(DedupOps.incrementalExactBloom(
       inc, cor, expectedItems = 1L, fpp = 0.5)) == want)
+
+    // duplicate ids in the increment (one corpus-matching text, one novel)
+    // must collapse to one row per id, like the plain groupBy does
+    import spark.implicits._
+    val dupInc = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"), // matches corpus 1,3? (1 exact)
+      (2L, "a novel text this corpus has never seen before"),
+      (4L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val wantDup = collect(DedupOps.incrementalExact(dupInc, cor))
+    assert(collect(DedupOps.incrementalExactBloom(dupInc, cor)) == wantDup)
+    assert(collect(DedupOps.incrementalExactBloom(
+      dupInc, cor, expectedItems = 1L, fpp = 0.5)) == wantDup)
   }
 
   test("corpusDigestBloom is partitioning-independent and has no false negatives") {
