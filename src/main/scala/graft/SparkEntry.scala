@@ -712,10 +712,7 @@ object SparkEntry {
         .clusterIngest(src, s"$out/loop", s"$out/ckpt", nBuckets = 8)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val versions = new java.io.File(s"$out/loop/_assign").listFiles()
-        .map(_.getName).filter(_.startsWith("__batch="))
-        .map(_.stripPrefix("__batch=").toLong)
-      s.read.parquet(s"$out/loop/_assign/__batch=${versions.max}")
+      graft.streaming.StreamingOps.currentAssignment(s, s"$out/loop")
         .orderBy(col("doc_id"))
     },
 
@@ -1409,6 +1406,19 @@ object SparkEntry {
       // recursive-CTE closure over those pairs is the component truth.
       DedupOps.nearDupClustersStar(
           DedupOps.minHashNearDups(Tables.documents(s, dir), threshold = 0.5))
+        .orderBy(col("doc_id"))
+    },
+
+    "g_cluster_keep" -> { (s, dir) => // canonical-representative election:
+      // the assignment (star CC over the oracle-equal MinHash pair list)
+      // joined back to the corpus once; keep = 1 for the longest doc of
+      // each cluster (ties -> lowest id) and for every unclustered
+      // singleton. The rank window sees ONLY the paired slice — at 100 TB
+      // the corpus never feeds a window, just one join.
+      val docs = Tables.documents(s, dir)
+      DedupOps.canonicalPerCluster(docs,
+          DedupOps.nearDupClustersStar(
+            DedupOps.minHashNearDups(docs, threshold = 0.5)))
         .orderBy(col("doc_id"))
     },
 
@@ -3058,6 +3068,42 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, min(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "g_cluster_keep" ->
+      // the g_dedup_cc_star closure truth, then the election: rank within
+      // each cluster by (n_chars DESC, doc_id), keep rank 1; docs outside
+      // every cluster keep themselves
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |assign AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |ranked AS (
+        |  SELECT d.doc_id, s.cluster_id,
+        |    row_number() OVER (PARTITION BY s.cluster_id
+        |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d JOIN assign s ON d.doc_id = s.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM ranked
+        |UNION ALL
+        |SELECT d.doc_id, d.doc_id AS cluster_id, CAST(1 AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN assign s ON d.doc_id = s.doc_id
+        |WHERE s.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "g_dedup_cc_incr" ->
       // identical truth to g_dedup_cc_star: merging the delta pairs into

@@ -815,6 +815,40 @@ object DedupOps {
     merged.unionByName(untouchedSingletons)
   }
 
+  /** Canonical-representative selection over a near-dup clustering — the
+    * "keep the best copy of each cluster" step that turns an assignment
+    * into a pruned corpus. Output: one row per document with its cluster
+    * id (own id for unclustered docs) and `keep` = 1 iff the doc is its
+    * cluster's representative (highest `scoreCol`, ties to the lowest id).
+    *
+    * Scale shape: the corpus shuffles ONCE (the left join on `idCol`
+    * against the assignment — broadcast when the assignment is small,
+    * which near-dup assignments usually are relative to the corpus);
+    * the rank window runs over the PAIRED slice only (assignment-sized),
+    * never over the full corpus, and unpaired docs exit map-only as
+    * their own kept singleton. Mirrors the reference's event-canon idea
+    * of electing one row per logical group; cluster sizes bound the
+    * window partitions, so no corpus-scale skew.
+    *
+    * @param assignment `(doc_id, cluster_id)` as produced by
+    *   [[nearDupClusters]] / [[nearDupClustersStar]] (paired docs only). */
+  def canonicalPerCluster(
+      docs: DataFrame,
+      assignment: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "n_chars"): DataFrame = {
+    val j = docs.select(col(idCol), col(scoreCol))
+      .join(assignment.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val paired = j.filter(col("cluster_id").isNotNull)
+      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+      .select(col(idCol), col("cluster_id"), col("keep"))
+    val singletons = j.filter(col("cluster_id").isNull)
+      .select(col(idCol), col(idCol).as("cluster_id"), lit(1L).as("keep"))
+    paired.unionByName(singletons)
+  }
+
   /** Jaccard of two pre-deduplicated arrays: |a ∩ b| / (|a| + |b| - |a ∩ b|).
     * int/int division -> double, same as DuckDB's `/`. Uses the fused
     * native IntersectionSize expression (GraftFunctions.register must have

@@ -545,47 +545,58 @@ object StreamingOps {
     *     [[graft.operators.DedupOps.nearDupClustersIncremental]] — per
     *     batch the shuffle is O(|assignment| + |new pairs|), never
     *     O(|all pairs ever|);
-    *  4. the batch's docs land under `docs/__batch=<id>`, its signatures
-    *     append to the LSH index (`_lsh/__batch=<id>`, the
-    *     [[lshIndexStream]] landing — lineage guard + `_meta.json`
-    *     sidecar included), and the UPDATED FULL assignment lands at
-    *     `_assign/__batch=<id>`.
+    *  4. the batch's PAIR DELTA (small — this batch's pairs only) lands
+    *     at `_pairs/__batch=<id>`, its docs under `docs/__batch=<id>`,
+    *     its signatures append to the LSH index (`_lsh/__batch=<id>`,
+    *     the [[lshIndexStream]] landing — lineage guard + `_meta.json`
+    *     sidecar included), and every `assignEvery` batches the folded
+    *     FULL assignment checkpoints at `_assign/__batch=<id>`.
+    *
+    * Per-batch write cost is O(|batch| + |new pairs|); the O(|all paired
+    * docs|) assignment rewrite is paid only at the checkpoint cadence —
+    * at high-frequency micro-batches set `assignEvery` so the assignment
+    * fold amortizes (consumers read the live state with
+    * [[currentAssignment]], which folds the pair deltas above the newest
+    * checkpoint on demand; `assignEvery = 1` checkpoints every batch).
     *
     * Idempotent the [[curatedIngest]] way: every write is batch-id-derived
     * Overwrite and every read of accumulated state takes `__batch <
-    * batchId` (docs, prior assignment), so a checkpoint-replayed batch
-    * sees the exact state the crashed attempt saw, recomputes the same
-    * pairs and assignment, and overwrites its own partial output — at any
-    * crash point between the four writes. Assignment versions below
-    * `newest - 1` are dead (no replay can read them) and may be deleted
-    * any time; docs/LSH deltas fold with [[compactCuratedDocs]]-style
-    * maintenance ([[compactLshIndex]] for the index).
+    * batchId` (docs, assignment versions, pair deltas), so a
+    * checkpoint-replayed batch sees the exact state the crashed attempt
+    * saw, recomputes the same pairs and assignment, and overwrites its
+    * own partial output — at any crash point between the writes.
+    * Assignment versions below the replay frontier are dead and pair
+    * deltas at or below it are folded in — [[vacuumClusterState]]
+    * reclaims both; docs/LSH deltas fold with the usual maintenance
+    * ([[compactLshIndex]] for the index).
     *
     * The assignment covers PAIRED docs (the clustering operators'
     * contract); unpaired docs are implicitly their own cluster. Spec pins
-    * multi-batch == single-batch recompute row-level, replay idempotence,
-    * and the lineage guard. */
+    * multi-batch == single-batch recompute row-level (at checkpoint
+    * cadences 1 and 2), replay idempotence, and the lineage guard. */
   def clusterIngest(docs: DataFrame, outDir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
-      nBuckets: Int = 64, threshold: Double = 0.5): DataStreamWriter[Row] =
+      nBuckets: Int = 64, threshold: Double = 0.5,
+      assignEvery: Int = 1): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         clusterBatch(batch, batchId, outDir, idCol, textCol,
-          shingleK, nHashes, bands, nBuckets, threshold)
+          shingleK, nHashes, bands, nBuckets, threshold, assignEvery)
       }
 
   /** One [[clusterIngest]] micro-batch (extracted so specs can drive
     * replay/crash orderings directly). */
   private[graft] def clusterBatch(batch: DataFrame, batchId: Long, outDir: String,
       idCol: String, textCol: String, shingleK: Int, nHashes: Int,
-      bands: Int, nBuckets: Int, threshold: Double): Unit = {
+      bands: Int, nBuckets: Int, threshold: Double,
+      assignEvery: Int = 1): Unit = {
+    require(assignEvery >= 1, "assignEvery must be >= 1")
     val s = batch.sparkSession
     val docsDir = s"$outDir/docs"
     val lshDir = s"$outDir/_lsh"
-    val assignDir = s"$outDir/_assign"
     val docsPath = new org.apache.hadoop.fs.Path(docsDir)
     val f = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, docsPath, batchId, "clusterIngest", outDir)
@@ -608,26 +619,78 @@ object StreamingOps {
             nBuckets, threshold)
           .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
       else selfPairs.limit(0)
-    val prior = latestAssignment(s, assignDir, batchId)
-    val next = graft.operators.DedupOps
-      .nearDupClustersIncremental(prior, selfPairs.unionByName(crossPairs))
-      .localCheckpoint(true)
-    // default partitioning, not coalesce(1): the assignment (paired docs)
-    // can be corpus-sized in the worst case, and a version directory is
-    // the read unit anyway — files per version stay bounded by the
-    // shuffle width, versions below newest-1 are dead and reclaimable
-    next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$assignDir/__batch=$batchId")
+    val pairs = selfPairs.unionByName(crossPairs).localCheckpoint(true)
+    pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/_pairs/__batch=$batchId")
+    if (batchId % assignEvery == 0) {
+      val (prior, priorVersion) = latestAssignment(s, outDir, batchId)
+      val gapDeltas = pairDeltas(s, outDir,
+        sinceExclusive = priorVersion, untilExclusive = batchId)
+      // default partitioning, not coalesce(1): the assignment (paired
+      // docs) can be corpus-sized in the worst case, and a version
+      // directory is the read unit anyway
+      graft.operators.DedupOps
+        .nearDupClustersIncremental(prior, gapDeltas.unionByName(pairs))
+        .localCheckpoint(true)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/_assign/__batch=$batchId")
+    }
     lshBatch(b, batchId, lshDir, idCol, textCol, shingleK, nHashes, bands, nBuckets)
     b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$docsDir/__batch=$batchId")
   }
 
+  /** The LIVE cluster assignment of a [[clusterIngest]] sink: the newest
+    * checkpointed version with every pair delta above it folded in —
+    * exactly the state the next checkpoint write would persist. Cheap
+    * when `assignEvery` is moderate (the fold sees at most
+    * `assignEvery - 1` small deltas). */
+  def currentAssignment(spark: SparkSession, outDir: String): DataFrame = {
+    val (base, version) = latestAssignment(spark, outDir, Long.MaxValue)
+    val deltas = pairDeltas(spark, outDir,
+      sinceExclusive = version, untilExclusive = Long.MaxValue)
+    graft.operators.DedupOps.nearDupClustersIncremental(base, deltas)
+  }
+
+  /** Reclaim the dead state of a [[clusterIngest]] sink. Only the newest
+    * batch `N` can ever replay (Structured Streaming commits batch `N-1`
+    * before starting `N`), and a replay of `N` reads exactly: the newest
+    * assignment version strictly below `N` (the frontier `F`) and the
+    * pair deltas in `(F, N)`. [[currentAssignment]] reads the newest
+    * version and the deltas above it — always at or above `F`. So
+    * assignment versions `< F` are unreachable and pair deltas `<= F`
+    * are folded into every reachable version: both are deleted here.
+    * Run between batches (same single-maintainer contract as
+    * [[compactLshIndex]]); a crash mid-vacuum just leaves some dead
+    * directories for the next run. */
+  def vacuumClusterState(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val assignP = new Path(s"$outDir/_assign")
+    val pairsP = new Path(s"$outDir/_pairs")
+    val f = assignP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions(p: Path): Seq[Long] =
+      if (f.exists(p))
+        f.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("__batch="))
+          .map(_.stripPrefix("__batch=").toLong)
+      else Seq.empty
+    // pairs land every batch, so the newest pair delta IS the newest batch
+    val newestBatch = versions(pairsP).sorted.lastOption
+    val frontier = newestBatch.flatMap(n =>
+      versions(assignP).filter(_ < n).sorted.lastOption)
+    frontier.foreach { fr =>
+      versions(assignP).filter(_ < fr)
+        .foreach(v => f.delete(new Path(s"$outDir/_assign/__batch=$v"), true): Unit)
+      versions(pairsP).filter(_ <= fr)
+        .foreach(v => f.delete(new Path(s"$outDir/_pairs/__batch=$v"), true): Unit)
+    }
+  }
+
   /** Newest assignment version strictly below `batchId` (the replay-safe
-    * frontier), or an empty assignment when none exists. */
-  private def latestAssignment(spark: SparkSession, assignDir: String,
-      batchId: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(assignDir)
+    * frontier) with its version id, or (empty, -1) when none exists. */
+  private def latestAssignment(spark: SparkSession, outDir: String,
+      batchId: Long): (DataFrame, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_assign")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior =
       if (f.exists(p))
@@ -638,13 +701,36 @@ object StreamingOps {
       else None
     prior match {
       case Some(v) =>
-        spark.read.schema("doc_id LONG, cluster_id LONG")
-          .parquet(s"$assignDir/__batch=$v")
+        (spark.read.schema("doc_id LONG, cluster_id LONG")
+          .parquet(s"$outDir/_assign/__batch=$v"), v)
       case None =>
-        spark.createDataFrame(
+        (spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
-          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, cluster_id LONG"))
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, cluster_id LONG")),
+          -1L)
     }
+  }
+
+  /** Union of the pair deltas with `sinceExclusive < id < untilExclusive`
+    * (empty frame when none exist). */
+  private def pairDeltas(spark: SparkSession, outDir: String,
+      sinceExclusive: Long, untilExclusive: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_pairs")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (f.exists(p))
+        f.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("__batch="))
+          .map(_.stripPrefix("__batch=").toLong)
+          .filter(v => v > sinceExclusive && v < untilExclusive)
+      else Seq.empty
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL("id1 LONG, id2 LONG"))
+    else
+      spark.read.schema("id1 LONG, id2 LONG")
+        .parquet(dirs.map(v => s"$outDir/_pairs/__batch=$v"): _*)
   }
 
   /** Streaming Bloom-sidecar maintenance — the membership-summary twin of

@@ -24,19 +24,15 @@ class ClusterStreamSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
-  private def run(dir: String, batches: Seq[Seq[Long]]): Unit =
+  private def run(dir: String, batches: Seq[Seq[Long]], assignEvery: Int = 1): Unit =
     batches.zipWithIndex.foreach { case (ids, i) =>
       StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(ids: _*)),
-        i.toLong, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+        i.toLong, dir, "doc_id", "text", 3, 16, 4, 8, 0.5, assignEvery)
     }
 
-  private def assignment(dir: String): Map[Long, Long] = {
-    val p = new java.io.File(s"$dir/_assign")
-    val newest = p.listFiles().map(_.getName).filter(_.startsWith("__batch="))
-      .map(_.stripPrefix("__batch=").toLong).max
-    spark.read.parquet(s"$dir/_assign/__batch=$newest")
+  private def assignment(dir: String): Map[Long, Long] =
+    StreamingOps.currentAssignment(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-  }
 
   private def fullTruth(): Map[Long, Long] =
     DedupOps.nearDupClustersStar(
@@ -50,6 +46,51 @@ class ClusterStreamSpec extends SparkSpec {
     assert(truth.nonEmpty)
     assert(assignment(dir) == truth,
       s"streamed assignment != batch truth ($truth)")
+  }
+
+  test("assignEvery=2: sparse checkpoints + live delta fold == recompute at every step") {
+    val dir = tmpDir()
+    // batches 0,1,2: checkpoints land at 0 and 2 only; batch 1's pairs
+    // live as a delta the reader folds on demand
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L)), assignEvery = 2)
+    // mid-state: only version 0 exists; currentAssignment folds delta 1
+    val midTruth = DedupOps.nearDupClustersStar(
+        DedupOps.minHashNearDups(
+          docs().filter(col("doc_id").isin(1L, 2L, 3L, 4L)), threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assignment(dir) == midTruth)
+    StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(5L, 6L)),
+      2L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5, 2)
+    val versions = new java.io.File(s"$dir/_assign").listFiles()
+      .map(_.getName).filter(_.startsWith("__batch=")).toSeq.sorted
+    assert(versions == Seq("__batch=0", "__batch=2"))
+    assert(assignment(dir) == fullTruth())
+  }
+
+  test("vacuumClusterState reclaims dead versions; live state and replay survive") {
+    val dir = tmpDir()
+    // checkpoints at 0 and 2; pair deltas at 0, 1, 2
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L), Seq(5L, 6L)), assignEvery = 2)
+    StreamingOps.vacuumClusterState(spark, dir)
+    // newest batch = 2, frontier = newest version < 2 = 0: versions < 0
+    // none; deltas <= 0 dropped
+    def names(sub: String): Seq[String] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("__batch=")).toSeq.sorted
+    assert(names("_assign") == Seq("__batch=0", "__batch=2"))
+    assert(names("_pairs") == Seq("__batch=1", "__batch=2"))
+    assert(assignment(dir) == fullTruth())
+    // replay of the newest batch after vacuum is still bit-identical
+    StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(5L, 6L)),
+      2L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5, 2)
+    assert(assignment(dir) == fullTruth())
+    // a later (empty) non-checkpoint batch moves the frontier to 2
+    StreamingOps.clusterBatch(docs().filter(col("doc_id") < 0L),
+      3L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5, 2)
+    StreamingOps.vacuumClusterState(spark, dir)
+    assert(names("_assign") == Seq("__batch=2"))
+    assert(names("_pairs") == Seq("__batch=3"))
+    assert(assignment(dir) == fullTruth())
   }
 
   test("checkpoint replay of the newest batch is idempotent") {

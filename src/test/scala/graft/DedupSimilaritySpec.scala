@@ -261,6 +261,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == (0L to 30L).map(_ -> 0L).toMap)
   }
 
+  test("canonicalPerCluster keeps the highest-score doc per cluster, ties to lowest id") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 is longest; cluster {7,9}: tie -> 7; 5 unpaired
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (5L, 99L), (7L, 4L), (9L, 4L))
+      .toDF("doc_id", "n_chars")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val got = DedupOps.canonicalPerCluster(docs, assign).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 0L)),
+      5L -> ((5L, 1L)), 7L -> ((7L, 1L)), 9L -> ((7L, 0L))))
+  }
+
   test("IVF: Lloyd iterations separate orthogonal clusters; probe finds the cluster") {
     // three tight clusters around orthogonal axes
     val vecs = (0 until 30).map { i =>
