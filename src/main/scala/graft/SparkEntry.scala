@@ -1811,6 +1811,17 @@ object SparkEntry {
         .orderBy(col("lang"), col("split"))
     },
 
+    "g_train_shuffle" -> { (s, dir) => // deterministic training-order
+      // shuffle: multiplicative permutation mod 2^31-1 assigns every doc
+      // a reproducible pseudo-random sort key + hash shard, map-only (the
+      // global order is declared by the key, never materialized by a
+      // sort). Overflow-safe for any id, so Spark's wrapping int64 and
+      // DuckDB's trapping int64 agree bit-for-bit.
+      CurationOps.shuffleShards(Tables.documents(s, dir), nShards = 8)
+        .select(col("doc_id"), col("sort_key"), col("shard"))
+        .orderBy(col("doc_id"))
+    },
+
     "g_pipeline_e2e" -> { (s, dir) => // the composed curation pipeline:
       // quality-logit filter -> exact dedup -> corpus-wide paragraph dedup
       // with reconstruction -> split assignment, one DAG, per-doc output.
@@ -3746,6 +3757,14 @@ object SparkEntry {
         |            WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_train_shuffle" ->
+      // the same permutation in BIGINT arithmetic: ((id mod P) * m + seed)
+      // mod P with P = 2^31-1, m = 62089911, seed = 0; shard = key mod 8
+      """SELECT doc_id,
+        |       ((doc_id % 2147483647) * 62089911) % 2147483647 AS sort_key,
+        |       (((doc_id % 2147483647) * 62089911) % 2147483647) % 8 AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "g_pipeline_e2e" ->
       // all four stages replayed in sequence: the g_quality_logit logit

@@ -291,6 +291,55 @@ object CurationOps {
         floor((col("cum") - col("n_tokens")) / capacity).as("bin"))
   }
 
+  /** Deterministic training-order shuffle: every document gets a
+    * pseudo-random sort key and a shard via a fixed multiplicative
+    * permutation mod the Mersenne prime 2^31-1 — `sort_key =
+    * ((id mod P) * 62089911 + seed) mod P`, `shard = sort_key mod
+    * nShards`. The map is a true permutation on [0, P), so reordering a
+    * corpus by (shard, sort_key) is a reproducible global shuffle: same
+    * seed -> same training order on any cluster, any partitioning, any
+    * day — the property a training pipeline needs to resume or replicate
+    * a run. All arithmetic stays inside signed-64 range for ANY id
+    * (the id folds mod P first), so engines that trap on overflow and
+    * engines that wrap agree bit-for-bit.
+    *
+    * Map-only — no shuffle, no window, nothing driver-side; the global
+    * order is DECLARED by the key, not materialized by a sort. Writers
+    * lay it out with [[writeTrainingShards]] (hash-sharded directories,
+    * sorted within each file); readers consume shards independently. */
+  def shuffleShards(
+      docs: DataFrame,
+      nShards: Int,
+      seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val P = 2147483647L
+    val key = (pmod(col(idCol), lit(P)) * lit(62089911L) + lit(seed)) % lit(P)
+    docs.withColumn("sort_key", key)
+      .withColumn("shard", col("sort_key") % lit(nShards.toLong))
+  }
+
+  /** Materialize the shuffled corpus as one directory per shard, rows
+    * sorted by `sort_key` within each file — the physical layout a
+    * trainer streams sequentially. Shard directories are written by a
+    * `repartition(shard)` + `sortWithinPartitions`, so each shard's
+    * rows land in one task's files in key order; no global sort, no
+    * driver state, shard count = write parallelism. */
+  def writeTrainingShards(
+      docs: DataFrame,
+      path: String,
+      nShards: Int,
+      seed: Long = 0L,
+      idCol: String = "doc_id"): Unit =
+    shuffleShards(docs, nShards, seed, idCol)
+      .repartition(nShards, col("shard"))
+      // shard leads the sort so the partitioned writer sees its required
+      // ordering already satisfied and skips its own (unstable) re-sort —
+      // otherwise a task holding two shards could destroy the key order
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+
   /** Materialize the packed training shards: every (stratum, bin) from
     * tokenPacking becomes ONE row with its documents concatenated in id
     * order — the physical sequence a trainer consumes, with doc count and

@@ -168,6 +168,44 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got(3L) == (("train", 3L, 1L, 10)))
   }
 
+  test("shuffleShards is a permutation: distinct keys, full shard coverage, seed-stable") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = CurationOps.shuffleShards(docs, nShards = 4, seed = 7L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("sort_key"), r.getAs[Long]("shard")))).toMap
+    // injective on [0, P): 200 distinct ids -> 200 distinct keys
+    assert(a.values.map(_._1).toSet.size == 200)
+    assert(a.values.map(_._2).toSet == Set(0L, 1L, 2L, 3L))
+    assert(a.forall { case (_, (k, s)) => s == k % 4 })
+    // same seed reproduces bit-identically; a different seed reorders
+    val b = CurationOps.shuffleShards(docs, nShards = 4, seed = 7L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("sort_key"), r.getAs[Long]("shard")))).toMap
+    assert(a == b)
+    val c = CurationOps.shuffleShards(docs, nShards = 4, seed = 8L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sort_key")).toMap
+    assert(a.map { case (id, (k, _)) => id -> k } != c)
+  }
+
+  test("writeTrainingShards lays out shard dirs with key-sorted files") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = tmpDir()
+    CurationOps.writeTrainingShards(docs, dir, nShards = 4, seed = 3L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      == Set(0, 1, 2, 3))
+    // within every file, rows are in sort_key order (the trainer's
+    // sequential-read contract)
+    val byFile = back
+      .select(input_file_name().as("f"), col("sort_key"))
+      .collect().groupBy(_.getString(0))
+      .map { case (_, rows) => rows.map(_.getAs[Long]("sort_key")).toSeq }
+    assert(byFile.forall(ks => ks == ks.sorted))
+  }
+
   test("stratifiedSplit buckets ids deterministically 90/5/5") {
     val docs = (0L until 200L).map(i => (i, "en", 10L)).toDF("doc_id", "lang", "n_chars")
     val got = CurationOps.stratifiedSplit(docs)
