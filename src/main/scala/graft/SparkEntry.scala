@@ -1413,8 +1413,9 @@ object SparkEntry {
       // the assignment (star CC over the oracle-equal MinHash pair list)
       // joined back to the corpus once; keep = 1 for the longest doc of
       // each cluster (ties -> lowest id) and for every unclustered
-      // singleton. The rank window sees ONLY the paired slice — at 100 TB
-      // the corpus never feeds a window, just one join.
+      // singleton. The election is a partial-aggregable max_by (hub-
+      // cluster skew-safe) — at 100 TB the corpus never feeds a window
+      // or sort, just one join.
       val docs = Tables.documents(s, dir)
       DedupOps.canonicalPerCluster(docs,
           DedupOps.nearDupClustersStar(

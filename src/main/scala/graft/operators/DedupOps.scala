@@ -205,6 +205,63 @@ object DedupOps {
         Seq("band", "bucket", "bandsig"))
       .select("new_id", "corpus_id").distinct()
       .transform(Checkpoints.pin(_, reliable))
+    rescoreCandidates(candidates, increment, corpus, idCol, textCol, shingleK, threshold)
+  }
+
+  /** [[minHashNearDupsIndexed]] with the corpus TEXT side also pruned:
+    * the caller's corpus landing is hive-partitioned by a doc-id bucket
+    * (`db = pmod(id, nDb)`), and instead of a corpus frame it supplies a
+    * reader from a bucket set to the matching slice. After the index
+    * probe yields candidates, their bucket set (bounded by `nDb` — a
+    * driver-side collect of ints, the touched-pb pattern of
+    * curatedIngest) selects which corpus directories the exact-Jaccard
+    * rescore reads: static partition pruning, so per increment the
+    * corpus scan is O(candidate buckets), never O(corpus). Same output
+    * contract as minHashNearDupsIndexed; with sparse candidates the
+    * rescore reads a vanishing corpus fraction, and in the dense worst
+    * case it degrades to exactly the unpruned scan. */
+  def minHashNearDupsIndexedPruned(
+      increment: DataFrame,
+      corpusForBuckets: Seq[Int] => DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      nHashes: Int = 16,
+      bands: Int = 4,
+      nBuckets: Int = 64,
+      threshold: Double = 0.7,
+      nDb: Int = 64,
+      reliable: Boolean = false): DataFrame = {
+    val spark = increment.sparkSession
+    assertLshMeta(spark, indexPath, shingleK, nHashes, bands, nBuckets)
+    val bi = bandedSignatures(increment, idCol, textCol, shingleK, nHashes, bands, reliable)
+      .withColumn("bucket", pmod(col("bandsig"), lit(nBuckets.toLong)).cast("int"))
+    val bc = spark.read.parquet(indexPath)
+    val candidates = bi
+      .select(col("band"), col("bucket"), col("bandsig"), col("id").as("new_id"))
+      .join(bc.select(col("band"), col("bucket"), col("bandsig"), col("id").as("corpus_id")),
+        Seq("band", "bucket", "bandsig"))
+      .select("new_id", "corpus_id").distinct()
+      .transform(Checkpoints.pin(_, reliable))
+    // bounded by nDb: the only driver-side state this path ever collects
+    val touched = candidates
+      .select(pmod(col("corpus_id"), lit(nDb.toLong)).cast("int").as("db"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    rescoreCandidates(candidates, increment, corpusForBuckets(touched),
+      idCol, textCol, shingleK, threshold)
+  }
+
+  /** Shared exact-Jaccard rescore over a pinned candidate pair list: both
+    * text sides are semi-joined down to candidate docs before shingling. */
+  private def rescoreCandidates(
+      candidates: DataFrame,
+      increment: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      threshold: Double): DataFrame =
     candidates
       .join(candidateShingles(increment, candidates, "new_id", idCol, textCol, shingleK),
         Seq("new_id"))
@@ -213,7 +270,6 @@ object DedupOps {
       .withColumn("jaccard", jaccardArrays(col("toks_new_id"), col("toks_corpus_id")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), NumFns.floorAt(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Exact incremental dedup: every increment doc annotated with how many
     * byte-identical copies already exist in the corpus, and the first such
@@ -824,11 +880,14 @@ object DedupOps {
     * Scale shape: the corpus shuffles ONCE (the left join on `idCol`
     * against the assignment — broadcast when the assignment is small,
     * which near-dup assignments usually are relative to the corpus);
-    * the rank window runs over the PAIRED slice only (assignment-sized),
-    * never over the full corpus, and unpaired docs exit map-only as
-    * their own kept singleton. Mirrors the reference's event-canon idea
-    * of electing one row per logical group; cluster sizes bound the
-    * window partitions, so no corpus-scale skew.
+    * unpaired docs exit map-only as their own kept singleton. The
+    * election over the paired slice is a partial-aggregable `max_by`
+    * per cluster + a cluster-keyed join back (the representative set is
+    * cluster-count-sized — broadcastable), NOT a rank window: a window
+    * sorts each cluster inside one task, and real corpora have hub
+    * clusters (boilerplate duplicated millions of times) that would
+    * spill a single partition; `max_by` partials merge map-side, so a
+    * hub cluster costs one struct per partition it touches.
     *
     * @param assignment `(doc_id, cluster_id)` as produced by
     *   [[nearDupClusters]] / [[nearDupClustersStar]] (paired docs only). */
@@ -839,14 +898,17 @@ object DedupOps {
       scoreCol: String = "n_chars"): DataFrame = {
     val j = docs.select(col(idCol), col(scoreCol))
       .join(assignment.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col(scoreCol).desc, col(idCol))
     val paired = j.filter(col("cluster_id").isNotNull)
-      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
-      .select(col(idCol), col("cluster_id"), col("keep"))
+    // arg-max by (score, -id): highest score wins, ties to the LOWEST id
+    // (ids are non-negative, so the negation cannot overflow)
+    val reps = paired.groupBy(col("cluster_id"))
+      .agg(max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("nid"))).as("rep"))
+    val keptPaired = paired.join(reps, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("rep")).cast("long").as("keep"))
     val singletons = j.filter(col("cluster_id").isNull)
       .select(col(idCol), col(idCol).as("cluster_id"), lit(1L).as("keep"))
-    paired.unionByName(singletons)
+    keptPaired.unionByName(singletons)
   }
 
   /** Jaccard of two pre-deduplicated arrays: |a ∩ b| / (|a| + |b| - |a ∩ b|).

@@ -578,13 +578,13 @@ object StreamingOps {
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
       nBuckets: Int = 64, threshold: Double = 0.5,
-      assignEvery: Int = 1): DataStreamWriter[Row] =
+      assignEvery: Int = 1, nDocBuckets: Int = 64): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         clusterBatch(batch, batchId, outDir, idCol, textCol,
-          shingleK, nHashes, bands, nBuckets, threshold, assignEvery)
+          shingleK, nHashes, bands, nBuckets, threshold, assignEvery, nDocBuckets)
       }
 
   /** One [[clusterIngest]] micro-batch (extracted so specs can drive
@@ -592,7 +592,7 @@ object StreamingOps {
   private[graft] def clusterBatch(batch: DataFrame, batchId: Long, outDir: String,
       idCol: String, textCol: String, shingleK: Int, nHashes: Int,
       bands: Int, nBuckets: Int, threshold: Double,
-      assignEvery: Int = 1): Unit = {
+      assignEvery: Int = 1, nDocBuckets: Int = 64): Unit = {
     require(assignEvery >= 1, "assignEvery must be >= 1")
     val s = batch.sparkSession
     val docsDir = s"$outDir/docs"
@@ -605,18 +605,20 @@ object StreamingOps {
     val selfPairs = graft.operators.DedupOps
       .minHashNearDups(b, idCol, textCol, shingleK, nHashes, bands, threshold)
       .select("id1", "id2")
-    val corpus =
-      if (f.exists(docsPath))
-        s.read.schema(s"$idCol LONG, $textCol STRING, __batch LONG")
-          .option("basePath", docsDir).parquet(docsDir)
-          .filter(col("__batch") < batchId)
-          .select(col(idCol), col(textCol))
-      else null
+    // the docs landing is hive-partitioned by a doc-id bucket, so the
+    // exact-Jaccard rescore reads ONLY the candidate docs' directories
+    // (the bounded touched-bucket pattern of curatedIngest) — per batch
+    // the corpus text scan is O(candidate buckets), never O(corpus)
+    val corpusFor: Seq[Int] => DataFrame = buckets =>
+      s.read.schema(s"$idCol LONG, $textCol STRING, db INT, __batch LONG")
+        .option("basePath", docsDir).parquet(docsDir)
+        .filter(col("__batch") < batchId && col("db").isin(buckets: _*))
+        .select(col(idCol), col(textCol))
     val crossPairs =
-      if (corpus != null)
-        graft.operators.DedupOps.minHashNearDupsIndexed(
-            b, corpus, lshDir, idCol, textCol, shingleK, nHashes, bands,
-            nBuckets, threshold)
+      if (f.exists(docsPath))
+        graft.operators.DedupOps.minHashNearDupsIndexedPruned(
+            b, corpusFor, lshDir, idCol, textCol, shingleK, nHashes, bands,
+            nBuckets, threshold, nDocBuckets)
           .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
       else selfPairs.limit(0)
     val pairs = selfPairs.unionByName(crossPairs).localCheckpoint(true)
@@ -636,8 +638,13 @@ object StreamingOps {
         .parquet(s"$outDir/_assign/__batch=$batchId")
     }
     lshBatch(b, batchId, lshDir, idCol, textCol, shingleK, nHashes, bands, nBuckets)
-    b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$docsDir/__batch=$batchId")
+    // co-locate each bucket into one task before partitionBy (the
+    // writeMinHashIndex small-file discipline): files per batch ==
+    // buckets present, not tasks x buckets
+    b.withColumn("db", pmod(col(idCol), lit(nDocBuckets.toLong)).cast("int"))
+      .repartition(col("db"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("db").parquet(s"$docsDir/__batch=$batchId")
   }
 
   /** The LIVE cluster assignment of a [[clusterIngest]] sink: the newest
@@ -651,6 +658,18 @@ object StreamingOps {
       sinceExclusive = version, untilExclusive = Long.MaxValue)
     graft.operators.DedupOps.nearDupClustersIncremental(base, deltas)
   }
+
+  /** Fold a [[clusterIngest]] sink's per-batch docs deltas into the
+    * `__batch=-1` base, preserving the `db` bucket layout (the rescore's
+    * pruning key) and the newest delta (the only one a checkpoint replay
+    * can re-read — the [[compactLshIndex]] contract). One file per
+    * `db` directory by construction. Completes the sink's maintenance
+    * trio: docs here, signatures via [[compactLshIndex]],
+    * assignment/pair state via [[vacuumClusterState]]. */
+  def compactClusterDocs(spark: SparkSession, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    foldBatchDirs(spark, s"$outDir/docs",
+      s"$idCol LONG, $textCol STRING, db INT", Seq(idCol), Seq("db"))
 
   /** Reclaim the dead state of a [[clusterIngest]] sink. Only the newest
     * batch `N` can ever replay (Structured Streaming commits batch `N-1`

@@ -93,6 +93,49 @@ class ClusterStreamSpec extends SparkSpec {
     assert(assignment(dir) == fullTruth())
   }
 
+  test("docs landing is db-bucketed and the rescore corpus read is partition-pruned") {
+    val dir = tmpDir()
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L)))
+    // layout: every batch dir fans out into db=<id mod 8... nDocBuckets=64>
+    val batch0 = new java.io.File(s"$dir/docs/__batch=0").listFiles()
+      .map(_.getName).filter(_.startsWith("db=")).toSeq.sorted
+    assert(batch0 == Seq("db=1", "db=4"), s"got $batch0")
+    // the reader clusterBatch hands to the rescore: a bucket-set filter
+    // that reaches the scan as a PartitionFilter (static pruning), and
+    // row-equality with the unpruned read for the matching slice
+    val corpusFor: Seq[Int] => org.apache.spark.sql.DataFrame = buckets =>
+      spark.read.schema("doc_id LONG, text STRING, db INT, __batch LONG")
+        .option("basePath", s"$dir/docs").parquet(s"$dir/docs")
+        .filter(col("__batch") < 2L && col("db").isin(buckets: _*))
+        .select(col("doc_id"), col("text"))
+    val pruned = corpusFor(Seq(1, 2))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("db"), s"no pruning:\n$plan")
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("compactClusterDocs folds doc deltas, keeps db layout + newest delta; loop continues") {
+    val dir = tmpDir()
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L)))
+    StreamingOps.compactClusterDocs(spark, dir)
+    def names(sub: String): Seq[String] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).filter(!_.startsWith("_graft")).filter(!_.startsWith(".")).toSeq.sorted
+    // batch 0 folded into the base; batch 1 (newest — the replayable one)
+    // untouched; the base keeps the db bucket dirs
+    assert(names("docs") == Seq("__batch=-1", "__batch=1"), s"got ${names("docs")}")
+    val base = names("docs/__batch=-1").filterNot(_.startsWith("_"))
+    assert(base.nonEmpty && base.forall(_.startsWith("db=")), s"got $base")
+    // replay of the newest batch over the compacted base is idempotent
+    StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(2L, 3L)),
+      1L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+    // and the loop continues: a new batch's cross pairs see the full
+    // corpus (folded base + delta) — final assignment == batch truth
+    StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(5L, 6L)),
+      2L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+    assert(assignment(dir) == fullTruth())
+  }
+
   test("checkpoint replay of the newest batch is idempotent") {
     val dir = tmpDir()
     run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L), Seq(5L, 6L)))
