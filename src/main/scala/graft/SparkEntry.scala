@@ -709,7 +709,8 @@ object SparkEntry {
         .filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), col("text"))
       val q = graft.streaming.StreamingOps
-        .clusterIngest(src, s"$out/loop", s"$out/ckpt", nBuckets = 8)
+        .clusterIngest(src, s"$out/loop", s"$out/ckpt", nBuckets = 8,
+          nDocBuckets = 8) // both bucket counts sized to the fixture sf
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       graft.streaming.StreamingOps.currentAssignment(s, s"$out/loop")

@@ -600,6 +600,25 @@ object StreamingOps {
     val docsPath = new org.apache.hadoop.fs.Path(docsDir)
     val f = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, docsPath, batchId, "clusterIngest", outDir)
+    // the db bucketing is a pruning contract like the LSH banding: a
+    // restart probing with a different nDocBuckets would silently read
+    // the wrong directories and DROP cross pairs — record the parameter
+    // before the first data landing (sidecar-first, the round-10 crash
+    // -window lesson) and refuse a drifted restart
+    val dbMeta = new org.apache.hadoop.fs.Path(docsDir, "_db_meta.json")
+    if (f.exists(dbMeta)) {
+      val in = f.open(dbMeta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val rec = """"nDocBuckets":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      require(rec.contains(nDocBuckets),
+        s"clusterIngest: docs landing at $docsDir is bucketed with " +
+          s"nDocBuckets=${rec.getOrElse(-1)} but this run uses $nDocBuckets — " +
+          "restart with the landing's parameter or use a fresh directory")
+    } else {
+      val out = f.create(dbMeta, true)
+      try out.write(s"""{"nDocBuckets":$nDocBuckets}""".getBytes("UTF-8"))
+      finally out.close()
+    }
     // the batch feeds three derivations — pin it once
     val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
     val selfPairs = graft.operators.DedupOps
@@ -614,8 +633,12 @@ object StreamingOps {
         .option("basePath", docsDir).parquet(docsDir)
         .filter(col("__batch") < batchId && col("db").isin(buckets: _*))
         .select(col(idCol), col(textCol))
+    // a corpus exists only once a batch has LANDED data — the sidecar
+    // alone (written above, possibly this very batch) creates the dir
+    val corpusExists = f.exists(docsPath) &&
+      f.listStatus(docsPath).exists(_.getPath.getName.startsWith("__batch="))
     val crossPairs =
-      if (f.exists(docsPath))
+      if (corpusExists)
         graft.operators.DedupOps.minHashNearDupsIndexedPruned(
             b, corpusFor, lshDir, idCol, textCol, shingleK, nHashes, bands,
             nBuckets, threshold, nDocBuckets)

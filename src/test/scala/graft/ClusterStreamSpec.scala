@@ -120,7 +120,7 @@ class ClusterStreamSpec extends SparkSpec {
     StreamingOps.compactClusterDocs(spark, dir)
     def names(sub: String): Seq[String] =
       new java.io.File(s"$dir/$sub").listFiles()
-        .map(_.getName).filter(!_.startsWith("_graft")).filter(!_.startsWith(".")).toSeq.sorted
+        .map(_.getName).filter(n => n.startsWith("__batch=") || n.startsWith("db=")).toSeq.sorted
     // batch 0 folded into the base; batch 1 (newest — the replayable one)
     // untouched; the base keeps the db bucket dirs
     assert(names("docs") == Seq("__batch=-1", "__batch=1"), s"got ${names("docs")}")
@@ -134,6 +134,20 @@ class ClusterStreamSpec extends SparkSpec {
     StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(5L, 6L)),
       2L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
     assert(assignment(dir) == fullTruth())
+  }
+
+  test("a restart with a drifted nDocBuckets refuses (pruning-contract sidecar)") {
+    val dir = tmpDir()
+    run(dir, Seq(Seq(1L, 4L)))
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(2L, 3L)),
+        1L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5, 1, nDocBuckets = 16)
+    }
+    assert(e.getMessage.contains("nDocBuckets"))
+    // the recorded parameter still works
+    StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(2L, 3L)),
+      1L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+    assert(assignment(dir).nonEmpty)
   }
 
   test("checkpoint replay of the newest batch is idempotent") {
