@@ -150,6 +150,22 @@ class ClusterStreamSpec extends SparkSpec {
     assert(assignment(dir).nonEmpty)
   }
 
+  test("property: random batch splits x random cadence all converge to the recompute truth") {
+    val rnd = new scala.util.Random(42)
+    val truth = fullTruth()
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir()
+      // random partition of the six docs into 2-3 non-empty batches
+      val shuffled = rnd.shuffle((1L to 6L).toList)
+      val nBatches = 2 + rnd.nextInt(2)
+      val batches = shuffled.grouped(math.ceil(6.0 / nBatches).toInt).toSeq
+      val cadence = 1 + rnd.nextInt(3)
+      run(dir, batches, assignEvery = cadence)
+      assert(assignment(dir) == truth,
+        s"trial $trial: batches=$batches cadence=$cadence diverged")
+    }
+  }
+
   test("checkpoint replay of the newest batch is idempotent") {
     val dir = tmpDir()
     run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L), Seq(5L, 6L)))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CurationOps, SimilarityOps, TemporalOps}
+import graft.operators.{CurationOps, DedupOps, SimilarityOps, TemporalOps}
 
 class TemporalCurationSpec extends SparkSpec {
   import spark.implicits._
@@ -186,6 +186,44 @@ class TemporalCurationSpec extends SparkSpec {
     val c = CurationOps.shuffleShards(docs, nShards = 4, seed = 8L).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sort_key")).toMap
     assert(a.map { case (id, (k, _)) => id -> k } != c)
+  }
+
+  test("property: shuffleShards keys land in [0, P) and fold ids >= P consistently") {
+    import spark.implicits._
+    val P = 2147483647L
+    // adversarial ids: 0, P-1, P (folds to 0's class), P+1, a huge id
+    val ids = Seq(0L, P - 1, P, P + 1, 7L * P + 3, 123456789012345L)
+    val got = CurationOps.shuffleShards(ids.map((_, "x")).toDF("doc_id", "text"), 8, 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sort_key")).toMap
+    assert(got.values.forall(k => k >= 0 && k < P))
+    // congruent ids (mod P) share a key — the documented folding contract
+    assert(got(0L) == got(P))
+    assert(got(P + 1) == ((1L * 62089911L + 5L) % P))
+  }
+
+  test("property: canonicalPerCluster equals the brute-force election on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30L
+      val docs = (1L to n).map(i => (i, 1L + rnd.nextInt(5)))
+      val scores = docs.toMap
+      // a valid random partition: disjoint groups over a random subset,
+      // labeled by their min member (the CC operators' contract)
+      val groups = rnd.shuffle((1L to n).toList).take(20)
+        .grouped(1 + rnd.nextInt(5)).toSeq
+      val byCluster = groups.flatMap(g => g.map(_ -> g.min)).toMap
+      val expected = groups.flatMap { g =>
+        val rep = g.maxBy(id => (scores(id), -id))
+        g.map(id => id -> ((g.min, if (id == rep) 1L else 0L)))
+      }.toMap ++
+        (1L to n).filterNot(byCluster.contains).map(id => id -> ((id, 1L))).toMap
+      val got = DedupOps.canonicalPerCluster(
+          docs.toDF("doc_id", "n_chars"),
+          byCluster.toSeq.toDF("doc_id", "cluster_id"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected)
+    }
   }
 
   test("writeTrainingShards lays out shard dirs with key-sorted files") {
