@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TimeFns
+import graft.functions.{TimeFns, VectorFns}
 import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TemporalOps, TextOps}
 import graft.sources.Tables
 
@@ -1315,6 +1315,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    "g_kmeans_step" -> { (s, dir) => // one distributed Lloyd update step,
+      // row-level: nearest-centroid assignment against the 4 inline ±1
+      // fixture centroids (the same codegen cellExpr kernel the IVF path
+      // uses), then per-(cell, dim) FIXED-POINT means — coordinates are
+      // floor(x*1e6) longs so the partial sums commute across partitions
+      // and both engines sum exact integers. This is the update step
+      // ivfCentroids iterates; the oracle replays assignment + means from
+      // inline literals the way g_semdedup_kmeans replays its blocking.
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), VectorFns.toDouble(col("embedding")).as("v"))
+      SimilarityOps.kmeansStep(vecs, fixtureCentroids(64))
+        .orderBy(col("cell"), col("dim"))
+    },
+
     "g_domain_quota" -> { (s, dir) => // per-domain document cap (top-N by
       // length per source), two-phase salted ranking so a mega-domain is
       // saltBuckets parallel tasks, not one window task; survivor ranks
@@ -1811,6 +1825,20 @@ object SparkEntry {
     "g_split_stratified" -> { (s, dir) => // deterministic train/val/test split
       CurationOps.stratifiedSplit(Tables.documents(s, dir))
         .orderBy(col("lang"), col("split"))
+    },
+
+    "g_split_safe" -> { (s, dir) => // leakage-safe split: near-dup clusters
+      // (star CC over the oracle-equal MinHash pair list) land on ONE side
+      // atomically — the side is the shuffleShards permutation of the
+      // cluster representative, so a near-duplicate pair can never
+      // straddle train/test. Row-level: (doc_id, group_id, split) for
+      // every document; the oracle replays the recursive-CTE closure and
+      // the same BIGINT permutation.
+      val docs = Tables.documents(s, dir)
+      CurationOps.leakageSafeSplit(
+          docs,
+          DedupOps.nearDupClustersStar(DedupOps.minHashNearDups(docs, threshold = 0.5)))
+        .orderBy(col("doc_id"))
     },
 
     "g_train_shuffle" -> { (s, dir) => // deterministic training-order
@@ -2896,6 +2924,41 @@ object SparkEntry {
            |ORDER BY vec_id""".stripMargin
       },
 
+    "g_kmeans_step" ->
+      // full replay of one Lloyd update: cosine against the 4 inlined ±1
+      // centroids (sequential-left-fold doubles — bit-exact parity),
+      // argmax cell with ties to the smallest cid, then per-(cell, dim)
+      // fixed-point means: floor(x*1e6) is the same IEEE double product
+      // floored in both engines, and the BIGINT sums are exact — no
+      // FP-addition order anywhere between the engines
+      {
+        val cents = fixtureCentroids(64)
+        val cosExprs = cents.map { case (cid, c) =>
+          val arr = c.mkString("[", ", ", "]")
+          s"(list_dot_product(v, $arr) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($arr, $arr)))) AS c$cid"
+        }.mkString(",\n    ")
+        val assign = (1 until KmFixtureK).map { i =>
+          val conds = ((i + 1) to KmFixtureK).map(j => s"c$i >= c$j").mkString(" AND ")
+          s"WHEN $conds THEN $i"
+        }.mkString("CASE ", " ", s" ELSE $KmFixtureK END")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (
+           |  SELECT vec_id, v,
+           |    $cosExprs
+           |  FROM v),
+           |b AS (SELECT vec_id, v, $assign AS cell FROM c),
+           |e AS (
+           |  SELECT cell, u.dim AS dim, u.x AS x
+           |  FROM (SELECT cell,
+           |          unnest(list_transform(range(len(v)), i -> {'dim': i, 'x': v[i+1]})) AS u
+           |        FROM b))
+           |SELECT cell, dim,
+           |       CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |         / (1000000.0 * count(*)) AS mean_x,
+           |       count(*) AS n_vecs
+           |FROM e GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+      },
+
     "g_semdedup_exact" ->
       // the unblocked definition truth: same drop rule over all pairs
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3759,6 +3822,37 @@ object SparkEntry {
         |            WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_split_safe" ->
+      // closure over the exact shingle-Jaccard pair list (the proven-equal
+      // truth of the MinHash pairs), min reachable id as the cluster rep,
+      // then the identical BIGINT permutation of the rep decides the side
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |g AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, group_id,
+        |       CASE WHEN (((group_id % 2147483647) * 62089911) % 2147483647) % 100 < 90 THEN 'train'
+        |            WHEN (((group_id % 2147483647) * 62089911) % 2147483647) % 100 < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "g_train_shuffle" ->
       // the same permutation in BIGINT arithmetic: ((id mod P) * m + seed)

@@ -172,6 +172,42 @@ object CurationOps {
       .groupBy(col(stratumCol), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
 
+  /** Near-dup-aware (leakage-safe) train/val/test split: a document's side
+    * is decided by its CLUSTER representative, not its own id, so a
+    * near-duplicate pair can never straddle the train/test boundary — the
+    * eval-contamination hole a row-hash split leaves open (the test half
+    * of a duplicated page would grade the model on memorized training
+    * text). `assignment` is a (doc_id, cluster_id) near-dup assignment
+    * (e.g. [[DedupOps.nearDupClustersStar]] over MinHash pairs);
+    * group_id = cluster_id for paired docs, the doc's own id for
+    * singletons — both are doc ids, one permutation domain. The side
+    * decision is the [[shuffleShards]] multiplicative permutation of
+    * group_id (pure BIGINT arithmetic, overflow-safe for any id, so
+    * Spark's wrapping and an oracle's trapping int64 agree bit-for-bit),
+    * NOT the raw id: a raw-id modulus would correlate the side with crawl
+    * order. One left join against the assignment (match-sized, hence
+    * broadcastable at any corpus scale); the corpus never shuffles on
+    * anything else, never feeds a window. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      assignment: DataFrame,
+      idCol: String = "doc_id",
+      seed: Long = 0L,
+      modulus: Int = 100,
+      trainLt: Int = 90,
+      valLt: Int = 95): DataFrame = {
+    val P = 2147483647L
+    val j = docs.select(col(idCol))
+      .join(assignment.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+    val side = (pmod(col("group_id"), lit(P)) * lit(62089911L) + lit(seed)) % lit(P)
+    j.select(
+      col(idCol), col("group_id"),
+      when(pmod(side, lit(modulus)) < trainLt, "train")
+        .when(pmod(side, lit(modulus)) < valLt, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Per-domain quota: keep the best `quota` documents of every domain —
     * the "cap every crawl domain, prefer the best pages" curation step
     * (C4/RefinedWeb keep per-domain caps so no single site dominates the

@@ -148,20 +148,49 @@ object SimilarityOps {
       .toSeq.zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
     (0 until nIters).foreach { _ =>
-      // mean per (cell, dim): k*dim rows — driver-scale by construction
-      val means = assignCells(vecs, centroids)
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      centroids = means
+      // mean per (cell, dim) via the fixed-point step: k*dim rows —
+      // driver-scale by construction, and bit-identical under any
+      // partitioning (long sums commute; double sums do not)
+      val means = kmeansStep(vecs, centroids).collect()
+      val updated = means
         .groupBy(_.getAs[Int]("cell"))
         .map { case (cell, rows) =>
-          (cell, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq)
+          (cell, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("mean_x")).toSeq)
         }
-        .toSeq.sortBy(_._1)
+      // a cell that captured no vectors this round keeps its centroid
+      // (previously it silently vanished, shrinking k)
+      centroids = centroids.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
     }
     centroids
+  }
+
+  /** One Lloyd update step, distributed and DETERMINISTIC: assign each
+    * vector to its nearest centroid (the shuffle-free codegen projection),
+    * then per (cell, dim) accumulate coordinates as fixed-point longs —
+    * `floor(x * 1e6)` — so the partial sums are exact integers that
+    * commute across partitions. A double-`avg` update is order-dependent
+    * (FP addition does not associate), which on a 1000-executor cluster
+    * means centroids that differ run to run; the 1e-6 quantization costs
+    * less than float32 input noise and buys bit-exact reproducibility at
+    * any layout. One shuffle (the map-side-combined aggregate, at most
+    * k*dim partial rows per task); output is k*dim rows — driver-scale.
+    * Returns (cell, dim, mean_x, n_vecs); empty cells emit no rows. */
+  def kmeansStep(
+      vecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    assignCells(vecs, centroids)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      // Spark floor(double) is already LongType; |x|*1e6 << 2^53 so the
+      // scaled coordinates and their per-cell sums stay exact
+      .agg(
+        sum(floor(col("x") * lit(1e6))).as("sx"),
+        count(lit(1)).as("n_vecs"))
+      .select(
+        col("cell"), col("dim"),
+        (col("sx").cast("double") / (lit(1e6) * col("n_vecs"))).as("mean_x"),
+        col("n_vecs"))
   }
 
   /** Nearest-centroid cell per vector as ONE codegen'd projection — no

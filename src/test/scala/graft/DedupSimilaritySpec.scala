@@ -302,6 +302,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSet == brute.toSet)
   }
 
+  test("kmeansStep: fixed-point means are bit-identical across partitionings " +
+      "and equal a driver-side reference") {
+    val dim = 5
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until dim).map(d => math.sin(i * 13 + d * 7).toFloat))
+    }
+    val cents = (1 to 3).map(c => (c, (0 until dim).map(d => math.cos(c * 3 + d).toDouble)))
+    val df = vecs.toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<double>").as("v"))
+    def rows(parts: Int) = SimilarityOps.kmeansStep(df.repartition(parts), cents)
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Double]("mean_x"), r.getAs[Long]("n_vecs")))).toMap
+    val one = rows(1)
+    assert(rows(7) == one, "partitioning changed the step output")
+    // driver reference: same argmax (ties to smallest cid), same fixed point
+    val assigned = vecs.map { case (_, v) =>
+      val vd = v.map(_.toDouble)
+      val best = cents.map { case (cid, c) =>
+        (SimilarityOps.cosineOf(vd, c), -cid) }.max
+      (-best._2, vd)
+    }
+    val ref = assigned.groupBy(_._1).flatMap { case (cell, vs) =>
+      val n = vs.size
+      (0 until dim).map { d =>
+        val s = vs.map(t => math.floor(t._2(d) * 1e6).toLong).sum
+        (cell, d) -> ((s.toDouble / (1e6 * n), n.toLong))
+      }
+    }
+    assert(one == ref, "distributed step diverged from the driver reference")
+  }
+
+  test("kmeansStep omits empty cells; ivfCentroids keeps k centroids anyway") {
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1))).toDF("id", "v")
+    // centroid 2 points away from both vectors -> captures nothing
+    val cents = Seq((1, Seq(1.0, 0.0)), (2, Seq(-1.0, 0.0)))
+    val cells = SimilarityOps.kmeansStep(df, cents).collect().map(_.getAs[Int]("cell")).toSet
+    assert(cells == Set(1), s"expected only cell 1, got $cells")
+  }
+
   test("persisted IVF index prunes to the probed cell directories") {
     val vecs = (0 until 30).map { i =>
       val axis = i % 3

@@ -251,6 +251,36 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got == Map("train" -> 180L, "val" -> 10L, "test" -> 10L))
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the split; singletons use own id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different content about spark engines"),
+      (95L, "der schnelle braune fuchs springt ueber den hund"),
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minHashNearDups(docs, threshold = 0.5)
+    val assign = DedupOps.nearDupClustersStar(pairs)
+    val got = CurationOps.leakageSafeSplit(docs, assign).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_id"), r.getAs[String]("split")))).toMap
+    // every doc present exactly once
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 95L))
+    // paired docs share a group and therefore a side
+    val pairRows = pairs.collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(got(a)._1 == got(b)._1, s"pair ($a,$b) split across groups")
+      assert(got(a)._2 == got(b)._2, s"pair ($a,$b) leaks across the split")
+    }
+    // singletons keep their own id as the group (3's jaccard to 1 is 0.4,
+    // below the 0.5 threshold — a genuine singleton)
+    assert(got(3L)._1 == 3L && got(4L)._1 == 4L && got(95L)._1 == 95L)
+    // the side is the permutation of the GROUP id: the exact dup 2 follows
+    // doc 1's group (min id 1), not its own id
+    assert(got(2L)._1 == 1L)
+  }
+
   test("quantizeStats: symmetric int8, clamped, zero-vector safe") {
     val emb = Seq(
       (1L, Seq(1.0f, -1.0f, 0.5f)),  // maxabs 1 -> q = 127, -127, 64
