@@ -1554,6 +1554,34 @@ object SparkEntry {
       TextOps.ngramVocabulary(Tables.documents(s, dir), k = 2, topK = 50)
     },
 
+    "g_bpe_pairs" -> { (s, dir) => // BPE training, count phase: adjacent
+      // symbol-pair frequencies from the initial character state, computed
+      // over the DISTINCT-WORD table weighted by word frequency (the
+      // corpus-compaction that makes every BPE iteration vocabulary-sized
+      // at 100 TB); top-50 under a total (cnt DESC, s1, s2) order
+      TextOps.bpePairCounts(TextOps.bpeWords(Tables.documents(s, dir)))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(50)
+    },
+
+    "g_bpe_step" -> { (s, dir) => // BPE training, one full iteration:
+      // argmax pair (cnt DESC, lexicographic tie-break — the loop's
+      // deterministic rule) -> greedy left-to-right merge pass (a single
+      // codegen'd array fold, map-only) -> recount. With g_bpe_pairs this
+      // gates both halves of learnBpe's loop body; the oracle re-derives
+      // the argmax independently and replays the merge via non-overlapping
+      // split-and-interleave (provably the same greedy pass from the
+      // character state).
+      val words = TextOps.bpeWords(Tables.documents(s, dir))
+      val top = TextOps.bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0)
+      TextOps.bpePairCounts(
+          TextOps.bpeApplyMerge(words, top.getAs[String]("s1"), top.getAs[String]("s2")))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(50)
+    },
+
     "g_sim_batch" -> { (s, dir) => // many-queries-at-once exact top-k: the
       // probe set broadcasts (constant-size), scoring is a broadcast
       // nested-loop + per-probe window — the batch retrieval path
@@ -3425,6 +3453,59 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |SELECT shingle, count(*) AS n
         |FROM sh GROUP BY 1 ORDER BY n DESC, shingle LIMIT 50""".stripMargin,
+
+    "g_bpe_pairs" ->
+      // adjacent character pairs weighted by word frequency; sum(BIGINT)
+      // is HUGEINT in DuckDB -> cast back
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word),
+        |p AS (
+        |  SELECT u.s1 AS s1, u.s2 AS s2, freq FROM (
+        |    SELECT freq,
+        |      unnest(list_transform(range(1, len(c)), i -> {'s1': c[i], 's2': c[i+1]})) AS u
+        |    FROM (SELECT string_split(word, '') AS c, freq FROM w)))
+        |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 50""".stripMargin,
+
+    "g_bpe_step" ->
+      // the same argmax the loop takes (cnt DESC, lexicographic), then the
+      // greedy left-to-right merge replayed as a non-overlapping split on
+      // the merged-pair substring with the merge token re-interleaved
+      // between segment characters (string_split scans left to right
+      // non-overlapping — exactly the fold's greedy pass; for the FIRST
+      // merge all symbols are single characters, so every substring
+      // occurrence is a pair adjacency and no false boundary exists),
+      // then the identical pair recount over the new token lists
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word),
+        |p0 AS (
+        |  SELECT u.s1 AS s1, u.s2 AS s2, freq FROM (
+        |    SELECT freq,
+        |      unnest(list_transform(range(1, len(c)), i -> {'s1': c[i], 's2': c[i+1]})) AS u
+        |    FROM (SELECT string_split(word, '') AS c, freq FROM w))),
+        |m AS (
+        |  SELECT s1, s2, s1 || s2 AS ab FROM (
+        |    SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt
+        |    FROM p0 GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 1)),
+        |toks AS (
+        |  SELECT freq, list_filter(
+        |    list_slice(fl, 1, len(fl) - 1), t -> t <> '') AS c FROM (
+        |    SELECT freq,
+        |      flatten(list_transform(
+        |        string_split(word, ab),
+        |        s -> list_append(string_split(s, ''), ab))) AS fl
+        |    FROM w CROSS JOIN m)),
+        |p1 AS (
+        |  SELECT u.s1 AS s1, u.s2 AS s2, freq FROM (
+        |    SELECT freq,
+        |      unnest(list_transform(range(1, len(c)), i -> {'s1': c[i], 's2': c[i+1]})) AS u
+        |    FROM toks))
+        |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p1 GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 50""".stripMargin,
 
     "g_sim_batch" ->
       """WITH probes AS (

@@ -724,4 +724,124 @@ object TextOps {
           "or rebuild it with writeShingleIndex")
     }
   }
+
+  // ---- distributed BPE (byte-pair-encoding vocabulary training) --------
+  //
+  // The tokenizer-training step of a data pipeline, Spark-first. The
+  // whole loop runs over the DISTINCT-WORD table, never the corpus: at
+  // 100 TB the corpus has billions of rows but (Zipf) only millions of
+  // distinct whitespace words, so every BPE iteration is one map-only
+  // merge pass + one map-side-combined pair-count aggregate over a
+  // table that fits comfortably in one executor's cache — corpus size
+  // buys word FREQUENCIES (one groupBy, once), not per-iteration cost.
+  // Encoding inverts the same trick: encode each distinct word once,
+  // then the corpus pays a single broadcastable join.
+
+  /** Distinct whitespace words with occurrence frequencies and their
+    * initial symbol decomposition (one character per symbol — the classic
+    * BPE start state; no end-of-word marker, documented choice). The ONE
+    * corpus-sized aggregation of the whole BPE pipeline. */
+  def bpeWords(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Adjacent symbol-pair frequencies over a (freq, syms) word table:
+    * zip each word's symbol array against its own tail, explode, sum the
+    * word frequencies. Map-side combine collapses each task to its
+    * distinct-pair partials, so the exchange ships vocabulary-sized rows
+    * (pairs over a ~100-symbol alphabet at iteration 0; merged-symbol
+    * pairs later — always alphabet², never corpus). */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"),
+        explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+      .groupBy(col("p").getField("0").as("s1"), col("p").getField("1").as("s2"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One merge rule (a, b) -> "ab" applied to every word's symbol array —
+    * the standard greedy left-to-right pass, as a single codegen'd
+    * left-fold (`aggregate`): map-only, no shuffle, no UDF. A run like
+    * [a,a,a] under (a,a) folds to [aa, a] exactly as reference BPE does
+    * (the freshly merged symbol never re-matches as the pair's left side
+    * within the same pass). */
+  def bpeApplyMerge(words: DataFrame, a: String, b: String): DataFrame = {
+    val merged = a + b
+    words.withColumn("syms",
+      aggregate(
+        col("syms"),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(x)))))
+  }
+
+  /** Learn `nMerges` BPE merge rules: iterate (pair counts -> global
+    * argmax -> merge pass) over the distinct-word table. The argmax is a
+    * 1-row collect (cnt DESC, then lexicographic (s1, s2) — fully
+    * deterministic, engine-independent tie-break); the word table is
+    * lineage-pinned each round (iterative-operator rule: by iteration k
+    * an unpinned plan re-analyzes k nested merge passes). Both loop
+    * bodies are oracle-gated one level down: the count aggregate is
+    * g_bpe_pairs, the merge-then-recount composition is g_bpe_step. */
+  def learnBpe(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String = "text",
+      reliable: Boolean = false): Seq[(String, String)] = {
+    var words = Checkpoints.pin(bpeWords(docs, textCol), reliable)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getAs[String]("s1"), top(0).getAs[String]("s2"))
+        merges += ((a, b))
+        words = Checkpoints.pin(bpeApplyMerge(words, a, b), reliable)
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize the corpus with a learned merge list: every merge pass runs
+    * over the DISTINCT-WORD table (pinned every `pinEvery` passes so plan
+    * depth stays bounded at 30k-merge vocabularies), then the corpus
+    * joins the finished word->tokens map once — broadcastable whenever
+    * the distinct-word table is (millions of rows), and the corpus itself
+    * is touched exactly twice total (the word groupBy + the join), at ANY
+    * merge count. Output: one row per doc with its token array and count. */
+  def bpeEncode(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      pinEvery: Int = 16,
+      reliable: Boolean = false): DataFrame = {
+    var words = bpeWords(docs, textCol).select(col("word"), col("syms"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      words = bpeApplyMerge(words, a, b)
+      if ((i + 1) % pinEvery == 0) words = Checkpoints.pin(words, reliable)
+    }
+    val encoded = words.select(col("word"), col("syms").as("tokens"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(encoded, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("tokens"))).as("n_tokens"),
+        count(lit(1)).as("n_words"))
+  }
 }

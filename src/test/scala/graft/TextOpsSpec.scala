@@ -208,4 +208,83 @@ class TextOpsSpec extends SparkSpec {
     val expected = math.floor(q.toDouble * 10000) / 10000
     assert(got == Seq((2L, expected), (2L, expected)))
   }
+
+  // ---- BPE ------------------------------------------------------------
+
+  /** Reference single-node BPE: greedy left-to-right merge pass. */
+  private def refApplyMerge(s: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    s.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+      else out += x
+    }
+    out.toSeq
+  }
+
+  private def refBpe(
+      wordFreq: Map[String, Long], nMerges: Int): (Seq[(String, String)], Map[String, Seq[String]]) = {
+    var syms: Map[String, Seq[String]] = wordFreq.keys.map(w => w -> w.map(_.toString)).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    (0 until nMerges).foreach { _ =>
+      if (!done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, f) <- wordFreq; p <- syms(w).sliding(2) if p.size == 2)
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val top = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          merges += top
+          syms = syms.map { case (w, s) => w -> refApplyMerge(s, top._1, top._2) }
+        }
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  test("bpeApplyMerge folds greedily left-to-right (runs, chains, multi-char)") {
+    val words = Seq(("aaa", 1L), ("abab", 1L), ("xaay", 1L))
+      .toDF("word", "freq")
+      .withColumn("syms", split(col("word"), ""))
+    val got = TextOps.bpeApplyMerge(words, "a", "a")
+      .collect().map(r => r.getAs[String]("word") -> r.getSeq[String](r.fieldIndex("syms")).toList).toMap
+    assert(got("aaa") == Seq("aa", "a"))
+    assert(got("abab") == Seq("a", "b", "a", "b"))
+    assert(got("xaay") == Seq("x", "aa", "y"))
+    val ab = TextOps.bpeApplyMerge(words, "a", "b")
+      .collect().map(r => r.getAs[String]("word") -> r.getSeq[String](r.fieldIndex("syms")).toList).toMap
+    assert(ab("abab") == Seq("ab", "ab"))
+  }
+
+  test("learnBpe matches the single-node reference, merges in order, ties lexicographic") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "low new lower newer"),
+    ).toDF("doc_id", "text")
+    val wordFreq = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (refMerges, refSyms) = refBpe(wordFreq, 6)
+    val got = TextOps.learnBpe(docs, 6)
+    assert(got == refMerges, s"merges diverged: $got vs $refMerges")
+    // encode with the learned merges == reference tokenization counts
+    val enc = TextOps.bpeEncode(docs, got).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_words")))).toMap
+    val docsLocal = Map(
+      1L -> "low lower lowest low low", 2L -> "new newer newest new",
+      3L -> "low new lower newer")
+    docsLocal.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val wantTokens = ws.map(w => refSyms(w).size.toLong).sum
+      assert(enc(id) == ((wantTokens, ws.length.toLong)), s"doc $id encode mismatch")
+    }
+  }
+
+  test("learnBpe stops when no pairs remain") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // single-character words: zero adjacent pairs, zero merges
+    assert(TextOps.learnBpe(docs, 4) == Seq())
+  }
 }
