@@ -1739,6 +1739,18 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    "g_bitext_margin" -> { (s, dir) => // margin-based bitext mining
+      // (Artetxe & Schwenk ratio margin) between the label-0 and label-1
+      // embedding sides: per left vector, the best right candidate by
+      // cos normalized against both k-NN neighborhood means. Fixed-point
+      // ingredients (floored-cos longs, integer neighborhood sums) make
+      // the score bit-exact cross-engine; the full-cross-product scoring
+      // is the definition truth (the scale path feeds the same margin
+      // from IVF candidates).
+      SimilarityOps.bitextMargin(Tables.embeddings(s, dir), leftLabel = 0, rightLabel = 1, k = 4)
+        .orderBy(col("x_id"))
+    },
+
     "g_length_quantiles" -> { (s, dir) => // corpus length distribution
       val fl = (c: org.apache.spark.sql.Column) =>
         graft.functions.NumFns.floorAt(c, 4)
@@ -3805,6 +3817,40 @@ object SparkEntry {
         |  FROM scored)
         |SELECT probe_id, vec_id, label, sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    "g_bitext_margin" ->
+      // the same fixed-point pipeline: floored-cos LONGs, top-k integer
+      // neighborhood sums (sum(BIGINT) -> HUGEINT, cast back), the three
+      // divisions over identical operands, argmax with ties to smallest y
+      """WITH x AS (
+        |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xv
+        |  FROM embeddings WHERE label = 0),
+        |y AS (
+        |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS yv
+        |  FROM embeddings WHERE label = 1),
+        |sc AS (
+        |  SELECT x_id, y_id,
+        |    CAST(floor((list_dot_product(xv, yv) /
+        |      (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv)))) * 10000.0)
+        |      AS BIGINT) AS s
+        |  FROM x CROSS JOIN y),
+        |fw AS (
+        |  SELECT x_id, CAST(sum(s) AS BIGINT) AS fwd, count(*) AS nf FROM (
+        |    SELECT x_id, s, row_number() OVER (PARTITION BY x_id ORDER BY s DESC, y_id) AS rn
+        |    FROM sc) t WHERE rn <= 4 GROUP BY x_id),
+        |bw AS (
+        |  SELECT y_id, CAST(sum(s) AS BIGINT) AS bwd, count(*) AS nb FROM (
+        |    SELECT y_id, s, row_number() OVER (PARTITION BY y_id ORDER BY s DESC, x_id) AS rn
+        |    FROM sc) t WHERE rn <= 4 GROUP BY y_id),
+        |m AS (
+        |  SELECT sc.x_id, sc.y_id,
+        |    floor(((2.0 * s) / (CAST(fwd AS DOUBLE) / nf + CAST(bwd AS DOUBLE) / nb)) * 10000) / 10000 AS margin
+        |  FROM sc JOIN fw USING (x_id) JOIN bw USING (y_id)),
+        |best AS (
+        |  SELECT x_id, y_id, margin,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rn
+        |  FROM m)
+        |SELECT x_id, y_id, margin FROM best WHERE rn = 1 ORDER BY x_id""".stripMargin,
 
     "q_asof_lastview" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id

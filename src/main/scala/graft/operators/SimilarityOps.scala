@@ -556,4 +556,66 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("probe_id", "vec_id", "label", "sim", "rank")
   }
+
+  /** Margin-based bitext mining (the Artetxe & Schwenk ratio margin): for
+    * every left-side vector, the best right-side candidate scored by
+    * cos(x, y) normalized by the mean similarity of each side's k-nearest
+    * neighborhood — the score that separates true translation pairs from
+    * merely-similar ones when the two sides are different languages (or
+    * any two corpora to align: captions↔images, questions↔answers).
+    *
+    * margin(x, y) = 2·s(x,y) / (fwd(x)/nf + bwd(y)/nb), where s is the
+    * 4-digit-floored cosine as a fixed-point LONG and fwd/bwd are the
+    * top-k neighborhood SUMS of those longs — every accumulation in the
+    * formula is exact integer arithmetic (the kmeansStep discipline), so
+    * the score is bit-identical across engines and partitionings; the
+    * only FP ops are the final three divisions over identical operands.
+    *
+    * This formulation is the definition truth: both directions score over
+    * the full cross product (one scored frame reused for the pair scores
+    * AND both neighborhood windows — nothing is computed twice). That is
+    * verification-scale by design, like g_embed_pairs' quadratic blocks;
+    * the 100 TB path swaps the cross join for IVF/LSH candidate
+    * generation ([[ivfTopKIndexed]] per side) and computes fwd/bwd over
+    * the candidates' top-k — same downstream margin/argmax shape. */
+  def bitextMargin(
+      embeddings: DataFrame,
+      leftLabel: Int,
+      rightLabel: Int,
+      k: Int = 4,
+      reliable: Boolean = false): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    def side(label: Int, idAs: String, vAs: String) = embeddings
+      .filter(col("label") === label)
+      .select(col("vec_id").as(idAs), VectorFns.toDouble(col("embedding")).as(vAs))
+    // scored once, pinned: it feeds the pair scores AND both neighborhood
+    // windows — unpinned, each consumer would recompute the cross join
+    val scored = Checkpoints.pin(
+      side(leftLabel, "x_id", "xv")
+        .crossJoin(side(rightLabel, "y_id", "yv"))
+        .select(col("x_id"), col("y_id"),
+          floor(GraftFunctions.cosine(col("xv"), col("yv")) * lit(1e4)).as("s")),
+      reliable)
+    val fwd = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("x_id")).orderBy(col("s").desc, col("y_id"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("x_id")).agg(sum(col("s")).as("fwd"), count(lit(1)).as("nf"))
+    val bwd = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("y_id")).orderBy(col("s").desc, col("x_id"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("y_id")).agg(sum(col("s")).as("bwd"), count(lit(1)).as("nb"))
+    val margins = scored
+      .join(fwd, Seq("x_id")).join(bwd, Seq("y_id"))
+      .withColumn("margin", NumFns.floorAt(
+        (lit(2.0) * col("s")) /
+          (col("fwd").cast("double") / col("nf") + col("bwd").cast("double") / col("nb")),
+        4))
+    margins
+      .groupBy(col("x_id"))
+      .agg(max(struct(col("margin"), (-col("y_id")).as("ny"), col("y_id").as("y"))).as("m"))
+      .select(col("x_id"), col("m.y").as("y_id"), col("m.margin").as("margin"))
+  }
 }

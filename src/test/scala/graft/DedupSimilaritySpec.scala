@@ -374,6 +374,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.collect().map(_.getAs[Long]("vec_id")).toSeq == direct)
   }
 
+  test("bitextMargin equals a driver-side reference; one best candidate per left vector") {
+    val dim = 6
+    val emb = (0 until 24).map { i =>
+      (i.toLong, (0 until dim).map(d => math.sin(i * 11 + d * 3).toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val k = 3
+    val got = SimilarityOps.bitextMargin(emb, leftLabel = 0, rightLabel = 1, k = k)
+      .collect()
+      .map(r => r.getAs[Long]("x_id") ->
+        ((r.getAs[Long]("y_id"), r.getAs[Double]("margin")))).toMap
+    // driver reference: identical fixed-point formula
+    val xs = (0 until 24).filter(_ % 2 == 0).map(i =>
+      i.toLong -> (0 until dim).map(d => math.sin(i * 11 + d * 3).toFloat.toDouble))
+    val ys = (0 until 24).filter(_ % 2 == 1).map(i =>
+      i.toLong -> (0 until dim).map(d => math.sin(i * 11 + d * 3).toFloat.toDouble))
+    val s = (for ((xi, xv) <- xs; (yi, yv) <- ys)
+      yield (xi, yi) -> math.floor(SimilarityOps.cosineOf(xv, yv) * 1e4).toLong).toMap
+    def topSum(items: Seq[(Long, Long)]): (Long, Long) = { // (sum, n) of top-k (s desc, id)
+      val top = items.sortBy { case (id, sv) => (-sv, id) }.take(k)
+      (top.map(_._2).sum, top.size.toLong)
+    }
+    val fwd = xs.map { case (xi, _) => xi -> topSum(ys.map { case (yi, _) => (yi, s((xi, yi))) }) }.toMap
+    val bwd = ys.map { case (yi, _) => yi -> topSum(xs.map { case (xi, _) => (xi, s((xi, yi))) }) }.toMap
+    val ref = xs.map { case (xi, _) =>
+      val cands = ys.map { case (yi, _) =>
+        val (f, nf) = fwd(xi); val (b, nb) = bwd(yi)
+        val m = math.floor((2.0 * s((xi, yi))) / (f.toDouble / nf + b.toDouble / nb) * 1e4) / 1e4
+        (yi, m)
+      }
+      val best = cands.minBy { case (yi, m) => (-m, yi) }
+      xi -> best
+    }.toMap
+    assert(got == ref, s"margin mining diverged from reference")
+    assert(got.keySet == xs.map(_._1).toSet)
+  }
+
   test("multi-probe LSH widens the candidate set to full recall") {
     // with maxProbeFlips = nPlanes every bucket is probed: exact top-k
     val got = SimilarityOps.lshTopK(embDf(), Seq(1.0, 0.0, 0.0), k = 3,
