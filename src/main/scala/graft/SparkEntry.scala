@@ -1582,6 +1582,19 @@ object SparkEntry {
         .limit(50)
     },
 
+    "g_bpe_encode" -> { (s, dir) => // the encode path end-to-end with the
+      // argmax merge: per-doc token counts after the merge pass — distinct
+      // words encoded once, corpus joins the word->tokens map ONCE (the
+      // shape that holds at any merge count; one merge keeps the oracle
+      // exactly replayable from the character state)
+      val docs = Tables.documents(s, dir)
+      val top = TextOps.bpePairCounts(TextOps.bpeWords(docs))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0)
+      TextOps.bpeEncode(docs, Seq((top.getAs[String]("s1"), top.getAs[String]("s2"))))
+        .orderBy(col("doc_id"))
+    },
+
     "g_sim_batch" -> { (s, dir) => // many-queries-at-once exact top-k: the
       // probe set broadcasts (constant-size), scoring is a broadcast
       // nested-loop + per-probe window — the batch retrieval path
@@ -3518,6 +3531,38 @@ object SparkEntry {
         |    FROM toks))
         |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p1 GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 50""".stripMargin,
+
+    "g_bpe_encode" ->
+      // per-word token count after the argmax merge (same split-interleave
+      // replay), then the per-doc aggregation over exploded corpus words
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word),
+        |p0 AS (
+        |  SELECT u.s1 AS s1, u.s2 AS s2, freq FROM (
+        |    SELECT freq,
+        |      unnest(list_transform(range(1, len(c)), i -> {'s1': c[i], 's2': c[i+1]})) AS u
+        |    FROM (SELECT string_split(word, '') AS c, freq FROM w))),
+        |m AS (
+        |  SELECT s1 || s2 AS ab FROM (
+        |    SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt
+        |    FROM p0 GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 1)),
+        |tokn AS (
+        |  SELECT word, len(list_filter(
+        |    list_slice(fl, 1, len(fl) - 1), t -> t <> '')) AS n_toks FROM (
+        |    SELECT word,
+        |      flatten(list_transform(
+        |        string_split(word, ab),
+        |        s -> list_append(string_split(s, ''), ab))) AS fl
+        |    FROM w CROSS JOIN m)),
+        |d AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0)
+        |SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tokens, count(*) AS n_words
+        |FROM d JOIN tokn USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "g_sim_batch" ->
       """WITH probes AS (
