@@ -67,6 +67,36 @@ object SparkEntry {
   private def fixtureCentroids(dim: Int): Seq[(Int, Seq[Double])] =
     (1 to KmFixtureK).map(c => (c, fixtureCentroid(c, dim)))
 
+  /** The fixed-point Lloyd-step oracle, shared by g_kmeans_step (batch)
+    * and q_stream_kmeans (single-batch streaming degenerate case). */
+  private lazy val kmeansStepOracleSql: String = {
+    val cents = fixtureCentroids(64)
+    val cosExprs = cents.map { case (cid, c) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"(list_dot_product(v, $arr) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($arr, $arr)))) AS c$cid"
+    }.mkString(",\n    ")
+    val assign = (1 until KmFixtureK).map { i =>
+      val conds = ((i + 1) to KmFixtureK).map(j => s"c$i >= c$j").mkString(" AND ")
+      s"WHEN $conds THEN $i"
+    }.mkString("CASE ", " ", s" ELSE $KmFixtureK END")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, v,
+       |    $cosExprs
+       |  FROM v),
+       |b AS (SELECT vec_id, v, $assign AS cell FROM c),
+       |e AS (
+       |  SELECT cell, u.dim AS dim, u.x AS x
+       |  FROM (SELECT cell,
+       |          unnest(list_transform(range(len(v)), i -> {'dim': i, 'x': v[i+1]})) AS u
+       |        FROM b))
+       |SELECT cell, dim,
+       |       CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |         / (1000000.0 * count(*)) AS mean_x,
+       |       count(*) AS n_vecs
+       |FROM e GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+  }
+
   /** Run `body` (a streaming start + awaitTermination) with the session's
     * shuffle partitions — which fix the stream's state-store/shuffle
     * partition count at start — sized to the per-micro-batch volume
@@ -1326,6 +1356,26 @@ object SparkEntry {
       val vecs = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), VectorFns.toDouble(col("embedding")).as("v"))
       SimilarityOps.kmeansStep(vecs, fixtureCentroids(64))
+        .orderBy(col("cell"), col("dim"))
+    },
+
+    "q_stream_kmeans" -> { (s, dir) => // streaming mini-batch k-means,
+      // oracle side: an AvailableNow run of kmeansStream over the whole
+      // embeddings table is ONE micro-batch assigned against the fixture
+      // seed — the landed fixed-point state read back as means must equal
+      // the batch Lloyd step exactly (g_kmeans_step's oracle verbatim).
+      // Multi-batch sequential semantics, replay idempotence, drifted-seed
+      // refusal and state compaction are KmeansStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_km_")
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .kmeansStream(src, s"$out/kmstate", s"$out/ckpt", seed = fixtureCentroids(64))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readStreamKmeans(s, s"$out/kmstate")
         .orderBy(col("cell"), col("dim"))
     },
 
@@ -2984,33 +3034,14 @@ object SparkEntry {
       // fixed-point means: floor(x*1e6) is the same IEEE double product
       // floored in both engines, and the BIGINT sums are exact — no
       // FP-addition order anywhere between the engines
-      {
-        val cents = fixtureCentroids(64)
-        val cosExprs = cents.map { case (cid, c) =>
-          val arr = c.mkString("[", ", ", "]")
-          s"(list_dot_product(v, $arr) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($arr, $arr)))) AS c$cid"
-        }.mkString(",\n    ")
-        val assign = (1 until KmFixtureK).map { i =>
-          val conds = ((i + 1) to KmFixtureK).map(j => s"c$i >= c$j").mkString(" AND ")
-          s"WHEN $conds THEN $i"
-        }.mkString("CASE ", " ", s" ELSE $KmFixtureK END")
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |c AS (
-           |  SELECT vec_id, v,
-           |    $cosExprs
-           |  FROM v),
-           |b AS (SELECT vec_id, v, $assign AS cell FROM c),
-           |e AS (
-           |  SELECT cell, u.dim AS dim, u.x AS x
-           |  FROM (SELECT cell,
-           |          unnest(list_transform(range(len(v)), i -> {'dim': i, 'x': v[i+1]})) AS u
-           |        FROM b))
-           |SELECT cell, dim,
-           |       CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
-           |         / (1000000.0 * count(*)) AS mean_x,
-           |       count(*) AS n_vecs
-           |FROM e GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
-      },
+      kmeansStepOracleSql,
+
+    "q_stream_kmeans" ->
+      // the streaming centroid sink's single-batch degenerate case IS the
+      // batch Lloyd step (state = that batch's fixed-point sums, read back
+      // as means) — the same oracle verbatim; multi-batch sequential
+      // semantics are KmeansStreamSpec's job
+      kmeansStepOracleSql,
 
     "g_semdedup_exact" ->
       // the unblocked definition truth: same drop rule over all pairs

@@ -177,6 +177,20 @@ object SimilarityOps {
     * Returns (cell, dim, mean_x, n_vecs); empty cells emit no rows. */
   def kmeansStep(
       vecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    kmeansSums(vecs, centroids)
+      .select(
+        col("cell"), col("dim"),
+        (col("sx").cast("double") / (lit(1e6) * col("n_vecs"))).as("mean_x"),
+        col("n_vecs"))
+
+  /** The mergeable state under [[kmeansStep]]: per-(cell, dim) fixed-point
+    * coordinate SUMS and counts. Longs add associatively, so partials
+    * from different partitions — or different MICRO-BATCHES — fold into
+    * exactly the state one big aggregation would have produced; this is
+    * what the streaming centroid sink lands per batch. */
+  def kmeansSums(
+      vecs: DataFrame,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     assignCells(vecs, centroids)
@@ -187,10 +201,18 @@ object SimilarityOps {
       .agg(
         sum(floor(col("x") * lit(1e6))).as("sx"),
         count(lit(1)).as("n_vecs"))
-      .select(
-        col("cell"), col("dim"),
-        (col("sx").cast("double") / (lit(1e6) * col("n_vecs"))).as("mean_x"),
-        col("n_vecs"))
+  }
+
+  /** Fold accumulated (cell, dim, sx, n_vecs) state rows into centroids:
+    * cells with data get their fixed-point mean, empty cells keep the
+    * seed. k·d driver state, like every centroid consumer. */
+  def centroidsFromSums(
+      sums: Seq[(Int, Int, Long, Long)],
+      seed: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val byCell = sums.groupBy(_._1).map { case (cell, rows) =>
+      cell -> rows.sortBy(_._2).map { case (_, _, sx, n) => sx.toDouble / (1e6 * n) }.toSeq
+    }
+    seed.map { case (cid, c) => (cid, byCell.getOrElse(cid, c)) }
   }
 
   /** Nearest-centroid cell per vector as ONE codegen'd projection — no

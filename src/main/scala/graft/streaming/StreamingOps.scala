@@ -1131,4 +1131,205 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  // ---- streaming k-means centroid maintenance --------------------------
+
+  /** Streaming mini-batch k-means: every micro-batch of embeddings is
+    * assigned to the CURRENT centroids (seed ⊕ all state below this
+    * batch) and lands its per-(cell, dim) fixed-point coordinate sums at
+    * `path/__batch=<id>` — k·d rows of longs per batch, regardless of
+    * batch size. Long sums merge associatively, so the folded state is
+    * bit-identical to what one big aggregation over the same per-batch
+    * assignments would produce, under any partitioning; the whole sink's
+    * state is O(k·d·batches) tiny rows (and [[compactKmeansState]] folds
+    * committed levels to one).
+    *
+    * Replay-safe the [[curatedIngest]] way: centroids for batch N are
+    * derived from `__batch < N` only, and the batch Overwrites its own
+    * directory — a replayed batch recomputes the identical assignment and
+    * state at any crash point. A `_meta.json` sidecar (k, dim) is written
+    * BEFORE the first data landing and asserted per batch, so a restart
+    * with a drifted seed geometry fails loudly instead of folding
+    * incompatible state ([[lshIndexStream]]'s contract). Single-batch
+    * degenerate case == [[graft.operators.SimilarityOps.kmeansStep]] from
+    * the same seed — which is how q_stream_kmeans shares g_kmeans_step's
+    * oracle; multi-batch sequential semantics are spec-replayed against a
+    * driver reference. */
+  def kmeansStream(embeddings: DataFrame, path: String, checkpoint: String,
+      seed: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmeansBatch(batch, batchId, path, seed, idCol, vecCol)
+      }
+
+  private[graft] def kmeansBatch(batch: DataFrame, batchId: Long, path: String,
+      seed: Seq[(Int, Seq[Double])], idCol: String, vecCol: String): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "kmeansStream", path)
+    assertKmeansMeta(f, p, seed, path)
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (!f.exists(meta)) writeFile(f, meta, kmeansMetaJson(seed))
+    val centroids = graft.operators.SimilarityOps.centroidsFromSums(
+      accumulatedSums(s, path, belowBatch = batchId), seed)
+    val vecs = batch.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
+    graft.operators.SimilarityOps.kmeansSums(vecs, centroids)
+      .coalesce(1) // k·d rows — one small file per batch by construction
+      .write.mode("overwrite").parquet(s"$path/__batch=$batchId")
+  }
+
+  /** All landed (cell, dim, sx, n_vecs) state strictly below `belowBatch`
+    * (Long.MaxValue = everything), folded per (cell, dim). Driver-sized:
+    * k·d rows.
+    *
+    * Integer sums are NOT idempotent (unlike the Bloom sink's OR), so a
+    * half-finished [[compactKmeansState]] cannot be recovered by
+    * over-merging; instead the staging directory carries a manifest of
+    * the level names it folded, and the reader applies one deterministic
+    * rule — if completed staging exists, read staging INSTEAD OF any
+    * manifest-listed level (live or retired). Every crash point then
+    * yields exactly-once sums: each source level is counted either via
+    * itself or via staging, never both. */
+  private[graft] def accumulatedSums(spark: SparkSession, path: String,
+      belowBatch: Long): Seq[(Int, Int, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Seq.empty
+    val staged = stagedFold(f, p)
+    val excluded = staged.map(_._2).getOrElse(Set.empty)
+    val levels = f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+      .map(_.getPath)
+      .filter(l => !excluded.contains(l.getName))
+      .filter(_.getName.stripPrefix("__batch=").toLong < belowBatch)
+    val dirs = levels.map(_.toString) ++
+      // the staged fold replaces its sources; its level id is the max of
+      // the folded names, so the belowBatch filter applies to it too
+      staged.filter { case (_, names) =>
+        names.map(_.stripPrefix("__batch=").toLong).max < belowBatch
+      }.map(_._1.toString)
+    if (dirs.isEmpty) return Seq.empty
+    spark.read.parquet(dirs: _*)
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("sx")).as("sx"), sum(col("n_vecs")).as("n"))
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("dim"),
+        r.getAs[Long]("sx"), r.getAs[Long]("n")))
+      .toSeq
+  }
+
+  private def kmeansMetaJson(seed: Seq[(Int, Seq[Double])]): Array[Byte] =
+    s"""{"k":${seed.size},"dim":${seed.headOption.map(_._2.size).getOrElse(0)}}"""
+      .getBytes("UTF-8")
+
+  private def assertKmeansMeta(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, seed: Seq[(Int, Seq[Double])], path: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): Option[Long] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val want = Seq(
+        "k" -> seed.size.toLong,
+        "dim" -> seed.headOption.map(_._2.size).getOrElse(0).toLong)
+      val bad = want.flatMap { case (n, v) =>
+        field(n).filter(_ != v).map(rec => s"$n: state=$rec caller=$v")
+      }
+      require(bad.isEmpty,
+        s"kmeansStream seed geometry disagrees with the state at $path " +
+          s"(${bad.mkString(", ")}) — a drifted restart would fold " +
+          "incompatible accumulators; use the original seed or a fresh path")
+    }
+  }
+
+  /** The completed staging fold, if one exists: (path, folded level
+    * names). A staging dir without its `_folded.json` manifest is an
+    * incomplete write — invisible here, deleted by the next compact. */
+  private def stagedFold(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(org.apache.hadoop.fs.Path, Set[String])] = {
+    val staging = new org.apache.hadoop.fs.Path(p, "_staging_kmfold")
+    val manifest = new org.apache.hadoop.fs.Path(staging, "_folded.json")
+    if (!f.exists(manifest)) return None
+    val in = f.open(manifest)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    Some((staging, """__batch=-?\d+""".r.findAllIn(text).toSet))
+  }
+
+  /** The maintained state as of the last committed batch, in
+    * [[graft.operators.SimilarityOps.kmeansStep]]'s output shape
+    * (cell, dim, mean_x, n_vecs) — the single-batch case is therefore
+    * directly oracle-comparable to the batch step. */
+  def readStreamKmeans(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    accumulatedSums(spark, path, belowBatch = Long.MaxValue)
+      .toDF("cell", "dim", "sx", "n_vecs")
+      .select(col("cell"), col("dim"),
+        (col("sx").cast("double") / (lit(1e6) * col("n_vecs"))).as("mean_x"),
+        col("n_vecs"))
+  }
+
+  /** Current centroids (seed ⊕ all landed state) for downstream
+    * consumers — e.g. seeding ivfIndexStream or semanticDedup. */
+  def streamKmeansCentroids(spark: SparkSession, path: String,
+      seed: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] =
+    graft.operators.SimilarityOps.centroidsFromSums(
+      accumulatedSums(spark, path, belowBatch = Long.MaxValue), seed)
+
+  /** Fold committed state levels into one — the newest delta is never
+    * touched (the only replayable one; the established compaction
+    * contract). The folded level takes the name of the HIGHEST folded
+    * batch id, so every `__batch < N` read is semantics-preserving.
+    *
+    * Crash-safe via the manifest rule [[accumulatedSums]] applies:
+    *  1. write the fold to `_staging_kmfold` (parquet first, then the
+    *     `_folded.json` manifest — manifest presence = staging complete;
+    *     from this instant readers count the folded levels via staging
+    *     and skip the live sources);
+    *  2. delete the folded source levels (readers already skip them);
+    *  3. rename staging to `__batch=<maxFoldedId>` (manifest travels
+    *     inside the directory but underscore files are invisible to the
+    *     parquet reader, and [[stagedFold]] only looks under the staging
+    *     name — after the rename the level is an ordinary one).
+    * Rerunning after any crash completes the protocol: a manifest-less
+    * staging is deleted and refolded; a completed staging re-runs steps
+    * 2-3. Single-maintainer contract like Storage.compact. */
+  def compactKmeansState(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    val staging = new org.apache.hadoop.fs.Path(p, "_staging_kmfold")
+    stagedFold(f, p) match {
+      case Some((st, names)) =>
+        // recovery: finish the interrupted run (its fold set, not ours)
+        val maxId = names.map(_.stripPrefix("__batch=").toLong).max
+        names.foreach(n => f.delete(new org.apache.hadoop.fs.Path(p, n), true))
+        f.rename(st, new org.apache.hadoop.fs.Path(p, s"__batch=$maxId"))
+        return
+      case None =>
+        f.delete(staging, true) // incomplete staging: refold from sources
+    }
+    val levels = f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+      .map(_.getPath)
+      .sortBy(_.getName.stripPrefix("__batch=").toLong)
+    if (levels.size <= 2) return // base + newest only — nothing to fold
+    val foldable = levels.dropRight(1) // protect the newest delta
+    val maxId = foldable.map(_.getName.stripPrefix("__batch=").toLong).max
+    spark.read.parquet(foldable.map(_.toString): _*)
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("sx")).as("sx"), sum(col("n_vecs")).as("n_vecs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val manifest = foldable.map(l => s""""${l.getName}"""").mkString("[", ",", "]")
+    writeFile(f, new org.apache.hadoop.fs.Path(staging, "_folded.json"),
+      s"""{"folded":$manifest}""".getBytes("UTF-8"))
+    foldable.foreach(l => f.delete(l, true))
+    f.rename(staging, new org.apache.hadoop.fs.Path(p, s"__batch=$maxId"))
+  }
 }
