@@ -67,6 +67,100 @@ object SparkEntry {
   private def fixtureCentroids(dim: Int): Seq[(Int, Seq[Double])] =
     (1 to KmFixtureK).map(c => (c, fixtureCentroid(c, dim)))
 
+  /** Fixture PQ codebooks: per (subspace, code) a ±1 sign vector from the
+    * same XXH64 arithmetic under seed 11 — deterministic shared state the
+    * oracle replays from inline literals, exactly like [[fixtureCentroids]].
+    * Data-derived training (SimilarityOps.trainPqCodebooks) stays
+    * spec-gated (PqSpec). */
+  private val PqM = 8
+  private val PqC = 4
+
+  private def pqCodeword(s: Int, cid: Int, subDim: Int): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seed = XXH64.hashInt(cid, XXH64.hashInt(s, 11L))
+    (0 until subDim).map { j =>
+      val h = XXH64.hashInt(j, seed)
+      if (((h % 2) + 2) % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  private def fixturePqCodebooks(dim: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val subDim = dim / PqM
+    (0 until PqM).map(s => (1 to PqC).map(cid => (cid, pqCodeword(s, cid, subDim))))
+  }
+
+  /** PQ encode + ADC replay shared by g_sim_pq (full ADC scan) and
+    * g_sim_ivfpq (coarse-cell-pruned scan): per subspace the codeword
+    * argmax is the kmeansStepOracleSql CASE pattern over sliced vectors;
+    * the ADC lookup table is the query's per-(subspace, codeword)
+    * fixed-point cosines — `floor(cos*1e6)` BIGINTs whose sum is exact in
+    * both engines (the engine computes the same table driver-side). */
+  private def pqOracleSql(pruned: Boolean): String = {
+    val dim = 64
+    val subDim = dim / PqM
+    def cosSql(vec: String, s: Int, w: Seq[Double]): String = {
+      val sub = s"$vec[${s * subDim + 1}:${(s + 1) * subDim}]"
+      val arr = w.mkString("[", ", ", "]")
+      s"(list_dot_product($sub, $arr) / (sqrt(list_dot_product($sub, $sub)) * sqrt(list_dot_product($arr, $arr))))"
+    }
+    val cbs = fixturePqCodebooks(dim)
+    val dataCos = (for { s <- 0 until PqM; (cid, w) <- cbs(s) } yield
+      s"${cosSql("v", s, w)} AS c_${s}_$cid").mkString(",\n    ")
+    val lutCos = (for { s <- 0 until PqM; (cid, w) <- cbs(s) } yield
+      s"CAST(floor(${cosSql("qv", s, w)} * 1000000) AS BIGINT) AS l_${s}_$cid")
+      .mkString(",\n    ")
+    val codes = (0 until PqM).map { s =>
+      val arms = (1 until PqC).map { i =>
+        val conds = ((i + 1) to PqC).map(j => s"c_${s}_$i >= c_${s}_$j").mkString(" AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString(" ")
+      s"CASE $arms ELSE $PqC END AS code_$s"
+    }.mkString(",\n    ")
+    val score = (0 until PqM).map { s =>
+      val arms = (1 until PqC).map(c => s"WHEN $c THEN l_${s}_$c").mkString(" ")
+      s"(CASE code_$s $arms ELSE l_${s}_$PqC END)"
+    }.mkString("\n     + ")
+    val cents = fixtureCentroids(dim)
+    def centCos(vec: String, alias: String): String = cents.map { case (cid, c) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"(list_dot_product($vec, $arr) / (sqrt(list_dot_product($vec, $vec)) * sqrt(list_dot_product($arr, $arr)))) AS $alias$cid"
+    }.mkString(",\n    ")
+    val coarseAssign = {
+      val arms = (1 until KmFixtureK).map { i =>
+        val conds = ((i + 1) to KmFixtureK).map(j => s"cc_$i >= cc_$j").mkString(" AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString(" ")
+      s"CASE $arms ELSE $KmFixtureK END AS cell"
+    }
+    val coarseCols = if (pruned) s",\n    ${centCos("v", "cc_")}" else ""
+    val cellCol = if (pruned) s",\n    $coarseAssign" else ""
+    val prunedCtes =
+      if (!pruned) ""
+      else
+        s""",
+           |qcs AS (SELECT ${centCos("qv", "qc_")} FROM q),
+           |probe AS (
+           |  SELECT cid FROM (
+           |    ${(1 to KmFixtureK).map(c => s"SELECT $c AS cid, qc_$c AS qc FROM qcs").mkString(" UNION ALL\n    ")})
+           |  ORDER BY qc DESC, cid LIMIT 2)""".stripMargin
+    val whereCell = if (pruned) "\n|WHERE b.cell IN (SELECT cid FROM probe)" else ""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id,
+       |    $dataCos$coarseCols
+       |  FROM v),
+       |b AS (SELECT vec_id,
+       |    $codes$cellCol
+       |  FROM c),
+       |l AS (SELECT
+       |    $lutCos
+       |  FROM q)$prunedCtes
+       |SELECT vec_id,
+       |    $score AS adc_score
+       |FROM b, l${whereCell.stripMargin}
+       |ORDER BY adc_score DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   /** The fixed-point Lloyd-step oracle, shared by g_kmeans_step (batch)
     * and q_stream_kmeans (single-batch streaming degenerate case). */
   private lazy val kmeansStepOracleSql: String = {
@@ -1387,6 +1481,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_quality_quantile" -> { (s, dir) => // per-domain quality-quantile
+      // filter: keep each source's top 30% by the heuristic quality score
+      // (count-derived exact quota, salted two-phase ranking — the
+      // domainQuota skew machinery with a dynamic per-domain cutoff).
+      // Oracle replays the single-window formulation the salted form
+      // provably reproduces.
+      CurationOps.qualityQuantileFilter(
+          Tables.documents(s, dir), keepFrac = 0.3, saltBuckets = 4)
+        .orderBy(col("doc_id"))
+    },
+
     "g_dup_passages" -> { (s, dir) => // cross-doc duplicated-passage
       // fraction per doc (shingle-level dedup companion); string-shingle
       // mode so DuckDB recomputes the identical counts — hashed mode is
@@ -1518,6 +1623,38 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       SimilarityOps.bruteForceTopK(e, q, 20)
+    },
+
+    "g_sim_pq" -> { (s, dir) => // product-quantization ADC top-k: encode
+      // every vector as 8 codes (per-subspace codegen argmax against the
+      // inline ±1 fixture codebooks), score by summing the query's
+      // fixed-point per-(subspace, codeword) lookup table — the scan
+      // touches m ints per row instead of d floats (the 8–32× smaller
+      // index PQ exists for). Row-level oracle: DuckDB replays encode +
+      // ADC from the same inline literals.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val cbs = fixturePqCodebooks(64)
+      val enc = SimilarityOps.pqEncode(
+        e.select(col("vec_id").as("id"), VectorFns.toDouble(col("embedding")).as("v")), cbs)
+      SimilarityOps.pqTopK(enc, SimilarityOps.pqLut(cbs, q), 20)
+        .withColumnRenamed("id", "vec_id")
+    },
+
+    "g_sim_ivfpq" -> { (s, dir) => // IVF-PQ (the FAISS-style composition):
+      // coarse-quantize to the fixture cells, keep the query's 2 nearest
+      // cells (IN filter — directory pruning under the writeIvfIndex
+      // layout), ADC-score only the surviving codes. Projection + filter +
+      // top-k: zero exchanges before the final reduction. The oracle
+      // replays cell assignment, probe-cell ranking, encode and ADC.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      SimilarityOps.ivfPqTopK(
+          e.select(col("vec_id").as("id"), VectorFns.toDouble(col("embedding")).as("v")),
+          fixtureCentroids(64), fixturePqCodebooks(64), q, nProbe = 2, k = 20)
+        .withColumnRenamed("id", "vec_id")
     },
 
     "g_sim_ann" -> { (s, dir) => // multi-probe LSH top-k, probe-all setting:
@@ -3065,6 +3202,29 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
 
+    "g_quality_quantile" ->
+      // the single-window formulation with the exact count-derived quota;
+      // the q_score expression is g_quality's quality column verbatim
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         floor(least(greatest(
+        |           least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |           (len(list_distinct(string_split(text, ' '))) /
+        |            CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |           (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |                  CAST(length(text) AS DOUBLE)) * 0.2,
+        |           0.0), 1.0) * 10000) / 10000 AS q_score
+        |  FROM documents),
+        |c AS (SELECT source, CAST(ceil(0.3 * CAST(count(*) AS DOUBLE)) AS BIGINT) AS quota
+        |      FROM s GROUP BY source),
+        |r AS (SELECT s.doc_id, s.source, s.q_score,
+        |             CAST(row_number() OVER (
+        |               PARTITION BY s.source ORDER BY s.q_score DESC, s.doc_id) AS INT) AS rank,
+        |             c.quota
+        |      FROM s JOIN c USING (source))
+        |SELECT doc_id, source, q_score, rank FROM r WHERE rank <= quota
+        |ORDER BY doc_id""".stripMargin,
+
     "g_dup_passages" ->
       // distinct 3-token shingles per doc (short docs = whole text, the
       // shingleRows convention) -> doc frequency -> per-doc dup fraction
@@ -3344,6 +3504,9 @@ object SparkEntry {
         |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "g_sim_pq" -> pqOracleSql(pruned = false),
+    "g_sim_ivfpq" -> pqOracleSql(pruned = true),
 
     // probe-all ANN == brute force: the losslessness gates share the
     // brute-force oracle (see the query comments)

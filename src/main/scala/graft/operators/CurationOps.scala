@@ -244,6 +244,49 @@ object CurationOps {
       .select(col(idCol), col(domainCol), col(orderCol), col("rank"))
   }
 
+  /** Per-domain quality-QUANTILE filter: keep each domain's top `keepFrac`
+    * fraction of documents by the heuristic quality score — the
+    * "threshold per domain, not globally" curation rule (a global cutoff
+    * lets a high-quality domain crowd out a noisy-but-wanted one; the
+    * per-domain quantile keeps the mix). The cutoff is a COUNT-derived
+    * quota (`ceil(keepFrac · n_domain)` — one tiny per-domain aggregate,
+    * broadcastable at any scale), so the selection is exact and
+    * deterministic, not a sketch estimate; ties break on doc_id.
+    *
+    * Ranking reuses [[domainQuota]]'s two-phase salted window so a
+    * mega-domain ranks in `saltBuckets` parallel tasks first: any row
+    * whose true per-domain rank r is within the quota has salted rank
+    * <= r, so phase 1 never drops a survivor — the proof is quota-value
+    * independent and carries over unchanged to the dynamic per-domain
+    * quota. Output: (doc_id, domain, q_score, rank). */
+  def qualityQuantileFilter(
+      docs: DataFrame,
+      keepFrac: Double,
+      saltBuckets: Int = 8,
+      domainCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val scored = docs.select(
+      col(idCol), col(domainCol),
+      NumFns.floorAt(graft.functions.TextFns.qualityScore(col("text")), 4).as("q_score"))
+    val quotas = scored.groupBy(col(domainCol))
+      .agg(ceil(lit(keepFrac) * count(lit(1)).cast("double")).cast("long").as("__quota"))
+    val salted = scored
+      .join(quotas, domainCol) // domain-cardinality build side — AQE broadcasts
+      .withColumn("__salt", pmod(col(idCol), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col(domainCol), col("__salt"))
+      .orderBy(col("q_score").desc, col(idCol))
+    val w2 = Window.partitionBy(col(domainCol))
+      .orderBy(col("q_score").desc, col(idCol))
+    salted
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= col("__quota"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= col("__quota"))
+      .select(col(idCol), col(domainCol), col("q_score"), col("rank"))
+  }
+
   /** Deterministic alpha-mixture sampling (alpha = 0.5): re-weight a
     * multi-source corpus so expected per-stratum counts follow
     * n_s^alpha instead of n_s — the standard rare-source upsampling /

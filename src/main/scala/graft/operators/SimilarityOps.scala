@@ -640,4 +640,124 @@ object SimilarityOps {
       .agg(max(struct(col("margin"), (-col("y_id")).as("ny"), col("y_id").as("y"))).as("m"))
       .select(col("x_id"), col("m.y").as("y_id"), col("m.margin").as("margin"))
   }
+
+  // ---- product quantization (PQ / ADC) ---------------------------------
+
+  /** Encode each vector as `m` small codes — one nearest-codeword id per
+    * subspace (PQ, Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011). `codebooks(s)` is subspace `s`'s
+    * (code, codeword) list; codes must be 1..c consecutive (the ADC
+    * lookup below is positional). Assignment per subspace is the same
+    * shuffle-free codegen argmax the IVF path uses ([[cellExpr]], cosine
+    * against literal codewords, ties to the smallest code) over
+    * `slice(v)` — the whole encode is ONE map-only projection, no
+    * exchange at any corpus size, and the output row is m bytes of codes
+    * instead of d floats: the memory-compressed index an ADC scan reads.
+    * Output: input columns + `codes array<int>` (codes(s) = subspace s). */
+  def pqEncode(
+      vecs: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      vecCol: String = "v"): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    require(codebooks.nonEmpty, "no codebooks")
+    val subDim = codebooks.head.head._2.size
+    require(codebooks.forall(_.forall(_._2.size == subDim)),
+      "codebooks must share one sub-dimension")
+    require(codebooks.forall(cb => cb.map(_._1).sorted == (1 to cb.size)),
+      "codes must be 1..c per subspace (positional ADC lookup)")
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      cellExpr(slice(col(vecCol), s * subDim + 1, subDim), cb)
+    }
+    vecs.withColumn("codes", array(codes: _*))
+  }
+
+  /** Driver-side ADC lookup table for one query: `lut(s)(c-1)` is the
+    * FIXED-POINT cosine (`floor(cos * 1e6)` — the [[kmeansStep]]
+    * discipline) of the query's s-th subvector against codeword c. m·c
+    * longs of driver state; integer ADC sums are then exact under any
+    * partitioning and engine. Same sequential-fold float math as the
+    * codegen kernel, so the quantized table agrees with an in-engine
+    * computation. */
+  def pqLut(
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      queryVec: Seq[Double]): Seq[Seq[Long]] = {
+    val subDim = codebooks.head.head._2.size
+    require(queryVec.size >= codebooks.size * subDim, "query shorter than the code space")
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = queryVec.slice(s * subDim, (s + 1) * subDim)
+      cb.sortBy(_._1).map { case (_, w) => math.floor(cosineOf(qs, w) * 1e6).toLong }
+    }
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded frame: the score is
+    * `Σ_s lut(s)(codes(s))` — m positional lookups into literal long
+    * arrays summed left-to-right, a pure codegen projection over the CODES
+    * (the raw vectors are never read — this is the point of PQ: the scan
+    * touches m ints per row instead of d floats, an 8–32× smaller index
+    * at 100 TB). One top-k reduction, no shuffle before it; ties break on
+    * id. Compose with a coarse-cell filter for IVF-PQ ([[ivfPqTopK]]). */
+  def pqTopK(
+      encoded: DataFrame,
+      lut: Seq[Seq[Long]],
+      k: Int,
+      idCol: String = "id"): DataFrame = {
+    val score = lut.zipWithIndex.map { case (tbl, s) =>
+      element_at(array(tbl.map(lit): _*), col("codes").getItem(s))
+    }.reduce(_ + _)
+    encoded
+      .select(col(idCol), score.as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ (the FAISS-style composition, both halves already proven
+    * separately): coarse-quantize to `centroids` cells (map-only), keep
+    * only the query's `nProbe` nearest cells (IN filter — directory
+    * pruning when the encoded table is written `partitionBy(cell)`, the
+    * [[writeIvfIndex]] layout), then ADC-score just the surviving codes.
+    * The full pipeline is projection + filter + top-k: zero exchanges
+    * before the final reduction, and the scanned bytes are
+    * (corpus/nProbe-th) · (m ints per row). */
+  def ivfPqTopK(
+      vecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      queryVec: Seq[Double],
+      nProbe: Int,
+      k: Int,
+      idCol: String = "id",
+      vecCol: String = "v"): DataFrame = {
+    val probes = probeCellsOf(centroids, queryVec, nProbe)
+    pqTopK(
+      pqEncode(assignCells(vecs, centroids), codebooks, vecCol)
+        .filter(col("cell").isin(probes: _*)),
+      pqLut(codebooks, queryVec), k, idCol)
+  }
+
+  /** Train PQ codebooks from the corpus: per subspace, the deterministic
+    * Lloyd loop [[ivfCentroids]] runs over the SLICED vectors — m
+    * independent small k-means problems (each job ships subDim of the d
+    * dims; the m jobs are independent and a scheduler can overlap them).
+    * Driver state is m·c·subDim = c·d doubles — one codebook-sized
+    * centroid set, same bound as the IVF path. Deterministic end to end
+    * (hash-spread seeds + fixed-point Lloyd updates), so a retrain over
+    * the same corpus reproduces the codebooks bit-for-bit — the property
+    * that makes a persisted PQ index safely rebuildable. */
+  def trainPqCodebooks(
+      embeddings: DataFrame,
+      m: Int,
+      c: Int,
+      nIters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Double])]] = {
+    val vecs = embeddings.select(col(idCol), VectorFns.toDouble(col(vecCol)).as("v"))
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      ivfCentroids(
+        vecs.select(col(idCol), slice(col("v"), s * subDim + 1, subDim).as("sv")),
+        k = c, nIters = nIters, idCol = idCol, vecCol = "sv")
+    }
+  }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** Product quantization (pqEncode / pqLut / pqTopK / ivfPqTopK /
+  * trainPqCodebooks). The row-level oracle gates are g_sim_pq and
+  * g_sim_ivfpq; these specs pin the engine-side invariants the oracle
+  * can't see: partition invariance, the driver-reference equality of the
+  * ADC arithmetic, probe-all losslessness, and trained-codebook
+  * determinism/geometry.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 4
+  private val C = 3
+  private val Dim = 8
+  private val SubDim = Dim / M
+
+  // deterministic, id-derived vectors — stable across partitionings
+  private def vec(i: Long): Seq[Double] =
+    (0 until Dim).map(j => (((i * 31 + j * 7) % 13) - 6) / 6.0 + 0.01 * (j + 1))
+
+  private def vecsDf(n: Int) =
+    (0L until n.toLong).map(i => (i, vec(i))).toDF("id", "v")
+
+  private def codeword(s: Int, cid: Int): Seq[Double] =
+    (0 until SubDim).map(j => if ((s * 17 + cid * 5 + j * 3) % 2 == 0) 1.0 else -1.0)
+
+  private def codebooks: Seq[Seq[(Int, Seq[Double])]] =
+    (0 until M).map(s => (1 to C).map(cid => (cid, codeword(s, cid))))
+
+  // driver reference encode: same argmax (ties to the smallest code) and
+  // the same sequential-fold cosine as the codegen kernel
+  private def refCodes(x: Seq[Double]): Seq[Int] =
+    (0 until M).map { s =>
+      val xs = x.slice(s * SubDim, (s + 1) * SubDim)
+      codebooks(s)
+        .map { case (cid, w) => (cid, SimilarityOps.cosineOf(xs, w)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .head._1
+    }
+
+  test("pqEncode matches the driver reference and is partition-invariant") {
+    val df = vecsDf(40)
+    def codesOf(parts: Int): Map[Long, Seq[Int]] =
+      SimilarityOps.pqEncode(df.repartition(parts), codebooks)
+        .select(col("id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val one = codesOf(1)
+    assert(codesOf(7) == one, "codes must not depend on the partitioning")
+    (0L until 40L).foreach { i =>
+      assert(one(i) == refCodes(vec(i)), s"vector $i encodes differently")
+    }
+  }
+
+  test("pqTopK equals the driver ADC reference, exact to the last long") {
+    val q = vec(999)
+    val lut = SimilarityOps.pqLut(codebooks, q)
+    val got = SimilarityOps
+      .pqTopK(SimilarityOps.pqEncode(vecsDf(40), codebooks), lut, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L until 40L)
+      .map(i => (i, refCodes(vec(i)).zipWithIndex.map { case (c, s) => lut(s)(c - 1) }.sum))
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got == want)
+  }
+
+  test("probe-all IVF-PQ == the full ADC scan (losslessness of the cell pruning)") {
+    val q = vec(999)
+    // coarse centroids: reuse the subspace-0 codewords widened to Dim
+    val cents = (1 to C).map(cid =>
+      (cid, (0 until Dim).map(j => if ((cid * 5 + j * 3) % 2 == 0) 1.0 else -1.0)))
+    val full = SimilarityOps
+      .pqTopK(SimilarityOps.pqEncode(vecsDf(40), codebooks),
+        SimilarityOps.pqLut(codebooks, q), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probeAll = SimilarityOps
+      .ivfPqTopK(vecsDf(40), cents, codebooks, q, nProbe = C, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probeAll == full)
+  }
+
+  test("reduced-probe IVF-PQ returns a subset of its own probe cells' codes") {
+    val q = vec(999)
+    val cents = (1 to C).map(cid =>
+      (cid, (0 until Dim).map(j => if ((cid * 5 + j * 3) % 2 == 0) 1.0 else -1.0)))
+    val probes = SimilarityOps.probeCellsOf(cents, q, 1).toSet
+    val inCells = SimilarityOps.assignCells(vecsDf(40), cents)
+      .filter(col("cell").isin(probes.toSeq: _*))
+      .select("id").as[Long].collect().toSet
+    val got = SimilarityOps.ivfPqTopK(vecsDf(40), cents, codebooks, q, nProbe = 1, k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got.subsetOf(inCells), "pruned scan must only surface probe-cell members")
+  }
+
+  test("trainPqCodebooks: geometry, determinism, and codes stay in range") {
+    val emb = vecsDf(60).select(col("id").as("vec_id"), col("v").as("embedding"))
+    val t1 = SimilarityOps.trainPqCodebooks(emb, m = M, c = C, nIters = 2)
+    val t2 = SimilarityOps.trainPqCodebooks(emb, m = M, c = C, nIters = 2)
+    assert(t1 == t2, "training must be deterministic (hash seeds + fixed-point Lloyd)")
+    assert(t1.size == M && t1.forall(cb => cb.size == C && cb.forall(_._2.size == SubDim)))
+    val codes = SimilarityOps
+      .pqEncode(vecsDf(60), t1)
+      .select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 1 && c <= C))
+  }
+
+  test("pqEncode rejects ragged or non-consecutive codebooks") {
+    val bad = codebooks.updated(0, Seq((2, codeword(0, 2)), (3, codeword(0, 3))))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.pqEncode(vecsDf(5), bad)
+    }
+  }
+}

@@ -332,6 +332,59 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got == Seq((29L, 1), (59L, 2), (89L, 3)))
   }
 
+  // ---- CurationOps.qualityQuantileFilter ------------------------------
+
+  private def qualityDocs(n: Int, domains: Int) =
+    (0 until n).map { i =>
+      // vary token count and distinctness so quality scores spread
+      val words = (0 to (i * 13) % 40).map(j => s"w${(i + j * 7) % (5 + i % 25)}")
+      (i.toLong, s"src${i % domains}", words.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+
+  test("qualityQuantileFilter: salted form equals the single-window dynamic-quota formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{NumFns, TextFns}
+    val docs = qualityDocs(120, 4)
+    val got = CurationOps.qualityQuantileFilter(docs, keepFrac = 0.3, saltBuckets = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    val scored = docs.select(col("doc_id"), col("source"),
+      NumFns.floorAt(TextFns.qualityScore(col("text")), 4).as("q_score"))
+    val quotas = scored.groupBy(col("source"))
+      .agg(ceil(lit(0.3) * count(lit(1)).cast("double")).cast("long").as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("q_score").desc, col("doc_id"))
+    val expected = scored.join(quotas, "source")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("quota"))
+      .select("doc_id", "source", "q_score", "rank")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    // each domain keeps exactly ceil(0.3 * 30) = 9 documents
+    assert(got.groupBy(_._2).forall(_._2.size == 9))
+  }
+
+  test("qualityQuantileFilter: kept scores dominate dropped scores within each domain") {
+    val docs = qualityDocs(80, 2)
+    val kept = CurationOps.qualityQuantileFilter(docs, keepFrac = 0.25, saltBuckets = 8)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    val keptIds = kept.map(_._2).toSet
+    import graft.functions.{NumFns, TextFns}
+    val all = docs.select(col("doc_id"), col("source"),
+        NumFns.floorAt(TextFns.qualityScore(col("text")), 4).as("q"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    all.groupBy(_._1).foreach { case (dom, rows) =>
+      val (in, out) = rows.partition(r => keptIds.contains(r._2))
+      // rank order is (score desc, id asc): (score, -id) lexicographic max
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val worstKept = in.map(r => (r._3, -r._2)).min(ord)
+      out.foreach { r =>
+        assert(ord.lt((r._3, -r._2), worstKept),
+          s"domain $dom: dropped doc ${r._2} outranks a kept one")
+      }
+    }
+  }
+
   // ---- CurationOps.packedSequences ------------------------------------
 
   test("packedSequences: shards concatenate in id order and respect bins") {
