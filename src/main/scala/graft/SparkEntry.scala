@@ -1481,6 +1481,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_dataset_card" -> { (s, dir) => // per-source corpus report: one
+      // map-side-combined aggregation pass (plus the exact-distinct
+      // expansion), fixed-point quality mean — the release-notes numbers
+      // of a curated corpus, bit-identical under any partitioning
+      CurationOps.datasetCard(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    },
+
     "g_quality_quantile" -> { (s, dir) => // per-domain quality-quantile
       // filter: keep each source's top 30% by the heuristic quality score
       // (count-derived exact quota, salted two-phase ranking — the
@@ -1655,6 +1663,21 @@ object SparkEntry {
           e.select(col("vec_id").as("id"), VectorFns.toDouble(col("embedding")).as("v")),
           fixtureCentroids(64), fixturePqCodebooks(64), q, nProbe = 2, k = 20)
         .withColumnRenamed("id", "vec_id")
+    },
+
+    "g_sim_pq_indexed" -> { (s, dir) => // the PERSISTED IVF-PQ layout:
+      // codes-only files (the raw vectors are not stored), cell hive
+      // directories, probe-all readback == the full ADC scan — the
+      // g_sim_ivf_indexed losslessness contract extended to the
+      // compressed index (write + directory-pruned read + codes-only
+      // ReadSchema, all certified by the g_sim_pq oracle hash).
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val path = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString + "/idx"
+      SimilarityOps.writePqIndex(e, fixtureCentroids(64), fixturePqCodebooks(64), path)
+      SimilarityOps.pqTopKIndexed(s, path, fixtureCentroids(64), fixturePqCodebooks(64),
+        q, k = 20, nProbe = KmFixtureK)
     },
 
     "g_sim_ann" -> { (s, dir) => // multi-probe LSH top-k, probe-all setting:
@@ -3202,6 +3225,25 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
 
+    "g_dataset_card" ->
+      // the quality expression is g_quality's quality column pre-floor;
+      // sums cast to BIGINT (DuckDB sum(BIGINT) is HUGEINT)
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(CAST(floor(least(greatest(
+        |         least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |         (len(list_distinct(string_split(text, ' '))) /
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |         (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |                CAST(length(text) AS DOUBLE)) * 0.2,
+        |         0.0), 1.0) * 10000) AS BIGINT)) AS DOUBLE)
+        |         / (10000.0 * count(*)) AS mean_quality
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "g_quality_quantile" ->
       // the single-window formulation with the exact count-derived quota;
       // the q_score expression is g_quality's quality column verbatim
@@ -3507,6 +3549,8 @@ object SparkEntry {
 
     "g_sim_pq" -> pqOracleSql(pruned = false),
     "g_sim_ivfpq" -> pqOracleSql(pruned = true),
+    // probe-all over the persisted codes-only layout == the full ADC scan
+    "g_sim_pq_indexed" -> pqOracleSql(pruned = false),
 
     // probe-all ANN == brute force: the losslessness gates share the
     // brute-force oracle (see the query comments)

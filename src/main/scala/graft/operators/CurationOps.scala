@@ -287,6 +287,33 @@ object CurationOps {
       .select(col(idCol), col(domainCol), col("q_score"), col("rank"))
   }
 
+  /** Per-source corpus report — the "dataset card" numbers a
+    * training-data release ships (docs/chars/tokens, distinct-content and
+    * language cardinalities, mean quality): ONE aggregation pass over the
+    * corpus, output is source-cardinality (driver/broadcast scale). The
+    * two exact COUNT DISTINCTs expand the scan; at 100 TB swap them for
+    * the HLL sketch machinery (g_sketch_distinct) when ±2% is acceptable
+    * — the row shape is unchanged. The quality mean accumulates
+    * fixed-point (`floor(q*1e4)` longs — the kmeansStep discipline), so
+    * the report is bit-identical under any partitioning; the final
+    * division is one exact op over identical operands in any engine. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(floor(TextFns.qualityScore(col("text")) * lit(1e4)).cast("long")).as("__sum_q4"))
+      .select(
+        col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_distinct_texts"), col("n_langs"),
+        (col("__sum_q4").cast("double") / (lit(1e4) * col("n_docs"))).as("mean_quality"))
+  }
+
   /** Deterministic alpha-mixture sampling (alpha = 0.5): re-weight a
     * multi-source corpus so expected per-stratum counts follow
     * n_s^alpha instead of n_s — the standard rare-source upsampling /

@@ -734,6 +734,52 @@ object SimilarityOps {
       pqLut(codebooks, queryVec), k, idCol)
   }
 
+  /** Persist the IVF-PQ index: codes only, cell-partitioned. Each row is
+    * (id, codes array<int>) — the raw vectors are NOT stored (the 8–32×
+    * compression is the artifact, not a read-time projection), and rows
+    * live under `cell=<c>` hive directories so a probe's cell filter is
+    * DIRECTORY pruning. One shuffle (the cell repartition — one file per
+    * cell, the writeMinHashIndex small-file discipline); encode itself is
+    * map-only. Rebuildable bit-for-bit from the corpus + codebooks
+    * (everything downstream of [[trainPqCodebooks]] is deterministic). */
+  def writePqIndex(
+      embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    pqEncode(assignCells(vecs, centroids), codebooks)
+      .select(col("id"), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .partitionBy("cell").parquet(path)
+  }
+
+  /** ADC top-k against the persisted [[writePqIndex]] layout: the
+    * probe-cell IN filter prunes to nProbe directories (PqSpec pins
+    * PartitionFilters), and the scan's ReadSchema is (id, codes) — m ints
+    * per row; no vector column exists in the files to even prune. The
+    * scored projection is the [[pqTopK]] literal-lookup sum: zero
+    * exchanges before the final top-k reduction. */
+  def pqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      queryVec: Seq[Double],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val probes = probeCellsOf(centroids, queryVec, nProbe)
+    pqTopK(
+      spark.read.parquet(path).filter(col("cell").isin(probes: _*)),
+      pqLut(codebooks, queryVec), k, "id")
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Train PQ codebooks from the corpus: per subspace, the deterministic
     * Lloyd loop [[ivfCentroids]] runs over the SLICED vectors — m
     * independent small k-means problems (each job ships subDim of the d

@@ -107,6 +107,39 @@ class PqSpec extends SparkSpec {
     assert(codes.forall(c => c >= 1 && c <= C))
   }
 
+  test("persisted PQ index: codes-only files, directory pruning, probe-all == full scan") {
+    val q = vec(999)
+    val cents = (1 to C).map(cid =>
+      (cid, (0 until Dim).map(j => if ((cid * 5 + j * 3) % 2 == 0) 1.0 else -1.0)))
+    val emb = vecsDf(40).select(col("id").as("vec_id"), col("v").as("embedding"))
+    val path = s"${tmpDir()}/pqidx"
+    SimilarityOps.writePqIndex(emb, cents, codebooks, path)
+    // the artifact holds codes, never vectors — the compression IS the file
+    val schema = spark.read.parquet(path).schema.fieldNames.toSet
+    assert(schema == Set("id", "codes", "cell"), s"unexpected columns: $schema")
+    // probe-all over the persisted layout == the in-memory full ADC scan
+    val full = SimilarityOps
+      .pqTopK(SimilarityOps.pqEncode(vecsDf(40), codebooks),
+        SimilarityOps.pqLut(codebooks, q), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val idx = SimilarityOps
+      .pqTopKIndexed(spark, path, cents, codebooks, q, k = 10, nProbe = C)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(idx == full)
+    // reduced probes: the scan carries a cell partition filter (directory
+    // pruning), and only probe-cell files are touched
+    val pruned = SimilarityOps.pqTopKIndexed(spark, path, cents, codebooks, q,
+      k = 10, nProbe = 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no cell partition filter:\n$plan")
+    val probed = SimilarityOps.probeCellsOf(cents, q, 1)
+    val files = spark.read.parquet(path)
+      .filter(col("cell").isin(probed: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"cell=${probed.head}")))
+  }
+
   test("pqEncode rejects ragged or non-consecutive codebooks") {
     val bad = codebooks.updated(0, Seq((2, codeword(0, 2)), (3, codeword(0, 3))))
     intercept[IllegalArgumentException] {

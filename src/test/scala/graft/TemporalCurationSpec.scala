@@ -332,6 +332,28 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got == Seq((29L, 1), (59L, 2), (89L, 3)))
   }
 
+  // ---- CurationOps.datasetCard ----------------------------------------
+
+  test("datasetCard: hand-computed fixture, bit-identical across partitionings") {
+    val docs = Seq(
+      (1L, "a", "en", "x y z"),
+      (2L, "a", "en", "x y z"),        // exact dup of 1
+      (3L, "a", "de", "p q"),
+      (4L, "b", "en", "lone doc here"),
+    ).toDF("doc_id", "source", "lang", "text")
+    def card(parts: Int) = CurationOps.datasetCard(docs.repartition(parts))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val one = card(1)
+    assert(card(5) == one, "the report must not depend on the partitioning")
+    val a = one.head
+    assert(a._1 == "a" && a._2 == 3 && a._3 == 5 + 5 + 3 && a._4 == 3 + 3 + 2)
+    assert(a._5 == 2 && a._6 == 2) // two distinct texts, two langs
+    val b = one(1)
+    assert(b._1 == "b" && b._2 == 1 && b._5 == 1 && b._6 == 1)
+  }
+
   // ---- CurationOps.qualityQuantileFilter ------------------------------
 
   private def qualityDocs(n: Int, domains: Int) =
