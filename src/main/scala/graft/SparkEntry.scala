@@ -768,6 +768,30 @@ object SparkEntry {
       SimilarityOps.ivfTopKIndexed(s, s"$out/index", centroids, qv, 20, nProbe = 16)
     },
 
+    "q_stream_pq" -> { (s, dir) => // streaming IVF-PQ index maintenance,
+      // oracle side: an AvailableNow run of pqIndexStream lands the
+      // embeddings as codes-only cell-partitioned deltas, and a probe-ALL
+      // read over the STREAMED index must equal the full ADC scan —
+      // g_sim_pq_indexed's losslessness contract over the streaming
+      // landing (shares g_sim_pq's oracle). Cross-batch replay/fold/drift
+      // semantics are PqStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_pq_")
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .pqIndexStream(src, fixtureCentroids(64), fixturePqCodebooks(64),
+          s"$out/index", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      SimilarityOps.pqTopKIndexed(s, s"$out/index", fixtureCentroids(64),
+        fixturePqCodebooks(64), qv, k = 20, nProbe = KmFixtureK)
+    },
+
     "q_stream_lsh" -> { (s, dir) => // streaming LSH-index maintenance,
       // oracle side: an AvailableNow run of lshIndexStream signs the
       // corpus split into the versioned (band, bucket) layout, and an
@@ -3551,6 +3575,8 @@ object SparkEntry {
     "g_sim_ivfpq" -> pqOracleSql(pruned = true),
     // probe-all over the persisted codes-only layout == the full ADC scan
     "g_sim_pq_indexed" -> pqOracleSql(pruned = false),
+    // probe-all over the STREAMED codes-only layout == the full ADC scan
+    "q_stream_pq" -> pqOracleSql(pruned = false),
 
     // probe-all ANN == brute force: the losslessness gates share the
     // brute-force oracle (see the query comments)

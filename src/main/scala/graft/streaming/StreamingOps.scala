@@ -385,6 +385,121 @@ object StreamingOps {
     foldBatchDirs(spark, path, "id LONG, v ARRAY<DOUBLE>, cell INT",
       dedupKeys = Seq("id"), partitionCols = Seq("cell"))
 
+  /** Streaming IVF-PQ index maintenance — the compressed-codes twin of
+    * [[ivfIndexStream]]: each micro-batch is coarse-assigned AND
+    * PQ-encoded (both map-only codegen projections against frozen driver
+    * state — k·d centroids, c·d codebook doubles) and lands codes-only
+    * rows at `path/__batch=<id>/cell=<c>`. Probes
+    * ([[graft.operators.SimilarityOps.pqTopKIndexed]]) read the root
+    * unchanged — partition discovery picks up (__batch, cell) and the
+    * probe-cell filter prunes to matching `cell=` directories at every
+    * batch level; scanned bytes stay m ints per row, the raw vectors are
+    * never stored at any level.
+    *
+    * Idempotent via per-batch Overwrite (codes are deterministic given
+    * batch contents + frozen parameters); the `_meta.json` sidecar pins
+    * the GEOMETRY (k coarse cells, m subspaces, c codewords, subDim) and
+    * is written before the first landing, so a restart with drifted
+    * centroids/codebooks of a different shape fails loudly. Same-shape
+    * different-VALUES drift is undetectable from geometry alone —
+    * centroid/codebook values are the caller's versioned model state,
+    * exactly like [[kmeansStream]]'s seed contract. Bootstrap with
+    * [[pqIndexBase]] (`__batch=-1`), fold committed deltas with
+    * [[compactPqIndex]]. vec ids must be unique across the stream's
+    * lifetime ([[ivfIndexStream]]'s contract). */
+  def pqIndexStream(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]], path: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pqBatch(batch, batchId, centroids, codebooks, path, idCol, vecCol)
+      }
+
+  /** One [[pqIndexStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def pqBatch(batch: DataFrame, batchId: Long,
+      centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
+      path: String, idCol: String, vecCol: String): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "pqIndexStream", path)
+    assertPqMeta(f, p, centroids, codebooks, path)
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (!f.exists(meta)) writeFile(f, meta, pqMetaJson(centroids, codebooks))
+    writePqCells(batch, centroids, codebooks, s"$path/__batch=$batchId", idCol, vecCol)
+  }
+
+  /** Bootstrap the versioned codes-only layout from an existing corpus
+    * (`__batch=-1`), recording the geometry sidecar. */
+  def pqIndexBase(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(p, "__batch=-1")
+    require(!f.exists(dir), s"$dir already exists — pqIndexBase bootstraps once")
+    writeFile(f, new org.apache.hadoop.fs.Path(p, "_meta.json"),
+      pqMetaJson(centroids, codebooks))
+    writePqCells(embeddings, centroids, codebooks, dir.toString, idCol, vecCol)
+  }
+
+  private def writePqCells(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]], dir: String,
+      idCol: String, vecCol: String): Unit = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
+    graft.operators.SimilarityOps
+      .pqEncode(graft.operators.SimilarityOps.assignCells(vecs, centroids), codebooks)
+      .select(col("id"), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(dir)
+  }
+
+  private def pqMetaJson(centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): Array[Byte] =
+    (s"""{"k":${centroids.size},"m":${codebooks.size},""" +
+      s""""c":${codebooks.headOption.map(_.size).getOrElse(0)},""" +
+      s""""subDim":${codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0)}}""")
+      .getBytes("UTF-8")
+
+  private def assertPqMeta(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]], path: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): Option[Long] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val want = Seq(
+        "k" -> centroids.size.toLong,
+        "m" -> codebooks.size.toLong,
+        "c" -> codebooks.headOption.map(_.size).getOrElse(0).toLong,
+        "subDim" -> codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0).toLong)
+      val bad = want.flatMap { case (n, v) =>
+        field(n).filter(_ != v).map(rec => s"$n: index=$rec caller=$v")
+      }
+      require(bad.isEmpty,
+        s"pqIndexStream geometry disagrees with the index at $path " +
+          s"(${bad.mkString(", ")}) — probing/landing with drifted parameters " +
+          "would silently mis-bucket; restart with the index's geometry or rebuild")
+    }
+  }
+
+  /** Fold [[pqIndexStream]]'s per-batch deltas into the `__batch=-1`
+    * base — the established staged-rename fold, single-maintainer
+    * contract and newest-delta protection. Dedup on the vec id is
+    * lossless ([[compactIvfIndex]]'s argument: each id lands in exactly
+    * one batch with deterministic codes). */
+  def compactPqIndex(spark: SparkSession, path: String): Unit =
+    foldBatchDirs(spark, path, "id LONG, codes ARRAY<INT>, cell INT",
+      dedupKeys = Seq("id"), partitionCols = Seq("cell"))
+
   /** Streaming MinHash-LSH index maintenance — the text-space twin of
     * [[ivfIndexStream]]: each micro-batch of documents is shingled,
     * min-hashed and banded (the [[graft.operators.DedupOps.writeMinHashIndex]]
