@@ -2109,6 +2109,15 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    "g_mixture_temp" -> { (s, dir) => // temperature-scaled mixture
+      // (alpha = 0.75 via two nested sqrts — IEEE-exact in both engines,
+      // unlike a libm pow): per-source rates + realized sample sizes
+      CurationOps.temperatureSample(Tables.documents(s, dir), sqrtDepth = 2)
+        .groupBy(col("source"), col("n_docs"), col("rate_ppm"))
+        .agg(count(when(col("sampled"), 1)).as("n_sampled"))
+        .orderBy(col("source"))
+    },
+
     "g_split_stratified" -> { (s, dir) => // deterministic train/val/test split
       CurationOps.stratifiedSplit(Tables.documents(s, dir))
         .orderBy(col("lang"), col("split"))
@@ -4240,12 +4249,29 @@ object SparkEntry {
         |FROM bins GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "g_mixture_sample" ->
+      // rate normalized at the RAREST stratum (n_min): kept counts follow
+      // sqrt(n_s); a prior n_max formulation degenerated to rate = 1
       """WITH c AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |r AS (
         |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        |         least(1000000, CAST(floor(sqrt(CAST((SELECT max(n_docs) FROM c) AS DOUBLE) /
+        |         least(1000000, CAST(floor(sqrt(CAST((SELECT min(n_docs) FROM c) AS DOUBLE) /
         |                                        CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)) AS rate_ppm
+        |  FROM c)
+        |SELECT r.source, r.n_docs, r.rate_ppm,
+        |       count(CASE WHEN d.doc_id % 1000000 < r.rate_ppm THEN 1 END) AS n_sampled
+        |FROM documents d JOIN r ON d.source = r.source
+        |GROUP BY 1, 2, 3 ORDER BY r.source""".stripMargin,
+
+    "g_mixture_temp" ->
+      // temperature depth 2: rate = (n_min/n_s)^(1/4) via nested sqrt —
+      // kept counts follow n_s^0.75
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |         least(1000000, CAST(floor(sqrt(sqrt(CAST((SELECT min(n_docs) FROM c) AS DOUBLE) /
+        |                                             CAST(n_docs AS DOUBLE))) * 1000000) AS BIGINT)) AS rate_ppm
         |  FROM c)
         |SELECT r.source, r.n_docs, r.rate_ppm,
         |       count(CASE WHEN d.doc_id % 1000000 < r.rate_ppm THEN 1 END) AS n_sampled

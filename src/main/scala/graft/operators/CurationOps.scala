@@ -316,13 +316,18 @@ object CurationOps {
 
   /** Deterministic alpha-mixture sampling (alpha = 0.5): re-weight a
     * multi-source corpus so expected per-stratum counts follow
-    * n_s^alpha instead of n_s — the standard rare-source upsampling /
+    * n_s^alpha instead of n_s — the standard rare-source upweighting /
     * dominant-source downsampling pass of multilingual training mixes.
-    * Acceptance rate r_s = sqrt(n_max / n_s) clamped to 1 (rarest strata
-    * keep everything); acceptance is a MODULUS on the id, not an RNG, so
-    * the sample is stable across runs, engines and partitionings, and the
-    * whole pass is two shuffles (per-stratum counts + the rate join — the
-    * counts frame is strata-cardinality, AQE broadcasts it).
+    * Acceptance rate r_s = sqrt(n_min / n_s), normalized at the RAREST
+    * stratum (which keeps everything): kept_s = n_s * r_s =
+    * sqrt(n_min * n_s) ∝ sqrt(n_s). (A prior revision normalized at
+    * n_max, putting every ratio >= 1 — the clamp absorbed it and NOTHING
+    * was ever dropped on any input; the uniform per-source counts of the
+    * test corpus made the oracle blind to it. The clamp stays as a
+    * belt-and-suspenders.) Acceptance is a MODULUS on the id, not an RNG,
+    * so the sample is stable across runs, engines and partitionings, and
+    * the whole pass is two shuffles (per-stratum counts + the rate join —
+    * the counts frame is strata-cardinality, AQE broadcasts it).
     *
     * sqrt, not pow(x, 0.5): sqrt is IEEE-exact and bit-identical in every
     * engine, pow is libm-dependent — the floor(r * 1e6) ppm boundary must
@@ -331,14 +336,30 @@ object CurationOps {
       docs: DataFrame,
       stratumCol: String = "source",
       idCol: String = "doc_id",
+      ppmModulus: Int = 1000000): DataFrame =
+    temperatureSample(docs, sqrtDepth = 1, stratumCol, idCol, ppmModulus)
+
+  /** Temperature-scaled mixture sampling, generalizing [[mixtureSample]]:
+    * expected kept counts follow n_s^alpha with alpha = 1 - 1/2^sqrtDepth
+    * (depth 1 = the alpha-0.5 mix; depth 2 = alpha 0.75 — gentler; each
+    * extra depth halves the flattening). The exponent is realized as
+    * sqrtDepth NESTED sqrts of n_min/n_s — every step IEEE-exact and
+    * bit-identical across engines, where a pow() call is libm-dependent
+    * (the ppm floor boundary must not flip between engines). Same
+    * id-modulus acceptance and two-shuffle plan as [[mixtureSample]]. */
+  def temperatureSample(
+      docs: DataFrame,
+      sqrtDepth: Int,
+      stratumCol: String = "source",
+      idCol: String = "doc_id",
       ppmModulus: Int = 1000000): DataFrame = {
+    require(sqrtDepth >= 1, "sqrtDepth must be >= 1")
     val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
-    val nMax = counts.agg(max(col("n_docs")).as("n_max"))
-    val rates = counts.crossJoin(nMax)
-      .withColumn("rate_ppm",
-        least(lit(ppmModulus.toLong),
-          floor(sqrt(col("n_max").cast("double") / col("n_docs").cast("double"))
-            * ppmModulus)))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_docs").cast("double")
+    val r = (1 to sqrtDepth).foldLeft(ratio)((c, _) => sqrt(c))
+    val rates = counts.crossJoin(nMin)
+      .withColumn("rate_ppm", least(lit(ppmModulus.toLong), floor(r * ppmModulus)))
       .select(col(stratumCol), col("n_docs"), col("rate_ppm"))
     docs.join(rates, Seq(stratumCol))
       .withColumn("sampled", pmod(col(idCol), lit(ppmModulus)) < col("rate_ppm"))

@@ -756,6 +756,56 @@ object SimilarityOps {
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .partitionBy("cell").parquet(path)
+    // geometry sidecar (after the data: ErrorIfExists must still see a
+    // fresh path) — probes assert against it, so a mis-parameterized
+    // probe fails loudly instead of silently mis-decoding codes
+    writePqMeta(embeddings.sparkSession, path, centroids, codebooks)
+  }
+
+  /** The (k, m, c, subDim) geometry sidecar shared by the flat and
+    * streamed PQ layouts. Same-shape value drift (different centroid or
+    * codeword VALUES) is undetectable from geometry — codebooks are the
+    * caller's versioned model state, the kmeansStream seed contract. */
+  private[graft] def writePqMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]]): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(
+      (s"""{"k":${centroids.size},"m":${codebooks.size},""" +
+        s""""c":${codebooks.headOption.map(_.size).getOrElse(0)},""" +
+        s""""subDim":${codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0)}}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Assert the caller's PQ geometry against the index's `_meta.json`
+    * (no-op when the sidecar is absent — pre-sidecar indexes). A probe or
+    * landing with a different (k, m, c, subDim) than the index was built
+    * with silently mis-buckets / mis-decodes; fail loudly instead. */
+  private[graft] def assertPqMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
+      op: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): Option[Long] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val want = Seq(
+        "k" -> centroids.size.toLong,
+        "m" -> codebooks.size.toLong,
+        "c" -> codebooks.headOption.map(_.size).getOrElse(0).toLong,
+        "subDim" -> codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0).toLong)
+      val bad = want.flatMap { case (n, v) =>
+        field(n).filter(_ != v).map(rec => s"$n: index=$rec caller=$v")
+      }
+      require(bad.isEmpty,
+        s"$op geometry disagrees with the index at $path " +
+          s"(${bad.mkString(", ")}) — probing/landing with drifted parameters " +
+          "would silently mis-bucket; use the index's geometry or rebuild")
+    }
   }
 
   /** ADC top-k against the persisted [[writePqIndex]] layout: the
@@ -773,6 +823,7 @@ object SimilarityOps {
       k: Int,
       nProbe: Int = 2,
       idCol: String = "vec_id"): DataFrame = {
+    assertPqMeta(spark, path, centroids, codebooks, "pqTopKIndexed")
     val probes = probeCellsOf(centroids, queryVec, nProbe)
     pqTopK(
       spark.read.parquet(path).filter(col("cell").isin(probes: _*)),

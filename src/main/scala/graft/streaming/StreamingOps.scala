@@ -426,9 +426,10 @@ object StreamingOps {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, p, batchId, "pqIndexStream", path)
-    assertPqMeta(f, p, centroids, codebooks, path)
-    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
-    if (!f.exists(meta)) writeFile(f, meta, pqMetaJson(centroids, codebooks))
+    graft.operators.SimilarityOps.assertPqMeta(s, path, centroids, codebooks, "pqIndexStream")
+    // sidecar BEFORE the first landing (the lshBatch crash-window rule)
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
+      graft.operators.SimilarityOps.writePqMeta(s, path, centroids, codebooks)
     writePqCells(batch, centroids, codebooks, s"$path/__batch=$batchId", idCol, vecCol)
   }
 
@@ -441,8 +442,8 @@ object StreamingOps {
     val f = p.getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(p, "__batch=-1")
     require(!f.exists(dir), s"$dir already exists — pqIndexBase bootstraps once")
-    writeFile(f, new org.apache.hadoop.fs.Path(p, "_meta.json"),
-      pqMetaJson(centroids, codebooks))
+    graft.operators.SimilarityOps.writePqMeta(
+      embeddings.sparkSession, path, centroids, codebooks)
     writePqCells(embeddings, centroids, codebooks, dir.toString, idCol, vecCol)
   }
 
@@ -458,37 +459,6 @@ object StreamingOps {
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(dir)
-  }
-
-  private def pqMetaJson(centroids: Seq[(Int, Seq[Double])],
-      codebooks: Seq[Seq[(Int, Seq[Double])]]): Array[Byte] =
-    (s"""{"k":${centroids.size},"m":${codebooks.size},""" +
-      s""""c":${codebooks.headOption.map(_.size).getOrElse(0)},""" +
-      s""""subDim":${codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0)}}""")
-      .getBytes("UTF-8")
-
-  private def assertPqMeta(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, centroids: Seq[(Int, Seq[Double])],
-      codebooks: Seq[Seq[(Int, Seq[Double])]], path: String): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
-    if (f.exists(meta)) {
-      val in = f.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(name: String): Option[Long] =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val want = Seq(
-        "k" -> centroids.size.toLong,
-        "m" -> codebooks.size.toLong,
-        "c" -> codebooks.headOption.map(_.size).getOrElse(0).toLong,
-        "subDim" -> codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0).toLong)
-      val bad = want.flatMap { case (n, v) =>
-        field(n).filter(_ != v).map(rec => s"$n: index=$rec caller=$v")
-      }
-      require(bad.isEmpty,
-        s"pqIndexStream geometry disagrees with the index at $path " +
-          s"(${bad.mkString(", ")}) — probing/landing with drifted parameters " +
-          "would silently mis-bucket; restart with the index's geometry or rebuild")
-    }
   }
 
   /** Fold [[pqIndexStream]]'s per-batch deltas into the `__batch=-1`

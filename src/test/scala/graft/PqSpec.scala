@@ -140,6 +140,21 @@ class PqSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains(s"cell=${probed.head}")))
   }
 
+  test("pqTopKIndexed refuses a probe whose geometry drifted from the index sidecar") {
+    val cents = (1 to C).map(cid =>
+      (cid, (0 until Dim).map(j => if ((cid * 5 + j * 3) % 2 == 0) 1.0 else -1.0)))
+    val emb = vecsDf(10).select(col("id").as("vec_id"), col("v").as("embedding"))
+    val path = s"${tmpDir()}/pqidx"
+    SimilarityOps.writePqIndex(emb, cents, codebooks, path)
+    // a 2-subspace probe against the 4-subspace index must fail loudly
+    val drifted = (0 until M / 2).map(s => (1 to C).map(cid =>
+      (cid, (0 until Dim / (M / 2)).map(j => if ((s + cid + j) % 2 == 0) 1.0 else -1.0))))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.pqTopKIndexed(spark, path, cents, drifted, vec(999), k = 5, nProbe = 1)
+    }
+    assert(e.getMessage.contains("geometry disagrees"))
+  }
+
   test("pqEncode rejects ragged or non-consecutive codebooks") {
     val bad = codebooks.updated(0, Seq((2, codeword(0, 2)), (3, codeword(0, 3))))
     intercept[IllegalArgumentException] {

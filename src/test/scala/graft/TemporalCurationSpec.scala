@@ -332,6 +332,38 @@ class TemporalCurationSpec extends SparkSpec {
     assert(got == Seq((29L, 1), (59L, 2), (89L, 3)))
   }
 
+  // ---- CurationOps.mixtureSample / temperatureSample -------------------
+
+  test("mixtureSample actually downsamples a dominant stratum (skewed counts)") {
+    // 10 rare docs vs 1000 dominant: rate_rare = 1, rate_dom = sqrt(1/100)
+    val docs = ((0 until 10).map(i => (i.toLong, "rare")) ++
+      (10 until 1010).map(i => (i.toLong, "dom"))).toDF("doc_id", "source")
+    val rates = CurationOps.mixtureSample(docs)
+      .select("source", "n_docs", "rate_ppm").distinct()
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("rare") == (10L, 1000000L), "the rarest stratum keeps everything")
+    assert(rates("dom") == (1000L, math.floor(math.sqrt(10.0 / 1000.0) * 1e6).toLong),
+      "the dominant stratum must be downsampled toward sqrt(n)")
+    // kept counts match the id-modulus rule exactly
+    val kept = CurationOps.mixtureSample(docs).filter(col("sampled"))
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val domRate = rates("dom")._2
+    assert(kept("rare") == 10L)
+    assert(kept("dom") == (10L until 1010L).count(id => id % 1000000L < domRate))
+  }
+
+  test("temperatureSample: deeper sqrt depth flattens less (higher dominant rate)") {
+    val docs = ((0 until 10).map(i => (i.toLong, "rare")) ++
+      (10 until 1010).map(i => (i.toLong, "dom"))).toDF("doc_id", "source")
+    def domRate(depth: Int): Long = CurationOps.temperatureSample(docs, depth)
+      .filter(col("source") === "dom")
+      .select("rate_ppm").distinct().head().getLong(0)
+    val r1 = domRate(1); val r2 = domRate(2); val r3 = domRate(3)
+    assert(r1 < r2 && r2 < r3 && r3 < 1000000L,
+      s"rates must rise with depth and stay below 1: $r1, $r2, $r3")
+    assert(r2 == math.floor(math.sqrt(math.sqrt(10.0 / 1000.0)) * 1e6).toLong)
+  }
+
   // ---- CurationOps.datasetCard ----------------------------------------
 
   test("datasetCard: hand-computed fixture, bit-identical across partitionings") {
