@@ -1524,6 +1524,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_cdc_chunks" -> { (s, dir) => // content-defined chunking dedup
+      // report: rolling-fingerprint boundaries (w=3 windows, divisor 8),
+      // corpus-wide chunk occurrence counts, per-doc dup totals. String
+      // mode for the oracle; hashed=true is the same plan with 8-byte
+      // keys through the occurrence shuffle. Shift-resistance (the point
+      // of CDC vs fixed stride) is spec-pinned.
+      DedupOps.cdcChunkStats(Tables.documents(s, dir), w = 3, divisor = 8)
+        .orderBy(col("doc_id"))
+    },
+
     "g_dup_passages" -> { (s, dir) => // cross-doc duplicated-passage
       // fraction per doc (shingle-level dedup companion); string-shingle
       // mode so DuckDB recomputes the identical counts — hashed mode is
@@ -3299,6 +3309,32 @@ object SparkEntry {
         |      FROM s JOIN c USING (source))
         |SELECT doc_id, source, q_score, rank FROM r WHERE rank <= quota
         |ORDER BY doc_id""".stripMargin,
+
+    "g_cdc_chunks" ->
+      // replay: token windows, the (acc*31+code) mod 1e9+7 fold over the
+      // 3-token shingle string, boundary = fp % 8 == 0 at pos > 0, a
+      // running boundary sum as the chunk id, then occurrence counting
+      """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks FROM t),
+        |x AS (SELECT doc_id, pos, toks[pos+1] AS tok,
+        |        CASE WHEN pos + 3 <= len(toks) AND pos > 0 THEN
+        |          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, length(array_to_string(toks[pos+1:pos+3], ' '))+1),
+        |               i -> CAST(unicode(array_to_string(toks[pos+1:pos+3], ' ')[i]) AS BIGINT))),
+        |             (acc, c) -> (acc*31 + c) % 1000000007) % 8 = 0)
+        |        ELSE false END AS boundary
+        |      FROM p),
+        |c AS (SELECT doc_id, pos, tok,
+        |        SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+        |      FROM x),
+        |ch AS (SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |       FROM c GROUP BY doc_id, chunk_idx),
+        |o AS (SELECT chunk_text, count(*) AS occ FROM ch GROUP BY chunk_text)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(CASE WHEN o.occ >= 2 THEN 1 END) AS BIGINT) AS n_dup_chunks
+        |FROM ch JOIN o USING (chunk_text)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
 
     "g_dup_passages" ->
       // distinct 3-token shingles per doc (short docs = whole text, the

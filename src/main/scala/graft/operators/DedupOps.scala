@@ -649,6 +649,79 @@ object DedupOps {
     * partitions on the 8-byte xxhash64 instead of the full string — same
     * keep-set unless 64-bit collision) + one groupBy on doc id; per-doc
     * state is bounded by document length. Never all-pairs. */
+  /** Content-defined chunking (CDC): split each document at token
+    * positions where the polynomial fingerprint of the w-token window
+    * STARTING there divides `divisor` — the rsync/LBFS boundary rule
+    * lifted to tokens. Because a boundary depends only on its local
+    * window, inserting or deleting tokens early in a document shifts
+    * FIXED-STRIDE chunk frames everywhere downstream but leaves CDC
+    * boundaries (and so the chunks between them) intact — the
+    * shift-resistance that chunk-level dedup of mutated/prepended
+    * payloads rests on (spec-pinned against the stride chunker).
+    * Expected chunk length ≈ `divisor` tokens.
+    *
+    * One per-doc window pass (lead() shingles + a running boundary sum —
+    * partitions are documents, never the corpus) and one (doc, chunk)
+    * groupBy; the fingerprint is the codegen'd [[graft.plans.PolyFingerprint]]
+    * so the boundary rule replays exactly in ANSI SQL (g_fingerprints_rolling's
+    * identity). Output: (id, chunk_idx, chunk_text) — the
+    * [[paragraphDedup]] input contract, so CDC-dedup with document
+    * reconstruction is the direct composition
+    * `paragraphDedup(cdcChunks(docs), idxCol = "chunk_idx", paraCol = "chunk_text")`. */
+  def cdcChunks(
+      docs: DataFrame,
+      w: Int = 3,
+      divisor: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 1 && divisor >= 1, "w and divisor must be >= 1")
+    GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(col(idCol),
+      posexplode(TextFns.tokens(coalesce(col(textCol), lit("")))).as(Seq("pos", "tok")))
+    val wl = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val shingle = concat_ws(" ",
+      (0 until w).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(wl)): _*)
+    val complete =
+      if (w == 1) lit(true) else lead(col("tok"), w - 1).over(wl).isNotNull
+    val boundary = complete && col("pos") > 0 &&
+      GraftFunctions.polyFp(shingle) % divisor === 0
+    toks
+      .withColumn("__b", when(boundary, 1L).otherwise(0L))
+      .withColumn("chunk_idx",
+        sum(col("__b")).over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos").as("i"), col("tok").as("p")))),
+          x => x.getField("p")),
+        " ").as("chunk_text"))
+  }
+
+  /** Corpus-wide CDC duplication report: chunk every document
+    * ([[cdcChunks]]), count content occurrences across the corpus, and
+    * report per document how many of its chunks are duplicated anywhere
+    * (including within itself). `hashed = true` ships the 8-byte xxhash64
+    * of the chunk through the occurrence shuffle instead of the text —
+    * the 100 TB mode; string mode replays in the oracle. Plan: the
+    * cdcChunks window + two keyed aggregations and a chunk-keyed join —
+    * never all-pairs. */
+  def cdcChunkStats(
+      docs: DataFrame,
+      w: Int = 3,
+      divisor: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashed: Boolean = false): DataFrame = {
+    val chunks = cdcChunks(docs, w, divisor, idCol, textCol)
+      .withColumn("__key", if (hashed) xxhash64(col("chunk_text")) else col("chunk_text"))
+    val occ = chunks.groupBy(col("__key")).agg(count(lit(1)).as("__occ"))
+    chunks.join(occ, "__key")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__occ") >= 2, true)).as("n_dup_chunks"))
+  }
+
   def paragraphDedup(
       paras: DataFrame,
       idCol: String = "doc_id",

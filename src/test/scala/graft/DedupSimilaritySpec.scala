@@ -14,6 +14,43 @@ class DedupSimilaritySpec extends SparkSpec {
     (5L, "de", "der schnelle braune fuchs springt ueber den hund", 48L),
   ).toDF("doc_id", "lang", "text", "n_chars")
 
+  test("CDC chunking is shift-resistant where fixed-stride chunking is not") {
+    // doc 2 = a 3-token junk prefix + doc 1's text verbatim. CDC
+    // boundaries depend only on local windows, so once past the prefix
+    // the two docs chunk identically; fixed-stride frames are all offset
+    // by 3 and share (almost) nothing.
+    val base = (0 until 64).map(i => s"tok${(i * 7) % 23}x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"junkA junkB junkC $base")).toDF("doc_id", "text")
+    def shared(chunks: org.apache.spark.sql.DataFrame, textCol: String): Long = {
+      val c1 = chunks.filter(col("doc_id") === 1).select(col(textCol)).distinct()
+      val c2 = chunks.filter(col("doc_id") === 2).select(col(textCol)).distinct()
+      c1.intersect(c2).count()
+    }
+    val cdc = DedupOps.cdcChunks(docs, w = 3, divisor = 4)
+    val cdcShared = shared(cdc, "chunk_text")
+    val cdcTotal = cdc.filter(col("doc_id") === 1).count()
+    val stride = graft.operators.TextOps.chunkTokens(docs, 8, 8)
+    val strideShared = shared(stride, "chunk_text")
+    assert(cdcTotal >= 3, s"fixture too small to be meaningful: $cdcTotal chunks")
+    assert(cdcShared * 2 >= cdcTotal,
+      s"CDC must re-find most chunks after a prefix shift ($cdcShared of $cdcTotal)")
+    assert(strideShared == 0,
+      s"stride chunks should all be offset by the prefix, got $strideShared shared")
+    assert(cdcShared > strideShared)
+  }
+
+  test("CDC-dedup composition: paragraphDedup over cdcChunks drops the shifted duplicate's chunks") {
+    val base = (0 until 64).map(i => s"tok${(i * 7) % 23}x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"junkA junkB junkC $base")).toDF("doc_id", "text")
+    val out = DedupOps.paragraphDedup(
+        DedupOps.cdcChunks(docs, w = 3, divisor = 4),
+        idxCol = "chunk_idx", paraCol = "chunk_text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+    assert(out(1L)._2 == 0, "the first document keeps everything")
+    assert(out(2L)._2 > 0, "the shifted duplicate must lose its re-found chunks")
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val got = DedupOps.exact(docsDf()).orderBy("keep_id")
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq
