@@ -1524,6 +1524,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_cdc_binary" -> { (s, dir) => // BYTE-level CDC dedup over the
+      // multimodal binary column (the native rolling-hash kernel —
+      // graft_cdc_boundaries — then map-only chunk extraction and
+      // content-keyed occurrence counting). The text corpus as utf-8
+      // bytes is the oracle-replayable stand-in (byte == codepoint on
+      // ASCII, the g_multimodal_decode precedent); real binary payloads
+      // are gated by the driver-reference spec instead.
+      MultimodalOps.cdcByteStats(
+          MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
+          w = 8, divisor = 16)
+        .orderBy(col("media_id"))
+    },
+
     "g_cdc_chunks" -> { (s, dir) => // content-defined chunking dedup
       // report: rolling-fingerprint boundaries (w=3 windows, divisor 8),
       // corpus-wide chunk occurrence counts, per-doc dup totals. String
@@ -3309,6 +3322,34 @@ object SparkEntry {
         |      FROM s JOIN c USING (source))
         |SELECT doc_id, source, q_score, rank FROM r WHERE rank <= quota
         |ORDER BY doc_id""".stripMargin,
+
+    "g_cdc_binary" ->
+      // replay at byte granularity: the (acc*31+byte) fold over each
+      // 8-byte window (byte == codepoint on this ASCII corpus), boundary
+      // = fp % 16 == 0 at pos > 0, running-sum chunk ids, then exact
+      // content-keyed occurrence counting — identical chunking to the
+      // [start, end)-range formulation the engine derives from the
+      // boundary array
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        |p AS (SELECT doc_id, s, unnest(range(length(s))) AS pos FROM t WHERE length(s) > 0),
+        |x AS (SELECT doc_id, pos, s[pos+1] AS ch,
+        |        CASE WHEN pos > 0 AND pos + 8 <= length(s) THEN
+        |          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, 9), i -> CAST(unicode(s[pos+i]) AS BIGINT))),
+        |             (acc, c) -> (acc*31 + c) % 1000000007) % 16 = 0)
+        |        ELSE false END AS boundary
+        |      FROM p),
+        |c AS (SELECT doc_id, pos, ch,
+        |        SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+        |      FROM x),
+        |ch2 AS (SELECT doc_id, chunk_idx, string_agg(ch, '' ORDER BY pos) AS chunk_text
+        |        FROM c GROUP BY doc_id, chunk_idx),
+        |o AS (SELECT chunk_text, count(*) AS occ FROM ch2 GROUP BY chunk_text)
+        |SELECT ch2.doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(CASE WHEN o.occ >= 2 THEN 1 END) AS BIGINT) AS n_dup_chunks
+        |FROM ch2 JOIN o USING (chunk_text)
+        |GROUP BY ch2.doc_id ORDER BY media_id""".stripMargin,
 
     "g_cdc_chunks" ->
       // replay: token windows, the (acc*31+code) mod 1e9+7 fold over the

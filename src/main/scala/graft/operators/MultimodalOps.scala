@@ -86,6 +86,59 @@ object MultimodalOps {
         col("content").substr(lit(1), lit(targetBytes)),
         lit(targetBytes), lit(Array[Byte](0))).as("content_resized"))
 
+  /** Byte-level content-defined chunking of the binary payload — the
+    * multimodal dedup primitive: chunk frames survive container
+    * prepends/re-muxes that shift every fixed-offset frame (the token
+    * twin with the full rationale is [[DedupOps.cdcChunks]]). Boundaries
+    * come from the native O(n) rolling kernel
+    * [[graft.plans.CdcBoundaries]]; chunk extraction is then a pure
+    * codegen projection (boundary array -> [start, end) ranges ->
+    * substring) — the whole pass is map-only, no exchange at any corpus
+    * size. Media rows with NULL or empty payloads produce no chunks.
+    * Output: (id, chunk_idx, chunk_bytes). */
+  def cdcByteChunks(
+      media: DataFrame,
+      w: Int = 8,
+      divisor: Int = 16,
+      idCol: String = "media_id",
+      binCol: String = "content"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val bnds = graft.plans.GraftFunctions.cdcBoundaries(col(binCol), w, divisor)
+    media
+      .filter(octet_length(col(binCol)) > 0)
+      .select(col(idCol), col(binCol),
+        posexplode(zip_with(
+          concat(array(lit(0)), bnds),
+          concat(bnds, array(octet_length(col(binCol)))),
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("chunk_idx", "r")))
+      .select(col(idCol), col("chunk_idx"),
+        call_function("substring",
+          col(binCol), col("r.s") + 1, col("r.e") - col("r.s")).as("chunk_bytes"))
+  }
+
+  /** Corpus-wide byte-CDC duplication report ([[DedupOps.cdcChunkStats]]'s
+    * binary twin): per media row, how many of its CDC chunks occur >= 2
+    * times anywhere in the corpus. Occurrence identity is the chunk BYTES
+    * themselves by default (both engines compare exact content — no hash
+    * collision seam in the oracle); `hashed = true` ships the 8-byte
+    * xxhash64 instead — the 100 TB mode. */
+  def cdcByteStats(
+      media: DataFrame,
+      w: Int = 8,
+      divisor: Int = 16,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      hashed: Boolean = false): DataFrame = {
+    val chunks = cdcByteChunks(media, w, divisor, idCol, binCol)
+      .withColumn("__key", if (hashed) xxhash64(col("chunk_bytes")) else col("chunk_bytes"))
+    val occ = chunks.groupBy(col("__key")).agg(count(lit(1)).as("__occ"))
+    chunks.join(occ, "__key")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__occ") >= 2, true)).as("n_dup_chunks"))
+  }
+
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */
   def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {

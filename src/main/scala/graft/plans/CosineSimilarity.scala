@@ -96,7 +96,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(cosineDescription, IntersectionSize.description, PolyFingerprint.description,
-        Fnv64.description, BloomBuildAgg.description, BloomMightContain.description)
+        Fnv64.description, BloomBuildAgg.description, BloomMightContain.description,
+        CdcBoundaries.description)
       .foreach { d =>
         if (!registry.functionExists(d._1)) {
           registry.registerFunction(d._1, d._2, d._3)
@@ -125,4 +126,8 @@ object GraftFunctions {
 
   def bloomMightContain(sketch: Column, key: Column): Column =
     org.apache.spark.sql.functions.call_function(BloomMightContain.Name, sketch, key)
+
+  def cdcBoundaries(bin: Column, w: Int, divisor: Int): Column =
+    org.apache.spark.sql.functions.call_function(CdcBoundaries.Name, bin,
+      org.apache.spark.sql.functions.lit(w), org.apache.spark.sql.functions.lit(divisor))
 }

@@ -47,6 +47,37 @@ class CodegenCompileSpec extends SparkSpec {
     }
   }
 
+  test("CdcBoundaries generated code compiles; rolling == per-window recompute; matches eval") {
+    import graft.plans.CdcBoundaries
+    import org.apache.spark.sql.types.BinaryType
+    val w = 5; val div = 4
+    val expr = CdcBoundaries(BoundReference(0, BinaryType, nullable = true), w, div)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on Janino failure
+    // real binary incl. negative bytes, zeros, and lengths around w
+    val cases = Seq(
+      Array.emptyByteArray,
+      Array[Byte](1, 2, 3),
+      Array.tabulate(4)(i => i.toByte),
+      Array.tabulate(200)(i => ((i * 131 + 17) % 256).toByte),
+      Array.tabulate(64)(_ => 0.toByte),
+      Array.tabulate(97)(i => (255 - i % 256).toByte))
+    def refBoundaries(bytes: Array[Byte]): Seq[Int] = {
+      val P = 1000000007L
+      (1 to bytes.length - w).filter { p =>
+        var h = 0L
+        (0 until w).foreach(j => h = (h * 31L + (bytes(p + j) & 0xFF)) % P)
+        h % div == 0
+      }
+    }
+    for (bytes <- cases) {
+      val row = InternalRow(bytes)
+      val got = proj(row).getArray(0).toIntArray().toSeq
+      assert(got == refBoundaries(bytes), s"codegen mismatch on len ${bytes.length}")
+      assert(expr.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq == got, s"eval/codegen divergence on len ${bytes.length}")
+    }
+  }
+
   test("two kernel instances in one projection compile (locals block-scoped, non-nullable child)") {
     // non-nullable children: nullSafeCodeGen emits the kernel body without
     // an if-wrapper, so without explicit braces the fixed-name locals of

@@ -51,6 +51,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2L)._2 > 0, "the shifted duplicate must lose its re-found chunks")
   }
 
+  test("byte-CDC on binary payloads: shift resistance and dup counting on real bytes") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    // payload 2 = 7 junk bytes + payload 1 verbatim (non-UTF8 bytes included)
+    val base = Array.tabulate(300)(i => ((i * 73 + 19) % 256).toByte)
+    val shifted = Array[Byte](-1, 0, 77, -128, 5, 9, 33) ++ base
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, base),
+        org.apache.spark.sql.Row(2L, shifted)),
+      StructType(Seq(StructField("media_id", LongType), StructField("content", BinaryType))))
+    val chunks = MultimodalOps.cdcByteChunks(media, w = 5, divisor = 4)
+    val byDoc = chunks.collect().groupBy(_.getAs[Long]("media_id"))
+      .view.mapValues(_.map(_.getAs[Array[Byte]]("chunk_bytes").toSeq).toSet).toMap
+    val sharedFrac = byDoc(1L).intersect(byDoc(2L)).size.toDouble / byDoc(1L).size
+    assert(byDoc(1L).size >= 4, s"fixture too small: ${byDoc(1L).size} chunks")
+    assert(sharedFrac >= 0.5,
+      s"byte-CDC must re-find most chunks after a 7-byte prefix shift ($sharedFrac)")
+    // chunks reassemble the payload exactly (no byte lost or reordered)
+    val rebuilt = chunks.filter(col("media_id") === 2)
+      .orderBy("chunk_idx").collect().flatMap(_.getAs[Array[Byte]]("chunk_bytes"))
+    assert(rebuilt.toSeq == shifted.toSeq, "chunks must partition the payload")
+    // dup stats see the shared chunks (hashed mode == content mode)
+    val stats = MultimodalOps.cdcByteStats(media, w = 5, divisor = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(1L)._2 > 0 && stats(2L)._2 > 0)
+    val hashed = MultimodalOps.cdcByteStats(media, w = 5, divisor = 4, hashed = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashed == stats, "hashed occurrence keys must not change the counts")
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val got = DedupOps.exact(docsDf()).orderBy("keep_id")
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq
