@@ -1524,6 +1524,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_chunk_store" -> { (s, dir) => // content-addressed chunk store
+      // round trip: write the corpus into the dedup STORAGE layout (each
+      // distinct CDC chunk once + per-payload recipes), reassemble every
+      // payload from its recipe, and prove the round trip byte-exact by
+      // digest — the oracle hashes the ORIGINALS, so a green row
+      // certifies write + store-dedup + join + ordered concat end to end.
+      val path = java.nio.file.Files.createTempDirectory("graft_chunkstore_").toString + "/store"
+      MultimodalOps.writeChunkStore(
+        MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)), path)
+      MultimodalOps.readChunkStore(s, path)
+        .select(col("media_id"), md5(col("content")).as("content_md5"))
+        .orderBy(col("media_id"))
+    },
+
     "g_cdc_binary" -> { (s, dir) => // BYTE-level CDC dedup over the
       // multimodal binary column (the native rolling-hash kernel —
       // graft_cdc_boundaries — then map-only chunk extraction and
@@ -3322,6 +3336,13 @@ object SparkEntry {
         |      FROM s JOIN c USING (source))
         |SELECT doc_id, source, q_score, rank FROM r WHERE rank <= quota
         |ORDER BY doc_id""".stripMargin,
+
+    "g_chunk_store" ->
+      // the round-trip truth is just the original corpus digests: equality
+      // certifies the store's write/dedup/reassembly pipeline end-to-end
+      """SELECT doc_id AS media_id, md5(text) AS content_md5
+        |FROM documents WHERE length(coalesce(text, '')) > 0
+        |ORDER BY media_id""".stripMargin,
 
     "g_cdc_binary" ->
       // replay at byte granularity: the (acc*31+byte) fold over each

@@ -139,6 +139,61 @@ object MultimodalOps {
         count(when(col("__occ") >= 2, true)).as("n_dup_chunks"))
   }
 
+  /** Content-addressed chunk store — CDC dedup as STORAGE, not just a
+    * report (the backup/VDO/object-dedup layout): every payload's CDC
+    * chunks land once per distinct content under `path/chunks`
+    * (sha-256-addressed), and each payload keeps only a RECIPE — its
+    * ordered chunk-address list — under `path/recipes`. A corpus of
+    * re-muxed/prepended duplicates stores each shared chunk once; the
+    * recipes table is O(chunks) tiny rows. Writes: the chunker is
+    * map-only ([[cdcByteChunks]]); the store side is one address-keyed
+    * aggregate (bytes identical per address, so any-value is exact), the
+    * recipe side a projection. Reassembly ([[readChunkStore]]) is one
+    * address join + per-payload ordered byte concat — byte-exact
+    * round-trip, oracle-gated end-to-end (g_chunk_store compares content
+    * digests of the reassembled corpus against the originals). */
+  def writeChunkStore(
+      media: DataFrame,
+      path: String,
+      w: Int = 8,
+      divisor: Int = 16,
+      idCol: String = "media_id",
+      binCol: String = "content"): Unit = {
+    val chunks = cdcByteChunks(media, w, divisor, idCol, binCol)
+      .withColumn("addr", sha2(col("chunk_bytes"), 256))
+    chunks.select(col(idCol), col("chunk_idx"), col("addr"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$path/recipes")
+    chunks.groupBy(col("addr"))
+      // all bytes under one address are identical (sha-256 addressing) —
+      // max is a deterministic pick of that one value
+      .agg(max(col("chunk_bytes")).as("chunk_bytes"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$path/chunks")
+  }
+
+  /** Reassemble every payload from a [[writeChunkStore]] layout:
+    * recipes join the chunk store on the address (the store side is the
+    * DISTINCT chunk set — at high dedup ratios far smaller than the
+    * corpus), then one per-payload ordered concat. Byte-exact by
+    * construction. */
+  def readChunkStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String = "media_id"): DataFrame = {
+    val recipes = spark.read.parquet(s"$path/recipes")
+    val store = spark.read.parquet(s"$path/chunks")
+    recipes.join(store, "addr")
+      .groupBy(col(idCol))
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx").as("i"), col("chunk_bytes").as("b")))),
+            x => x.getField("b")),
+          lit(Array.emptyByteArray),
+          (acc, b) => concat(acc, b)).as("content"))
+  }
+
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */
   def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {

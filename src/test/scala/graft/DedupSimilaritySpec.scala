@@ -81,6 +81,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hashed == stats, "hashed occurrence keys must not change the counts")
   }
 
+  test("chunk store: duplicated payloads share storage; round trip is byte-exact") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val base = Array.tabulate(400)(i => ((i * 73 + 19) % 256).toByte)
+    val rows: Seq[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(1L, base),
+      org.apache.spark.sql.Row(2L, Array[Byte](9, -3, 0) ++ base), // prefixed dup
+      org.apache.spark.sql.Row(3L, base.map(b => (b ^ 0x55).toByte))) // unrelated
+    val media = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      StructType(Seq(StructField("media_id", LongType), StructField("content", BinaryType))))
+    val path = s"${tmpDir()}/store"
+    MultimodalOps.writeChunkStore(media, path, w = 5, divisor = 4)
+    // storage dedup: distinct chunk bytes < total chunk references
+    val nRefs = spark.read.parquet(s"$path/recipes").count()
+    val nStored = spark.read.parquet(s"$path/chunks").count()
+    assert(nStored < nRefs, s"no dedup: $nStored stored vs $nRefs refs")
+    val storedBytes = spark.read.parquet(s"$path/chunks")
+      .agg(sum(octet_length(col("chunk_bytes")))).head().getLong(0)
+    val rawBytes = rows.map(_.getAs[Array[Byte]](1).length.toLong).sum
+    assert(storedBytes < rawBytes,
+      s"store must be smaller than the raw corpus: $storedBytes vs $rawBytes")
+    // byte-exact reassembly of every payload, including the non-UTF8 ones
+    val back = MultimodalOps.readChunkStore(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    rows.foreach { r =>
+      assert(back(r.getLong(0)) == r.getAs[Array[Byte]](1).toSeq,
+        s"payload ${r.getLong(0)} did not round-trip")
+    }
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val got = DedupOps.exact(docsDf()).orderBy("keep_id")
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq
