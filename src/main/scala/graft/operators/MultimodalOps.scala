@@ -194,6 +194,68 @@ object MultimodalOps {
           (acc, b) => concat(acc, b)).as("content"))
   }
 
+  /** Delete payloads from a [[writeChunkStore]] layout and reclaim
+    * unreferenced chunks — the reference-count GC every content-addressed
+    * store needs (shared chunks survive as long as ANY recipe references
+    * them). Two anti/semi joins, both keyed: recipes drop the deleted
+    * ids, then the chunk store keeps only addresses the REWRITTEN recipes
+    * still reference. Ordering is the safety argument: recipes shrink
+    * first, chunks prune against the new recipes — at every crash point
+    * the chunk set is a SUPERSET of what live recipes need, so kept
+    * payloads always reassemble; a crash merely leaves orphans, and
+    * rerunning (even with no deletes) is the orphan vacuum. In-place
+    * rewrite ⇒ the plain-tier single-mutator contract
+    * ([[graft.sources.Storage.deleteAndRewrite]]); a store that must
+    * compose with concurrent readers goes through the Generations MVCC
+    * tier like any other table. */
+  def deleteFromChunkStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deleteIds: DataFrame,
+      idCol: String = "media_id"): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val keptRecipes = spark.read.parquet(s"$path/recipes")
+      .join(deleteIds.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    keptRecipes.write.mode(SaveMode.Overwrite).parquet(s"$path/recipes")
+    val keptChunks = spark.read.parquet(s"$path/chunks")
+      .join(spark.read.parquet(s"$path/recipes").select(col("addr")).distinct(),
+        Seq("addr"), "left_semi")
+      .localCheckpoint(true)
+    keptChunks.write.mode(SaveMode.Overwrite).parquet(s"$path/chunks")
+  }
+
+  /** Append a new batch of payloads to an existing [[writeChunkStore]]
+    * layout: recipes append; the chunk store receives only addresses it
+    * does not already hold (one anti-join against the store — at high
+    * dedup ratios the increment's novel-chunk set is a sliver of its
+    * chunk count, which is the point of incremental CAS backup). Chunks
+    * are appended BEFORE recipes: at every crash point recipes reference
+    * only chunks that are already durable (the inverse window would leave
+    * a recipe whose payload cannot reassemble); a chunks-landed/
+    * recipes-lost crash leaves orphans, which [[deleteFromChunkStore]]'s
+    * rerunnable vacuum reclaims. Duplicate APPENDS of the same media id
+    * are the caller's contract, as for every id-keyed sink. */
+  def appendToChunkStore(
+      media: DataFrame,
+      path: String,
+      w: Int = 8,
+      divisor: Int = 16,
+      idCol: String = "media_id",
+      binCol: String = "content"): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = media.sparkSession
+    val chunks = cdcByteChunks(media, w, divisor, idCol, binCol)
+      .withColumn("addr", sha2(col("chunk_bytes"), 256))
+      .localCheckpoint(true)
+    chunks
+      .groupBy(col("addr")).agg(max(col("chunk_bytes")).as("chunk_bytes"))
+      .join(spark.read.parquet(s"$path/chunks").select(col("addr")), Seq("addr"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(s"$path/chunks")
+    chunks.select(col(idCol), col("chunk_idx"), col("addr"))
+      .write.mode(SaveMode.Append).parquet(s"$path/recipes")
+  }
+
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */
   def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {

@@ -111,6 +111,53 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("chunk store lifecycle: incremental append dedups against the store; GC keeps shared chunks") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (i, b) => org.apache.spark.sql.Row(i, b) }).asJava,
+      StructType(Seq(StructField("media_id", LongType), StructField("content", BinaryType))))
+    val base = Array.tabulate(400)(i => ((i * 73 + 19) % 256).toByte)
+    val other = base.map(b => (b ^ 0x55).toByte)
+    val path = s"${tmpDir()}/store"
+    MultimodalOps.writeChunkStore(mediaOf(Seq(1L -> base)), path, w = 5, divisor = 4)
+    val storedAfterBase = spark.read.parquet(s"$path/chunks").count()
+
+    // incremental append: a prefixed dup of payload 1 plus novel content
+    MultimodalOps.appendToChunkStore(
+      mediaOf(Seq(2L -> (Array[Byte](9, -3, 0) ++ base), 3L -> other)),
+      path, w = 5, divisor = 4)
+    val storedAfterAppend = spark.read.parquet(s"$path/chunks").count()
+    val refs = spark.read.parquet(s"$path/recipes").count()
+    // the store never holds duplicate addresses, and the dup payload
+    // contributed far fewer novel chunks than references
+    assert(spark.read.parquet(s"$path/chunks").select("addr").distinct().count()
+      == storedAfterAppend)
+    assert(storedAfterAppend < refs)
+    assert(storedAfterAppend > storedAfterBase, "novel content must land")
+    def readBack() = MultimodalOps.readChunkStore(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val all = readBack()
+    assert(all(2L) == (Array[Byte](9, -3, 0) ++ base).toSeq && all(3L) == other.toSeq)
+
+    // GC: deleting payload 2 keeps every chunk payload 1 still references
+    import spark.implicits._
+    MultimodalOps.deleteFromChunkStore(spark, path, Seq(2L).toDF("media_id"))
+    val after = readBack()
+    assert(!after.contains(2L) && after(1L) == base.toSeq && after(3L) == other.toSeq)
+    // orphan vacuum: a dangling chunk row is reclaimed by a no-delete rerun
+    val orphan = mediaOf(Seq(9L -> Array.tabulate(40)(i => (i * 7).toByte)))
+    graft.operators.MultimodalOps.cdcByteChunks(orphan, w = 5, divisor = 4)
+      .withColumn("addr", sha2(col("chunk_bytes"), 256))
+      .select(col("addr"), col("chunk_bytes"))
+      .write.mode("append").parquet(s"$path/chunks")
+    val withOrphans = spark.read.parquet(s"$path/chunks").count()
+    MultimodalOps.deleteFromChunkStore(spark, path, spark.emptyDataFrame
+      .withColumn("media_id", lit(null).cast("long")))
+    assert(spark.read.parquet(s"$path/chunks").count() < withOrphans)
+    assert(readBack() == after, "vacuum must not disturb live payloads")
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val got = DedupOps.exact(docsDf()).orderBy("keep_id")
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq
