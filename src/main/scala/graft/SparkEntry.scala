@@ -792,6 +792,28 @@ object SparkEntry {
         fixturePqCodebooks(64), qv, k = 20, nProbe = KmFixtureK)
     },
 
+    "q_stream_store" -> { (s, dir) => // streaming chunk-store ingest,
+      // oracle side: an AvailableNow run of chunkStoreIngest lands the
+      // corpus (as binary payloads) in the leveled CAS layout, and the
+      // reassembled readback must digest-equal the ORIGINALS —
+      // g_chunk_store's end-to-end round-trip contract over the
+      // streaming landing. Cross-batch novel-only dedup, replay, drift
+      // and compaction are ChunkStoreStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_store_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .chunkStoreIngest(MultimodalOps.mediaFromDocuments(src),
+          s"$out/store", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      MultimodalOps.readChunkStore(s, s"$out/store")
+        .select(col("media_id"), md5(col("content")).as("content_md5"))
+        .orderBy(col("media_id"))
+    },
+
     "q_stream_lsh" -> { (s, dir) => // streaming LSH-index maintenance,
       // oracle side: an AvailableNow run of lshIndexStream signs the
       // corpus split into the versioned (band, bucket) layout, and an
@@ -3340,6 +3362,12 @@ object SparkEntry {
     "g_chunk_store" ->
       // the round-trip truth is just the original corpus digests: equality
       // certifies the store's write/dedup/reassembly pipeline end-to-end
+      """SELECT doc_id AS media_id, md5(text) AS content_md5
+        |FROM documents WHERE length(coalesce(text, '')) > 0
+        |ORDER BY media_id""".stripMargin,
+
+    // the streamed landing shares the round-trip truth
+    "q_stream_store" ->
       """SELECT doc_id AS media_id, md5(text) AS content_md5
         |FROM documents WHERE length(coalesce(text, '')) > 0
         |ORDER BY media_id""".stripMargin,

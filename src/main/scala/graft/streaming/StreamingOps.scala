@@ -470,6 +470,105 @@ object StreamingOps {
     foldBatchDirs(spark, path, "id LONG, codes ARRAY<INT>, cell INT",
       dedupKeys = Seq("id"), partitionCols = Seq("cell"))
 
+  /** Streaming content-addressed chunk-store ingest — the CAS-backup
+    * twin of the other versioned sinks: each micro-batch of binary
+    * payloads is CDC-chunked ([[graft.operators.MultimodalOps.cdcByteChunks]],
+    * map-only), its NOVEL chunk contents (anti-join against every
+    * committed level's addresses) land at `chunks/__batch=<id>` and its
+    * recipes at `recipes/__batch=<id>` — so across the stream's lifetime
+    * each distinct chunk is stored once while every payload stays
+    * byte-exactly reassemblable via
+    * [[graft.operators.MultimodalOps.readChunkStore]] (which reads the
+    * leveled layout unchanged through partition discovery).
+    *
+    * Idempotent the established way: both writes are batch-id-derived
+    * Overwrites and the anti-join reads `__batch < id` only, so a
+    * checkpoint-replayed batch recomputes the identical novel set and
+    * rewrites its own directories at any crash point. The `_meta.json`
+    * sidecar pins (w, divisor) — a drifted restart would not corrupt
+    * reassembly (recipes are self-contained) but WOULD silently stop
+    * deduplicating against history (different boundaries ⇒ different
+    * addresses), so it fails loudly like the other parameter contracts.
+    * Payload ids must be unique across the stream's lifetime.
+    * [[compactChunkStore]] folds committed levels. */
+  def chunkStoreIngest(media: DataFrame, path: String, checkpoint: String,
+      w: Int = 8, divisor: Int = 16,
+      idCol: String = "media_id", binCol: String = "content"): DataStreamWriter[Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        storeBatch(batch, batchId, path, w, divisor, idCol, binCol)
+      }
+
+  /** One [[chunkStoreIngest]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def storeBatch(batch: DataFrame, batchId: Long, path: String,
+      w: Int, divisor: Int, idCol: String, binCol: String): Unit = {
+    val s = batch.sparkSession
+    val recipesRoot = new org.apache.hadoop.fs.Path(s"$path/recipes")
+    val f = recipesRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, recipesRoot, batchId, "chunkStoreIngest", path)
+    assertStoreMeta(f, new org.apache.hadoop.fs.Path(path), w, divisor, path)
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    if (!f.exists(meta))
+      writeFile(f, meta, s"""{"w":$w,"divisor":$divisor}""".getBytes("UTF-8"))
+    val chunks = graft.operators.MultimodalOps
+      .cdcByteChunks(batch, w, divisor, idCol, binCol)
+      .withColumn("addr", sha2(col("chunk_bytes"), 256))
+      .localCheckpoint(true)
+    val chunksRoot = new org.apache.hadoop.fs.Path(s"$path/chunks")
+    val priorLevels =
+      if (f.exists(chunksRoot))
+        f.listStatus(chunksRoot).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("__batch="))
+          .filter(_.getName.stripPrefix("__batch=").toLong < batchId)
+      else Seq.empty
+    val novel = chunks
+      .groupBy(col("addr")).agg(max(col("chunk_bytes")).as("chunk_bytes"))
+    val deduped =
+      if (priorLevels.isEmpty) novel
+      else novel.join(
+        s.read.schema("addr STRING, chunk_bytes BINARY")
+          .parquet(priorLevels.map(_.toString): _*).select(col("addr")),
+        Seq("addr"), "left_anti")
+    deduped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/chunks/__batch=$batchId")
+    chunks.select(col(idCol), col("chunk_idx"), col("addr"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/recipes/__batch=$batchId")
+  }
+
+  private def assertStoreMeta(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, w: Int, divisor: Int, path: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): Option[Long] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val bad = Seq("w" -> w.toLong, "divisor" -> divisor.toLong).flatMap { case (n, v) =>
+        field(n).filter(_ != v).map(rec => s"$n: store=$rec caller=$v")
+      }
+      require(bad.isEmpty,
+        s"chunkStoreIngest chunking parameters disagree with the store at $path " +
+          s"(${bad.mkString(", ")}) — a drifted restart silently stops deduplicating " +
+          "against history; restart with the store's parameters or use a fresh path")
+    }
+  }
+
+  /** Fold the committed levels of a [[chunkStoreIngest]] layout — both
+    * sides, the established staged-rename fold with newest-delta
+    * protection. Chunk rows dedup on the address (bytes identical per
+    * address), recipe rows on (id, chunk_idx) (each lands in exactly one
+    * batch with deterministic content). */
+  def compactChunkStore(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, s"$path/chunks", "addr STRING, chunk_bytes BINARY",
+      dedupKeys = Seq("addr"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/recipes", "media_id LONG, chunk_idx INT, addr STRING",
+      dedupKeys = Seq("media_id", "chunk_idx"), partitionCols = Seq.empty)
+  }
+
   /** Streaming MinHash-LSH index maintenance — the text-space twin of
     * [[ivfIndexStream]]: each micro-batch of documents is shingled,
     * min-hashed and banded (the [[graft.operators.DedupOps.writeMinHashIndex]]
