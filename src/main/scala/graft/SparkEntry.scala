@@ -89,6 +89,43 @@ object SparkEntry {
     (0 until PqM).map(s => (1 to PqC).map(cid => (cid, pqCodeword(s, cid, subDim))))
   }
 
+  /** The bitext ratio-margin definition truth, shared by g_bitext_margin
+    * (exact cross product) and g_bitext_ivf (probe-all IVF candidates ==
+    * the cross product — the scale path's losslessness gate). Same
+    * fixed-point pipeline both sides: floored-cos LONGs, top-k integer
+    * neighborhood sums (sum(BIGINT) -> HUGEINT, cast back), the three
+    * divisions over identical operands, argmax with ties to smallest y. */
+  private lazy val oracleSqlBitextMargin: String =
+    """WITH x AS (
+        |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xv
+        |  FROM embeddings WHERE label = 0),
+        |y AS (
+        |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS yv
+        |  FROM embeddings WHERE label = 1),
+        |sc AS (
+        |  SELECT x_id, y_id,
+        |    CAST(floor((list_dot_product(xv, yv) /
+        |      (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv)))) * 10000.0)
+        |      AS BIGINT) AS s
+        |  FROM x CROSS JOIN y),
+        |fw AS (
+        |  SELECT x_id, CAST(sum(s) AS BIGINT) AS fwd, count(*) AS nf FROM (
+        |    SELECT x_id, s, row_number() OVER (PARTITION BY x_id ORDER BY s DESC, y_id) AS rn
+        |    FROM sc) t WHERE rn <= 4 GROUP BY x_id),
+        |bw AS (
+        |  SELECT y_id, CAST(sum(s) AS BIGINT) AS bwd, count(*) AS nb FROM (
+        |    SELECT y_id, s, row_number() OVER (PARTITION BY y_id ORDER BY s DESC, x_id) AS rn
+        |    FROM sc) t WHERE rn <= 4 GROUP BY y_id),
+        |m AS (
+        |  SELECT sc.x_id, sc.y_id,
+        |    floor(((2.0 * s) / (CAST(fwd AS DOUBLE) / nf + CAST(bwd AS DOUBLE) / nb)) * 10000) / 10000 AS margin
+        |  FROM sc JOIN fw USING (x_id) JOIN bw USING (y_id)),
+        |best AS (
+        |  SELECT x_id, y_id, margin,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rn
+        |  FROM m)
+        |SELECT x_id, y_id, margin FROM best WHERE rn = 1 ORDER BY x_id""".stripMargin
+
   /** PQ encode + ADC replay shared by g_sim_pq (full ADC scan) and
     * g_sim_ivfpq (coarse-cell-pruned scan): per subspace the codeword
     * argmax is the kmeansStepOracleSql CASE pattern over sliced vectors;
@@ -2054,6 +2091,19 @@ object SparkEntry {
       // is the definition truth (the scale path feeds the same margin
       // from IVF candidates).
       SimilarityOps.bitextMargin(Tables.embeddings(s, dir), leftLabel = 0, rightLabel = 1, k = 4)
+        .orderBy(col("x_id"))
+    },
+
+    "g_bitext_ivf" -> { (s, dir) => // the bitext scale path: IVF-cell
+      // candidate generation (right side lands in its cell, left probes
+      // ALL cells here) feeding the identical margin/argmax tail —
+      // probe-all == the exact cross-product definition row-for-row, so
+      // the shared oracle hash certifies the equi-join candidate path is
+      // lossless (the g_sim_ivf losslessness contract for bitext).
+      // Reduced-probe behavior is BitextIvfSpec's job.
+      SimilarityOps.bitextMarginIvf(Tables.embeddings(s, dir),
+          leftLabel = 0, rightLabel = 1,
+          centroids = fixtureCentroids(64), nProbe = KmFixtureK, k = 4)
         .orderBy(col("x_id"))
     },
 
@@ -4262,39 +4312,11 @@ object SparkEntry {
         |SELECT probe_id, vec_id, label, sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
-    "g_bitext_margin" ->
-      // the same fixed-point pipeline: floored-cos LONGs, top-k integer
-      // neighborhood sums (sum(BIGINT) -> HUGEINT, cast back), the three
-      // divisions over identical operands, argmax with ties to smallest y
-      """WITH x AS (
-        |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xv
-        |  FROM embeddings WHERE label = 0),
-        |y AS (
-        |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS yv
-        |  FROM embeddings WHERE label = 1),
-        |sc AS (
-        |  SELECT x_id, y_id,
-        |    CAST(floor((list_dot_product(xv, yv) /
-        |      (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv)))) * 10000.0)
-        |      AS BIGINT) AS s
-        |  FROM x CROSS JOIN y),
-        |fw AS (
-        |  SELECT x_id, CAST(sum(s) AS BIGINT) AS fwd, count(*) AS nf FROM (
-        |    SELECT x_id, s, row_number() OVER (PARTITION BY x_id ORDER BY s DESC, y_id) AS rn
-        |    FROM sc) t WHERE rn <= 4 GROUP BY x_id),
-        |bw AS (
-        |  SELECT y_id, CAST(sum(s) AS BIGINT) AS bwd, count(*) AS nb FROM (
-        |    SELECT y_id, s, row_number() OVER (PARTITION BY y_id ORDER BY s DESC, x_id) AS rn
-        |    FROM sc) t WHERE rn <= 4 GROUP BY y_id),
-        |m AS (
-        |  SELECT sc.x_id, sc.y_id,
-        |    floor(((2.0 * s) / (CAST(fwd AS DOUBLE) / nf + CAST(bwd AS DOUBLE) / nb)) * 10000) / 10000 AS margin
-        |  FROM sc JOIN fw USING (x_id) JOIN bw USING (y_id)),
-        |best AS (
-        |  SELECT x_id, y_id, margin,
-        |    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rn
-        |  FROM m)
-        |SELECT x_id, y_id, margin FROM best WHERE rn = 1 ORDER BY x_id""".stripMargin,
+    // probe-all IVF candidates == the exact cross product: the scale
+    // path's losslessness gate shares the definition oracle
+    "g_bitext_ivf" -> oracleSqlBitextMargin,
+
+    "g_bitext_margin" -> oracleSqlBitextMargin,
 
     "q_asof_lastview" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id

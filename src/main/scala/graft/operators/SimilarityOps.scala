@@ -619,6 +619,16 @@ object SimilarityOps {
         .select(col("x_id"), col("y_id"),
           floor(GraftFunctions.cosine(col("xv"), col("yv")) * lit(1e4)).as("s")),
       reliable)
+    marginTail(scored, k)
+  }
+
+  /** The margin/argmax tail shared by the exact and IVF-candidate paths:
+    * forward/backward k-NN neighborhood means over the SCORED pair frame,
+    * the ratio margin, and the per-left argmax. Identical inputs yield
+    * identical outputs, which is how probe-all [[bitextMarginIvf]] equals
+    * [[bitextMargin]] row-for-row (spec-pinned). */
+  private def marginTail(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fwd = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("x_id")).orderBy(col("s").desc, col("y_id"))))
@@ -639,6 +649,63 @@ object SimilarityOps {
       .groupBy(col("x_id"))
       .agg(max(struct(col("margin"), (-col("y_id")).as("ny"), col("y_id").as("y"))).as("m"))
       .select(col("x_id"), col("m.y").as("y_id"), col("m.margin").as("margin"))
+  }
+
+  /** The left vector's nProbe nearest cells as ONE codegen projection
+    * (the per-ROW generalization of the driver-side [[probeCellsOf]] —
+    * same cosine, same (sim desc, cid asc) tie order): score each literal
+    * centroid, sort the (csim, -cid) structs descending, keep nProbe,
+    * extract the cids. */
+  private[graft] def topCellsExpr(
+      vCol: Column, centroids: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
+    require(centroids.nonEmpty && nProbe >= 1, "need centroids and nProbe >= 1")
+    val scored = centroids.map { case (cid, c) =>
+      struct(
+        GraftFunctions.cosine(vCol, array(c.map(lit): _*)).as("csim"),
+        lit(-cid).as("negcid"))
+    }
+    transform(
+      slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      x => (-x.getField("negcid")).cast("int"))
+  }
+
+  /** [[bitextMargin]]'s 100 TB path: candidate generation through the IVF
+    * cells instead of the full cross product. Every RIGHT vector lands in
+    * its one nearest cell (map-only); every LEFT vector probes its nProbe
+    * nearest cells ([[topCellsExpr]], map-only) and meets only the right
+    * vectors co-located there — an EQUI-join on the cell id (shuffle or
+    * broadcast, AQE's call), never a cross join, so the scored pair count
+    * is corpus·(cell occupancy of nProbe cells) instead of |L|·|R|. The
+    * margin/argmax tail is [[marginTail]] verbatim over the candidate
+    * frame: with `nProbe = centroids.size` every pair is a candidate and
+    * the result equals the exact [[bitextMargin]] ROW-FOR-ROW (the
+    * probe-all losslessness gate, g_bitext_ivf); at reduced probes the
+    * neighborhood means are computed over the candidates — the standard
+    * approximate-margin trade, with every reported pair provably
+    * co-probed (spec). */
+  def bitextMarginIvf(
+      embeddings: DataFrame,
+      leftLabel: Int,
+      rightLabel: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int,
+      k: Int = 4,
+      reliable: Boolean = false): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    def side(label: Int, idAs: String, vAs: String) = embeddings
+      .filter(col("label") === label)
+      .select(col("vec_id").as(idAs), VectorFns.toDouble(col("embedding")).as(vAs))
+    val right = side(rightLabel, "y_id", "yv")
+      .withColumn("cell", cellExpr(col("yv"), centroids))
+    val scored = Checkpoints.pin(
+      side(leftLabel, "x_id", "xv")
+        .select(col("x_id"), col("xv"),
+          explode(topCellsExpr(col("xv"), centroids, nProbe)).as("cell"))
+        .join(right, Seq("cell"))
+        .select(col("x_id"), col("y_id"),
+          floor(GraftFunctions.cosine(col("xv"), col("yv")) * lit(1e4)).as("s")),
+      reliable)
+    marginTail(scored, k)
   }
 
   // ---- product quantization (PQ / ADC) ---------------------------------

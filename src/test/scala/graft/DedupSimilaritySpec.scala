@@ -518,6 +518,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.collect().map(_.getAs[Long]("vec_id")).toSeq == direct)
   }
 
+  test("bitextMarginIvf: probe-all == exact; reduced probes stay within co-probed candidates") {
+    val dim = 6
+    val emb = (0 until 24).map { i =>
+      (i.toLong, (0 until dim).map(d => math.sin(i * 11 + d * 3).toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = (1 to 3).map(cid =>
+      (cid, (0 until dim).map(j => if ((cid * 5 + j * 3) % 2 == 0) 1.0 else -1.0)))
+    val exact = SimilarityOps.bitextMargin(emb, 0, 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    val probeAll = SimilarityOps.bitextMarginIvf(emb, 0, 1, cents, nProbe = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(probeAll == exact, "probe-all IVF candidates must equal the cross product")
+    // reduced probes: every reported pair is genuinely co-probed
+    val reduced = SimilarityOps.bitextMarginIvf(emb, 0, 1, cents, nProbe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rightCell = SimilarityOps.assignCells(
+        emb.filter(col("label") === 1)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")), cents)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val leftVec = emb.filter(col("label") === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    reduced.foreach { case (x, y) =>
+      val probed = SimilarityOps.probeCellsOf(cents, leftVec(x), 1).toSet
+      assert(probed.contains(rightCell(y)),
+        s"pair ($x, $y) reported but $y's cell ${rightCell(y)} was not probed")
+    }
+  }
+
   test("bitextMargin equals a driver-side reference; one best candidate per left vector") {
     val dim = 6
     val emb = (0 until 24).map { i =>
