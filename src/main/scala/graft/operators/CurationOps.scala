@@ -291,22 +291,26 @@ object CurationOps {
     * training-data release ships (docs/chars/tokens, distinct-content and
     * language cardinalities, mean quality): ONE aggregation pass over the
     * corpus, output is source-cardinality (driver/broadcast scale). The
-    * two exact COUNT DISTINCTs expand the scan; at 100 TB swap them for
-    * the HLL sketch machinery (g_sketch_distinct) when ±2% is acceptable
-    * — the row shape is unchanged. The quality mean accumulates
-    * fixed-point (`floor(q*1e4)` longs — the kmeansStep discipline), so
-    * the report is bit-identical under any partitioning; the final
-    * division is one exact op over identical operands in any engine. */
-  def datasetCard(docs: DataFrame): DataFrame = {
+    * two exact COUNT DISTINCTs expand the scan ×2; `approx = true` swaps
+    * them for HLL++ (`approx_count_distinct`, mergeable fixed-size
+    * state — no expand, the 100 TB mode when ±2% cardinalities are
+    * acceptable; row shape unchanged, spec pins the error bound against
+    * the exact card). The quality mean accumulates fixed-point
+    * (`floor(q*1e4)` longs — the kmeansStep discipline), so the report is
+    * bit-identical under any partitioning; the final division is one
+    * exact op over identical operands in any engine. */
+  def datasetCard(docs: DataFrame, approx: Boolean = false): DataFrame = {
     import graft.functions.TextFns
+    def distinctOf(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c) else countDistinct(c)
     docs
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"),
         sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
-        countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"),
-        countDistinct(col("lang")).as("n_langs"),
+        distinctOf(sha2(col("text"), 256)).as("n_distinct_texts"),
+        distinctOf(col("lang")).as("n_langs"),
         sum(floor(TextFns.qualityScore(col("text")) * lit(1e4)).cast("long")).as("__sum_q4"))
       .select(
         col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),

@@ -134,6 +134,25 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("PQ family plans stay exchange-free projections + top-k") {
+    // the PQ scale story IS the plan shape: encode and ADC are map-only,
+    // the cell filter prunes, and nothing shuffles before the final
+    // TakeOrdered reduction. An Exchange appearing here means a refactor
+    // broke the projection-only property.
+    Seq("g_sim_pq", "g_sim_ivfpq").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Exchange"), s"$n grew an exchange:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$n lost the top-k reduction:\n$p")
+    }
+    // the persisted probe prunes directories and reads codes only
+    val p = plan("g_sim_pq_indexed")
+    assert(!p.contains("Exchange"), s"indexed scan grew an exchange:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"cell directory pruning lost:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("embedding"),
+      s"the codes-only scan should never see a vector column:\n$p")
+  }
+
   test("entry / q_index_join / q_semi_join carry no broadcast hints") {
     // Policy (round-2 verdict #1): the index side of C1/C2 is unbounded at
     // 100 TB — a hard broadcast() hint is honored regardless of size and

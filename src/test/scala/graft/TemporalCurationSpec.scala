@@ -386,6 +386,25 @@ class TemporalCurationSpec extends SparkSpec {
     assert(b._1 == "b" && b._2 == 1 && b._5 == 1 && b._6 == 1)
   }
 
+  test("datasetCard approx mode: HLL cardinalities within the documented bound, rest exact") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"src${i % 3}", s"l${i % 5}", s"text body number ${i % 120} with words")
+    }.toDF("doc_id", "source", "lang", "text")
+    val exact = CurationOps.datasetCard(docs).orderBy("source").collect()
+    val approx = CurationOps.datasetCard(docs, approx = true).orderBy("source").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      // non-distinct columns are identical
+      Seq(1, 2, 3).foreach(i => assert(e.getLong(i) == a.getLong(i)))
+      assert(e.getDouble(6) == a.getDouble(6))
+      // HLL++ default rsd = 5%; allow 3x slack at tiny cardinalities
+      Seq(4, 5).foreach { i =>
+        val err = math.abs(a.getLong(i) - e.getLong(i)).toDouble / math.max(e.getLong(i), 1)
+        assert(err <= 0.15, s"approx cardinality off by $err in column $i")
+      }
+    }
+  }
+
   // ---- CurationOps.qualityQuantileFilter ------------------------------
 
   private def qualityDocs(n: Int, domains: Int) =
