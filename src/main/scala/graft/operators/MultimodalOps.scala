@@ -214,6 +214,7 @@ object MultimodalOps {
       deleteIds: DataFrame,
       idCol: String = "media_id"): Unit = {
     import org.apache.spark.sql.SaveMode
+    requireFlatStore(spark, path, "deleteFromChunkStore")
     val keptRecipes = spark.read.parquet(s"$path/recipes")
       .join(deleteIds.select(col(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint(true)
@@ -245,6 +246,7 @@ object MultimodalOps {
       binCol: String = "content"): Unit = {
     import org.apache.spark.sql.SaveMode
     val spark = media.sparkSession
+    requireFlatStore(spark, path, "appendToChunkStore")
     val chunks = cdcByteChunks(media, w, divisor, idCol, binCol)
       .withColumn("addr", sha2(col("chunk_bytes"), 256))
       .localCheckpoint(true)
@@ -254,6 +256,31 @@ object MultimodalOps {
       .write.mode(SaveMode.Append).parquet(s"$path/chunks")
     chunks.select(col(idCol), col("chunk_idx"), col("addr"))
       .write.mode(SaveMode.Append).parquet(s"$path/recipes")
+  }
+
+  /** The batch append/GC operators rewrite the FLAT [[writeChunkStore]]
+    * layout in place; pointed at a LEVELED store (a
+    * [[graft.streaming.StreamingOps.chunkStoreIngest]] sink with
+    * `__batch=<id>` directories) they would land flat files beside the
+    * level directories — breaking partition discovery for readers and,
+    * worse, silently stepping outside the streaming sink's
+    * idempotence/lineage discipline (the checkpoint-replay contract only
+    * covers batch-id-derived directories). Refuse loudly instead; the
+    * streamed store's maintenance is compactChunkStore + the sink's own
+    * replay semantics. */
+  private def requireFlatStore(
+      spark: org.apache.spark.sql.SparkSession, path: String, op: String): Unit = {
+    val recipes = new org.apache.hadoop.fs.Path(s"$path/recipes")
+    val f = recipes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(recipes)) {
+      val leveled = f.listStatus(recipes)
+        .exists(_.getPath.getName.startsWith("__batch="))
+      require(!leveled,
+        s"$op: $path is a STREAMED chunk store (batch-id-derived levels) — " +
+          "in-place batch maintenance would corrupt the streaming sink's " +
+          "idempotence discipline; use compactChunkStore and the stream's own " +
+          "replay semantics, or rebuild into a flat store first")
+    }
   }
 
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of

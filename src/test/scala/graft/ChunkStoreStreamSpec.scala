@@ -60,6 +60,20 @@ class ChunkStoreStreamSpec extends SparkSpec {
     assert(lineage.getMessage.contains("different checkpoint lineage"))
   }
 
+  test("batch append/GC refuse a streamed (leveled) store") {
+    import spark.implicits._
+    val path = s"${tmpDir()}/store"
+    StreamingOps.storeBatch(mediaOf(Seq(1L -> base)), 0L, path, 5, 4, "media_id", "content")
+    val e1 = intercept[IllegalArgumentException] {
+      MultimodalOps.appendToChunkStore(mediaOf(Seq(2L -> other)), path, w = 5, divisor = 4)
+    }
+    assert(e1.getMessage.contains("STREAMED chunk store"))
+    val e2 = intercept[IllegalArgumentException] {
+      MultimodalOps.deleteFromChunkStore(spark, path, Seq(1L).toDF("media_id"))
+    }
+    assert(e2.getMessage.contains("STREAMED chunk store"))
+  }
+
   test("compactChunkStore folds committed levels, protects the newest, keeps reassembly") {
     val path = s"${tmpDir()}/store"
     StreamingOps.storeBatch(mediaOf(Seq(1L -> base)), 0L, path, 5, 4, "media_id", "content")
