@@ -298,4 +298,34 @@ class PropertySpec extends SparkSpec {
       (x * d <= hi) == (x <= upperBoundForMul(hi, d))
     })
   }
+
+  // ---- CDC boundary locality ------------------------------------------
+
+  private def cdcBoundariesOf(bytes: Array[Byte], w: Int, div: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    val expr = graft.plans.CdcBoundaries(
+      BoundReference(0, org.apache.spark.sql.types.BinaryType, nullable = true), w, div)
+    expr.eval(InternalRow(bytes))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+  }
+
+  test("property: CDC boundaries are LOCAL — every boundary survives any prefix insertion") {
+    // the formal shift-resistance claim: a boundary's window contains
+    // only payload bytes, so prepending k junk bytes maps every old
+    // boundary p to p + k (all preserved); new boundaries can appear
+    // only inside the first k + w - 1 positions (windows touching junk).
+    val payloads = Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+    val prefixes = Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+    val ws = Gen.choose(2, 6)
+    checkProp(Prop.forAll(payloads, prefixes, ws) { (doc, junk, w) =>
+      val div = 3
+      val k = junk.length
+      val oldB = cdcBoundariesOf(doc, w, div)
+      val newB = cdcBoundariesOf(junk ++ doc, w, div)
+      val shifted = oldB.map(_ + k)
+      shifted.forall(newB.contains) &&
+        newB.filter(_ >= k + w - 1) == shifted.filter(_ >= k + w - 1)
+    }, minSuccessful = 200)
+  }
 }
