@@ -781,6 +781,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "q_stream_card" -> { (s, dir) => // streaming dataset card: an
+      // AvailableNow run lands per-batch partial sums + distinct key
+      // digests; the merged read must equal the BATCH datasetCard over
+      // the same corpus (g_dataset_card's oracle verbatim). Cross-batch
+      // merge/replay/fold semantics are CardStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_card_")
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("source"), col("lang"), col("text"))
+      val q = graft.streaming.StreamingOps
+        .cardStream(src, s"$out/card", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readCard(s, s"$out/card")
+        .orderBy(col("source"))
+    },
+
     "q_stream_ivf" -> { (s, dir) => // streaming ANN-index maintenance,
       // oracle side: an AvailableNow run of ivfIndexStream lands the
       // embeddings in the versioned cell-partitioned IVF layout
@@ -1572,6 +1591,18 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    "g_dsir_weights" -> { (s, dir) => // DSIR-style hashed n-gram
+      // importance scores: target = English docs, raw = the rest;
+      // bucketed token features (rolling-fingerprint buckets, 64 here so
+      // the sf0.001 corpus populates them), Laplace-smoothed fixed-point
+      // target/raw ratio per bucket, per-doc integer score sums —
+      // bit-identical across engines and partitionings
+      CurationOps.importanceWeights(
+          Tables.documents(s, dir), targetPred = col("lang") === "en",
+          nBuckets = 64)
+        .orderBy(col("doc_id"))
+    },
+
     "g_quality_quantile" -> { (s, dir) => // per-domain quality-quantile
       // filter: keep each source's top 30% by the heuristic quality score
       // (count-derived exact quota, salted two-phase ranking — the
@@ -1618,6 +1649,18 @@ object SparkEntry {
       // of CDC vs fixed stride) is spec-pinned.
       DedupOps.cdcChunkStats(Tables.documents(s, dir), w = 3, divisor = 8)
         .orderBy(col("doc_id"))
+    },
+
+    "g_cdc_neardup" -> { (s, dir) => // binary near-dup pairs by CDC
+      // chunk-set Jaccard (>= 50%): the media-dedup step whole-file
+      // digests cannot see — a re-containered copy keeps most chunk
+      // frames. Inverted-index equi-join on the chunk key, integer
+      // cross-multiplied threshold (no FP boundary). String-chunk mode
+      // for the oracle; hashed + maxDf are the 100 TB path (spec-gated).
+      MultimodalOps.cdcNearDups(
+          MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
+          thresholdPct = 50, w = 8, divisor = 16)
+        .orderBy(col("media_a"), col("media_b"))
     },
 
     "g_dup_passages" -> { (s, dir) => // cross-doc duplicated-passage
@@ -2257,6 +2300,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_token_budget" -> { (s, dir) => // exact token-budget prefix sample:
+      // the first 9000 tokens of the corpus in deterministic permutation
+      // order (boundary doc kept). Two-phase exact: per-key-range sums
+      // (bounded driver state) locate the boundary range; only that
+      // 1/nRanges slice is windowed — the oracle replays the single
+      // global window the split provably equals.
+      CurationOps.tokenBudgetSample(
+          Tables.documents(s, dir), budgetTokens = 9000L, seed = 7L, nRanges = 8)
+        .orderBy(col("doc_id"))
+    },
+
     "g_pipeline_e2e" -> { (s, dir) => // the composed curation pipeline:
       // quality-logit filter -> exact dedup -> corpus-wide paragraph dedup
       // with reconstruction -> split assignment, one DAG, per-doc output.
@@ -2708,6 +2762,24 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the streamed card shares the batch card's truth
+    "q_stream_card" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(CAST(floor(least(greatest(
+        |         least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |         (len(list_distinct(string_split(text, ' '))) /
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |         (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |                CAST(length(text) AS DOUBLE)) * 0.2,
+        |         0.0), 1.0) * 10000) AS BIGINT)) AS DOUBLE)
+        |         / (10000.0 * count(*)) AS mean_quality
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_rev_monitor" ->
       // the monitor's per-aggregate sorted fold in closed form: scanning
@@ -3386,6 +3458,30 @@ object SparkEntry {
         |         / (10000.0 * count(*)) AS mean_quality
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "g_dsir_weights" ->
+      // replay: whitespace tokens, the (acc*31+codepoint) mod 1e9+7
+      // rolling fingerprint per token (the g_cdc_chunks identity) mod 64
+      // as the feature bucket, Laplace-smoothed integer ratio weights
+      // (// = DuckDB integer division = Spark DIV), per-doc sums
+      """WITH tk AS (SELECT doc_id,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |        unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |      FROM documents),
+        |b AS (SELECT doc_id, is_t,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(tok)+1),
+        |            i -> CAST(unicode(tok[i]) AS BIGINT))),
+        |          (acc, c) -> (acc*31 + c) % 1000000007) % 64 AS bkt
+        |      FROM tk),
+        |w AS (SELECT bkt,
+        |        (CAST((sum(CASE WHEN is_t = 1 THEN 1 ELSE 0 END) + 1) AS BIGINT) * 1000000)
+        |          // CAST((sum(CASE WHEN is_t = 0 THEN 1 ELSE 0 END) + 1) AS BIGINT) AS w
+        |      FROM b GROUP BY bkt)
+        |SELECT b.doc_id, CAST(max(b.is_t) AS BIGINT) AS is_target,
+        |       count(*) AS n_tokens, CAST(sum(w.w) AS BIGINT) AS score
+        |FROM b JOIN w USING (bkt)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
     "g_quality_quantile" ->
       // the single-window formulation with the exact count-derived quota;
       // the q_score expression is g_quality's quality column verbatim
@@ -3449,6 +3545,39 @@ object SparkEntry {
         |       CAST(count(CASE WHEN o.occ >= 2 THEN 1 END) AS BIGINT) AS n_dup_chunks
         |FROM ch2 JOIN o USING (chunk_text)
         |GROUP BY ch2.doc_id ORDER BY media_id""".stripMargin,
+
+    "g_cdc_neardup" ->
+      // the g_cdc_binary byte-fold chunking replay, then distinct
+      // per-payload chunk sets, an inverted-index pair join, and the
+      // integer cross-multiplied Jaccard threshold — all-integer
+      // arithmetic end to end (// is DuckDB's integer division,
+      // mirroring Spark's DIV)
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        |p AS (SELECT doc_id, s, unnest(range(length(s))) AS pos FROM t WHERE length(s) > 0),
+        |x AS (SELECT doc_id, pos, s[pos+1] AS ch,
+        |        CASE WHEN pos > 0 AND pos + 8 <= length(s) THEN
+        |          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, 9), i -> CAST(unicode(s[pos+i]) AS BIGINT))),
+        |             (acc, c) -> (acc*31 + c) % 1000000007) % 16 = 0)
+        |        ELSE false END AS boundary
+        |      FROM p),
+        |c AS (SELECT doc_id, pos, ch,
+        |        SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+        |      FROM x),
+        |ch2 AS (SELECT doc_id, chunk_idx, string_agg(ch, '' ORDER BY pos) AS chunk_text
+        |        FROM c GROUP BY doc_id, chunk_idx),
+        |s2 AS (SELECT DISTINCT doc_id, chunk_text FROM ch2),
+        |n AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS media_a, b.doc_id AS media_b, count(*) AS inter
+        |       FROM s2 a JOIN s2 b ON a.chunk_text = b.chunk_text AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT pr.media_a, pr.media_b, pr.inter, na.n AS n_a, nb.n AS n_b,
+        |       (pr.inter * 1000000) // (na.n + nb.n - pr.inter) AS jaccard_ppm
+        |FROM pr JOIN n na ON na.doc_id = pr.media_a
+        |        JOIN n nb ON nb.doc_id = pr.media_b
+        |WHERE pr.inter * 100 >= 50 * (na.n + nb.n - pr.inter)
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "g_cdc_chunks" ->
       // replay: token windows, the (acc*31+code) mod 1e9+7 fold over the
@@ -4471,6 +4600,22 @@ object SparkEntry {
         |       ((doc_id % 2147483647) * 62089911) % 2147483647 AS sort_key,
         |       (((doc_id % 2147483647) * 62089911) % 2147483647) % 8 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_token_budget" ->
+      // the single-window truth the two-phase form equals: global running
+      // token sum over (sort_key, doc_id) permutation order, keep rows
+      // whose cumulative START offset is below the budget
+      """WITH k AS (SELECT doc_id,
+        |        ((doc_id % 2147483647) * 62089911 + 7) % 2147483647 AS sort_key,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, sort_key, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY sort_key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM k)
+        |SELECT doc_id, sort_key, n_tokens FROM c
+        |WHERE cum - n_tokens < 9000
+        |ORDER BY doc_id""".stripMargin,
 
     "g_pipeline_e2e" ->
       // all four stages replayed in sequence: the g_quality_logit logit

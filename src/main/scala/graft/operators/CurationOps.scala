@@ -299,23 +299,91 @@ object CurationOps {
     * (`floor(q*1e4)` longs — the kmeansStep discipline), so the report is
     * bit-identical under any partitioning; the final division is one
     * exact op over identical operands in any engine. */
-  def datasetCard(docs: DataFrame, approx: Boolean = false): DataFrame = {
+  /** The card's SUMMABLE per-source aggregates (n_docs, n_chars,
+    * n_tokens, fixed-point quality sum) — shared verbatim between the
+    * one-pass batch card and the streaming card's per-batch partials
+    * ([[graft.streaming.StreamingOps.cardStream]]): long sums fold
+    * associatively, so partial sums landed per micro-batch merge to
+    * exactly the batch card's values. */
+  private[graft] def cardSumCols: Seq[org.apache.spark.sql.Column] = {
     import graft.functions.TextFns
+    Seq(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
+      sum(floor(TextFns.qualityScore(col("text")) * lit(1e4)).cast("long")).as("__sum_q4"))
+  }
+
+  /** The card's mean-quality face over an aggregated frame holding
+    * `__sum_q4` and `n_docs` — shared by both card paths so the final
+    * double division is the same expression on both. */
+  private[graft] def cardSelect(agg: DataFrame): DataFrame =
+    agg.select(
+      col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+      col("n_distinct_texts"), col("n_langs"),
+      (col("__sum_q4").cast("double") / (lit(1e4) * col("n_docs"))).as("mean_quality"))
+
+  def datasetCard(docs: DataFrame, approx: Boolean = false): DataFrame = {
     def distinctOf(c: org.apache.spark.sql.Column) =
       if (approx) approx_count_distinct(c) else countDistinct(c)
-    docs
+    val sums = cardSumCols
+    cardSelect(docs
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(length(col("text")).cast("long")).as("n_chars"),
-        sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
-        distinctOf(sha2(col("text"), 256)).as("n_distinct_texts"),
-        distinctOf(col("lang")).as("n_langs"),
-        sum(floor(TextFns.qualityScore(col("text")) * lit(1e4)).cast("long")).as("__sum_q4"))
-      .select(
-        col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
-        col("n_distinct_texts"), col("n_langs"),
-        (col("__sum_q4").cast("double") / (lit(1e4) * col("n_docs"))).as("mean_quality"))
+        sums.head,
+        (sums.tail ++ Seq(
+          distinctOf(sha2(col("text"), 256)).as("n_distinct_texts"),
+          distinctOf(col("lang")).as("n_langs"))): _*))
+  }
+
+  /** Hashed n-gram importance weights for data selection — the DSIR
+    * recipe (Xie et al. 2023, arXiv:2302.03169) re-expressed with exact
+    * integer arithmetic: score every document by how much its token
+    * distribution looks like a TARGET slice of the corpus (the
+    * high-quality / in-domain sample) versus the RAW rest. Features are
+    * hashed token buckets (`pmod(polyFp(token), nBuckets)` — the
+    * oracle-replayable rolling fingerprint; at 100 TB swap in xxhash64
+    * for 8-byte keys, same plan); each bucket's weight is the
+    * Laplace-smoothed target/raw ratio in fixed point
+    * (`((t+1)*scale) DIV (r+1)` — integer division, so the weights and
+    * every downstream sum are bit-identical across engines and
+    * partitionings, where DSIR's log-ratio floats would drift with
+    * accumulation order); a document's score is the sum of its tokens'
+    * bucket weights. Selection = keep the top slice by
+    * `score DIV n_tokens` (length-normalized), or feed the score into
+    * [[qualityQuantileFilter]]'s per-domain quota machinery.
+    *
+    * Plan shape: token explode -> bucket projection (map-only) -> one
+    * nBuckets-row aggregate (map-side combined; the frame is bounded by
+    * nBuckets, never the corpus) -> broadcast join back -> per-doc sum.
+    * Two shuffles total; nothing driver-side. */
+  def importanceWeights(
+      docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      nBuckets: Int = 1024,
+      scale: Long = 1000000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    import graft.functions.TextFns
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(
+      col(idCol),
+      when(targetPred, lit(1L)).otherwise(lit(0L)).as("__t"),
+      explode(TextFns.tokens(coalesce(col(textCol), lit("")))).as("__tok"))
+      .withColumn("__b", pmod(GraftFunctions.polyFp(col("__tok")), lit(nBuckets.toLong)))
+    val weights = toks.groupBy(col("__b")).agg(
+      sum(col("__t")).as("__tc"),
+      sum(lit(1L) - col("__t")).as("__rc"))
+      .select(col("__b"),
+        expr(s"((__tc + 1L) * ${scale}L) DIV (__rc + 1L)").as("__w"))
+    toks.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__t")).as("is_target"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__w")).as("score"))
   }
 
   /** Deterministic alpha-mixture sampling (alpha = 0.5): re-weight a
@@ -448,6 +516,66 @@ object CurationOps {
     val key = (pmod(col(idCol), lit(P)) * lit(62089911L) + lit(seed)) % lit(P)
     docs.withColumn("sort_key", key)
       .withColumn("shard", col("sort_key") % lit(nShards.toLong))
+  }
+
+  /** Exact token-budget prefix sample: take documents in the
+    * deterministic [[shuffleShards]] permutation order until the running
+    * token total reaches `budgetTokens` (the boundary document is kept,
+    * so the sample is the MINIMAL prefix covering the budget — "give me
+    * a uniformly-shuffled 50B-token slice of the corpus" without an RNG
+    * and bit-identical on every run/engine/partitioning).
+    *
+    * A naive implementation is one global window (cum sum over the full
+    * corpus order) — a single-task sort at 100 TB. This is the two-phase
+    * exact equivalent: the key space is cut into `nRanges` CONTIGUOUS
+    * key ranges (range = key DIV ceil(P/nRanges) — deterministic,
+    * data-independent); phase 1 aggregates per-range token sums (an
+    * nRanges-row frame, collected — bounded driver state); the driver
+    * prefix-sums them to find the single BOUNDARY range where the budget
+    * lands; phase 2 keeps every doc in earlier ranges map-only and
+    * windows ONLY inside the boundary range (1/nRanges of the corpus —
+    * size it so a slice sorts in one healthy task; the window is keyed
+    * by a constant range id, which is exactly the bounded-skew story of
+    * a single 2 TB sort vs a 100 TB one). Per-range sums compose
+    * exactly: the boundary range's local cumsum offset by the earlier
+    * ranges' total reproduces the global running sum, so the selection
+    * equals the single-window truth row for row. */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgetTokens: Long,
+      seed: Long = 0L,
+      nRanges: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0 && nRanges >= 1, "budgetTokens >= 0, nRanges >= 1")
+    import graft.functions.TextFns
+    val P = 2147483647L
+    val rangeWidth = (P + nRanges - 1) / nRanges
+    val keyed = docs.select(
+      col(idCol),
+      ((pmod(col(idCol), lit(P)) * lit(62089911L) + lit(seed)) % lit(P)).as("sort_key"),
+      size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      .withColumn("__r", expr(s"sort_key DIV ${rangeWidth}L"))
+    // phase 1: per-range totals — an nRanges-row frame (bounded driver state)
+    val totals = keyed.groupBy(col("__r")).agg(sum(col("n_tokens")).as("__sum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var cum = 0L
+    var boundary = -1L
+    var prevCum = 0L
+    totals.foreach { case (r, s) =>
+      if (boundary < 0) { if (cum + s >= budgetTokens) { boundary = r; prevCum = cum }; cum += s }
+    }
+    if (boundary < 0) keyed.select(col(idCol), col("sort_key"), col("n_tokens"))
+    else {
+      // phase 2: earlier ranges pass map-only; ONLY the boundary range sorts
+      val before = keyed.filter(col("__r") < boundary)
+      val wInRange = Window.partitionBy(col("__r")).orderBy(col("sort_key"), col(idCol))
+      val atBoundary = keyed.filter(col("__r") === boundary)
+        .withColumn("__cum", sum(col("n_tokens")).over(wInRange))
+        .filter(lit(prevCum) + col("__cum") - col("n_tokens") < budgetTokens)
+      before.select(col(idCol), col("sort_key"), col("n_tokens"))
+        .unionByName(atBoundary.select(col(idCol), col("sort_key"), col("n_tokens")))
+    }
   }
 
   /** Materialize the shuffled corpus as one directory per shard, rows

@@ -139,6 +139,69 @@ object MultimodalOps {
         count(when(col("__occ") >= 2, true)).as("n_dup_chunks"))
   }
 
+  /** Binary near-duplicate pairs by CDC chunk-set overlap — the media
+    * dedup step that finds re-muxed / re-containered / prepended copies
+    * of the same underlying payload, where whole-file digests see nothing
+    * (one shifted byte changes every fixed-offset frame) but most CDC
+    * chunk frames survive (the shift-resistance the byte-CDC specs pin).
+    * A pair is reported when the Jaccard similarity of the two payloads'
+    * DISTINCT chunk sets reaches `thresholdPct` / 100.
+    *
+    * Shape: per-payload distinct chunk sets -> chunk-keyed inverted-index
+    * self-join (only keys present in >= 2 payloads generate pairs; the
+    * join is EQUI on the chunk key, never all-pairs) -> per-pair
+    * intersection counts -> set-size join -> integer cross-multiplied
+    * threshold (`inter * 100 >= pct * union` — no FP division anywhere,
+    * so the boundary cannot flip between engines; `jaccard_ppm` is an
+    * integer DIV for the same reason).
+    *
+    * 100 TB notes: `hashed = true` ships 8-byte xxhash64 keys through the
+    * self-join instead of chunk bytes (string mode exists for the oracle);
+    * `maxDf` drops chunks shared by more than that many payloads before
+    * pair generation — a boilerplate chunk present in a million files
+    * would otherwise contribute ~10^12 candidate pairs (the standard
+    * stop-chunk cap of inverted-index similarity joins; dropping a
+    * universally-common chunk barely moves a high Jaccard). Set sizes are
+    * computed BEFORE the cap so reported similarities stay true Jaccard
+    * over the full chunk sets (capped-away intersections can only LOWER
+    * a reported score, never inflate it — conservative in the dedup
+    * direction). */
+  def cdcNearDups(
+      media: DataFrame,
+      thresholdPct: Int = 50,
+      w: Int = 8,
+      divisor: Int = 16,
+      maxDf: Option[Long] = None,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      hashed: Boolean = false): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100, "thresholdPct in [1, 100]")
+    val sets = graft.operators.Checkpoints.pin(
+      cdcByteChunks(media, w, divisor, idCol, binCol)
+        .select(col(idCol).as("id"),
+          (if (hashed) xxhash64(col("chunk_bytes")) else col("chunk_bytes")).as("__key"))
+        .distinct(), reliable = false)
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // document frequency per chunk key: pair generation only needs keys in
+    // >= 2 payloads; maxDf is the stop-chunk cap
+    val paired = sets.join(
+      sets.groupBy(col("__key")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= lit(maxDf.getOrElse(Long.MaxValue)))
+        .select(col("__key")),
+      Seq("__key"), "left_semi")
+    val inter = paired.select(col("__key"), col("id").as("media_a"))
+      .join(paired.select(col("__key"), col("id").as("media_b")), Seq("__key"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("media_a"), col("n").as("n_a")), Seq("media_a"))
+      .join(sizes.select(col("id").as("media_b"), col("n").as("n_b")), Seq("media_b"))
+      .filter(col("inter") * 100 >= lit(thresholdPct) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("media_a"), col("media_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("(inter * 1000000L) DIV (n_a + n_b - inter)").as("jaccard_ppm"))
+  }
+
   /** Content-addressed chunk store — CDC dedup as STORAGE, not just a
     * report (the backup/VDO/object-dedup layout): every payload's CDC
     * chunks land once per distinct content under `path/chunks`

@@ -713,6 +713,113 @@ object StreamingOps {
       dedupKeys = Seq("shingle", "src"), partitionCols = Seq("pb"))
   }
 
+  /** Streaming dataset card: keep the per-source corpus report
+    * ([[graft.operators.CurationOps.datasetCard]]) current as documents
+    * arrive, WITHOUT ever rescanning the accumulated corpus. Each
+    * micro-batch lands two tiny artifacts under batch-id-derived
+    * directories:
+    *
+    *  - `_sums/__batch=<id>`: the card's summable per-source aggregates
+    *    (doc/char/token counts + the fixed-point quality sum), tagged
+    *    `src = batchId` — long partial sums fold associatively, so the
+    *    merged card is bit-identical to a batch card over the union under
+    *    any partitioning (the shingle index's source-tagged-partials
+    *    discipline: compaction dedups on (source, src) and never sums,
+    *    so a fold-overlap or crash-rerun window cannot double-count);
+    *  - `_keys/__batch=<id>`: the batch's DISTINCT (source, kind, key)
+    *    rows backing the card's two distinct counts — text sha-256
+    *    digests (kind 't') and languages (kind 'l'). Distinct-of-union ==
+    *    distinct-of-distincts, so the read-side dedup is exact; the
+    *    landing ships digests, not text, and per-batch dedup keeps it at
+    *    the batch's novel-key cardinality. (At 100 TB the exact digest
+    *    set is the honest cost of an EXACT distinct count — swap kind 't'
+    *    for a mergeable HLL sketch sidecar to trade exactness for fixed
+    *    size, the [[bloomIndexStream]] shape.)
+    *
+    * Per-batch cost is O(|batch|) map work + two strata-sized writes; the
+    * card itself is assembled at READ time ([[readCard]]) from state that
+    * is tiny compared to the corpus. Idempotent via per-batch Overwrite
+    * (replay rewrites both artifacts deterministically; no cross-batch
+    * read at landing, so every crash point is covered), lineage-guarded
+    * like every versioned sink. Re-sending a DOCUMENT in a later batch
+    * double-counts the sums (at-least-once sources compose upstream
+    * dedup — the shingle-index contract). */
+  def cardStream(docs: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cardBatch(batch, batchId, path)
+      }
+
+  /** One [[cardStream]] micro-batch (extracted for spec-driven replay). */
+  private[graft] def cardBatch(batch: DataFrame, batchId: Long, path: String): Unit = {
+    val s = batch.sparkSession
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_sums", "_keys").foreach { sub =>
+      requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$path/$sub"),
+        batchId, "cardStream", s"$path/$sub")
+    }
+    val sums = graft.operators.CurationOps.cardSumCols
+    batch.groupBy(col("source")).agg(sums.head, sums.tail: _*)
+      .withColumn("src", lit(batchId))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_sums/__batch=$batchId")
+    batch.select(col("source"), lit("t").as("kind"), sha2(col("text"), 256).as("key"))
+      .unionByName(batch.select(col("source"), lit("l").as("kind"), col("lang").as("key")))
+      // COUNT(DISTINCT x) ignores NULLs — a null text/lang must not land a
+      // countable key row
+      .filter(col("key").isNotNull)
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_keys/__batch=$batchId")
+  }
+
+  /** Assemble the current card from a [[cardStream]] landing: merge the
+    * per-batch partial sums (one strata-sized aggregation), count the
+    * deduped distinct keys, and apply the same mean-quality face as the
+    * batch card — the result equals [[graft.operators.CurationOps.datasetCard]]
+    * over every document landed so far (oracle-gated by q_stream_card). */
+  def readCard(spark: SparkSession, path: String): DataFrame = {
+    val sums = spark.read
+      .schema("source STRING, n_docs LONG, n_chars LONG, n_tokens LONG, __sum_q4 LONG, src LONG")
+      .option("basePath", s"$path/_sums").parquet(s"$path/_sums")
+      .groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__sum_q4")).as("__sum_q4"))
+    val keys = spark.read
+      .schema("source STRING, kind STRING, key STRING")
+      .option("basePath", s"$path/_keys").parquet(s"$path/_keys")
+      .dropDuplicates(Seq("source", "kind", "key"))
+      .groupBy(col("source")).agg(
+        count(when(col("kind") === "t", true)).as("n_distinct_texts"),
+        count(when(col("kind") === "l", true)).as("n_langs"))
+    // left join + coalesce: a source whose every text/lang is NULL lands no
+    // key rows at all but must still report zero distincts, not vanish
+    graft.operators.CurationOps.cardSelect(
+      sums.join(keys, Seq("source"), "left")
+        .withColumn("n_distinct_texts", coalesce(col("n_distinct_texts"), lit(0L)))
+        .withColumn("n_langs", coalesce(col("n_langs"), lit(0L))))
+  }
+
+  /** Fold the card state's per-batch deltas — the shared staged-rename
+    * fold on both sub-sinks: sums dedup on (source, src) (source-tagged
+    * partials are idempotent under rerun where a summing fold would
+    * double-count), keys on their full identity. Newest-delta protection
+    * and crash-leftover recovery come with [[foldBatchDirs]]. */
+  def compactCardState(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, s"$path/_sums",
+      "source STRING, n_docs LONG, n_chars LONG, n_tokens LONG, __sum_q4 LONG, src LONG",
+      dedupKeys = Seq("source", "src"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_keys",
+      "source STRING, kind STRING, key STRING",
+      dedupKeys = Seq("source", "kind", "key"), partitionCols = Seq.empty)
+  }
+
   /** The full streaming dedup-clustering loop — the daily-crawl
     * composition, one micro-batch at a time:
     *

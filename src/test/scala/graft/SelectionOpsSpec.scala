@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CurationOps, MultimodalOps}
+
+/** Data-selection operators: CDC chunk-overlap near-dup pairs,
+  * DSIR-style importance weights, and the exact token-budget prefix
+  * sample (two-phase == single-window truth). */
+class SelectionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaOf(rows: Seq[(Long, Array[Byte])]) = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (i, b) => org.apache.spark.sql.Row(i, b) }).asJava,
+      StructType(Seq(StructField("media_id", LongType), StructField("content", BinaryType))))
+  }
+
+  test("cdcNearDups: a prefixed re-container of a payload is found; unrelated content is not") {
+    val base = Array.tabulate(600)(i => ((i * 73 + 19) % 256).toByte)
+    val media = mediaOf(Seq(
+      1L -> base,
+      2L -> (Array[Byte](-1, 0, 77, -128, 5) ++ base), // re-containered copy
+      3L -> base.map(b => (b ^ 0x55).toByte)))         // unrelated
+    val pairs = MultimodalOps.cdcNearDups(media, thresholdPct = 50, w = 5, divisor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the shifted-duplicate pair, got $pairs")
+    // exact duplicate payloads reach jaccard_ppm == 1e6
+    val exact = MultimodalOps.cdcNearDups(
+        mediaOf(Seq(1L -> base, 2L -> base.clone())), thresholdPct = 50, w = 5, divisor = 4)
+      .collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("jaccard_ppm") == 1000000L)
+  }
+
+  test("cdcNearDups: hashed keys report the same pairs; maxDf caps stop-chunks") {
+    val base = Array.tabulate(600)(i => ((i * 73 + 19) % 256).toByte)
+    val media = mediaOf(Seq(
+      1L -> base,
+      2L -> (Array[Byte](9, -3) ++ base),
+      3L -> base.map(b => (b ^ 0x55).toByte)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jaccard_ppm"))).toSet
+    val plain = rows(MultimodalOps.cdcNearDups(media, 50, 5, 4))
+    val hashed = rows(MultimodalOps.cdcNearDups(media, 50, 5, 4, hashed = true))
+    assert(plain == hashed, "hashed-key mode must not change the report")
+    // maxDf = 1 drops every key present in >= 2 payloads: no pairs survive
+    val capped = MultimodalOps.cdcNearDups(media, 50, 5, 4, maxDf = Some(1L)).count()
+    assert(capped == 0L, "maxDf cap must suppress pair generation")
+  }
+
+  test("importanceWeights: in-domain text scores higher per token; equal under repartitioning") {
+    val docs = Seq(
+      (1L, "t", "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "t", "beta gamma alpha beta delta gamma alpha beta"),
+      (3L, "r", "xray york zulu quebec victor whiskey xray zulu"),
+      (4L, "r", "york quebec victor zulu whiskey xray york zulu"),
+      (5L, "r", "alpha beta gamma alpha beta delta gamma beta"),   // in-domain raw doc
+    ).toDF("doc_id", "grp", "text")
+    val scored = CurationOps.importanceWeights(
+      docs, targetPred = col("grp") === "t", nBuckets = 256)
+    val byId = scored.collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("score"), r.getAs[Long]("n_tokens"))).toMap
+    def perTok(id: Long) = byId(id)._1.toDouble / byId(id)._2
+    // the in-domain raw doc dominates the out-of-domain raw docs
+    assert(perTok(5L) > 5 * perTok(3L) && perTok(5L) > 5 * perTok(4L),
+      s"in-domain raw doc must score far higher: ${byId}")
+    // deterministic under any partitioning (integer arithmetic end to end)
+    val re = CurationOps.importanceWeights(
+        docs.repartition(7, col("text")), targetPred = col("grp") === "t", nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val base = scored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == base)
+  }
+
+  test("importanceWeights: scores equal a driver-side reference on the same bucket weights") {
+    val docs = Seq(
+      (1L, "t", "aa bb cc aa"),
+      (2L, "r", "dd ee ff dd ee"),
+      (3L, "r", "aa dd bb ee"),
+    ).toDF("doc_id", "grp", "text")
+    val nB = 16
+    graft.plans.GraftFunctions.register(spark)
+    // driver reference: same polyFp buckets (via the registered SQL fn),
+    // Laplace-smoothed integer ratios, per-doc sums
+    val toks = docs.select(col("doc_id"), (col("grp") === "t").as("t"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", pmod(graft.plans.GraftFunctions.polyFp(col("tok")), lit(nB.toLong)))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getAs[Long]("b")))
+    val w = toks.groupBy(_._3).map { case (b, rs) =>
+      val t = rs.count(_._2).toLong; val r = rs.size - t
+      b -> ((t + 1L) * 1000000L) / (r + 1L)
+    }
+    val expected = toks.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.map(r => w(r._3)).sum
+    }
+    val got = CurationOps.importanceWeights(docs, col("grp") === "t", nBuckets = nB)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score")).toMap
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
+  test("tokenBudgetSample: two-phase selection equals the single-window truth at every nRanges") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill(((i * 31 + 7) % 13).toInt + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val P = 2147483647L
+    val truth = docs.select(col("doc_id"),
+        ((pmod(col("doc_id"), lit(P)) * lit(62089911L) + lit(5L)) % lit(P)).as("sort_key"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("sort_key"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") - col("n_tokens") < 400L)
+      .select("doc_id", "sort_key", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (nRanges <- Seq(1, 3, 7, 64)) {
+      val got = CurationOps.tokenBudgetSample(docs, budgetTokens = 400L, seed = 5L, nRanges = nRanges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == truth, s"nRanges=$nRanges diverged from the single-window truth")
+    }
+  }
+
+  test("tokenBudgetSample: minimal prefix covering the budget; degenerate budgets") {
+    val docs = (1L to 50L).map(i => (i, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val kept = CurationOps.tokenBudgetSample(docs, budgetTokens = 52L, seed = 0L, nRanges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = kept.map(_._3).sum
+    assert(total >= 52L, s"sample must cover the budget: $total")
+    // dropping the LAST kept doc (max sort key) must fall below the budget
+    assert(total - kept.maxBy(k => (k._2, k._1))._3 < 52L, "prefix must be minimal")
+    // budget beyond the corpus keeps everything; budget 0 keeps nothing
+    assert(CurationOps.tokenBudgetSample(docs, 100000L, 0L, 4).count() == 50L)
+    assert(CurationOps.tokenBudgetSample(docs, 0L, 0L, 4).count() == 0L)
+  }
+}
