@@ -800,6 +800,25 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    "q_stream_topk" -> { (s, dir) => // streaming heavy hitters: an
+      // AvailableNow run lands one fixed-size frequent-items state per
+      // micro-batch; the combined estimate must equal exact counts while
+      // the vocabulary fits the tracked slots (g_sketch_topk's oracle
+      // verbatim — the streamed state merges to the batch sketch).
+      // Cross-batch merge/replay/fold semantics are TopkStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_topk_")
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("text"))
+      val q = graft.streaming.StreamingOps
+        .topkStream(src, s"$out/topk", s"$out/ckpt", maxTracked = 1024)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readTopK(s, s"$out/topk", k = 10)
+    },
+
     "q_stream_ivf" -> { (s, dir) => // streaming ANN-index maintenance,
       // oracle side: an AvailableNow run of ivfIndexStream lands the
       // embeddings in the versioned cell-partitioned IVF layout
@@ -2762,6 +2781,14 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the streamed heavy-hitter state shares the batch sketch's truth:
+    // exact recount while the vocabulary fits the tracked slots,
+    // deterministic tie-break (count desc, token asc) on both sides
+    "q_stream_topk" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
 
     // the streamed card shares the batch card's truth
     "q_stream_card" ->

@@ -744,20 +744,33 @@ object StreamingOps {
     * like every versioned sink. Re-sending a DOCUMENT in a later batch
     * double-counts the sums (at-least-once sources compose upstream
     * dedup — the shingle-index contract). */
-  def cardStream(docs: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+  def cardStream(docs: DataFrame, path: String, checkpoint: String,
+      approx: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cardBatch(batch, batchId, path)
+        cardBatch(batch, batchId, path, approx)
       }
 
-  /** One [[cardStream]] micro-batch (extracted for spec-driven replay). */
-  private[graft] def cardBatch(batch: DataFrame, batchId: Long, path: String): Unit = {
+  /** One [[cardStream]] micro-batch (extracted for spec-driven replay).
+    * `approx = true` is the 100 TB distinct-count mode: instead of the
+    * exact digest rows, each batch lands ONE fixed-size DataSketches HLL
+    * sketch per (source, kind) (`_hll/__batch=<id>`). Sketch register
+    * states merge associatively and deterministically, so the streamed
+    * union is BYTE-EQUIVALENT to a batch-built sketch over the same rows
+    * (the bloomIndexStream argument, for cardinality) — per-batch card
+    * state becomes O(strata), independent of corpus or batch size. A
+    * drifted lgConfigK across restarts fails loudly at read time
+    * (hll_union_agg refuses mixed precisions by default — the parameter
+    * sidecar contract enforced by the sketch format itself). */
+  private[graft] def cardBatch(batch: DataFrame, batchId: Long, path: String,
+      approx: Boolean = false): Unit = {
     val s = batch.sparkSession
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("_sums", "_keys").foreach { sub =>
+    val keysSub = if (approx) "_hll" else "_keys"
+    Seq("_sums", keysSub).foreach { sub =>
       requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$path/$sub"),
         batchId, "cardStream", s"$path/$sub")
     }
@@ -767,14 +780,23 @@ object StreamingOps {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/_sums/__batch=$batchId")
-    batch.select(col("source"), lit("t").as("kind"), sha2(col("text"), 256).as("key"))
+    val keys = batch
+      .select(col("source"), lit("t").as("kind"), sha2(col("text"), 256).as("key"))
       .unionByName(batch.select(col("source"), lit("l").as("kind"), col("lang").as("key")))
       // COUNT(DISTINCT x) ignores NULLs — a null text/lang must not land a
       // countable key row
       .filter(col("key").isNotNull)
-      .distinct()
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_keys/__batch=$batchId")
+    if (approx)
+      keys.groupBy(col("source"), col("kind"))
+        .agg(expr("hll_sketch_agg(key)").as("sketch"))
+        .withColumn("src", lit(batchId))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_hll/__batch=$batchId")
+    else
+      keys.distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_keys/__batch=$batchId")
   }
 
   /** Assemble the current card from a [[cardStream]] landing: merge the
@@ -782,7 +804,7 @@ object StreamingOps {
     * deduped distinct keys, and apply the same mean-quality face as the
     * batch card — the result equals [[graft.operators.CurationOps.datasetCard]]
     * over every document landed so far (oracle-gated by q_stream_card). */
-  def readCard(spark: SparkSession, path: String): DataFrame = {
+  def readCard(spark: SparkSession, path: String, approx: Boolean = false): DataFrame = {
     val sums = spark.read
       .schema("source STRING, n_docs LONG, n_chars LONG, n_tokens LONG, __sum_q4 LONG, src LONG")
       .option("basePath", s"$path/_sums").parquet(s"$path/_sums")
@@ -791,13 +813,28 @@ object StreamingOps {
         sum(col("n_chars")).as("n_chars"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("__sum_q4")).as("__sum_q4"))
-    val keys = spark.read
-      .schema("source STRING, kind STRING, key STRING")
-      .option("basePath", s"$path/_keys").parquet(s"$path/_keys")
-      .dropDuplicates(Seq("source", "kind", "key"))
-      .groupBy(col("source")).agg(
-        count(when(col("kind") === "t", true)).as("n_distinct_texts"),
-        count(when(col("kind") === "l", true)).as("n_langs"))
+    val keys =
+      if (approx)
+        // HLL register-max union is idempotent, so the (source, kind, src)
+        // dedup only matters for scan size, not correctness — but the fold
+        // discipline keeps it anyway (one sketch per batch per stratum)
+        spark.read
+          .schema("source STRING, kind STRING, sketch BINARY, src LONG")
+          .option("basePath", s"$path/_hll").parquet(s"$path/_hll")
+          .dropDuplicates(Seq("source", "kind", "src"))
+          .groupBy(col("source"), col("kind"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
+          .groupBy(col("source")).agg(
+            max(when(col("kind") === "t", col("est"))).as("n_distinct_texts"),
+            max(when(col("kind") === "l", col("est"))).as("n_langs"))
+      else
+        spark.read
+          .schema("source STRING, kind STRING, key STRING")
+          .option("basePath", s"$path/_keys").parquet(s"$path/_keys")
+          .dropDuplicates(Seq("source", "kind", "key"))
+          .groupBy(col("source")).agg(
+            count(when(col("kind") === "t", true)).as("n_distinct_texts"),
+            count(when(col("kind") === "l", true)).as("n_langs"))
     // left join + coalesce: a source whose every text/lang is NULL lands no
     // key rows at all but must still report zero distincts, not vanish
     graft.operators.CurationOps.cardSelect(
@@ -807,10 +844,13 @@ object StreamingOps {
   }
 
   /** Fold the card state's per-batch deltas — the shared staged-rename
-    * fold on both sub-sinks: sums dedup on (source, src) (source-tagged
-    * partials are idempotent under rerun where a summing fold would
-    * double-count), keys on their full identity. Newest-delta protection
-    * and crash-leftover recovery come with [[foldBatchDirs]]. */
+    * fold on every sub-sink present: sums dedup on (source, src)
+    * (source-tagged partials are idempotent under rerun where a summing
+    * fold would double-count), exact keys on their full identity, HLL
+    * sketches on (source, kind, src) (identical rows in any overlap
+    * window — and over-merging would be harmless anyway, HLL union is
+    * idempotent). Newest-delta protection and crash-leftover recovery
+    * come with [[foldBatchDirs]]. */
   def compactCardState(spark: SparkSession, path: String): Unit = {
     foldBatchDirs(spark, s"$path/_sums",
       "source STRING, n_docs LONG, n_chars LONG, n_tokens LONG, __sum_q4 LONG, src LONG",
@@ -818,7 +858,110 @@ object StreamingOps {
     foldBatchDirs(spark, s"$path/_keys",
       "source STRING, kind STRING, key STRING",
       dedupKeys = Seq("source", "kind", "key"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_hll",
+      "source STRING, kind STRING, sketch BINARY, src LONG",
+      dedupKeys = Seq("source", "kind", "src"), partitionCols = Seq.empty)
   }
+
+  private val topkStateDDL =
+    "state STRUCT<sketch: BINARY, maxItemsTracked: INT, itemDataType: STRING, " +
+      "itemDataTypeDDL: STRING>, src LONG"
+
+  /** Streaming heavy-hitter maintenance — the frequent-items twin of the
+    * Bloom/HLL accumulator sinks: each micro-batch folds its OWN tokens
+    * into one fixed-size DataSketches frequent-items state
+    * (`approx_top_k_accumulate` — map-side-combined, `maxTracked` slots
+    * regardless of batch size) and lands it at `path/__batch=<id>`.
+    * [[readTopK]] combines every level and estimates — while the live
+    * vocabulary fits the tracked slots the merged estimate is EXACT (the
+    * [[graft.operators.TextOps.tokenHeavyHitters]] contract, which is
+    * what the q_stream_topk oracle certifies); beyond it the same state
+    * degrades to guaranteed-error heavy hitters. Unlike the Bloom OR and
+    * HLL register-max, frequent-items merge is COUNT-BASED — merging the
+    * same state twice double-counts — so the discipline that was
+    * belt-and-suspenders for the idempotent sketches is load-bearing
+    * here: per-batch Overwrite idempotence, the (src)-keyed fold that
+    * dedups and NEVER re-merges, and the newest-delta protection. The
+    * `_meta.json` sidecar (written before the first landing) pins
+    * `maxTracked`: a drifted restart fails at the batch rather than
+    * silently changing the exactness budget mid-index. */
+  def topkStream(docs: DataFrame, path: String, checkpoint: String,
+      maxTracked: Int = 1024, textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        topkBatch(batch, batchId, path, maxTracked, textCol)
+      }
+
+  /** One [[topkStream]] micro-batch (extracted for spec-driven replay). */
+  private[graft] def topkBatch(batch: DataFrame, batchId: Long, path: String,
+      maxTracked: Int, textCol: String = "text"): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "topkStream", path)
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val rec = """"maxTracked":(-?\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      require(rec.contains(maxTracked.toLong),
+        s"topkStream: maxTracked disagrees with the index at $path " +
+          s"(index=${rec.getOrElse(-1L)} batch=$maxTracked) — states merge " +
+          "count-based under one slot budget; restart with the index's " +
+          "parameter or rebuild it")
+    } else {
+      f.mkdirs(p)
+      // sidecar BEFORE data: a first-batch crash between the writes must
+      // not let a parameter-drifted restart pass the assert
+      writeFile(f, meta, s"""{"maxTracked":$maxTracked}""".getBytes("UTF-8"))
+    }
+    batch
+      .select(explode(graft.functions.TextFns.tokens(coalesce(col(textCol), lit("")))).as("tok"))
+      .agg(expr(s"approx_top_k_accumulate(tok, $maxTracked)").as("state"))
+      .withColumn("src", lit(batchId))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/__batch=$batchId")
+  }
+
+  /** Combine every landed frequent-items state and cut the deterministic
+    * top-k (count desc, token asc — over the FULL tracked slice, the
+    * [[graft.operators.TextOps.tokenHeavyHitters]] tie discipline).
+    * `maxTracked` comes from the index's own sidecar. */
+  def readTopK(spark: SparkSession, path: String, k: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(p, "_meta.json")
+    require(f.exists(meta), s"no _meta.json under $path — nothing has landed")
+    val in = f.open(meta)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val maxTracked = """"maxTracked":(-?\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"malformed _meta.json under $path"))
+    spark.read.schema(topkStateDDL)
+      .option("basePath", path).parquet(path)
+      // one state per batch: identical rows in a fold-overlap window, and
+      // frequent-items merge double-counts — dedup is load-bearing
+      .dropDuplicates(Seq("src"))
+      .agg(expr(
+        s"approx_top_k_estimate(approx_top_k_combine(state, $maxTracked), $maxTracked)")
+        .as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.item").as("tok"), col("x.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** Fold the per-batch frequent-items states — dedup on the batch tag,
+    * NEVER re-merge (count-based states double-count under re-merge; the
+    * merge stays [[readTopK]]'s job, exactly the shingle-index
+    * source-tagged-partials rule). Newest-delta protection and
+    * crash-leftover recovery come with [[foldBatchDirs]]. */
+  def compactTopkState(spark: SparkSession, path: String): Unit =
+    foldBatchDirs(spark, path, topkStateDDL,
+      dedupKeys = Seq("src"), partitionCols = Seq.empty)
 
   /** The full streaming dedup-clustering loop — the daily-crawl
     * composition, one micro-batch at a time:

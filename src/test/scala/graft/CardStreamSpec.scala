@@ -67,6 +67,25 @@ class CardStreamSpec extends SparkSpec {
     assert(replayed == before)
   }
 
+  test("approx (HLL) mode: streamed sketches merge to the batch card at sparse cardinalities") {
+    val path = s"${tmpDir()}/card"
+    StreamingOps.cardBatch(docsOf(b0), 0L, path, approx = true)
+    StreamingOps.cardBatch(docsOf(b1), 1L, path, approx = true)
+    StreamingOps.cardBatch(docsOf(b2), 2L, path, approx = true)
+    val got = StreamingOps.readCard(spark, path, approx = true)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    // at these cardinalities the HLL sketch is in its exact (sparse)
+    // regime, so the approx card equals the exact batch card outright
+    assert(got == card(b0 ++ b1 ++ b2),
+      s"approx card diverged from the batch truth: $got")
+    // replay + fold keep the merged registers identical
+    StreamingOps.cardBatch(docsOf(b2), 2L, path, approx = true)
+    StreamingOps.compactCardState(spark, path)
+    val after = StreamingOps.readCard(spark, path, approx = true)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(after == got)
+  }
+
   test("lineage guard: a batch id behind an existing delta refuses loudly") {
     val path = s"${tmpDir()}/card"
     StreamingOps.cardBatch(docsOf(b0), 5L, path)
