@@ -800,6 +800,29 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    "q_stream_budget" -> { (s, dir) => // token-budget-capped streaming
+      // ingest: an AvailableNow run admits documents until the lifetime
+      // budget (9000 tokens, seed-7 permutation order) — the single-batch
+      // case IS the batch tokenBudgetSample, so it shares g_token_budget's
+      // single-window oracle. Cross-batch frontier/replay semantics are
+      // BudgetStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_budget_")
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val q = graft.streaming.StreamingOps
+        .budgetIngest(src, s"$out/budget", s"$out/ckpt",
+          budgetTokens = 9000L, seed = 7L, nRanges = 8)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema("doc_id LONG, sort_key LONG, n_tokens LONG")
+        .option("basePath", s"$out/budget/docs").parquet(s"$out/budget/docs")
+        .select(col("doc_id"), col("sort_key"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_stream_topk" -> { (s, dir) => // streaming heavy hitters: an
       // AvailableNow run lands one fixed-size frequent-items state per
       // micro-batch; the combined estimate must equal exact counts while
@@ -2319,6 +2342,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_domain_budget" -> { (s, dir) => // per-domain token-budget curation:
+      // each source keeps its best docs (quality desc, id tiebreak) until
+      // 800 kept tokens. Two-phase exact with NO driver state: the
+      // running-total window runs over the (domains x nRanges) range-sum
+      // frame, only the one boundary range per domain is cum-sum
+      // windowed. Oracle replays the per-domain single-window truth.
+      CurationOps.domainTokenBudget(
+          Tables.documents(s, dir), budgetTokens = 800L, nRanges = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_length_hist" -> { (s, dir) => // log2-bucketed length histogram per
+      // source: bucket = bit length of n_chars (exact integer log2+1 in
+      // both engines — no FP boundary at powers of two), one
+      // map-side-combined aggregation
+      CurationOps.lengthHistogram(Tables.documents(s, dir))
+        .orderBy(col("source"), col("len_bucket"))
+    },
+
+    "g_jsonl_roundtrip" -> { (s, dir) => // JSONL interchange: export the
+      // corpus to sharded JSON-Lines, read it back schema-on-read, and
+      // prove the round trip lossless — the oracle is the plain corpus
+      // scan, so a green row certifies escaping/typing/sharding end to
+      // end (the format training-data pipelines actually exchange)
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString + "/docs"
+      graft.sources.Tables.exportJsonl(Tables.documents(s, dir), out, nShards = 4)
+      graft.sources.Tables.importJsonl(s, out,
+          "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     "g_token_budget" -> { (s, dir) => // exact token-budget prefix sample:
       // the first 9000 tokens of the corpus in deterministic permutation
       // order (boundary doc kept). Two-phase exact: per-key-range sums
@@ -2781,6 +2836,21 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the single-batch budget landing shares g_token_budget's
+    // single-window truth (same budget, seed, permutation order)
+    "q_stream_budget" ->
+      """WITH k AS (SELECT doc_id,
+        |        ((doc_id % 2147483647) * 62089911 + 7) % 2147483647 AS sort_key,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, sort_key, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY sort_key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM k)
+        |SELECT doc_id, sort_key, n_tokens FROM c
+        |WHERE cum - n_tokens < 9000
+        |ORDER BY doc_id""".stripMargin,
 
     // the streamed heavy-hitter state shares the batch sketch's truth:
     // exact recount while the vocabulary fits the tracked slots,
@@ -4626,6 +4696,45 @@ object SparkEntry {
       """SELECT doc_id,
         |       ((doc_id % 2147483647) * 62089911) % 2147483647 AS sort_key,
         |       (((doc_id % 2147483647) * 62089911) % 2147483647) % 8 AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_domain_budget" ->
+      // the per-domain single-window truth the two-phase form equals:
+      // running token sum in (quality desc, id) order per source, keep
+      // rows whose cumulative START offset is below the budget. The q4
+      // expression is g_quality's quality column floored at 1e4.
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(floor(least(greatest(
+        |      least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |      (len(list_distinct(string_split(text, ' '))) /
+        |       CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |      (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |             CAST(length(text) AS DOUBLE)) * 0.2,
+        |      0.0), 1.0) * 10000) AS BIGINT) AS q4,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, q4, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY q4 DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM s)
+        |SELECT doc_id, source, q4, n_tokens FROM c
+        |WHERE cum - n_tokens < 800
+        |ORDER BY doc_id""".stripMargin,
+
+    "g_length_hist" ->
+      // bin() renders identically in both engines (verified incl. 0), so
+      // the bit-length bucket is exact integer arithmetic on both sides
+      """SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source, len_bucket
+        |ORDER BY source, len_bucket""".stripMargin,
+
+    "g_jsonl_roundtrip" ->
+      // round-trip truth: the original corpus — equality certifies the
+      // jsonl write/escape/read pipeline losslessly
+      """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "g_token_budget" ->

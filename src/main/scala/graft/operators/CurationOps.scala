@@ -578,6 +578,83 @@ object CurationOps {
     }
   }
 
+  /** Per-domain token-budget curation: keep each domain's BEST documents
+    * (quality desc, id tiebreak) until the domain's kept token total
+    * covers `budgetTokens` — the "equal token budget per source, filled
+    * with the best material first" mixing rule (a doc-count quota treats
+    * a 50-token doc like a 5000-token one; this one budgets what
+    * training actually consumes). The boundary document is kept, so each
+    * domain lands the MINIMAL quality-prefix covering its budget;
+    * domains below the budget keep everything.
+    *
+    * The naive form is one cum-sum window per domain — a mega-domain
+    * (half the corpus from one crawl) sorts in a single task. This is
+    * the two-phase exact equivalent of [[tokenBudgetSample]], with the
+    * quality score as the order and NO driver state at all: documents
+    * bucket by quality range (`(10000 - q4) DIV width` — contiguous in
+    * the sort order by construction); per-(domain, range) token sums
+    * form a (domains × nRanges)-row frame; the running-total window runs
+    * over THAT frame, classifying each range as keep-all (its whole span
+    * fits the budget), drop (the budget is already covered), or the one
+    * BOUNDARY range per domain; the classification broadcast-joins back,
+    * keep-all/drop rows pass map-only, and only the boundary slice
+    * (~1/nRanges of each domain) feeds the per-domain cum-sum window.
+    * Range sums compose exactly (every doc with the same q4 shares a
+    * range, and the in-range order extends the cross-range order), so
+    * the selection equals the single-window truth row for row. */
+  def domainTokenBudget(
+      docs: DataFrame,
+      budgetTokens: Long,
+      nRanges: Int = 64,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0 && nRanges >= 1, "budgetTokens >= 0, nRanges >= 1")
+    import graft.functions.TextFns
+    val width = (10001 + nRanges - 1) / nRanges
+    val scored = docs.select(
+      col(idCol), col(domainCol),
+      floor(TextFns.qualityScore(col(textCol)) * lit(1e4)).cast("long").as("q4"),
+      size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      .withColumn("__qr", expr(s"(10000L - q4) DIV ${width}L"))
+    val ranges = scored.groupBy(col(domainCol), col("__qr"))
+      .agg(sum(col("n_tokens")).as("__rsum"))
+    val wD = Window.partitionBy(col(domainCol)).orderBy(col("__qr"))
+    val marked = ranges
+      .withColumn("__before", coalesce(
+        sum(col("__rsum")).over(wD.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cat",
+        when(col("__before") + col("__rsum") <= budgetTokens, "all")
+          .when(col("__before") >= budgetTokens, "none")
+          .otherwise("bnd"))
+    val joined = scored.join(
+      broadcast(marked.select(col(domainCol), col("__qr"), col("__before"), col("__cat"))),
+      Seq(domainCol, "__qr"))
+    val out = Seq(col(idCol), col(domainCol), col("q4"), col("n_tokens"))
+    val wB = Window.partitionBy(col(domainCol)).orderBy(col("q4").desc, col(idCol))
+    joined.filter(col("__cat") === "all").select(out: _*)
+      .unionByName(
+        joined.filter(col("__cat") === "bnd")
+          .withColumn("__cum", sum(col("n_tokens")).over(wB))
+          .filter(col("__before") + col("__cum") - col("n_tokens") < budgetTokens)
+          .select(out: _*))
+  }
+
+  /** Log2-bucketed length histogram per domain — the release-diagnostics
+    * companion of [[datasetCard]] (truncation/boilerplate pathologies
+    * show up as spikes in a length histogram long before they move a
+    * mean). The bucket is `length(bin(n_chars))` = floor(log2) + 1 —
+    * EXACT integer bit-length in both engines, where floor(log2(x)) on
+    * doubles can flip at power-of-two boundaries. One map-side-combined
+    * aggregation; output is (domains × ~40 buckets) rows. */
+  def lengthHistogram(docs: DataFrame, domainCol: String = "source"): DataFrame =
+    docs.groupBy(col(domainCol), length(bin(col("n_chars"))).cast("long").as("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+
   /** Materialize the shuffled corpus as one directory per shard, rows
     * sorted by `sort_key` within each file — the physical layout a
     * trainer streams sequentially. Shard directories are written by a

@@ -137,4 +137,25 @@ object Tables {
 
   def region(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "region")
+
+  /** Export to sharded JSON-Lines — the interchange format
+    * training-data pipelines actually exchange (one JSON object per
+    * line, newline-safe by escaping, streamable by any consumer).
+    * `repartition(nShards)` sets file count = write parallelism; at
+    * 100 TB size nShards so files land in the 100 MB - 1 GB band. */
+  def exportJsonl(df: DataFrame, path: String, nShards: Int): Unit = {
+    require(nShards >= 1, "nShards must be >= 1")
+    df.repartition(nShards)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+  }
+
+  /** Read a JSON-Lines corpus with an EXPLICIT schema — schema-on-read,
+    * never inference: an inference pass scans the corpus a second time
+    * at full size, and inferred types drift with the sample (a
+    * numeric-looking id column becomes DOUBLE the day one row pads with
+    * zeros). Malformed lines surface as nulls (Spark's PERMISSIVE
+    * default) so one bad line cannot kill a 100 TB ingest; compose a
+    * not-null filter on a required column to drop them explicitly. */
+  def importJsonl(spark: SparkSession, path: String, schemaDDL: String): DataFrame =
+    spark.read.schema(schemaDDL).json(path)
 }

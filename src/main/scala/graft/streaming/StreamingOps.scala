@@ -963,6 +963,72 @@ object StreamingOps {
     foldBatchDirs(spark, path, topkStateDDL,
       dedupKeys = Seq("src"), partitionCols = Seq.empty)
 
+  /** Token-budget-capped streaming ingest: admit arriving documents until
+    * the stream's LIFETIME admitted-token total covers `budgetTokens`,
+    * then stop — "collect a 50B-token corpus from the crawl and not a
+    * byte more", as a sink. Within each micro-batch admission follows the
+    * deterministic [[graft.operators.CurationOps.tokenBudgetSample]]
+    * permutation order (so the single-batch case IS the batch operator —
+    * the q_stream_budget oracle); across batches the frontier is the
+    * accumulated total of the PRIOR batches' admissions, carried by a
+    * one-long-per-batch `_totals/__batch=<id>` sidecar — reading the
+    * totals is O(batches), never O(corpus), and compaction keeps batch
+    * count small.
+    *
+    * Idempotent the established way: the frontier read takes
+    * `__batch < batchId` only, both writes are batch-id-derived
+    * Overwrite, so a checkpoint-replayed batch sees the exact frontier
+    * the crashed attempt saw and recomputes the same admissions at any
+    * crash point. A totals row lands even for a zero-admission batch —
+    * the frontier (and the lineage guard) must see every committed
+    * batch. */
+  def budgetIngest(docs: DataFrame, outDir: String, checkpoint: String,
+      budgetTokens: Long, seed: Long = 0L, nRanges: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        budgetBatch(batch, batchId, outDir, budgetTokens, seed, nRanges, idCol, textCol)
+      }
+
+  /** One [[budgetIngest]] micro-batch (extracted for spec-driven replay). */
+  private[graft] def budgetBatch(batch: DataFrame, batchId: Long, outDir: String,
+      budgetTokens: Long, seed: Long, nRanges: Int,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val s = batch.sparkSession
+    val totalsP = new org.apache.hadoop.fs.Path(s"$outDir/_totals")
+    val f = totalsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("docs", "_totals").foreach { sub =>
+      requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$outDir/$sub"),
+        batchId, "budgetIngest", s"$outDir/$sub")
+    }
+    // the admission frontier: prior batches' admitted-token totals only
+    // (strictly below this id — the crashed attempt's own partial writes
+    // are invisible to its replay)
+    val prior: Long =
+      if (!f.exists(totalsP)) 0L
+      else {
+        val dirs = f.listStatus(totalsP).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("__batch="))
+          .map(_.stripPrefix("__batch=").toLong).filter(_ < batchId)
+        if (dirs.isEmpty) 0L
+        else s.read.schema("admitted_tokens LONG")
+          .parquet(dirs.map(v => s"$outDir/_totals/__batch=$v"): _*)
+          .agg(sum(col("admitted_tokens"))).head().getLong(0)
+      }
+    val remaining = math.max(0L, budgetTokens - prior)
+    val kept = graft.operators.Checkpoints.pin(
+      graft.operators.CurationOps.tokenBudgetSample(
+        batch, remaining, seed, nRanges, idCol, textCol), reliable = false)
+    kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/docs/__batch=$batchId")
+    kept.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("admitted_tokens"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/_totals/__batch=$batchId")
+  }
+
   /** The full streaming dedup-clustering loop — the daily-crawl
     * composition, one micro-batch at a time:
     *

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Token-budget-capped streaming ingest: the admission frontier carries
+  * across batches, replay recomputes identically, and a zero-admission
+  * batch still lands its frontier row. */
+class BudgetStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 5 tokens per doc, ids chosen so permutation order within a batch is
+  // exercised but the math stays easy: every admitted doc adds 5 tokens
+  private def docsOf(ids: Seq[Long]) =
+    ids.map(i => (i, "a b c d e")).toDF("doc_id", "text")
+
+  private def admitted(path: String): Map[Long, Long] =
+    spark.read.schema("doc_id LONG, sort_key LONG, n_tokens LONG")
+      .option("basePath", s"$path/docs").parquet(s"$path/docs")
+      .select(col("doc_id"), col("__batch").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("the admission frontier carries across batches and stops at the budget") {
+    val path = s"${tmpDir()}/budget"
+    // budget 35 tokens = 7 docs: batch0 admits its 4, batch1 admits 3 of
+    // its 4 (partial), batch2 admits none
+    StreamingOps.budgetBatch(docsOf(1L to 4L), 0L, path, 35L, seed = 0L, nRanges = 4)
+    StreamingOps.budgetBatch(docsOf(5L to 8L), 1L, path, 35L, seed = 0L, nRanges = 4)
+    StreamingOps.budgetBatch(docsOf(9L to 12L), 2L, path, 35L, seed = 0L, nRanges = 4)
+    val got = admitted(path)
+    assert(got.size == 7, s"expected 7 admitted docs, got $got")
+    assert(got.count(_._2 == 0L) == 4 && got.count(_._2 == 1L) == 3 &&
+      !got.values.exists(_ == 2L))
+    // the zero-admission batch still landed its frontier row
+    val totals = spark.read.schema("admitted_tokens LONG")
+      .option("basePath", s"$path/_totals").parquet(s"$path/_totals")
+      .select(col("__batch").cast("long"), col("admitted_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals == Map(0L -> 20L, 1L -> 15L, 2L -> 0L), totals)
+  }
+
+  test("replay recomputes the same admissions at any crash point") {
+    val path = s"${tmpDir()}/budget"
+    StreamingOps.budgetBatch(docsOf(1L to 4L), 0L, path, 35L, 0L, 4)
+    StreamingOps.budgetBatch(docsOf(5L to 8L), 1L, path, 35L, 0L, 4)
+    val before = admitted(path)
+    // crash-replay of batch 1: its own landed docs/totals are invisible to
+    // the frontier read (__batch < id), so the recompute is identical
+    StreamingOps.budgetBatch(docsOf(5L to 8L), 1L, path, 35L, 0L, 4)
+    assert(admitted(path) == before, "replay must not change admissions")
+  }
+
+  test("lineage guard refuses a foreign checkpoint") {
+    val path = s"${tmpDir()}/budget"
+    StreamingOps.budgetBatch(docsOf(1L to 4L), 3L, path, 35L, 0L, 4)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.budgetBatch(docsOf(5L to 8L), 1L, path, 35L, 0L, 4)
+    }
+    assert(e.getMessage.contains("different checkpoint lineage"))
+  }
+}

@@ -122,6 +122,69 @@ class SelectionOpsSpec extends SparkSpec {
     }
   }
 
+  test("domainTokenBudget: two-phase equals the per-domain single-window truth at every nRanges") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns
+    // skewed fixture: one mega domain, one small, one below the budget
+    val docs = ((1L to 120L).map(i => (i, "mega",
+        Seq.tabulate(((i * 13 + 5) % 9).toInt + 2)(j => s"w${(i + j * 7) % 31}").mkString(" "))) ++
+      (200L to 215L).map(i => (i, "small", s"tok${i % 5} a b c d e")) ++
+      Seq((300L, "tiny", "only a few tokens here")))
+      .toDF("doc_id", "source", "text")
+    val scored = docs.select(col("doc_id"), col("source"),
+      floor(TextFns.qualityScore(col("text")) * lit(1e4)).cast("long").as("q4"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val truth = scored
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("q4").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") - col("n_tokens") < 150L)
+      .select("doc_id", "source", "q4", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    for (nRanges <- Seq(1, 3, 64)) {
+      val got = CurationOps.domainTokenBudget(docs, budgetTokens = 150L, nRanges = nRanges)
+        .collect().map(_.toSeq).toSet
+      assert(got == truth, s"nRanges=$nRanges diverged from the single-window truth")
+    }
+    // the below-budget domain keeps everything
+    assert(CurationOps.domainTokenBudget(docs, 150L, 3)
+      .filter(col("source") === "tiny").count() == 1L)
+    // each over-budget domain covers its budget minimally
+    val kept = CurationOps.domainTokenBudget(docs, 150L, 3)
+      .filter(col("source") === "mega")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(3)))
+    assert(kept.map(_._3).sum >= 150L)
+    val last = kept.minBy(k => (k._1, -k._2)) // lowest quality, highest id = last kept
+    assert(kept.map(_._3).sum - last._3 < 150L, "per-domain prefix must be minimal")
+  }
+
+  test("lengthHistogram: bit-length buckets are exact at power-of-two boundaries") {
+    val docs = Seq((1L, "s", 1L), (2L, "s", 2L), (3L, "s", 3L), (4L, "s", 4L),
+      (5L, "s", 1023L), (6L, "s", 1024L), (7L, "s", 0L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = CurationOps.lengthHistogram(docs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // 0 -> "0" (len 1) and 1 -> len 1; 2,3 -> len 2; 4 -> len 3; 1023 -> 10; 1024 -> 11
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 10L -> 1L, 11L -> 1L), got)
+  }
+
+  test("jsonl round trip is lossless on hostile strings and nulls") {
+    val rows = Seq[(Long, String, String)](
+      (1L, "en", "line one\nline two\ttabbed \"quoted\" back\\slash"),
+      (2L, "zh", "中文 текст émoji  control"),
+      (3L, null, null),
+      (4L, "en", ""))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = s"${tmpDir()}/jsonl"
+    graft.sources.Tables.exportJsonl(df, out, nShards = 3)
+    val back = graft.sources.Tables.importJsonl(spark, out, "doc_id LONG, lang STRING, text STRING")
+      .select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // Spark's json writer drops null fields from the object; schema-on-read
+    // restores them as nulls — the round trip is value-lossless
+    assert(back == rows.toSet, s"round trip diverged: $back")
+  }
+
   test("tokenBudgetSample: minimal prefix covering the budget; degenerate budgets") {
     val docs = (1L to 50L).map(i => (i, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
     val kept = CurationOps.tokenBudgetSample(docs, budgetTokens = 52L, seed = 0L, nRanges = 4)
