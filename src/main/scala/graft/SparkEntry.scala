@@ -2342,6 +2342,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_dsir_select" -> { (s, dir) => // DSIR end to end: importance scores
+      // (target = English) length-normalized in fixed point, top 30% of
+      // the RAW pool kept through the salted quantile machinery —
+      // deterministic selection, bit-identical reruns. Oracle replays
+      // scoring + normalization + the single-window rank.
+      CurationOps.importanceSelect(
+          Tables.documents(s, dir), targetPred = col("lang") === "en",
+          keepFrac = 0.3, nBuckets = 64, saltBuckets = 4)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_card_delta" -> { (s, dir) => // corpus drift report: per-source
+      // dataset-card deltas between two snapshots (even vs all doc_ids —
+      // the release-over-release comparison), full-outer so appearing
+      // sources report against zero
+      val docs = Tables.documents(s, dir)
+      CurationOps.cardDelta(
+          before = docs.filter(col("doc_id") % 2 === 0), after = docs)
+        .orderBy(col("source"))
+    },
+
+    "g_skew_report" -> { (s, dir) => // join-key skew diagnostics on the
+      // event stream's natural key: per-key counts folded to the numbers
+      // that pick a partitioning strategy; all-integer, argmax
+      // tie-broken to the smallest key
+      CurationOps.keySkewReport(Tables.events(s, dir), keyCol = "user_id")
+    },
+
     "g_domain_budget" -> { (s, dir) => // per-domain token-budget curation:
       // each source keeps its best docs (quality desc, id tiebreak) until
       // 800 kept tokens. Two-phase exact with NO driver state: the
@@ -4697,6 +4725,74 @@ object SparkEntry {
         |       ((doc_id % 2147483647) * 62089911) % 2147483647 AS sort_key,
         |       (((doc_id % 2147483647) * 62089911) % 2147483647) % 8 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_dsir_select" ->
+      // g_dsir_weights' scoring replayed, length-normalized with integer
+      // division, then the exact count-derived quota + single-window rank
+      // over the raw pool (the g_quality_quantile oracle pattern)
+      """WITH tk AS (SELECT doc_id,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |        unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |      FROM documents),
+        |b AS (SELECT doc_id, is_t,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(tok)+1),
+        |            i -> CAST(unicode(tok[i]) AS BIGINT))),
+        |          (acc, c) -> (acc*31 + c) % 1000000007) % 64 AS bkt
+        |      FROM tk),
+        |w AS (SELECT bkt,
+        |        (CAST((sum(CASE WHEN is_t = 1 THEN 1 ELSE 0 END) + 1) AS BIGINT) * 1000000)
+        |          // CAST((sum(CASE WHEN is_t = 0 THEN 1 ELSE 0 END) + 1) AS BIGINT) AS w
+        |      FROM b GROUP BY bkt),
+        |d AS (SELECT b.doc_id, CAST(max(b.is_t) AS BIGINT) AS is_target,
+        |        count(*) AS n_tokens, CAST(sum(w.w) AS BIGINT) AS score
+        |      FROM b JOIN w USING (bkt) GROUP BY b.doc_id),
+        |p AS (SELECT doc_id, (score * 1000000) // n_tokens AS score_pt
+        |      FROM d WHERE is_target = 0),
+        |q AS (SELECT CAST(ceil(0.3 * CAST(count(*) AS DOUBLE)) AS BIGINT) AS quota FROM p),
+        |r AS (SELECT doc_id, score_pt,
+        |        CAST(row_number() OVER (ORDER BY score_pt DESC, doc_id) AS INT) AS rank
+        |      FROM p)
+        |SELECT doc_id, score_pt, rank FROM r, q WHERE rank <= quota
+        |ORDER BY doc_id""".stripMargin,
+
+    "g_card_delta" ->
+      // both snapshots' card integer columns recomputed and differenced;
+      // the full-outer coalesce degenerates to plain values here (every
+      // source has docs in both snapshots at these SFs)
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |        CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |        CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |      FROM documents GROUP BY source)
+        |SELECT a.source,
+        |       a.n_docs, a.n_docs - coalesce(b.n_docs, 0) AS d_n_docs,
+        |       a.n_chars, a.n_chars - coalesce(b.n_chars, 0) AS d_n_chars,
+        |       a.n_tokens, a.n_tokens - coalesce(b.n_tokens, 0) AS d_n_tokens,
+        |       a.n_distinct_texts,
+        |       a.n_distinct_texts - coalesce(b.n_distinct_texts, 0) AS d_n_distinct_texts,
+        |       a.n_langs, a.n_langs - coalesce(b.n_langs, 0) AS d_n_langs
+        |FROM a LEFT JOIN b USING (source)
+        |ORDER BY a.source""".stripMargin,
+
+    "g_skew_report" ->
+      // single-row fold over the per-key counts; the argmax scalar
+      // subquery tie-breaks to the smallest key, // = Spark's DIV
+      """WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |       (SELECT min(k) FROM c WHERE cnt = (SELECT max(cnt) FROM c)) AS max_key,
+        |       (CAST(max(cnt) AS BIGINT) * count(*) * 1000000)
+        |         // CAST(sum(cnt) AS BIGINT) AS skew_ppm
+        |FROM c""".stripMargin,
 
     "g_domain_budget" ->
       // the per-domain single-window truth the two-phase form equals:

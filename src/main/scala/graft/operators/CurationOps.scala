@@ -264,28 +264,74 @@ object CurationOps {
       keepFrac: Double,
       saltBuckets: Int = 8,
       domainCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    scoreQuantileFilter(
+      docs.select(
+        col(idCol), col(domainCol),
+        NumFns.floorAt(graft.functions.TextFns.qualityScore(col("text")), 4).as("q_score")),
+      keepFrac, saltBuckets, domainCol, idCol, scoreCol = "q_score")
+
+  /** [[qualityQuantileFilter]]'s machinery over an ARBITRARY pre-computed
+    * score column — the reusable "keep each domain's top keepFrac by X"
+    * selector (X = the heuristic quality score, a DSIR importance score,
+    * a model logit, ...). Exact count-derived quota per domain, salted
+    * two-phase ranking (a hot domain ranks in saltBuckets parallel tasks
+    * first — each salt slice independently keeps its own top-quota, a
+    * superset of the global top-quota's members in that slice — then the
+    * survivors, at most quota*saltBuckets rows per domain, rank once);
+    * ties break on the id, so the selection is deterministic in every
+    * engine. */
+  def scoreQuantileFilter(
+      scored: DataFrame,
+      keepFrac: Double,
+      saltBuckets: Int = 8,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
-    val scored = docs.select(
-      col(idCol), col(domainCol),
-      NumFns.floorAt(graft.functions.TextFns.qualityScore(col("text")), 4).as("q_score"))
     val quotas = scored.groupBy(col(domainCol))
       .agg(ceil(lit(keepFrac) * count(lit(1)).cast("double")).cast("long").as("__quota"))
     val salted = scored
       .join(quotas, domainCol) // domain-cardinality build side — AQE broadcasts
       .withColumn("__salt", pmod(col(idCol), lit(saltBuckets)))
     val w1 = Window.partitionBy(col(domainCol), col("__salt"))
-      .orderBy(col("q_score").desc, col(idCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
     val w2 = Window.partitionBy(col(domainCol))
-      .orderBy(col("q_score").desc, col(idCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
     salted
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= col("__quota"))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= col("__quota"))
-      .select(col(idCol), col(domainCol), col("q_score"), col("rank"))
+      .select(col(idCol), col(domainCol), col(scoreCol), col("rank"))
   }
+
+  /** DSIR end to end: score with [[importanceWeights]], length-normalize
+    * in fixed point (`(score * 1e6) DIV n_tokens` — a raw sum only
+    * rewards length), and keep the top `keepFrac` of the RAW pool by
+    * that per-token score through [[scoreQuantileFilter]]'s salted
+    * machinery (one global stratum — the selection is corpus-wide; pass
+    * a real domain upstream for per-domain DSIR). Deterministic top-frac
+    * is the reproducible variant of the paper's Gumbel-noise sampling:
+    * same marginal selection pressure, bit-identical reruns. Target
+    * docs are the DEFINITION of the target distribution, not selection
+    * candidates — they are excluded from the pool. */
+  def importanceSelect(
+      docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      keepFrac: Double,
+      nBuckets: Int = 1024,
+      saltBuckets: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    scoreQuantileFilter(
+      importanceWeights(docs, targetPred, nBuckets, idCol = idCol, textCol = textCol)
+        .filter(col("is_target") === 0L)
+        .select(col(idCol), lit("all").as("__pool"),
+          expr("(score * 1000000L) DIV n_tokens").as("score_pt")),
+      keepFrac, saltBuckets, domainCol = "__pool", idCol = idCol, scoreCol = "score_pt")
+      .select(col(idCol), col("score_pt"), col("rank"))
 
   /** Per-source corpus report — the "dataset card" numbers a
     * training-data release ships (docs/chars/tokens, distinct-content and
@@ -639,6 +685,49 @@ object CurationOps {
           .filter(col("__before") + col("__cum") - col("n_tokens") < budgetTokens)
           .select(out: _*))
   }
+
+  /** Corpus drift report: the per-source deltas between two corpus
+    * snapshots' [[datasetCard]]s — the "what changed in this release"
+    * numbers (a source that doubled its docs but halved its distinct
+    * texts is a duplication regression; a token count that moved without
+    * a doc-count move is a truncation change). Full-outer join on the
+    * source (appearing/disappearing sources report against zero), deltas
+    * over the card's exact integer columns; output is strata-sized. */
+  def cardDelta(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = datasetCard(before)
+    val a = datasetCard(after)
+    val cols = Seq("n_docs", "n_chars", "n_tokens", "n_distinct_texts", "n_langs")
+    val joined = b.select(col("source") +: cols.map(c => col(c).as(s"b_$c")): _*)
+      .join(a.select(col("source") +: cols.map(c => col(c).as(s"a_$c")): _*),
+        Seq("source"), "full_outer")
+    joined.select(
+      col("source") +:
+        cols.flatMap(c => Seq(
+          coalesce(col(s"a_$c"), lit(0L)).as(s"$c"),
+          (coalesce(col(s"a_$c"), lit(0L)) - coalesce(col(s"b_$c"), lit(0L)))
+            .as(s"d_$c"))): _*)
+  }
+
+  /** Join-key skew report — the pre-flight diagnostic for any 100 TB
+    * join/groupBy: per-key counts reduced to the numbers that decide a
+    * partitioning strategy (row/key cardinalities, the heaviest key and
+    * its count, and `skew_ppm` = max-key share relative to the uniform
+    * share × 1e6 — 1_000_000 means perfectly uniform; 50_000_000 means
+    * the hottest key is 50× its fair share and the plan wants salting /
+    * AQE skew-join / a chunked window variant). Two aggregations: the
+    * keyed count (map-side combined) and a single-row fold over the
+    * counts frame. All integer arithmetic; the argmax tie-breaks to the
+    * SMALLEST key via a struct-ordered max_by, so the report is
+    * deterministic in every engine. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        max_by(col("k"), struct(col("cnt"), (-col("k")).as("nk"))).as("max_key"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("max_key"),
+        expr("(max_cnt * n_keys * 1000000L) DIV n_rows").as("skew_ppm"))
 
   /** Log2-bucketed length histogram per domain — the release-diagnostics
     * companion of [[datasetCard]] (truncation/boilerplate pathologies

@@ -50,6 +50,15 @@ class BudgetStreamSpec extends SparkSpec {
     assert(admitted(path) == before, "replay must not change admissions")
   }
 
+  test("an empty micro-batch lands a zero frontier row and changes nothing") {
+    val path = s"${tmpDir()}/budget"
+    StreamingOps.budgetBatch(docsOf(1L to 4L), 0L, path, 35L, 0L, 4)
+    StreamingOps.budgetBatch(docsOf(Seq.empty), 1L, path, 35L, 0L, 4)
+    StreamingOps.budgetBatch(docsOf(5L to 8L), 2L, path, 35L, 0L, 4)
+    val got = admitted(path)
+    assert(got.size == 7 && got.count(_._2 == 2L) == 3, s"frontier broke: $got")
+  }
+
   test("lineage guard refuses a foreign checkpoint") {
     val path = s"${tmpDir()}/budget"
     StreamingOps.budgetBatch(docsOf(1L to 4L), 3L, path, 35L, 0L, 4)

@@ -86,6 +86,20 @@ class CardStreamSpec extends SparkSpec {
     assert(after == got)
   }
 
+  test("an empty micro-batch lands harmlessly in both modes") {
+    val path = s"${tmpDir()}/card"
+    val empty = docsOf(Seq.empty)
+    StreamingOps.cardBatch(docsOf(b0), 0L, path)
+    StreamingOps.cardBatch(empty, 1L, path)
+    assert(StreamingOps.readCard(spark, path)
+      .orderBy("source").collect().map(_.toSeq).toSeq == card(b0))
+    val pathA = s"${tmpDir()}/cardA"
+    StreamingOps.cardBatch(docsOf(b0), 0L, pathA, approx = true)
+    StreamingOps.cardBatch(empty, 1L, pathA, approx = true)
+    assert(StreamingOps.readCard(spark, pathA, approx = true)
+      .orderBy("source").collect().map(_.toSeq).toSeq == card(b0))
+  }
+
   test("lineage guard: a batch id behind an existing delta refuses loudly") {
     val path = s"${tmpDir()}/card"
     StreamingOps.cardBatch(docsOf(b0), 5L, path)

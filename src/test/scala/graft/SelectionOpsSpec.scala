@@ -185,6 +185,54 @@ class SelectionOpsSpec extends SparkSpec {
     assert(back == rows.toSet, s"round trip diverged: $back")
   }
 
+  test("keySkewReport: exact fold with a deterministic argmax tie-break") {
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(5)(3L) ++ Seq(4L))
+      .map(k => Tuple1(k)).toDF("user_id")
+    val r = CurationOps.keySkewReport(df, "user_id").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((14L, 4L, 5L, 1L, 5L * 4L * 1000000L / 14L)),
+      s"report diverged: $r")
+  }
+
+  test("importanceSelect: target docs define the distribution but are never selected; salted == single-window") {
+    val docs = Seq(
+      (1L, "t", "alpha beta gamma alpha beta gamma"),
+      (2L, "t", "beta gamma alpha beta delta gamma"),
+      (10L, "r", "alpha beta gamma alpha beta delta"),
+      (11L, "r", "xray york zulu quebec victor whiskey"),
+      (12L, "r", "york quebec victor zulu whiskey xray"),
+      (13L, "r", "beta alpha gamma delta alpha beta"),
+      (14L, "r", "zulu xray whiskey york victor quebec"),
+    ).toDF("doc_id", "grp", "text")
+    val kept = CurationOps.importanceSelect(
+        docs, col("grp") === "t", keepFrac = 0.4, nBuckets = 256, saltBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ceil(0.4 * 5 raw docs) = 2 kept; the in-domain raw docs win; no
+    // target doc appears
+    assert(kept.map(_._1) == Set(10L, 13L), s"selection diverged: $kept")
+    val unsalted = CurationOps.importanceSelect(
+        docs, col("grp") === "t", keepFrac = 0.4, nBuckets = 256, saltBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(unsalted == kept, "salted two-phase must equal the single-window selection")
+  }
+
+  test("cardDelta: appearing and disappearing sources report against zero") {
+    val before = Seq(
+      (1L, "keep", "en", "alpha beta"),
+      (2L, "gone", "de", "der fuchs")).toDF("doc_id", "source", "lang", "text")
+    val after = Seq(
+      (1L, "keep", "en", "alpha beta"),
+      (3L, "keep", "fr", "le renard brun"),
+      (4L, "new", "en", "fresh content here")).toDF("doc_id", "source", "lang", "text")
+    val got = CurationOps.cardDelta(before, after)
+      .select("source", "n_docs", "d_n_docs", "n_langs", "d_n_langs")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("keep") == ((2L, 1L, 2L, 1L)))
+    assert(got("new") == ((1L, 1L, 1L, 1L)), s"appearing source must delta from zero: $got")
+    assert(got("gone") == ((0L, -1L, 0L, -1L)), s"disappearing source must report zero now: $got")
+  }
+
   test("tokenBudgetSample: minimal prefix covering the budget; degenerate budgets") {
     val docs = (1L to 50L).map(i => (i, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
     val kept = CurationOps.tokenBudgetSample(docs, budgetTokens = 52L, seed = 0L, nRanges = 4)

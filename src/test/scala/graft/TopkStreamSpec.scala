@@ -60,6 +60,15 @@ class TopkStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == before)
   }
 
+  test("an empty micro-batch lands harmlessly and does not poison the combine") {
+    val path = s"${tmpDir()}/topk"
+    StreamingOps.topkBatch(docsOf(b0), 0L, path, maxTracked = 64)
+    StreamingOps.topkBatch(docsOf(Seq.empty), 1L, path, maxTracked = 64)
+    val got = StreamingOps.readTopK(spark, path, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == truth(b0, 5), s"empty batch changed the counts: $got")
+  }
+
   test("parameter drift and foreign checkpoint lineage refuse loudly") {
     val path = s"${tmpDir()}/topk"
     StreamingOps.topkBatch(docsOf(b0), 0L, path, maxTracked = 64)
