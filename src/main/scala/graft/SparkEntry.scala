@@ -823,6 +823,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "q_stream_quantiles" -> { (s, dir) => // streaming EXACT quantiles: an
+      // AvailableNow run lands per-batch (lang, n_chars) count-histogram
+      // partials; rank selection over the merged histogram must equal
+      // the batch exact-quantile truth (g_exact_quantiles' oracle
+      // verbatim). Cross-batch merge/replay/fold are QuantileStreamSpec's.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_quant_")
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("lang"), col("n_chars"))
+      val q = graft.streaming.StreamingOps
+        .quantileStream(src, s"$out/hist", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps
+        .readQuantiles(s, s"$out/hist", ps = Seq(0.25, 0.5, 0.75))
+        .orderBy(col("lang"))
+    },
+
     "q_stream_topk" -> { (s, dir) => // streaming heavy hitters: an
       // AvailableNow run lands one fixed-size frequent-items state per
       // micro-batch; the combined estimate must equal exact counts while
@@ -2363,6 +2383,26 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    "g_join_cardinality" -> { (s, dir) => // exact join-output size from
+      // the two keyed count frames, without materializing a row of the
+      // join — the pre-flight that catches a both-sides-hot key before
+      // the shuffle is written. orders x lineitem on the order key:
+      // join_rows must equal |lineitem| exactly.
+      CurationOps.joinCardinality(
+        Tables.orders(s, dir), "o_orderkey",
+        Tables.lineitem(s, dir), "l_orderkey")
+    },
+
+    "g_exact_quantiles" -> { (s, dir) => // exact per-language length
+      // quantiles WITHOUT a per-group sort: two-phase counting locates
+      // each target rank's value bucket, only those buckets' rows are
+      // windowed. The exact companion of the GK sketch gate
+      // (g_sketch_quantiles); oracle replays plain rank selection.
+      CurationOps.exactQuantiles(
+          Tables.documents(s, dir), ps = Seq(0.25, 0.5, 0.75))
+        .orderBy(col("lang"))
+    },
+
     "g_skew_report" -> { (s, dir) => // join-key skew diagnostics on the
       // event stream's natural key: per-key counts folded to the numbers
       // that pick a partitioning strategy; all-integer, argmax
@@ -2879,6 +2919,18 @@ object SparkEntry {
         |SELECT doc_id, sort_key, n_tokens FROM c
         |WHERE cum - n_tokens < 9000
         |ORDER BY doc_id""".stripMargin,
+
+    // the streamed histogram shares the batch exact-quantile truth
+    "q_stream_quantiles" ->
+      """WITH v AS (SELECT lang, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM documents)
+        |SELECT lang,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS p75
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the streamed heavy-hitter state shares the batch sketch's truth:
     // exact recount while the vocabulary fits the tracked slots,
@@ -4781,6 +4833,31 @@ object SparkEntry {
         |       a.n_langs, a.n_langs - coalesce(b.n_langs, 0) AS d_n_langs
         |FROM a LEFT JOIN b USING (source)
         |ORDER BY a.source""".stripMargin,
+
+    "g_join_cardinality" ->
+      // |A join B| = sum over shared keys of the count product — computed
+      // from the count frames on both sides
+      """WITH lc AS (SELECT o_orderkey AS k, count(*) AS lcnt FROM orders GROUP BY 1),
+        |rc AS (SELECT l_orderkey AS k, count(*) AS rcnt FROM lineitem GROUP BY 1),
+        |j AS (SELECT lc.k, lcnt, rcnt FROM lc JOIN rc USING (k))
+        |SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+        |       CAST(coalesce(sum(lcnt * rcnt), 0) AS BIGINT) AS join_rows,
+        |       CAST(coalesce(max(lcnt * rcnt), 0) AS BIGINT) AS max_key_rows
+        |FROM j""".stripMargin,
+
+    "g_exact_quantiles" ->
+      // plain rank selection: value at rank ceil(p*n) (1-indexed) in
+      // (value, id) order per group — the truth the two-phase bucket
+      // locate-and-window provably equals
+      """WITH v AS (SELECT lang, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM documents)
+        |SELECT lang,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS p75
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
 
     "g_skew_report" ->
       // single-row fold over the per-key counts; the argmax scalar

@@ -729,6 +729,88 @@ object CurationOps {
       .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("max_key"),
         expr("(max_cnt * n_keys * 1000000L) DIV n_rows").as("skew_ppm"))
 
+  /** Exact join-output cardinality — [[keySkewReport]]'s companion
+    * pre-flight: |A ⋈ B| on an equi-key is EXACTLY the sum over shared
+    * keys of the per-side count product, computable from the two keyed
+    * count frames (distinct-key-sized — orders of magnitude smaller than
+    * running the join) without materializing a single output row. The
+    * report answers "is this join safe to run, and which side
+    * broadcasts": est_rows explodes exactly when a hot key is hot on
+    * BOTH sides — the case AQE only discovers after the shuffle is
+    * already written. All-integer; one keyed agg per side + one
+    * count-frame join. */
+  def joinCardinality(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("lcnt"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("rcnt"))
+    lc.join(rc, Seq("k"))
+      .agg(
+        count(lit(1)).as("n_shared_keys"),
+        sum(col("lcnt") * col("rcnt")).as("join_rows"),
+        max(col("lcnt") * col("rcnt")).as("max_key_rows"))
+      // empty key intersection -> a zero row, not nulls
+      .select(
+        coalesce(col("n_shared_keys"), lit(0L)).as("n_shared_keys"),
+        coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+        coalesce(col("max_key_rows"), lit(0L)).as("max_key_rows"))
+  }
+
+  /** Exact per-group quantiles WITHOUT a per-group sort — the two-phase
+    * counting trick ([[tokenBudgetSample]]/[[domainTokenBudget]]'s
+    * machinery pointed at rank selection): the exact companion of the GK
+    * sketch gate (`TextOps.quantileSketchGate` trades exactness for
+    * fixed state; this trades a second pass for exactness). The quantile
+    * at fraction p is the value at rank `ceil(p·n)` (1-indexed) in
+    * (value, id) order. Values bucket by `value DIV bucketWidth`
+    * (order-preserving, data-independent); per-(group, bucket) counts
+    * form a small frame whose running totals locate each target rank's
+    * bucket; ONLY those buckets' rows (one bucket per requested
+    * quantile, ~1/nBuckets of each group) are ranked with a window. A
+    * mega-group never sorts in one task and there is no driver state.
+    * Values must be NON-NEGATIVE (integer DIV truncates toward zero, so
+    * the bucket id is order-preserving only on [0, ∞) — lengths, counts,
+    * byte sizes all qualify; shift signed values first). */
+  def exactQuantiles(
+      df: DataFrame,
+      ps: Seq[Double],
+      groupCol: String = "lang",
+      valueCol: String = "n_chars",
+      idCol: String = "doc_id",
+      bucketWidth: Long = 64L): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps in (0, 1]")
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val vals = df.select(col(groupCol), col(idCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("__b", expr(s"__v DIV ${bucketWidth}L"))
+    val counts = vals.groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val wG = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+    val cum = counts
+      .withColumn("__before", coalesce(
+        sum(col("__c")).over(wG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        wG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // one row per (group, requested fraction) whose target rank lands in
+    // this bucket — the frame stays (groups × buckets × |ps|) small
+    val targets = cum.select(
+      col(groupCol), col("__b"), col("__before"), col("__c"), col("__n"),
+      explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("__rank", ceil(col("p") * col("__n").cast("double")).cast("long"))
+      .filter(col("__rank") > col("__before") &&
+        col("__rank") <= col("__before") + col("__c"))
+      .select(col(groupCol), col("__b"), col("p"), (col("__rank") - col("__before")).as("__local"))
+    val wB = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__v"), col(idCol))
+    vals.join(broadcast(targets.select(col(groupCol), col("__b")).distinct()),
+        Seq(groupCol, "__b"), "left_semi")
+      .withColumn("__rn", row_number().over(wB))
+      .join(broadcast(targets), Seq(groupCol, "__b"))
+      .filter(col("__rn") === col("__local"))
+      .groupBy(col(groupCol))
+      .pivot("p", ps.map(p => p: Any))
+      .agg(first(col("__v")))
+      .select(col(groupCol) +: ps.map(p => col(s"`$p`").as(s"p${(p * 100).round}")): _*)
+  }
+
   /** Log2-bucketed length histogram per domain — the release-diagnostics
     * companion of [[datasetCard]] (truncation/boilerplate pathologies
     * show up as spikes in a length histogram long before they move a

@@ -963,6 +963,80 @@ object StreamingOps {
     foldBatchDirs(spark, path, topkStateDDL,
       dedupKeys = Seq("src"), partitionCols = Seq.empty)
 
+  /** Streaming EXACT quantiles: maintain a per-(group, value) count
+    * histogram as an accumulator sink — for bounded-domain values
+    * (lengths, token counts, byte sizes) the histogram IS a lossless
+    * summary of the value multiset, so rank selection over the merged
+    * counts reproduces the exact quantile at any fraction with state
+    * O(groups × distinct values), never O(rows). The streaming twin of
+    * [[graft.operators.CurationOps.exactQuantiles]] (which needs the raw
+    * rows for its boundary-bucket window; at bucket width 1 the counts
+    * alone suffice — this sink exploits exactly that) and the exact
+    * counterpart of the GK-sketch gate. Counts are source-tagged
+    * summable partials: the fold dedups on (group, value, src), never
+    * sums — the shingle-index discipline. */
+  def quantileStream(docs: DataFrame, path: String, checkpoint: String,
+      groupCol: String = "lang", valueCol: String = "n_chars"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantileBatch(batch, batchId, path, groupCol, valueCol)
+      }
+
+  /** One [[quantileStream]] micro-batch (extracted for spec-driven replay). */
+  private[graft] def quantileBatch(batch: DataFrame, batchId: Long, path: String,
+      groupCol: String = "lang", valueCol: String = "n_chars"): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "quantileStream", path)
+    batch.groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("src", lit(batchId))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/__batch=$batchId")
+  }
+
+  /** Exact rank selection over the merged histogram: value at rank
+    * `ceil(p·n)` (1-indexed) in value order per group — the
+    * [[graft.operators.CurationOps.exactQuantiles]] definition, computed
+    * entirely on the counts frame (groups × distinct values rows). */
+  def readQuantiles(spark: SparkSession, path: String, ps: Seq[Double],
+      groupCol: String = "lang"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val merged = spark.read
+      .schema("g STRING, v LONG, cnt LONG, src LONG")
+      .option("basePath", path).parquet(path)
+      .dropDuplicates(Seq("g", "v", "src"))
+      .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = merged
+      .withColumn("__before", coalesce(
+        sum(col("cnt")).over(wG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("cnt")).over(
+        wG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.select(col("g"), col("v"), col("__before"), col("cnt"), col("__n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("__rank", ceil(col("p") * col("__n").cast("double")).cast("long"))
+      .filter(col("__rank") > col("__before") &&
+        col("__rank") <= col("__before") + col("cnt"))
+      .groupBy(col("g"))
+      .pivot("p", ps.map(p => p: Any))
+      .agg(first(col("v")))
+      .select(col("g").as(groupCol) +:
+        ps.map(p => col(s"`$p`").as(s"p${(p * 100).round}")): _*)
+  }
+
+  /** Fold the histogram's per-batch deltas — dedup on (g, v, src), never
+    * sum (source-tagged partials; a summing fold would double-count in
+    * the crash-rerun window). */
+  def compactQuantileState(spark: SparkSession, path: String): Unit =
+    foldBatchDirs(spark, path, "g STRING, v LONG, cnt LONG, src LONG",
+      dedupKeys = Seq("g", "v", "src"), partitionCols = Seq.empty)
+
   /** Token-budget-capped streaming ingest: admit arriving documents until
     * the stream's LIFETIME admitted-token total covers `budgetTokens`,
     * then stop — "collect a 50B-token corpus from the crawl and not a

@@ -233,6 +233,40 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got("gone") == ((0L, -1L, 0L, -1L)), s"disappearing source must report zero now: $got")
   }
 
+  test("joinCardinality: exact product-sum over shared keys; zeros on disjoint keys") {
+    val left = (Seq("a", "a", "b")).map(Tuple1(_)).toDF("lk")
+    val right = (Seq("a", "a", "a", "c", "c", "c", "c")).map(Tuple1(_)).toDF("rk")
+    val r = CurationOps.joinCardinality(left, "lk", right, "rk").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 6L, 6L)), r)
+    val disjoint = CurationOps.joinCardinality(
+      left, "lk", Seq("z").map(Tuple1(_)).toDF("rk"), "rk").collect().head
+    assert((disjoint.getLong(0), disjoint.getLong(1), disjoint.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
+  test("exactQuantiles: equals plain rank selection at every bucketWidth, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 157L).map { i =>
+      (i, if (i % 3 == 0) "g1" else "g2", (i * 37 + 11) % 50) // heavy ties
+    }.toDF("doc_id", "lang", "n_chars")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val v = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val truth = v.groupBy(col("lang")).agg(
+        ps.map(p => max(when(col("rn") ===
+          ceil(lit(p) * col("n").cast("double")).cast("long"), col("n_chars")))
+          .as(s"p${(p * 100).round}")).head,
+        ps.tail.map(p => max(when(col("rn") ===
+          ceil(lit(p) * col("n").cast("double")).cast("long"), col("n_chars")))
+          .as(s"p${(p * 100).round}")): _*)
+      .collect().map(_.toSeq).toSet
+    for (width <- Seq(1L, 7L, 64L, 10000L)) {
+      val got = CurationOps.exactQuantiles(df, ps, bucketWidth = width)
+        .collect().map(_.toSeq).toSet
+      assert(got == truth, s"bucketWidth=$width diverged: $got vs $truth")
+    }
+  }
+
   test("tokenBudgetSample: minimal prefix covering the budget; degenerate budgets") {
     val docs = (1L to 50L).map(i => (i, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
     val kept = CurationOps.tokenBudgetSample(docs, budgetTokens = 52L, seed = 0L, nRanges = 4)
