@@ -721,6 +721,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    "q_generation_diff" -> { (s, dir) => // time-travel DIFF between two
+      // promotes: bootstrap (v1), delete aggregate 7 (v2), then
+      // Generations.diff(1, 2) — resolved from the MANIFESTS, reading
+      // only buckets whose entry changed (here: bucket(7) on both
+      // sides), must report exactly aggregate 7's rows as 'removed'
+      val root = java.nio.file.Files.createTempDirectory("graft_gendiff_").toString + "/events"
+      val log = Tables.eventLog(s, dir).drop("et")
+        .withColumn("id", col("id").cast("string").cast("binary"))
+      graft.sources.Generations.bootstrap(s, root, log, nBuckets = 16)
+      val tomb = log.filter(col("id") === lit("7".getBytes)).select("id", "rev", "pos")
+      graft.sources.Generations.deleteAndPromote(s, root, tomb, nBuckets = 16)
+      graft.sources.Generations.diff(s, root, vOld = 1, vNew = 2)
+        .select(
+          col("id").cast("string").cast("long").as("user_id"),
+          col("rev").as("event_id"),
+          col("change"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     "q_stream_versioned" -> { (s, dir) => // round-9 verdict #2, oracle side:
       // streaming ingest composed with the Generations MVCC tier. The
       // events stream lands through ingestToVersioned (each micro-batch =
@@ -4079,6 +4098,15 @@ object SparkEntry {
         |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_generation_diff" ->
+      // the delete's change set is exactly aggregate 7's rows, all
+      // 'removed' (nothing added): the manifest-pruned diff must
+      // reconstruct it without replaying the operation
+      """SELECT user_id, CAST(event_id AS INT) AS event_id,
+        |       'removed' AS change
+        |FROM events WHERE user_id = 7
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_generation_delete" ->
       // the durable-delete lifecycle must leave exactly the non-tombstoned

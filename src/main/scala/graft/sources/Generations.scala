@@ -410,6 +410,45 @@ object Generations {
         .parquet(es.keys.toSeq.sorted.map(b => s"$root/$gen/bucket=$b"): _*)
     }.reduce(_ unionByName _)
 
+  /** Time-travel DIFF: every row removed or added between promotes
+    * `vOld` and `vNew` — "what did that delete/append/vacuum-era commit
+    * actually change", answered from the manifests without replaying the
+    * operations. The manifest makes this cheap at any scale: a bucket
+    * whose (generation) entry is IDENTICAL in both versions points at the
+    * same immutable files (generations are never rewritten in place), so
+    * only buckets whose entry CHANGED are read on either side — a
+    * single-aggregate delete reads 2/nBuckets of the store, not all of
+    * it. Changed buckets PK-anti-join both ways on (id, rev, pos).
+    * Output: the event-log columns + `change` ('removed' | 'added').
+    * Both versions must be inside the vacuum retention window (same
+    * contract as [[readAt]]). */
+  def diff(spark: SparkSession, root: String, vOld: Int, vNew: Int): DataFrame = {
+    val mo = readManifestAt(spark, root, vOld).getOrElse(
+      sys.error(s"Generations.diff: no promote v$vOld under $root"))
+    val mn = readManifestAt(spark, root, vNew).getOrElse(
+      sys.error(s"Generations.diff: no promote v$vNew under $root"))
+    val changed = (mo.entries.keySet ++ mn.entries.keySet)
+      .filter(b => mo.entries.get(b) != mn.entries.get(b))
+    def side(m: Manifest): DataFrame = {
+      val es = m.entries.filter { case (b, _) => changed.contains(b) }
+      if (es.isEmpty)
+        readCurrent(spark, root).filter(lit(false))
+      else
+        es.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, bs) =>
+          spark.read.option("basePath", s"$root/$gen")
+            .parquet(bs.keys.toSeq.sorted.map(b => s"$root/$gen/bucket=$b"): _*)
+        }.reduce(_ unionByName _)
+    }
+    val pk = Seq("id", "rev", "pos")
+    val o = side(mo)
+    val n = side(mn)
+    o.join(n.select(pk.map(col): _*), pk, "left_anti")
+      .withColumn("change", lit("removed"))
+      .unionByName(
+        n.join(o.select(pk.map(col): _*), pk, "left_anti")
+          .withColumn("change", lit("added")))
+  }
+
   /** A5, object-store flavor: anti-join the tombstones against ONLY the
     * affected buckets, write survivors to a fresh generation, atomically
     * repoint those buckets. Untouched buckets are not read, not copied,

@@ -825,8 +825,13 @@ object StreamingOps {
           .groupBy(col("source"), col("kind"))
           .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
           .groupBy(col("source")).agg(
-            max(when(col("kind") === "t", col("est"))).as("n_distinct_texts"),
-            max(when(col("kind") === "l", col("est"))).as("n_langs"))
+            // coalesce INSIDE the pivot too: a source with texts but
+            // all-null langs has 't' rows and no 'l' rows — its n_langs
+            // must be 0, not null (the exact path's count() gives 0)
+            coalesce(max(when(col("kind") === "t", col("est"))), lit(0L))
+              .as("n_distinct_texts"),
+            coalesce(max(when(col("kind") === "l", col("est"))), lit(0L))
+              .as("n_langs"))
       else
         spark.read
           .schema("source STRING, kind STRING, key STRING")

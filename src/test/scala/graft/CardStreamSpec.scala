@@ -86,6 +86,19 @@ class CardStreamSpec extends SparkSpec {
     assert(after == got)
   }
 
+  test("approx mode: a source with texts but all-null langs reports 0 langs, not null") {
+    val path = s"${tmpDir()}/card"
+    val rows = Seq[(Long, String, String, String)](
+      (1L, "web", null, "alpha beta gamma"),
+      (2L, "web", null, "delta epsilon"))
+    StreamingOps.cardBatch(rows.toDF("doc_id", "source", "lang", "text"), 0L, path, approx = true)
+    val got = StreamingOps.readCard(spark, path, approx = true)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val want = CurationOps.datasetCard(rows.toDF("doc_id", "source", "lang", "text"))
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(got == want, s"null-lang source diverged in approx mode: $got vs $want")
+  }
+
   test("an empty micro-batch lands harmlessly in both modes") {
     val path = s"${tmpDir()}/card"
     val empty = docsOf(Seq.empty)

@@ -140,6 +140,26 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.readManifest(spark, root).get.generations == Set(gen3))
   }
 
+  test("diff between promotes: removed/added rows from changed buckets; no-op changes diff empty") {
+    val root = tmpDir() + "/events"
+    Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4) // v1
+    Generations.deleteAndPromote(spark, root, mkTomb(Seq(("b", 1, 0))), nBuckets = 4)      // v2
+    Generations.appendAndPromote(spark, root, mkLog(Seq("z"), nRevs = 2), nBuckets = 4)    // v3
+    def rows(vo: Int, vn: Int) = Generations.diff(spark, root, vo, vn)
+      .select(col("id").cast("string"), col("rev"), col("change"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows(1, 2) == Set(("b", 1, "removed")))
+    assert(rows(2, 3) == Set(("z", 1, "added"), ("z", 2, "added")))
+    assert(rows(1, 3) == Set(("b", 1, "removed"), ("z", 1, "added"), ("z", 2, "added")))
+    assert(rows(2, 2).isEmpty, "identical versions must diff empty")
+    // a compaction repoints every bucket's generation but changes no rows:
+    // the diff must come back empty even though every entry changed
+    Generations.compactAndPromote(spark, root)                                             // v4
+    assert(rows(3, 4).isEmpty, "compaction must be row-invisible to diff")
+    // reversed direction swaps the labels
+    assert(rows(2, 1) == Set(("b", 1, "added")))
+  }
+
   test("vacuum(keepVersions = n) retains a readable time-travel window") {
     val root = tmpDir() + "/events"
     Generations.bootstrap(spark, root, mkLog(Seq("a", "b", "c"), nRevs = 3), nBuckets = 4) // v1
