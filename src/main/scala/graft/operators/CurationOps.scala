@@ -597,11 +597,14 @@ object CurationOps {
     import graft.functions.TextFns
     val P = 2147483647L
     val rangeWidth = (P + nRanges - 1) / nRanges
-    val keyed = docs.select(
+    // pinned: the tokenized frame feeds the phase-1 totals collect AND
+    // both phase-2 branches — unpinned, the corpus-wide tokenization
+    // would run three times
+    val keyed = Checkpoints.pin(docs.select(
       col(idCol),
       ((pmod(col(idCol), lit(P)) * lit(62089911L) + lit(seed)) % lit(P)).as("sort_key"),
       size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
-      .withColumn("__r", expr(s"sort_key DIV ${rangeWidth}L"))
+      .withColumn("__r", expr(s"sort_key DIV ${rangeWidth}L")), reliable = false)
     // phase 1: per-range totals — an nRanges-row frame (bounded driver state)
     val totals = keyed.groupBy(col("__r")).agg(sum(col("n_tokens")).as("__sum"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -658,11 +661,18 @@ object CurationOps {
     require(budgetTokens >= 0 && nRanges >= 1, "budgetTokens >= 0, nRanges >= 1")
     import graft.functions.TextFns
     val width = (10001 + nRanges - 1) / nRanges
-    val scored = docs.select(
+    // q4 coalesced to 0: qualityScore is NULL on null/empty text (its
+    // punct ratio divides by length), and a null q4 would fall out of the
+    // __qr equi-join below while its range's tokens still inflated every
+    // real range's running total — null-text docs instead sort LAST
+    // (lowest quality) and stay budgeted like any other row. Pinned: the
+    // frame feeds the range aggregate AND the classification join.
+    val scored = Checkpoints.pin(docs.select(
       col(idCol), col(domainCol),
-      floor(TextFns.qualityScore(col(textCol)) * lit(1e4)).cast("long").as("q4"),
+      coalesce(floor(TextFns.qualityScore(col(textCol)) * lit(1e4)).cast("long"), lit(0L))
+        .as("q4"),
       size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
-      .withColumn("__qr", expr(s"(10000L - q4) DIV ${width}L"))
+      .withColumn("__qr", expr(s"(10000L - q4) DIV ${width}L")), reliable = false)
     val ranges = scored.groupBy(col(domainCol), col("__qr"))
       .agg(sum(col("n_tokens")).as("__rsum"))
     val wD = Window.partitionBy(col(domainCol)).orderBy(col("__qr"))
@@ -719,15 +729,26 @@ object CurationOps {
     * counts frame. All integer arithmetic; the argmax tie-breaks to the
     * SMALLEST key via a struct-ordered max_by, so the report is
     * deterministic in every engine. */
-  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
-    df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
-      .agg(
-        sum(col("cnt")).as("n_rows"),
-        count(lit(1)).as("n_keys"),
-        max(col("cnt")).as("max_cnt"),
-        max_by(col("k"), struct(col("cnt"), (-col("k")).as("nk"))).as("max_key"))
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    // pinned: the counts frame feeds the fold AND the argmax join
+    val c = Checkpoints.pin(
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt")),
+      reliable = false)
+    val agg = c.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      coalesce(max(col("cnt")), lit(0L)).as("max_cnt"))
+    // argmax via an equi-join on the count against the one-row fold (the
+    // documented bounded-scalar class) — min() then tie-breaks in the
+    // key's OWN ordering, so string/date/binary keys work; a numeric
+    // negation trick would coerce or mis-order them
+    val maxKey = c.join(agg.select(col("max_cnt")), col("cnt") === col("max_cnt"))
+      .agg(min(col("k")).as("max_key"))
+    agg.crossJoin(maxKey)
       .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("max_key"),
-        expr("(max_cnt * n_keys * 1000000L) DIV n_rows").as("skew_ppm"))
+        expr("CASE WHEN n_rows = 0 THEN 0L ELSE (max_cnt * n_keys * 1000000L) DIV n_rows END")
+          .as("skew_ppm"))
+  }
 
   /** Exact join-output cardinality — [[keySkewReport]]'s companion
     * pre-flight: |A ⋈ B| on an equi-key is EXACTLY the sum over shared
@@ -780,36 +801,58 @@ object CurationOps {
       bucketWidth: Long = 64L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps in (0, 1]")
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
-    val vals = df.select(col(groupCol), col(idCol), col(valueCol).cast("long").as("__v"))
-      .withColumn("__b", expr(s"__v DIV ${bucketWidth}L"))
+    // pinned: the frame feeds the bucket counts, the semi-join, and the
+    // target window
+    val vals = Checkpoints.pin(
+      df.select(col(groupCol), col(idCol), col(valueCol).cast("long").as("__v"))
+        .withColumn("__b", expr(s"__v DIV ${bucketWidth}L")), reliable = false)
     val counts = vals.groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
-    val wG = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
-    val cum = counts
-      .withColumn("__before", coalesce(
-        sum(col("__c")).over(wG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(
-        wG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // one row per (group, requested fraction) whose target rank lands in
     // this bucket — the frame stays (groups × buckets × |ps|) small
-    val targets = cum.select(
-      col(groupCol), col("__b"), col("__before"), col("__c"), col("__n"),
-      explode(array(ps.map(lit): _*)).as("p"))
-      .withColumn("__rank", ceil(col("p") * col("__n").cast("double")).cast("long"))
-      .filter(col("__rank") > col("__before") &&
-        col("__rank") <= col("__before") + col("__c"))
-      .select(col(groupCol), col("__b"), col("p"), (col("__rank") - col("__before")).as("__local"))
+    val targets = rankLocate(counts, ps, groupCol, "__b", "__c")
     val wB = Window.partitionBy(col(groupCol), col("__b"))
       .orderBy(col("__v"), col(idCol))
-    vals.join(broadcast(targets.select(col(groupCol), col("__b")).distinct()),
-        Seq(groupCol, "__b"), "left_semi")
-      .withColumn("__rn", row_number().over(wB))
-      .join(broadcast(targets), Seq(groupCol, "__b"))
-      .filter(col("__rn") === col("__local"))
-      .groupBy(col(groupCol))
-      .pivot("p", ps.map(p => p: Any))
-      .agg(first(col("__v")))
-      .select(col(groupCol) +: ps.map(p => col(s"`$p`").as(s"p${(p * 100).round}")): _*)
+    pivotByFraction(
+      vals.join(broadcast(targets.select(col(groupCol), col("__b")).distinct()),
+          Seq(groupCol, "__b"), "left_semi")
+        .withColumn("__rn", row_number().over(wB))
+        .join(broadcast(targets), Seq(groupCol, "__b"))
+        .filter(col("__rn") === col("__local")),
+      ps, groupCol, "__v")
   }
+
+  /** Locate, per (group, requested fraction), the counts-frame row that
+    * contains rank `ceil(p·n)` (1-indexed) in `keyCol` order — the
+    * rank-selection core shared by [[exactQuantiles]] (keys = value
+    * buckets; the located bucket's rows are then windowed) and
+    * [[graft.streaming.StreamingOps.readQuantiles]] (keys = exact values;
+    * the located key IS the answer). Output: (group, key, p,
+    * __local = rank − running-total-before). */
+  private[graft] def rankLocate(counts: DataFrame, ps: Seq[Double],
+      groupCol: String, keyCol: String, cntCol: String): DataFrame = {
+    val wG = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
+    counts
+      .withColumn("__before", coalesce(
+        sum(col(cntCol)).over(wG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col(cntCol)).over(
+        wG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(groupCol), col(keyCol), col("__before"), col(cntCol), col("__n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("__rank", ceil(col("p") * col("__n").cast("double")).cast("long"))
+      .filter(col("__rank") > col("__before") &&
+        col("__rank") <= col("__before") + col(cntCol))
+      .select(col(groupCol), col(keyCol), col("p"),
+        (col("__rank") - col("__before")).as("__local"))
+  }
+
+  /** Shared pivot-and-rename tail: one row per group, a `p<percent>`
+    * column per requested fraction. */
+  private[graft] def pivotByFraction(df: DataFrame, ps: Seq[Double],
+      groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .pivot("p", ps.map(p => p: Any))
+      .agg(first(col(valueCol)))
+      .select(col(groupCol) +: ps.map(p => col(s"`$p`").as(s"p${(p * 100).round}")): _*)
 
   /** Log2-bucketed length histogram per domain — the release-diagnostics
     * companion of [[datasetCard]] (truncation/boilerplate pathologies

@@ -429,19 +429,21 @@ object Generations {
       sys.error(s"Generations.diff: no promote v$vNew under $root"))
     val changed = (mo.entries.keySet ++ mn.entries.keySet)
       .filter(b => mo.entries.get(b) != mn.entries.get(b))
-    def side(m: Manifest): DataFrame = {
-      val es = m.entries.filter { case (b, _) => changed.contains(b) }
-      if (es.isEmpty)
-        readCurrent(spark, root).filter(lit(false))
-      else
-        es.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, bs) =>
-          spark.read.option("basePath", s"$root/$gen")
-            .parquet(bs.keys.toSeq.sorted.map(b => s"$root/$gen/bucket=$b"): _*)
-        }.reduce(_ unionByName _)
-    }
+    // a side with no changed buckets is an EMPTY frame — derived from the
+    // other side's (or any manifested bucket's) schema, never from
+    // readCurrent: the CURRENT manifest may be unrelated to either
+    // version (or empty) and must not be able to fail a historical diff
+    def readSide(es: Map[Int, String]): Option[DataFrame] =
+      if (es.isEmpty) None else Some(resolve(spark, root, Manifest(es)))
+    val oOpt = readSide(mo.entries.filter { case (b, _) => changed.contains(b) })
+    val nOpt = readSide(mn.entries.filter { case (b, _) => changed.contains(b) })
+    val schemaSrc = oOpt.orElse(nOpt)
+      .orElse(readSide(mo.entries)).orElse(readSide(mn.entries))
+      .getOrElse(sys.error(
+        s"Generations.diff: both v$vOld and v$vNew are empty under $root — no schema to diff"))
     val pk = Seq("id", "rev", "pos")
-    val o = side(mo)
-    val n = side(mn)
+    val o = oOpt.getOrElse(schemaSrc.filter(lit(false)))
+    val n = nOpt.getOrElse(schemaSrc.filter(lit(false)))
     o.join(n.select(pk.map(col): _*), pk, "left_anti")
       .withColumn("change", lit("removed"))
       .unionByName(

@@ -923,7 +923,11 @@ object StreamingOps {
       writeFile(f, meta, s"""{"maxTracked":$maxTracked}""".getBytes("UTF-8"))
     }
     batch
-      .select(explode(graft.functions.TextFns.tokens(coalesce(col(textCol), lit("")))).as("tok"))
+      // NO coalesce: tokenHeavyHitters (and the oracle's string_split on
+      // NULL) drop null-text rows entirely — a coalesce would land one
+      // phantom "" token per null doc and break the streamed == batch
+      // sketch identity
+      .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("tok"))
       .agg(expr(s"approx_top_k_accumulate(tok, $maxTracked)").as("state"))
       .withColumn("src", lit(batchId))
       .coalesce(1)
@@ -1011,28 +1015,17 @@ object StreamingOps {
   def readQuantiles(spark: SparkSession, path: String, ps: Seq[Double],
       groupCol: String = "lang"): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val merged = spark.read
       .schema("g STRING, v LONG, cnt LONG, src LONG")
       .option("basePath", path).parquet(path)
       .dropDuplicates(Seq("g", "v", "src"))
       .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
-    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
-    val cum = merged
-      .withColumn("__before", coalesce(
-        sum(col("cnt")).over(wG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("cnt")).over(
-        wG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    cum.select(col("g"), col("v"), col("__before"), col("cnt"), col("__n"),
-        explode(array(ps.map(lit): _*)).as("p"))
-      .withColumn("__rank", ceil(col("p") * col("__n").cast("double")).cast("long"))
-      .filter(col("__rank") > col("__before") &&
-        col("__rank") <= col("__before") + col("cnt"))
-      .groupBy(col("g"))
-      .pivot("p", ps.map(p => p: Any))
-      .agg(first(col("v")))
-      .select(col("g").as(groupCol) +:
-        ps.map(p => col(s"`$p`").as(s"p${(p * 100).round}")): _*)
+    // exact values are the histogram keys, so the located key IS the
+    // quantile — the rank-selection core is shared with exactQuantiles
+    graft.operators.CurationOps.pivotByFraction(
+        graft.operators.CurationOps.rankLocate(merged, ps, "g", "v", "cnt"),
+        ps, "g", "v")
+      .withColumnRenamed("g", groupCol)
   }
 
   /** Fold the histogram's per-batch deltas — dedup on (g, v, src), never

@@ -158,6 +158,15 @@ class GenerationsSpec extends SparkSpec {
     assert(rows(3, 4).isEmpty, "compaction must be row-invisible to diff")
     // reversed direction swaps the labels
     assert(rows(2, 1) == Set(("b", 1, "added")))
+    // a historical diff must not depend on the CURRENT table state: after
+    // deleting EVERYTHING (readCurrent now fails — empty manifest), the
+    // v1-vs-v2 diff still answers
+    Generations.deleteAndPromote(spark, root,
+      mkTomb(for (id <- Seq("a", "b", "c", "z"); r <- 1 to 3) yield (id, r, 0)),
+      nBuckets = 4)                                                                        // v5
+    intercept[RuntimeException](Generations.readCurrent(spark, root))
+    assert(rows(1, 2) == Set(("b", 1, "removed")),
+      "diff between historical versions must survive an empty current table")
   }
 
   test("vacuum(keepVersions = n) retains a readable time-travel window") {

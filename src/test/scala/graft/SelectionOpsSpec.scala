@@ -194,6 +194,37 @@ class SelectionOpsSpec extends SparkSpec {
       s"report diverged: $r")
   }
 
+  test("keySkewReport: string keys work (no numeric coercion) and empty input reports zeros") {
+    val urls = (Seq.fill(3)("https://a.example/x") ++ Seq("https://b.example/y"))
+      .map(Tuple1(_)).toDF("url")
+    val r = CurationOps.keySkewReport(urls, "url").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) ==
+      ((4L, 2L, 3L, "https://a.example/x")), s"string-key report diverged: $r")
+    val empty = CurationOps.keySkewReport(
+      Seq.empty[Tuple1[Long]].toDF("user_id"), "user_id").collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2), empty.getLong(4)) ==
+      ((0L, 0L, 0L, 0L)), s"empty input must report zeros: $empty")
+  }
+
+  test("domainTokenBudget: null-text docs are kept (sorted last) and do not corrupt the running totals") {
+    val docs = (Seq((1L, "web", "alpha beta gamma delta epsilon"),
+      (2L, "web", "zeta eta theta iota kappa")) ++
+      (10L to 14L).map(i => (i, "web", null: String)))
+      .toDF("doc_id", "source", "text")
+    // budget 7: the two real docs (5 tokens each, quality > 0) are the
+    // best prefix; null docs (q4=0, 1 token each) sort last and none are
+    // needed. Before the q4 coalesce, the null range's tokens inflated
+    // __before and the null docs vanished from under-budget domains.
+    val kept = CurationOps.domainTokenBudget(docs, budgetTokens = 7L, nRanges = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"budget-7 selection diverged: $kept")
+    // under a roomy budget EVERY doc survives, nulls included
+    val all = CurationOps.domainTokenBudget(docs, budgetTokens = 1000L, nRanges = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 10L, 11L, 12L, 13L, 14L),
+      s"null-text docs must be kept under a roomy budget: $all")
+  }
+
   test("importanceSelect: target docs define the distribution but are never selected; salted == single-window") {
     val docs = Seq(
       (1L, "t", "alpha beta gamma alpha beta gamma"),

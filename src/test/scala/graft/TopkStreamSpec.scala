@@ -60,6 +60,17 @@ class TopkStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == before)
   }
 
+  test("null-text docs land no phantom token (streamed == batch sketch with nulls present)") {
+    val path = s"${tmpDir()}/topk"
+    val withNulls = b0 ++ Seq((9L, null: String), (10L, null: String))
+    StreamingOps.topkBatch(docsOf(withNulls), 0L, path, maxTracked = 64)
+    val got = StreamingOps.readTopK(spark, path, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == truth(withNulls, 5),
+      s"null-text docs must not land a phantom \"\" token: $got")
+    assert(!got.exists(_._1 == ""), "no empty-string token may appear")
+  }
+
   test("an empty micro-batch lands harmlessly and does not poison the combine") {
     val path = s"${tmpDir()}/topk"
     StreamingOps.topkBatch(docsOf(b0), 0L, path, maxTracked = 64)
