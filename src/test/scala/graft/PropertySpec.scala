@@ -328,4 +328,56 @@ class PropertySpec extends SparkSpec {
         newB.filter(_ >= k + w - 1) == shifted.filter(_ >= k + w - 1)
     }, minSuccessful = 200)
   }
+
+  test("property: tokenBudgetSample equals the driver prefix-sum reference for any corpus/budget/nRanges") {
+    import spark.implicits._
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      docs <- Gen.listOfN(n, Gen.choose(1, 12))
+      budget <- Gen.choose(0L, 300L)
+      nRanges <- Gen.oneOf(1, 2, 5, 17, 64)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }, budget, nRanges)
+    val P = 2147483647L
+    checkProp(Prop.forAll(corpusGen) { case (docs, budget, nRanges) =>
+      // driver reference: global (sort_key, id) order, keep while the
+      // running total's START offset is below the budget
+      val keyed = docs.map { case (id, nTok) =>
+        (id, ((id % P) * 62089911L + 3L) % P, nTok.toLong)
+      }.sortBy(k => (k._2, k._1))
+      var cum = 0L
+      val expected = keyed.takeWhile { k => val keep = cum < budget; cum += k._3; keep }
+        .map(_._1).toSet
+      val df = docs.map { case (id, nTok) => (id, Seq.fill(nTok)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.CurationOps
+        .tokenBudgetSample(df, budget, seed = 3L, nRanges = nRanges)
+        .collect().map(_.getLong(0)).toSet
+      got == expected
+    }, minSuccessful = 12)
+  }
+
+  test("property: exactQuantiles equals the driver rank-selection reference at any bucketWidth") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(0L, 500L) // heavy ties at small ranges arise via bucketing
+      } yield (g, v))
+      width <- Gen.oneOf(1L, 3L, 64L, 1000L)
+    } yield (rows.zipWithIndex.map { case ((g, v), i) => (i.toLong + 1, g, v) }, width)
+    val ps = Seq(0.25, 0.5, 0.75)
+    checkProp(Prop.forAll(gen) { case (rows, width) =>
+      // driver reference: value at rank ceil(p*n) (1-indexed) per group
+      val expected = rows.groupBy(_._2).map { case (g, rs) =>
+        val sorted = rs.map(_._3).sorted
+        g -> ps.map(p => sorted((math.ceil(p * sorted.size) - 1).toInt))
+      }
+      val got = graft.operators.CurationOps
+        .exactQuantiles(rows.toDF("doc_id", "lang", "n_chars"), ps, bucketWidth = width)
+        .collect().map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      got == expected
+    }, minSuccessful = 12)
+  }
 }
