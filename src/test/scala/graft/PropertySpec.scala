@@ -380,4 +380,35 @@ class PropertySpec extends SparkSpec {
       got == expected
     }, minSuccessful = 12)
   }
+
+  test("property: streamed quantile histogram is split-invariant (any batch partitioning == one batch)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("x", "y")
+        v <- Gen.choose(0L, 40L)
+      } yield (g, v))
+      nSplits <- Gen.choose(1, 4)
+      cuts <- Gen.listOfN(nSplits - 1, Gen.choose(0, n))
+    } yield (rows.zipWithIndex.map { case ((g, v), i) => (i.toLong + 1, g, v) },
+      cuts.sorted)
+    val ps = Seq(0.25, 0.5, 0.75)
+    checkProp(Prop.forAll(gen) { case (rows, cuts) =>
+      val path = tmpDir() + "/hist"
+      val bounds = (0 +: cuts) :+ rows.size
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        graft.streaming.StreamingOps.quantileBatch(
+          rows.slice(a, b).toDF("doc_id", "lang", "n_chars"), i.toLong, path)
+      }
+      val got = graft.streaming.StreamingOps.readQuantiles(spark, path, ps)
+        .collect().map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val expected = rows.groupBy(_._2).map { case (g, rs) =>
+        val sorted = rs.map(_._3).sorted
+        g -> ps.map(p => sorted((math.ceil(p * sorted.size) - 1).toInt))
+      }
+      got == expected
+    }, minSuccessful = 8)
+  }
 }
