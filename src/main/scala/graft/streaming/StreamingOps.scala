@@ -1095,10 +1095,30 @@ object StreamingOps {
         batch, remaining, seed, nRanges, idCol, textCol), reliable = false)
     kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/docs/__batch=$batchId")
+    // src tags the row with its batch so the compaction fold can dedup on
+    // identity — two batches admitting the same token count are otherwise
+    // indistinguishable rows, and a dedup would silently shrink the
+    // frontier sum
     kept.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("admitted_tokens"))
+      .withColumn("src", lit(batchId))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/_totals/__batch=$batchId")
+  }
+
+  /** Fold the budget sink's per-batch deltas — closes the
+    * one-file-per-batch pile a long-running stream accumulates (the
+    * frontier read lists O(batches) directories). Totals dedup on their
+    * batch tag (never summed — the fold-overlap/crash-rerun rule); docs
+    * on doc_id (each doc lands in exactly one batch). The folded base at
+    * `__batch=-1` stays inside every frontier read's `__batch < id`
+    * filter, so the admitted-token sum is preserved exactly; the newest
+    * (replayable) delta is protected as everywhere. */
+  def compactBudgetState(spark: SparkSession, outDir: String): Unit = {
+    foldBatchDirs(spark, s"$outDir/_totals", "admitted_tokens LONG, src LONG",
+      dedupKeys = Seq("src"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$outDir/docs", "doc_id LONG, sort_key LONG, n_tokens LONG",
+      dedupKeys = Seq("doc_id"), partitionCols = Seq.empty)
   }
 
   /** The full streaming dedup-clustering loop — the daily-crawl

@@ -59,6 +59,27 @@ class BudgetStreamSpec extends SparkSpec {
     assert(got.size == 7 && got.count(_._2 == 2L) == 3, s"frontier broke: $got")
   }
 
+  test("compaction folds committed deltas, preserves the frontier, protects the newest") {
+    val path = s"${tmpDir()}/budget"
+    StreamingOps.budgetBatch(docsOf(1L to 4L), 0L, path, 35L, 0L, 4)   // 20 tokens
+    StreamingOps.budgetBatch(docsOf(5L to 6L), 1L, path, 35L, 0L, 4)   // 10 tokens
+    StreamingOps.budgetBatch(docsOf(7L to 8L), 2L, path, 35L, 0L, 4)   // 5 tokens (1 doc), budget hit
+    val before = admitted(path).keySet
+    StreamingOps.compactBudgetState(spark, path)
+    def levels(sub: String) =
+      new java.io.File(s"$path/$sub").listFiles().map(_.getName)
+        .filter(_.startsWith("__batch=")).toSet
+    assert(levels("_totals") == Set("__batch=-1", "__batch=2"), levels("_totals"))
+    assert(levels("docs") == Set("__batch=-1", "__batch=2"), levels("docs"))
+    assert(admitted(path).keySet == before, "compaction must not change admissions")
+    // the newest batch replays over the folded base with the same frontier
+    StreamingOps.budgetBatch(docsOf(7L to 8L), 2L, path, 35L, 0L, 4)
+    assert(admitted(path).keySet == before, "replay over the base must recompute identically")
+    // a further batch reads the folded frontier (35 admitted) and admits nothing
+    StreamingOps.budgetBatch(docsOf(9L to 10L), 3L, path, 35L, 0L, 4)
+    assert(admitted(path).keySet == before, "the folded frontier must still cap admissions")
+  }
+
   test("lineage guard refuses a foreign checkpoint") {
     val path = s"${tmpDir()}/budget"
     StreamingOps.budgetBatch(docsOf(1L to 4L), 3L, path, 35L, 0L, 4)
