@@ -4827,7 +4827,8 @@ object SparkEntry {
         |d AS (SELECT b.doc_id, CAST(max(b.is_t) AS BIGINT) AS is_target,
         |        count(*) AS n_tokens, CAST(sum(w.w) AS BIGINT) AS score
         |      FROM b JOIN w USING (bkt) GROUP BY b.doc_id),
-        |p AS (SELECT doc_id, (score * 1000000) // n_tokens AS score_pt
+        |p AS (SELECT doc_id,
+        |        CAST((CAST(score AS HUGEINT) * 1000000) // n_tokens AS BIGINT) AS score_pt
         |      FROM d WHERE is_target = 0),
         |q AS (SELECT CAST(ceil(0.3 * CAST(count(*) AS DOUBLE)) AS BIGINT) AS quota FROM p),
         |r AS (SELECT doc_id, score_pt,
@@ -4903,15 +4904,18 @@ object SparkEntry {
       // the per-domain single-window truth the two-phase form equals:
       // running token sum in (quality desc, id) order per source, keep
       // rows whose cumulative START offset is below the budget. The q4
-      // expression is g_quality's quality column floored at 1e4.
+      // expression is g_quality's quality column floored at 1e4,
+      // coalesced to 0 exactly like the implementation (qualityScore is
+      // NULL on null/empty text; such docs sort LAST among the real
+      // q4=0 ties by doc_id and report q4=0, not NULL).
       """WITH s AS (SELECT doc_id, source,
-        |    CAST(floor(least(greatest(
+        |    coalesce(CAST(floor(least(greatest(
         |      least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
         |      (len(list_distinct(string_split(text, ' '))) /
         |       CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
         |      (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
         |             CAST(length(text) AS DOUBLE)) * 0.2,
-        |      0.0), 1.0) * 10000) AS BIGINT) AS q4,
+        |      0.0), 1.0) * 10000) AS BIGINT), 0) AS q4,
         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, source, q4, n_tokens,

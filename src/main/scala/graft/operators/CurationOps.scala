@@ -329,7 +329,15 @@ object CurationOps {
       importanceWeights(docs, targetPred, nBuckets, idCol = idCol, textCol = textCol)
         .filter(col("is_target") === 0L)
         .select(col(idCol), lit("all").as("__pool"),
-          expr("(score * 1000000L) DIV n_tokens").as("score_pt")),
+          // the *1e6 length-normalization runs in DECIMAL(38,0): score
+          // is a sum of per-token bucket weights that themselves scale
+          // as (target_tokens+1)*1e6, so at large target corpora
+          // score*1e6 can exceed Long range — the decimal intermediate
+          // never wraps, and the DIV result (bounded by the max
+          // per-token weight * 1e6) comes back as an exact LONG or
+          // fails loudly rather than corrupting the ranking
+          expr("(CAST(score AS DECIMAL(38,0)) * 1000000) DIV n_tokens")
+            .as("score_pt")),
       keepFrac, saltBuckets, domainCol = "__pool", idCol = idCol, scoreCol = "score_pt")
       .select(col(idCol), col("score_pt"), col("rank"))
 

@@ -202,6 +202,12 @@ object StreamingOps {
     val idxPath = new org.apache.hadoop.fs.Path(idx)
     val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, idxPath, batchId, "curatedIngest", outDir)
+    // a compactParaIndex crash can leave the folded keys visible only in
+    // staging/retired leftovers (the hide window) — admissions computed
+    // against the visible levels alone would re-admit known paragraphs
+    // DURABLY, so heal the layout before the corpus read
+    healFoldLeftovers(s, idx, "__k LONG, pb INT",
+      dedupKeys = Seq("__k", "pb"), partitionCols = Seq("pb"))
     val paras = graft.operators.TextOps.chunkTokens(
         batch.withColumn("text", coalesce(col("text"), lit(""))),
         chunkSize, chunkSize)
@@ -510,6 +516,12 @@ object StreamingOps {
     val f = recipesRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, recipesRoot, batchId, "chunkStoreIngest", path)
     assertStoreMeta(f, new org.apache.hadoop.fs.Path(path), w, divisor, path)
+    // the novel-set anti-join reads the accumulated chunk addresses: a
+    // crashed compactChunkStore's hide window would hide the folded
+    // history and re-store known chunks as "novel" — duplicate addr rows
+    // that persist past the fold's own recovery — so heal first
+    healFoldLeftovers(s, s"$path/chunks", "addr STRING, chunk_bytes BINARY",
+      dedupKeys = Seq("addr"), partitionCols = Seq.empty)
     val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
     if (!f.exists(meta))
       writeFile(f, meta, s"""{"w":$w,"divisor":$divisor}""".getBytes("UTF-8"))
@@ -805,9 +817,13 @@ object StreamingOps {
     * batch card — the result equals [[graft.operators.CurationOps.datasetCard]]
     * over every document landed so far (oracle-gated by q_stream_card). */
   def readCard(spark: SparkSession, path: String, approx: Boolean = false): DataFrame = {
-    val sums = spark.read
-      .schema("source STRING, n_docs LONG, n_chars LONG, n_tokens LONG, __sum_q4 LONG, src LONG")
-      .option("basePath", s"$path/_sums").parquet(s"$path/_sums")
+    val sums = stateScan(spark, s"$path/_sums",
+        "source STRING, n_docs LONG, n_chars LONG, n_tokens LONG, __sum_q4 LONG, src LONG")
+      // partial sums dedup on (source, src) before summing — in the
+      // fold's crash-overlap window (base installed, folded delta not
+      // yet dropped) the same batch partial is visible twice, and a
+      // plain sum would double-count it until the fold reruns
+      .dropDuplicates(Seq("source", "src"))
       .groupBy(col("source")).agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
@@ -818,9 +834,8 @@ object StreamingOps {
         // HLL register-max union is idempotent, so the (source, kind, src)
         // dedup only matters for scan size, not correctness — but the fold
         // discipline keeps it anyway (one sketch per batch per stratum)
-        spark.read
-          .schema("source STRING, kind STRING, sketch BINARY, src LONG")
-          .option("basePath", s"$path/_hll").parquet(s"$path/_hll")
+        stateScan(spark, s"$path/_hll",
+            "source STRING, kind STRING, sketch BINARY, src LONG")
           .dropDuplicates(Seq("source", "kind", "src"))
           .groupBy(col("source"), col("kind"))
           .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
@@ -833,9 +848,8 @@ object StreamingOps {
             coalesce(max(when(col("kind") === "l", col("est"))), lit(0L))
               .as("n_langs"))
       else
-        spark.read
-          .schema("source STRING, kind STRING, key STRING")
-          .option("basePath", s"$path/_keys").parquet(s"$path/_keys")
+        stateScan(spark, s"$path/_keys",
+            "source STRING, kind STRING, key STRING")
           .dropDuplicates(Seq("source", "kind", "key"))
           .groupBy(col("source")).agg(
             count(when(col("kind") === "t", true)).as("n_distinct_texts"),
@@ -949,8 +963,7 @@ object StreamingOps {
     val maxTracked = """"maxTracked":(-?\d+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"malformed _meta.json under $path"))
-    spark.read.schema(topkStateDDL)
-      .option("basePath", path).parquet(path)
+    stateScan(spark, path, topkStateDDL)
       // one state per batch: identical rows in a fold-overlap window, and
       // frequent-items merge double-counts — dedup is load-bearing
       .dropDuplicates(Seq("src"))
@@ -1015,9 +1028,7 @@ object StreamingOps {
   def readQuantiles(spark: SparkSession, path: String, ps: Seq[Double],
       groupCol: String = "lang"): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps in (0, 1]")
-    val merged = spark.read
-      .schema("g STRING, v LONG, cnt LONG, src LONG")
-      .option("basePath", path).parquet(path)
+    val merged = stateScan(spark, path, "g STRING, v LONG, cnt LONG, src LONG")
       .dropDuplicates(Seq("g", "v", "src"))
       .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
     // exact values are the histogram keys, so the located key IS the
@@ -1077,18 +1088,22 @@ object StreamingOps {
     }
     // the admission frontier: prior batches' admitted-token totals only
     // (strictly below this id — the crashed attempt's own partial writes
-    // are invisible to its replay)
+    // are invisible to its replay). Totals rows carry their admitting
+    // batch as `src`, so the prior-batch filter is on the ROW tag, not
+    // the directory name, and the read is exact in BOTH of
+    // foldBatchDirs' crash windows: the overlap window (base installed,
+    // folded delta not yet dropped) shows the same total twice — the
+    // dropDuplicates("src") collapses it; the hide window (old base
+    // retired, staging not yet installed) shows it only inside a
+    // _compacting/_retired leftover — those are unioned in. Unlike the
+    // sibling accumulator readers a wrong value here is PERSISTED into
+    // admissions, so this read may not merely self-heal after recovery.
     val prior: Long =
       if (!f.exists(totalsP)) 0L
-      else {
-        val dirs = f.listStatus(totalsP).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("__batch="))
-          .map(_.stripPrefix("__batch=").toLong).filter(_ < batchId)
-        if (dirs.isEmpty) 0L
-        else s.read.schema("admitted_tokens LONG")
-          .parquet(dirs.map(v => s"$outDir/_totals/__batch=$v"): _*)
-          .agg(sum(col("admitted_tokens"))).head().getLong(0)
-      }
+      else stateScan(s, s"$outDir/_totals", "admitted_tokens LONG, src LONG")
+        .dropDuplicates("src")
+        .filter(col("src") < batchId)
+        .agg(coalesce(sum(col("admitted_tokens")), lit(0L))).head().getLong(0)
     val remaining = math.max(0L, budgetTokens - prior)
     val kept = graft.operators.Checkpoints.pin(
       graft.operators.CurationOps.tokenBudgetSample(
@@ -1192,6 +1207,15 @@ object StreamingOps {
     val docsPath = new org.apache.hadoop.fs.Path(docsDir)
     val f = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, docsPath, batchId, "clusterIngest", outDir)
+    // both accumulated stores this step READS to compute pairs it will
+    // PERSIST must be healed of any crashed-fold leftovers first: a
+    // hidden docs base drops the rescore's corpus text (cross pairs
+    // silently lost from the durable pair delta), a hidden LSH base
+    // drops the collision candidates themselves
+    healFoldLeftovers(s, docsDir, s"$idCol LONG, $textCol STRING, db INT",
+      dedupKeys = Seq(idCol), partitionCols = Seq("db"))
+    healFoldLeftovers(s, lshDir, "id LONG, bandsig LONG, band INT, bucket INT",
+      dedupKeys = Seq("id", "band", "bandsig"), partitionCols = Seq("band", "bucket"))
     // the db bucketing is a pruning contract like the LSH banding: a
     // restart probing with a different nDocBuckets would silently read
     // the wrong directories and DROP cross pairs — record the parameter
@@ -1533,6 +1557,55 @@ object StreamingOps {
           s"(${mismatches.mkString(", ")}) — differently-sized sketches do not " +
           "merge; restart with the index's parameters or rebuild it")
     }
+  }
+
+  /** Leftover staging/retired directories of a crashed [[foldBatchDirs]]
+    * under `dir`, if any. Their presence means the layout is
+    * mid-transition: in the HIDE window (old base renamed to `_retired`,
+    * staging not yet installed) the folded history is visible ONLY inside
+    * these underscore directories, which partition discovery skips. */
+  private def foldLeftovers(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    Seq("_compacting", "_retired")
+      .map(new org.apache.hadoop.fs.Path(dir, _)).filter(f.exists)
+
+  /** Crash-window-exact scan of an accumulator directory: the visible
+    * `__batch=` levels (partition-discovery read) unioned with any
+    * staging/retired leftovers of a crashed fold, so a read in the hide
+    * window still sees the folded history instead of silently dropping
+    * it. Read-only — safe under concurrent readers (recovery itself stays
+    * the maintainer's job). Callers apply their own dedup: the OVERLAP
+    * window (base installed, folded delta not yet dropped) shows the same
+    * rows twice, and every caller's tag/key dedup collapses that. */
+  private def stateScan(spark: SparkSession, root: String, ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // select the data columns explicitly: the discovery read appends the
+    // __batch partition column, which the flat leftover dirs don't have
+    val dataCols = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fieldNames.toSeq.map(col)
+    val base = spark.read.schema(ddl).option("basePath", root).parquet(root)
+      .select(dataCols: _*)
+    foldLeftovers(f, p).foldLeft(base)((acc, d) =>
+      acc.unionByName(spark.read.schema(ddl).parquet(d.toString).select(dataCols: _*)))
+  }
+
+  /** Heal a crashed fold BEFORE a batch step reads `dir` to compute state
+    * it will PERSIST (admissions, dedup flags, novel-chunk sets): rerun
+    * the fold, whose staged-rename steps are idempotent and union the
+    * leftovers back in. Unlike a reader, a batch step may not merely
+    * tolerate the hide window — a decision computed from the visible
+    * levels alone would be wrong AND durable (the budget-frontier /
+    * re-admission failure class). Single-writer context only: the stream
+    * IS the maintainer here, and a leftover means the out-of-band
+    * compaction crashed, so rerunning cannot race it. No-op (two exists
+    * probes) in the steady state. */
+  private def healFoldLeftovers(spark: SparkSession, dir: String, ddl: String,
+      dedupKeys: Seq[String], partitionCols: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (foldLeftovers(f, p).nonEmpty)
+      foldBatchDirs(spark, dir, ddl, dedupKeys, partitionCols)
   }
 
   /** Shared staged-rename fold under a `__batch=<id>`-structured directory:

@@ -80,6 +80,41 @@ class BudgetStreamSpec extends SparkSpec {
     assert(admitted(path).keySet == before, "the folded frontier must still cap admissions")
   }
 
+  test("frontier is exact in the fold's crash-overlap window (base + undropped delta)") {
+    val path = s"${tmpDir()}/budget"
+    StreamingOps.budgetBatch(docsOf(1L to 4L), 0L, path, 35L, 0L, 4) // 20 tokens
+    StreamingOps.budgetBatch(docsOf(5L to 6L), 1L, path, 35L, 0L, 4) // 10 tokens
+    // snapshot batch 0's totals delta, compact (folds it into the base),
+    // then restore it — the overlap window foldBatchDirs documents: the
+    // same admitted total visible in BOTH the base and the folded delta
+    val d0 = new java.io.File(s"$path/_totals/__batch=0")
+    val saved = new java.io.File(s"${tmpDir()}/saved_batch0")
+    copyDir(d0, saved)
+    StreamingOps.compactBudgetState(spark, path)
+    copyDir(saved, d0)
+    // a naive sum would see 20+20+10 = 50 >= budget and admit nothing;
+    // the src-deduped frontier sees 30 and admits exactly one more doc
+    StreamingOps.budgetBatch(docsOf(7L to 8L), 2L, path, 35L, 0L, 4)
+    assert(admitted(path).count(_._2 == 2L) == 1,
+      s"overlap window inflated the frontier: ${admitted(path)}")
+  }
+
+  test("frontier is exact in the fold's hide window (base retired, not yet replaced)") {
+    val path = s"${tmpDir()}/budget"
+    StreamingOps.budgetBatch(docsOf(1L to 4L), 0L, path, 35L, 0L, 4) // 20 tokens
+    StreamingOps.budgetBatch(docsOf(5L to 6L), 1L, path, 35L, 0L, 4) // 10 tokens
+    StreamingOps.compactBudgetState(spark, path)
+    // simulate the crash between base->retired and staging->base: the
+    // folded history is visible ONLY inside the _retired leftover
+    val base = new java.io.File(s"$path/_totals/__batch=-1")
+    assert(base.renameTo(new java.io.File(s"$path/_totals/_retired")))
+    // a naive dir listing would see only batch 1's 10 tokens and admit 4
+    // more docs; the leftover-aware frontier sees 30 and admits one
+    StreamingOps.budgetBatch(docsOf(7L to 10L), 2L, path, 35L, 0L, 4)
+    assert(admitted(path).count(_._2 == 2L) == 1,
+      s"hide window dropped the folded frontier: ${admitted(path)}")
+  }
+
   test("lineage guard refuses a foreign checkpoint") {
     val path = s"${tmpDir()}/budget"
     StreamingOps.budgetBatch(docsOf(1L to 4L), 3L, path, 35L, 0L, 4)

@@ -67,6 +67,42 @@ class CardStreamSpec extends SparkSpec {
     assert(replayed == before)
   }
 
+  test("the card does not double-count partials in the fold's crash-overlap window") {
+    val path = s"${tmpDir()}/card"
+    StreamingOps.cardBatch(docsOf(b0), 0L, path)
+    StreamingOps.cardBatch(docsOf(b1), 1L, path)
+    val truth = StreamingOps.readCard(spark, path)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    // snapshot batch 0's _sums delta, compact (folds it into the base),
+    // then restore it: the same partial sums visible in BOTH the base and
+    // the folded delta — the (source, src) dedup must collapse them
+    val d0 = new java.io.File(s"$path/_sums/__batch=0")
+    val saved = new java.io.File(s"${tmpDir()}/saved_sums0")
+    copyDir(d0, saved)
+    StreamingOps.compactCardState(spark, path)
+    copyDir(saved, d0)
+    val got = StreamingOps.readCard(spark, path)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(got == truth, s"overlap window double-counted the partials: $got")
+  }
+
+  test("the card is exact in the fold's hide window (partials visible only in leftovers)") {
+    val path = s"${tmpDir()}/card"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    StreamingOps.cardBatch(docsOf(b0), 0L, path)
+    StreamingOps.cardBatch(docsOf(b1), 1L, path)
+    val truth = StreamingOps.readCard(spark, path)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    StreamingOps.compactCardState(spark, path)
+    // crash between base->retired and staging->base on BOTH sub-sinks
+    require(fs.rename(p(s"$path/_sums/__batch=-1"), p(s"$path/_sums/_retired")))
+    require(fs.rename(p(s"$path/_keys/__batch=-1"), p(s"$path/_keys/_retired")))
+    val got = StreamingOps.readCard(spark, path)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(got == truth, s"hide window dropped the folded partials: $got")
+  }
+
   test("approx (HLL) mode: streamed sketches merge to the batch card at sparse cardinalities") {
     val path = s"${tmpDir()}/card"
     StreamingOps.cardBatch(docsOf(b0), 0L, path, approx = true)

@@ -90,4 +90,29 @@ class ChunkStoreStreamSpec extends SparkSpec {
     StreamingOps.storeBatch(mediaOf(Seq(3L -> other)), 2L, path, 5, 4, "media_id", "content")
     assert(readBack(path) == before)
   }
+
+  test("hide window: a batch over a crashed chunks fold heals it, stores no duplicate addr") {
+    val path = s"${tmpDir()}/store"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    StreamingOps.storeBatch(mediaOf(Seq(1L -> base)), 0L, path, 5, 4, "media_id", "content")
+    StreamingOps.storeBatch(mediaOf(Seq(3L -> other)), 1L, path, 5, 4, "media_id", "content")
+    StreamingOps.compactChunkStore(spark, path)
+    // crash between base->retired and staging->base on the chunks side:
+    // payload 1's addresses are visible only inside the leftover
+    require(fs.rename(p(s"$path/chunks/__batch=-1"), p(s"$path/chunks/_retired")))
+    // payload 2 shares payload 1's chunks; without the heal the anti-join
+    // misses the hidden history and re-stores them as "novel" — duplicate
+    // addr rows that persist past the fold's own recovery
+    StreamingOps.storeBatch(mediaOf(Seq(2L -> prefixedDup)), 2L,
+      path, 5, 4, "media_id", "content")
+    val all = spark.read.schema("addr STRING, chunk_bytes BINARY")
+      .option("basePath", s"$path/chunks").parquet(s"$path/chunks")
+    assert(all.count() == all.select("addr").distinct().count(),
+      "hidden base was not healed — duplicate chunk addresses stored")
+    assert(!fs.exists(p(s"$path/chunks/_retired")) &&
+      !fs.exists(p(s"$path/chunks/_compacting")))
+    assert(readBack(path) ==
+      Map(1L -> base.toSeq, 2L -> prefixedDup.toSeq, 3L -> other.toSeq))
+  }
 }

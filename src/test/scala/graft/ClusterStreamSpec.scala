@@ -136,6 +136,29 @@ class ClusterStreamSpec extends SparkSpec {
     assert(assignment(dir) == fullTruth())
   }
 
+  test("hide window: a batch over crashed docs/LSH folds heals both stores, keeps cross pairs") {
+    val dir = tmpDir()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    run(dir, Seq(Seq(1L, 4L), Seq(2L, 3L)))
+    StreamingOps.compactClusterDocs(spark, dir)
+    StreamingOps.compactLshIndex(spark, s"$dir/_lsh")
+    // crash both folds between base->retired and staging->base: the folded
+    // corpus (docs 1, 4) and its signatures are visible only in leftovers
+    require(fs.rename(p(s"$dir/docs/__batch=-1"), p(s"$dir/docs/_retired")))
+    require(fs.rename(p(s"$dir/_lsh/__batch=-1"), p(s"$dir/_lsh/_retired")))
+    // doc 5 is a near-dup of doc 1, which lives ONLY in the hidden bases:
+    // without the heal the cross pair is silently dropped from the
+    // durable pair delta and the final assignment diverges forever
+    StreamingOps.clusterBatch(docs().filter(col("doc_id").isin(5L, 6L)),
+      2L, dir, "doc_id", "text", 3, 16, 4, 8, 0.5)
+    assert(assignment(dir) == fullTruth(),
+      "hidden base dropped a cross pair — assignment diverged from the batch truth")
+    // both stores healed before the reads: no leftovers remain
+    for (sub <- Seq("docs", "_lsh"); n <- Seq("_retired", "_compacting"))
+      assert(!fs.exists(p(s"$dir/$sub/$n")), s"$sub/$n left behind")
+  }
+
   test("a restart with a drifted nDocBuckets refuses (pruning-contract sidecar)") {
     val dir = tmpDir()
     run(dir, Seq(Seq(1L, 4L)))

@@ -53,6 +53,20 @@ class QuantileStreamSpec extends SparkSpec {
     assert(read() == before)
   }
 
+  test("reads are exact in the fold's hide window (histogram visible only in the leftover)") {
+    val path = s"${tmpDir()}/hist"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    StreamingOps.quantileBatch(docsOf(b0), 0L, path)
+    StreamingOps.quantileBatch(docsOf(b1), 1L, path)
+    StreamingOps.compactQuantileState(spark, path)
+    require(fs.rename(p(s"$path/__batch=-1"), p(s"$path/_retired")))
+    val got = StreamingOps.readQuantiles(spark, path, Seq(0.25, 0.5, 0.75))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(got == truth(b0 ++ b1),
+      s"hide window dropped the folded histogram: $got")
+  }
+
   test("lineage guard refuses a foreign checkpoint") {
     val path = s"${tmpDir()}/hist"
     StreamingOps.quantileBatch(docsOf(b0), 4L, path)

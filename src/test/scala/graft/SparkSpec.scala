@@ -22,4 +22,15 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft-test").toString
+  /** Recursive local-dir copy — specs use it to snapshot/restore sink
+    * directories when simulating a compaction's crash windows. */
+  def copyDir(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
 }

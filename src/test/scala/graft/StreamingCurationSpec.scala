@@ -179,6 +179,34 @@ class StreamingCurationSpec extends SparkSpec {
     assert(all(3L) == (("s1 s2 s3 s4", 1L, 1L)))
   }
 
+  test("hide window: a batch landing over a crashed fold heals the index, no re-admission") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val idx = s"$out/_para_index"
+
+    StreamingOps.curatedBatch(
+      Seq((1L, "p1 p2 p3 p4 q1 q2 q3 q4")).toDF("doc_id", "text"), 0L, out, 4, 8)
+    StreamingOps.curatedBatch(
+      Seq((2L, "r1 r2 r3 r4")).toDF("doc_id", "text"), 1L, out, 4, 8)
+    StreamingOps.compactParaIndex(spark, out) // P, Q folded into the base
+    // crash between base->retired and staging->base: the folded keys are
+    // visible ONLY in the leftover, and the MAINTAINER does not come back
+    // — the stream resumes on its own
+    require(fs.rename(p(s"$idx/__batch=-1"), p(s"$idx/_retired")))
+    // batch 2 repeats Q: without the heal the corpus read misses the
+    // hidden base and re-admits it — duplicate content landing DURABLY
+    StreamingOps.curatedBatch(
+      Seq((3L, "q1 q2 q3 q4 s1 s2 s3 s4")).toDF("doc_id", "text"), 2L, out, 4, 8)
+    val all = landed(out)
+    assert(all(3L) == (("s1 s2 s3 s4", 1L, 1L)),
+      s"hidden base was not healed — paragraph re-admitted: ${all(3L)}")
+    // the batch healed the layout before reading: no leftovers remain
+    assert(!fs.exists(p(s"$idx/_retired")) && !fs.exists(p(s"$idx/_compacting")))
+    assert(keys(out).size == 4)
+  }
+
   test("compactCuratedDocs folds doc deltas, keeps the newest, converges after a crash") {
     import spark.implicits._
     val out = s"${tmpDir()}/curated"

@@ -60,6 +60,29 @@ class TopkStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == before)
   }
 
+  test("reads are exact in BOTH of the fold's crash windows (overlap and hide)") {
+    val path = s"${tmpDir()}/topk"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    StreamingOps.topkBatch(docsOf(b0), 0L, path, maxTracked = 64)
+    StreamingOps.topkBatch(docsOf(b1), 1L, path, maxTracked = 64)
+    val want = truth(b0 ++ b1, 5)
+    // overlap: snapshot batch 0's state, compact, restore it — the same
+    // count-based state visible twice must not merge twice
+    val saved = new java.io.File(s"${tmpDir()}/saved_topk0")
+    copyDir(new java.io.File(s"$path/__batch=0"), saved)
+    StreamingOps.compactTopkState(spark, path)
+    copyDir(saved, new java.io.File(s"$path/__batch=0"))
+    def read() = StreamingOps.readTopK(spark, path, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(read() == want, s"overlap window double-merged a state: ${read()}")
+    // hide: base retired but not replaced — the folded state is visible
+    // only inside the leftover, which the reader must union back in
+    fs.delete(p(s"$path/__batch=0"), true)
+    require(fs.rename(p(s"$path/__batch=-1"), p(s"$path/_retired")))
+    assert(read() == want, s"hide window dropped the folded state: ${read()}")
+  }
+
   test("null-text docs land no phantom token (streamed == batch sketch with nulls present)") {
     val path = s"${tmpDir()}/topk"
     val withNulls = b0 ++ Seq((9L, null: String), (10L, null: String))
