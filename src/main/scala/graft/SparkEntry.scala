@@ -2806,6 +2806,101 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     },
+
+    "g_source_overlap" -> { (s, dir) => // exact pairwise source-overlap
+      // matrix over distinct document content: the "should crawls A and B
+      // be cross-deduped" report — intersection, Jaccard, and both
+      // directed containments per source pair in exact integer ppm.
+      // Content-keyed inverted index (df >= 2), never sources × corpus;
+      // string mode for the oracle, hashed = 8-byte keys at 100 TB.
+      CurationOps.sourceOverlap(Tables.documents(s, dir))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    "g_sketch_bottomk" -> { (s, dir) => // KMV bottom-k corpus signatures:
+      // each source summarized by its 64 smallest distinct content
+      // fingerprints (deterministic — a pure function of the content
+      // set), pairwise Jaccard ESTIMATED from the merged signatures. The
+      // oracle replays the estimator itself (poly-fp + row_number), so
+      // the row is green in both the sparse-exact and estimate regimes;
+      // estimator ≈ exact is additionally spec-pinned against
+      // g_source_overlap's truth.
+      CurationOps.bottomKJaccard(
+          CurationOps.bottomKSignatures(Tables.documents(s, dir), k = 64, nBuckets = 8),
+          k = 64)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    "g_unimax" -> { (s, dir) => // UniMax mixture allocation (Chung et al.
+      // 2304.09151): split a 20k-token budget across sources as uniformly
+      // as the 2-epoch repetition cap allows — waterfilling computed with
+      // window functions on the domains-sized frame, integer to the
+      // token (remainder to the smallest-cap uncapped sources).
+      CurationOps.unimaxAllocation(
+          Tables.documents(s, dir), budgetTokens = 20000L, epochCap = 2)
+        .orderBy(col("source"))
+    },
+
+    "g_unimax_select" -> { (s, dir) => // UniMax end to end: the allocation
+      // above decides each source's token budget; each source then keeps
+      // its best documents (quality desc, id tiebreak) until its budget
+      // is covered — the full corpus-mixing pass in one DAG, two-phase
+      // per-domain selection with no driver state.
+      CurationOps.unimaxSelect(
+          Tables.documents(s, dir), budgetTokens = 20000L, epochCap = 2, nRanges = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_boilerplate" -> { (s, dir) => // per-source boilerplate removal: any
+      // 8-token passage present in >= 10% of its source's documents (df
+      // >= 2) is dropped EVERYWHERE and documents are reassembled — the
+      // C4/RefinedWeb repeated-line cleaning step (distinct from
+      // paragraph dedup, which keeps first occurrences of global dups).
+      val docs = Tables.documents(s, dir)
+      DedupOps.boilerplateRemove(
+          TextOps.chunkTokens(docs, chunkSize = 8, stride = 8)
+            .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+          pctDocs = 10, minDf = 2, idxCol = "chunk_idx", paraCol = "chunk_text")
+        .orderBy(col("doc_id"))
+    },
+
+    "g_containment" -> { (s, dir) => // near-subset pairs: doc_a whose
+      // 3-shingle set is >= 60% contained in doc_b — the asymmetric
+      // excerpt/quote/wrapper relation MinHash resemblance misses.
+      // Inverted-index equi-join on the shingle, integer cross-multiplied
+      // threshold; string mode for the oracle, hashed + maxDf at 100 TB.
+      DedupOps.containmentPairs(Tables.documents(s, dir), k = 3, thresholdPct = 60)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    "g_knn_graph" -> { (s, dir) => // corpus-wide k-NN graph through IVF
+      // cells, probe-all setting: candidates meet through the cell
+      // equi-join (map-only assignment both sides), so probing every
+      // cell makes the graph EXACTLY brute force — the losslessness gate
+      // (the brute-force oracle certifies cell routing loses no edge).
+      // Reduced probes are the 100 TB setting, gated by g_knn_recall.
+      val e = Tables.embeddings(s, dir)
+      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
+      SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 16)
+        .orderBy(col("vec_id"), col("rank"))
+    },
+
+    "g_knn_recall" -> { (s, dir) => // k-NN graph recall in the approximate
+      // regime: edges found probing 8/16 cells vs the brute-force graph,
+      // asserted >= the floor (measured 0.81-0.82 at sf0.001/sf0.01; the
+      // oracle row is the expectation, the g_sim_*_recall pattern)
+      val e = Tables.embeddings(s, dir)
+      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
+      val approx = SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 8)
+        .select(col("vec_id"), col("neighbor_id"))
+      val exact = SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 16)
+        .select(col("vec_id"), col("neighbor_id"))
+      val nExact = exact.count()
+      exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+        .agg((count(lit(1)) / nExact.toDouble).as("recall"))
+        .select(lit(5).as("k"), lit(0.75).as("recall_floor"),
+          (col("recall") >= 0.75).as("meets_floor"))
+    },
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -5238,5 +5333,192 @@ object SparkEntry {
         |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |                AND l3.l_shipdate > l1.l_shipdate)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "g_source_overlap" ->
+      // distinct (source, text) sets, content-keyed pair intersections,
+      // left join onto the full source-pair universe; all-integer ppm
+      """WITH s2 AS (SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s2 GROUP BY source),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS inter
+        |       FROM s2 a JOIN s2 b ON a.text = b.text AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT na.source AS source_a, nb.source AS source_b,
+        |       coalesce(pr.inter, 0) AS inter, na.n AS n_a, nb.n AS n_b,
+        |       (coalesce(pr.inter, 0) * 1000000) // (na.n + nb.n - coalesce(pr.inter, 0)) AS jaccard_ppm,
+        |       (coalesce(pr.inter, 0) * 1000000) // na.n AS contain_a_ppm,
+        |       (coalesce(pr.inter, 0) * 1000000) // nb.n AS contain_b_ppm
+        |FROM n na JOIN n nb ON na.source < nb.source
+        |LEFT JOIN pr ON pr.source_a = na.source AND pr.source_b = nb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "g_sketch_bottomk" ->
+      // the ESTIMATOR replayed exactly: per-source distinct poly
+      // fingerprints (g_fingerprints_rolling's fold), k smallest per
+      // source, per-pair union tagged/merged, k smallest of the union,
+      // overlap counted — deterministic in both engines at any regime
+      """WITH fp AS (SELECT DISTINCT source,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS BIGINT))),
+        |          (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |      FROM documents WHERE text IS NOT NULL),
+        |sig AS (SELECT source, fp FROM (
+        |          SELECT source, fp, row_number() OVER (PARTITION BY source ORDER BY fp) AS rn
+        |          FROM fp) WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT source FROM sig),
+        |tagged AS (
+        |  SELECT p.source_a, p.source_b, s.fp,
+        |         max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS ia,
+        |         max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS ib
+        |  FROM (SELECT a.source AS source_a, b.source AS source_b
+        |        FROM srcs a JOIN srcs b ON a.source < b.source) p
+        |  JOIN sig s ON s.source = p.source_a OR s.source = p.source_b
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY source_a, source_b ORDER BY fp) AS rn
+        |           FROM tagged)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_sig,
+        |       CAST(count(CASE WHEN ia = 1 AND ib = 1 THEN 1 END) AS BIGINT) AS overlap,
+        |       (count(CASE WHEN ia = 1 AND ib = 1 THEN 1 END) * 1000000) // count(*) AS jaccard_est_ppm
+        |FROM ranked WHERE rn <= 64
+        |GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "g_unimax" ->
+      // waterfilling replayed with the same windows: rank by (cap,
+      // source), capped iff cap·(S−i+1) <= budget − prefix (HUGEINT
+      // mirrors the Spark DECIMAL(38,0) cast), water level + remainder
+      // to the smallest-cap uncapped ranks
+      """WITH c AS (SELECT source,
+        |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |r AS (SELECT source, n_tokens, n_tokens * 2 AS cap,
+        |        CAST(row_number() OVER (ORDER BY n_tokens * 2, source) AS BIGINT) AS i,
+        |        CAST(count(*) OVER () AS BIGINT) AS s,
+        |        coalesce(SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM c),
+        |f AS (SELECT *,
+        |        (CAST(cap AS HUGEINT) * (s - i + 1) <= CAST(20000 AS HUGEINT) - bef) AS flag
+        |      FROM r),
+        |m AS (SELECT *, coalesce(max(CASE WHEN flag THEN i END) OVER (), 0) AS mm,
+        |        coalesce(max(CASE WHEN flag THEN bef + cap END) OVER (), 0) AS pm
+        |      FROM f),
+        |a AS (SELECT source, n_tokens, cap,
+        |        CASE WHEN i <= mm THEN cap
+        |             ELSE ((20000 - pm) // (s - mm)) +
+        |                  (CASE WHEN i - mm <= ((20000 - pm) % (s - mm)) THEN 1 ELSE 0 END)
+        |        END AS alloc
+        |      FROM m)
+        |SELECT source, n_tokens, cap AS cap_tokens, alloc AS alloc_tokens,
+        |       CASE WHEN n_tokens > 0 THEN (alloc * 1000000) // n_tokens ELSE 0 END AS epochs_ppm
+        |FROM a ORDER BY source""".stripMargin,
+
+    "g_unimax_select" ->
+      // the allocation CTEs verbatim, then the g_domain_budget
+      // single-window truth with the budget joined per source
+      """WITH c AS (SELECT source,
+        |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |r AS (SELECT source, n_tokens, n_tokens * 2 AS cap,
+        |        CAST(row_number() OVER (ORDER BY n_tokens * 2, source) AS BIGINT) AS i,
+        |        CAST(count(*) OVER () AS BIGINT) AS s,
+        |        coalesce(SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM c),
+        |f AS (SELECT *,
+        |        (CAST(cap AS HUGEINT) * (s - i + 1) <= CAST(20000 AS HUGEINT) - bef) AS flag
+        |      FROM r),
+        |m AS (SELECT *, coalesce(max(CASE WHEN flag THEN i END) OVER (), 0) AS mm,
+        |        coalesce(max(CASE WHEN flag THEN bef + cap END) OVER (), 0) AS pm
+        |      FROM f),
+        |bud AS (SELECT source,
+        |        CASE WHEN i <= mm THEN cap
+        |             ELSE ((20000 - pm) // (s - mm)) +
+        |                  (CASE WHEN i - mm <= ((20000 - pm) % (s - mm)) THEN 1 ELSE 0 END)
+        |        END AS alloc
+        |      FROM m),
+        |sc AS (SELECT doc_id, source,
+        |    coalesce(CAST(floor(least(greatest(
+        |      least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |      (len(list_distinct(string_split(text, ' '))) /
+        |       CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |      (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |             CAST(length(text) AS DOUBLE)) * 0.2,
+        |      0.0), 1.0) * 10000) AS BIGINT), 0) AS q4,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cm AS (SELECT doc_id, source, q4, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY q4 DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM sc)
+        |SELECT doc_id, cm.source AS source, q4, n_tokens
+        |FROM cm JOIN bud ON cm.source = bud.source
+        |WHERE cm.cum - cm.n_tokens < bud.alloc
+        |ORDER BY doc_id""".stripMargin,
+
+    "g_boilerplate" ->
+      // g_para_dedup's chunking idiom, then per-(source, passage)
+      // DISTINCT-doc frequency vs the source's doc count — integer
+      // cross-multiplied ratio, all occurrences of boilerplate dropped
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, source, toks, unnest(range(0, len(toks), 8)) AS st FROM t),
+        |p AS (SELECT doc_id, source, CAST(st // 8 AS INT) AS idx,
+        |             array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS para
+        |      FROM s),
+        |df AS (SELECT source, para, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM p GROUP BY source, para),
+        |nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |       FROM p GROUP BY source),
+        |k AS (SELECT p.doc_id, p.idx, p.para,
+        |             NOT (df.df >= 2 AND df.df * 100 >= 10 * nd.nd) AS kept
+        |      FROM p JOIN df ON p.source = df.source AND p.para = df.para
+        |             JOIN nd ON p.source = nd.source)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE kept), ' '), '') AS clean_text,
+        |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+        |       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g_containment" ->
+      // distinct 3-shingle sets (short docs contribute their whole text,
+      // the shingleRows convention), inverted-index pair intersections,
+      // both directions emitted and threshold-filtered independently
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lng AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t
+        |              WHERE len(toks) >= 3)),
+        |sht AS (SELECT doc_id, text AS shingle FROM documents
+        |        WHERE len(string_split(text, ' ')) < 3),
+        |s2 AS (SELECT DISTINCT doc_id, shingle FROM (SELECT * FROM lng UNION ALL SELECT * FROM sht)),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s2 GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS inter
+        |       FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |bi AS (SELECT ida AS doc_a, idb AS doc_b, inter, na.n AS n_a, nb.n AS n_b
+        |       FROM pr JOIN n na ON na.doc_id = pr.ida JOIN n nb ON nb.doc_id = pr.idb
+        |       UNION ALL
+        |       SELECT idb AS doc_a, ida AS doc_b, inter, nb.n AS n_a, na.n AS n_b
+        |       FROM pr JOIN n na ON na.doc_id = pr.ida JOIN n nb ON nb.doc_id = pr.idb)
+        |SELECT doc_a, doc_b, inter, n_a, n_b,
+        |       (inter * 1000000) // n_a AS contain_ppm
+        |FROM bi WHERE inter * 100 >= 60 * n_a
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "g_knn_graph" ->
+      // brute-force truth: every ordered pair scored (floored at 4
+      // decimals like the Spark side), top-5 per query by (sim desc,
+      // neighbor id) — probe-all cell routing must reproduce it exactly
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |             floor((list_dot_product(a.v, b.v) /
+        |                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+        |                   * 10000) / 10000 AS sim
+        |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    "g_knn_recall" ->
+      "SELECT 5 AS k, CAST(0.75 AS DOUBLE) AS recall_floor, true AS meets_floor",
   )
 }

@@ -926,4 +926,303 @@ object CurationOps {
             x => x.getField("t")),
           " ").as("packed_text"))
   }
+
+  // ───── cross-corpus comparison: exact overlap + bottom-k sketches ─────
+
+  /** Exact pairwise source-overlap matrix over a content-identity column —
+    * the "how much does crawl B re-crawl of crawl A" report that decides
+    * whether two sources should be cross-deduped at all. The identity
+    * unit is whatever `textCol` holds: whole documents, or (sharper in
+    * practice) pre-split passages / shingles — feed [[TextOps.chunkTokens]]
+    * output to measure passage-level overlap. A pair's overlap is the
+    * number of distinct units present in BOTH sources; the full matrix
+    * (including zero-overlap pairs) is emitted with Jaccard and both
+    * directed containments in exact integer ppm.
+    *
+    * Shape: distinct (source, content) sets -> content-keyed inverted
+    * index restricted to df >= 2 keys (only shared content generates
+    * pair rows — the join is EQUI on the content key, never
+    * sources × corpus) -> per-pair intersection counts -> left join onto
+    * the strata² pair universe. `hashed = true` ships 8-byte xxhash64
+    * content keys through the shuffles (the 100 TB mode; string mode
+    * replays in the oracle). The pair universe is built by a broadcast
+    * nested-loop cross of the per-source size frame against itself —
+    * the documented bounded-BNLJ class (strata-sized operands, like the
+    * dataset card's strata). Null-text rows carry no content identity
+    * and are excluded on both engines. */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      hashed: Boolean = false): DataFrame = {
+    val key = if (hashed) xxhash64(col(textCol)) else col(textCol)
+    val sets = Checkpoints.pin(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(sourceCol).as("__src"), key.as("__key"))
+        .distinct(), reliable = false)
+    val sizes = sets.groupBy(col("__src")).agg(count(lit(1)).as("n"))
+    val universe = broadcast(sizes.select(col("__src").as("source_a"), col("n").as("n_a")))
+      .crossJoin(broadcast(sizes.select(col("__src").as("source_b"), col("n").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val shared = sets.join(
+      sets.groupBy(col("__key")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2).select(col("__key")),
+      Seq("__key"), "left_semi")
+    val inter = shared.select(col("__key"), col("__src").as("source_a"))
+      .join(shared.select(col("__key"), col("__src").as("source_b")), Seq("__key"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    universe.join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("(inter * 1000000L) DIV (n_a + n_b - inter)").as("jaccard_ppm"),
+        expr("(inter * 1000000L) DIV n_a").as("contain_a_ppm"),
+        expr("(inter * 1000000L) DIV n_b").as("contain_b_ppm"))
+  }
+
+  /** Exact bottom-k selection per group: the k smallest `valCol` values of
+    * each group, without a per-group sort — the two-phase rank-selection
+    * trick ([[exactQuantiles]] / [[domainTokenBudget]]) pointed at the
+    * head of the order. Values bucket by range (`valCol DIV width`,
+    * contiguous in the order by construction); per-(group, bucket) counts
+    * form a bounded frame whose running total classifies each bucket as
+    * keep-all, drop, or the one BOUNDARY bucket per group; only boundary
+    * rows (~1/nBuckets of each group) are ranked. Input rows must be
+    * DISTINCT on (group, value) and `valCol` must lie in [0, domain). */
+  private[graft] def bottomKPerGroup(
+      df: DataFrame,
+      grpCol: String,
+      valCol: String,
+      k: Int,
+      nBuckets: Int = 64,
+      domain: Long = 1000000007L): DataFrame = {
+    require(k >= 1 && nBuckets >= 1, "k >= 1, nBuckets >= 1")
+    val width = (domain + nBuckets - 1) / nBuckets
+    val rows = Checkpoints.pin(
+      df.select(col(grpCol), col(valCol))
+        .withColumn("__b", expr(s"$valCol DIV ${width}L")), reliable = false)
+    val wG = Window.partitionBy(col(grpCol)).orderBy(col("__b"))
+    val marked = rows.groupBy(col(grpCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__before", coalesce(
+        sum(col("__c")).over(wG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cat",
+        when(col("__before") + col("__c") <= k, "all")
+          .when(col("__before") >= k, "none").otherwise("bnd"))
+    val joined = rows.join(
+      broadcast(marked.select(col(grpCol), col("__b"), col("__before"), col("__cat"))),
+      Seq(grpCol, "__b"))
+    val wB = Window.partitionBy(col(grpCol), col("__b")).orderBy(col(valCol))
+    joined.filter(col("__cat") === "all").select(col(grpCol), col(valCol))
+      .unionByName(
+        joined.filter(col("__cat") === "bnd")
+          .withColumn("__rn", row_number().over(wB))
+          .filter(col("__rn") + col("__before") <= k)
+          .select(col(grpCol), col(valCol)))
+  }
+
+  /** Bottom-k (KMV / k-minimum-values) corpus signature per source: the k
+    * smallest DISTINCT content fingerprints of each source's units
+    * (`textCol` — whole documents or pre-split passages, like
+    * [[sourceOverlap]]) —
+    * a fixed-size, mergeable, fully DETERMINISTIC sketch of the source's
+    * content set (min-k of a union is the min-k of the per-part min-ks,
+    * and the fingerprint is the oracle-replayable char-level polynomial
+    * hash, so a signature is a pure function of the content set: no seed
+    * state, no RNG, bit-identical across engines and partitionings).
+    * Output: (source, fp), at most k rows per source.
+    *
+    * Scale: one distinct shuffle on (source, fp) then [[bottomKPerGroup]]
+    * — no per-source sort; downstream comparison work is O(strata² · k),
+    * independent of corpus size. The fingerprinting itself is the native
+    * codegen kernel (plans/PolyFingerprint). */
+  def bottomKSignatures(
+      docs: DataFrame,
+      k: Int,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      nBuckets: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val fps = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        graft.plans.GraftFunctions.polyFp(col(textCol)).as("fp"))
+      .distinct()
+    bottomKPerGroup(fps, "source", "fp", k, nBuckets)
+  }
+
+  /** Pairwise source-similarity ESTIMATES from [[bottomKSignatures]]: for
+    * each source pair, merge the two signatures, keep the k smallest
+    * distinct fingerprints of the union, and count how many are present
+    * in both — the standard KMV Jaccard estimator, here in exact integer
+    * ppm. When a pair's union has at most k distinct fingerprints the
+    * estimate IS the exact Jaccard of the fingerprint sets
+    * ([[sourceOverlap]]'s truth up to hash collisions) — the sparse
+    * regime the gate pins; at corpus scale the estimate's error is the
+    * usual O(1/sqrt(k)).
+    *
+    * Everything here runs on signature frames: at most strata · k rows
+    * in, strata² · 2k through the pair tagging — bounded by the sketch
+    * parameter, never the corpus. */
+  def bottomKJaccard(sigs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val srcs = sigs.select(col("source")).distinct()
+    val pairs = broadcast(srcs.select(col("source").as("source_a")))
+      .crossJoin(broadcast(srcs.select(col("source").as("source_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val a = pairs.join(sigs.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("fp"), lit(1).as("ia"), lit(0).as("ib"))
+    val b = pairs.join(sigs.withColumnRenamed("source", "source_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("fp"), lit(0).as("ia"), lit(1).as("ib"))
+    val wP = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("fp"))
+    a.unionByName(b)
+      .groupBy(col("source_a"), col("source_b"), col("fp"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .withColumn("__rn", row_number().over(wP))
+      .filter(col("__rn") <= k)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_sig"),
+        count(when(col("ia") === 1 && col("ib") === 1, true)).as("overlap"))
+      .select(col("source_a"), col("source_b"), col("n_sig"), col("overlap"),
+        expr("(overlap * 1000000L) DIV n_sig").as("jaccard_est_ppm"))
+  }
+
+  // ───── UniMax mixture allocation ─────
+
+  /** UniMax sampling allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining",
+    * arXiv 2304.09151): split a total token budget across sources as
+    * UNIFORMLY as possible subject to a per-source repetition cap of
+    * `epochCap` epochs — the principled alternative to temperature
+    * sampling ([[temperatureSample]]) that never over-repeats a small
+    * source. Formally: alloc_s = min(cap_s, θ) with cap_s = tokens_s ·
+    * epochCap and the water level θ chosen so Σ alloc = min(budget,
+    * Σ cap); the θ remainder (budget is integral) goes one token each to
+    * the smallest-cap uncapped sources — fully deterministic, so both
+    * engines agree to the token.
+    *
+    * Computed with NO driver state on the domains-sized frame: rank
+    * sources by (cap, source); source i is capped iff
+    * cap_i · (S − i + 1) ≤ budget − prefix_{i−1} (the waterfilling
+    * condition, cross-multiplied; the product is evaluated in
+    * DECIMAL(38,0) — at 100 TB cap · S overflows a Long). The windows run
+    * over the per-source aggregate (domains rows, not documents); for a
+    * domain cardinality that itself needs distribution, range-bucket the
+    * frame first like [[domainTokenBudget]] does its quality ranges.
+    * Output per source: n_tokens, cap_tokens, alloc_tokens, and
+    * epochs_ppm = alloc · 1e6 DIV n_tokens (the repetition factor the
+    * trainer applies). */
+  def unimaxAllocation(
+      docs: DataFrame,
+      budgetTokens: Long,
+      epochCap: Int,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0 && epochCap >= 1, "budgetTokens >= 0, epochCap >= 1")
+    import graft.functions.TextFns
+    val caps = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(TextFns.tokens(coalesce(col(textCol), lit(""))))).cast("long")
+        .as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * epochCap)
+    val wAsc = Window.orderBy(col("cap"), col("source"))
+    val wAll = wAsc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val flagged = caps
+      .withColumn("__i", row_number().over(wAsc).cast("long"))
+      .withColumn("__S", count(lit(1)).over(wAll))
+      .withColumn("__before", coalesce(
+        sum(col("cap")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__flag", expr(
+        s"CAST(cap AS DECIMAL(38,0)) * (__S - __i + 1)" +
+          s" <= CAST(${budgetTokens}L AS DECIMAL(38,0)) - __before"))
+      .withColumn("__m", coalesce(max(when(col("__flag"), col("__i"))).over(wAll), lit(0L)))
+      .withColumn("__Pm", coalesce(
+        max(when(col("__flag"), col("__before") + col("cap"))).over(wAll), lit(0L)))
+      .withColumn("__U", col("__S") - col("__m"))
+      .withColumn("__R", lit(budgetTokens) - col("__Pm"))
+      .withColumn("__theta", when(col("__U") > 0, expr("__R DIV __U")).otherwise(lit(0L)))
+      .withColumn("__rem", when(col("__U") > 0, expr("__R % __U")).otherwise(lit(0L)))
+    // capped sources keep their cap; uncapped get the water level, the
+    // remainder one token each to the smallest-cap uncapped ranks (the
+    // first uncapped cap strictly exceeds θ, so θ+1 never breaches a cap)
+    val alloc = flagged.withColumn("alloc",
+      when(col("__i") <= col("__m"), col("cap"))
+        .otherwise(col("__theta") +
+          when(col("__i") - col("__m") <= col("__rem"), 1L).otherwise(0L)))
+    alloc.select(col("source"), col("n_tokens"), col("cap").as("cap_tokens"),
+      col("alloc").as("alloc_tokens"),
+      when(col("n_tokens") > 0, expr("(alloc * 1000000L) DIV n_tokens"))
+        .otherwise(lit(0L)).as("epochs_ppm"))
+  }
+
+  /** [[domainTokenBudget]] generalized to a PER-DOMAIN budget frame
+    * (`budgets`: (domainCol, budget_tokens)) — the execution half of any
+    * allocator: each budgeted domain keeps its best documents (quality
+    * desc, id tiebreak) until its kept tokens cover ITS budget; the
+    * boundary document is kept; domains absent from `budgets` are not
+    * emitted; a zero budget keeps nothing. Identical two-phase shape —
+    * the budget joins the bounded (domains × nRanges) range frame before
+    * classification, so the per-document work is unchanged. */
+  def domainTokenBudgetEach(
+      docs: DataFrame,
+      budgets: DataFrame,
+      nRanges: Int = 64,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nRanges >= 1, "nRanges >= 1")
+    import graft.functions.TextFns
+    val width = (10001 + nRanges - 1) / nRanges
+    val scored = Checkpoints.pin(docs.select(
+      col(idCol), col(domainCol),
+      coalesce(floor(TextFns.qualityScore(col(textCol)) * lit(1e4)).cast("long"), lit(0L))
+        .as("q4"),
+      size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      .withColumn("__qr", expr(s"(10000L - q4) DIV ${width}L")), reliable = false)
+    val ranges = scored.groupBy(col(domainCol), col("__qr"))
+      .agg(sum(col("n_tokens")).as("__rsum"))
+      .join(broadcast(budgets.select(col(domainCol), col("budget_tokens").as("__budget"))),
+        Seq(domainCol))
+    val wD = Window.partitionBy(col(domainCol)).orderBy(col("__qr"))
+    val marked = ranges
+      .withColumn("__before", coalesce(
+        sum(col("__rsum")).over(wD.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cat",
+        when(col("__before") + col("__rsum") <= col("__budget"), "all")
+          .when(col("__before") >= col("__budget"), "none")
+          .otherwise("bnd"))
+    val joined = scored.join(
+      broadcast(marked.select(col(domainCol), col("__qr"), col("__before"), col("__budget"),
+        col("__cat"))),
+      Seq(domainCol, "__qr"))
+    val out = Seq(col(idCol), col(domainCol), col("q4"), col("n_tokens"))
+    val wB = Window.partitionBy(col(domainCol)).orderBy(col("q4").desc, col(idCol))
+    joined.filter(col("__cat") === "all").select(out: _*)
+      .unionByName(
+        joined.filter(col("__cat") === "bnd")
+          .withColumn("__cum", sum(col("n_tokens")).over(wB))
+          .filter(col("__before") + col("__cum") - col("n_tokens") < col("__budget"))
+          .select(out: _*))
+  }
+
+  /** UniMax end to end: [[unimaxAllocation]] decides each source's token
+    * budget, [[domainTokenBudgetEach]] fills it with the source's best
+    * documents — the full "mix the corpus for training" pass in one DAG.
+    * An allocation above a source's own token count (epochCap > 1 head
+    * room) keeps the whole source; the repetition factor is epochs_ppm
+    * in the allocation report, applied at training time, not by
+    * duplicating rows here. */
+  def unimaxSelect(
+      docs: DataFrame,
+      budgetTokens: Long,
+      epochCap: Int,
+      nRanges: Int = 64,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    domainTokenBudgetEach(
+      docs,
+      unimaxAllocation(docs, budgetTokens, epochCap, domainCol, textCol)
+        .select(col("source").as(domainCol), col("alloc_tokens").as("budget_tokens")),
+      nRanges, domainCol, idCol, textCol)
 }

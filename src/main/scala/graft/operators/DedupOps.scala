@@ -992,4 +992,106 @@ object DedupOps {
     val inter = GraftFunctions.intersectionSize(a, b)
     inter / (size(a) + size(b) - inter)
   }
+
+  /** Per-source boilerplate removal (the C4/RefinedWeb "repeated line"
+    * cleaning step): a passage is boilerplate for its source when it
+    * appears in at least `pctDocs`% of that source's documents (and in at
+    * least `minDf` of them — the floor keeps a 2-doc source from calling
+    * half its content boilerplate); every occurrence is dropped and the
+    * documents are reassembled from the survivors — nav bars, cookie
+    * banners, and footer text vanish corpus-wide while genuinely shared
+    * long-tail passages (df below the ratio) stay. Distinct from
+    * [[paragraphDedup]]: that keeps the globally FIRST occurrence of any
+    * duplicated passage; this removes ALL occurrences, but only of
+    * passages frequent WITHIN their source.
+    *
+    * Input is pre-split passages ([[paragraphDedup]]'s contract:
+    * idCol/idxCol/paraCol) that additionally carry `sourceCol`. Document
+    * frequency counts DISTINCT documents (a passage repeated inside one
+    * doc is df 1). The threshold is integer cross-multiplied
+    * (`df · 100 >= pctDocs · nDocs`) — no FP boundary.
+    *
+    * Plan: one distinct + aggregate keyed on (source, passage) for the
+    * df counts, a strata-sized doc-count frame broadcast back, the flag
+    * join keyed on (source, passage), then [[reassembleKept]]'s one
+    * doc-keyed aggregate — passage-keyed shuffles only, never all-pairs,
+    * and `hashed = true` ships 8-byte passage keys (the 100 TB mode;
+    * string mode replays in the oracle). */
+  def boilerplateRemove(
+      paras: DataFrame,
+      pctDocs: Int,
+      minDf: Long = 2L,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      idxCol: String = "idx",
+      paraCol: String = "para",
+      sep: String = " ",
+      hashed: Boolean = false): DataFrame = {
+    require(pctDocs >= 1 && pctDocs <= 100, "pctDocs in [1, 100]")
+    val keyed = Checkpoints.pin(
+      paras.withColumn("__key",
+        if (hashed) xxhash64(col(paraCol)) else col(paraCol)), reliable = false)
+    val dfCounts = keyed.select(col(sourceCol), col("__key"), col(idCol)).distinct()
+      .groupBy(col(sourceCol), col("__key")).agg(count(lit(1)).as("__df"))
+    val nDocs = keyed.select(col(sourceCol), col(idCol)).distinct()
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__nd"))
+    reassembleKept(
+      keyed
+        .join(dfCounts, Seq(sourceCol, "__key"))
+        .join(broadcast(nDocs), Seq(sourceCol))
+        .withColumn("__kept",
+          !(col("__df") >= minDf && col("__df") * 100 >= lit(pctDocs) * col("__nd"))),
+      idCol, idxCol, paraCol, sep)
+  }
+
+  /** Near-SUBSET document pairs by k-shingle containment: directed pairs
+    * (doc_a, doc_b) where at least `thresholdPct`% of doc_a's distinct
+    * shingles also occur in doc_b — the asymmetric relation resemblance
+    * dedup is blind to (a quote page inside a long article has high
+    * containment but low Jaccard, so MinHash never pairs them; exact
+    * dedup sees nothing). The excerpt/wrapper/quotation detector.
+    *
+    * Same inverted-index shape as [[graft.operators.MultimodalOps.cdcNearDups]]:
+    * distinct per-doc shingle sets -> shingle-keyed equi-join restricted
+    * to df >= 2 keys (never all-pairs) -> per-pair intersection counts ->
+    * size join -> integer cross-multiplied threshold, both directions
+    * emitted and filtered independently (`contain_ppm` is an integer DIV).
+    * `maxDf` is the stop-shingle cap (set sizes are computed BEFORE the
+    * cap, so capped-away intersections only LOWER a reported containment
+    * — conservative); `hashed = true` ships 8-byte shingle keys (the
+    * 100 TB mode; string mode replays in the oracle). */
+  def containmentPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      thresholdPct: Int = 80,
+      maxDf: Option[Long] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashed: Boolean = false): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100, "thresholdPct in [1, 100]")
+    val sets = Checkpoints.pin(
+      CurationOps.shingleRows(docs, k, idCol, textCol, hashed)
+        .select(col("doc_id").as("id"), col("shingle").as("__key"))
+        .distinct(), reliable = false)
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val paired = sets.join(
+      sets.groupBy(col("__key")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= lit(maxDf.getOrElse(Long.MaxValue)))
+        .select(col("__key")),
+      Seq("__key"), "left_semi")
+    val inter = paired.select(col("__key"), col("id").as("ida"))
+      .join(paired.select(col("__key"), col("id").as("idb")), Seq("__key"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(sizes.select(col("id").as("idb"), col("n").as("nb")), Seq("idb"))
+    inter.select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("inter"), col("na").as("n_a"), col("nb").as("n_b"))
+      .unionByName(inter.select(col("idb").as("doc_a"), col("ida").as("doc_b"),
+        col("inter"), col("nb").as("n_a"), col("na").as("n_b")))
+      .filter(col("inter") * 100 >= lit(thresholdPct) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("(inter * 1000000L) DIV n_a").as("contain_ppm"))
+  }
 }

@@ -924,4 +924,48 @@ object SimilarityOps {
         k = c, nIters = nIters, idCol = idCol, vecCol = "sv")
     }
   }
+
+  /** k-NN GRAPH over the whole embedding corpus — every vector's top-k
+    * cosine neighbors in one pass, the substrate of graph-based semantic
+    * dedup, SemDeDup-style cluster pruning, and kNN-classification of
+    * unlabeled data. The all-pairs form is O(n²); here candidate
+    * generation goes through the IVF cells: every vector lands in its one
+    * nearest cell (map-only codegen projection), every vector also PROBES
+    * its nProbe nearest cells ([[topCellsExpr]], map-only), and the
+    * probe side meets only the matching cells through one EQUI-join on
+    * the cell id — candidate count is the probed cells' population, never
+    * n². Each (query, neighbor) candidate appears exactly once (a
+    * neighbor has ONE home cell), so no candidate dedup is needed. The
+    * per-query top-k is a row_number window keyed on the query — the same
+    * shape as the per-aggregate event streams, shuffled once on qid.
+    *
+    * With nProbe = |cells| the graph is EXACTLY the brute-force graph
+    * (every pair is co-probed — the oracle's losslessness gate); reduced
+    * nProbe is the 100 TB setting, recall-gated like the other IVF
+    * operators. Self-pairs are excluded; `sim` is floored at 4 decimals
+    * with ties broken by neighbor id, so rankings are engine-exact. */
+  def knnGraph(
+      embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1, "k >= 1")
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val assigned = assignCells(vecs, centroids)
+    val probes = vecs.select(col("id").as("qid"), col("v").as("qv"),
+      explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        NumFns.floorAt(GraftFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+  }
 }
