@@ -1155,6 +1155,88 @@ object CurationOps {
         .otherwise(lit(0L)).as("epochs_ppm"))
   }
 
+  /** [[unimaxAllocation]] at DOMAIN-cardinality scale (per-URL-host mixing
+    * → millions of sources): allocation identical to the token, with NO
+    * unpartitioned domains-sized window anywhere (the single-window
+    * variant's `Window.orderBy(cap, source)` moves every source to one
+    * task). The two-phase rank-selection shape ([[domainTokenBudget]]'s
+    * ranges, here over the cap order):
+    *
+    *  1. range-bucket sources by `cap DIV width` — width comes from one
+    *     scalar max aggregate broadcast back in-DAG (no driver action),
+    *     and the bucket id is monotone in cap, so bucket order extends
+    *     the (cap, source) rank order;
+    *  2. per-bucket counts and cap sums prefix-scan in ONE window over
+    *     the BOUNDED (≤ nRanges+1 rows) bucket frame;
+    *  3. each source's global rank `i` and prefix `before` assemble from
+    *     its bucket's offsets plus a window PARTITIONED by bucket —
+    *     domains-sized work, but distributed across buckets;
+    *  4. the waterfilling cut (m, Pm) reduces to two scalar MAXIMA,
+    *     because the capped set is a PREFIX of the ascending cap order —
+    *     a map-side-combined aggregate, broadcast back.
+    *
+    * The per-source aggregate is pinned once; everything downstream is
+    * projections, bounded-frame windows, bucket-local windows, and 1-row
+    * broadcast joins. TemporalCurationSpec proves bit-equality with the
+    * single-window variant on random domain counts. */
+  def unimaxAllocationBucketed(
+      docs: DataFrame,
+      budgetTokens: Long,
+      epochCap: Int,
+      nRanges: Int = 64,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      reliable: Boolean = false): DataFrame = {
+    require(budgetTokens >= 0 && epochCap >= 1 && nRanges >= 1,
+      "budgetTokens >= 0, epochCap >= 1, nRanges >= 1")
+    import graft.functions.TextFns
+    val caps = Checkpoints.pin(
+      docs.groupBy(col(sourceCol).as("source"))
+        .agg(sum(size(TextFns.tokens(coalesce(col(textCol), lit(""))))).cast("long")
+          .as("n_tokens"))
+        .withColumn("cap", col("n_tokens") * epochCap),
+      reliable)
+    val width = caps.agg(
+      (coalesce(floor(max(col("cap")) / nRanges).cast("long"), lit(0L)) + 1L).as("__w"))
+    val bucketed = caps.crossJoin(broadcast(width)).withColumn("__b", expr("cap DIV __w"))
+    val wB = Window.orderBy(col("__b")) // bounded: ≤ nRanges+1 bucket rows
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__bn"), sum(col("cap")).as("__bsum"))
+      .withColumn("__iOff", coalesce(
+        sum(col("__bn")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__sOff", coalesce(
+        sum(col("__bsum")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__iOff"), col("__sOff"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("cap"), col("source"))
+    val ranked = Checkpoints.pin(
+      bucketed.join(broadcast(offsets), Seq("__b"))
+        .withColumn("__i", col("__iOff") + row_number().over(wIn).cast("long"))
+        .withColumn("__before", col("__sOff") + coalesce(
+          sum(col("cap")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))),
+      reliable)
+    val flagged = ranked
+      .crossJoin(broadcast(caps.agg(count(lit(1)).as("__S"))))
+      .withColumn("__flag", expr(
+        s"CAST(cap AS DECIMAL(38,0)) * (__S - __i + 1)" +
+          s" <= CAST(${budgetTokens}L AS DECIMAL(38,0)) - __before"))
+    val cut = flagged.agg(
+      coalesce(max(when(col("__flag"), col("__i"))), lit(0L)).as("__m"),
+      coalesce(max(when(col("__flag"), col("__before") + col("cap"))), lit(0L)).as("__Pm"))
+    val alloc = flagged.crossJoin(broadcast(cut))
+      .withColumn("__U", col("__S") - col("__m"))
+      .withColumn("__R", lit(budgetTokens) - col("__Pm"))
+      .withColumn("__theta", when(col("__U") > 0, expr("__R DIV __U")).otherwise(lit(0L)))
+      .withColumn("__rem", when(col("__U") > 0, expr("__R % __U")).otherwise(lit(0L)))
+      .withColumn("alloc",
+        when(col("__i") <= col("__m"), col("cap"))
+          .otherwise(col("__theta") +
+            when(col("__i") - col("__m") <= col("__rem"), 1L).otherwise(0L)))
+    alloc.select(col("source"), col("n_tokens"), col("cap").as("cap_tokens"),
+      col("alloc").as("alloc_tokens"),
+      when(col("n_tokens") > 0, expr("(alloc * 1000000L) DIV n_tokens"))
+        .otherwise(lit(0L)).as("epochs_ppm"))
+  }
+
   /** [[domainTokenBudget]] generalized to a PER-DOMAIN budget frame
     * (`budgets`: (domainCol, budget_tokens)) — the execution half of any
     * allocator: each budgeted domain keeps its best documents (quality

@@ -732,10 +732,14 @@ object SimilarityOps {
       "codebooks must share one sub-dimension")
     require(codebooks.forall(cb => cb.map(_._1).sorted == (1 to cb.size)),
       "codes must be 1..c per subspace (positional ADC lookup)")
-    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
-      cellExpr(slice(col(vecCol), s * subDim + 1, subDim), cb)
-    }
-    vecs.withColumn("codes", array(codes: _*))
+    // one fused kernel, not m·c inlined cosine expressions: the composed
+    // form's generated bytecode is linear in m·c and at m=16, c=16 blows
+    // Janino's 64 KB method limit — whole-stage codegen then silently
+    // falls back to interpreted eval over the corpus-sized encode
+    // (PqKernels scaladoc; semantics are bit-identical — same sequential
+    // folds, same ties-to-smallest argmax — PqSpec's driver reference and
+    // the g_sim_pq oracle hash gate both still pass)
+    vecs.withColumn("codes", graft.plans.PqColumns.pqCodes(col(vecCol), codebooks))
   }
 
   /** Driver-side ADC lookup table for one query: `lut(s)(c-1)` is the
@@ -925,6 +929,65 @@ object SimilarityOps {
     }
   }
 
+  /** [[trainPqCodebooks]] in ONE Lloyd loop for all m subspaces: the
+    * corpus explodes into (s, subvector) rows (map-only), assignment is
+    * one per-row CASE over the m subspace codebooks (each row evaluates
+    * only its own subspace's c cosine kernels), and the update is ONE
+    * map-side-combined aggregate over (s, cell, dim) — m·c·subDim = c·d
+    * rows back to the driver. Per iteration: one job, one shuffle —
+    * against the per-subspace trainer's m jobs (64 driver round-trips at
+    * m=16, nIters=3, which dominated the recall gate's wall clock; on a
+    * 1000-executor cluster the same fixed per-job latency stacks the
+    * same way). Seeding is subspace-blind (hash-spread by id, sliced),
+    * exactly the per-subspace seeds, so the result is BIT-IDENTICAL to
+    * [[trainPqCodebooks]] (PqSpec pins the equality). */
+  def trainPqCodebooksJoint(
+      embeddings: DataFrame,
+      m: Int,
+      c: Int,
+      nIters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Double])]] = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // one seeding job: ordering by id hash is subspace-blind, so slicing
+    // the same seed vectors reproduces every per-subspace seed
+    val seeds = vecs.orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(c).select(col("v")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
+    var codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map(s =>
+      seeds.map { case (cid, v) => (cid, v.slice(s * subDim, (s + 1) * subDim)) })
+    (0 until nIters).foreach { _ =>
+      // assignment is ONE fused-kernel projection (all m codes per row —
+      // constant-size bytecode at any geometry, see PqKernels), then one
+      // posexplode + map-side-combined aggregate keyed (s, cell, dim):
+      // the subspace and within-subspace dim derive from the global
+      // coordinate position, so the exploded frame is the corpus's d
+      // coordinates, exactly as the per-subspace trainers see them
+      val sums = vecs
+        .withColumn("codes", graft.plans.PqColumns.pqCodes(col("v"), codebooks))
+        .select(col("codes"), posexplode(col("v")).as(Seq("gd", "x")))
+        .select(
+          expr(s"gd div $subDim").cast("int").as("s"),
+          element_at(col("codes"), (expr(s"gd div $subDim") + 1).cast("int")).as("cell"),
+          expr(s"gd % $subDim").cast("int").as("dim"),
+          col("x"))
+        .groupBy(col("s"), col("cell"), col("dim"))
+        .agg(sum(floor(col("x") * lit(1e6))).as("sx"), count(lit(1)).as("n_vecs"))
+        .collect()
+      codebooks = codebooks.zipWithIndex.map { case (cb, s) =>
+        centroidsFromSums(
+          sums.filter(_.getAs[Int]("s") == s).map(r => (r.getAs[Int]("cell"),
+            r.getAs[Int]("dim"), r.getAs[Long]("sx"), r.getAs[Long]("n_vecs"))).toSeq,
+          cb)
+      }
+    }
+    codebooks
+  }
+
   /** k-NN GRAPH over the whole embedding corpus — every vector's top-k
     * cosine neighbors in one pass, the substrate of graph-based semantic
     * dedup, SemDeDup-style cluster pruning, and kNN-classification of
@@ -950,20 +1013,134 @@ object SimilarityOps {
       k: Int,
       nProbe: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      querySample: Column => Column = _ => lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(embeddings.sparkSession)
     require(k >= 1, "k >= 1")
     val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
     val assigned = assignCells(vecs, centroids)
-    val probes = vecs.select(col("id").as("qid"), col("v").as("qv"),
-      explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
+    // querySample restricts the PROBE (query) side only — the neighbor
+    // corpus stays whole, so sampled edges equal the full graph's rows for
+    // the sampled queries. This is the standard sampled-recall protocol:
+    // a recall gate over n/S queries costs (n/S)·cellPop instead of
+    // n·cellPop, turning a quadratic probe-all truth into one a bench
+    // SF can afford.
+    val probes = vecs.filter(querySample(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         NumFns.floorAt(GraftFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Driver-side dot product with the same sequential fold as the
+    * [[graft.plans.DotProduct]] kernel and DuckDB's list_dot_product. */
+  def dotOf(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    dot
+  }
+
+  /** Flattened reconstruction-norm table for [[knnGraphPq]]: entry
+    * `s·c + code` (1-based within each subspace block) is
+    * `floor(dot(codeword, codeword) · 1e6)` — m·c longs shipped as one
+    * LITERAL array. Summed over a row's m codes it yields the fixed-point
+    * squared norm of the row's RECONSTRUCTION `Σ_s |ŵ_s|²`, the
+    * denominator of the ADC cosine. */
+  def pqNormTable(codebooks: Seq[Seq[(Int, Seq[Double])]]): Seq[Long] =
+    codebooks.flatMap(cb =>
+      cb.sortBy(_._1).map { case (_, w) => math.floor(dotOf(w, w) * 1e6).toLong })
+
+  /** [[knnGraph]]'s 100 TB path: candidate SCORING reads PQ codes, not
+    * raw vectors (ADC — Jégou et al. 2011 §III.B: the query stays raw,
+    * the corpus is quantized, distance is looked up per subspace). Each
+    * probe row carries its per-query lookup table — m·c fixed-point longs
+    * `floor(dot(q_s, codeword) · 1e6)` built by one map-only projection
+    * of [[graft.plans.DotProduct]] kernels against literal codeword
+    * arrays — and the neighbor side is the codes-only frame
+    * ([[writePqIndex]]'s shape: id + cell + m ints, an 8–32× smaller
+    * corpus scan than d floats). Per candidate the score is
+    * `Σ_s lut[s·c + code_s]  /  sqrt(Σ_s nrm[s·c + code_s])` — the
+    * cosine of the query against the neighbor's RECONSTRUCTION (the
+    * query-side norm is constant per query and drops out of the
+    * ranking): 2m positional array lookups, integer sums, one double
+    * division — whole-stage codegen, no vector math on the n·cellPop
+    * candidate frame. Candidate generation is the same IVF-cell
+    * equi-join as [[knnGraph]]; the ADC top-(k·refine) shortlist per
+    * query (one row_number window on qid) is then RE-RANKED exactly: two
+    * equi-joins rejoin the raw vectors for just the shortlist —
+    * n·k·refine rows, never n² — with the same floored cosine + id tie
+    * order as [[knnGraph]], so a candidate set that covers the true
+    * neighbors yields bit-identical edges to the exact graph. Recall is
+    * gated like every IVF operator (g_knn_pq_recall). */
+  def knnGraphPq(
+      embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int,
+      nProbe: Int = 2,
+      refine: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      querySample: Column => Column = _ => lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && refine >= 1, "k >= 1 and refine >= 1")
+    val c = codebooks.head.size
+    val subDim = codebooks.head.head._2.size
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val encoded = pqEncode(assignCells(vecs, centroids), codebooks)
+    // neighbor side: codes only — at 100 TB this frame IS the persisted
+    // cell-partitioned PQ index; the raw-vector column never reaches the
+    // candidate join
+    val index = encoded.select(col("cell"), col("id"), col("codes"))
+    val lutExpr = graft.plans.PqColumns.pqLut(col("v"), codebooks)
+    // The explicit qid-repartition is load-bearing twice over: (1) the
+    // shuffle MATERIALIZES the lut column — in whole-stage codegen a
+    // streamed-side variable the join condition doesn't reference stays
+    // lazy and is evaluated at first downstream use, i.e. INSIDE the
+    // per-match loop, recomputing the m·c-kernel LUT once per CANDIDATE
+    // (measured 34 s vs 4 s at sf0.1) instead of once per probe row;
+    // (2) it pre-distributes by qid, the downstream top-k window's key,
+    // so the candidate frame itself never shuffles (the partial
+    // WindowGroupLimit runs where the candidates are produced). The
+    // explicit partition count keeps AQE from coalescing the small
+    // probe shuffle into few partitions and serializing the join
+    // fan-out behind it.
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = encoded.filter(querySample(col("id")))
+      .select(col("id").as("qid"), lutExpr.as("lut"),
+        explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
+      .repartition(parts, col("qid"))
+    val nrm = pqNormTable(codebooks)
+    def codeSum(table: Column): Column = codebooks.indices.map { s =>
+      element_at(table, (lit(s * c) + col("codes").getItem(s)).cast("int"))
+    }.reduce(_ + _)
+    val score = codeSum(col("lut")).cast("double") /
+      sqrt(codeSum(array(nrm.map(lit): _*)).cast("double"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("adc_score").desc, col("id"))
+    val shortlist = probes.join(index, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), score.as("adc_score"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= k * refine)
+      .select(col("qid"), col("id"))
+    // exact re-rank of the shortlist: equi-joins sized to n·k·refine
+    val qv = vecs.select(col("id").as("qid"), col("v").as("qv"))
+    val nv = vecs.select(col("id"), col("v").as("nv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    shortlist.join(qv, Seq("qid")).join(nv, Seq("id"))
+      .select(col("qid"), col("id"),
+        NumFns.floorAt(GraftFunctions.cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))

@@ -75,12 +75,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dot product over two `array<double>` columns — the
+  * [[CosineSimilarity]] kernel minus the norms: one sequential
+  * left-to-right multiply-add loop, bit-identical to DuckDB's
+  * `list_dot_product` (and to `aggregate(zip_with(a, b, *), ...)`),
+  * whole-stage codegen. The ADC scoring path ([[graft.operators
+  * .SimilarityOps.knnGraphPq]]) builds per-query lookup tables from it:
+  * `floor(dot(q_s, codeword) · 1e6)` longs whose sums are exact under any
+  * partitioning and engine. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val k = ctx.freshName("k")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  $dot += $a.getDouble($k) * $b.getDouble($k);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration of graft's native expressions — works on any
   * session, including driver-created ones (no SparkSessionExtensions
   * wiring needed at session-build time). */
 object GraftFunctions {
 
   val CosineName = "graft_cosine"
+  val DotName = "graft_dot"
+
+  val dotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(DotName),
+    new ExpressionInfo(classOf[DotProduct].getCanonicalName, DotName),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, s"$DotName expects 2 arguments")
+      val Seq(a, b) = children.map(c => Cast(c, ArrayType(DoubleType)))
+      DotProduct(a, b)
+    })
 
   /** (identifier, info, builder) triple — consumable both by
     * SparkSessionExtensions.injectFunction and by direct registry calls. */
@@ -95,7 +149,8 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(cosineDescription, IntersectionSize.description, PolyFingerprint.description,
+    Seq(cosineDescription, dotDescription, PqEncodeKernel.description, PqLutKernel.description,
+        IntersectionSize.description, PolyFingerprint.description,
         Fnv64.description, BloomBuildAgg.description, BloomMightContain.description,
         CdcBoundaries.description)
       .foreach { d =>
@@ -109,6 +164,9 @@ object GraftFunctions {
     * executing the plan). */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(CosineName, a, b)
+
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(DotName, a, b)
 
   def intersectionSize(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(IntersectionSize.Name, a, b)

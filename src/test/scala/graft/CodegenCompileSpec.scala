@@ -110,6 +110,65 @@ class CodegenCompileSpec extends SparkSpec {
     assert(proj(row).getInt(1) === 1)
   }
 
+  test("DotProduct generated code compiles and matches eval + the sequential-fold reference") {
+    val dot = graft.plans.DotProduct(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(dot)) // throws on Janino failure
+    val cases = Seq(
+      (Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)),
+      (Array(0.1, -0.7, 2.5, 1e-9), Array(-4.2, 0.3, 0.0, 1e9)),
+      (Array.empty[Double], Array.empty[Double]))
+    for ((a, b) <- cases) {
+      val row = InternalRow(new GenericArrayData(a), new GenericArrayData(b))
+      val ref = graft.operators.SimilarityOps.dotOf(a.toSeq, b.toSeq)
+      assert(proj(row).getDouble(0) === dot.eval(row))
+      assert(proj(row).getDouble(0) === ref, s"dot fold order diverged on ${a.toSeq}")
+    }
+  }
+
+  test("PQ kernels compile at m=16 c=16 (the 64 KB geometry) and match the composed reference") {
+    // the composed formulation (m·c inlined cosine/dot kernels) blows
+    // Janino's 64 KB method limit at this geometry and silently falls
+    // back to interpreted eval; the fused kernels must compile — throws
+    // here on regression — and reproduce the slice+cosine-argmax /
+    // slice+dot-floor semantics exactly
+    import graft.plans.{PqEncodeKernel, PqLutKernel, PqKernels}
+    import graft.operators.SimilarityOps
+    val m = 16; val c = 16; val subDim = 4; val dim = m * subDim
+    def wvec(s: Int, ci: Int): Seq[Double] =
+      (0 until subDim).map(j => ((s * 31 + ci * 17 + j * 7) % 11 - 5) / 5.0 + 0.01)
+    val codebooks = (0 until m).map(s => (1 to c).map(ci => (ci, wvec(s, ci))))
+    val flat = PqKernels.flatten(codebooks)
+    val enc = PqEncodeKernel(
+      BoundReference(0, ArrayType(DoubleType), nullable = true), flat, m, c, subDim)
+    val lut = PqLutKernel(
+      BoundReference(0, ArrayType(DoubleType), nullable = true), flat, m, c, subDim, 1e6)
+    val proj = GenerateUnsafeProjection.generate(Seq(enc, lut)) // throws on Janino failure
+    val vecs = Seq(
+      (0 until dim).map(j => ((j * 13) % 7 - 3) / 3.0),
+      (0 until dim).map(j => math.sin(j + 1.0)),
+      (0 until dim - 3).map(j => j / 10.0)) // ragged tail row: slice-clamp semantics
+    for (v <- vecs) {
+      val row = InternalRow(new GenericArrayData(v.toArray))
+      val gotCodes = proj(row).getArray(0).toIntArray().toSeq
+      val gotLut = proj(row).getArray(1).toLongArray().toSeq
+      val refCodes = (0 until m).map { s =>
+        val xs = v.slice(s * subDim, math.min(v.size, (s + 1) * subDim))
+        codebooks(s).map { case (ci, w) => (ci, SimilarityOps.cosineOf(xs, w)) }
+          .sortBy { case (ci, cos) => (-cos, ci) }.head._1
+      }
+      val refLut = for { s <- 0 until m; (_, w) <- codebooks(s) } yield
+        math.floor(SimilarityOps.dotOf(v.slice(s * subDim, math.min(v.size, (s + 1) * subDim)), w) * 1e6).toLong
+      assert(gotCodes == refCodes, s"encode kernel diverged on ${v.take(4)}...")
+      assert(gotLut == refLut, s"lut kernel diverged on ${v.take(4)}...")
+      assert(enc.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq == gotCodes, "encode eval/codegen divergence")
+      assert(lut.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq == gotLut, "lut eval/codegen divergence")
+    }
+  }
+
   test("BloomMightContain generated code compiles, probes via references, matches eval") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     (1L to 50L).foreach(bf.putLong)

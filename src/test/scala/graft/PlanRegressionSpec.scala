@@ -173,4 +173,28 @@ class PlanRegressionSpec extends SparkSpec {
       assertHintFree(n, SparkEntry.queries(n)(spark, dir))
     }
   }
+
+  test("no driver-side count() in any query builder") {
+    // Policy (round-11 verdict #2): a .count() inside a query builder is
+    // an eager driver action that forces its input to execute once for
+    // the scalar and again for the plan that uses it (g_knn_recall's
+    // 34s), and the anti-pattern scales with the input, unlike the
+    // sanctioned bounded driver state (one query vector via head(),
+    // k·d centroids, probed-bucket lists, eager pins). Denominators
+    // belong in-DAG: agg + 1×1 cross join.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!src.contains(".count()"),
+      "SparkEntry contains a .count() — compute scalars in-DAG instead")
+  }
+
+  test("knn graph family: equi-join candidate generation, no cartesian product") {
+    Seq("g_knn_graph", "g_knn_pq", "g_knn_recall", "g_knn_pq_recall").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a CartesianProduct — cell routing must stay an equi-join " +
+          "(the 1×1 recall denominator join is BNLJ, not cartesian)")
+    }
+  }
 }

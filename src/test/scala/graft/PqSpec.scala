@@ -161,4 +161,61 @@ class PqSpec extends SparkSpec {
       SimilarityOps.pqEncode(vecsDf(5), bad)
     }
   }
+
+  // ---- codes-only k-NN graph (knnGraphPq / ADC) ------------------------
+
+  private def graphCentroids: Seq[(Int, Seq[Double])] =
+    (1 to 3).map(c => (c, (0 until Dim).map(j =>
+      if ((c * 11 + j * 5) % 3 == 0) 1.0 else -0.5)))
+
+  private def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.select(col("vec_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("knnGraphPq probe-all + full-refine == the exact knnGraph (ADC shortlist loses nothing)") {
+    // with nProbe = |cells| every pair is a candidate and refine covering
+    // the whole cell population makes the shortlist the full candidate
+    // set, so the exact re-rank must reproduce the brute-force graph no
+    // matter how badly the codebooks quantize — the losslessness contract
+    // of the shortlist/re-rank plumbing itself
+    val n = 40
+    val df = vecsDf(n).withColumnRenamed("id", "vec_id")
+    val exact = SimilarityOps.knnGraph(df, graphCentroids, k = 3, nProbe = 3,
+      vecCol = "v")
+    val viaPq = SimilarityOps.knnGraphPq(df, graphCentroids, codebooks, k = 3,
+      nProbe = 3, refine = n, vecCol = "v")
+    assert(edges(viaPq) == edges(exact), "probe-all/full-refine PQ graph must be exact")
+  }
+
+  test("knnGraphPq: querySample restricts queries only; partition-invariant") {
+    val df = vecsDf(40).withColumnRenamed("id", "vec_id")
+    val full = SimilarityOps.knnGraphPq(df, graphCentroids, codebooks, k = 3,
+      nProbe = 2, refine = 4, vecCol = "v")
+    val sampled = SimilarityOps.knnGraphPq(df, graphCentroids, codebooks, k = 3,
+      nProbe = 2, refine = 4, vecCol = "v", querySample = id => id % 3 === 0)
+    assert(edges(sampled) == edges(full.filter(col("vec_id") % 3 === 0)),
+      "sampled graph must equal the full graph restricted to sampled queries")
+    val repart = SimilarityOps.knnGraphPq(df.repartition(7), graphCentroids,
+      codebooks, k = 3, nProbe = 2, refine = 4, vecCol = "v")
+    assert(edges(repart) == edges(full), "graph must not depend on partitioning")
+  }
+
+  test("trainPqCodebooksJoint == trainPqCodebooks, bit for bit") {
+    // the joint trainer's contract: one Lloyd loop over exploded
+    // (subspace, subvector) rows must reproduce the m independent
+    // trainers exactly — same subspace-blind seeds, same fixed-point
+    // sums, same driver-side mean division
+    val df = vecsDf(60).withColumnRenamed("id", "vec_id")
+      .withColumnRenamed("v", "embedding")
+    val perSub = SimilarityOps.trainPqCodebooks(df, m = M, c = C, nIters = 2)
+    val joint = SimilarityOps.trainPqCodebooksJoint(df, m = M, c = C, nIters = 2)
+    assert(joint == perSub, "joint trainer diverged from the per-subspace trainer")
+  }
+
+  test("pqNormTable is the flattened per-code squared reconstruction norm") {
+    val got = SimilarityOps.pqNormTable(codebooks)
+    val want = for { s <- 0 until M; (_, w) <- codebooks(s).sortBy(_._1) }
+      yield math.floor(w.map(x => x * x).sum * 1e6).toLong
+    assert(got == want)
+  }
 }

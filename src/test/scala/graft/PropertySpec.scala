@@ -411,4 +411,41 @@ class PropertySpec extends SparkSpec {
       got == expected
     }, minSuccessful = 8)
   }
+
+  test("property: KMV bottom-k Jaccard — sparse regime EXACT, sketch bounded (k ∈ {4,64,1024})") {
+    // pins the docstring claim at CurationOps.bottomKJaccard: when a
+    // pair's union of content fingerprints fits k, the estimate IS the
+    // exact Jaccard (sourceOverlap's truth) in identical integer ppm —
+    // across skewed source sizes and all three k regimes, so a future k
+    // or estimator change can't silently degrade the sparse-exact gate
+    import spark.implicits._
+    import graft.operators.CurationOps
+    val gen = for {
+      nSrc <- Gen.choose(2, 4)
+      sizes <- Gen.listOfN(nSrc, Gen.choose(1, 40)) // skewed source sizes
+      pool <- Gen.choose(10, 60)                    // shared-content pool width
+      rows <- Gen.sequence[List[List[Int]], List[Int]](
+        sizes.map(n => Gen.listOfN(n, Gen.choose(0, pool))))
+    } yield rows.zipWithIndex.flatMap { case (items, s) =>
+      items.map(i => (s"src$s", s"item$i"))
+    }
+    checkProp(Prop.forAllNoShrink(gen) { rows =>
+      val docs = rows.toDF("source", "text")
+      val exact = CurationOps.sourceOverlap(docs)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      Seq(4, 64, 1024).forall { k =>
+        val est = CurationOps.bottomKJaccard(CurationOps.bottomKSignatures(docs, k), k)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        est.keySet == exact.keySet && est.forall { case (pair, (nSig, _, estPpm)) =>
+          val (inter, nA, nB, exactPpm) = exact(pair)
+          val union = nA + nB - inter
+          nSig == math.min(k.toLong, union) &&
+            estPpm >= 0L && estPpm <= 1000000L &&
+            (union > k || estPpm == exactPpm)
+        }
+      }
+    }, minSuccessful = 6)
+  }
 }

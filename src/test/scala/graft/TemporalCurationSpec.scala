@@ -559,4 +559,33 @@ class TemporalCurationSpec extends SparkSpec {
       assert(SimilarityOps.cosineOf(vecs(dupOf), vecs(id)) >= 0.9)
     }
   }
+
+  test("unimaxAllocationBucketed == unimaxAllocation on random domain counts (incl. nRanges=1 and budget edges)") {
+    // the two-phase variant's contract: identical allocation TO THE TOKEN
+    // without any unpartitioned domains-sized window — random source
+    // counts, token sizes, epoch caps, budgets (incl. 0, tighter-than-
+    // smallest-cap, and larger-than-sum), and bucket counts
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 8).foreach { trial =>
+      val nSrc = 1 + rnd.nextInt(60)
+      val docs = (0 until nSrc).flatMap { s =>
+        (0 until 1 + rnd.nextInt(4)).map { d =>
+          (f"host$s%03d", Seq.fill(rnd.nextInt(50))("w").mkString(" "))
+        }
+      }.toDF("source", "text")
+      val sumTokens = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+      val epochCap = 1 + rnd.nextInt(3)
+      val budgets = Seq(0L, 1L + rnd.nextInt(10).toLong,
+        math.max(1L, sumTokens / 2), sumTokens * epochCap + 7L)
+      val nRanges = Seq(1, 3, 64)(trial % 3)
+      budgets.foreach { b =>
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.orderBy("source").collect().map(_.toSeq).toSeq
+        val single = rows(CurationOps.unimaxAllocation(docs, b, epochCap))
+        val two = rows(CurationOps.unimaxAllocationBucketed(docs, b, epochCap, nRanges))
+        assert(two == single,
+          s"trial=$trial budget=$b epochCap=$epochCap nRanges=$nRanges diverged")
+      }
+    }
+  }
 }
