@@ -209,6 +209,23 @@ object SparkEntry {
        |ORDER BY adc_score DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Brute-force k-NN-graph truth shared by g_knn_graph (probe-all cell
+    * routing must reproduce it exactly) and g_knn_incr (the merge
+    * identity makes incremental maintenance equal the rebuilt graph):
+    * every ordered pair scored (floored at 4 decimals like the Spark
+    * side), top-5 per query by (sim desc, neighbor id). */
+  private lazy val oracleSqlKnnBruteForce: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |             floor((list_dot_product(a.v, b.v) /
+      |                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+      |                   * 10000) / 10000 AS sim
+      |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM p)
+      |SELECT vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
   /** Full replay of [[SimilarityOps.knnGraphPq]] under the fixture
     * centroids + codebooks: cell argmax and probe ranking (the pruned
     * [[pqOracleSql]] patterns, here per-row since every vector is a
@@ -1016,6 +1033,29 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       SimilarityOps.ivfTopKIndexed(s, s"$out/index", centroids, qv, 20, nProbe = 16)
+    },
+
+    "q_stream_knn" -> { (s, dir) => // streaming k-NN graph maintenance,
+      // oracle side: an AvailableNow run of knnGraphStream lands the
+      // embeddings as a versioned corpus + edge-delta layout, and the
+      // RESOLVED read at probe-all must equal brute force — g_knn_graph's
+      // losslessness contract extended over the streaming landing (shares
+      // its oracle). Multi-batch fold/replay/compaction semantics are
+      // KnnStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val e = Tables.embeddings(s, dir)
+      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_knn_")
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .knnGraphStream(src, centroids, k = 5,
+          nProbe = if (oracleScale(dir)) 16 else 4, s"$out/graph", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readKnnGraph(s, s"$out/graph")
+        .orderBy(col("vec_id"), col("rank"))
     },
 
     "q_stream_pq" -> { (s, dir) => // streaming IVF-PQ index maintenance,
@@ -3042,6 +3082,27 @@ object SparkEntry {
           (col("recall_ppm") >= 750000L).as("meets_floor"))
     },
 
+    "g_knn_incr" -> { (s, dir) => // incremental k-NN graph maintenance:
+      // a batch of new embeddings (vec_id % 5 = 0) folds into the old
+      // corpus's graph — new queries score against the whole corpus
+      // through the cells, OLD queries score against the NEW arrivals
+      // only (delta-proportional work), the base edges ride along as
+      // pre-scored candidates, one union + top-k window. The merge
+      // identity top-k(A∪B) = top-k(top-k(A)∪B) makes this EXACT, so at
+      // probe-all the result is the brute-force graph over the unioned
+      // corpus — the same oracle truth as g_knn_graph (and PqSpec pins
+      // incremental == rebuild at reduced probes too). Centroids are
+      // frozen from the OLD corpus — the persisted-index seed contract.
+      val e = Tables.embeddings(s, dir)
+      val old = e.filter(col("vec_id") % 5 =!= 0)
+      val fresh = e.filter(col("vec_id") % 5 === 0)
+      val centroids = SimilarityOps.ivfCentroids(old, k = 16, nIters = 2)
+      val nP = if (oracleScale(dir)) 16 else 4
+      val base = SimilarityOps.knnGraph(old, centroids, k = 5, nProbe = nP)
+      SimilarityOps.knnGraphIncremental(base, old, fresh, centroids, k = 5, nProbe = nP)
+        .orderBy(col("vec_id"), col("rank"))
+    },
+
     "g_knn_pq" -> { (s, dir) => // the k-NN graph's 100 TB scoring path:
       // ADC over PQ codes — the query stays raw and carries its per-query
       // fixed-point LUT (floor(dot(q_s, codeword)·1e6) longs, one map-only
@@ -4437,6 +4498,11 @@ object SparkEntry {
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
 
+    "q_stream_knn" ->
+      // the resolved streamed graph at probe-all == the brute-force graph
+      // (g_knn_graph's truth, landing through knnGraphStream)
+      oracleSqlKnnBruteForce,
+
     "g_sim_ivf" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
@@ -5701,20 +5767,13 @@ object SparkEntry {
         |FROM bi WHERE inter * 100 >= 60 * n_a
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "g_knn_graph" ->
-      // brute-force truth: every ordered pair scored (floored at 4
-      // decimals like the Spark side), top-5 per query by (sim desc,
-      // neighbor id) — probe-all cell routing must reproduce it exactly
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |             floor((list_dot_product(a.v, b.v) /
-        |                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
-        |                   * 10000) / 10000 AS sim
-        |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM p)
-        |SELECT vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "g_knn_graph" -> oracleSqlKnnBruteForce,
+
+    "g_knn_incr" ->
+      // the merge identity makes incremental maintenance EXACT at
+      // probe-all, so the truth is the same brute-force graph over the
+      // unioned corpus — the split into old/new is invisible to it
+      oracleSqlKnnBruteForce,
 
     "g_knn_recall" ->
       // the approximate side routes through DATA-DERIVED centroids (Lloyd

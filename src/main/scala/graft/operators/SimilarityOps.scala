@@ -1145,4 +1145,61 @@ object SimilarityOps {
       .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** INCREMENTAL k-NN graph maintenance: fold a batch of new embeddings
+    * into an existing [[knnGraph]] edge set without recomputing the old
+    * corpus against itself. Work is delta-proportional:
+    *
+    *  - NEW queries score against the whole corpus through the cell
+    *    equi-join (|new|·cellPop candidates);
+    *  - OLD queries score against the NEW arrivals ONLY
+    *    (|old|·newCellPop candidates — the delta's cell population, not
+    *    the corpus's);
+    *  - the base edges ride along as pre-scored candidates.
+    *
+    * One union + the per-query top-k window. EXACTNESS, not
+    * approximation: top-k(A ∪ B) = top-k(top-k(A) ∪ B) — the base edges
+    * ARE top-k(old candidates), old→new candidates are complete, and the
+    * three branches are disjoint by construction (base neighbors ⊆ old,
+    * delta neighbors ⊆ new, new queries ∉ base) — so with the SAME
+    * frozen centroids and nProbe the result is bit-identical to
+    * rebuilding [[knnGraph]] over the full corpus (PqSpec pins it at
+    * reduced probes; the g_knn_incr oracle pins probe-all == brute force
+    * over the unioned corpus). Centroids are FROZEN index state, the
+    * kmeansStream seed contract — retraining them would re-route
+    * everything and forfeit the merge identity. */
+  def knnGraphIncremental(
+      baseEdges: DataFrame,
+      oldEmbeddings: DataFrame,
+      newEmbeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(baseEdges.sparkSession)
+    require(k >= 1, "k >= 1")
+    def vecsOf(df: DataFrame) =
+      df.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val oldVecs = vecsOf(oldEmbeddings)
+    val newVecs = vecsOf(newEmbeddings)
+    val assignedNew = assignCells(newVecs, centroids)
+    val assignedAll = assignCells(oldVecs.unionByName(newVecs), centroids)
+    def probesOf(vecs: DataFrame) = vecs.select(col("id").as("qid"), col("v").as("qv"),
+      explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
+    def scored(probes: DataFrame, corpus: DataFrame) = probes.join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        NumFns.floorAt(GraftFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
+    val candidates = scored(probesOf(newVecs), assignedAll)
+      .unionByName(scored(probesOf(oldVecs), assignedNew))
+      .unionByName(baseEdges.select(col(idCol).as("qid"), col("neighbor_id").as("id"),
+        col("sim")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -391,6 +391,189 @@ object StreamingOps {
     foldBatchDirs(spark, path, "id LONG, v ARRAY<DOUBLE>, cell INT",
       dedupKeys = Seq("id"), partitionCols = Seq("cell"))
 
+  /** Streaming k-NN GRAPH maintenance — the edge-set twin of
+    * [[ivfIndexStream]]: each micro-batch of new embeddings folds into
+    * the persisted graph with DELTA-proportional work
+    * ([[graft.operators.SimilarityOps.knnGraphIncremental]]'s shape):
+    * the batch lands in the versioned cell-partitioned corpus
+    * (`path/corpus/__batch=<id>/cell=<c>` — readable as an IVF index),
+    * new queries score against the whole corpus through the cell
+    * equi-join, OLD queries score against the BATCH only, and the edge
+    * delta — complete top-k row sets for every new or affected query —
+    * lands at `path/edges/__batch=<id>`. Readers resolve LATEST-BATCH-
+    * WINS per query ([[readKnnGraph]]), so an old query's rows are
+    * superseded, not duplicated. The merge identity (top-k(A∪B) =
+    * top-k(top-k(A)∪B)) makes every resolved state EXACTLY the batch
+    * [[graft.operators.SimilarityOps.knnGraph]] over the vectors landed
+    * so far, at any fixed nProbe — KnnStreamSpec pins the multi-batch
+    * equality, q_stream_knn pins the probe-all == brute-force oracle row.
+    *
+    * Crash/replay: both writes are per-batch Overwrites to batch-derived
+    * directories, and every state READ filters `__batch < batchId`
+    * (directory pruning), so a replayed batch never sees its own crashed
+    * half-write — the corpus delta lands before the edge delta, so a
+    * mid-crash reader sees at worst a corpus superset. Centroids are
+    * FROZEN driver state (the [[kmeansStream]] seed contract); vec ids
+    * must be unique across the stream's lifetime. */
+  def knnGraphStream(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      k: Int, nProbe: Int, path: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        knnGraphBatch(batch, batchId, centroids, k, nProbe, path, idCol, vecCol)
+      }
+
+  /** One [[knnGraphStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def knnGraphBatch(batch: DataFrame, batchId: Long,
+      centroids: Seq[(Int, Seq[Double])], k: Int, nProbe: Int, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val corpusDir = s"$path/corpus"
+    val edgesDir = s"$path/edges"
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, new org.apache.hadoop.fs.Path(corpusDir), batchId,
+      "knnGraphStream", corpusDir)
+    val vecs = batch.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
+    // batch-sized, read four times below (probe side, corpus side, both
+    // writes) — pin once
+    val assignedBatch = graft.operators.SimilarityOps.assignCells(vecs, centroids)
+      .localCheckpoint(true)
+    val oldCorpus =
+      if (f.exists(new org.apache.hadoop.fs.Path(corpusDir)))
+        spark.read.option("basePath", corpusDir).parquet(corpusDir)
+          .filter(col("__batch") < batchId) // a crashed attempt's own delta must not leak into "old"
+          .select(col("id"), col("v"), col("cell"))
+      else assignedBatch.select(col("id"), col("v"), col("cell")).limit(0)
+    val currentEdges =
+      if (f.exists(new org.apache.hadoop.fs.Path(edgesDir)))
+        resolveKnnEdges(spark.read.option("basePath", edgesDir).parquet(edgesDir)
+          .filter(col("__batch") < batchId))
+      else
+        assignedBatch.select(col("id").as("vec_id"), col("id").as("neighbor_id"),
+          lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
+    def probesOf(df: DataFrame) = df.select(col("id").as("qid"), col("v").as("qv"),
+      explode(graft.operators.SimilarityOps.topCellsExpr(col("v"), centroids, nProbe))
+        .as("cell"))
+    def scored(probes: DataFrame, corpus: DataFrame) = probes
+      .join(corpus.select(col("cell"), col("id"), col("v")), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), graft.functions.NumFns
+        .floorAt(graft.plans.GraftFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
+    val fullCorpus = oldCorpus.unionByName(assignedBatch.select("id", "v", "cell"))
+    val newQ = scored(probesOf(vecs), fullCorpus)
+    val oldCand = scored(probesOf(oldCorpus.select(col("id"), col("v"))), assignedBatch)
+    val carried = currentEdges
+      .join(oldCand.select(col("qid")).distinct()
+        .withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("id"), col("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    val delta = newQ.unionByName(oldCand).unionByName(carried)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("id").as("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+    assignedBatch.repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$corpusDir/__batch=$batchId")
+    delta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$edgesDir/__batch=$batchId")
+  }
+
+  /** Latest-batch-wins resolution over versioned edge snapshots: a query
+    * whose top-k was rewritten in a later batch keeps only the rewrite
+    * (each batch writes COMPLETE per-query row sets, so the winning
+    * batch's rows are a consistent graph row-set for that query). */
+  private def resolveKnnEdges(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+    edges.withColumn("__mb", max(col("__batch")).over(w))
+      .filter(col("__batch") === col("__mb"))
+      .select(col("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** The resolved streamed graph — bit-identical to the batch
+    * [[graft.operators.SimilarityOps.knnGraph]] over every vector landed
+    * so far (KnnStreamSpec). */
+  def readKnnGraph(spark: SparkSession, path: String): DataFrame =
+    resolveKnnEdges(
+      spark.read.option("basePath", s"$path/edges").parquet(s"$path/edges"))
+
+  /** Fold committed edge deltas into the `__batch=-1` base with
+    * LATEST-WINS resolution — [[foldBatchDirs]]' staged-rename ordering
+    * and newest-delta protection, but `dropDuplicates` would be WRONG
+    * here (a query's superseded snapshots are not duplicate rows), so
+    * the fold resolves by `__batch` before writing; crash leftovers in
+    * staging/retired re-enter as `__batch=-1` (they only ever hold
+    * already-resolved pre-newest state, so any visible delta correctly
+    * supersedes them). The corpus side folds with [[compactIvfIndex]]'s
+    * machinery (ids are write-once there). */
+  def compactKnnGraph(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    foldBatchDirs(spark, s"$path/corpus", "id LONG, v ARRAY<DOUBLE>, cell INT",
+      dedupKeys = Seq("id"), partitionCols = Seq("cell"))
+    val dir = s"$path/edges"
+    val dataDDL = "vec_id LONG, neighbor_id LONG, sim DOUBLE, rank INT"
+    val dirPath = new Path(dir)
+    val f = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dirPath)) return
+    val staging = new Path(dirPath, "_compacting")
+    val retired = new Path(dirPath, "_retired")
+    val base = new Path(dirPath, "__batch=-1")
+    val allBatchDirs = f.listStatus(dirPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+    val newest = allBatchDirs
+      .map(_.getPath.getName.stripPrefix("__batch=").toLong)
+      .filter(_ >= 0).sorted.lastOption
+    val batchDirs = allBatchDirs.filterNot(s =>
+      newest.contains(s.getPath.getName.stripPrefix("__batch=").toLong))
+    if (batchDirs.forall(_.getPath.getName == "__batch=-1") &&
+        batchDirs.size <= 1 && !f.exists(staging) && !f.exists(retired)) return
+    val visible =
+      if (batchDirs.nonEmpty)
+        Seq(spark.read.schema(s"$dataDDL, __batch LONG").option("basePath", dir)
+          .parquet(batchDirs.map(_.getPath.toString): _*))
+      else Seq.empty
+    // crash leftovers re-enter at pseudo-batches ordered by recency:
+    // staging (−2) is a finished NEWER resolution than the not-yet-renamed
+    // base (−1 beats it only when a still-visible delta isn't the true
+    // winner — and in the staging-exists window no delta has been deleted
+    // yet, so every qid staging won from a delta still resolves to that
+    // delta); retired (−3) is always the base's predecessor. This is why
+    // a latest-wins fold can't share foldBatchDirs' flat −1 recovery:
+    // superseded SNAPSHOTS at one pseudo-batch would interleave rows of
+    // different versions of the same query.
+    val extras = Seq((staging, -2L), (retired, -3L)).filter(p => f.exists(p._1))
+      .map { case (p, b) =>
+        spark.read.schema(dataDDL).parquet(p.toString).withColumn("__batch", lit(b))
+      }
+    val parts = visible ++ extras
+    if (parts.isEmpty) return
+    val resolved = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("vec_id"))
+      parts.reduce(_ unionByName _)
+        .withColumn("__mb", max(col("__batch")).over(w))
+        .filter(col("__batch") === col("__mb"))
+        .select(col("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .localCheckpoint(true)
+    }
+    resolved.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    if (f.exists(retired)) f.delete(retired, true): Unit
+    if (f.exists(base)) require(f.rename(base, retired), s"rename $base failed")
+    require(f.rename(staging, base), s"rename $staging -> $base failed")
+    batchDirs.filter(_.getPath.getName != "__batch=-1")
+      .foreach(s => f.delete(s.getPath, true): Unit)
+    f.delete(retired, true): Unit
+  }
+
   /** Streaming IVF-PQ index maintenance — the compressed-codes twin of
     * [[ivfIndexStream]]: each micro-batch is coarse-assigned AND
     * PQ-encoded (both map-only codegen projections against frozen driver

@@ -200,6 +200,25 @@ class PqSpec extends SparkSpec {
     assert(edges(repart) == edges(full), "graph must not depend on partitioning")
   }
 
+  test("knnGraphIncremental == full rebuild at every fixed probe setting (merge identity)") {
+    // the incremental fold must be EXACT, not approximate: base edges
+    // are top-k of the old candidates, old→new candidates are complete,
+    // so the union's top-k equals the rebuilt graph's — at probe-all AND
+    // at reduced probes (same frozen centroids)
+    val df = vecsDf(50).withColumnRenamed("id", "vec_id")
+    val old = df.filter(col("vec_id") % 3 =!= 0)
+    val fresh = df.filter(col("vec_id") % 3 === 0)
+    for (nProbe <- Seq(1, 2, 3)) {
+      val base = SimilarityOps.knnGraph(old, graphCentroids, k = 3, nProbe = nProbe,
+        vecCol = "v")
+      val incr = SimilarityOps.knnGraphIncremental(base, old, fresh, graphCentroids,
+        k = 3, nProbe = nProbe, vecCol = "v")
+      val full = SimilarityOps.knnGraph(df, graphCentroids, k = 3, nProbe = nProbe,
+        vecCol = "v")
+      assert(edges(incr) == edges(full), s"nProbe=$nProbe: incremental diverged from rebuild")
+    }
+  }
+
   test("trainPqCodebooksJoint == trainPqCodebooks, bit for bit") {
     // the joint trainer's contract: one Lloyd loop over exploded
     // (subspace, subvector) rows must reproduce the m independent
