@@ -200,6 +200,43 @@ class PqSpec extends SparkSpec {
     assert(edges(repart) == edges(full), "graph must not depend on partitioning")
   }
 
+  test("nnDescend: quality is monotone per iteration, partition-invariant, never loses a hit") {
+    val df = vecsDf(40).withColumnRenamed("id", "vec_id")
+    // descent can only escape the init's probed cells through OVERLAPPING
+    // probe sets (an nProbe=1 init yields per-cell-closed subgraphs that
+    // no amount of descent can bridge — a structural fact worth knowing):
+    // 5 cells probed 2-at-a-time leaves real gaps AND real bridges
+    val cents5 = (1 to 5).map(c => (c, (0 until Dim).map(j =>
+      if ((c * 7 + j * 3) % 4 == 0) 1.0 else math.sin(c + j * 0.7))))
+    val init = SimilarityOps.knnGraph(df, cents5, k = 3, nProbe = 2, vecCol = "v")
+    def quality(g: org.apache.spark.sql.DataFrame): Double =
+      g.agg(sum(col("sim"))).head().getDouble(0)
+    def hitsVsExact(g: org.apache.spark.sql.DataFrame): Long = {
+      val exact = SimilarityOps.knnGraph(df, cents5, k = 3, nProbe = 5, vecCol = "v")
+      exact.select(col("vec_id"), col("neighbor_id"))
+        .join(g.select(col("vec_id"), col("neighbor_id")),
+          Seq("vec_id", "neighbor_id"), "left_semi").count()
+    }
+    // monotone: each additional round keeps old edges in the candidate
+    // pool, so total kept similarity can only rise
+    val qs = (0 to 3).map(i => quality(SimilarityOps.nnDescend(df, init, k = 3, nIters = i, vecCol = "v")))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a }, s"quality regressed: $qs")
+    assert(qs.last > qs.head, "descent never improved on this fixture — fixture too easy?")
+    assert(hitsVsExact(SimilarityOps.nnDescend(df, init, k = 3, nIters = 3, vecCol = "v"))
+      >= hitsVsExact(init), "descent lost recall")
+    // iters = 0 is the identity on (qid, id, sim)
+    assert(edges(SimilarityOps.nnDescend(df, init, k = 3, nIters = 0, vecCol = "v")) == edges(init))
+    // partition invariance
+    val a = SimilarityOps.nnDescend(df, init, k = 3, nIters = 2, vecCol = "v")
+    val b = SimilarityOps.nnDescend(df.repartition(7), init, k = 3, nIters = 2, vecCol = "v")
+    assert(edges(a) == edges(b), "descent depends on partitioning")
+    // shape: ranks are 1..k per query, no self-loops
+    val rows = a.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-loop")
+    assert(rows.groupBy(_.getLong(0)).values.forall(g =>
+      g.map(_.getInt(3)).sorted.sameElements(1 to g.length)), "non-contiguous ranks")
+  }
+
   test("knnGraphIncremental == full rebuild at every fixed probe setting (merge identity)") {
     // the incremental fold must be EXACT, not approximate: base edges
     // are top-k of the old candidates, old→new candidates are complete,
