@@ -3113,6 +3113,20 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     },
 
+    "g_semdedup_knn" -> { (s, dir) => // SemDeDup routed through the k-NN
+      // graph — the paper's actual deployment shape (kNN then threshold):
+      // the drop rule becomes a filter + keyed min over n·k edge rows,
+      // no pair scan at all. Probe-all makes the graph's top-5 exact, so
+      // the oracle replays the identical rule from brute force; reduced
+      // probes at bench SFs under-drop only (policy; spec pins validity).
+      val e = Tables.embeddings(s, dir)
+      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
+      val edges = SimilarityOps.knnGraph(e, centroids, k = 5,
+        nProbe = if (oracleScale(dir)) 16 else 4)
+      SimilarityOps.semanticDedupKnn(e, edges, threshold = 0.35)
+        .orderBy(col("vec_id"))
+    },
+
     "g_knn_descent" -> { (s, dir) => // NN-descent refinement: a COARSE
       // cheap init (nProbe 2/16 — deliberately under-probed) plus two
       // general-neighborhood descent rounds, measured on the sampled
@@ -5835,6 +5849,25 @@ object SparkEntry {
         |  CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0) AS BIGINT) AS n_exact,
         |  8 AS recall_decile, CAST(0.75 AS DOUBLE) AS recall_floor,
         |  true AS meets_floor""".stripMargin,
+
+    "g_semdedup_knn" ->
+      // the graph-routed drop rule replayed from the brute-force top-5:
+      // kept iff no earlier neighbor among the top-5 clears the
+      // threshold; dup_of = the smallest such earlier neighbor
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |             floor((list_dot_product(a.v, b.v) /
+        |                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+        |                   * 10000) / 10000 AS sim
+        |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p),
+        |l AS (SELECT vec_id, min(neighbor_id) AS dup_of
+        |      FROM r WHERE rank <= 5 AND neighbor_id < vec_id AND sim >= 0.35
+        |      GROUP BY vec_id)
+        |SELECT v.vec_id, (l.dup_of IS NULL) AS kept, l.dup_of
+        |FROM v LEFT JOIN l ON l.vec_id = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
 
     "g_knn_descent" ->
       // iterative refinement is not SQL-replayable; the oracle pins the

@@ -433,6 +433,34 @@ object SimilarityOps {
       .select(col(idCol), col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
+  /** SemDeDup exactly as practiced at corpus scale (Abbas et al. run a
+    * FAISS kNN per vector, then threshold): the [[semanticDedup]] drop
+    * rule evaluated over a k-NN GRAPH's edges instead of all blocked
+    * pairs — kept iff no EARLIER vector among the query's top-k
+    * neighbors clears the threshold; dup_of is the smallest such earlier
+    * neighbor (the all-pairs convention). No pair scan happens here at
+    * all: the cost rides whatever graph the caller built ([[knnGraph]],
+    * [[knnGraphPq]], a streamed [[graft.streaming.StreamingOps
+    * .readKnnGraph]] state), which is the point — dedup becomes a
+    * map-side filter + one keyed aggregate over n·k edge rows. With an
+    * exact graph whose k covers every ≥-threshold neighborhood this
+    * equals the all-pairs rule bit-for-bit; at reduced k/probes it
+    * UNDER-drops only — every emitted drop still names a true near-dup
+    * (spec-pinned both directions). */
+  def semanticDedupKnn(
+      embeddings: DataFrame,
+      edges: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id"): DataFrame = {
+    val losers = edges
+      .filter(col("neighbor_id") < col(idCol) && col("sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(min(col("neighbor_id")).as("dup_of"))
+    embeddings.select(col(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
   /** Symmetric int8 quantization stats per vector: q_i = round(x_i * 127 /
     * max|x|) clamped to [-127, 127] (the storage/bandwidth-reduction pass a
     * 100 TB embedding corpus runs before indexing; 4x smaller than float32).

@@ -560,6 +560,36 @@ class TemporalCurationSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupKnn: exact full-k graph == all-pairs rule; truncated graph under-drops with valid dup_ofs") {
+    val emb = (1 to 40).map { i =>
+      val r = math.toRadians(i * 9.0)
+      (i.toLong, Seq(math.cos(r).toFloat, math.sin(r).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 4, nIters = 2)
+    val exactRule = SimilarityOps.semanticDedup(emb, threshold = 0.9, nPlanes = 0)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // probe-all graph with k covering every possible neighbor: the
+    // graph-routed rule must equal the all-pairs rule INCLUDING dup_of
+    val fullGraph = SimilarityOps.knnGraph(emb, centroids, k = 39, nProbe = 4)
+    val viaFull = SimilarityOps.semanticDedupKnn(emb, fullGraph, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(viaFull == exactRule, "full-k graph rule diverged from the all-pairs rule")
+    assert(exactRule.values.count(!_._1) > 0, "fixture has no near-dups — asserts are vacuous")
+    // truncated graph (k=3): drops are a subset, and every drop names a
+    // genuine earlier near-dup
+    val small = SimilarityOps.knnGraph(emb, centroids, k = 3, nProbe = 4)
+    val viaSmall = SimilarityOps.semanticDedupKnn(emb, small, threshold = 0.9).collect()
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    viaSmall.filter(!_.getBoolean(1)).foreach { r =>
+      val (id, dupOf) = (r.getLong(0), r.getLong(2))
+      assert(!exactRule(id)._1, s"$id dropped by graph rule but kept by all-pairs")
+      assert(dupOf < id && SimilarityOps.cosineOf(vecs(dupOf), vecs(id)) >= 0.9,
+        s"$id dup_of $dupOf is not a true near-dup")
+    }
+  }
+
   test("unimaxAllocationBucketed == unimaxAllocation on random domain counts (incl. nRanges=1 and budget edges)") {
     // the two-phase variant's contract: identical allocation TO THE TOKEN
     // without any unpartitioned domains-sized window — random source
