@@ -338,6 +338,42 @@ object SparkEntry {
        |FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Full replay of [[SimilarityOps.prototypePrune]] under the fixture
+    * centroids: cell argmax, own-centroid fixed-point score, per-cell
+    * counts, per-cell hardest-first rank, the integer keep rule. */
+  private lazy val prototypePruneOracleSql: String = {
+    val cents = fixtureCentroids(64)
+    def arr(w: Seq[Double]) = w.mkString("[", ", ", "]")
+    def cosA(a: String, b: String) =
+      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    val centCos = cents.map { case (cid, c) => s"${cosA("v", arr(c))} AS cc_$cid" }
+      .mkString(",\n    ")
+    val ccCols = (1 to KmFixtureK).map(c => s"cc_$c").mkString(", ")
+    val cellCase = {
+      val arms = (1 until KmFixtureK).map { i =>
+        val conds = ((i + 1) to KmFixtureK).map(j => s"cc_$i >= cc_$j").mkString(" AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString(" ")
+      s"CASE $arms ELSE $KmFixtureK END AS cell"
+    }
+    val protoCase = (1 until KmFixtureK).map(c => s"WHEN $c THEN cc_$c")
+      .mkString("CASE cell ", " ", s" ELSE cc_$KmFixtureK END")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cz AS (SELECT vec_id,
+       |    $centCos
+       |  FROM v),
+       |b AS (SELECT vec_id, $ccCols, $cellCase FROM cz),
+       |s AS (SELECT vec_id, cell,
+       |    CAST(floor(($protoCase) * 1000000) AS BIGINT) AS proto_ppm
+       |  FROM b),
+       |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn FROM s GROUP BY cell),
+       |r AS (SELECT s.vec_id, s.cell, s.proto_ppm, n.cn,
+       |    row_number() OVER (PARTITION BY s.cell ORDER BY s.proto_ppm ASC, s.vec_id) AS rk
+       |  FROM s JOIN n ON n.cell = s.cell)
+       |SELECT vec_id, cell, proto_ppm, (rk * 100 <= cn * 60) AS kept
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
+
   /** The fixed-point Lloyd-step oracle, shared by g_kmeans_step (batch)
     * and q_stream_kmeans (single-batch streaming degenerate case). */
   private lazy val kmeansStepOracleSql: String = {
@@ -3113,6 +3149,17 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     },
 
+    "g_prototype_prune" -> { (s, dir) => // prototypicality pruning
+      // (Sorscher et al. 2022): keep the 60% HARDEST (least prototypical)
+      // examples per cluster — cell argmax + own-centroid cosine in one
+      // projection, a broadcast k-row count frame, one window per cell;
+      // the integer keep rule (rank·100 ≤ n·60) is engine-exact. Fixture
+      // centroids make every stage oracle-replayable.
+      SimilarityOps.prototypePrune(Tables.embeddings(s, dir),
+          fixtureCentroids(64), keepPct = 60, keepHardest = true)
+        .orderBy(col("vec_id"))
+    },
+
     "g_semdedup_knn" -> { (s, dir) => // SemDeDup routed through the k-NN
       // graph — the paper's actual deployment shape (kNN then threshold):
       // the drop rule becomes a filter + keyed min over n·k edge rows,
@@ -5849,6 +5896,8 @@ object SparkEntry {
         |  CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0) AS BIGINT) AS n_exact,
         |  8 AS recall_decile, CAST(0.75 AS DOUBLE) AS recall_floor,
         |  true AS meets_floor""".stripMargin,
+
+    "g_prototype_prune" -> prototypePruneOracleSql,
 
     "g_semdedup_knn" ->
       // the graph-routed drop rule replayed from the brute-force top-5:

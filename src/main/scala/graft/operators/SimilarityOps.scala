@@ -461,6 +461,46 @@ object SimilarityOps {
       .select(col(idCol), col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
+  /** Prototypicality pruning (Sorscher et al., "Beyond neural scaling
+    * laws: beating power law scaling via data pruning", NeurIPS 2022
+    * §3): the self-supervised pruning metric is each example's cosine to
+    * its cluster PROTOTYPE (assigned centroid); with abundant data the
+    * paper keeps the HARDEST (least prototypical) examples, with scarce
+    * data the easiest. Shape: one codegen projection assigns the cell
+    * and scores against the own-cell centroid (fixed-point ppm), a
+    * k-row count frame broadcasts back, and the keep decision is one
+    * window PER CELL — the partition key distributes the ranking, and
+    * the integer rule `rank·100 ≤ n_cell·keepPct` (floor semantics) is
+    * engine-exact. Output: (id, cell, proto_ppm, kept) for every row —
+    * callers filter, the audit trail stays. */
+  def prototypePrune(
+      embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      keepPct: Int,
+      keepHardest: Boolean = true,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(embeddings.sparkSession)
+    require(keepPct >= 0 && keepPct <= 100, "keepPct in [0, 100]")
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val protoCos = centroids.foldRight(lit(Double.NaN)) { case ((cid, c), acc) =>
+      when(col("cell") === cid,
+        GraftFunctions.cosine(col("v"), array(c.map(lit): _*))).otherwise(acc)
+    }
+    val scored = assignCells(vecs, centroids)
+      .withColumn("proto_ppm", floor(protoCos * lit(1e6)).cast("long"))
+    val counts = scored.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val ord =
+      if (keepHardest) Seq(col("proto_ppm").asc, col("id").asc)
+      else Seq(col("proto_ppm").desc, col("id").asc)
+    val w = Window.partitionBy(col("cell")).orderBy(ord: _*)
+    scored.join(broadcast(counts), Seq("cell"))
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("kept", expr(s"__rank * 100 <= __n * $keepPct"))
+      .select(col("id").as(idCol), col("cell"), col("proto_ppm"), col("kept"))
+  }
+
   /** Symmetric int8 quantization stats per vector: q_i = round(x_i * 127 /
     * max|x|) clamped to [-127, 127] (the storage/bandwidth-reduction pass a
     * 100 TB embedding corpus runs before indexing; 4x smaller than float32).

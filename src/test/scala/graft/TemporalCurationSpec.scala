@@ -560,6 +560,37 @@ class TemporalCurationSpec extends SparkSpec {
     }
   }
 
+  test("prototypePrune: per-cell floor counts, hardest/easiest orientations, pct edges") {
+    val emb = (1 to 41).map { i =>
+      val r = math.toRadians(i * 9.0)
+      (i.toLong, Seq(math.cos(r).toFloat, math.sin(r).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroids(emb, k = 4, nIters = 2)
+    def rows(keepPct: Int, hardest: Boolean) =
+      SimilarityOps.prototypePrune(emb, cents, keepPct, hardest).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val hard = rows(50, hardest = true)
+    hard.groupBy(_._2).foreach { case (cell, rs) =>
+      val kept = rs.filter(_._4)
+      assert(kept.length == rs.length * 50 / 100, s"cell $cell keep count")
+      if (kept.nonEmpty && kept.length < rs.length) {
+        // hardest mode keeps the LOW-prototypicality tail
+        assert(kept.map(_._3).max <= rs.filterNot(_._4).map(_._3).min,
+          s"cell $cell kept an easier example than a dropped one")
+      }
+    }
+    val easy = rows(50, hardest = false)
+    easy.groupBy(_._2).foreach { case (cell, rs) =>
+      val kept = rs.filter(_._4)
+      if (kept.nonEmpty && kept.length < rs.length) {
+        assert(kept.map(_._3).min >= rs.filterNot(_._4).map(_._3).max,
+          s"cell $cell easiest-mode kept a harder example than a dropped one")
+      }
+    }
+    assert(rows(0, hardest = true).forall(!_._4), "keepPct=0 must keep nothing")
+    assert(rows(100, hardest = true).forall(_._4), "keepPct=100 must keep everything")
+  }
+
   test("semanticDedupKnn: exact full-k graph == all-pairs rule; truncated graph under-drops with valid dup_ofs") {
     val emb = (1 to 40).map { i =>
       val r = math.toRadians(i * 9.0)
