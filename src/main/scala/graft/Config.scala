@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Corpus-level tuning knobs, read from the session conf under
+  * `spark.graft.*`.
+  *
+  * The ANN / k-NN-graph family's constants — k, nProbe, refine, PQ (m, c),
+  * IVF cell count and Lloyd iterations, the sampled-recall modulus — are
+  * per-corpus decisions: the right nProbe for a 2k-vector fixture is not
+  * the right nProbe for a 100 TB corpus. Hard-coding them in each query
+  * would force a user to edit query code to sweep them; this seam lets
+  * `spark-submit --conf spark.graft.knn.nprobe=32` (or
+  * `spark.conf.set(...)` in a notebook) retune every registered query at
+  * once, the same way `spark.sql.shuffle.partitions` retunes every
+  * shuffle.
+  *
+  * Contract:
+  *  - every call site passes its current constant as the DEFAULT, so an
+  *    unset conf is byte-identical to the pre-seam behavior (the oracle
+  *    gate runs with nothing set and must stay green);
+  *  - values are validated eagerly (integer syntax + lower bound) so a
+  *    typo fails the query at construction with the offending key named,
+  *    not three stages deep with a Window on rank <= 0;
+  *  - LOSSLESSNESS settings are NOT knobs: the probe-all arm a
+  *    correctness gate runs at the oracle SFs is the truth the gate is
+  *    defined by, so those arms stay pinned constants — only the
+  *    production (reduced/approximate) arms read the conf.
+  */
+object GraftConf {
+  private val Prefix = "spark.graft."
+
+  /** Integer knob: conf value if set (validated), else `default`. */
+  def int(spark: SparkSession, key: String, default: Int, min: Int = 1): Int =
+    spark.conf.getOption(Prefix + key) match {
+      case None => default
+      case Some(raw) =>
+        val v =
+          try raw.trim.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$Prefix$key must be an integer, got '$raw'")
+          }
+        require(v >= min, s"$Prefix$key must be >= $min, got $v")
+        v
+    }
+
+  /** Double knob in [lo, hi] — thresholds, floors. */
+  def fraction(spark: SparkSession, key: String, default: Double,
+      lo: Double = 0.0, hi: Double = 1.0): Double =
+    spark.conf.getOption(Prefix + key) match {
+      case None => default
+      case Some(raw) =>
+        val v =
+          try raw.trim.toDouble
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$Prefix$key must be a number, got '$raw'")
+          }
+        require(v >= lo && v <= hi,
+          s"$Prefix$key must be in [$lo, $hi], got $v")
+        v
+    }
+
+  // The knob vocabulary (one place, so `grep spark.graft` finds the whole
+  // surface). Call sites still pass their own defaults — a query whose
+  // published oracle assumes k=5 defaults to 5 regardless of what other
+  // queries default to.
+  val KnnK = "knn.k" // neighbors per query in the k-NN graph family
+  val KnnNProbe = "knn.nprobe" // IVF cells probed on the production arm
+  val KnnRefine = "knn.refine" // ADC shortlist factor (top k·refine re-ranked)
+  val DescentIters = "knn.descent.iters" // NN-descent rounds
+  val PqM = "pq.m" // PQ subspaces (trained path)
+  val PqC = "pq.c" // codewords per subspace (trained path)
+  val IvfCells = "ivf.cells" // coarse-quantizer cell count (trained path)
+  val IvfIters = "ivf.iters" // Lloyd iterations for IVF training
+  val RecallSampleMod = "recall.samplemod" // bench-SF sampled-recall modulus
+  val SemdedupThreshold = "semdedup.threshold" // SemDeDup drop-rule cosine
+}

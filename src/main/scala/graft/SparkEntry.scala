@@ -48,9 +48,13 @@ object SparkEntry {
     * oracle SFs measure on the mod-4 sample their pinned counts/deciles
     * assume; bench SFs keep the same statistical protocol at a coarser
     * mod-16 sample — the gate's verification granularity is an oracle-SF
-    * concern, the bench tracks the production-shaped plan. */
-  private def recallSample(dir: String): Column => Column = {
-    val m = if (oracleScale(dir)) 4 else 16
+    * concern, the bench tracks the production-shaped plan. The bench-SF
+    * modulus is a [[GraftConf]] knob (`spark.graft.recall.samplemod`);
+    * the oracle-SF modulus is pinned — the published counts assume it. */
+  private def recallSample(s: SparkSession, dir: String): Column => Column = {
+    val m =
+      if (oracleScale(dir)) 4
+      else GraftConf.int(s, GraftConf.RecallSampleMod, 16)
     id => id % m === 0
   }
 
@@ -3081,10 +3085,15 @@ object SparkEntry {
       // production reduced-probe setting (the quadratic-truth budget
       // policy, SURVEY §2.8): BENCH then tracks the plan a 100 TB user
       // runs, and the approximate regime stays gated by g_knn_recall.
+      // Corpus-level knobs (cells, Lloyd iters, k, production nProbe) read
+      // the GraftConf seam; the oracle arm's probe count is CELLS — i.e.
+      // probe-all stays probe-all whatever the cell count is tuned to.
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
-      SimilarityOps.knnGraph(e, centroids, k = 5,
-          nProbe = if (oracleScale(dir)) 16 else 4)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      SimilarityOps.knnGraph(e, centroids, k = GraftConf.int(s, GraftConf.KnnK, 5),
+          nProbe = if (oracleScale(dir)) cells else GraftConf.int(s, GraftConf.KnnNProbe, 4))
         .orderBy(col("vec_id"), col("rank"))
     },
 
@@ -3102,14 +3111,17 @@ object SparkEntry {
       // n_exact = 0 (empty corpus) degrades to recall 0 / meets_floor
       // false instead of NaN.
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
-      val sample: Column => Column = recallSample(dir)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val k = GraftConf.int(s, GraftConf.KnnK, 5)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val sample: Column => Column = recallSample(s, dir)
       val exact = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 16, querySample = sample)
+        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
           .select(col("vec_id"), col("neighbor_id")),
         reliable = false)
-      val approx = SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 8,
-          querySample = sample)
+      val approx = SimilarityOps.knnGraph(e, centroids, k = k,
+          nProbe = GraftConf.int(s, GraftConf.KnnNProbe, 8), querySample = sample)
         .select(col("vec_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -3122,7 +3134,7 @@ object SparkEntry {
         .withColumn("recall_ppm", expr(
           "CASE WHEN n_exact > 0 THEN (hits * CAST(1000000 AS BIGINT)) div n_exact " +
             "ELSE CAST(0 AS BIGINT) END"))
-        .select(lit(5).as("k"), col("n_queries"), col("n_exact"),
+        .select(lit(k).as("k"), col("n_queries"), col("n_exact"),
           expr("recall_ppm div 100000").cast("int").as("recall_decile"),
           lit(0.75).as("recall_floor"),
           (col("recall_ppm") >= 750000L).as("meets_floor"))
@@ -3142,10 +3154,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val old = e.filter(col("vec_id") % 5 =!= 0)
       val fresh = e.filter(col("vec_id") % 5 === 0)
-      val centroids = SimilarityOps.ivfCentroids(old, k = 16, nIters = 2)
-      val nP = if (oracleScale(dir)) 16 else 4
-      val base = SimilarityOps.knnGraph(old, centroids, k = 5, nProbe = nP)
-      SimilarityOps.knnGraphIncremental(base, old, fresh, centroids, k = 5, nProbe = nP)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val k = GraftConf.int(s, GraftConf.KnnK, 5)
+      val centroids = SimilarityOps.ivfCentroids(old, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val nP = if (oracleScale(dir)) cells else GraftConf.int(s, GraftConf.KnnNProbe, 4)
+      val base = SimilarityOps.knnGraph(old, centroids, k = k, nProbe = nP)
+      SimilarityOps.knnGraphIncremental(base, old, fresh, centroids, k = k, nProbe = nP)
         .orderBy(col("vec_id"), col("rank"))
     },
 
@@ -3167,10 +3182,14 @@ object SparkEntry {
       // the oracle replays the identical rule from brute force; reduced
       // probes at bench SFs under-drop only (policy; spec pins validity).
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
-      val edges = SimilarityOps.knnGraph(e, centroids, k = 5,
-        nProbe = if (oracleScale(dir)) 16 else 4)
-      SimilarityOps.semanticDedupKnn(e, edges, threshold = 0.35)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val edges = SimilarityOps.knnGraph(e, centroids,
+        k = GraftConf.int(s, GraftConf.KnnK, 5),
+        nProbe = if (oracleScale(dir)) cells else GraftConf.int(s, GraftConf.KnnNProbe, 4))
+      SimilarityOps.semanticDedupKnn(e, edges,
+          threshold = GraftConf.fraction(s, GraftConf.SemdedupThreshold, 0.35))
         .orderBy(col("vec_id"))
     },
 
@@ -3184,15 +3203,19 @@ object SparkEntry {
       // lose a hit). Candidate volume per round is n·(2k)², corpus-pair
       // independent — recall bought without raising nProbe.
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
-      val sample: Column => Column = recallSample(dir)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val k = GraftConf.int(s, GraftConf.KnnK, 5)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val sample: Column => Column = recallSample(s, dir)
       val exact = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 16, querySample = sample)
+        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
           .select(col("vec_id"), col("neighbor_id")),
         reliable = false)
       val init = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 2), reliable = false)
-      val desc = SimilarityOps.nnDescend(e, init, k = 5, nIters = 2)
+        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = 2), reliable = false)
+      val desc = SimilarityOps.nnDescend(e, init, k = k,
+        nIters = GraftConf.int(s, GraftConf.DescentIters, 2))
       def hitsOf(g: DataFrame, as: String) = exact.join(
           g.select(col("vec_id"), col("neighbor_id")),
           Seq("vec_id", "neighbor_id"), "left_semi")
@@ -3206,7 +3229,7 @@ object SparkEntry {
         .withColumn("desc_ppm", expr(
           "CASE WHEN n_exact > 0 THEN (desc_hits * CAST(1000000 AS BIGINT)) div n_exact " +
             "ELSE CAST(0 AS BIGINT) END"))
-        .select(lit(5).as("k"), col("n_queries"), col("n_exact"),
+        .select(lit(k).as("k"), col("n_queries"), col("n_exact"),
           expr("init_ppm div 100000").cast("int").as("init_decile"),
           expr("desc_ppm div 100000").cast("int").as("desc_decile"),
           (col("desc_hits") >= col("init_hits")).as("improved"),
@@ -3226,7 +3249,11 @@ object SparkEntry {
       // tables, the shortlist window, the floored-cosine re-rank —
       // replayable by the DuckDB oracle, so the full codes-only pipeline
       // is hash-gated end to end at the production setting (nProbe 2/4):
-      // no quadratic truth anywhere in this row.
+      // no quadratic truth anywhere in this row. Deliberately NOT
+      // GraftConf-wired: the static oracle SQL replays this exact fixture
+      // geometry (PqM/PqC/k/nProbe/refine are baked into its CTEs), so
+      // these are replay constants, not tuning knobs — the trained-path
+      // twin g_knn_pq_recall is where the knobs live.
       val e = Tables.embeddings(s, dir)
       SimilarityOps.knnGraphPq(e, fixtureCentroids(64), fixturePqCodebooks(64),
           k = 5, nProbe = 2, refine = 4)
@@ -3246,15 +3273,21 @@ object SparkEntry {
       // path changed) plus the 0.70 floor gate against the 0.86 routing
       // ceiling g_knn_recall pins.
       val e = Tables.embeddings(s, dir)
-      val centroids = SimilarityOps.ivfCentroids(e, k = 16, nIters = 2)
-      val codebooks = SimilarityOps.trainPqCodebooksJoint(e, m = 16, c = 16, nIters = 3)
-      val sample: Column => Column = recallSample(dir)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val k = GraftConf.int(s, GraftConf.KnnK, 5)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val codebooks = SimilarityOps.trainPqCodebooksJoint(e,
+        m = GraftConf.int(s, GraftConf.PqM, 16),
+        c = GraftConf.int(s, GraftConf.PqC, 16), nIters = 3)
+      val sample: Column => Column = recallSample(s, dir)
       val exact = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = 5, nProbe = 16, querySample = sample)
+        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
           .select(col("vec_id"), col("neighbor_id")),
         reliable = false)
       val approx = SimilarityOps.knnGraphPq(e, centroids, codebooks,
-          k = 5, nProbe = 8, refine = 16, querySample = sample)
+          k = k, nProbe = GraftConf.int(s, GraftConf.KnnNProbe, 8),
+          refine = GraftConf.int(s, GraftConf.KnnRefine, 16), querySample = sample)
         .select(col("vec_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -3264,7 +3297,7 @@ object SparkEntry {
         .withColumn("recall_ppm", expr(
           "CASE WHEN n_exact > 0 THEN (hits * CAST(1000000 AS BIGINT)) div n_exact " +
             "ELSE CAST(0 AS BIGINT) END"))
-        .select(lit(5).as("k"), col("n_queries"), col("n_exact"),
+        .select(lit(k).as("k"), col("n_queries"), col("n_exact"),
           expr("recall_ppm div 100000").cast("int").as("recall_decile"),
           lit(0.70).as("recall_floor"),
           (col("recall_ppm") >= 700000L).as("meets_floor"))

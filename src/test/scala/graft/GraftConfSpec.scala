@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The `spark.graft.*` settings seam: defaults are byte-identical to the
+  * pre-seam constants (the oracle gate runs with nothing set), overrides
+  * flow into the registered queries, and bad values fail eagerly with the
+  * offending key named. */
+class GraftConfSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withConf[A](kv: (String, String)*)(body: => A): A = {
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("unset conf returns the call-site default") {
+    assert(GraftConf.int(spark, GraftConf.KnnK, 5) == 5)
+    assert(GraftConf.int(spark, GraftConf.KnnNProbe, 4) == 4)
+    assert(GraftConf.fraction(spark, GraftConf.SemdedupThreshold, 0.35) == 0.35)
+  }
+
+  test("set conf overrides the default, with surrounding whitespace tolerated") {
+    withConf("spark.graft.knn.k" -> " 3 ") {
+      assert(GraftConf.int(spark, GraftConf.KnnK, 5) == 3)
+    }
+    assert(GraftConf.int(spark, GraftConf.KnnK, 5) == 5)
+  }
+
+  test("non-numeric and below-minimum values fail eagerly, naming the key") {
+    withConf("spark.graft.knn.k" -> "five") {
+      val e = intercept[IllegalArgumentException](
+        GraftConf.int(spark, GraftConf.KnnK, 5))
+      assert(e.getMessage.contains("spark.graft.knn.k"))
+    }
+    withConf("spark.graft.knn.nprobe" -> "0") {
+      val e = intercept[IllegalArgumentException](
+        GraftConf.int(spark, GraftConf.KnnNProbe, 4))
+      assert(e.getMessage.contains("spark.graft.knn.nprobe"))
+    }
+    withConf("spark.graft.semdedup.threshold" -> "1.5") {
+      val e = intercept[IllegalArgumentException](
+        GraftConf.fraction(spark, GraftConf.SemdedupThreshold, 0.35))
+      assert(e.getMessage.contains("spark.graft.semdedup.threshold"))
+    }
+  }
+
+  test("knn.k retunes the registered graph query without editing it") {
+    val dflt = SparkEntry.queries("g_knn_graph")(spark, sfDir)
+    assert(dflt.agg(max(col("rank"))).head().getInt(0) == 5)
+    withConf("spark.graft.knn.k" -> "3") {
+      val tuned = SparkEntry.queries("g_knn_graph")(spark, sfDir)
+      assert(tuned.agg(max(col("rank"))).head().getInt(0) == 3)
+      // rank<=3 of the same candidate ordering: the tuned graph is a
+      // prefix of the default one
+      val dflt3 = dflt.filter(col("rank") <= 3)
+      assert(tuned.exceptAll(dflt3).isEmpty && dflt3.exceptAll(tuned).isEmpty)
+    }
+  }
+
+  test("ivf.cells retunes routing while the oracle arm stays probe-all") {
+    // At an oracle SF the probe count follows the tuned cell count
+    // (probe-all stays probe-all), so the graph still equals the
+    // brute-force truth — the losslessness contract is cell-count-proof.
+    val dflt = SparkEntry.queries("g_knn_graph")(spark, sfDir)
+    withConf("spark.graft.ivf.cells" -> "8") {
+      val tuned = SparkEntry.queries("g_knn_graph")(spark, sfDir)
+      assert(tuned.exceptAll(dflt).isEmpty && dflt.exceptAll(tuned).isEmpty)
+    }
+  }
+
+  test("semdedup.threshold flows into the drop rule") {
+    // threshold 1.0: nothing clears a >= 1.0 floored-cosine bar against a
+    // DISTINCT earlier neighbor unless vectors coincide; kept-count can
+    // only rise vs the 0.35 default
+    val dflt = SparkEntry.queries("g_semdedup_knn")(spark, sfDir)
+      .filter(col("kept")).count()
+    withConf("spark.graft.semdedup.threshold" -> "1.0") {
+      val kept = SparkEntry.queries("g_semdedup_knn")(spark, sfDir)
+        .filter(col("kept")).count()
+      assert(kept >= dflt)
+    }
+  }
+}
