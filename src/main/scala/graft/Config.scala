@@ -78,4 +78,6 @@ object GraftConf {
   val IvfIters = "ivf.iters" // Lloyd iterations for IVF training
   val RecallSampleMod = "recall.samplemod" // bench-SF sampled-recall modulus
   val SemdedupThreshold = "semdedup.threshold" // SemDeDup drop-rule cosine
+  val GraphBeam = "graph.beam" // beam width for graph-walk serving
+  val GraphHops = "graph.hops" // hop budget for graph-walk serving
 }

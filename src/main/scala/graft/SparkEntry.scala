@@ -240,6 +240,61 @@ object SparkEntry {
       |SELECT vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
       |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
+  /** Full replay of [[SimilarityOps.graphSearch]] from the brute-force
+    * graph with the hop loop unrolled (nHops = 2, beam = 8, k = 5, probes
+    * = mod-10 members, entries = mod-50 seeds, self-matches excluded):
+    * hop 0 scores every (query, entry) pair; each hop expands the
+    * current top-8 beam through the graph's out-edges, discards
+    * already-visited candidates (NOT EXISTS against the accumulated
+    * visited set), scores only the fresh frontier; the answer is the
+    * per-query top-5 of everything visited MINUS the query's own corpus
+    * row (the walk routes through self — sim 1.0 tops every beam — but
+    * the answer excludes it). Identical floored-cosine / id-tie ordering
+    * as the engine at every cut. */
+  private lazy val graphSearchOracleSql: String = {
+    val cos = (a: String, b: String) =>
+      s"floor((list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))) " +
+        s"* 10000) / 10000"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |             ${cos("a.v", "b.v")} AS sim
+       |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       |g AS (SELECT vec_id, neighbor_id FROM (
+       |        SELECT vec_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |        FROM p) WHERE rnk <= 5),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 10 = 0),
+       |ent AS (SELECT vec_id AS id FROM v WHERE vec_id % 50 = 0),
+       |s0 AS (SELECT q.qid, ent.id, ${cos("q.qv", "w.v")} AS sim
+       |       FROM q CROSS JOIN ent JOIN v w ON w.vec_id = ent.id),
+       |b0 AS (SELECT qid, id FROM (
+       |        SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |        FROM s0) WHERE rn <= 8),
+       |c1 AS (SELECT DISTINCT b0.qid, g.neighbor_id AS id
+       |       FROM b0 JOIN g ON g.vec_id = b0.id
+       |       WHERE NOT EXISTS (SELECT 1 FROM s0
+       |                         WHERE s0.qid = b0.qid AND s0.id = g.neighbor_id)),
+       |s1 AS (SELECT c1.qid, c1.id, ${cos("q.qv", "w.v")} AS sim
+       |       FROM c1 JOIN q ON q.qid = c1.qid JOIN v w ON w.vec_id = c1.id),
+       |vis1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+       |b1 AS (SELECT qid, id FROM (
+       |        SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |        FROM vis1) WHERE rn <= 8),
+       |c2 AS (SELECT DISTINCT b1.qid, g.neighbor_id AS id
+       |       FROM b1 JOIN g ON g.vec_id = b1.id
+       |       WHERE NOT EXISTS (SELECT 1 FROM vis1
+       |                         WHERE vis1.qid = b1.qid AND vis1.id = g.neighbor_id)),
+       |s2 AS (SELECT c2.qid, c2.id, ${cos("q.qv", "w.v")} AS sim
+       |       FROM c2 JOIN q ON q.qid = c2.qid JOIN v w ON w.vec_id = c2.id),
+       |vis2 AS (SELECT * FROM vis1 UNION ALL SELECT * FROM s2)
+       |SELECT qid AS vec_id, id AS neighbor_id, sim, CAST(rank AS INT) AS rank
+       |FROM (SELECT qid, id, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |      FROM vis2 WHERE id <> qid)
+       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Full replay of [[SimilarityOps.knnGraphPq]] under the fixture
     * centroids + codebooks: cell argmax and probe ranking (the pruned
     * [[pqOracleSql]] patterns, here per-row since every vector is a
@@ -3302,6 +3357,32 @@ object SparkEntry {
           lit(0.70).as("recall_floor"),
           (col("recall_ppm") >= 700000L).as("meets_floor"))
     },
+
+    "g_graph_search" -> { (s, dir) => // the SERVING path: a query batch
+      // answered by beam search over the persisted k-NN graph — per query
+      // per hop ≤ beam·k candidates meet the corpus through equi-joins
+      // (never a corpus scan, never cellPop-sized probes). Probes are the
+      // mod-10 member sample (self-matches excluded), entries the mod-50
+      // navigation seeds (bounded broadcast). At the oracle SFs the graph
+      // is probe-all == brute force, so the whole walk — entry scoring,
+      // beam cuts, frontier anti-joins, final ranks — is hash-replayed by
+      // DuckDB with the two hops unrolled; at bench SFs the same walk runs
+      // over the production reduced-probe graph (quadratic-truth policy).
+      val e = Tables.embeddings(s, dir)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val k = GraftConf.int(s, GraftConf.KnnK, 5)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val graph = SimilarityOps.knnGraph(e, centroids, k = k,
+        nProbe = if (oracleScale(dir)) cells else GraftConf.int(s, GraftConf.KnnNProbe, 4))
+      SimilarityOps.graphSearch(graph, e,
+          probes = e.filter(col("vec_id") % 10 === 0),
+          entry = e.filter(col("vec_id") % 50 === 0).select(col("vec_id")),
+          k = k, beam = GraftConf.int(s, GraftConf.GraphBeam, 8),
+          nHops = GraftConf.int(s, GraftConf.GraphHops, 2),
+          excludeSelf = true, probeIdCol = "vec_id")
+        .orderBy(col("vec_id"), col("rank"))
+    },
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -5974,5 +6055,7 @@ object SparkEntry {
         |  CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0) AS BIGINT) AS n_exact,
         |  8 AS recall_decile, CAST(0.70 AS DOUBLE) AS recall_floor,
         |  true AS meets_floor""".stripMargin,
+
+    "g_graph_search" -> graphSearchOracleSql,
   )
 }

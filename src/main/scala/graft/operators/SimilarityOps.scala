@@ -1328,4 +1328,94 @@ object SimilarityOps {
       .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Query-time ANN by BEAM SEARCH over a persisted k-NN graph — the
+    * SERVING path: answering a query batch without scanning the corpus
+    * (brute force) and without probing IVF cells (whose candidate count is
+    * cellPop, i.e. corpus-proportional). The navigable-graph idea under
+    * HNSW (Malkov & Yashunin 2018) restricted to one layer and a FIXED hop
+    * budget, which makes it deterministic and a bounded number of Spark
+    * jobs instead of a data-dependent driver loop:
+    *
+    *  - hop 0: every query scores the (small, broadcast) ENTRY set — the
+    *    documented bounded-crossJoin class: |entry| is a handful of
+    *    navigation seeds (per-cell medoids, or a coarse id sample), never
+    *    corpus-scale;
+    *  - each hop: the current per-query BEAM (top-`beam` of everything
+    *    scored so far) expands one step through the graph's out-edges
+    *    (equi-join on the node id), already-visited candidates are
+    *    anti-joined away, only the new frontier joins the raw vectors for
+    *    scoring — per query per hop that is ≤ beam·k candidate rows, so a
+    *    query batch costs O(nHops·beam·k·|probes|) score rows TOTAL,
+    *    corpus-size-independent;
+    *  - the visited set accumulates (pinned per hop — an unpinned loop
+    *    would replay the whole search history each round) and the answer
+    *    is its per-query top-k.
+    *
+    * Everything is floored-cosine (4 dp) with id tie-breaks, so the whole
+    * walk — entry scoring, beam cuts, frontier sets, final ranks — is
+    * replayable by the DuckDB oracle when the graph itself is
+    * (g_graph_search replays it from the brute-force graph with the hops
+    * unrolled). Recall follows the graph's quality and the beam/hop
+    * budget; the spec pins the exhaustive identity (entry = corpus,
+    * beam ≥ n reproduces brute-force top-k) and hop monotonicity (the
+    * visited set only grows, so the served top-k's similarity profile is
+    * non-decreasing in nHops).
+    *
+    * `excludeSelf` is for probe sets drawn from the corpus itself (the
+    * registered query's shape): a member query would otherwise answer
+    * with itself at sim 1.0. The walk still routes THROUGH the query's
+    * own corpus position (it is the best navigation node there is — at
+    * sim 1.0 it tops every beam it enters); only the final answer drops
+    * it, so a query whose sole entry seed is itself still finds its
+    * neighborhood. External query vectors leave it false. */
+  def graphSearch(
+      graphEdges: DataFrame,
+      embeddings: DataFrame,
+      probes: DataFrame,
+      entry: DataFrame,
+      k: Int,
+      beam: Int,
+      nHops: Int,
+      excludeSelf: Boolean = false,
+      reliable: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      probeIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && beam >= k && nHops >= 0, "k >= 1, beam >= k, nHops >= 0")
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val qv = probes.select(col(probeIdCol).as("qid"), VectorFns.toDouble(col(vecCol)).as("qv"))
+    val edges = graphEdges.select(col(idCol).as("id"), col("neighbor_id"))
+    // (qid, id) -> floored cosine; candidates join the raw vectors HERE
+    // only — the corpus frame never meets the walk except through this
+    // frontier-sized equi-join
+    def score(cand: DataFrame): DataFrame =
+      cand.join(qv, Seq("qid")).join(vecs, Seq("id"))
+        .select(col("qid"), col("id"),
+          NumFns.floorAt(GraftFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
+    val wb = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    def beamOf(visited: DataFrame): DataFrame =
+      visited.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beam).select(col("qid"), col("id"))
+    // hop 0: bounded broadcast crossJoin — every query × the entry seeds
+    val seeds = qv.select(col("qid"))
+      .crossJoin(broadcast(entry.select(col(idCol).as("id"))))
+    var visited = Checkpoints.pin(score(seeds), reliable)
+    (0 until nHops).foreach { _ =>
+      val frontier = beamOf(visited)
+        .join(edges, Seq("id"))
+        .select(col("qid"), col("neighbor_id").as("id"))
+      val fresh = frontier.distinct()
+        .join(visited.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+      visited = Checkpoints.pin(visited.unionByName(score(fresh)), reliable)
+    }
+    val answered =
+      if (excludeSelf) visited.filter(col("id") =!= col("qid")) else visited
+    answered.withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(probeIdCol), col("id").as("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+  }
 }

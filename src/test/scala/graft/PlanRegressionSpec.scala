@@ -190,7 +190,8 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("knn graph family: equi-join candidate generation, no cartesian product") {
-    Seq("g_knn_graph", "g_knn_pq", "g_knn_recall", "g_knn_pq_recall").foreach { n =>
+    Seq("g_knn_graph", "g_knn_pq", "g_knn_recall", "g_knn_pq_recall",
+        "g_graph_search").foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
         s"$n plans a CartesianProduct — cell routing must stay an equi-join " +
