@@ -58,6 +58,32 @@ object SparkEntry {
     id => id % m === 0
   }
 
+  /** The descent gates' shared measurement frame: init and descended
+    * recall vs the pinned sampled exact graph, integer-exact ppm
+    * arithmetic (never float-divide a gate), deciles as the oracle-pinned
+    * drift tripwire, `improved` as the structural monotonicity witness. */
+  private def descentGate(
+      exact: DataFrame, init: DataFrame, desc: DataFrame, k: Int): DataFrame = {
+    def hitsOf(g: DataFrame, as: String) = exact.join(
+        g.select(col("vec_id"), col("neighbor_id")),
+        Seq("vec_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as(as))
+    val denom = exact.agg(
+      countDistinct(col("vec_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+    hitsOf(init, "init_hits").crossJoin(hitsOf(desc, "desc_hits")).crossJoin(denom)
+      .withColumn("init_ppm", expr(
+        "CASE WHEN n_exact > 0 THEN (init_hits * CAST(1000000 AS BIGINT)) div n_exact " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("desc_ppm", expr(
+        "CASE WHEN n_exact > 0 THEN (desc_hits * CAST(1000000 AS BIGINT)) div n_exact " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .select(lit(k).as("k"), col("n_queries"), col("n_exact"),
+        expr("init_ppm div 100000").cast("int").as("init_decile"),
+        expr("desc_ppm div 100000").cast("int").as("desc_decile"),
+        (col("desc_hits") >= col("init_hits")).as("improved"),
+        (col("desc_ppm") >= 500000L).as("meets_floor"))
+  }
+
   /** ±1.0 hyperplane-sign list literal for the g_embed_neardup oracle: the
     * identical XXH64 arithmetic as VectorFns.rhpBucket (seed 42,
     * hash(plane) feeding hash(componentIdx)), evaluated at SQL-construction
@@ -3271,24 +3297,40 @@ object SparkEntry {
         SimilarityOps.knnGraph(e, centroids, k = k, nProbe = 2), reliable = false)
       val desc = SimilarityOps.nnDescend(e, init, k = k,
         nIters = GraftConf.int(s, GraftConf.DescentIters, 2))
-      def hitsOf(g: DataFrame, as: String) = exact.join(
-          g.select(col("vec_id"), col("neighbor_id")),
-          Seq("vec_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as(as))
-      val denom = exact.agg(
-        countDistinct(col("vec_id")).as("n_queries"), count(lit(1)).as("n_exact"))
-      hitsOf(init, "init_hits").crossJoin(hitsOf(desc, "desc_hits")).crossJoin(denom)
-        .withColumn("init_ppm", expr(
-          "CASE WHEN n_exact > 0 THEN (init_hits * CAST(1000000 AS BIGINT)) div n_exact " +
-            "ELSE CAST(0 AS BIGINT) END"))
-        .withColumn("desc_ppm", expr(
-          "CASE WHEN n_exact > 0 THEN (desc_hits * CAST(1000000 AS BIGINT)) div n_exact " +
-            "ELSE CAST(0 AS BIGINT) END"))
-        .select(lit(k).as("k"), col("n_queries"), col("n_exact"),
-          expr("init_ppm div 100000").cast("int").as("init_decile"),
-          expr("desc_ppm div 100000").cast("int").as("desc_decile"),
-          (col("desc_hits") >= col("init_hits")).as("improved"),
-          (col("desc_ppm") >= 500000L).as("meets_floor"))
+      descentGate(exact, init, desc, k)
+    },
+
+    "g_knn_descent_pq" -> { (s, dir) => // descent-on-codes: the same
+      // coarse nProbe=2 init and the same two general-neighborhood
+      // rounds, but each round's n·(2k)² proposals are ADC-scored against
+      // the PINNED codes frame (trained m=16 c=16 codebooks — m ints per
+      // proposal instead of d doubles) and only the per-query top-(k·2)
+      // shortlist gets the exact cosine that enters the merge. The merged
+      // graph stays exact-similarity-ordered, so `improved` is still a
+      // structural witness. The oracle pins the deterministic counts and
+      // both measured deciles (trained state is deterministic — drift
+      // means the path changed): the value claimed is that an
+      // AGGRESSIVELY pruned (refine=2) codes-scored descent still climbs
+      // from the same init the full-precision gate starts at.
+      val e = Tables.embeddings(s, dir)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val k = GraftConf.int(s, GraftConf.KnnK, 5)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val codebooks = SimilarityOps.trainPqCodebooksJoint(e,
+        m = GraftConf.int(s, GraftConf.PqM, 16),
+        c = GraftConf.int(s, GraftConf.PqC, 16), nIters = 3)
+      val sample: Column => Column = recallSample(s, dir)
+      val exact = graft.operators.Checkpoints.pin(
+        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
+          .select(col("vec_id"), col("neighbor_id")),
+        reliable = false)
+      val init = graft.operators.Checkpoints.pin(
+        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = 2), reliable = false)
+      val desc = SimilarityOps.nnDescendPq(e, init, codebooks, k = k,
+        nIters = GraftConf.int(s, GraftConf.DescentIters, 2),
+        refine = GraftConf.int(s, GraftConf.KnnRefine, 2))
+      descentGate(exact, init, desc, k)
     },
 
     "g_knn_pq" -> { (s, dir) => // the k-NN graph's 100 TB scoring path:
@@ -6037,6 +6079,17 @@ object SparkEntry {
       // deterministic counts and BOTH measured deciles (the operator's
       // value is the init→descended gap) plus the monotonicity and floor
       // booleans
+      """SELECT 5 AS k,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0) AS BIGINT) AS n_queries,
+        |  CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0) AS BIGINT) AS n_exact,
+        |  3 AS init_decile, 5 AS desc_decile,
+        |  true AS improved, true AS meets_floor""".stripMargin,
+
+    "g_knn_descent_pq" ->
+      // same pinned-decile discipline as g_knn_descent; that BOTH rows pin
+      // the SAME deciles (init 3 → descended 5) is itself the claim: the
+      // refine=2 ADC-pruned, codes-scored descent climbs exactly as far
+      // as full-precision descent at decile granularity
       """SELECT 5 AS k,
         |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0) AS BIGINT) AS n_queries,
         |  CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0) AS BIGINT) AS n_exact,

@@ -1272,6 +1272,91 @@ object SimilarityOps {
       .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** [[nnDescend]] with the per-round proposal scoring routed through PQ
+    * codes (the [[knnGraphPq]] ADC discipline, composed as the round-12
+    * plan audit anticipated): each round still proposes the
+    * general-neighborhood join — n·(2k)² candidate pairs, corpus-pair
+    * independent — but instead of joining the raw d-double vectors for
+    * every proposal, candidates meet the PINNED codes frame (m ints per
+    * row) and the pinned per-query fixed-point LUT, are ADC-ranked, and
+    * only the per-query top-(k·refine) shortlist joins the raw vectors
+    * for the exact floored-cosine that enters the graph merge. The merged
+    * edge set therefore stays EXACT-similarity-ordered (ADC only prunes
+    * which proposals get exact-scored — the g_knn_pq re-rank contract),
+    * so monotonicity still holds structurally: old edges never leave the
+    * candidate pool, recall can only rise. With k·refine ≥ (2k)² the
+    * shortlist is every proposal and the result is BIT-EQUAL to
+    * [[nnDescend]] (PqSpec pins it); smaller refine trades exact-scoring
+    * volume for shortlist risk, gated empirically by g_knn_descent_pq's
+    * pinned deciles. At 100 TB this is the difference between each
+    * descent round re-reading d·8 bytes per proposal and reading m bytes:
+    * the proposal stream is the dominant cost of descent, and it now
+    * scans codes. LUT and codes frames are built ONCE and pinned — the
+    * qid repartition materializes the LUT column before any join consumes
+    * it (the knnGraphPq lazy-streamed-projection lesson) and
+    * pre-satisfies every per-qid window downstream. */
+  def nnDescendPq(
+      embeddings: DataFrame,
+      initEdges: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int,
+      nIters: Int,
+      refine: Int = 4,
+      reliable: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && nIters >= 0 && refine >= 1, "k >= 1, nIters >= 0, refine >= 1")
+    val c = codebooks.head.size
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val codes = Checkpoints.pin(
+      pqEncode(vecs, codebooks).select(col("id").as("cid"), col("codes")), reliable)
+    val luts = Checkpoints.pin(
+      vecs.select(col("id").as("qid"),
+          graft.plans.PqColumns.pqLut(col("v"), codebooks).as("lut"))
+        .repartition(parts, col("qid")), reliable)
+    val nrm = pqNormTable(codebooks)
+    def codeSum(table: Column): Column = codebooks.indices.map { s =>
+      element_at(table, (lit(s * c) + col("codes").getItem(s)).cast("int"))
+    }.reduce(_ + _)
+    val adcScore = codeSum(col("lut")).cast("double") /
+      sqrt(codeSum(array(nrm.map(lit): _*)).cast("double"))
+    val qv = vecs.select(col("id").as("qid"), col("v").as("qv"))
+    val nv = vecs.select(col("id").as("cid"), col("v").as("nv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    var edges = Checkpoints.pin(
+      initEdges.select(col(idCol).as("qid"), col("neighbor_id").as("id"), col("sim")),
+      reliable)
+    (0 until nIters).foreach { _ =>
+      val und = edges.select(col("qid"), col("id"))
+        .unionByName(edges.select(col("id").as("qid"), col("qid").as("id")))
+      val cand = und.select(col("qid"), col("id").as("mid"))
+        .join(und.select(col("qid").as("mid"), col("id").as("cid")), Seq("mid"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid")).distinct()
+        .join(edges.select(col("qid"), col("id").as("cid")), Seq("qid", "cid"), "left_anti")
+      val shortlist = cand.join(luts, Seq("qid")).join(codes, Seq("cid"))
+        .select(col("qid"), col("cid"), adcScore.as("adc"))
+        .withColumn("crank", row_number().over(wAdc))
+        .filter(col("crank") <= k * refine)
+        .select(col("qid"), col("cid"))
+      val scoredNew = shortlist.join(qv, Seq("qid")).join(nv, Seq("cid"))
+        .select(col("qid"), col("cid").as("id"),
+          NumFns.floorAt(GraftFunctions.cosine(col("qv"), col("nv")), 4).as("sim"))
+      edges = Checkpoints.pin(
+        edges.unionByName(scoredNew)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("id"), col("sim")),
+        reliable)
+    }
+    edges.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("qid").as(idCol), col("id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** INCREMENTAL k-NN graph maintenance: fold a batch of new embeddings
     * into an existing [[knnGraph]] edge set without recomputing the old
     * corpus against itself. Work is delta-proportional:

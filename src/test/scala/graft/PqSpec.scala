@@ -237,6 +237,40 @@ class PqSpec extends SparkSpec {
       g.map(_.getInt(3)).sorted.sameElements(1 to g.length)), "non-contiguous ranks")
   }
 
+  test("nnDescendPq: full refine == nnDescend bit-equal; pruned refine monotone, never loses recall") {
+    val df = vecsDf(40).withColumnRenamed("id", "vec_id")
+    val cents5 = (1 to 5).map(c => (c, (0 until Dim).map(j =>
+      if ((c * 7 + j * 3) % 4 == 0) 1.0 else math.sin(c + j * 0.7))))
+    val init = SimilarityOps.knnGraph(df, cents5, k = 3, nProbe = 2, vecCol = "v")
+    // k·refine = 36 = (2k)²: the ADC shortlist is EVERY proposal, so the
+    // exact re-rank scores exactly what nnDescend scores — bit equality,
+    // whatever the codebook quality (ADC only ordered a list that was
+    // never cut)
+    val full = SimilarityOps.nnDescendPq(df, init, codebooks, k = 3, nIters = 2,
+      refine = 12, vecCol = "v")
+    val exactDesc = SimilarityOps.nnDescend(df, init, k = 3, nIters = 2, vecCol = "v")
+    assert(edges(full) == edges(exactDesc),
+      "full-refine descent-on-codes must equal exact descent")
+    // pruned refine: the merged graph still only keeps exact-scored
+    // edges, old edges never leave the pool — recall vs the exact truth
+    // can only rise from the init, and quality is monotone in iters
+    def hitsVsExact(g: org.apache.spark.sql.DataFrame): Long = {
+      val exact = SimilarityOps.knnGraph(df, cents5, k = 3, nProbe = 5, vecCol = "v")
+      exact.select(col("vec_id"), col("neighbor_id"))
+        .join(g.select(col("vec_id"), col("neighbor_id")),
+          Seq("vec_id", "neighbor_id"), "left_semi").count()
+    }
+    val pruned = SimilarityOps.nnDescendPq(df, init, codebooks, k = 3, nIters = 2,
+      refine = 2, vecCol = "v")
+    assert(hitsVsExact(pruned) >= hitsVsExact(init), "pruned descent lost recall")
+    // iters = 0 identity, partition invariance
+    assert(edges(SimilarityOps.nnDescendPq(df, init, codebooks, k = 3, nIters = 0,
+      refine = 2, vecCol = "v")) == edges(init))
+    val b = SimilarityOps.nnDescendPq(df.repartition(7), init, codebooks, k = 3,
+      nIters = 2, refine = 2, vecCol = "v")
+    assert(edges(pruned) == edges(b), "descent-on-codes depends on partitioning")
+  }
+
   test("knnGraphIncremental == full rebuild at every fixed probe setting (merge identity)") {
     // the incremental fold must be EXACT, not approximate: base edges
     // are top-k of the old candidates, old→new candidates are complete,
