@@ -1094,9 +1094,21 @@ object SimilarityOps {
     // a recall gate over n/S queries costs (n/S)·cellPop instead of
     // n·cellPop, turning a quadratic probe-all truth into one a bench
     // SF can afford.
+    // The qid repartition is the knnGraphPq lesson applied to the
+    // full-precision side: a single-file embeddings scan is ONE input
+    // partition, so without it the entire n·cellPop candidate fan-out +
+    // cosine + partial top-k runs in one task (measured 4.7 s of a 5.7 s
+    // bench row in one thread at sf0.1). Spreading the PROBES by qid puts
+    // the fan-out on every core, pre-satisfies the per-qid window
+    // downstream (the corpus side broadcasts at index scale — cell+vec is
+    // small; at 100 TB the probe side is the big side and this is the
+    // natural partitioning anyway), and the explicit count keeps AQE from
+    // coalescing the small probe shuffle back into few partitions.
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val probes = vecs.filter(querySample(col("id")))
       .select(col("id").as("qid"), col("v").as("qv"),
         explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
+      .repartition(parts, col("qid"))
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
@@ -1397,8 +1409,12 @@ object SimilarityOps {
     val newVecs = vecsOf(newEmbeddings)
     val assignedNew = assignCells(newVecs, centroids)
     val assignedAll = assignCells(oldVecs.unionByName(newVecs), centroids)
+    // same single-input-partition fan-out hazard as knnGraph: spread the
+    // probe side by qid so both branches' candidate joins parallelize
+    val parts = baseEdges.sparkSession.sessionState.conf.numShufflePartitions
     def probesOf(vecs: DataFrame) = vecs.select(col("id").as("qid"), col("v").as("qv"),
       explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
+      .repartition(parts, col("qid"))
     def scored(probes: DataFrame, corpus: DataFrame) = probes.join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),

@@ -458,9 +458,15 @@ object StreamingOps {
       else
         assignedBatch.select(col("id").as("vec_id"), col("id").as("neighbor_id"),
           lit(0.0).as("sim"), lit(0).as("rank")).limit(0)
+    // qid-spread the probe sides (the knnGraph single-input-partition
+    // lesson): the old-corpus probe frame is corpus-sized and its read
+    // partitioning follows file count, so without this the whole
+    // old×batch candidate fan-out can land in one task
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
     def probesOf(df: DataFrame) = df.select(col("id").as("qid"), col("v").as("qv"),
       explode(graft.operators.SimilarityOps.topCellsExpr(col("v"), centroids, nProbe))
         .as("cell"))
+      .repartition(shuffleParts, col("qid"))
     def scored(probes: DataFrame, corpus: DataFrame) = probes
       .join(corpus.select(col("cell"), col("id"), col("v")), Seq("cell"))
       .filter(col("qid") =!= col("id"))
