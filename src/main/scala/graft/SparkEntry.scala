@@ -321,6 +321,81 @@ object SparkEntry {
        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Full replay of [[SimilarityOps.graphSearchPq]] under the fixture
+    * codebooks: the [[graphSearchOracleSql]] walk with every scoring
+    * stage swapped for ADC — per-row codes (8 argmax CASEs), per-query
+    * fixed-point LUTs, the literal norm table, beam cuts ordered by the
+    * ADC quotient (exact integer sums, one double division — bit-stable
+    * across engines), the per-query ADC top-(k·refine) shortlist
+    * (self excluded BEFORE the cut, as in the engine), and the exact
+    * floored-cosine re-rank that produces the answer. */
+  private lazy val graphSearchPqOracleSql: String = {
+    val dim = 64
+    val cos = (a: String, b: String) =>
+      s"floor(${pqCosA(a, b)} * 10000) / 10000"
+    val lutCols = (for { s <- 0 until PqM; cid <- 1 to PqC } yield s"l_${s}_$cid")
+      .mkString(", ")
+    val ncCols = (0 until PqM).map(s => s"code_$s AS nc_$s").mkString(", ")
+    def scoreCte(name: String, candCte: String): String =
+      s"""$name AS (
+         |  SELECT c.qid, c.id,
+         |    CAST(${pqSdSumSql} AS DOUBLE) / sqrt(CAST(${pqSnSumSql} AS DOUBLE)) AS adc
+         |  FROM $candCte c
+         |    JOIN ql q ON q.qid = c.qid
+         |    JOIN bn n ON n.vec_id = c.id,
+         |    nrm)""".stripMargin
+    def beamCte(name: String, visCte: String): String =
+      s"""$name AS (SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, id) AS rn
+         |    FROM $visCte) WHERE rn <= 8)""".stripMargin
+    def expandCte(name: String, beam: String, vis: String): String =
+      s"""$name AS (SELECT DISTINCT $beam.qid, g.neighbor_id AS id
+         |  FROM $beam JOIN g ON g.vec_id = $beam.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $vis
+         |                    WHERE $vis.qid = $beam.qid AND $vis.id = g.neighbor_id))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |             ${cos("a.v", "b.v")} AS sim
+       |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       |g AS (SELECT vec_id, neighbor_id FROM (
+       |        SELECT vec_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |        FROM p) WHERE rnk <= 5),
+       |cz AS (SELECT vec_id, v,
+       |    ${pqCwCosSql(dim)},
+       |    ${pqLutDotsSql(dim)}
+       |  FROM v),
+       |b AS (SELECT vec_id,
+       |    $pqCodeCasesSql
+       |  FROM cz),
+       |bn AS (SELECT vec_id, $ncCols FROM b),
+       |nrm AS (SELECT
+       |    ${pqNrmColsSql(dim)}),
+       |ql AS (SELECT vec_id AS qid, $lutCols FROM cz WHERE vec_id % 10 = 0),
+       |ent AS (SELECT vec_id AS id FROM v WHERE vec_id % 50 = 0),
+       |c0 AS (SELECT ql.qid, ent.id FROM ql CROSS JOIN ent),
+       |${scoreCte("s0", "c0")},
+       |${beamCte("b0", "s0")},
+       |${expandCte("c1", "b0", "s0")},
+       |${scoreCte("s1", "c1")},
+       |vis1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+       |${beamCte("b1", "vis1")},
+       |${expandCte("c2", "b1", "vis1")},
+       |${scoreCte("s2", "c2")},
+       |vis2 AS (SELECT * FROM vis1 UNION ALL SELECT * FROM s2),
+       |short AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, id) AS rn
+       |    FROM vis2 WHERE id <> qid) WHERE rn <= 20),
+       |re AS (SELECT sh.qid AS vec_id, sh.id AS neighbor_id,
+       |    ${cos("a.v", "c.v")} AS sim
+       |  FROM short sh JOIN v a ON a.vec_id = sh.qid JOIN v c ON c.vec_id = sh.id),
+       |rk AS (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM re)
+       |SELECT vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+       |FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Full replay of [[SimilarityOps.knnGraphPq]] under the fixture
     * centroids + codebooks: cell argmax and probe ranking (the pruned
     * [[pqOracleSql]] patterns, here per-row since every vector is a
@@ -331,26 +406,63 @@ object SparkEntry {
     * top-(k·refine) shortlist (integer sums, one double division — the
     * identical primitive sequence as the engine), and the floored-cosine
     * exact re-rank. */
-  private def knnPqOracleSql: String = {
-    val dim = 64
+  // --- fixture-PQ SQL fragment builders, shared by knnPqOracleSql and
+  // graphSearchPqOracleSql (same dim-64 / PqM / PqC geometry) ---
+  private def pqArr(w: Seq[Double]) = w.mkString("[", ", ", "]")
+  private def pqCosA(a: String, b: String) =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+  /** per-row codeword cosines `c_{s}_{cid}` feeding the code argmaxes */
+  private def pqCwCosSql(dim: Int): String = {
     val subDim = dim / PqM
-    val cbs = fixturePqCodebooks(dim)
-    val cents = fixtureCentroids(dim)
-    def arr(w: Seq[Double]) = w.mkString("[", ", ", "]")
-    def cosA(a: String, b: String) =
-      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
-    val centCos = cents.map { case (cid, c) => s"${cosA("v", arr(c))} AS cc_$cid" }
+    (for { s <- 0 until PqM; (cid, w) <- fixturePqCodebooks(dim)(s) } yield
+      s"${pqCosA(s"v[${s * subDim + 1}:${(s + 1) * subDim}]", pqArr(w))} AS c_${s}_$cid")
       .mkString(",\n    ")
-    val cwCos = (for { s <- 0 until PqM; (cid, w) <- cbs(s) } yield
-      s"${cosA(s"v[${s * subDim + 1}:${(s + 1) * subDim}]", arr(w))} AS c_${s}_$cid")
-      .mkString(",\n    ")
-    val lutDots = (for { s <- 0 until PqM; (cid, w) <- cbs(s) } yield
-      s"CAST(floor(list_dot_product(v[${s * subDim + 1}:${(s + 1) * subDim}], ${arr(w)})" +
+  }
+  /** per-row fixed-point LUT dots `l_{s}_{cid}` (the row as a query) */
+  private def pqLutDotsSql(dim: Int): String = {
+    val subDim = dim / PqM
+    (for { s <- 0 until PqM; (cid, w) <- fixturePqCodebooks(dim)(s) } yield
+      s"CAST(floor(list_dot_product(v[${s * subDim + 1}:${(s + 1) * subDim}], ${pqArr(w)})" +
         s" * 1000000) AS BIGINT) AS l_${s}_$cid")
       .mkString(",\n    ")
-    val nrmCols = (for { s <- 0 until PqM; (cid, w) <- cbs(s) } yield
-      s"CAST(floor(list_dot_product(${arr(w)}, ${arr(w)}) * 1000000) AS BIGINT) AS nn_${s}_$cid")
+  }
+  /** the literal reconstruction-norm table `nn_{s}_{cid}` */
+  private def pqNrmColsSql(dim: Int): String =
+    (for { s <- 0 until PqM; (cid, w) <- fixturePqCodebooks(dim)(s) } yield
+      s"CAST(floor(list_dot_product(${pqArr(w)}, ${pqArr(w)}) * 1000000) AS BIGINT) AS nn_${s}_$cid")
       .mkString(",\n    ")
+  /** the m per-subspace code argmaxes (ties to the smallest code) */
+  private def pqCodeCasesSql: String =
+    (0 until PqM).map { s =>
+      val arms = (1 until PqC).map { i =>
+        val conds = ((i + 1) to PqC).map(j => s"c_${s}_$i >= c_${s}_$j").mkString(" AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString(" ")
+      s"CASE $arms ELSE $PqC END AS code_$s"
+    }.mkString(",\n    ")
+  /** ADC numerator: Σ_s the candidate's code dispatched into the query's LUT */
+  private def pqSdSumSql: String =
+    (0 until PqM).map { s =>
+      val arms = (1 until PqC).map(c => s"WHEN $c THEN l_${s}_$c").mkString(" ")
+      s"(CASE nc_$s $arms ELSE l_${s}_$PqC END)"
+    }.mkString("\n     + ")
+  /** ADC denominator: the candidate's reconstruction squared norm */
+  private def pqSnSumSql: String =
+    (0 until PqM).map { s =>
+      val arms = (1 until PqC).map(c => s"WHEN $c THEN nn_${s}_$c").mkString(" ")
+      s"(CASE nc_$s $arms ELSE nn_${s}_$PqC END)"
+    }.mkString("\n     + ")
+
+  private def knnPqOracleSql: String = {
+    val dim = 64
+    val cents = fixtureCentroids(dim)
+    def arr(w: Seq[Double]) = pqArr(w)
+    def cosA(a: String, b: String) = pqCosA(a, b)
+    val centCos = cents.map { case (cid, c) => s"${cosA("v", arr(c))} AS cc_$cid" }
+      .mkString(",\n    ")
+    val cwCos = pqCwCosSql(dim)
+    val lutDots = pqLutDotsSql(dim)
+    val nrmCols = pqNrmColsSql(dim)
     val cellCase = {
       val arms = (1 until KmFixtureK).map { i =>
         val conds = ((i + 1) to KmFixtureK).map(j => s"cc_$i >= cc_$j").mkString(" AND ")
@@ -358,26 +470,14 @@ object SparkEntry {
       }.mkString(" ")
       s"CASE $arms ELSE $KmFixtureK END AS cell"
     }
-    val codeCases = (0 until PqM).map { s =>
-      val arms = (1 until PqC).map { i =>
-        val conds = ((i + 1) to PqC).map(j => s"c_${s}_$i >= c_${s}_$j").mkString(" AND ")
-        s"WHEN $conds THEN $i"
-      }.mkString(" ")
-      s"CASE $arms ELSE $PqC END AS code_$s"
-    }.mkString(",\n    ")
+    val codeCases = pqCodeCasesSql
     val lutCols = (for { s <- 0 until PqM; cid <- 1 to PqC } yield s"l_${s}_$cid")
       .mkString(", ")
     val cellUnion = (1 to KmFixtureK)
       .map(cid => s"SELECT vec_id, $cid AS cid, cc_$cid AS cc FROM cz")
       .mkString(" UNION ALL\n      ")
-    val sdSum = (0 until PqM).map { s =>
-      val arms = (1 until PqC).map(c => s"WHEN $c THEN l_${s}_$c").mkString(" ")
-      s"(CASE nc_$s $arms ELSE l_${s}_$PqC END)"
-    }.mkString("\n     + ")
-    val snSum = (0 until PqM).map { s =>
-      val arms = (1 until PqC).map(c => s"WHEN $c THEN nn_${s}_$c").mkString(" ")
-      s"(CASE nc_$s $arms ELSE nn_${s}_$PqC END)"
-    }.mkString("\n     + ")
+    val sdSum = pqSdSumSql
+    val snSum = pqSnSumSql
     val ncCols = (0 until PqM).map(s => s"n.code_$s AS nc_$s").mkString(", ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cz AS (SELECT vec_id, v,
@@ -3425,6 +3525,35 @@ object SparkEntry {
           excludeSelf = true, probeIdCol = "vec_id")
         .orderBy(col("vec_id"), col("rank"))
     },
+
+    "g_graph_search_pq" -> { (s, dir) => // codes-only serving: the same
+      // walk as g_graph_search but every scoring touch during the hops
+      // reads the pinned codes frame (m ints) against the probe's pinned
+      // fixed-point LUT; beam cuts order by the ADC quotient; only the
+      // final per-query ADC top-(k·refine) shortlist joins the raw
+      // vectors for the exact answer. At 100 TB the raw corpus is k·refine
+      // point lookups per query — the walk itself never reads it. Fixture
+      // codebooks (the g_knn_pq discipline) make EVERY stage — 8 code
+      // argmaxes, per-probe LUTs, norm table, ADC beams, frontier
+      // anti-joins, shortlist cut, floored-cosine re-rank — DuckDB-
+      // replayable, so the full codes-serving pipeline is hash-gated end
+      // to end; walk geometry (beam 8, hops 2, refine 4, k 5) is baked
+      // into the replay, so like g_knn_pq this row is deliberately not
+      // GraftConf-wired.
+      val e = Tables.embeddings(s, dir)
+      val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
+      val centroids = SimilarityOps.ivfCentroids(e, k = cells,
+        nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
+      val graph = SimilarityOps.knnGraph(e, centroids, k = 5,
+        nProbe = if (oracleScale(dir)) cells else GraftConf.int(s, GraftConf.KnnNProbe, 4))
+      SimilarityOps.graphSearchPq(graph, e,
+          probes = e.filter(col("vec_id") % 10 === 0),
+          entry = e.filter(col("vec_id") % 50 === 0).select(col("vec_id")),
+          codebooks = fixturePqCodebooks(64),
+          k = 5, beam = 8, nHops = 2, refine = 4,
+          excludeSelf = true, probeIdCol = "vec_id")
+        .orderBy(col("vec_id"), col("rank"))
+    },
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -6110,5 +6239,7 @@ object SparkEntry {
         |  true AS meets_floor""".stripMargin,
 
     "g_graph_search" -> graphSearchOracleSql,
+
+    "g_graph_search_pq" -> graphSearchPqOracleSql,
   )
 }

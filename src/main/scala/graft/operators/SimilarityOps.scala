@@ -501,6 +501,36 @@ object SimilarityOps {
       .select(col("id").as(idCol), col("cell"), col("proto_ppm"), col("kept"))
   }
 
+  /** Per-cell MEDOIDS — the production ENTRY-SEED selection for
+    * [[graphSearch]]: within each IVF cell, the member with the highest
+    * floored own-centroid cosine (ties to the smallest id). One map-only
+    * assignment projection + one per-cell top-1 window; the output is
+    * ≤ |cells| rows — broadcastable by construction, which is exactly
+    * what graphSearch's bounded entry crossJoin requires — and
+    * deterministic given frozen centroids, so a serving deployment's
+    * seeds are stable across reruns. (Seeding every cell guarantees the
+    * walk starts within one cell-radius of any query's region even when
+    * the graph has cross-cell bridges only through descent/refinement.) */
+  def cellMedoids(
+      embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val protoCos = centroids.foldRight(lit(Double.NaN)) { case ((cid, c), acc) =>
+      when(col("cell") === cid,
+        GraftFunctions.cosine(col("v"), array(c.map(lit): _*))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("cell")).orderBy(col("proto_ppm").desc, col("id"))
+    assignCells(vecs, centroids)
+      .withColumn("proto_ppm", floor(protoCos * lit(1e6)).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol), col("cell"), col("proto_ppm"))
+  }
+
   /** Symmetric int8 quantization stats per vector: q_i = round(x_i * 127 /
     * max|x|) clamped to [-127, 127] (the storage/bandwidth-reduction pass a
     * 100 TB embedding corpus runs before indexing; 4x smaller than float32).
@@ -1139,6 +1169,21 @@ object SimilarityOps {
     codebooks.flatMap(cb =>
       cb.sortBy(_._1).map { case (_, w) => math.floor(dotOf(w, w) * 1e6).toLong })
 
+  /** The ADC cosine-of-reconstruction over a row carrying its per-query
+    * `lut` (m·c fixed-point longs) and the candidate's `codes` (m ints):
+    * `Σ_s lut[s·c + code_s] / sqrt(Σ_s nrm[s·c + code_s])` — 2m positional
+    * lookups, integer sums, ONE double division (both operands are exact
+    * longs, so the quotient is bit-identical across engines/partitionings).
+    * Shared by [[knnGraphPq]], [[nnDescendPq]] and [[graphSearchPq]]. */
+  private def adcCosineExpr(codebooks: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val c = codebooks.head.size
+    def codeSum(table: Column): Column = codebooks.indices.map { s =>
+      element_at(table, (lit(s * c) + col("codes").getItem(s)).cast("int"))
+    }.reduce(_ + _)
+    codeSum(col("lut")).cast("double") /
+      sqrt(codeSum(array(pqNormTable(codebooks).map(lit): _*)).cast("double"))
+  }
+
   /** [[knnGraph]]'s 100 TB path: candidate SCORING reads PQ codes, not
     * raw vectors (ADC — Jégou et al. 2011 §III.B: the query stays raw,
     * the corpus is quantized, distance is looked up per subspace). Each
@@ -1174,8 +1219,6 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(embeddings.sparkSession)
     require(k >= 1 && refine >= 1, "k >= 1 and refine >= 1")
-    val c = codebooks.head.size
-    val subDim = codebooks.head.head._2.size
     val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
     val encoded = pqEncode(assignCells(vecs, centroids), codebooks)
     // neighbor side: codes only — at 100 TB this frame IS the persisted
@@ -1200,12 +1243,7 @@ object SimilarityOps {
       .select(col("id").as("qid"), lutExpr.as("lut"),
         explode(topCellsExpr(col("v"), centroids, nProbe)).as("cell"))
       .repartition(parts, col("qid"))
-    val nrm = pqNormTable(codebooks)
-    def codeSum(table: Column): Column = codebooks.indices.map { s =>
-      element_at(table, (lit(s * c) + col("codes").getItem(s)).cast("int"))
-    }.reduce(_ + _)
-    val score = codeSum(col("lut")).cast("double") /
-      sqrt(codeSum(array(nrm.map(lit): _*)).cast("double"))
+    val score = adcCosineExpr(codebooks)
     val wc = Window.partitionBy(col("qid")).orderBy(col("adc_score").desc, col("id"))
     val shortlist = probes.join(index, Seq("cell"))
       .filter(col("qid") =!= col("id"))
@@ -1320,7 +1358,6 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(embeddings.sparkSession)
     require(k >= 1 && nIters >= 0 && refine >= 1, "k >= 1, nIters >= 0, refine >= 1")
-    val c = codebooks.head.size
     val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
     val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val codes = Checkpoints.pin(
@@ -1329,12 +1366,7 @@ object SimilarityOps {
       vecs.select(col("id").as("qid"),
           graft.plans.PqColumns.pqLut(col("v"), codebooks).as("lut"))
         .repartition(parts, col("qid")), reliable)
-    val nrm = pqNormTable(codebooks)
-    def codeSum(table: Column): Column = codebooks.indices.map { s =>
-      element_at(table, (lit(s * c) + col("codes").getItem(s)).cast("int"))
-    }.reduce(_ + _)
-    val adcScore = codeSum(col("lut")).cast("double") /
-      sqrt(codeSum(array(nrm.map(lit): _*)).cast("double"))
+    val adcScore = adcCosineExpr(codebooks)
     val qv = vecs.select(col("id").as("qid"), col("v").as("qv"))
     val nv = vecs.select(col("id").as("cid"), col("v").as("nv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
@@ -1515,6 +1547,94 @@ object SimilarityOps {
     val answered =
       if (excludeSelf) visited.filter(col("id") =!= col("qid")) else visited
     answered.withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(probeIdCol), col("id").as("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** [[graphSearch]] with the WALK's scoring routed through PQ codes —
+    * serving at 100 TB without touching the raw corpus until the final
+    * re-rank: the walk joins the pinned codes frame (m ints per visited
+    * node) and each probe's pinned fixed-point LUT; beam cuts order by
+    * the ADC cosine ([[adcCosineExpr]] — exact integer sums, one double
+    * division, bit-stable across engines); after the last hop the
+    * per-query ADC top-(k·refine) shortlist joins the raw vectors ONCE
+    * for the exact floored-cosine answer. A raw-vector serving walk reads
+    * d·8 bytes per candidate from a corpus-sized store; this reads m
+    * bytes from the codes index and defers the raw store to k·refine
+    * point lookups per query — the FAISS deployment shape, walking a
+    * graph instead of probing cells.
+    *
+    * Identity (GraphSearchSpec): with beam ≥ the reachable set, beam cuts
+    * cannot drop anything, the visited sets coincide with
+    * [[graphSearch]]'s, and k·refine covering visited makes the exact
+    * re-rank score everything — bit-equal answers for ANY codebooks. At
+    * pruned beam/refine the ADC ordering steers the walk; quality is
+    * gated like every approximate operator (g_graph_search_pq replays
+    * the full fixture pipeline end to end in DuckDB). Self-exclusion
+    * happens BEFORE the refine shortlist so a member query's own row
+    * (which tops any ADC beam it enters) never consumes a re-rank slot,
+    * while still navigating the walk. */
+  def graphSearchPq(
+      graphEdges: DataFrame,
+      embeddings: DataFrame,
+      probes: DataFrame,
+      entry: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int,
+      beam: Int,
+      nHops: Int,
+      refine: Int = 4,
+      excludeSelf: Boolean = false,
+      reliable: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      probeIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && beam >= k && nHops >= 0 && refine >= 1,
+      "k >= 1, beam >= k, nHops >= 0, refine >= 1")
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val codes = Checkpoints.pin(
+      pqEncode(vecs, codebooks).select(col("id"), col("codes")), reliable)
+    val luts = Checkpoints.pin(
+      probes.select(col(probeIdCol).as("qid"),
+          graft.plans.PqColumns.pqLut(VectorFns.toDouble(col(vecCol)), codebooks).as("lut"))
+        .repartition(parts, col("qid")), reliable)
+    val edges = graphEdges.select(col(idCol).as("id"), col("neighbor_id"))
+    val adc = adcCosineExpr(codebooks)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(luts, Seq("qid")).join(codes, Seq("id"))
+        .select(col("qid"), col("id"), adc.as("adc"))
+    val wb = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id"))
+    def beamOf(visited: DataFrame): DataFrame =
+      visited.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beam).select(col("qid"), col("id"))
+    val seeds = luts.select(col("qid"))
+      .crossJoin(broadcast(entry.select(col(idCol).as("id"))))
+    var visited = Checkpoints.pin(score(seeds), reliable)
+    (0 until nHops).foreach { _ =>
+      val frontier = beamOf(visited)
+        .join(edges, Seq("id"))
+        .select(col("qid"), col("neighbor_id").as("id"))
+      val fresh = frontier.distinct()
+        .join(visited.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+      visited = Checkpoints.pin(visited.unionByName(score(fresh)), reliable)
+    }
+    val candidates =
+      if (excludeSelf) visited.filter(col("id") =!= col("qid")) else visited
+    val shortlist = candidates.withColumn("crank", row_number().over(wb))
+      .filter(col("crank") <= k * refine)
+      .select(col("qid"), col("id"))
+    val qv = probes.select(col(probeIdCol).as("qid"),
+      VectorFns.toDouble(col(vecCol)).as("qv"))
+    val nv = vecs.select(col("id"), col("v").as("nv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    shortlist.join(qv, Seq("qid")).join(nv, Seq("id"))
+      .select(col("qid"), col("id"),
+        NumFns.floorAt(GraftFunctions.cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as(probeIdCol), col("id").as("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))

@@ -78,6 +78,73 @@ class GraphSearchSpec extends SparkSpec {
     assert(noSelf.filter($"neighbor_id" === $"vec_id").isEmpty)
   }
 
+  test("cellMedoids: one deterministic seed per cell, the own-centroid argmax") {
+    val e = ring
+    // two centroids on the +x / -x axes: each cell's medoid is the ring
+    // point most aligned with its centroid — id 0 for +x; for -x the
+    // antipode i = N/2 (cos = 1 exactly)
+    val cents = Seq((1, Seq(1.0, 0.0)), (2, Seq(-1.0, 0.0)))
+    val m = SimilarityOps.cellMedoids(e, cents)
+      .select($"cell", $"vec_id").as[(Int, Long)].collect().toMap
+    assert(m == Map(1 -> 0L, 2 -> (N / 2).toLong))
+    // and medoid seeds serve as well as a hand-picked entry on the ring
+    val graph = SimilarityOps.knnGraph(e, oneCell, k = 2, nProbe = 1)
+    val viaMedoids = SimilarityOps.graphSearch(graph, e, e,
+      SimilarityOps.cellMedoids(e, cents).select("vec_id"),
+      k = 1, beam = 4, nHops = 8, excludeSelf = true, probeIdCol = "vec_id")
+    val viaFixed = SimilarityOps.graphSearch(graph, e, e,
+      e.filter($"vec_id" === 0 || $"vec_id" === N / 2).select("vec_id"),
+      k = 1, beam = 4, nHops = 8, excludeSelf = true, probeIdCol = "vec_id")
+    assert(viaMedoids.exceptAll(viaFixed).isEmpty && viaFixed.exceptAll(viaMedoids).isEmpty)
+  }
+
+  test("serving over the streamed, compacted graph == serving over the batch graph") {
+    import graft.streaming.StreamingOps
+    val e = ring
+    val path = s"${tmpDir()}/g"
+    // land the corpus in two micro-batches, compact, read the resolved
+    // asset — the maintained graph IS what a serving deployment walks
+    val cents = Seq((1, Seq(1.0, 0.0)), (2, Seq(-1.0, 0.0)))
+    StreamingOps.knnGraphBatch(e.filter($"vec_id" < 10), 0L, cents, 2, 2, path)
+    StreamingOps.knnGraphBatch(e.filter($"vec_id" >= 10), 1L, cents, 2, 2, path)
+    StreamingOps.compactKnnGraph(spark, path)
+    val streamed = StreamingOps.readKnnGraph(spark, path)
+    val batch = SimilarityOps.knnGraph(e, cents, k = 2, nProbe = 2)
+    val entry = e.filter($"vec_id" === 0).select("vec_id")
+    def serve(g: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.graphSearch(g, e, e, entry, k = 3, beam = 4, nHops = 6,
+        excludeSelf = true, probeIdCol = "vec_id")
+    val a = serve(streamed); val b = serve(batch)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("graphSearchPq: covering beam + refine == graphSearch bit-equal, any codebooks") {
+    val e = ring
+    val graph = SimilarityOps.knnGraph(e, oneCell, k = 2, nProbe = 1)
+    val entry = e.filter($"vec_id" === 0).select("vec_id")
+    // deliberately crude codebooks (±1 signs, m=2 over dim 2): with
+    // beam >= |reachable| the beam cut can drop nothing (visited sets
+    // coincide with the exact walk's), and k*refine >= |visited| makes
+    // the exact re-rank score everything — codebook quality is irrelevant
+    val crude = (0 until 2).map(s => (1 to 2).map(cid =>
+      (cid, Seq(if ((s + cid) % 2 == 0) 1.0 else -1.0))))
+    val exact = SimilarityOps.graphSearch(graph, e, e, entry,
+      k = 3, beam = N, nHops = 4, excludeSelf = true, probeIdCol = "vec_id")
+    val viaCodes = SimilarityOps.graphSearchPq(graph, e, e, entry, crude,
+      k = 3, beam = N, nHops = 4, refine = N, excludeSelf = true,
+      probeIdCol = "vec_id")
+    assert(viaCodes.exceptAll(exact).isEmpty && exact.exceptAll(viaCodes).isEmpty)
+    // pruned beam/refine: answers are still exact-cosine-scored rows with
+    // contiguous ranks and no self-matches
+    val pruned = SimilarityOps.graphSearchPq(graph, e, e, entry, crude,
+      k = 2, beam = 4, nHops = 8, refine = 2, excludeSelf = true,
+      probeIdCol = "vec_id")
+    val rows = pruned.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-loop")
+    assert(rows.groupBy(_.getLong(0)).values.forall(g =>
+      g.map(_.getInt(3)).sorted.sameElements(1 to g.length)), "non-contiguous ranks")
+  }
+
   test("empty entry set degrades to an empty answer; beam < k is rejected") {
     val e = ring
     val graph = SimilarityOps.knnGraph(e, oneCell, k = 2, nProbe = 1)

@@ -191,7 +191,7 @@ class PlanRegressionSpec extends SparkSpec {
 
   test("knn graph family: equi-join candidate generation, no cartesian product") {
     Seq("g_knn_graph", "g_knn_pq", "g_knn_recall", "g_knn_pq_recall",
-        "g_graph_search", "g_knn_descent_pq").foreach { n =>
+        "g_graph_search", "g_knn_descent_pq", "g_graph_search_pq").foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
         s"$n plans a CartesianProduct — cell routing must stay an equi-join " +
