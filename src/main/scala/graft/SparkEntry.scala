@@ -396,6 +396,92 @@ object SparkEntry {
        |FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Full replay of [[SimilarityOps.sq8TopK]] (pruned=false) /
+    * [[SimilarityOps.ivfSq8TopK]] (pruned=true, fixture centroids,
+    * nProbe=2): symmetric int8 encode, exact-integer quantized-cosine
+    * ranking (one double division of exact longs), top-(k·refine)
+    * shortlist, floored-cosine re-rank. */
+  private def sq8OracleSql(pruned: Boolean): String = {
+    val cents = fixtureCentroids(64)
+    def centCos(vec: String, alias: String): String = cents.map { case (cid, c) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"(list_dot_product($vec, $arr) / (sqrt(list_dot_product($vec, $vec)) * " +
+        s"sqrt(list_dot_product($arr, $arr)))) AS $alias$cid"
+    }.mkString(",\n    ")
+    val coarseAssign = {
+      val arms = (1 until KmFixtureK).map { i =>
+        val conds = ((i + 1) to KmFixtureK).map(j => s"cc_$i >= cc_$j").mkString(" AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString(" ")
+      s"CASE $arms ELSE $KmFixtureK END AS cell"
+    }
+    val coarseCols = if (pruned) s",\n        ${centCos("v", "cc_")}" else ""
+    val cellCol = if (pruned) s", $coarseAssign" else ""
+    val prunedCtes =
+      if (!pruned) ""
+      else
+        s""",
+           |qcs AS (SELECT ${centCos("qv0", "qc_")}
+           |        FROM (SELECT v AS qv0 FROM v WHERE vec_id = 0)),
+           |probe AS (
+           |  SELECT cid FROM (
+           |    ${(1 to KmFixtureK).map(c => s"SELECT $c AS cid, qc_$c AS qc FROM qcs").mkString(" UNION ALL\n    ")})
+           |  ORDER BY qc DESC, cid LIMIT 2)""".stripMargin
+    val whereCell = if (pruned) " AND c.cell IN (SELECT cid FROM probe)" else ""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS mx$coarseCols FROM v),
+       |c AS (SELECT vec_id,
+       |        list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+       |          ELSE greatest(-127, least(127, floor(x * 127.0 / mx + 0.5))) END) AS c$cellCol
+       |      FROM m),
+       |qc AS (SELECT c AS qc, list_dot_product(c, c) AS qnrm FROM c WHERE vec_id = 0)$prunedCtes,
+       |sc AS (SELECT vec_id,
+       |         CAST(list_dot_product(c.c, qc) AS BIGINT) AS q_dot,
+       |         list_dot_product(c.c, c.c) AS nrm, qnrm
+       |       FROM c, qc WHERE 1 = 1$whereCell),
+       |short AS (SELECT vec_id, q_dot FROM sc WHERE nrm > 0
+       |          ORDER BY (CAST(q_dot AS DOUBLE) / (sqrt(nrm) * sqrt(qnrm))) DESC, vec_id
+       |          LIMIT 80),
+       |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+       |re AS (SELECT s.vec_id, s.q_dot,
+       |        floor((list_dot_product(w.v, qv) /
+       |              (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
+       |       FROM short s JOIN v w ON w.vec_id = s.vec_id, q)
+       |SELECT vec_id, q_dot, sim FROM re ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Full replay of [[SimilarityOps.mmrSelect]] (k=5, pool=40, λ=7/10):
+    * the relevance pool cut, then each greedy pick as an unrolled CTE —
+    * candidates = pool minus selected, penalty = max fixed-point cosine
+    * against any selected row, argmax of `7·rel − 3·max_sim` with ties to
+    * the smallest id. All scores are exact integers, so every argmax is
+    * engine-reproducible. */
+  private lazy val mmrOracleSql: String = {
+    def cosPpm(a: String, b: String): String =
+      s"CAST(floor((list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))) * 1000000) AS BIGINT)"
+    val picks = (2 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT p.vec_id, p.rel, max(${cosPpm("p.v", "s.v")}) AS ms, first(p.v) AS v
+         |  FROM pool p CROSS JOIN sel${i - 1} s
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY p.vec_id, p.rel),
+         |s$i AS (SELECT vec_id, v, $i AS pick, 7 * rel - 3 * ms AS mmr FROM c$i
+         |        ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+       |rel AS (SELECT vec_id, v, ${cosPpm("v.v", "qv")} AS rel FROM v, q),
+       |pool AS (SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 40),
+       |s1 AS (SELECT vec_id, v, 1 AS pick, 7 * rel AS mmr FROM pool
+       |       ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$picks
+       |SELECT vec_id, pick, mmr FROM sel5 ORDER BY pick""".stripMargin
+  }
+
   /** Full replay of [[SimilarityOps.knnGraphPq]] under the fixture
     * centroids + codebooks: cell argmax and probe ranking (the pruned
     * [[pqOracleSql]] patterns, here per-row since every vector is a
@@ -2259,6 +2345,74 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       SimilarityOps.bruteForceTopK(e, q, 20)
+    },
+
+    "g_sim_sq8" -> { (s, dir) => // scalar-quantized (SQ8) compressed scan:
+      // one int8 code per dimension (8x less bandwidth than float64), the
+      // scan reads codes only and ranks by the EXACT-INTEGER quantized
+      // cosine (fused kernel emits dot and norm as longs; one double
+      // division — bit-stable across engines), then the top-(k*refine)
+      // shortlist joins the raw store for the exact floored-cosine answer.
+      // Fully deterministic, so the oracle replays encode + integer ADC +
+      // re-rank end to end — no recall floor needed.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      SimilarityOps.sq8TopK(e, q, k = 20, refine = 4)
+    },
+
+    "g_sim_hamming" -> { (s, dir) => // binary sign sketch: 1 bit/dim packed
+      // into ceil(d/64) longs (64x less bandwidth), candidates ranked by
+      // hamming distance bit_count(xor) — built-in integer ops — exact
+      // floored-cosine re-rank of the top-(k*refine). The cheapest rung of
+      // the compressed-scan ladder (float64 -> SQ8 -> PQ -> binary);
+      // deterministic end to end, so the oracle replays pack + popcount +
+      // re-rank.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      SimilarityOps.hammingTopK(e, q, k = 20, refine = 4)
+    },
+
+    "g_sim_ivfsq8" -> { (s, dir) => // the FAISS IVF,SQ8 composition:
+      // coarse-quantize to the fixture cells, IN-filter the query's 2
+      // nearest cells (directory pruning under a cell-partitioned
+      // layout), integer-ADC-score only surviving codes, exact re-rank —
+      // the ivfPqTopK plan shape one rung down the compression ladder,
+      // hash-gated end to end by the pruned sq8 replay (no recall floor:
+      // the pruning is part of the replayed contract).
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      SimilarityOps.ivfSq8TopK(e, fixtureCentroids(64), q, nProbe = 2, k = 20, refine = 4)
+    },
+
+    "g_maxsim" -> { (s, dir) => // ColBERT-style late interaction: doc and
+      // query are bags of 8 token-vectors (the flat 64-dim embedding
+      // sliced by the PQ subspace geometry); score = sum over query
+      // tokens of the max fixed-point floored cosine against any doc
+      // token — exact integer math end to end (one fused T^2 kernel per
+      // row, map-only + TakeOrdered), so the oracle replays the full
+      // interaction with no tolerance. At 100 TB this scoring runs over
+      // an ANN shortlist; the corpus-wide row hash-gates the scoring.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      SimilarityOps.maxSimTopK(e, q, subDim = 8, k = 20)
+    },
+
+    "g_mmr_select" -> { (s, dir) => // maximal marginal relevance: greedy
+      // k-pick over the pinned top-40 relevance pool, each pick maximizing
+      // 7*rel_ppm - 3*max_sim_ppm (lambda = 0.7 as an integer ratio —
+      // every score exact integer math, ties to the smallest id). Picks
+      // unroll as k deterministic plan stages (the graphSearch hop
+      // discipline): pool x selected is a bounded broadcast product
+      // (<= poolSize x k rows), one keyed max, one TakeOrdered(1) each.
+      // The oracle replays all five picks with unrolled CTEs.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      SimilarityOps.mmrSelect(e, q, k = 5, poolSize = 40)
     },
 
     "g_sim_pq" -> { (s, dir) => // product-quantization ADC top-k: encode
@@ -4828,6 +4982,64 @@ object SparkEntry {
         |              sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
         |FROM embeddings, q
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "g_maxsim" ->
+      // full replay of the late-interaction scoring: 8x8 token-pair
+      // floored fixed-point cosines (zero-norm pairs contribute 0, as in
+      // the kernel), per-query-token max, integer sum — order-free exact
+      // math, no tolerance anywhere
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |pair AS (
+        |  SELECT d.vec_id, ti.i,
+        |    CASE WHEN list_dot_product(list_slice(qv, i*8+1, (i+1)*8),
+        |                               list_slice(qv, i*8+1, (i+1)*8)) = 0
+        |           OR list_dot_product(list_slice(d.v, j*8+1, (j+1)*8),
+        |                               list_slice(d.v, j*8+1, (j+1)*8)) = 0
+        |         THEN 0
+        |         ELSE CAST(floor((list_dot_product(list_slice(qv, i*8+1, (i+1)*8),
+        |                                           list_slice(d.v, j*8+1, (j+1)*8)) /
+        |              (sqrt(list_dot_product(list_slice(qv, i*8+1, (i+1)*8),
+        |                                     list_slice(qv, i*8+1, (i+1)*8))) *
+        |               sqrt(list_dot_product(list_slice(d.v, j*8+1, (j+1)*8),
+        |                                     list_slice(d.v, j*8+1, (j+1)*8))))) * 1000000) AS BIGINT)
+        |    END AS s
+        |  FROM v d, q, range(0, 8) ti(i), range(0, 8) tj(j)),
+        |mx AS (SELECT vec_id, i, max(s) AS ms FROM pair GROUP BY vec_id, i),
+        |tot AS (SELECT vec_id, CAST(sum(ms) AS BIGINT) AS maxsim FROM mx GROUP BY vec_id)
+        |SELECT vec_id, maxsim FROM tot ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "g_mmr_select" -> mmrOracleSql,
+
+    // full replay: per-vector symmetric int8 encode (floor(x+0.5)
+    // rounding — identical tie behavior in both engines), exact-integer
+    // quantized-cosine ranking, top-80 shortlist, floored-cosine re-rank;
+    // the pruned arm adds the fixture-centroid cell argmax + probe-cell
+    // IN filter before the shortlist cut (the pqOracleSql discipline)
+    "g_sim_sq8" -> sq8OracleSql(pruned = false),
+    "g_sim_ivfsq8" -> sq8OracleSql(pruned = true),
+
+    "g_sim_hamming" ->
+      // full replay: sign-bit pack into one UBIGINT word (bit j set iff
+      // v[j] > 0 — same two's-complement bit pattern as the engine's
+      // long), hamming = bit_count(xor), top-80 by (hamming, id),
+      // zero-norm rows dropped at the re-rank, floored-cosine answer
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |fp AS (SELECT vec_id,
+        |         bit_or(CASE WHEN v[b + 1] > 0 THEN CAST(1 AS UBIGINT) << b
+        |                     ELSE CAST(0 AS UBIGINT) END) AS fp
+        |       FROM v CROSS JOIN range(0, 64) t(b) GROUP BY vec_id),
+        |qf AS (SELECT fp AS qfp FROM fp WHERE vec_id = 0),
+        |short AS (SELECT f.vec_id, CAST(bit_count(xor(f.fp, qfp)) AS INT) AS hamming
+        |          FROM fp f, qf
+        |          ORDER BY hamming, f.vec_id LIMIT 80),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |re AS (SELECT s.vec_id, s.hamming,
+        |        floor((list_dot_product(w.v, qv) /
+        |              (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
+        |       FROM short s JOIN v w ON w.vec_id = s.vec_id, q
+        |       WHERE list_dot_product(w.v, w.v) > 0)
+        |SELECT vec_id, hamming, sim FROM re ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "g_sim_pq" -> pqOracleSql(pruned = false),
     "g_sim_ivfpq" -> pqOracleSql(pruned = true),

@@ -560,6 +560,257 @@ object SimilarityOps {
         sum(abs(col("q"))).as("q_l1"))
   }
 
+  /** SQ8 top-k: the scalar-quantized compressed scan (FAISS `SQ8` — one
+    * int8 code per dimension, 8× less bandwidth than float64). The scan
+    * reads the codes frame only; scoring is the exact-integer quantized
+    * cosine `dot/(√nrm·√qnrm)` (per-vector scales cancel — one fused
+    * kernel emits the two longs, one double division ranks them,
+    * bit-stable across engines/partitionings); the per-query top-(k·refine)
+    * shortlist then joins the raw store for the exact floored-cosine
+    * answer — the g_knn_pq re-rank discipline one rung down the
+    * accuracy/bandwidth curve. Zero-norm rows never reach the shortlist
+    * (their quantized cosine is pinned below −1).
+    *
+    * At 100 TB: [[sq8Encode]]'s output is the persisted index (the
+    * writePqIndex layout with `codes` as d int8s instead of m codewords);
+    * this scan composes with IVF cells exactly as pqTopK does — cell
+    * filter first, SQ8 ADC inside the surviving cells. */
+  def sq8TopK(
+      embeddings: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      refine: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && refine >= 1, "k >= 1 and refine >= 1")
+    val qc = graft.plans.ScalarQuant.encodeInt8(queryVec)
+    val qnrm = qc.map(c => c * c).sum
+    require(qnrm > 0L, "all-zero query vector")
+    val codes = sq8Encode(embeddings, idCol, vecCol)
+    val dn = codes.select(col("id"),
+      GraftFunctions.sq8Adc(col("codes"), qc).as("dn"))
+    val score = when(element_at(col("dn"), 2) === 0L, lit(-2.0))
+      .otherwise(element_at(col("dn"), 1).cast("double") /
+        (sqrt(element_at(col("dn"), 2).cast("double")) * lit(math.sqrt(qnrm.toDouble))))
+    val shortlist = dn
+      .select(col("id"), element_at(col("dn"), 1).as("q_dot"), score.as("sq8"))
+      .filter(col("sq8") > -2.0)
+      .orderBy(col("sq8").desc, col("id"))
+      .limit(k * refine)
+    val q = array(queryVec.map(lit): _*)
+    shortlist
+      .join(embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v")), Seq("id"))
+      .select(col("id").as(idCol), col("q_dot"),
+        NumFns.floorAt(GraftFunctions.cosine(col("v"), q), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-routed SQ8 (the FAISS `IVF,SQ8` composition): coarse-quantize to
+    * cells, keep the query's `nProbe` nearest cells as an IN filter
+    * (directory pruning under a cell-partitioned layout — the
+    * writePqIndex discipline with d int8s per row instead of m
+    * codewords), integer-ADC-score only the surviving cells' codes, exact
+    * floored-cosine re-rank of the top-(k·refine). Projection + filter +
+    * TakeOrdered before the small re-rank join — the ivfPqTopK plan shape
+    * one rung down the compression ladder. */
+  def ivfSq8TopK(
+      embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      queryVec: Seq[Double],
+      nProbe: Int,
+      k: Int,
+      refine: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && refine >= 1 && nProbe >= 1, "k, refine, nProbe >= 1")
+    val qc = graft.plans.ScalarQuant.encodeInt8(queryVec)
+    val qnrm = qc.map(c => c * c).sum
+    require(qnrm > 0L, "all-zero query vector")
+    val probes = probeCellsOf(centroids, queryVec, nProbe)
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    val codes = assignCells(vecs, centroids)
+      .filter(col("cell").isin(probes: _*))
+      .select(col("id"), GraftFunctions.sq8Encode(col("v")).as("codes"))
+    val dn = codes.select(col("id"), GraftFunctions.sq8Adc(col("codes"), qc).as("dn"))
+    val score = when(element_at(col("dn"), 2) === 0L, lit(-2.0))
+      .otherwise(element_at(col("dn"), 1).cast("double") /
+        (sqrt(element_at(col("dn"), 2).cast("double")) * lit(math.sqrt(qnrm.toDouble))))
+    val shortlist = dn
+      .select(col("id"), element_at(col("dn"), 1).as("q_dot"), score.as("sq8"))
+      .filter(col("sq8") > -2.0)
+      .orderBy(col("sq8").desc, col("id"))
+      .limit(k * refine)
+    val q = array(queryVec.map(lit): _*)
+    shortlist
+      .join(embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v")), Seq("id"))
+      .select(col("id").as(idCol), col("q_dot"),
+        NumFns.floorAt(GraftFunctions.cosine(col("v"), q), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The persisted SQ8 layout: (id, codes) — d int8 values per row. */
+  def sq8Encode(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col(idCol).as("id"),
+      GraftFunctions.sq8Encode(VectorFns.toDouble(col(vecCol))).as("codes"))
+  }
+
+  /** Binary-sketch top-k: 1 bit per dimension (coordinate sign), candidates
+    * ranked by Hamming distance to the query's sketch — `bit_count(xor)`
+    * over ceil(d/64) packed longs, built-in integer ops in any engine
+    * (Charikar 2002's sign sketch; Indyk–Motwani bit sampling is the same
+    * family). 64× less bandwidth than float64: the candidate scan reads
+    * d BITS per row. The per-query top-(k·refine) by (hamming, id) joins
+    * the raw store once for the exact floored-cosine answer; zero-norm
+    * rows (empty sketch, undefined cosine) are dropped at the re-rank on
+    * both engines identically.
+    *
+    * This is the cheapest rung of the compressed-scan ladder
+    * (float64 → SQ8 → PQ → binary); a corpus with strong sign structure
+    * (e.g. ternary-ish learned embeddings) gets near-PQ recall for 1/8 of
+    * PQ's bytes, and the sketch column makes a fine pre-filter in front
+    * of either. */
+  def hammingTopK(
+      embeddings: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      refine: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && refine >= 1, "k >= 1 and refine >= 1")
+    require(queryVec.nonEmpty, "empty query vector")
+    val qfp = graft.plans.ScalarQuant.signPack(queryVec)
+    val fps = embeddings.select(col(idCol).as("id"),
+      GraftFunctions.signPack64(VectorFns.toDouble(col(vecCol))).as("fp"))
+    val hamming = qfp.indices.map { w =>
+      bit_count(element_at(col("fp"), w + 1).bitwiseXOR(lit(qfp(w))))
+    }.reduce(_ + _)
+    val shortlist = fps.select(col("id"), hamming.cast("int").as("hamming"))
+      .orderBy(col("hamming").asc, col("id"))
+      .limit(k * refine)
+    val q = array(queryVec.map(lit): _*)
+    shortlist
+      .join(embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v")), Seq("id"))
+      .filter(GraftFunctions.dot(col("v"), col("v")) > 0.0)
+      .select(col("id").as(idCol), col("hamming"),
+        NumFns.floorAt(GraftFunctions.cosine(col("v"), q), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** MaxSim top-k — ColBERT-style late interaction (Khattab & Zaharia,
+    * SIGIR 2020): document and query are BAGS of token vectors (the flat
+    * embedding sliced into d/subDim tokens — the PQ subspace geometry
+    * reused as token geometry); score = Σ_i max_j sim(q_i, d_j), so every
+    * query token finds its best document token before any pooling. The
+    * per-pair similarity is the fixed-point floored cosine (a long,
+    * undefined zero-norm pairs contribute 0), making the per-token max
+    * and the total EXACT integer math — order-independent, bit-identical
+    * across engines, DuckDB-replayable with no tolerance.
+    *
+    * One fused kernel per row (T² cosines, constant-size bytecode, query
+    * tokens as a reference object) → map-only projection → TakeOrdered:
+    * the same zero-shuffle shape as the brute cosine scan, reading the
+    * same bytes — late interaction costs T² kernel flops, not extra IO.
+    * At 100 TB this is the RE-RANK stage over an ANN shortlist; the
+    * oracle row runs it corpus-wide so the scoring itself is what's
+    * hash-gated. */
+  def maxSimTopK(
+      embeddings: DataFrame,
+      queryVec: Seq[Double],
+      subDim: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && subDim >= 1, "k >= 1 and subDim >= 1")
+    require(queryVec.nonEmpty, "empty query vector")
+    val qTokens = graft.plans.MaxSimColumns.tokensOf(queryVec, subDim)
+    embeddings
+      .select(col(idCol),
+        graft.plans.MaxSimColumns.maxSim(
+          VectorFns.toDouble(col(vecCol)), qTokens, subDim, scale).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** MMR — maximal marginal relevance diversification (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick k of a relevance shortlist,
+    * each pick maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * standard rerank between retrieval and a training/RAG batch so near-
+    * duplicate passages don't crowd out coverage. λ arrives as an integer
+    * ratio (`lambdaNum/lambdaDen`) and both terms are fixed-point floored
+    * cosines, so every score is exact integer math and each argmax
+    * (ties to the smallest id) is engine-reproducible.
+    *
+    * Execution: the pool is the pinned top-`poolSize` relevance shortlist
+    * (one TakeOrdered over the corpus scan — the only corpus-sized work);
+    * each of the k−1 subsequent picks is a bounded broadcast product of
+    * (pool ≤ poolSize rows) × (selected ≤ k rows) — the documented
+    * caller-bounded crossJoin class — one keyed max, one TakeOrdered(1).
+    * Corpus-size-independent after the pool cut; k and poolSize are query
+    * constants. No driver loop touches data: the picks unroll as k
+    * deterministic plan stages (the graphSearch hop discipline). */
+  def mmrSelect(
+      embeddings: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      poolSize: Int,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10,
+      reliable: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    require(k >= 1 && poolSize >= k, "k >= 1 and poolSize >= k")
+    require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a ratio in [0, 1]")
+    val q = array(queryVec.map(lit): _*)
+    val relPpm = floor(GraftFunctions.cosine(col("v"), q) * lit(1e6)).cast("long")
+    val pool = Checkpoints.pin(
+      embeddings
+        .select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+        .withColumn("rel_ppm", relPpm)
+        .orderBy(col("rel_ppm").desc, col("id"))
+        .limit(poolSize), reliable)
+    val mu = lambdaDen - lambdaNum
+    // each pick is PINNED (the graphSearch per-hop discipline): pick i is
+    // referenced three times by pick i+1 (the union, the anti-join, the
+    // penalty product) — without the pin the subplan instantiations grow
+    // 3^k and the 40-row greedy costs corpus-scan multiples (measured:
+    // exchanges 80 -> 12 at k = 5)
+    var selected = Checkpoints.pin(pool
+      .orderBy(col("rel_ppm").desc, col("id")).limit(1)
+      .select(col("id"), col("v"), lit(1).as("pick"),
+        (lit(lambdaNum.toLong) * col("rel_ppm")).as("mmr")), reliable)
+    (2 to k).foreach { i =>
+      val cand = pool.join(selected.select(col("id")), Seq("id"), "left_anti")
+      val simPpm = floor(GraftFunctions.cosine(col("v"), col("sv")) * lit(1e6)).cast("long")
+      val next = cand
+        .crossJoin(broadcast(selected.select(col("v").as("sv"))))
+        .groupBy(col("id"), col("rel_ppm"))
+        .agg(max(simPpm).as("max_sim"), first(col("v")).as("v"))
+        .select(col("id"), col("v"), lit(i).as("pick"),
+          (lit(lambdaNum.toLong) * col("rel_ppm") - lit(mu.toLong) * col("max_sim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("id"))
+        .limit(1)
+      selected = Checkpoints.pin(selected.unionByName(next), reliable)
+    }
+    selected.select(col("id").as(idCol), col("pick"), col("mmr")).orderBy(col("pick"))
+  }
+
   /** PCA projection of the embedding corpus (the dimensionality-reduction
     * pass before indexing/ANN — 64 dims -> k keeps the index k/64ths the
     * size). Spark-first: `ml.feature.PCA` computes the d x d covariance

@@ -150,6 +150,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(cosineDescription, dotDescription, PqEncodeKernel.description, PqLutKernel.description,
+        Sq8EncodeKernel.description, Sq8AdcKernel.description, SignPack64Kernel.description,
+        MaxSimKernel.description,
         IntersectionSize.description, PolyFingerprint.description,
         Fnv64.description, BloomBuildAgg.description, BloomMightContain.description,
         CdcBoundaries.description)
@@ -184,6 +186,16 @@ object GraftFunctions {
 
   def bloomMightContain(sketch: Column, key: Column): Column =
     org.apache.spark.sql.functions.call_function(BloomMightContain.Name, sketch, key)
+
+  def sq8Encode(v: Column): Column =
+    org.apache.spark.sql.functions.call_function(Sq8EncodeKernel.Name, v)
+
+  def sq8Adc(codes: Column, qCodes: Array[Long]): Column =
+    org.apache.spark.sql.functions.call_function(Sq8AdcKernel.Name, codes,
+      org.apache.spark.sql.functions.typedLit(qCodes.toSeq))
+
+  def signPack64(v: Column): Column =
+    org.apache.spark.sql.functions.call_function(SignPack64Kernel.Name, v)
 
   def cdcBoundaries(bin: Column, w: Int, divisor: Int): Column =
     org.apache.spark.sql.functions.call_function(CdcBoundaries.Name, bin,

@@ -169,6 +169,72 @@ class CodegenCompileSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 + sign-pack kernels compile and match interpreted eval (incl. zero/ragged rows)") {
+    import graft.plans.{Sq8AdcKernel, Sq8EncodeKernel, SignPack64Kernel, ScalarQuant}
+    val dim = 64
+    val vecs = Seq(
+      (0 until dim).map(j => math.sin(j + 1.0)),
+      (0 until dim).map(j => ((j * 13) % 7 - 3) / 3.0),
+      (0 until dim).map(_ => 0.0),                       // zero-norm row
+      (0 until dim + 1).map(j => if (j % 3 == 0) 1.0 else -1.0), // 65 dims: 2nd pack word
+      (0 until 5).map(j => j - 2.0))                     // short row vs a 64-dim query
+    val q = (0 until dim).map(j => math.cos(j * 0.7))
+    val qc = ScalarQuant.encodeInt8(q)
+    val ref = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val enc = Sq8EncodeKernel(ref)
+    val pack = SignPack64Kernel(ref)
+    val proj = GenerateUnsafeProjection.generate(Seq(enc, pack)) // throws on Janino failure
+    for (v <- vecs) {
+      val row = InternalRow(new GenericArrayData(v.toArray))
+      val gotCodes = proj(row).getArray(0).toIntArray().toSeq
+      val gotPack = proj(row).getArray(1).toLongArray().toSeq
+      assert(gotCodes == ScalarQuant.encodeInt8(v).map(_.toInt).toSeq,
+        s"encode kernel != driver twin on dim ${v.size}")
+      assert(gotPack == ScalarQuant.signPack(v).toSeq,
+        s"sign-pack kernel != driver twin on dim ${v.size}")
+      assert(enc.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq == gotCodes, "encode eval/codegen divergence")
+      assert(pack.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq == gotPack, "pack eval/codegen divergence")
+      // ADC over the encoded row against the 64-dim query's codes: exact
+      // integer dot/norm, min-length dot (ragged rows clamp, norm is full)
+      val codesRow = InternalRow(new GenericArrayData(gotCodes.toArray))
+      val adc = Sq8AdcKernel(
+        BoundReference(0, ArrayType(org.apache.spark.sql.types.IntegerType), nullable = true), qc)
+      val adcProj = GenerateUnsafeProjection.generate(Seq(adc))
+      val got = adcProj(codesRow).getArray(0).toLongArray().toSeq
+      val refDot = gotCodes.zip(qc).map { case (c, cq) => c.toLong * cq }.sum
+      val refNrm = gotCodes.map(c => c.toLong * c.toLong).sum
+      assert(got == Seq(refDot, refNrm), s"ADC kernel diverged on dim ${v.size}")
+      assert(adc.eval(codesRow).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq == got, "ADC eval/codegen divergence")
+    }
+  }
+
+  test("MaxSim kernel compiles and matches interpreted eval (incl. zero-token, ragged)") {
+    import graft.plans.{MaxSimColumns, MaxSimKernel}
+    val dim = 16; val subDim = 4
+    val q = (0 until dim).map(j => math.cos(j * 0.9) + 0.1)
+    val qTok = MaxSimColumns.tokensOf(q, subDim).map(_.toArray).toArray
+    val expr = MaxSimKernel(
+      BoundReference(0, ArrayType(DoubleType), nullable = true), qTok, subDim, 1e6)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on Janino failure
+    val vecs = Seq(
+      (0 until dim).map(j => math.sin(j + 0.5)),
+      (0 until dim).map(_ => 0.0),                 // all-zero tokens: every pair 0
+      (0 until dim - 2).map(j => j / 7.0 - 1.0),   // ragged last token
+      Seq.empty[Double])                           // no tokens at all
+    for (v <- vecs) {
+      val row = InternalRow(new GenericArrayData(v.toArray))
+      val got = proj(row).getLong(0)
+      assert(expr.eval(row).asInstanceOf[Long] == got,
+        s"maxsim eval/codegen divergence on dim ${v.size}")
+      if (v.isEmpty) assert(got == 0L, "empty doc must score 0")
+      if (v.forall(_ == 0.0) && v.nonEmpty)
+        assert(got == 0L, "zero-norm tokens contribute 0 per pair")
+    }
+  }
+
   test("BloomMightContain generated code compiles, probes via references, matches eval") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     (1L to 50L).foreach(bf.putLong)

@@ -153,6 +153,30 @@ class PlanRegressionSpec extends SparkSpec {
       s"the codes-only scan should never see a vector column:\n$p")
   }
 
+  test("compressed scans (SQ8 / binary sketch): top-k reductions, no cartesian") {
+    // candidate generation is a map-only kernel projection feeding a
+    // TakeOrdered reduction; the re-rank joins an 80-row shortlist back to
+    // the raw store — nothing here may plan a cartesian product, and losing
+    // the TakeOrdered means the shortlist cut became a full sort
+    Seq("g_sim_sq8", "g_sim_hamming", "g_sim_ivfsq8").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$n lost the top-k reduction:\n$p")
+    }
+  }
+
+  test("retrieval rerankers: maxsim is a map-only top-k; mmr picks stay bounded products") {
+    // MaxSim is a single fused-kernel projection + TakeOrdered — the same
+    // zero-exchange shape as the brute cosine scan
+    val pm = plan("g_maxsim")
+    assert(!pm.contains("Exchange"), s"g_maxsim grew an exchange:\n$pm")
+    assert(pm.contains("TakeOrderedAndProject"), s"g_maxsim lost the top-k reduction:\n$pm")
+    // MMR's pool x selected products are bounded broadcasts (<= pool x k
+    // rows) — BNLJ is the documented class; a CartesianProduct is not
+    val pr = plan("g_mmr_select")
+    assert(!pr.contains("CartesianProduct"), s"g_mmr_select plans a CartesianProduct:\n$pr")
+  }
+
   test("entry / q_index_join / q_semi_join carry no broadcast hints") {
     // Policy (round-2 verdict #1): the index side of C1/C2 is unbounded at
     // 100 TB — a hard broadcast() hint is honored regardless of size and
