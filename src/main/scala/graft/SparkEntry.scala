@@ -2387,6 +2387,44 @@ object SparkEntry {
       SimilarityOps.ivfSq8TopK(e, fixtureCentroids(64), q, nProbe = 2, k = 20, refine = 4)
     },
 
+    "g_sim_sq8_indexed" -> { (s, dir) => // the PERSISTED IVF-SQ8 layout:
+      // codes-only files (d int8s per row, raw vectors not stored), cell
+      // hive directories, probe-all readback == the full integer-ADC scan
+      // — the g_sim_pq_indexed losslessness contract one rung down the
+      // ladder (write + directory-pruned read + re-rank against the raw
+      // store, all certified by the g_sim_sq8 oracle hash).
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val path = java.nio.file.Files.createTempDirectory("graft_sq8idx_").toString + "/idx"
+      SimilarityOps.writeSq8Index(e, fixtureCentroids(64), path)
+      SimilarityOps.sq8TopKIndexed(s, path, fixtureCentroids(64), e, q,
+        k = 20, nProbe = KmFixtureK, refine = 4)
+    },
+
+    "q_stream_sq8" -> { (s, dir) => // streaming IVF-SQ8 index maintenance,
+      // oracle side: an AvailableNow run of sq8IndexStream lands the
+      // embeddings as codes-only cell-partitioned deltas, and a probe-ALL
+      // read over the STREAMED index must equal the full integer-ADC scan
+      // — g_sim_sq8_indexed's losslessness contract over the streaming
+      // landing (shares g_sim_sq8's oracle). Cross-batch replay/fold
+      // semantics are Sq8StreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_sq8_")
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .sq8IndexStream(src, fixtureCentroids(64), s"$out/index", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      SimilarityOps.sq8TopKIndexed(s, s"$out/index", fixtureCentroids(64), e, qv,
+        k = 20, nProbe = KmFixtureK, refine = 4)
+    },
+
     "g_maxsim" -> { (s, dir) => // ColBERT-style late interaction: doc and
       // query are bags of 8 token-vectors (the flat 64-dim embedding
       // sliced by the PQ subspace geometry); score = sum over query
@@ -5018,6 +5056,10 @@ object SparkEntry {
     // IN filter before the shortlist cut (the pqOracleSql discipline)
     "g_sim_sq8" -> sq8OracleSql(pruned = false),
     "g_sim_ivfsq8" -> sq8OracleSql(pruned = true),
+    // probe-all over the persisted codes-only SQ8 layout == the full scan
+    "g_sim_sq8_indexed" -> sq8OracleSql(pruned = false),
+    // probe-all over the STREAMED codes-only SQ8 layout == the full scan
+    "q_stream_sq8" -> sq8OracleSql(pruned = false),
 
     "g_sim_hamming" ->
       // full replay: sign-bit pack into one UBIGINT word (bit j set iff

@@ -664,6 +664,107 @@ object SimilarityOps {
       GraftFunctions.sq8Encode(VectorFns.toDouble(col(vecCol))).as("codes"))
   }
 
+  /** Persist the IVF-SQ8 index: codes only (d int8s per row — the raw
+    * vectors are NOT stored), cell-partitioned hive directories so a
+    * probe's cell filter is DIRECTORY pruning — the [[writePqIndex]]
+    * layout one rung down the compression ladder. One shuffle (the cell
+    * repartition, one file per cell); encode is map-only. A `_meta.json`
+    * sidecar records (k, dim) so a mis-parameterized probe fails loudly
+    * instead of silently mis-scoring. */
+  def writeSq8Index(
+      embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+    assignCells(vecs, centroids)
+      .select(col("id"), GraftFunctions.sq8Encode(col("v")).as("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .partitionBy("cell").parquet(path)
+    writeSq8Meta(embeddings.sparkSession, path, centroids,
+      centroids.headOption.map(_._2.size).getOrElse(0))
+  }
+
+  private[graft] def writeSq8Meta(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Double])], dim: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(s"""{"k":${centroids.size},"dim":$dim}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Assert the caller's IVF-SQ8 geometry against the index sidecar
+    * (no-op when absent). */
+  private[graft] def assertSq8Meta(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Double])], op: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(name: String): Option[Long] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val want = Seq(
+        "k" -> centroids.size.toLong,
+        "dim" -> centroids.headOption.map(_._2.size).getOrElse(0).toLong)
+      val bad = want.flatMap { case (n, v) =>
+        field(n).filter(_ != v).map(rec => s"$n: index=$rec caller=$v")
+      }
+      require(bad.isEmpty,
+        s"$op: IVF-SQ8 geometry mismatch vs $path/_meta.json (${bad.mkString("; ")})")
+    }
+  }
+
+  /** Probe the persisted IVF-SQ8 index: probe-cell directory pruning,
+    * integer ADC over the codes-only readback, exact floored-cosine
+    * re-rank against the RAW store (`rawEmbeddings` — point lookups of
+    * the k·refine shortlist, the only stage that touches vectors).
+    * Probe-all readback == the full [[sq8TopK]] scan (the
+    * g_sim_pq_indexed losslessness contract on this layout). */
+  def sq8TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Seq[(Int, Seq[Double])],
+      rawEmbeddings: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      nProbe: Int = 2,
+      refine: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    assertSq8Meta(spark, path, centroids, "sq8TopKIndexed")
+    require(k >= 1 && refine >= 1 && nProbe >= 1, "k, refine, nProbe >= 1")
+    val qc = graft.plans.ScalarQuant.encodeInt8(queryVec)
+    val qnrm = qc.map(c => c * c).sum
+    require(qnrm > 0L, "all-zero query vector")
+    val probes = probeCellsOf(centroids, queryVec, nProbe)
+    val dn = spark.read.parquet(path)
+      .filter(col("cell").isin(probes: _*))
+      .select(col("id"), GraftFunctions.sq8Adc(col("codes"), qc).as("dn"))
+    val score = when(element_at(col("dn"), 2) === 0L, lit(-2.0))
+      .otherwise(element_at(col("dn"), 1).cast("double") /
+        (sqrt(element_at(col("dn"), 2).cast("double")) * lit(math.sqrt(qnrm.toDouble))))
+    val shortlist = dn
+      .select(col("id"), element_at(col("dn"), 1).as("q_dot"), score.as("sq8"))
+      .filter(col("sq8") > -2.0)
+      .orderBy(col("sq8").desc, col("id"))
+      .limit(k * refine)
+    val q = array(queryVec.map(lit): _*)
+    shortlist
+      .join(rawEmbeddings.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v")),
+        Seq("id"))
+      .select(col("id").as(idCol), col("q_dot"),
+        NumFns.floorAt(GraftFunctions.cosine(col("v"), q), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Binary-sketch top-k: 1 bit per dimension (coordinate sign), candidates
     * ranked by Hamming distance to the query's sketch — `bit_count(xor)`
     * over ceil(d/64) packed longs, built-in integer ops in any engine

@@ -665,6 +665,73 @@ object StreamingOps {
     foldBatchDirs(spark, path, "id LONG, codes ARRAY<INT>, cell INT",
       dedupKeys = Seq("id"), partitionCols = Seq("cell"))
 
+  /** Streaming IVF-SQ8 index maintenance — [[pqIndexStream]] one rung
+    * down the compression ladder: each micro-batch lands codes-only
+    * (d int8s per row) cell-partitioned deltas at `__batch=<id>`;
+    * the same idempotency (batch-id Overwrite), lineage refusal, and
+    * geometry-sidecar contract ((k, dim) here — a drifted centroid set
+    * would silently mis-route probes, so it fails loudly). */
+  def sq8IndexStream(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      path: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sq8Batch(batch, batchId, centroids, path, idCol, vecCol)
+      }
+
+  /** One [[sq8IndexStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def sq8Batch(batch: DataFrame, batchId: Long,
+      centroids: Seq[(Int, Seq[Double])], path: String,
+      idCol: String, vecCol: String): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "sq8IndexStream", path)
+    graft.operators.SimilarityOps.assertSq8Meta(s, path, centroids, "sq8IndexStream")
+    // sidecar BEFORE the first landing (the lshBatch crash-window rule)
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
+      graft.operators.SimilarityOps.writeSq8Meta(s, path, centroids,
+        centroids.headOption.map(_._2.size).getOrElse(0))
+    writeSq8Cells(batch, centroids, s"$path/__batch=$batchId", idCol, vecCol)
+  }
+
+  /** Bootstrap the versioned SQ8 layout from an existing corpus
+    * (`__batch=-1`), recording the geometry sidecar. */
+  def sq8IndexBase(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(p, "__batch=-1")
+    require(!f.exists(dir), s"$dir already exists — sq8IndexBase bootstraps once")
+    graft.operators.SimilarityOps.writeSq8Meta(embeddings.sparkSession, path, centroids,
+      centroids.headOption.map(_._2.size).getOrElse(0))
+    writeSq8Cells(embeddings, centroids, dir.toString, idCol, vecCol)
+  }
+
+  private def writeSq8Cells(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      dir: String, idCol: String, vecCol: String): Unit = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
+    graft.operators.SimilarityOps.assignCells(vecs, centroids)
+      .select(col("id"),
+        graft.plans.GraftFunctions.sq8Encode(col("v")).as("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(dir)
+  }
+
+  /** Fold [[sq8IndexStream]]'s per-batch deltas into the `__batch=-1`
+    * base — dedup on the vec id is lossless for the same reason as
+    * [[compactPqIndex]]: each id lands in exactly one batch with
+    * deterministic codes. */
+  def compactSq8Index(spark: SparkSession, path: String): Unit =
+    foldBatchDirs(spark, path, "id LONG, codes ARRAY<INT>, cell INT",
+      dedupKeys = Seq("id"), partitionCols = Seq("cell"))
+
   /** Streaming content-addressed chunk-store ingest — the CAS-backup
     * twin of the other versioned sinks: each micro-batch of binary
     * payloads is CDC-chunked ([[graft.operators.MultimodalOps.cdcByteChunks]],

@@ -163,6 +163,12 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct:\n$p")
       assert(p.contains("TakeOrderedAndProject"), s"$n lost the top-k reduction:\n$p")
     }
+    // the persisted SQ8 probe prunes cell directories; the only vector
+    // read is the re-rank's raw-store join (the index scan is codes-only)
+    val p = plan("g_sim_sq8_indexed")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"sq8 cell directory pruning lost:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"indexed scan lost the top-k:\n$p")
   }
 
   test("retrieval rerankers: maxsim is a map-only top-k; mmr picks stay bounded products") {
