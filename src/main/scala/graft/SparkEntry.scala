@@ -457,13 +457,17 @@ object SparkEntry {
     * against any selected row, argmax of `7·rel − 3·max_sim` with ties to
     * the smallest id. All scores are exact integers, so every argmax is
     * engine-reproducible. */
-  private lazy val mmrOracleSql: String = {
-    def cosPpm(a: String, b: String): String =
-      s"CAST(floor((list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
-        s"sqrt(list_dot_product($b, $b)))) * 1000000) AS BIGINT)"
+  private def fpCosPpmSql(a: String, b: String): String =
+    s"CAST(floor((list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)))) * 1000000) AS BIGINT)"
+
+  /** The s1..sel5 greedy-pick CTE chain over an existing
+    * `pool(vec_id, v, rel)` — shared by [[mmrOracleSql]] (rel = query
+    * cosine) and [[serveOracleSql]] (rel = MaxSim over IVF candidates). */
+  private def mmrPickCtesSql: String = {
     val picks = (2 to 5).map { i =>
       s"""c$i AS (
-         |  SELECT p.vec_id, p.rel, max(${cosPpm("p.v", "s.v")}) AS ms, first(p.v) AS v
+         |  SELECT p.vec_id, p.rel, max(${fpCosPpmSql("p.v", "s.v")}) AS ms, first(p.v) AS v
          |  FROM pool p CROSS JOIN sel${i - 1} s
          |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
          |  GROUP BY p.vec_id, p.rel),
@@ -471,14 +475,73 @@ object SparkEntry {
          |        ORDER BY mmr DESC, vec_id LIMIT 1),
          |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
-       |rel AS (SELECT vec_id, v, ${cosPpm("v.v", "qv")} AS rel FROM v, q),
-       |pool AS (SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 40),
-       |s1 AS (SELECT vec_id, v, 1 AS pick, 7 * rel AS mmr FROM pool
+    s"""s1 AS (SELECT vec_id, v, 1 AS pick, 7 * rel AS mmr FROM pool
        |       ORDER BY rel DESC, vec_id LIMIT 1),
        |sel1 AS (SELECT * FROM s1),
-       |$picks
+       |$picks""".stripMargin
+  }
+
+  private lazy val mmrOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+       |rel AS (SELECT vec_id, v, ${fpCosPpmSql("v.v", "qv")} AS rel FROM v, q),
+       |pool AS (SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 40),
+       |$mmrPickCtesSql
+       |SELECT vec_id, pick, mmr FROM sel5 ORDER BY pick""".stripMargin
+
+  /** Full replay of the composed serving pipeline (g_serve_pipeline):
+    * IVF candidate routing (fixture-centroid cell argmax, probe-2 IN
+    * filter) → MaxSim late-interaction scoring of the candidates (the
+    * g_maxsim 8×8 replay, integers) → top-20 pool by (maxsim, id) → the
+    * 5-pick MMR chain with rel = maxsim and the floored-cosine penalty.
+    * Every stage is exact integer math or a replayed argmax — the whole
+    * stack is hash-gated with no tolerance. */
+  private lazy val serveOracleSql: String = {
+    val cents = fixtureCentroids(64)
+    def centCos(vec: String, alias: String): String = cents.map { case (cid, c) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"(list_dot_product($vec, $arr) / (sqrt(list_dot_product($vec, $vec)) * " +
+        s"sqrt(list_dot_product($arr, $arr)))) AS $alias$cid"
+    }.mkString(",\n    ")
+    val coarseAssign = {
+      val arms = (1 until KmFixtureK).map { i =>
+        val conds = ((i + 1) to KmFixtureK).map(j => s"cc_$i >= cc_$j").mkString(" AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString(" ")
+      s"CASE $arms ELSE $KmFixtureK END AS cell"
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+       |cz AS (SELECT vec_id, v,
+       |    ${centCos("v", "cc_")},
+       |    $coarseAssign
+       |  FROM v),
+       |qcs AS (SELECT ${centCos("qv", "qc_")} FROM q),
+       |probe AS (
+       |  SELECT cid FROM (
+       |    ${(1 to KmFixtureK).map(c => s"SELECT $c AS cid, qc_$c AS qc FROM qcs").mkString(" UNION ALL\n    ")})
+       |  ORDER BY qc DESC, cid LIMIT 2),
+       |cand AS (SELECT vec_id, v FROM cz WHERE cell IN (SELECT cid FROM probe)),
+       |pair AS (
+       |  SELECT d.vec_id, ti.i,
+       |    CASE WHEN list_dot_product(list_slice(qv, i*8+1, (i+1)*8),
+       |                               list_slice(qv, i*8+1, (i+1)*8)) = 0
+       |           OR list_dot_product(list_slice(d.v, j*8+1, (j+1)*8),
+       |                               list_slice(d.v, j*8+1, (j+1)*8)) = 0
+       |         THEN 0
+       |         ELSE CAST(floor((list_dot_product(list_slice(qv, i*8+1, (i+1)*8),
+       |                                           list_slice(d.v, j*8+1, (j+1)*8)) /
+       |              (sqrt(list_dot_product(list_slice(qv, i*8+1, (i+1)*8),
+       |                                     list_slice(qv, i*8+1, (i+1)*8))) *
+       |               sqrt(list_dot_product(list_slice(d.v, j*8+1, (j+1)*8),
+       |                                     list_slice(d.v, j*8+1, (j+1)*8))))) * 1000000) AS BIGINT)
+       |    END AS s
+       |  FROM cand d, q, range(0, 8) ti(i), range(0, 8) tj(j)),
+       |mx AS (SELECT vec_id, i, max(s) AS ms FROM pair GROUP BY vec_id, i),
+       |tot AS (SELECT vec_id, CAST(sum(ms) AS BIGINT) AS rel FROM mx GROUP BY vec_id),
+       |pool AS (SELECT t.vec_id, w.v, t.rel FROM tot t JOIN v w ON w.vec_id = t.vec_id
+       |         ORDER BY t.rel DESC, t.vec_id LIMIT 20),
+       |$mmrPickCtesSql
        |SELECT vec_id, pick, mmr FROM sel5 ORDER BY pick""".stripMargin
   }
 
@@ -2423,6 +2486,29 @@ object SparkEntry {
       q.awaitTermination()
       SimilarityOps.sq8TopKIndexed(s, s"$out/index", fixtureCentroids(64), e, qv,
         k = 20, nProbe = KmFixtureK, refine = 4)
+    },
+
+    "g_serve_pipeline" -> { (s, dir) => // the composed serving stack,
+      // hash-gated end to end: IVF candidate routing (probe-2 cell IN
+      // filter) -> MaxSim late-interaction scoring of the candidates (the
+      // fused T^2 kernel, exact integers) -> top-20 pool by (maxsim, id)
+      // -> 5-pick MMR diversification with rel = maxsim. This is the
+      // retrieve/rerank/diversify pipeline a RAG or hard-negative-mining
+      // deployment runs; composing the three operators in one oracle row
+      // certifies the STAGE BOUNDARIES (candidate set, pool cut, pick
+      // argmaxes), not just each operator alone.
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val cents = fixtureCentroids(64)
+      val vecs = e.select(col("vec_id").as("id"), VectorFns.toDouble(col("embedding")).as("v"))
+      val cands = SimilarityOps.assignCells(vecs, cents)
+        .filter(col("cell").isin(SimilarityOps.probeCellsOf(cents, qv, 2): _*))
+      val pool = cands.select(col("id"), col("v"),
+          graft.plans.MaxSimColumns.maxSim(col("v"),
+            graft.plans.MaxSimColumns.tokensOf(qv, 8), 8).as("rel_ppm"))
+        .orderBy(col("rel_ppm").desc, col("id")).limit(20)
+      SimilarityOps.mmrSelectFromPool(pool, k = 5)
     },
 
     "g_maxsim" -> { (s, dir) => // ColBERT-style late interaction: doc and
@@ -5048,6 +5134,8 @@ object SparkEntry {
         |SELECT vec_id, maxsim FROM tot ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
 
     "g_mmr_select" -> mmrOracleSql,
+
+    "g_serve_pipeline" -> serveOracleSql,
 
     // full replay: per-vector symmetric int8 encode (floor(x+0.5)
     // rounding — identical tie behavior in both engines), exact-integer

@@ -880,18 +880,38 @@ object SimilarityOps {
       "lambda must be a ratio in [0, 1]")
     val q = array(queryVec.map(lit): _*)
     val relPpm = floor(GraftFunctions.cosine(col("v"), q) * lit(1e6)).cast("long")
-    val pool = Checkpoints.pin(
-      embeddings
-        .select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
-        .withColumn("rel_ppm", relPpm)
-        .orderBy(col("rel_ppm").desc, col("id"))
-        .limit(poolSize), reliable)
+    val pool = embeddings
+      .select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+      .withColumn("rel_ppm", relPpm)
+      .orderBy(col("rel_ppm").desc, col("id"))
+      .limit(poolSize)
+    mmrSelectFromPool(pool, k, lambdaNum, lambdaDen, reliable, idCol)
+  }
+
+  /** The greedy MMR fold over a CALLER-BOUNDED pool frame
+    * `(id, v array<double>, rel_ppm long)` — the seam that lets any
+    * retrieval stage (exact cosine, IVF candidates, a MaxSim rerank)
+    * provide the relevance scores. `rel_ppm` must be an exact integer for
+    * the argmaxes to be engine-reproducible. See [[mmrSelect]] for the
+    * semantics; the pool is pinned here (it is read 3(k−1)+1 times). */
+  def mmrSelectFromPool(
+      poolFrame: DataFrame,
+      k: Int,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10,
+      reliable: Boolean = false,
+      idCol: String = "vec_id"): DataFrame = {
+    GraftFunctions.register(poolFrame.sparkSession)
+    require(k >= 1, "k >= 1")
+    require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a ratio in [0, 1]")
+    val pool = Checkpoints.pin(poolFrame.select(col("id"), col("v"), col("rel_ppm")), reliable)
     val mu = lambdaDen - lambdaNum
     // each pick is PINNED (the graphSearch per-hop discipline): pick i is
     // referenced three times by pick i+1 (the union, the anti-join, the
     // penalty product) — without the pin the subplan instantiations grow
     // 3^k and the 40-row greedy costs corpus-scan multiples (measured:
-    // exchanges 80 -> 12 at k = 5)
+    // exchanges 80 -> 1 at k = 5)
     var selected = Checkpoints.pin(pool
       .orderBy(col("rel_ppm").desc, col("id")).limit(1)
       .select(col("id"), col("v"), lit(1).as("pick"),

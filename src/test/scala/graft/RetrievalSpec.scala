@@ -160,6 +160,25 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 3L), s"expected diversification, got ${got.toSeq}")
   }
 
+  test("mmrSelectFromPool: the pool seam reproduces mmrSelect given the same pool") {
+    val dim = 8
+    val e = corpus(30, dim)
+    val q = vecOf(200, dim)
+    val whole = SimilarityOps.mmrSelect(e, q, k = 5, poolSize = 20)
+      .as[(Long, Int, Long)].collect().toSeq
+    // rebuild the identical pool by hand and feed it through the seam
+    val qc = q.map(x => lit(x))
+    val rel = floor(graft.plans.GraftFunctions.cosine($"v", array(qc: _*)) * lit(1e6))
+      .cast("long")
+    val pool = e.select($"vec_id".as("id"),
+        graft.functions.VectorFns.toDouble($"embedding").as("v"))
+      .withColumn("rel_ppm", rel)
+      .orderBy($"rel_ppm".desc, $"id").limit(20)
+    val viaSeam = SimilarityOps.mmrSelectFromPool(pool, k = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(viaSeam == whole)
+  }
+
   test("mmrSelect: picks are distinct with contiguous pick numbers") {
     val e = corpus(15, 8)
     val got = SimilarityOps.mmrSelect(e, vecOf(7, 8), k = 6, poolSize = 15)
