@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TimeFns, VectorFns}
-import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, MultimodalOps, RetrievalOps, SimilarityOps, TemporalOps, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -543,6 +543,72 @@ object SparkEntry {
        |         ORDER BY t.rel DESC, t.vec_id LIMIT 20),
        |$mmrPickCtesSql
        |SELECT vec_id, pick, mmr FROM sel5 ORDER BY pick""".stripMargin
+  }
+
+  /** Fixed lexical query for the BM25 rows: one rare token (`dup`, df a
+    * few % of docs), two common ones — the idf spread exercises both ends
+    * of the saturation curve. */
+  private val Bm25Query = Seq("dup", "spark", "customer")
+
+  /** The BM25 scoring CTEs over `documents` — shared by [[bm25OracleSql]]
+    * and [[hybridOracleSql]]. Replays [[graft.operators.RetrievalOps]]'s
+    * exactness discipline: the one `ln` is pinned to DECIMAL(18,8) and
+    * cast back to DOUBLE before the product, shape constants interpolate
+    * via Double.toString (round-trips to the identical double), per-term
+    * contributions quantize to DECIMAL(18,8) before the order-free exact
+    * sum, final score floored at 4 digits. */
+  private lazy val bm25ScoreCtesSql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val k1 = graft.operators.RetrievalOps.DefaultK1
+    val b = graft.operators.RetrievalOps.DefaultB
+    val idf = "CAST(CAST(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(18,8)) AS DOUBLE)"
+    val sat = s"((CAST(tf AS DOUBLE) * ${k1 + 1.0}) / (CAST(tf AS DOUBLE) + $k1 * " +
+      s"(${1.0 - b} + $b * (CAST(dl AS DOUBLE) / (CAST(a AS DOUBLE) / CAST(n AS DOUBLE))))))"
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |       WHERE tok IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |              floor(CAST(sum(CAST($idf * $sat AS DECIMAL(18,8))) AS DOUBLE)
+       |                    * 10000) / 10000 AS bm25
+       |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+       |       GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25ScoreCtesSql
+       |SELECT doc_id, n_terms, bm25 FROM sc
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Replay of [[graft.operators.RetrievalOps.hybridTopK]]: the BM25 arm
+    * (top-30, ranks by the same total order), the exact floored-cosine
+    * arm, and the RRF fold — each arm's reciprocal 1/(60+rank) quantized
+    * to DECIMAL(18,8) before the exact sum, floored at 6 digits. */
+  private lazy val hybridOracleSql: String = {
+    val rc = "CAST(1.0 / (60.0 + CAST(rank AS DOUBLE)) AS DECIMAL(18,8))"
+    s"""WITH $bm25ScoreCtesSql,
+       |lex AS (SELECT doc_id AS id,
+       |               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+       |        FROM sc ORDER BY bm25 DESC, doc_id LIMIT 30),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |sim AS (SELECT vec_id,
+       |               floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+       |                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                            CAST(embedding AS DOUBLE[]))) *
+       |                      sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 AS sim
+       |        FROM embeddings, q),
+       |vec AS (SELECT vec_id AS id,
+       |               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |        FROM sim ORDER BY sim DESC, vec_id LIMIT 30),
+       |u AS (SELECT id, $rc AS c FROM lex
+       |      UNION ALL SELECT id, $rc AS c FROM vec)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_arms,
+       |       floor(CAST(sum(c) AS DOUBLE) * 1000000) / 1000000 AS rrf
+       |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 10""".stripMargin
   }
 
   /** Full replay of [[SimilarityOps.knnGraphPq]] under the fixture
@@ -2509,6 +2575,41 @@ object SparkEntry {
             graft.plans.MaxSimColumns.tokensOf(qv, 8), 8).as("rel_ppm"))
         .orderBy(col("rel_ppm").desc, col("id")).limit(20)
       SimilarityOps.mmrSelectFromPool(pool, k = 5)
+    },
+
+    "g_bm25" -> { (s, dir) => // Okapi BM25 lexical retrieval (Lucene-
+      // variant idf), top-10 by (score desc, doc_id). Exactness: ln
+      // pinned to DECIMAL(18,8), per-term contributions decimal-quantized
+      // before the order-free sum, score floored at 4 digits — the whole
+      // scorer replays bit-exactly in DuckDB, no tolerance. Shape: token
+      // explode -> query-term filter -> (doc,term) tf agg -> broadcast
+      // |query|-row df -> doc-keyed dl join -> per-doc agg.
+      RetrievalOps.bm25TopK(Tables.documents(s, dir), Bm25Query, k = 10)
+    },
+
+    "g_bm25_indexed" -> { (s, dir) => // BM25 served from the PERSISTED
+      // token-partitioned postings index: (tok, doc_id, tf) rows under
+      // pt = pmod(xxhash64(tok), nPt) hive dirs, (doc_id, dl) sidecar,
+      // corpus constants in _meta.json — the probe reads ONLY the pt
+      // directories the query terms hash to (posting-list cost, not
+      // corpus cost) and never scans documents. Contract: bit-equal to
+      // the full-scan g_bm25 (shared oracle hash).
+      val path = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
+      RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path, nPt = 16)
+      RetrievalOps.bm25TopKIndexed(s, path, Bm25Query, k = 10)
+    },
+
+    "g_hybrid_rrf" -> { (s, dir) => // hybrid lexical+vector retrieval:
+      // BM25 top-30 and exact-cosine top-30 fused by reciprocal-rank
+      // fusion (1/(60+rank), decimal-quantized exact sum, 6-digit floor),
+      // top-10 by (rrf desc, id) — the standard hybrid-search serving
+      // composition; both arms are bounded shortlists so the fusion is
+      // 60-row work.
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      RetrievalOps.hybridTopK(Tables.documents(s, dir), e, Bm25Query, qv,
+        k = 10, poolK = 30)
     },
 
     "g_maxsim" -> { (s, dir) => // ColBERT-style late interaction: doc and
@@ -5136,6 +5237,14 @@ object SparkEntry {
     "g_mmr_select" -> mmrOracleSql,
 
     "g_serve_pipeline" -> serveOracleSql,
+
+    "g_bm25" -> bm25OracleSql,
+
+    // the indexed probe's contract is bit-equality with the full scan, so
+    // it shares g_bm25's oracle hash
+    "g_bm25_indexed" -> bm25OracleSql,
+
+    "g_hybrid_rrf" -> hybridOracleSql,
 
     // full replay: per-vector symmetric int8 encode (floor(x+0.5)
     // rounding — identical tie behavior in both engines), exact-integer

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{NumFns, TextFns}
+
+/** Lexical retrieval + hybrid fusion over the documents table (builder
+  * mandate §G, the serving-side complement of the ANN family): BM25
+  * scoring (Robertson/Spärck Jones Okapi BM25, the Lucene-variant
+  * `ln(1 + (N-df+0.5)/(df+0.5))` idf), a persisted token-partitioned
+  * postings index so query cost is posting-list-sized rather than
+  * corpus-sized, and reciprocal-rank fusion (Cormack et al., RRF) to
+  * combine a lexical ranking with a vector ranking into one hybrid
+  * answer.
+  *
+  * Exactness discipline (the [[TextOps.unigramLogProb]] convention): the
+  * one libm call (`ln`) is quantized to DECIMAL(18,8) immediately, every
+  * other step is a correctly-rounded IEEE double op on identical inputs
+  * in any engine, per-term contributions quantize to DECIMAL(18,8)
+  * BEFORE the order-sensitive sum (decimal sums are exact and
+  * order-free), and the final score floors at 4 digits — so the whole
+  * scorer replays bit-exactly in DuckDB and the oracle rows carry no
+  * tolerance.
+  */
+object RetrievalOps {
+
+  /** Default BM25 shape parameters (the Robertson-recommended / Lucene
+    * default operating point). */
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Per-(doc, term) BM25 inputs for `query` terms only: tf rows joined
+    * with term df, doc length, and the one-row corpus stats frame.
+    * Kept private — the public faces are [[bm25Scores]] / [[bm25TopK]]
+    * and the indexed probe. */
+  private def bm25Contrib(k1: Double, b: Double): Column = {
+    val nD = col("__n").cast("double")
+    val aD = col("__a").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    // idf: the single libm op, pinned to the 1e-8 grid and back to double
+    // so both engines multiply identical doubles
+    val idfQ = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      .cast("decimal(18,8)").cast("double")
+    // tf saturation + length normalization: every op correctly-rounded
+    // IEEE on identical inputs (avgdl is the exact double quotient of two
+    // integer-exact casts); constants interpolate into the oracle SQL via
+    // Double.toString, which round-trips to the identical double
+    val sat = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / (aD / nD))))
+    (idfQ * sat).cast("decimal(18,8)")
+  }
+
+  /** BM25 scores for every document matching at least one `query` term:
+    * `(doc_id, n_terms, bm25)` where `n_terms` counts distinct matched
+    * query terms and `bm25` is the 4-digit-floored Okapi score.
+    *
+    * Shape at 100 TB: token explode → query-term filter (the full-scan
+    * fallback; [[bm25TopKIndexed]] replaces this with posting-list
+    * directory pruning) → (doc, term) tf agg → a ≤|query|-row df frame
+    * BROADCAST back → doc-keyed join with the doc-length frame → per-doc
+    * agg. Two shuffles, both map-side combined; the df/stats frames are
+    * driver-bounded. */
+  def bm25Scores(
+      docs: DataFrame,
+      query: Seq[String],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val terms = query.distinct
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val stats = docs.agg(
+      count(lit(1)).as("__n"),
+      sum(size(TextFns.tokens(col("text")))).as("__a"))
+    val dl = docs.select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df")) // ≤ |query| rows
+    scoreFromPostings(tf, dfc, dl, stats, k1, b)
+  }
+
+  /** The shared scoring tail over any postings provider: `(doc_id, tok,
+    * tf)` × broadcast df × doc-length × one-row stats → per-doc floored
+    * score. */
+  private def scoreFromPostings(
+      tf: DataFrame,
+      dfc: DataFrame,
+      dl: DataFrame,
+      stats: DataFrame,
+      k1: Double,
+      b: Double): DataFrame =
+    tf.join(broadcast(dfc), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // one-row corpus stats
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        NumFns.floorAt(sum(bm25Contrib(k1, b)).cast("double"), 4).as("bm25"))
+
+  /** Top-`k` lexical hits by `(bm25 desc, doc_id)` — the total order makes
+    * the cut deterministic in any engine. */
+  def bm25TopK(
+      docs: DataFrame,
+      query: Seq[String],
+      k: Int = 10,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(k >= 1, "k >= 1")
+    bm25Scores(docs, query, k1, b).orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  // ---------------------------------------------------------------- index
+
+  /** Persist the corpus' postings index: one `(tok, doc_id, tf)` row per
+    * distinct (token, doc) pair, hive-partitioned by `pt =
+    * pmod(xxhash64(tok), nPt)` under the versioned `__batch=-1` base (the
+    * [[TextOps.writeShingleIndex]] layout), plus a `_docs` parquet
+    * sidecar `(doc_id, dl)` and a `_meta.json` recording
+    * `(nPt, nDocs, totalTokens)`. A probe for a q-term query reads only
+    * the ≤q `pt` directories its terms hash to — posting-list cost, not
+    * corpus cost — and the corpus-wide constants come from the sidecar,
+    * no corpus scan at query time. */
+  def writePostingsIndex(docs: DataFrame, path: String, nPt: Int = 16): Unit = {
+    require(nPt >= 1, "nPt >= 1")
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"),
+        pmod(xxhash64(col("tok")), lit(nPt.toLong)).cast("int").as("pt"))
+      .repartition(col("pt")) // one file per pt dir
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("pt").parquet(s"$path/__batch=-1")
+    docs.select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/_docs")
+    val Row = docs.agg(count(lit(1)).as("n"),
+      sum(size(TextFns.tokens(col("text")))).cast("long").as("a")).head()
+    writeMeta(spark, path, nPt, Row.getLong(0), Row.getLong(1))
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      nPt: Int, nDocs: Long, totalTokens: Long): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(
+      s"""{"nPt":$nPt,"nDocs":$nDocs,"totalTokens":$totalTokens}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMetaField(spark: SparkSession, path: String, name: String): Long = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(mf.exists(meta), s"postings index at $path has no _meta.json sidecar")
+    val in = mf.open(meta)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    s""""$name":(-?\\d+)""".r.findFirstMatchIn(text) match {
+      case Some(m) => m.group(1).toLong
+      case None => throw new IllegalArgumentException(
+        s"postings index sidecar at $path lacks field '$name'")
+    }
+  }
+
+  /** pt buckets for the query terms — computed through the SAME engine
+    * expression the writer used (a ≤|query|-row local job), so writer and
+    * probe can never drift on the hash. */
+  private def termBuckets(spark: SparkSession, terms: Seq[String], nPt: Int): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        terms.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType))))
+      .select(pmod(xxhash64(col("tok")), lit(nPt.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.distinct
+  }
+
+  /** [[bm25TopK]] served from a [[writePostingsIndex]] root: reads ONLY
+    * the `pt` directories the query terms hash to (hive partition
+    * pruning), folds any maintenance deltas by summing tf per (tok, doc)
+    * — max-idempotent for the batch layout's single row — computes df
+    * from the folded postings (exact: postings are complete per term),
+    * and takes N/avgdl from the sidecar. Contract (spec-pinned +
+    * `g_bm25_indexed` hash row): bit-equal to the full-scan
+    * [[bm25TopK]]. */
+  def bm25TopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      query: Seq[String],
+      k: Int = 10,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k >= 1, "k >= 1")
+    val terms = query.distinct
+    val nPt = readMetaField(spark, indexPath, "nPt").toInt
+    val nDocs = readMetaField(spark, indexPath, "nDocs")
+    val totalTokens = readMetaField(spark, indexPath, "totalTokens")
+    val buckets = termBuckets(spark, terms, nPt)
+    val postings = spark.read
+      .schema("tok STRING, doc_id LONG, tf LONG, pt INT, __batch LONG")
+      .parquet(indexPath)
+      .filter(col("pt").isin(buckets: _*)) // directory pruning
+      .filter(col("tok").isin(terms: _*))
+    // fold per-batch deltas (a streaming twin appends partial tf rows
+    // above __batch=-1; summing reproduces the corpus tf exactly)
+    val tf = postings.groupBy(col("doc_id"), col("tok")).agg(sum(col("tf")).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$indexPath/_docs")
+    val stats = spark.range(1)
+      .select(lit(nDocs).as("__n"), lit(totalTokens).as("__a"))
+    scoreFromPostings(tf, dfc, dl, stats, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  // ---------------------------------------------------------------- fusion
+
+  /** Reciprocal-rank fusion over any number of rankings: each input is
+    * `(id, rank)` with dense 1-based ranks; an id scores
+    * `Σ_arms 1/(rrfK + rank)` (absent-in-arm contributes 0), each arm's
+    * reciprocal quantized to DECIMAL(18,8) before the order-free exact
+    * sum. Output: top-`k` of `(id, n_arms, rrf)` by `(rrf desc, id)`.
+    * The inputs are shortlist frames (top-k of their retrievers), so the
+    * union/agg runs on arms·k rows — driver-bounded, never corpus-sized. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int = 10,
+      rrfK: Int = 60,
+      idCol: String = "id"): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(rrfK >= 1, "rrfK >= 1")
+    val contrib = (lit(1.0) /
+      (lit(rrfK).cast("double") + col("rank").cast("double"))).cast("decimal(18,8)")
+    val tagged = rankings.map(_.select(col(idCol).as("id"), contrib.as("c")))
+    tagged.reduce(_.unionByName(_))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_arms"),
+        NumFns.floorAt(sum(col("c")).cast("double"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Attach dense 1-based ranks to a shortlist frame by the given total
+    * order. The frame is a bounded top-k shortlist, so the single-
+    * partition window is k-row work, not corpus work (the mmr-pool
+    * precedent). */
+  def withRank(shortlist: DataFrame, order: Seq[Column]): DataFrame =
+    shortlist.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+
+  /** Hybrid lexical+vector retrieval: BM25 top-`poolK` over `docs` fused
+    * by RRF with exact-cosine top-`poolK` over `embeddings` (fixture
+    * contract: `doc_id` and `vec_id` identify the same item). The arms
+    * are independent retrievers; fusion runs on 2·poolK rows. */
+  def hybridTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      query: Seq[String],
+      queryVec: Seq[Double],
+      k: Int = 10,
+      poolK: Int = 30,
+      rrfK: Int = 60): DataFrame = {
+    val lex = withRank(
+      bm25TopK(docs, query, poolK).select(col("doc_id").as("id"), col("bm25")),
+      Seq(col("bm25").desc, col("id")))
+    val vec = withRank(
+      SimilarityOps.bruteForceTopK(embeddings, queryVec, poolK)
+        .select(col("vec_id").as("id"), col("sim")),
+      Seq(col("sim").desc, col("id")))
+    rrfFuse(Seq(lex, vec), k, rrfK)
+  }
+}
