@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TimeFns, VectorFns}
-import graft.operators.{CurationOps, DedupOps, MultimodalOps, RetrievalOps, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{AssemblyOps, CurationOps, DedupOps, MultimodalOps, RetrievalOps, SimilarityOps, TemporalOps, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3144,6 +3144,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_pack_spans" -> { (s, dir) => // GPT-style concat-and-chunk packing:
+      // the corpus in doc_id order becomes one token stream; 128-token
+      // sequences own contiguous slices; every doc emits one span row per
+      // sequence it crosses (seq_pos / doc_start / len — the manifest a
+      // loader builds input ids and attention-reset masks from) and the
+      // trailing partial sequence is dropped. Two-phase chunked prefix
+      // sum; the sequence-count denominator is a 1-row broadcast (no
+      // driver action).
+      AssemblyOps.packTokenSpans(Tables.documents(s, dir), seqLen = 128L)
+        .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
+    "g_epoch_expand" -> { (s, dir) => // UniMax epochs materialized (the
+      // "applied at training time" half unimaxSelect defers): each
+      // source's docs repeat alloc DIV n full epochs; the remainder is
+      // filled by the minimal shuffle-order prefix (boundary kept) at
+      // epoch = full. budget 40000 / cap 3 exercises both paths at the
+      // oracle SFs (alloc ≈ 2000/source vs ~1300-token sources).
+      AssemblyOps.epochExpand(Tables.documents(s, dir),
+          budgetTokens = 40000L, epochCap = 3)
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
+    "g_train_manifest" -> { (s, dir) => // the composed assembly DAG:
+      // allocation → epoch expansion → deterministic interleave of
+      // (doc, epoch) instances (permutation of eid = id*4 + epoch at
+      // seed+1) → 128-token packing. The oracle replays all four stages;
+      // drift in ANY of them flips this row even if their own rows stay
+      // green.
+      AssemblyOps.trainManifest(Tables.documents(s, dir),
+          budgetTokens = 40000L, epochCap = 3, seqLen = 128L)
+        .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
     "g_dsir_select" -> { (s, dir) => // DSIR end to end: importance scores
       // (target = English) length-normalized in fixed point, top 30% of
       // the RAW pool kept through the salted quantile machinery —
@@ -6009,6 +6043,142 @@ object SparkEntry {
         |       ((doc_id % 2147483647) * 62089911) % 2147483647 AS sort_key,
         |       (((doc_id % 2147483647) * 62089911) % 2147483647) % 8 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g_pack_spans" ->
+      // concat-and-chunk replayed as one window prefix-sum (the engine's
+      // chunked two-phase form is spec-pinned bit-equal), spans via
+      // generate_series, trailing partial sequence dropped by the total
+      """WITH d AS (SELECT doc_id,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
+        |      FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
+        |      FROM d WHERE n > 0),
+        |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM d WHERE n > 0),
+        |s AS (SELECT doc_id, n, off,
+        |        unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
+        |      FROM o)
+        |SELECT s.seq_id,
+        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |       doc_id,
+        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
+        |       CAST(least(off + n, (seq_id + 1) * 128)
+        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |FROM s, t WHERE s.seq_id < tt // 128
+        |ORDER BY seq_id, seq_pos""".stripMargin,
+
+    "g_epoch_expand" ->
+      // the g_unimax waterfilling CTEs at budget 40000 / cap 3, then the
+      // repeat schedule: full epochs via generate_series, the fractional
+      // epoch as the minimal sk-order prefix covering alloc mod n
+      // (boundary kept — the domainTokenBudget rule)
+      """WITH c AS (SELECT source,
+        |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |r AS (SELECT source, n_tokens, n_tokens * 3 AS cap,
+        |        CAST(row_number() OVER (ORDER BY n_tokens * 3, source) AS BIGINT) AS i,
+        |        CAST(count(*) OVER () AS BIGINT) AS s,
+        |        coalesce(SUM(n_tokens * 3) OVER (ORDER BY n_tokens * 3, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM c),
+        |f AS (SELECT *,
+        |        (CAST(cap AS HUGEINT) * (s - i + 1) <= CAST(40000 AS HUGEINT) - bef) AS flag
+        |      FROM r),
+        |m AS (SELECT *, coalesce(max(CASE WHEN flag THEN i END) OVER (), 0) AS mm,
+        |        coalesce(max(CASE WHEN flag THEN bef + cap END) OVER (), 0) AS pm
+        |      FROM f),
+        |a AS (SELECT source, n_tokens,
+        |        CAST(CASE WHEN i <= mm THEN cap
+        |             ELSE ((40000 - pm) // (s - mm)) +
+        |                  (CASE WHEN i - mm <= ((40000 - pm) % (s - mm)) THEN 1 ELSE 0 END)
+        |        END AS BIGINT) AS alloc
+        |      FROM m),
+        |e AS (SELECT source,
+        |        CAST(CASE WHEN n_tokens > 0 THEN alloc // n_tokens ELSE 0 END AS BIGINT) AS fullr,
+        |        CAST(CASE WHEN n_tokens > 0 THEN alloc % n_tokens ELSE 0 END AS BIGINT) AS frac
+        |      FROM a),
+        |d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+        |        ((doc_id % 2147483647) * 62089911) % 2147483647 AS sk
+        |      FROM documents),
+        |fullrep AS (SELECT doc_id, d.source,
+        |        unnest(generate_series(0, fullr - 1)) AS epoch, n_tokens
+        |      FROM d JOIN e USING (source) WHERE fullr > 0),
+        |cum AS (SELECT d.doc_id, d.source, d.n_tokens, e.fullr, e.frac,
+        |        CAST(sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.sk, d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        |      FROM d JOIN e USING (source))
+        |SELECT doc_id, source, epoch, n_tokens FROM fullrep
+        |UNION ALL
+        |SELECT doc_id, source, fullr AS epoch, n_tokens FROM cum WHERE cm - n_tokens < frac
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    "g_train_manifest" ->
+      // all four stages replayed: the g_epoch_expand CTEs, the seed+1
+      // interleave permutation over eid = id*4 + epoch, the one-window
+      // prefix sum, and the span fan-out with the partial tail dropped
+      """WITH c AS (SELECT source,
+        |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |r AS (SELECT source, n_tokens, n_tokens * 3 AS cap,
+        |        CAST(row_number() OVER (ORDER BY n_tokens * 3, source) AS BIGINT) AS i,
+        |        CAST(count(*) OVER () AS BIGINT) AS s,
+        |        coalesce(SUM(n_tokens * 3) OVER (ORDER BY n_tokens * 3, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM c),
+        |f AS (SELECT *,
+        |        (CAST(cap AS HUGEINT) * (s - i + 1) <= CAST(40000 AS HUGEINT) - bef) AS flag
+        |      FROM r),
+        |m AS (SELECT *, coalesce(max(CASE WHEN flag THEN i END) OVER (), 0) AS mm,
+        |        coalesce(max(CASE WHEN flag THEN bef + cap END) OVER (), 0) AS pm
+        |      FROM f),
+        |a AS (SELECT source, n_tokens,
+        |        CAST(CASE WHEN i <= mm THEN cap
+        |             ELSE ((40000 - pm) // (s - mm)) +
+        |                  (CASE WHEN i - mm <= ((40000 - pm) % (s - mm)) THEN 1 ELSE 0 END)
+        |        END AS BIGINT) AS alloc
+        |      FROM m),
+        |e AS (SELECT source,
+        |        CAST(CASE WHEN n_tokens > 0 THEN alloc // n_tokens ELSE 0 END AS BIGINT) AS fullr,
+        |        CAST(CASE WHEN n_tokens > 0 THEN alloc % n_tokens ELSE 0 END AS BIGINT) AS frac
+        |      FROM a),
+        |d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+        |        ((doc_id % 2147483647) * 62089911) % 2147483647 AS sk
+        |      FROM documents),
+        |fullrep AS (SELECT doc_id, d.source,
+        |        unnest(generate_series(0, fullr - 1)) AS epoch, n_tokens
+        |      FROM d JOIN e USING (source) WHERE fullr > 0),
+        |cum AS (SELECT d.doc_id, d.source, d.n_tokens, e.fullr, e.frac,
+        |        CAST(sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.sk, d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        |      FROM d JOIN e USING (source)),
+        |u AS (SELECT doc_id, source, epoch, n_tokens FROM fullrep
+        |      UNION ALL
+        |      SELECT doc_id, source, fullr AS epoch, n_tokens FROM cum
+        |      WHERE cm - n_tokens < frac),
+        |k AS (SELECT *, doc_id * 4 + epoch AS eid,
+        |        (((doc_id * 4 + epoch) % 2147483647) * 62089911 + 1) % 2147483647 AS ord
+        |      FROM u),
+        |o2 AS (SELECT *,
+        |        CAST(sum(n_tokens) OVER (ORDER BY ord, eid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens AS off
+        |      FROM k WHERE n_tokens > 0),
+        |t2 AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tt
+        |       FROM k WHERE n_tokens > 0),
+        |s2 AS (SELECT doc_id, source, epoch, n_tokens, off,
+        |        unnest(generate_series(off // 128, (off + n_tokens - 1) // 128)) AS seq_id
+        |      FROM o2)
+        |SELECT seq_id,
+        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |       doc_id, source, epoch,
+        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
+        |       CAST(least(off + n_tokens, (seq_id + 1) * 128)
+        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |FROM s2, t2 WHERE s2.seq_id < tt // 128
+        |ORDER BY seq_id, seq_pos""".stripMargin,
 
     "g_dsir_select" ->
       // g_dsir_weights' scoring replayed, length-normalized with integer

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Training-run assembly: the last mile from a curated corpus to the
+  * token stream a trainer actually consumes (builder mandate §G, beyond
+  * the reference surface — the reference stops at replayable event
+  * streams, `CassandraEventStore.cs:246-266`; a pretraining pipeline
+  * additionally has to PACK those documents into fixed-length sequences
+  * and SCHEDULE their repeats).
+  *
+  * Three operators, each deterministic and engine-replayable (no RNG —
+  * the multiplicative permutation from [[CurationOps.shuffleShards]]
+  * supplies all pseudo-randomness, so a run is bit-reproducible on any
+  * cluster and auditable in ANSI SQL):
+  *
+  *   - [[packTokenSpans]] — GPT-style concat-and-chunk packing: the
+  *     corpus is one long token stream in a declared order; sequence `s`
+  *     owns tokens `[s·L, (s+1)·L)`; every document contributes one SPAN
+  *     row per sequence it crosses. The output is the (seq_id, seq_pos,
+  *     doc, doc_start, len) manifest a loader needs to build both the
+  *     input ids and the attention-reset / loss mask at sequence
+  *     boundaries — documents are sliced, never padded, and the trailing
+  *     partial sequence is dropped.
+  *   - [[epochExpand]] — materializes [[CurationOps.unimaxAllocation]]'s
+  *     epochs_ppm as actual repeat rows: each source's documents appear
+  *     `alloc DIV n_src` full epochs, plus one fractional epoch filled
+  *     by the minimal shuffle-order prefix covering the remainder
+  *     (boundary document kept — the [[CurationOps.domainTokenBudget]]
+  *     rule, so realized tokens overshoot each source's allocation by
+  *     less than one document).
+  *   - [[trainManifest]] — the composed pass: allocation → epoch
+  *     expansion → deterministic global interleave of (doc, epoch) →
+  *     packing. One DAG from raw corpus to training manifest.
+  *
+  * Scale shape: the only inherently sequential step — the corpus-wide
+  * exclusive prefix-sum of token counts — runs two-phase exactly like
+  * [[CurationOps.tokenPacking]]: contiguous order-key chunks prefix-sum
+  * locally (windows PARTITIONED by chunk), and only the bounded
+  * chunk-totals frame sees an unpartitioned window. Span fan-out is an
+  * `explode(sequence(...))` of at most `n/L + 1` rows per document; the
+  * sequence-total denominator is a 1-row aggregate broadcast back in-DAG
+  * (no driver action).
+  */
+object AssemblyOps {
+
+  /** Mersenne prime 2^31-1 — the [[CurationOps.shuffleShards]] modulus. */
+  private[graft] val P = 2147483647L
+  private[graft] val Mult = 62089911L
+
+  /** The shared multiplicative permutation `((id mod P)·M + seed) mod P`
+    * — a bijection on [0, P) for seed-shifted ids, overflow-safe for any
+    * long id on wrap-on-overflow AND trap-on-overflow engines. */
+  private[graft] def permKey(id: Column, seed: Long): Column =
+    (pmod(id, lit(P)) * lit(Mult) + lit(seed)) % lit(P)
+
+  /** Concat-and-chunk sequence packing. Documents are concatenated in
+    * `(orderCol, idCol)` order into one token stream; each document
+    * emits one row per `seqLen`-token sequence it intersects:
+    *
+    *   - `seq_id`    — the sequence (complete sequences only: the
+    *                   trailing `T mod L` tokens are dropped)
+    *   - `seq_pos`   — the slice's first position within the sequence
+    *   - `idCol`     — the document (plus any `carryCols`)
+    *   - `doc_start` — the slice's first token within the document
+    *   - `len`       — slice length; a sequence's slices tile `[0, L)`
+    *
+    * `nTokensCol` supplies a pre-computed token count (the composed
+    * manifest re-uses [[epochExpand]]'s); otherwise `textCol` is
+    * whitespace-tokenized. Zero-token rows contribute nothing.
+    *
+    * Two-phase prefix sum: `orderCol DIV chunkSize` buckets are
+    * contiguous in the order, so per-chunk totals (a bounded frame —
+    * size it via `chunkSize` so chunks ≈ corpus/10k) turn into exclusive
+    * chunk offsets with ONE tiny window, and the per-document running
+    * sum windows only within its chunk. Bit-equal to the single-window
+    * formulation (AssemblySpec) because chunk boundaries respect the
+    * order. */
+  def packTokenSpans(
+      docs: DataFrame,
+      seqLen: Long,
+      orderCol: String = "doc_id",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nTokensCol: Option[String] = None,
+      carryCols: Seq[String] = Nil,
+      chunkSize: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(chunkSize > 0, "chunkSize must be positive")
+    val n = nTokensCol.map(c => col(c).cast("long"))
+      .getOrElse(size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long"))
+    // pinned: the tokenized frame feeds the chunk-offset aggregate, the
+    // 1-row total, and the per-document window — unpinned it would
+    // re-tokenize the corpus three times
+    val base = Checkpoints.pin(
+      docs.select((Seq(col(orderCol).cast("long").as("__ord"), col(idCol).as("__id"),
+          n.as("__n")) ++ carryCols.map(col)): _*)
+        .filter(col("__n") > 0)
+        .withColumn("__chunk", expr(s"__ord DIV ${chunkSize}L")),
+      reliable = false)
+    // phase 1: exclusive chunk offsets over the BOUNDED chunk frame
+    val wC = Window.orderBy(col("__chunk"))
+    val offsets = base.groupBy(col("__chunk")).agg(sum(col("__n")).as("__csum"))
+      .withColumn("__coff", coalesce(
+        sum(col("__csum")).over(wC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__chunk"), col("__coff"))
+    val total = base.agg(coalesce(sum(col("__n")), lit(0L)).as("__T"))
+    // phase 2: chunk-local running sum (parallelism = number of chunks)
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col("__ord"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = base.join(offsets, Seq("__chunk")) // AQE broadcasts the offsets
+      .withColumn("__off", col("__coff") + sum(col("__n")).over(wIn) - col("__n"))
+      .crossJoin(broadcast(total))
+    val spans = off
+      .withColumn("seq_id",
+        explode(expr(s"sequence(__off DIV ${seqLen}L, (__off + __n - 1) DIV ${seqLen}L)")))
+      .filter(col("seq_id") < expr(s"__T DIV ${seqLen}L"))
+      .withColumn("__s", greatest(col("__off"), col("seq_id") * seqLen))
+      .withColumn("__e", least(col("__off") + col("__n"), (col("seq_id") + 1) * seqLen))
+    spans.select((Seq(col("seq_id"),
+      (col("__s") - col("seq_id") * seqLen).as("seq_pos"),
+      col("__id").as(idCol),
+      (col("__s") - col("__off")).as("doc_start"),
+      (col("__e") - col("__s")).as("len")) ++ carryCols.map(col)): _*)
+  }
+
+  /** Materialize a UniMax allocation as repeat rows — the "applied at
+    * training time" half [[CurationOps.unimaxSelect]]'s scaladoc defers.
+    * Per source with token total `n` and allocation `alloc`:
+    *
+    *   - every document repeats `full = alloc DIV n` times
+    *     (`epoch` 0 .. full−1);
+    *   - the fractional epoch (`alloc mod n` tokens) is filled by the
+    *     minimal prefix of the source's documents in shuffle-permutation
+    *     order (`epoch = full`) — the boundary document is kept, so each
+    *     source realizes at least its allocation and overshoots by less
+    *     than one document; a zero remainder adds nothing.
+    *
+    * Output: (idCol, sourceCol, epoch, n_tokens), one row per scheduled
+    * document instance. Realized tokens per source ≈ alloc_tokens; the
+    * epoch column is what a loader shuffles/interleaves on.
+    *
+    * Scale: the allocation is a domains-sized frame; full repeats are a
+    * broadcast join + bounded explode (≤ epochCap rows per doc); the
+    * fractional prefix is the [[CurationOps.domainTokenBudgetEach]]
+    * two-phase shape over CONTIGUOUS sort-key ranges, so no mega-source
+    * ever serializes into one window task — only each source's boundary
+    * range (~1/nRanges of it) sorts. */
+  def epochExpand(
+      docs: DataFrame,
+      budgetTokens: Long,
+      epochCap: Int,
+      seed: Long = 0L,
+      nRanges: Int = 64,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0 && epochCap >= 1 && nRanges >= 1,
+      "budgetTokens >= 0, epochCap >= 1, nRanges >= 1")
+    val alloc = CurationOps.unimaxAllocation(docs, budgetTokens, epochCap, sourceCol, textCol)
+      .withColumn("__full",
+        when(col("n_tokens") > 0, expr("alloc_tokens DIV n_tokens")).otherwise(lit(0L)))
+      .withColumn("__frac",
+        when(col("n_tokens") > 0, expr("alloc_tokens % n_tokens")).otherwise(lit(0L)))
+      .select(col("source").as(sourceCol), col("__full"), col("__frac"))
+    val scored = Checkpoints.pin(docs.select(
+      col(idCol), col(sourceCol),
+      size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      .withColumn("__sk", permKey(col(idCol), seed)), reliable = false)
+    val withAlloc = scored.join(broadcast(alloc), Seq(sourceCol))
+    val out = Seq(col(idCol), col(sourceCol), col("epoch"), col("n_tokens"))
+    val fullReps = withAlloc.filter(col("__full") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full") - 1)))
+      .select(out: _*)
+    // fractional epoch: two-phase minimal shuffle-order prefix per source
+    val width = (P + nRanges - 1) / nRanges
+    val ranged = withAlloc.withColumn("__r", expr(s"__sk DIV ${width}L"))
+    val wD = Window.partitionBy(col(sourceCol)).orderBy(col("__r"))
+    val marked = ranged.groupBy(col(sourceCol), col("__r"))
+      .agg(sum(col("n_tokens")).as("__rsum"), max(col("__frac")).as("__budget"))
+      .withColumn("__before", coalesce(
+        sum(col("__rsum")).over(wD.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cat",
+        when(col("__before") + col("__rsum") <= col("__budget"), "all")
+          .when(col("__before") >= col("__budget"), "none")
+          .otherwise("bnd"))
+      .select(col(sourceCol), col("__r"), col("__before"), col("__cat"))
+    val joined = ranged.join(broadcast(marked), Seq(sourceCol, "__r"))
+    // one source's "bnd" rows all share its single boundary range, so the
+    // per-source window here sorts ~1/nRanges of the source, never all of it
+    val wB = Window.partitionBy(col(sourceCol)).orderBy(col("__sk"), col(idCol))
+    val fracRows = joined.filter(col("__cat") === "all")
+      .unionByName(joined.filter(col("__cat") === "bnd")
+        .withColumn("__cum", sum(col("n_tokens")).over(wB))
+        .filter(col("__before") + col("__cum") - col("n_tokens") < col("__frac"))
+        .drop("__cum"))
+      .withColumn("epoch", col("__full"))
+      .select(out: _*)
+    fullReps.unionByName(fracRows)
+  }
+
+  /** The composed training-run assembly: UniMax allocation → epoch
+    * expansion → deterministic global interleave of (document, epoch)
+    * instances → concat-and-chunk packing, one DAG.
+    *
+    * The interleave key is the shared permutation over
+    * `eid = id·(epochCap+1) + epoch` (injective — epoch ≤ epochCap) at
+    * `seed + 1`, so repeats of one document scatter across the run
+    * instead of clustering, independently of the expansion's own
+    * fractional-prefix seed. Output: (seq_id, seq_pos, idCol, sourceCol,
+    * epoch, doc_start, len) — the manifest a loader materializes
+    * batches from. */
+  def trainManifest(
+      docs: DataFrame,
+      budgetTokens: Long,
+      epochCap: Int,
+      seqLen: Long,
+      seed: Long = 0L,
+      nRanges: Int = 64,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkSize: Long = 1L << 20): DataFrame = {
+    val expanded = epochExpand(docs, budgetTokens, epochCap, seed, nRanges,
+        sourceCol, idCol, textCol)
+      .withColumn("__eid", col(idCol) * lit((epochCap + 1).toLong) + col("epoch"))
+      .withColumn("__ord", permKey(col("__eid"), seed + 1))
+    packTokenSpans(expanded, seqLen, orderCol = "__ord", idCol = "__eid",
+        textCol = textCol, nTokensCol = Some("n_tokens"),
+        carryCols = Seq(idCol, sourceCol, "epoch"), chunkSize = chunkSize)
+      .select(col("seq_id"), col("seq_pos"), col(idCol), col(sourceCol),
+        col("epoch"), col("doc_start"), col("len"))
+  }
+}
