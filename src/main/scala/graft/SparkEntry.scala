@@ -2590,13 +2590,37 @@ object SparkEntry {
     "g_bm25_indexed" -> { (s, dir) => // BM25 served from the PERSISTED
       // token-partitioned postings index: (tok, doc_id, tf) rows under
       // pt = pmod(xxhash64(tok), nPt) hive dirs, (doc_id, dl) sidecar,
-      // corpus constants in _meta.json — the probe reads ONLY the pt
+      // nPt routing contract in _meta.json — the probe reads ONLY the pt
       // directories the query terms hash to (posting-list cost, not
-      // corpus cost) and never scans documents. Contract: bit-equal to
-      // the full-scan g_bm25 (shared oracle hash).
+      // corpus cost), never scans documents, and derives N/avgdl in-DAG
+      // from the _docs frame it already joins (so the constants track a
+      // streamed index). Contract: bit-equal to the full-scan g_bm25
+      // (shared oracle hash).
       val path = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
       RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path, nPt = 16)
       RetrievalOps.bm25TopKIndexed(s, path, Bm25Query, k = 10)
+    },
+
+    "q_stream_postings" -> { (s, dir) => // streaming postings-index
+      // maintenance, oracle side: an AvailableNow run of postingsStream
+      // lands the corpus as pt-partitioned per-batch deltas (_docs-first
+      // crash ordering), compactPostingsIndex folds them into the
+      // __batch=-1 base, and the BM25 probe over the STREAMED index must
+      // be bit-equal to the full-scan g_bm25 (shared oracle hash) — the
+      // g_bm25_indexed losslessness contract over the streaming landing
+      // plus the fold. Cross-batch replay/lineage/crash-window semantics
+      // are PostingsStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_postings_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .postingsStream(src, s"$out/idx", s"$out/ckpt", nPt = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.compactPostingsIndex(s, s"$out/idx")
+      RetrievalOps.bm25TopKIndexed(s, s"$out/idx", Bm25Query, k = 10)
     },
 
     "g_hybrid_rrf" -> { (s, dir) => // hybrid lexical+vector retrieval:
@@ -5277,6 +5301,9 @@ object SparkEntry {
     // the indexed probe's contract is bit-equality with the full scan, so
     // it shares g_bm25's oracle hash
     "g_bm25_indexed" -> bm25OracleSql,
+
+    // streamed + compacted index is bit-equal to the full scan too
+    "q_stream_postings" -> bm25OracleSql,
 
     "g_hybrid_rrf" -> hybridOracleSql,
 

@@ -115,37 +115,72 @@ object RetrievalOps {
   /** Persist the corpus' postings index: one `(tok, doc_id, tf)` row per
     * distinct (token, doc) pair, hive-partitioned by `pt =
     * pmod(xxhash64(tok), nPt)` under the versioned `__batch=-1` base (the
-    * [[TextOps.writeShingleIndex]] layout), plus a `_docs` parquet
-    * sidecar `(doc_id, dl)` and a `_meta.json` recording
-    * `(nPt, nDocs, totalTokens)`. A probe for a q-term query reads only
-    * the ≤q `pt` directories its terms hash to — posting-list cost, not
-    * corpus cost — and the corpus-wide constants come from the sidecar,
-    * no corpus scan at query time. */
+    * [[TextOps.writeShingleIndex]] layout), plus a `_docs/__batch=-1`
+    * parquet sidecar `(doc_id, dl)` and a `_meta.json` pinning `nPt` (the
+    * routing contract — a drifted nPt would hash new postings to other
+    * `pt` dirs and probes would silently miss them). A probe for a q-term
+    * query reads only the ≤q `pt` directories its terms hash to —
+    * posting-list cost, not corpus cost — and derives the corpus-wide
+    * constants in-DAG from the `_docs` frame it already joins (NOT from a
+    * sidecar snapshot: under the streaming twin
+    * [[graft.streaming.StreamingOps.postingsStream]] the constants evolve
+    * per batch, and a stale nDocs/avgdl would silently skew idf and
+    * length normalization). This is the bootstrap half of the versioned
+    * layout; [[graft.streaming.StreamingOps.postingsStream]] appends
+    * `__batch=<id>` deltas and
+    * [[graft.streaming.StreamingOps.compactPostingsIndex]] folds them. */
   def writePostingsIndex(docs: DataFrame, path: String, nPt: Int = 16): Unit = {
     require(nPt >= 1, "nPt >= 1")
     val spark = docs.sparkSession
-    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-    toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"),
-        pmod(xxhash64(col("tok")), lit(nPt.toLong)).cast("int").as("pt"))
-      .repartition(col("pt")) // one file per pt dir
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("pt").parquet(s"$path/__batch=-1")
-    docs.select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("dl"))
-      .coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/_docs")
-    val Row = docs.agg(count(lit(1)).as("n"),
-      sum(size(TextFns.tokens(col("text")))).cast("long").as("a")).head()
-    writeMeta(spark, path, nPt, Row.getLong(0), Row.getLong(1))
+    val base = new org.apache.hadoop.fs.Path(path, "__batch=-1")
+    val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!f.exists(base), s"$base already exists — writePostingsIndex bootstraps once")
+    writePostingsMeta(spark, path, nPt)
+    writeDocsDelta(docs, s"$path/_docs/__batch=-1", "doc_id", "text")
+    writePostingsDelta(docs, s"$path/__batch=-1", nPt, "doc_id", "text")
   }
 
-  private def writeMeta(spark: SparkSession, path: String,
-      nPt: Int, nDocs: Long, totalTokens: Long): Unit = {
+  /** One level of the pt-partitioned postings layout (shared by the batch
+    * bootstrap and the streaming twin's per-batch deltas — Overwrite so a
+    * checkpoint-replayed batch rewrites its own directory). */
+  private[graft] def writePostingsDelta(docs: DataFrame, dir: String, nPt: Int,
+      idCol: String, textCol: String): Unit =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"),
+        pmod(xxhash64(col("tok")), lit(nPt.toLong)).cast("int").as("pt"))
+      .repartition(col("pt")) // one file per pt dir per level
+      .write.mode(SaveMode.Overwrite).partitionBy("pt").parquet(dir)
+
+  /** One level of the `(doc_id, dl)` sidecar (same Overwrite contract). */
+  private[graft] def writeDocsDelta(docs: DataFrame, dir: String,
+      idCol: String, textCol: String): Unit =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(TextFns.tokens(col(textCol))).cast("long").as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  private[graft] def writePostingsMeta(spark: SparkSession, path: String,
+      nPt: Int): Unit = {
     val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
     val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = f.create(meta, true)
-    try out.write(
-      s"""{"nPt":$nPt,"nDocs":$nDocs,"totalTokens":$totalTokens}""".getBytes("UTF-8"))
+    try out.write(s"""{"nPt":$nPt}""".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Refuse a probe/maintenance caller whose nPt disagrees with the
+    * index's recorded routing parameter (the [[writePostingsMeta]]
+    * contract — drift would mis-route, so it fails loudly). */
+  private[graft] def assertPostingsMeta(spark: SparkSession, path: String,
+      nPt: Int, op: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(meta)) {
+      val rec = readMetaField(spark, path, "nPt")
+      require(rec == nPt,
+        s"$op: postings routing mismatch vs $path/_meta.json (nPt: index=$rec caller=$nPt)")
+    }
   }
 
   private def readMetaField(spark: SparkSession, path: String, name: String): Long = {
@@ -177,10 +212,16 @@ object RetrievalOps {
 
   /** [[bm25TopK]] served from a [[writePostingsIndex]] root: reads ONLY
     * the `pt` directories the query terms hash to (hive partition
-    * pruning), folds any maintenance deltas by summing tf per (tok, doc)
-    * — max-idempotent for the batch layout's single row — computes df
-    * from the folded postings (exact: postings are complete per term),
-    * and takes N/avgdl from the sidecar. Contract (spec-pinned +
+    * pruning, at every `__batch=` level), folds levels by taking max tf
+    * per (tok, doc) — each doc lands in exactly ONE level with
+    * deterministic tf (unique-doc-id contract), and a crashed
+    * compaction's overlap window only duplicates IDENTICAL rows, so the
+    * max is lossless in both regimes (a sum would double-count the
+    * overlap) — computes df from the folded postings (exact: postings
+    * are complete per term), and derives N/avgdl in-DAG from the folded
+    * `_docs` frame it already joins (one extra agg over a frame that is
+    * being scanned anyway; corpus constants therefore track streamed
+    * deltas with no sidecar mutation). Contract (spec-pinned +
     * `g_bm25_indexed` hash row): bit-equal to the full-scan
     * [[bm25TopK]]. */
   def bm25TopKIndexed(
@@ -194,21 +235,19 @@ object RetrievalOps {
     require(k >= 1, "k >= 1")
     val terms = query.distinct
     val nPt = readMetaField(spark, indexPath, "nPt").toInt
-    val nDocs = readMetaField(spark, indexPath, "nDocs")
-    val totalTokens = readMetaField(spark, indexPath, "totalTokens")
     val buckets = termBuckets(spark, terms, nPt)
     val postings = spark.read
       .schema("tok STRING, doc_id LONG, tf LONG, pt INT, __batch LONG")
       .parquet(indexPath)
       .filter(col("pt").isin(buckets: _*)) // directory pruning
       .filter(col("tok").isin(terms: _*))
-    // fold per-batch deltas (a streaming twin appends partial tf rows
-    // above __batch=-1; summing reproduces the corpus tf exactly)
-    val tf = postings.groupBy(col("doc_id"), col("tok")).agg(sum(col("tf")).as("tf"))
+    val tf = postings.groupBy(col("doc_id"), col("tok")).agg(max(col("tf")).as("tf"))
     val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$indexPath/_docs")
-    val stats = spark.range(1)
-      .select(lit(nDocs).as("__n"), lit(totalTokens).as("__a"))
+    val dl = spark.read
+      .schema("doc_id LONG, dl LONG, __batch LONG")
+      .parquet(s"$indexPath/_docs")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")) // overlap-tolerant fold
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__a"))
     scoreFromPostings(tf, dfc, dl, stats, k1, b)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }

@@ -732,6 +732,70 @@ object StreamingOps {
     foldBatchDirs(spark, path, "id LONG, codes ARRAY<INT>, cell INT",
       dedupKeys = Seq("id"), partitionCols = Seq("cell"))
 
+  /** Streaming postings-index maintenance — the lexical-retrieval twin of
+    * the ANN index sinks: each micro-batch of documents lands (a) its
+    * `(doc_id, dl)` rows at `_docs/__batch=<id>` FIRST, then (b) its
+    * `(tok, doc_id, tf)` postings pt-partitioned at `__batch=<id>`. The
+    * ordering is the sidecar-first crash rule applied to corpus
+    * constants: a crash between the two writes shows a doc in N/avgdl
+    * before its postings exist — it simply matches nothing yet; the
+    * reverse order would let df count docs the dl join then drops,
+    * skewing idf inside the window. Probes
+    * ([[graft.operators.RetrievalOps.bm25TopKIndexed]]) read both roots
+    * unchanged — `pt=` directory pruning works at every batch level, the
+    * per-(tok, doc) fold is max (each doc lands once with deterministic
+    * tf under the unique-doc-id contract), and the corpus constants are
+    * derived in-DAG from the folded `_docs`, so they track the stream
+    * with no sidecar mutation. Idempotent the established way
+    * (batch-id-derived Overwrites — a checkpoint replay rewrites both
+    * directories at any crash point), lineage refusal, and `_meta.json`
+    * pins nPt (a drifted restart would hash new postings to different
+    * `pt` dirs; probes would silently miss them, so it fails loudly).
+    * doc ids must be unique across the stream's lifetime. Bootstrap an
+    * existing corpus with
+    * [[graft.operators.RetrievalOps.writePostingsIndex]] (`__batch=-1`),
+    * fold committed deltas with [[compactPostingsIndex]]. */
+  def postingsStream(docs: DataFrame, path: String, checkpoint: String,
+      nPt: Int = 16, idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        postingsBatch(batch, batchId, path, nPt, idCol, textCol)
+      }
+
+  /** One [[postingsStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def postingsBatch(batch: DataFrame, batchId: Long, path: String,
+      nPt: Int, idCol: String, textCol: String): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "postingsStream", path)
+    graft.operators.RetrievalOps.assertPostingsMeta(s, path, nPt, "postingsStream")
+    // sidecar BEFORE the first landing (the lshBatch crash-window rule)
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
+      graft.operators.RetrievalOps.writePostingsMeta(s, path, nPt)
+    graft.operators.RetrievalOps
+      .writeDocsDelta(batch, s"$path/_docs/__batch=$batchId", idCol, textCol)
+    graft.operators.RetrievalOps
+      .writePostingsDelta(batch, s"$path/__batch=$batchId", nPt, idCol, textCol)
+  }
+
+  /** Fold [[postingsStream]]'s per-batch deltas into the `__batch=-1`
+    * base — the staged-rename fold over BOTH roots (postings, then the
+    * `_docs` sidecar). Dedup on (tok, doc_id) / (doc_id) is lossless for
+    * the [[compactPqIndex]] reason: each doc lands in exactly one batch
+    * with deterministic rows, so overlap-window duplicates are
+    * identical. */
+  def compactPostingsIndex(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, path, "tok STRING, doc_id LONG, tf LONG, pt INT",
+      dedupKeys = Seq("tok", "doc_id"), partitionCols = Seq("pt"))
+    foldBatchDirs(spark, s"$path/_docs", "doc_id LONG, dl LONG",
+      dedupKeys = Seq("doc_id"), partitionCols = Seq.empty)
+  }
+
   /** Streaming content-addressed chunk-store ingest — the CAS-backup
     * twin of the other versioned sinks: each micro-batch of binary
     * payloads is CDC-chunked ([[graft.operators.MultimodalOps.cdcByteChunks]],
