@@ -3202,6 +3202,33 @@ object SparkEntry {
         .orderBy(col("seq_id"), col("seq_pos"))
     },
 
+    "g_pack_binned" -> { (s, dir) => // truncation-free length-binned
+      // packing: docs grouped by exact token count n, cap = 64 DIV n
+      // whole docs per sequence at positions slot*n, filled in
+      // shuffle-permutation order; docs with n > 64 excluded (the
+      // fixture's 10-99 token range exercises both paths). Two-phase
+      // ranks (chunked permutation ranges); only the bounded
+      // distinct-lengths frame sees an unpartitioned window.
+      AssemblyOps.packBinned(Tables.documents(s, dir), seqLen = 64L)
+        .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
+    "g_pack_stats" -> { (s, dir) => // the packing-efficiency report over
+      // BOTH packers — the truncation-vs-slack tradeoff as one gated
+      // row pair: concat-and-chunk (fill_ppm = 10^6 by construction,
+      // nonzero split share) vs length-binned (split_ppm = 0 by
+      // construction, fill < 10^6, overlength docs dropped). One
+      // seq-keyed and one doc-keyed shuffle per arm, corpus totals as a
+      // 1-row broadcast.
+      val docs = Tables.documents(s, dir)
+      AssemblyOps.packStats(AssemblyOps.packTokenSpans(docs, seqLen = 128L), docs, 128L)
+        .withColumn("packer", lit("chunk"))
+        .unionByName(
+          AssemblyOps.packStats(AssemblyOps.packBinned(docs, seqLen = 64L), docs, 64L)
+            .withColumn("packer", lit("binned")))
+        .orderBy(col("packer"))
+    },
+
     "g_dsir_select" -> { (s, dir) => // DSIR end to end: importance scores
       // (target = English) length-normalized in fixed point, top 30% of
       // the RAW pool kept through the salted quantile machinery —
@@ -6206,6 +6233,92 @@ object SparkEntry {
         |            - greatest(off, seq_id * 128) AS BIGINT) AS len
         |FROM s2, t2 WHERE s2.seq_id < tt // 128
         |ORDER BY seq_id, seq_pos""".stripMargin,
+
+    "g_pack_binned" ->
+      // length-binned packing replayed: exact-length groups, cap = 64 DIV
+      // n whole docs per sequence, ranks in permutation order (the
+      // engine's two-phase chunked rank is spec-pinned bit-equal to this
+      // single window), dense global seq ids via ascending-length group
+      // offsets; docs with n > 64 excluded
+      """WITH d AS (SELECT doc_id,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n,
+        |        ((doc_id % 2147483647) * 62089911) % 2147483647 AS ord
+        |      FROM documents),
+        |k AS (SELECT doc_id, n, ord, 64 // n AS cap FROM d WHERE n > 0 AND n <= 64),
+        |r AS (SELECT doc_id, n, cap,
+        |        CAST(row_number() OVER (PARTITION BY n ORDER BY ord, doc_id) AS BIGINT) - 1 AS rr
+        |      FROM k),
+        |go AS (SELECT n, CAST(coalesce(sum((cnt + cap - 1) // cap) OVER (ORDER BY n
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS goff
+        |       FROM (SELECT n, cap, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY n, cap) g)
+        |SELECT CAST(goff + rr // cap AS BIGINT) AS seq_id,
+        |       CAST((rr % cap) * n AS BIGINT) AS seq_pos,
+        |       doc_id, n AS len
+        |FROM r JOIN go USING (n)
+        |ORDER BY seq_id, seq_pos""".stripMargin,
+
+    "g_pack_stats" ->
+      // both packers replayed (the g_pack_spans CTEs at L=128, the
+      // g_pack_binned CTEs at L=64), then the report aggregates — exact
+      // integer fill/split ppm, corpus totals shared across arms
+      """WITH d AS (SELECT doc_id,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n,
+        |        ((doc_id % 2147483647) * 62089911) % 2147483647 AS ord
+        |      FROM documents),
+        |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt,
+        |             CAST(count(*) AS BIGINT) AS cd FROM d WHERE n > 0),
+        |o AS (SELECT doc_id, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
+        |      FROM d WHERE n > 0),
+        |cs AS (SELECT s.seq_id, doc_id,
+        |        CAST(least(off + n, (seq_id + 1) * 128)
+        |             - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |       FROM (SELECT doc_id, n, off,
+        |               unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
+        |             FROM o) s, t
+        |       WHERE s.seq_id < tt // 128),
+        |k AS (SELECT doc_id, n, ord, 64 // n AS cap FROM d WHERE n > 0 AND n <= 64),
+        |r AS (SELECT doc_id, n, cap,
+        |        CAST(row_number() OVER (PARTITION BY n ORDER BY ord, doc_id) AS BIGINT) - 1 AS rr
+        |      FROM k),
+        |go AS (SELECT n, CAST(coalesce(sum((cnt + cap - 1) // cap) OVER (ORDER BY n
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS goff
+        |       FROM (SELECT n, cap, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY n, cap) g),
+        |bs AS (SELECT CAST(goff + rr // cap AS BIGINT) AS seq_id, doc_id, n AS len
+        |       FROM r JOIN go USING (n)),
+        |stat_c AS (SELECT CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+        |                  CAST(count(*) AS BIGINT) AS n_slices,
+        |                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_packed,
+        |                  CAST(coalesce(sum(len), 0) AS BIGINT) AS kept_tokens FROM cs),
+        |split_c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_split FROM
+        |             (SELECT doc_id FROM cs GROUP BY doc_id HAVING count(*) > 1)),
+        |stat_b AS (SELECT CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+        |                  CAST(count(*) AS BIGINT) AS n_slices,
+        |                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_packed,
+        |                  CAST(coalesce(sum(len), 0) AS BIGINT) AS kept_tokens FROM bs),
+        |split_b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_split FROM
+        |             (SELECT doc_id FROM bs GROUP BY doc_id HAVING count(*) > 1))
+        |SELECT * FROM (
+        |  SELECT 'chunk' AS packer, n_seqs, n_slices, n_docs_packed, n_docs_split,
+        |         cd - n_docs_packed AS n_docs_dropped, kept_tokens,
+        |         tt - kept_tokens AS dropped_tokens,
+        |         CAST(CASE WHEN n_seqs > 0
+        |              THEN (kept_tokens * 1000000) // (n_seqs * 128) ELSE 0 END AS BIGINT)
+        |           AS fill_ppm,
+        |         CAST(CASE WHEN n_docs_packed > 0
+        |              THEN (n_docs_split * 1000000) // n_docs_packed ELSE 0 END AS BIGINT)
+        |           AS split_ppm
+        |  FROM stat_c, split_c, t
+        |  UNION ALL
+        |  SELECT 'binned', n_seqs, n_slices, n_docs_packed, n_docs_split,
+        |         cd - n_docs_packed, kept_tokens, tt - kept_tokens,
+        |         CAST(CASE WHEN n_seqs > 0
+        |              THEN (kept_tokens * 1000000) // (n_seqs * 64) ELSE 0 END AS BIGINT),
+        |         CAST(CASE WHEN n_docs_packed > 0
+        |              THEN (n_docs_split * 1000000) // n_docs_packed ELSE 0 END AS BIGINT)
+        |  FROM stat_b, split_b, t
+        |) ORDER BY packer""".stripMargin,
 
     "g_dsir_select" ->
       // g_dsir_weights' scoring replayed, length-normalized with integer

@@ -202,6 +202,142 @@ object AssemblyOps {
     fullReps.unionByName(fracRows)
   }
 
+  /** Truncation-free length-binned packing — the complement of
+    * [[packTokenSpans]]'s concat-and-chunk: documents are NEVER split
+    * across sequences (no attention-reset mask needed, no truncated
+    * context), at the cost of per-sequence slack the caller can measure
+    * with [[packStats]]. Documents are grouped by EXACT token count `n`;
+    * a sequence of a length-`n` group holds `cap = L DIV n` whole
+    * documents at positions `slot·n`; documents fill their group's
+    * sequences in shuffle-permutation order (`seed` — deterministic
+    * pseudo-random mixing, the [[permKey]] bijection). Documents with
+    * `n > L` (or zero tokens) are EXCLUDED — report them via
+    * [[packStats]]'s dropped columns; only each group's LAST sequence
+    * can be partially filled.
+    *
+    * Output: `(seq_id, seq_pos, idCol, len)` — `seq_id` is globally
+    * dense (length groups own contiguous id ranges in ascending-`n`
+    * order), `seq_pos = slot·n`, and a whole document sits at each slot
+    * (`doc_start` would be identically 0, so it is omitted).
+    *
+    * Scale shape: ranks within a length group run TWO-PHASE over
+    * contiguous permutation-key chunks (the [[packTokenSpans]]
+    * discipline) — per-(n, chunk) counts roll into exclusive chunk
+    * offsets with a window partitioned by `n` over the bounded
+    * chunk-counts frame, and the row-level `row_number` window
+    * partitions by (n, chunk), so a degenerate corpus where one length
+    * dominates never serializes into one task. The group-offset frame
+    * (≤ L rows — one per distinct length) is the only unpartitioned
+    * window, and it is bounded by construction. */
+  def packBinned(
+      docs: DataFrame,
+      seqLen: Long,
+      seed: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nTokensCol: Option[String] = None,
+      chunkSize: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(chunkSize > 0, "chunkSize must be positive")
+    val n = nTokensCol.map(c => col(c).cast("long"))
+      .getOrElse(size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long"))
+    // pinned: the tokenized frame feeds the chunk-count aggregate, the
+    // group-offset aggregate, and the row-level rank join
+    // the seed shifts BEFORE the multiplication (permKey(id + seed, 0)):
+    // an after-multiplication shift (permKey's own seed slot) is an
+    // additive rotation that preserves relative order except at wraps,
+    // so different seeds would barely re-place anything — pre-shift ids
+    // scramble through the multiplier into genuinely different orders
+    val base = Checkpoints.pin(
+      docs.select(col(idCol).as("__id"), n.as("__n"))
+        .filter(col("__n") > 0 && col("__n") <= seqLen)
+        .withColumn("__ord", permKey(col("__id") + lit(seed), 0L))
+        .withColumn("__chunk", expr(s"__ord DIV ${chunkSize}L"))
+        .withColumn("__cap", expr(s"${seqLen}L DIV __n")),
+      reliable = false)
+    // phase 1: exclusive chunk offsets within each length group (the
+    // chunk-counts frame is bounded: ≤ P/chunkSize rows per length)
+    val wLC = Window.partitionBy(col("__n")).orderBy(col("__chunk"))
+    val chunkOffs = base.groupBy(col("__n"), col("__chunk")).agg(count(lit(1)).as("__c"))
+      .withColumn("__coff", coalesce(
+        sum(col("__c")).over(wLC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__n"), col("__chunk"), col("__coff"))
+    // bounded group frame (≤ seqLen rows): sequences per group → dense
+    // global seq_id ranges in ascending-length order
+    val wG = Window.orderBy(col("__n"))
+    val groupOffs = base.groupBy(col("__n"), col("__cap")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__nseq", expr("(__cnt + __cap - 1) DIV __cap"))
+      .withColumn("__goff", coalesce(
+        sum(col("__nseq")).over(wG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__n"), col("__goff"))
+    // phase 2: chunk-local rank (parallelism = groups × chunks)
+    val wIn = Window.partitionBy(col("__n"), col("__chunk"))
+      .orderBy(col("__ord"), col("__id"))
+    base.join(chunkOffs, Seq("__n", "__chunk")) // AQE broadcasts the offsets
+      .withColumn("__r", col("__coff") + row_number().over(wIn) - 1)
+      .join(broadcast(groupOffs), Seq("__n"))
+      .select(
+        (col("__goff") + expr("__r DIV __cap")).as("seq_id"),
+        (expr("__r % __cap") * col("__n")).as("seq_pos"),
+        col("__id").as(idCol),
+        col("__n").as("len"))
+  }
+
+  /** Packing-efficiency report over any spans manifest (works on
+    * [[packTokenSpans]], [[packBinned]], or [[trainManifest]] output —
+    * anything with `(seq_id, idCol, len)` rows): one row of exact
+    * integers quantifying the truncation-vs-slack tradeoff between the
+    * two packers.
+    *
+    *   - `n_seqs`, `n_slices`, `kept_tokens` — manifest size
+    *   - `n_docs_packed` / `n_docs_split` — distinct documents placed /
+    *     documents sliced across ≥2 sequences (identically 0 for
+    *     [[packBinned]]; the concat-and-chunk fragmentation cost)
+    *   - `n_docs_dropped` / `dropped_tokens` — corpus (token count > 0)
+    *     minus manifest (the binned packer's overlength exclusions; the
+    *     chunk packer's trailing-tail casualties)
+    *   - `fill_ppm` — kept_tokens·10⁶ DIV (n_seqs·L), the slack measure
+    *     (identically 10⁶ for concat-and-chunk)
+    *   - `split_ppm` — n_docs_split·10⁶ DIV n_docs_packed
+    *
+    * Shape: one shuffle keyed on seq_id, one on the doc id, corpus
+    * totals as a 1-row broadcast — all map-side combined; no driver
+    * action. */
+  def packStats(
+      manifest: DataFrame,
+      docs: DataFrame,
+      seqLen: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nTokensCol: Option[String] = None): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val n = nTokensCol.map(c => col(c).cast("long"))
+      .getOrElse(size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long"))
+    val totals = docs.select(n.as("__n")).filter(col("__n") > 0)
+      .agg(count(lit(1)).as("__cd"), coalesce(sum(col("__n")), lit(0L)).as("__ct"))
+    val m = manifest.select(col("seq_id"), col(idCol).as("__id"),
+      col("len").cast("long").as("__len"))
+    val seqAgg = m.groupBy(col("seq_id")).agg(sum(col("__len")).as("__sl"))
+      .agg(count(lit(1)).as("n_seqs"), coalesce(sum(col("__sl")), lit(0L)).as("kept_tokens"))
+    val docAgg = m.groupBy(col("__id")).agg(count(lit(1)).as("__slices"))
+      .agg(count(lit(1)).as("n_docs_packed"),
+        coalesce(sum(col("__slices")), lit(0L)).as("n_slices"),
+        coalesce(sum(when(col("__slices") > 1, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("n_docs_split"))
+    seqAgg.crossJoin(docAgg).crossJoin(broadcast(totals))
+      .select(
+        col("n_seqs"), col("n_slices"), col("n_docs_packed"), col("n_docs_split"),
+        (col("__cd") - col("n_docs_packed")).as("n_docs_dropped"),
+        col("kept_tokens"),
+        (col("__ct") - col("kept_tokens")).as("dropped_tokens"),
+        when(col("n_seqs") > 0,
+          expr(s"(kept_tokens * 1000000L) DIV (n_seqs * ${seqLen}L)"))
+          .otherwise(lit(0L)).as("fill_ppm"),
+        when(col("n_docs_packed") > 0,
+          expr("(n_docs_split * 1000000L) DIV n_docs_packed"))
+          .otherwise(lit(0L)).as("split_ppm"))
+  }
+
   /** The composed training-run assembly: UniMax allocation → epoch
     * expansion → deterministic global interleave of (document, epoch)
     * instances → concat-and-chunk packing, one DAG.
