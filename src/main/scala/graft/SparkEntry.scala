@@ -3213,6 +3213,29 @@ object SparkEntry {
         .orderBy(col("seq_id"), col("seq_pos"))
     },
 
+    "g_shard_manifest" -> { (s, dir) => // loader shards over the packed
+      // manifest: contiguous 8-sequence shards, each with exact
+      // size/range facts and an order-free modular row-signature
+      // checksum a loader can re-derive to validate shard content.
+      // One map-side-combined shuffle keyed on the shard.
+      AssemblyOps.shardManifest(
+          AssemblyOps.packTokenSpans(Tables.documents(s, dir), seqLen = 128L),
+          seqsPerShard = 8L)
+        .orderBy(col("shard"))
+    },
+
+    "g_span_corrupt" -> { (s, dir) => // T5/UL2 span-corruption masks,
+      // deterministic uniform-strata variant: 15% density, 3-token spans
+      // over 128-token sequences = 6 spans in 21-token strata, each
+      // placed by the multiplicative permutation — non-overlapping by
+      // construction, bit-reproducible, map-only after the
+      // distinct-sequence frame.
+      AssemblyOps.spanCorruptMask(
+          AssemblyOps.packTokenSpans(Tables.documents(s, dir), seqLen = 128L),
+          seqLen = 128L, densityPpm = 150000L, meanSpan = 3L)
+        .orderBy(col("seq_id"), col("span_ix"))
+    },
+
     "g_pack_stats" -> { (s, dir) => // the packing-efficiency report over
       // BOTH packers — the truncation-vs-slack tradeoff as one gated
       // row pair: concat-and-chunk (fill_ppm = 10^6 by construction,
@@ -6256,6 +6279,56 @@ object SparkEntry {
         |       doc_id, n AS len
         |FROM r JOIN go USING (n)
         |ORDER BY seq_id, seq_pos""".stripMargin,
+
+    "g_shard_manifest" ->
+      // the g_pack_spans CTEs, then the shard rollup: counts, id range,
+      // token sum, and the modular row-signature checksum (sum reduced
+      // mod P; DuckDB's HUGEINT sum cast back)
+      """WITH d AS (SELECT doc_id,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
+        |      FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
+        |      FROM d WHERE n > 0),
+        |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM d WHERE n > 0),
+        |sp AS (SELECT s.seq_id,
+        |        CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |        doc_id,
+        |        CAST(least(off + n, (seq_id + 1) * 128)
+        |             - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |       FROM (SELECT doc_id, n, off,
+        |               unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
+        |             FROM o) s, t
+        |       WHERE s.seq_id < tt // 128)
+        |SELECT seq_id // 8 AS shard,
+        |       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+        |       CAST(count(*) AS BIGINT) AS n_slices,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(sum(len) AS BIGINT) AS n_tokens,
+        |       min(seq_id) AS first_seq,
+        |       max(seq_id) AS last_seq,
+        |       CAST(CAST(sum(((doc_id % 2147483647) * 62089911
+        |              + seq_id * 131 + seq_pos * 31 + len) % 2147483647) AS HUGEINT)
+        |            % 2147483647 AS BIGINT) AS checksum
+        |FROM sp GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "g_span_corrupt" ->
+      // the sequence universe is dense 0 .. T DIV 128 - 1 (the packer's
+      // kept sequences), then the strata arithmetic: 6 spans of 3 in
+      // 21-token strata, offsets via the multiplicative permutation
+      """WITH d AS (SELECT
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
+        |      FROM documents),
+        |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM d WHERE n > 0),
+        |q AS (SELECT unnest(generate_series(0, tt // 128 - 1)) AS seq_id FROM t),
+        |x AS (SELECT seq_id, unnest(generate_series(0, 5)) AS span_ix FROM q)
+        |SELECT seq_id, span_ix,
+        |       CAST(span_ix * 21
+        |            + ((((seq_id * 6 + span_ix) % 2147483647) * 62089911)
+        |               % 2147483647) % 19 AS BIGINT) AS span_start,
+        |       CAST(3 AS BIGINT) AS span_len
+        |FROM x ORDER BY seq_id, span_ix""".stripMargin,
 
     "g_pack_stats" ->
       // both packers replayed (the g_pack_spans CTEs at L=128, the

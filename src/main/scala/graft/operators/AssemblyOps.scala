@@ -338,6 +338,95 @@ object AssemblyOps {
           .otherwise(lit(0L)).as("split_ppm"))
   }
 
+  /** Loader shard manifest over a spans manifest: sequences are grouped
+    * into fixed-size shards (`shard = seq_id DIV seqsPerShard` — the
+    * contiguous assignment a sequential reader wants), and each shard
+    * gets one row of exact validation facts:
+    *
+    *   - `n_seqs` / `n_slices` / `n_docs` / `n_tokens` — shard size
+    *   - `first_seq` / `last_seq` — the id range actually present
+    *   - `checksum` — an order-free modular row-signature sum
+    *     (`Σ ((doc mod P)·M + seq_id·131 + seq_pos·31 + len) mod P`,
+    *     reduced mod P), so a loader (or a re-run on another cluster)
+    *     can verify a shard's content without comparing rows; any
+    *     changed/dropped/duplicated row moves it.
+    *
+    * One map-side-combined shuffle keyed on the shard; every term of the
+    * checksum is < P and shards are bounded by `seqsPerShard`, so the
+    * running sum stays far from long overflow on both wrap-on-overflow
+    * and trap-on-overflow engines. */
+  def shardManifest(
+      manifest: DataFrame,
+      seqsPerShard: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    val sig = (pmod(col(idCol).cast("long"), lit(P)) * lit(Mult)
+      + col("seq_id") * lit(131L) + col("seq_pos") * lit(31L)
+      + col("len").cast("long")) % lit(P)
+    manifest
+      .withColumn("shard", expr(s"seq_id DIV ${seqsPerShard}L"))
+      .withColumn("__sig", sig)
+      .groupBy(col("shard"))
+      .agg(
+        countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_slices"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("len").cast("long")).as("n_tokens"),
+        min(col("seq_id")).as("first_seq"),
+        max(col("seq_id")).as("last_seq"),
+        (sum(col("__sig")) % lit(P)).as("checksum"))
+  }
+
+  /** Deterministic span-corruption masks (the T5/UL2 denoising-objective
+    * noise schedule — Raffel et al. 2020 §3.1.4 "span corruption";
+    * UL2's denoiser mixture varies (density, span length)) over the
+    * sequence universe of a spans manifest. This is the UNIFORM-STRATA
+    * deterministic variant: per `seqLen`-token sequence,
+    *
+    *   - `nMask = (seqLen · densityPpm) DIV 10⁶` tokens are masked in
+    *     `nSpans = nMask DIV meanSpan` spans of EXACTLY `meanSpan`
+    *     tokens (the fixed-length variant of T5's mean-3 sampling —
+    *     deterministic, so a run is bit-reproducible and
+    *     engine-replayable);
+    *   - the sequence is divided into `nSpans` equal strata; span `i`
+    *     starts at `i·(seqLen DIV nSpans) + off_i` with
+    *     `off_i = permKey(seq_id·nSpans + i + seed) mod
+    *     (seqLen DIV nSpans − meanSpan + 1)` — one span per stratum,
+    *     non-overlapping BY CONSTRUCTION, pseudo-randomly placed within
+    *     its stratum, different per sequence and per seed.
+    *
+    * Output: `(seq_id, span_ix, span_start, span_len)` — the mask
+    * manifest a denoising loader turns into sentinel-token inputs and
+    * span targets. Map-only over the distinct-sequence frame: one
+    * bounded `explode(sequence(...))` of `nSpans` rows per sequence,
+    * no shuffle beyond the distinct. */
+  def spanCorruptMask(
+      manifest: DataFrame,
+      seqLen: Long,
+      densityPpm: Long = 150000L,
+      meanSpan: Long = 3L,
+      seed: Long = 0L): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(densityPpm > 0 && densityPpm <= 500000L,
+      "densityPpm must be in (0, 500000] — above 50% the strata cannot hold their spans")
+    require(meanSpan > 0, "meanSpan must be positive")
+    val nMask = seqLen * densityPpm / 1000000L
+    val nSpans = nMask / meanSpan
+    require(nSpans >= 1, "density·seqLen too small for even one span")
+    val stratum = seqLen / nSpans
+    require(stratum >= meanSpan, "meanSpan does not fit a stratum at this density")
+    manifest.select(col("seq_id")).distinct()
+      .withColumn("span_ix", explode(sequence(lit(0L), lit(nSpans - 1))))
+      .withColumn("__off",
+        permKey(col("seq_id") * lit(nSpans) + col("span_ix") + lit(seed), 0L)
+          % lit(stratum - meanSpan + 1))
+      .select(
+        col("seq_id"),
+        col("span_ix"),
+        (col("span_ix") * lit(stratum) + col("__off")).as("span_start"),
+        lit(meanSpan).as("span_len"))
+  }
+
   /** The composed training-run assembly: UniMax allocation → epoch
     * expansion → deterministic global interleave of (document, epoch)
     * instances → concat-and-chunk packing, one DAG.
