@@ -584,6 +584,32 @@ object SparkEntry {
        |SELECT doc_id, n_terms, bm25 FROM sc
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Concat-and-chunk packing replayed as one window prefix-sum (the
+    * engine's chunked two-phase form is spec-pinned bit-equal), spans
+    * via generate_series, trailing partial sequence dropped by the
+    * total. Shared by g_pack_spans (the batch packer) and q_stream_pack
+    * (the streamed + compacted index readback — same contract). */
+  private lazy val packSpansOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
+      |      FROM documents),
+      |o AS (SELECT doc_id, n,
+      |        CAST(sum(n) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
+      |      FROM d WHERE n > 0),
+      |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM d WHERE n > 0),
+      |s AS (SELECT doc_id, n, off,
+      |        unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
+      |      FROM o)
+      |SELECT s.seq_id,
+      |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+      |       doc_id,
+      |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
+      |       CAST(least(off + n, (seq_id + 1) * 128)
+      |            - greatest(off, seq_id * 128) AS BIGINT) AS len
+      |FROM s, t WHERE s.seq_id < tt // 128
+      |ORDER BY seq_id, seq_pos""".stripMargin
+
   /** Replay of [[graft.operators.RetrievalOps.hybridTopK]]: the BM25 arm
     * (top-30, ranks by the same total order), the exact floored-cosine
     * arm, and the RRF fold — each arm's reciprocal 1/(60+rank) quantized
@@ -3210,6 +3236,27 @@ object SparkEntry {
       // ranks (chunked permutation ranges); only the bounded
       // distinct-lengths frame sees an unpartitioned window.
       AssemblyOps.packBinned(Tables.documents(s, dir), seqLen = 64L)
+        .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
+    "q_stream_pack" -> { (s, dir) => // incremental packing, oracle side:
+      // an AvailableNow run of packStream lands the corpus as versioned
+      // span + offset deltas (sb/ob block-partitioned), compactPackIndex
+      // folds both roots, and the readback must be bit-equal to the
+      // batch packTokenSpans — appending to a packed corpus is O(delta).
+      // Cross-batch tail re-emission / replay / lineage / crash windows
+      // are PackStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_pack_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .packStream(src, s"$out/idx", s"$out/ckpt", seqLen = 128L)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.compactPackIndex(s, s"$out/idx")
+      graft.streaming.StreamingOps.readPackIndex(s, s"$out/idx")
         .orderBy(col("seq_id"), col("seq_pos"))
     },
 
@@ -6121,29 +6168,12 @@ object SparkEntry {
         |       (((doc_id % 2147483647) * 62089911) % 2147483647) % 8 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "g_pack_spans" ->
-      // concat-and-chunk replayed as one window prefix-sum (the engine's
-      // chunked two-phase form is spec-pinned bit-equal), spans via
-      // generate_series, trailing partial sequence dropped by the total
-      """WITH d AS (SELECT doc_id,
-        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
-        |      FROM documents),
-        |o AS (SELECT doc_id, n,
-        |        CAST(sum(n) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
-        |      FROM d WHERE n > 0),
-        |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM d WHERE n > 0),
-        |s AS (SELECT doc_id, n, off,
-        |        unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
-        |      FROM o)
-        |SELECT s.seq_id,
-        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
-        |       doc_id,
-        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
-        |       CAST(least(off + n, (seq_id + 1) * 128)
-        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
-        |FROM s, t WHERE s.seq_id < tt // 128
-        |ORDER BY seq_id, seq_pos""".stripMargin,
+    "g_pack_spans" -> packSpansOracleSql,
+
+    // the streamed + compacted pack index reads back bit-equal to the
+    // batch packer (single-batch landing; cross-batch tail re-emission
+    // is PackStreamSpec's job)
+    "q_stream_pack" -> packSpansOracleSql,
 
     "g_epoch_expand" ->
       // the g_unimax waterfilling CTEs at budget 40000 / cap 3, then the

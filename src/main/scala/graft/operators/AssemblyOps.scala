@@ -101,31 +101,51 @@ object AssemblyOps {
         .filter(col("__n") > 0)
         .withColumn("__chunk", expr(s"__ord DIV ${chunkSize}L")),
       reliable = false)
-    // phase 1: exclusive chunk offsets over the BOUNDED chunk frame
+    val total = base.agg(coalesce(sum(col("__n")), lit(0L)).as("__T"))
+    val off = exclusiveOffsets(base).crossJoin(broadcast(total))
+    spansBetween(off, seqLen, lit(0L), expr(s"__T DIV ${seqLen}L"), idCol, carryCols)
+  }
+
+  /** The shared two-phase exclusive prefix-sum of `__n` in `(__ord,
+    * __id)` order over a frame carrying a contiguous `__chunk` bucket
+    * column: per-chunk totals → exclusive chunk offsets with ONE window
+    * over the bounded chunk frame → chunk-local running sums (windows
+    * PARTITIONED by chunk). Adds `__off`. Used by [[packTokenSpans]] and
+    * the incremental pack's per-batch offset assignment. */
+  private[graft] def exclusiveOffsets(base: DataFrame): DataFrame = {
     val wC = Window.orderBy(col("__chunk"))
     val offsets = base.groupBy(col("__chunk")).agg(sum(col("__n")).as("__csum"))
       .withColumn("__coff", coalesce(
         sum(col("__csum")).over(wC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__chunk"), col("__coff"))
-    val total = base.agg(coalesce(sum(col("__n")), lit(0L)).as("__T"))
-    // phase 2: chunk-local running sum (parallelism = number of chunks)
     val wIn = Window.partitionBy(col("__chunk")).orderBy(col("__ord"), col("__id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val off = base.join(offsets, Seq("__chunk")) // AQE broadcasts the offsets
+    base.join(offsets, Seq("__chunk")) // AQE broadcasts the offsets
       .withColumn("__off", col("__coff") + sum(col("__n")).over(wIn) - col("__n"))
-      .crossJoin(broadcast(total))
-    val spans = off
-      .withColumn("seq_id",
-        explode(expr(s"sequence(__off DIV ${seqLen}L, (__off + __n - 1) DIV ${seqLen}L)")))
-      .filter(col("seq_id") < expr(s"__T DIV ${seqLen}L"))
+  }
+
+  /** Span rows of an offset-carrying frame (`__id`, `__off`, `__n` +
+    * carry columns), clipped to the sequence window `[sFrom, sTo)` — the
+    * shared emission core of [[packTokenSpans]] (full window `[0, T/L)`)
+    * and the incremental/streaming pack
+    * ([[graft.streaming.StreamingOps.packStream]]: only the sequences a
+    * delta completes). The empty-range filter runs BEFORE the explode
+    * (Spark's `sequence(a, b)` descends when a > b — a doc entirely
+    * inside the dropped window must emit nothing, not reversed spans). */
+  private[graft] def spansBetween(withOff: DataFrame, seqLen: Long,
+      sFrom: Column, sTo: Column, idCol: String, carryCols: Seq[String]): DataFrame =
+    withOff
+      .withColumn("__lo", greatest(expr(s"__off DIV ${seqLen}L"), sFrom))
+      .withColumn("__hi", least(expr(s"(__off + __n - 1) DIV ${seqLen}L"), sTo - 1))
+      .filter(col("__lo") <= col("__hi"))
+      .withColumn("seq_id", explode(expr("sequence(__lo, __hi)")))
       .withColumn("__s", greatest(col("__off"), col("seq_id") * seqLen))
       .withColumn("__e", least(col("__off") + col("__n"), (col("seq_id") + 1) * seqLen))
-    spans.select((Seq(col("seq_id"),
-      (col("__s") - col("seq_id") * seqLen).as("seq_pos"),
-      col("__id").as(idCol),
-      (col("__s") - col("__off")).as("doc_start"),
-      (col("__e") - col("__s")).as("len")) ++ carryCols.map(col)): _*)
-  }
+      .select((Seq(col("seq_id"),
+        (col("__s") - col("seq_id") * seqLen).as("seq_pos"),
+        col("__id").as(idCol),
+        (col("__s") - col("__off")).as("doc_start"),
+        (col("__e") - col("__s")).as("len")) ++ carryCols.map(col)): _*)
 
   /** Materialize a UniMax allocation as repeat rows — the "applied at
     * training time" half [[CurationOps.unimaxSelect]]'s scaladoc defers.

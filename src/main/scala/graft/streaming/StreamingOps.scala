@@ -796,6 +796,186 @@ object StreamingOps {
       dedupKeys = Seq("doc_id"), partitionCols = Seq.empty)
   }
 
+  /** Incremental/streaming concat-and-chunk packing — the packed
+    * manifest ([[graft.operators.AssemblyOps.packTokenSpans]]) as a
+    * MAINTAINED asset: appending a delta to a packed 100 TB corpus must
+    * cost O(delta), never a re-pack of the other 99%. The stream's
+    * arrival order IS the declared corpus order (ascending batch id,
+    * then id within a batch); each micro-batch
+    *
+    *   1. derives the committed token total `T_prev` from the offset
+    *      levels strictly below its id (a one-column sum over the slim
+    *      doc-offsets frame — compaction keeps the level count small),
+    *   2. assigns its docs offsets `T_prev + local exclusive prefix`
+    *      (the [[graft.operators.AssemblyOps.exclusiveOffsets]]
+    *      two-phase shape within the batch),
+    *   3. lands `(doc_id, off, n, ob)` at `_offsets/__batch=<id>`
+    *      (`ob = (off+n-1) DIV blockTokens` — END-block partitioned, so
+    *      the tail probe below prunes directories), then
+    *   4. emits ONLY the spans of sequences the delta completes —
+    *      `seq_id ∈ [T_prev DIV L, T_new DIV L)` — for its own docs
+    *      UNION the previous tail docs (offset levels filtered
+    *      `off + n > S_prev·L`, an ob-pruned point probe re-emitting
+    *      the slices the previous batch's incomplete final sequence
+    *      withheld), landed `sb = seq_id DIV blockSeqs`-partitioned at
+    *      `spans/__batch=<id>` so a loader reads its shard's `sb`
+    *      directories only.
+    *
+    * Readers tolerate every crash point: both writes are batch-id
+    * Overwrites (replay rewrites, never duplicates), successors read
+    * `__batch < id` only, and the one external window (offsets landed,
+    * spans not) only hides not-yet-visible sequences until the replay.
+    * `_meta.json` pins (seqLen, blockSeqs, blockTokens) — drifted
+    * geometry would corrupt sequence ownership, so it fails loudly.
+    * doc ids must be unique across the stream's lifetime. Bootstrap
+    * with [[packIndexBase]] (`__batch=-1`), fold with
+    * [[compactPackIndex]], read back with [[readPackIndex]]. */
+  def packStream(docs: DataFrame, path: String, checkpoint: String,
+      seqLen: Long, blockSeqs: Long = 1024L, blockTokens: Long = 1L << 20,
+      idCol: String = "doc_id", textCol: String = "text",
+      chunkSize: Long = 1L << 20): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packBatch(batch, batchId, path, seqLen, blockSeqs, blockTokens,
+          idCol, textCol, chunkSize)
+      }
+
+  /** One [[packStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly; `batchId = -1` is the
+    * [[packIndexBase]] bootstrap). */
+  private[graft] def packBatch(batch: DataFrame, batchId: Long, path: String,
+      seqLen: Long, blockSeqs: Long, blockTokens: Long,
+      idCol: String, textCol: String, chunkSize: Long): Unit = {
+    import graft.operators.AssemblyOps
+    val s = batch.sparkSession
+    val spansRoot = new org.apache.hadoop.fs.Path(s"$path/spans")
+    val offRoot = new org.apache.hadoop.fs.Path(s"$path/_offsets")
+    val f = spansRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, spansRoot, batchId, "packStream", path)
+    assertPackMeta(s, path, seqLen, blockSeqs, blockTokens)
+    if (!f.exists(new org.apache.hadoop.fs.Path(path, "_meta.json")))
+      writePackMeta(s, path, seqLen, blockSeqs, blockTokens)
+    // committed offsets strictly below this batch (replay-stable)
+    val prev =
+      if (f.exists(offRoot))
+        s.read.schema("doc_id LONG, off LONG, n LONG, ob LONG, __batch LONG")
+          .parquet(offRoot.toString).filter(col("__batch") < batchId)
+          .groupBy(col("doc_id")) // fold-overlap duplicates are identical
+          .agg(max(col("off")).as("off"), max(col("n")).as("n"), max(col("ob")).as("ob"))
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, off LONG, n LONG, ob LONG"))
+    // T_prev: bounded driver value (one column-sum over the slim offsets
+    // frame — the curatedBatch touched-set precedent), so the tail probe
+    // below prunes ob directories with a LITERAL
+    val tPrev = Option(prev.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
+    val sPrev = tPrev / seqLen
+    val n = size(graft.functions.TextFns.tokens(coalesce(col(textCol), lit(""))))
+      .cast("long")
+    val base = batch.select(col(idCol).cast("long").as("__id"), n.as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__ord", col("__id"))
+      .withColumn("__chunk", expr(s"__id DIV ${chunkSize}L"))
+    val newOff = graft.operators.Checkpoints.pin(
+      AssemblyOps.exclusiveOffsets(base)
+        .select(col("__id"), (col("__off") + lit(tPrev)).as("__off"), col("__n")),
+      reliable = false)
+    val tNew = tPrev + Option(
+      newOff.agg(coalesce(sum(col("__n")), lit(0L))).head().getLong(0)).getOrElse(0L)
+    val sNew = tNew / seqLen
+    // offsets delta FIRST (batch-id Overwrite; ob = END block for pruning)
+    newOff.select(col("__id").as("doc_id"), col("__off").as("off"), col("__n").as("n"),
+        expr(s"(__off + __n - 1) DIV ${blockTokens}L").as("ob"))
+      .repartition(col("ob"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ob").parquet(s"$offRoot/__batch=$batchId")
+    // spans the delta completes: this batch's docs + the previous tail
+    // (ob-pruned: a tail doc's END block is at or past S_prev·L's block)
+    val tail = prev
+      .filter(col("ob") >= lit((sPrev * seqLen) / blockTokens))
+      .filter(col("off") + col("n") > lit(sPrev * seqLen))
+      .select(col("doc_id").as("__id"), col("off").as("__off"), col("n").as("__n"))
+    val spans = AssemblyOps.spansBetween(
+      newOff.unionByName(tail), seqLen, lit(sPrev), lit(sNew), "doc_id", Nil)
+    spans.withColumn("sb", expr(s"seq_id DIV ${blockSeqs}L"))
+      .repartition(col("sb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("sb").parquet(s"$spansRoot/__batch=$batchId")
+  }
+
+  /** Bootstrap the versioned pack layout from an existing corpus
+    * (`__batch=-1`), recording the geometry sidecar. */
+  def packIndexBase(docs: DataFrame, path: String, seqLen: Long,
+      blockSeqs: Long = 1024L, blockTokens: Long = 1L << 20,
+      idCol: String = "doc_id", textCol: String = "text",
+      chunkSize: Long = 1L << 20): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/spans/__batch=-1")
+    val f = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    require(!f.exists(p), s"$p already exists — packIndexBase bootstraps once")
+    writePackMeta(docs.sparkSession, path, seqLen, blockSeqs, blockTokens)
+    packBatch(docs, -1L, path, seqLen, blockSeqs, blockTokens, idCol, textCol, chunkSize)
+  }
+
+  /** The accumulated packed manifest: every committed level's spans,
+    * folded on (seq_id, seq_pos) — a crashed compaction's overlap
+    * window duplicates identical rows, which the fold collapses. The
+    * result equals [[graft.operators.AssemblyOps.packTokenSpans]] over
+    * the corpus in arrival order (PackStreamSpec; oracle row
+    * q_stream_pack). */
+  def readPackIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("seq_id LONG, seq_pos LONG, doc_id LONG, doc_start LONG, len LONG, sb LONG, __batch LONG")
+      .parquet(s"$path/spans")
+      .groupBy(col("seq_id"), col("seq_pos"))
+      .agg(max(col("doc_id")).as("doc_id"), max(col("doc_start")).as("doc_start"),
+        max(col("len")).as("len"))
+
+  /** Fold [[packStream]]'s per-batch deltas into the `__batch=-1` base
+    * on both roots (spans, then offsets) — dedup on (seq_id, seq_pos) /
+    * (doc_id) is lossless: each span/doc lands in exactly one batch
+    * with deterministic values. */
+  def compactPackIndex(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, s"$path/spans",
+      "seq_id LONG, seq_pos LONG, doc_id LONG, doc_start LONG, len LONG, sb LONG",
+      dedupKeys = Seq("seq_id", "seq_pos"), partitionCols = Seq("sb"))
+    foldBatchDirs(spark, s"$path/_offsets", "doc_id LONG, off LONG, n LONG, ob LONG",
+      dedupKeys = Seq("doc_id"), partitionCols = Seq("ob"))
+  }
+
+  private def writePackMeta(spark: SparkSession, path: String,
+      seqLen: Long, blockSeqs: Long, blockTokens: Long): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(
+      s"""{"seqLen":$seqLen,"blockSeqs":$blockSeqs,"blockTokens":$blockTokens}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def assertPackMeta(spark: SparkSession, path: String,
+      seqLen: Long, blockSeqs: Long, blockTokens: Long): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(nm: String): Option[Long] =
+        s""""$nm":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val want = Seq("seqLen" -> seqLen, "blockSeqs" -> blockSeqs,
+        "blockTokens" -> blockTokens)
+      val bad = want.flatMap { case (nm, v) =>
+        field(nm).filter(_ != v).map(rec => s"$nm: index=$rec caller=$v")
+      }
+      require(bad.isEmpty,
+        s"packStream: pack geometry mismatch vs $path/_meta.json (${bad.mkString("; ")})")
+    }
+  }
+
   /** Streaming content-addressed chunk-store ingest — the CAS-backup
     * twin of the other versioned sinks: each micro-batch of binary
     * payloads is CDC-chunked ([[graft.operators.MultimodalOps.cdcByteChunks]],
