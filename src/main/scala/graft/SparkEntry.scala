@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{TimeFns, VectorFns}
+import graft.functions.{TextFns, TimeFns, VectorFns}
 import graft.operators.{AssemblyOps, CurationOps, DedupOps, MultimodalOps, RetrievalOps, SimilarityOps, TemporalOps, TextOps}
 import graft.sources.Tables
 
@@ -3239,6 +3239,30 @@ object SparkEntry {
         .orderBy(col("seq_id"), col("seq_pos"))
     },
 
+    "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
+      // integer score (type-token ratio in ppm): 0-based global rank in
+      // (score, id) order, bucket = rank*10 DIV n — equal-size-by-rank
+      // deciles, two-phase ranks (per-score-range counts + range-local
+      // windows), the total as a 1-row broadcast.
+      val toks = TextFns.tokens(coalesce(col("text"), lit("")))
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+          size(array_distinct(toks)).cast("long").as("__d"),
+          size(toks).cast("long").as("__t"))
+        .withColumn("score", expr("(__d * 1000000L) DIV __t"))
+        .select(col("doc_id"), col("score"))
+      CurationOps.rankBuckets(scored, nBuckets = 10).orderBy(col("doc_id"))
+    },
+
+    "g_curriculum" -> { (s, dir) => // curriculum-ordered packing: 4
+      // equal-rank TTR strata, ascending-bucket token stream with
+      // pseudo-random in-bucket order, 128-token packing carrying the
+      // bucket — sequence ids are curriculum-monotone (spec law), so a
+      // trainer walking seq_id order walks the schedule.
+      AssemblyOps.curriculumManifest(Tables.documents(s, dir),
+          nBuckets = 4, seqLen = 128L)
+        .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
     "q_stream_pack" -> { (s, dir) => // incremental packing, oracle side:
       // an AvailableNow run of packStream lands the corpus as versioned
       // span + offset deltas (sb/ob block-partitioned), compactPackIndex
@@ -6174,6 +6198,53 @@ object SparkEntry {
     // batch packer (single-batch landing; cross-batch tail re-emission
     // is PackStreamSpec's job)
     "q_stream_pack" -> packSpansOracleSql,
+
+    "g_rank_buckets" ->
+      // the engine's two-phase rank is spec-pinned bit-equal to this
+      // single window; score = integer type-token ratio in ppm
+      """WITH s AS (SELECT doc_id,
+        |        CAST((len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000000)
+        |             // len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS score
+        |      FROM documents),
+        |r AS (SELECT doc_id, score,
+        |        CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) - 1 AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM s)
+        |SELECT doc_id, score, CAST((rank * 10) // n AS BIGINT) AS bucket, rank
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "g_curriculum" ->
+      // rank strata (4 buckets) -> the curriculum order bucket*P + perm
+      // -> the one-window packing replay, bucket carried through
+      """WITH s AS (SELECT doc_id,
+        |        CAST((len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000000)
+        |             // len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS score
+        |      FROM documents),
+        |r AS (SELECT doc_id, score,
+        |        CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) - 1 AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM s),
+        |bkt AS (SELECT doc_id, CAST((rank * 4) // n AS BIGINT) AS bucket FROM r),
+        |d AS (SELECT documents.doc_id,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok, bucket,
+        |        bucket * 2147483647 + ((documents.doc_id % 2147483647) * 62089911) % 2147483647 AS ord
+        |      FROM documents JOIN bkt ON documents.doc_id = bkt.doc_id),
+        |o AS (SELECT doc_id, tok, bucket,
+        |        CAST(sum(tok) OVER (ORDER BY ord, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - tok AS off
+        |      FROM d WHERE tok > 0),
+        |t AS (SELECT CAST(coalesce(sum(tok), 0) AS BIGINT) AS tt FROM d WHERE tok > 0),
+        |sp AS (SELECT doc_id, bucket, tok, off,
+        |        unnest(generate_series(off // 128, (off + tok - 1) // 128)) AS seq_id
+        |      FROM o)
+        |SELECT sp.seq_id,
+        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |       doc_id, bucket,
+        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
+        |       CAST(least(off + tok, (seq_id + 1) * 128)
+        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |FROM sp, t WHERE sp.seq_id < tt // 128
+        |ORDER BY seq_id, seq_pos""".stripMargin,
 
     "g_epoch_expand" ->
       // the g_unimax waterfilling CTEs at budget 40000 / cap 3, then the

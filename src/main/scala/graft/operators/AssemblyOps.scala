@@ -447,6 +447,49 @@ object AssemblyOps {
         lit(meanSpan).as("span_len"))
   }
 
+  /** Curriculum-ordered packing — the data schedule half of
+    * curriculum / annealing recipes (easy-first ordering, "anneal the
+    * high-quality slice at the end of the run"): the corpus is split
+    * into `nBuckets` exact equal-size-by-rank strata of an integer
+    * per-document score ([[CurationOps.rankBuckets]]; here the score is
+    * the type-token ratio in ppm — `(distinct_tokens · 10⁶) DIV tokens`,
+    * a pure-integer quality/diversity proxy both engines compute
+    * identically), then packed with the declared order `(bucket,
+    * permutation)`: ascending buckets, pseudo-random within a bucket.
+    * Because the token stream is bucket-sorted, sequence ids are
+    * CURRICULUM-MONOTONE: for i < j every token of sequence i comes
+    * from a bucket ≤ every token of sequence j (spec-pinned), so a
+    * trainer consuming seq_id order walks the schedule — while
+    * in-bucket order stays shuffled, avoiding within-phase ordering
+    * bias.
+    *
+    * Output: the [[packTokenSpans]] manifest + the slice's `bucket`.
+    * Scale shape: rankBuckets' two-phase ranks + the packer's two-phase
+    * prefix — no new unbounded window anywhere. */
+  def curriculumManifest(
+      docs: DataFrame,
+      nBuckets: Int,
+      seqLen: Long,
+      seed: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      rangeWidth: Long = 64L,
+      chunkSize: Long = 1L << 20): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val toks = TextFns.tokens(coalesce(col(textCol), lit("")))
+    val scored = docs.select(col(idCol),
+        size(array_distinct(toks)).cast("long").as("__d"),
+        size(toks).cast("long").as("__t"))
+      .withColumn("score", expr("(__d * 1000000L) DIV __t"))
+      .select(col(idCol), col("score"))
+    val buckets = CurationOps.rankBuckets(scored, nBuckets, "score", idCol, rangeWidth)
+      .select(col(idCol), col("bucket"))
+    val ordered = docs.join(buckets, idCol)
+      .withColumn("__cord", col("bucket") * lit(P) + permKey(col(idCol) + lit(seed), 0L))
+    packTokenSpans(ordered, seqLen, orderCol = "__cord", idCol = idCol,
+      textCol = textCol, carryCols = Seq("bucket"), chunkSize = chunkSize)
+  }
+
   /** The composed training-run assembly: UniMax allocation → epoch
     * expansion → deterministic global interleave of (document, epoch)
     * instances → concat-and-chunk packing, one DAG.

@@ -800,6 +800,47 @@ object CurationOps {
     * Values must be NON-NEGATIVE (integer DIV truncates toward zero, so
     * the bucket id is order-preserving only on [0, ∞) — lengths, counts,
     * byte sizes all qualify; shift signed values first). */
+  /** Exact rank-derived buckets over an integer score: every row gets
+    * its 0-based global rank in `(score, id)` order and the bucket
+    * `(rank · nBuckets) DIV n` — equal-size-by-rank strata (sizes differ
+    * by at most one), deterministic in any engine. The corpus-wide rank
+    * runs TWO-PHASE like [[exactQuantiles]]: per-score-range counts
+    * (`range = score DIV rangeWidth`, order-preserving on non-negative
+    * scores) roll into exclusive range offsets with one window over the
+    * bounded range frame; row-level `row_number` windows partition by
+    * range, so no score region serializes into one task; the total is a
+    * 1-row broadcast. Scores must be NON-NEGATIVE (the
+    * [[exactQuantiles]] truncation caveat).
+    *
+    * Output: `(idCol, scoreCol, bucket, rank)`. The reusable core of
+    * quantile-strata selection and
+    * [[graft.operators.AssemblyOps.curriculumManifest]]'s ordering. */
+  def rankBuckets(
+      scored: DataFrame,
+      nBuckets: Int,
+      scoreCol: String = "score",
+      idCol: String = "doc_id",
+      rangeWidth: Long = 64L): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(rangeWidth >= 1, "rangeWidth must be >= 1")
+    val base = Checkpoints.pin(
+      scored.select(col(idCol).as("__id"), col(scoreCol).cast("long").as("__s"))
+        .withColumn("__b", expr(s"__s DIV ${rangeWidth}L")), reliable = false)
+    val wB = Window.orderBy(col("__b"))
+    val rangeOffs = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__boff", coalesce(
+        sum(col("__c")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__boff"))
+    val total = base.agg(count(lit(1)).as("__n"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__s"), col("__id"))
+    base.join(rangeOffs, Seq("__b")) // AQE broadcasts the bounded offsets
+      .withColumn("__r", col("__boff") + row_number().over(wIn) - 1)
+      .crossJoin(broadcast(total))
+      .select(col("__id").as(idCol), col("__s").as(scoreCol),
+        expr(s"(__r * ${nBuckets}L) DIV __n").as("bucket"),
+        col("__r").as("rank"))
+  }
+
   def exactQuantiles(
       df: DataFrame,
       ps: Seq[Double],
