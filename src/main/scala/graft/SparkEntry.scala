@@ -3239,6 +3239,17 @@ object SparkEntry {
         .orderBy(col("seq_id"), col("seq_pos"))
     },
 
+    "g_frame_sample" -> { (s, dir) => // deterministic frame sampling over
+      // the fake media column (16-byte "frames", 4 fps, up to 8 samples):
+      // midpoint-of-strata indices — strictly increasing, never
+      // frame-0-biased — with byte offsets, timestamps, and the sliced
+      // frame digest. Map-only: bounded explode + codegen substring/md5.
+      MultimodalOps.frameSampleManifest(
+          MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
+          frameBytes = 16, fps = 4, k = 8)
+        .orderBy(col("media_id"), col("frame_ix"))
+    },
+
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
       // integer score (type-token ratio in ppm): 0-based global rank in
       // (score, id) order, bucket = rank*10 DIV n — equal-size-by-rank
@@ -6198,6 +6209,27 @@ object SparkEntry {
     // batch packer (single-batch landing; cross-batch tail re-emission
     // is PackStreamSpec's job)
     "q_stream_pack" -> packSpansOracleSql,
+
+    "g_frame_sample" ->
+      // the fake media content is the utf-8 of text (ASCII fixture:
+      // char == byte, the established g_media_meta equivalence), so the
+      // byte slices replay as VARCHAR substrings; midpoint strata in
+      // exact integer arithmetic
+      """WITH m AS (SELECT doc_id AS media_id, text AS content,
+        |        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 16 AS nf
+        |      FROM documents),
+        |g AS (SELECT media_id, content, nf,
+        |        CAST(least(8, nf) AS BIGINT) AS kk FROM m WHERE nf > 0),
+        |x AS (SELECT media_id, content, nf, kk,
+        |        unnest(generate_series(0, kk - 1)) AS frame_ix FROM g),
+        |y AS (SELECT media_id, content, frame_ix,
+        |        CAST(((2 * frame_ix + 1) * nf) // (2 * kk) AS BIGINT) AS frame_idx
+        |      FROM x)
+        |SELECT media_id, frame_ix, frame_idx,
+        |       CAST(frame_idx * 16 AS BIGINT) AS byte_start,
+        |       CAST((frame_idx * 1000) // 4 AS BIGINT) AS ts_ms,
+        |       md5(substring(content, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_md5
+        |FROM y ORDER BY media_id, frame_ix""".stripMargin,
 
     "g_rank_buckets" ->
       // the engine's two-phase rank is spec-pinned bit-equal to this

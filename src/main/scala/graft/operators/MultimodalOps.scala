@@ -86,6 +86,46 @@ object MultimodalOps {
         col("content").substr(lit(1), lit(targetBytes)),
         lit(targetBytes), lit(Array[Byte](0))).as("content_resized"))
 
+  /** Deterministic frame-sampling manifest — the "frame-sample" stage of
+    * a video/audio pipeline as pure Spark plumbing (no codec: the
+    * container is modeled as fixed-`frameBytes` frames, the stand-in for
+    * a real demuxer's frame index exactly like [[decodeStub]] stands in
+    * for a decoder): per media row with `nFrames = byte_len DIV
+    * frameBytes` frames, sample `k' = min(k, nFrames)` frames at the
+    * MIDPOINTS of k' equal strata — `frame_idx = ((2i+1)·nFrames) DIV
+    * (2k')`, strictly increasing, never frame-0-biased — and emit the
+    * loader plan plus the sliced frame payload digest:
+    * `(media_id, frame_ix, frame_idx, byte_start, ts_ms, frame_md5)`
+    * (`ts_ms = frame_idx·1000 DIV fps`). Map-only: a bounded ≤k explode
+    * per row and a codegen substring/md5 — no exchange at any corpus
+    * size; media shorter than one frame emits nothing. */
+  def frameSampleManifest(
+      media: DataFrame,
+      frameBytes: Int,
+      fps: Int,
+      k: Int): DataFrame = {
+    require(frameBytes >= 1, "frameBytes must be >= 1")
+    require(fps >= 1, "fps must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    media
+      .select(col("media_id"), col("content"),
+        expr(s"CAST(octet_length(content) AS LONG) DIV ${frameBytes}L").as("__nf"))
+      .filter(col("__nf") > 0)
+      .withColumn("__k", least(lit(k.toLong), col("__nf")))
+      .withColumn("frame_ix", explode(expr("sequence(0L, __k - 1)")))
+      .withColumn("frame_idx",
+        expr("((2 * frame_ix + 1) * __nf) DIV (2 * __k)"))
+      .select(
+        col("media_id"),
+        col("frame_ix"),
+        col("frame_idx"),
+        (col("frame_idx") * frameBytes.toLong).as("byte_start"),
+        expr(s"(frame_idx * 1000L) DIV ${fps}L").as("ts_ms"),
+        md5(col("content").substr(
+          (col("frame_idx") * frameBytes.toLong + 1L).cast("int"),
+          lit(frameBytes))).as("frame_md5"))
+  }
+
   /** Byte-level content-defined chunking of the binary payload — the
     * multimodal dedup primitive: chunk frames survive container
     * prepends/re-muxes that shift every fixed-offset frame (the token

@@ -635,6 +635,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(new String(r1.getAs[Array[Byte]]("content_resized")) == "the quick brown ")
   }
 
+  test("frameSampleManifest: midpoint strata, bounds, slice digests") {
+    val media = MultimodalOps.mediaFromDocuments(docsDf())
+    val got = MultimodalOps.frameSampleManifest(media, frameBytes = 4, fps = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq.sorted
+    // independent reference over the fake media (utf-8 of text)
+    val texts = docsDf().select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ref = (for ((id, t) <- texts.toSeq) yield {
+      val nf = t.getBytes("UTF-8").length / 4
+      val kk = math.min(3L, nf.toLong)
+      (0L until kk).map { i =>
+        val idx = (2 * i + 1) * nf / (2 * kk)
+        val slice = t.getBytes("UTF-8").slice((idx * 4).toInt, (idx * 4).toInt + 4)
+        val dig = java.security.MessageDigest.getInstance("MD5").digest(slice)
+          .map("%02x".format(_)).mkString
+        (id, i, idx, idx * 4, idx * 1000 / 2, dig)
+      }
+    }).flatten.sorted
+    assert(got == ref)
+    // strictly increasing frame indices within a media row, all in bounds
+    got.groupBy(_._1).values.foreach { fs =>
+      val idxs = fs.sortBy(_._2).map(_._3)
+      assert(idxs == idxs.sorted && idxs.distinct == idxs)
+      val nf = texts(fs.head._1).getBytes("UTF-8").length / 4
+      assert(idxs.forall(ix => ix >= 0 && ix < nf))
+    }
+    // media shorter than one frame emits nothing
+    import spark.implicits._
+    val tiny = Seq((99L, "text/fake")).toDF("media_id", "media_type")
+      .withColumn("content", org.apache.spark.sql.functions.to_binary(
+        org.apache.spark.sql.functions.lit("ab"),
+        org.apache.spark.sql.functions.lit("utf-8")))
+    assert(MultimodalOps.frameSampleManifest(tiny, 4, 2, 3).count() == 0)
+  }
+
   test("pidsIn walks the calendar between two FileTimes") {
     import graft.functions.TimeFns
     val ft = (iso: String) => TimeFns.microsToFileTime(lit(TimeFns.utcMicros(iso)))
