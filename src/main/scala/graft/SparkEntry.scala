@@ -3219,8 +3219,9 @@ object SparkEntry {
 
     "g_train_manifest" -> { (s, dir) => // the composed assembly DAG:
       // allocation → epoch expansion → deterministic interleave of
-      // (doc, epoch) instances (permutation of eid = id*4 + epoch at
-      // seed+1) → 128-token packing. The oracle replays all four stages;
+      // (doc, epoch) instances (permutation of eid = id*4 + epoch,
+      // pre-shifted by seed+1) → 128-token packing. The oracle replays
+      // all four stages;
       // drift in ANY of them flips this row even if their own rows stay
       // green.
       AssemblyOps.trainManifest(Tables.documents(s, dir),
@@ -6325,8 +6326,9 @@ object SparkEntry {
         |ORDER BY doc_id, epoch""".stripMargin,
 
     "g_train_manifest" ->
-      // all four stages replayed: the g_epoch_expand CTEs, the seed+1
-      // interleave permutation over eid = id*4 + epoch, the one-window
+      // all four stages replayed: the g_epoch_expand CTEs, the
+      // (seed+1)-pre-shifted interleave permutation over eid = id*4 +
+      // epoch, the one-window
       // prefix sum, and the span fan-out with the partial tail dropped
       """WITH c AS (SELECT source,
         |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
@@ -6369,7 +6371,7 @@ object SparkEntry {
         |      SELECT doc_id, source, fullr AS epoch, n_tokens FROM cum
         |      WHERE cm - n_tokens < frac),
         |k AS (SELECT *, doc_id * 4 + epoch AS eid,
-        |        (((doc_id * 4 + epoch) % 2147483647) * 62089911 + 1) % 2147483647 AS ord
+        |        (((doc_id * 4 + epoch + 1) % 2147483647) * 62089911) % 2147483647 AS ord
         |      FROM u),
         |o2 AS (SELECT *,
         |        CAST(sum(n_tokens) OVER (ORDER BY ord, eid

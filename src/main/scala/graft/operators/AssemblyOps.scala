@@ -53,7 +53,13 @@ object AssemblyOps {
 
   /** The shared multiplicative permutation `((id mod P)·M + seed) mod P`
     * — a bijection on [0, P) for seed-shifted ids, overflow-safe for any
-    * long id on wrap-on-overflow AND trap-on-overflow engines. */
+    * long id on wrap-on-overflow AND trap-on-overflow engines.
+    *
+    * Seeding caveat: the `seed` slot here is an AFTER-multiplication
+    * shift, which preserves relative order except at mod-P wraps —
+    * different seeds produce nearly the same ORDER. Callers that want a
+    * seed to genuinely re-permute must pre-shift the id instead:
+    * `permKey(id + seed, 0)` (every assembly operator does). */
   private[graft] def permKey(id: Column, seed: Long): Column =
     (pmod(id, lit(P)) * lit(Mult) + lit(seed)) % lit(P)
 
@@ -189,7 +195,10 @@ object AssemblyOps {
     val scored = Checkpoints.pin(docs.select(
       col(idCol), col(sourceCol),
       size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
-      .withColumn("__sk", permKey(col(idCol), seed)), reliable = false)
+      // seed pre-shifts the id (the permKey caveat): an after-shift would
+      // preserve the prefix order except at wraps, so different seeds
+      // would pick nearly the same fractional epoch
+      .withColumn("__sk", permKey(col(idCol) + lit(seed), 0L)), reliable = false)
     val withAlloc = scored.join(broadcast(alloc), Seq(sourceCol))
     val out = Seq(col(idCol), col(sourceCol), col("epoch"), col("n_tokens"))
     val fullReps = withAlloc.filter(col("__full") > 0)
@@ -495,10 +504,12 @@ object AssemblyOps {
     * instances → concat-and-chunk packing, one DAG.
     *
     * The interleave key is the shared permutation over
-    * `eid = id·(epochCap+1) + epoch` (injective — epoch ≤ epochCap) at
-    * `seed + 1`, so repeats of one document scatter across the run
-    * instead of clustering, independently of the expansion's own
-    * fractional-prefix seed. Output: (seq_id, seq_pos, idCol, sourceCol,
+    * `eid = id·(epochCap+1) + epoch` (injective — epoch ≤ epochCap),
+    * pre-shifted by `seed + 1` (the [[permKey]] caveat: pre-shifting
+    * makes the interleave genuinely seed-dependent AND distinct from the
+    * expansion's own fractional-prefix permutation at the same seed), so
+    * repeats of one document scatter across the run instead of
+    * clustering. Output: (seq_id, seq_pos, idCol, sourceCol,
     * epoch, doc_start, len) — the manifest a loader materializes
     * batches from. */
   def trainManifest(
@@ -515,7 +526,10 @@ object AssemblyOps {
     val expanded = epochExpand(docs, budgetTokens, epochCap, seed, nRanges,
         sourceCol, idCol, textCol)
       .withColumn("__eid", col(idCol) * lit((epochCap + 1).toLong) + col("epoch"))
-      .withColumn("__ord", permKey(col("__eid"), seed + 1))
+      // seed+1 pre-shifts eid (the permKey caveat): the old
+      // after-multiplication "+seed+1" produced the SAME relative order
+      // for every seed — the interleave was effectively unseeded
+      .withColumn("__ord", permKey(col("__eid") + lit(seed + 1), 0L))
     packTokenSpans(expanded, seqLen, orderCol = "__ord", idCol = "__eid",
         textCol = textCol, nTokensCol = Some("n_tokens"),
         carryCols = Seq(idCol, sourceCol, "epoch"), chunkSize = chunkSize)

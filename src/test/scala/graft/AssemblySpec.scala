@@ -174,6 +174,27 @@ class AssemblySpec extends SparkSpec {
     assert(absentTokens <= total % 128L, "a non-tail instance vanished from the manifest")
   }
 
+  test("seeds genuinely re-permute (pre-shift, not the order-preserving after-shift)") {
+    val docs = AssemblyFixture.documents(spark)
+    // epochExpand: a different seed picks a different fractional prefix
+    // (budget 1000 << the fixture's ~6.5k capped tokens, so every source
+    // has a nonzero fractional remainder for the seed to choose)
+    def fracIds(seed: Long) =
+      AssemblyOps.epochExpand(docs, budgetTokens = 1000L, epochCap = 3, seed = seed)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val f0 = fracIds(0L)
+    val f9 = fracIds(9L)
+    assert(f0 != f9, "epochExpand fractional prefix ignored the seed")
+    // trainManifest: a different seed interleaves differently, and the
+    // same seed's interleave differs from the expansion's own order
+    def manifest(seed: Long) =
+      AssemblyOps.trainManifest(docs, budgetTokens = 40000L, epochCap = 3,
+          seqLen = 64L, seed = seed)
+        .select("seq_id", "seq_pos", "doc_id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(manifest(0L) != manifest(9L), "trainManifest interleave ignored the seed")
+  }
+
   test("trainManifest interleave: one doc's epochs do not pack adjacently by construction") {
     // the permutation at seed+1 over eid must scatter a doc's repeats:
     // with 3+ epochs per doc in a small corpus, at least one doc's
