@@ -584,6 +584,19 @@ object SparkEntry {
        |SELECT doc_id, n_terms, bm25 FROM sc
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** BM25 among exact-phrase matches: the shared scoring CTEs, the
+    * adjacency doc set, a semi join — corpus-wide stats by construction
+    * (the CTEs never see the filter). */
+  private lazy val bm25PhraseOracleSql: String =
+    s"""WITH $bm25ScoreCtesSql,
+       |pdocs AS (SELECT DISTINCT x.doc_id FROM
+       |            (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+       |             FROM documents) x,
+       |            unnest(generate_series(1, len(ts) - 1)) AS t(i)
+       |          WHERE ts[i] = 'order' AND ts[i + 1] = 'order')
+       |SELECT sc.doc_id, n_terms, bm25 FROM sc JOIN pdocs ON sc.doc_id = pdocs.doc_id
+       |ORDER BY bm25 DESC, sc.doc_id LIMIT 10""".stripMargin
+
   /** Concat-and-chunk packing replayed as one window prefix-sum (the
     * engine's chunked two-phase form is spec-pinned bit-equal), spans
     * via generate_series, trailing partial sequence dropped by the
@@ -3238,6 +3251,24 @@ object SparkEntry {
       // distinct-lengths frame sees an unpartitioned window.
       AssemblyOps.packBinned(Tables.documents(s, dir), seqLen = 64L)
         .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
+    "g_phrase" -> { (s, dir) => // exact consecutive-phrase occurrences by
+      // anchor-grouping: each (term i, position) match votes for anchor
+      // pos - i; q votes = one occurrence — overlapping matches ("order
+      // order order" holds two) and repeated terms need no special
+      // casing. Token explode -> broadcast 2-row phrase join -> ONE
+      // (doc, anchor) shuffle; no q-way positional self-join.
+      RetrievalOps.phraseMatches(Tables.documents(s, dir), Seq("order", "order"))
+        .orderBy(col("doc_id"))
+    },
+
+    "g_bm25_phrase" -> { (s, dir) => // BM25 ranking among exact-phrase
+      // matches: corpus-wide df/idf stats (a phrase FILTER must not
+      // change scores), left-semi restriction to the phrase doc set,
+      // top-10 by (score desc, id).
+      RetrievalOps.bm25PhraseTopK(Tables.documents(s, dir), Bm25Query,
+        Seq("order", "order"), k = 10)
     },
 
     "g_frame_sample" -> { (s, dir) => // deterministic frame sampling over
@@ -6210,6 +6241,20 @@ object SparkEntry {
     // batch packer (single-batch landing; cross-batch tail re-emission
     // is PackStreamSpec's job)
     "q_stream_pack" -> packSpansOracleSql,
+
+    "g_phrase" ->
+      // adjacency replayed directly (1-based list indexing): positions i
+      // with ts[i] = ts[i+1] = 'order'; anchor is 0-based like the engine
+      """WITH d AS (SELECT doc_id,
+        |        string_split(coalesce(text, ''), ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS anchor
+        |      FROM d, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+        |      WHERE ts[i] = 'order' AND ts[i + 1] = 'order')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(min(anchor) AS BIGINT) AS first_pos
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g_bm25_phrase" -> bm25PhraseOracleSql,
 
     "g_frame_sample" ->
       // the fake media content is the utf-8 of text (ASCII fixture:

@@ -252,6 +252,59 @@ object RetrievalOps {
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
+  // ---------------------------------------------------------------- phrase
+
+  /** Exact consecutive-phrase occurrences by ANCHOR-GROUPING: each token
+    * position `pos` matching phrase term `i` votes for `anchor = pos −
+    * i`; for a fixed anchor each term index can vote at most once (its
+    * position is determined), so an anchor with exactly `q` votes is an
+    * occurrence — repeated phrase terms and OVERLAPPING occurrences
+    * ("order order order" holds two of "order order") fall out with no
+    * special casing. Output: `(doc_id, n_hits, first_pos)` for docs with
+    * ≥1 occurrence.
+    *
+    * Shape at 100 TB: token posexplode → broadcast join against the
+    * q-row phrase frame (only matching tokens survive — posting-list
+    * cost per term) → ONE shuffle keyed (doc, anchor) with map-side
+    * combine → per-doc agg. No self-joins, no q-way join chain (the
+    * classic positional-index plan), no window. */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val spark = docs.sparkSession
+    val q = phrase.size
+    val ph = spark.range(1)
+      .select(posexplode(lit(phrase.toArray)).as(Seq("__i", "tok")))
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+    toks.join(broadcast(ph), "tok")
+      .withColumn("anchor", col("pos").cast("long") - col("__i"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("__votes"))
+      .filter(col("__votes") === q.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+  }
+
+  /** [[bm25TopK]] restricted to documents containing the exact `phrase`
+    * — the lexical serving composition "rank by BM25 among phrase
+    * matches" (left-semi join against [[phraseMatches]]'s doc set, so
+    * the scorer's df/idf statistics stay CORPUS-wide — restricting the
+    * stats to the filtered set would change scores, which is not what a
+    * phrase filter means). */
+  def bm25PhraseTopK(
+      docs: DataFrame,
+      query: Seq[String],
+      phrase: Seq[String],
+      k: Int = 10,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(k >= 1, "k >= 1")
+    bm25Scores(docs, query, k1, b)
+      .join(phraseMatches(docs, phrase).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   // ---------------------------------------------------------------- fusion
 
   /** Reciprocal-rank fusion over any number of rankings: each input is

@@ -118,6 +118,52 @@ class Bm25Spec extends SparkSpec {
     assert(e.getMessage.contains("_meta.json"))
   }
 
+  test("phraseMatches: anchors, overlap, repeated terms, edge phrases") {
+    val df = Seq(
+      (0L, "a b c a b"), // "a b" twice
+      (1L, "x x x"), // "x x" twice — OVERLAPPING occurrences
+      (2L, "a"), // shorter than the phrase
+      (3L, "b a"), // reversed — no match
+      (4L, "a b") // once, at position 0
+    ).toDF("doc_id", "text")
+    def hits(p: Seq[String]) = RetrievalOps.phraseMatches(df, p)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(hits(Seq("a", "b")) == Seq((0L, 2L, 0L), (4L, 1L, 0L)))
+    assert(hits(Seq("x", "x")) == Seq((1L, 2L, 0L)))
+    assert(hits(Seq("a", "b", "c")) == Seq((0L, 1L, 0L)))
+    // single-term phrase degenerates to term occurrences
+    assert(hits(Seq("a")) ==
+      Seq((0L, 2L, 0L), (2L, 1L, 0L), (3L, 1L, 1L), (4L, 1L, 0L)))
+    assert(hits(Seq("zzz", "a")).isEmpty)
+  }
+
+  test("phraseMatches matches a sliding-window reference on the random corpus") {
+    val texts = randomTexts(40, seed = 19)
+    val phrase = Seq("alpha", "beta")
+    val got = RetrievalOps.phraseMatches(toDf(texts), phrase)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val ref = texts.toSeq.flatMap { case (id, ts) =>
+      val anchors = ts.sliding(2).zipWithIndex
+        .collect { case (w, i) if w == phrase => i.toLong }.toSeq
+      if (anchors.isEmpty) None else Some((id, anchors.size.toLong, anchors.min))
+    }.sorted
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("bm25PhraseTopK == the full ranking semi-filtered to phrase docs") {
+    val texts = randomTexts(40, seed = 19)
+    val query = Seq("gamma", "rare1")
+    val phrase = Seq("alpha", "beta")
+    val matching = texts.filter(_._2.sliding(2).contains(phrase)).keySet
+    val expect = RetrievalOps.bm25Scores(toDf(texts), query)
+      .as[(Long, Long, Double)].collect().toSeq
+      .filter(r => matching.contains(r._1))
+      .sortBy(r => (-r._3, r._1)).take(5)
+    val got = RetrievalOps.bm25PhraseTopK(toDf(texts), query, phrase, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("rrfFuse: hand-computed fold, arm counts, and (rrf desc, id) order") {
     val armA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val armB = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
