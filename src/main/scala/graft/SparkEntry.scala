@@ -584,6 +584,20 @@ object SparkEntry {
        |SELECT doc_id, n_terms, bm25 FROM sc
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Adjacency replayed directly (1-based list indexing): positions i
+    * with ts[i] = ts[i+1] = 'order'; anchor is 0-based like the engine.
+    * Shared by g_phrase (full scan) and g_phrase_indexed (positional
+    * index probe — bit-equal contract). */
+  private lazy val phraseOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |        string_split(coalesce(text, ''), ' ') AS ts FROM documents),
+      |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS anchor
+      |      FROM d, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+      |      WHERE ts[i] = 'order' AND ts[i + 1] = 'order')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |       CAST(min(anchor) AS BIGINT) AS first_pos
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** BM25 among exact-phrase matches: the shared scoring CTEs, the
     * adjacency doc set, a semi join — corpus-wide stats by construction
     * (the CTEs never see the filter). */
@@ -3269,6 +3283,19 @@ object SparkEntry {
       // top-10 by (score desc, id).
       RetrievalOps.bm25PhraseTopK(Tables.documents(s, dir), Bm25Query,
         Seq("order", "order"), k = 10)
+    },
+
+    "g_phrase_indexed" -> { (s, dir) => // phrase matching served from the
+      // POSITIONAL postings index: the probe reads ONLY the phrase
+      // terms' pt directories and explodes their stored positions into
+      // the same anchor vote — posting-list cost, never a corpus scan.
+      // Contract: bit-equal to the full-scan g_phrase (shared oracle
+      // hash); the ONE index serves both BM25 (positions pruned away)
+      // and phrases.
+      val path = java.nio.file.Files.createTempDirectory("graft_posidx_").toString + "/idx"
+      RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path, nPt = 16)
+      RetrievalOps.phraseMatchesIndexed(s, path, Seq("order", "order"))
+        .orderBy(col("doc_id"))
     },
 
     "g_frame_sample" -> { (s, dir) => // deterministic frame sampling over
@@ -6242,17 +6269,10 @@ object SparkEntry {
     // is PackStreamSpec's job)
     "q_stream_pack" -> packSpansOracleSql,
 
-    "g_phrase" ->
-      // adjacency replayed directly (1-based list indexing): positions i
-      // with ts[i] = ts[i+1] = 'order'; anchor is 0-based like the engine
-      """WITH d AS (SELECT doc_id,
-        |        string_split(coalesce(text, ''), ' ') AS ts FROM documents),
-        |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS anchor
-        |      FROM d, unnest(generate_series(1, len(ts) - 1)) AS t(i)
-        |      WHERE ts[i] = 'order' AND ts[i + 1] = 'order')
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-        |       CAST(min(anchor) AS BIGINT) AS first_pos
-        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g_phrase" -> phraseOracleSql,
+
+    // the positional-index probe is bit-equal to the full scan
+    "g_phrase_indexed" -> phraseOracleSql,
 
     "g_bm25_phrase" -> bm25PhraseOracleSql,
 

@@ -142,13 +142,18 @@ object RetrievalOps {
 
   /** One level of the pt-partitioned postings layout (shared by the batch
     * bootstrap and the streaming twin's per-batch deltas — Overwrite so a
-    * checkpoint-replayed batch rewrites its own directory). */
+    * checkpoint-replayed batch rewrites its own directory). The layout is
+    * POSITIONAL: each (tok, doc) row carries its sorted in-document token
+    * positions, so the one index serves BM25 scoring (readers prune the
+    * column away) AND exact-phrase probes ([[phraseMatchesIndexed]]). */
   private[graft] def writePostingsDelta(docs: DataFrame, dir: String, nPt: Int,
       idCol: String, textCol: String): Unit =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(TextFns.tokens(col(textCol))).as("tok"))
-      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("positions"),
         pmod(xxhash64(col("tok")), lit(nPt.toLong)).cast("int").as("pt"))
       .repartition(col("pt")) // one file per pt dir per level
       .write.mode(SaveMode.Overwrite).partitionBy("pt").parquet(dir)
@@ -250,6 +255,41 @@ object RetrievalOps {
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__a"))
     scoreFromPostings(tf, dfc, dl, stats, k1, b)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  /** [[phraseMatches]] served from the POSITIONAL postings index: reads
+    * ONLY the phrase terms' `pt` directories (directory pruning at every
+    * batch level), folds fold-overlap duplicates on (tok, doc) — rows
+    * are identical under the unique-doc-id contract, so any survivor is
+    * correct — explodes the stored positions, and runs the same
+    * anchor-grouping vote. Posting-list cost, never a corpus scan;
+    * bit-equal to the full-scan [[phraseMatches]] (spec + shared
+    * `g_phrase` oracle hash via `g_phrase_indexed`). */
+  def phraseMatchesIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val q = phrase.size
+    val nPt = readMetaField(spark, indexPath, "nPt").toInt
+    val buckets = termBuckets(spark, phrase.distinct, nPt)
+    val ph = spark.range(1)
+      .select(posexplode(lit(phrase.toArray)).as(Seq("__i", "tok")))
+    val postings = spark.read
+      .schema("tok STRING, doc_id LONG, tf LONG, positions ARRAY<LONG>, pt INT, __batch LONG")
+      .parquet(indexPath)
+      .filter(col("pt").isin(buckets: _*)) // directory pruning
+      .filter(col("tok").isin(phrase.distinct: _*))
+      .dropDuplicates("tok", "doc_id") // fold-overlap rows are identical
+    postings.join(broadcast(ph), "tok")
+      .select(col("doc_id"), col("__i"), explode(col("positions")).as("pos"))
+      .withColumn("anchor", col("pos") - col("__i"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("__votes"))
+      .filter(col("__votes") === q.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
   }
 
   // ---------------------------------------------------------------- phrase

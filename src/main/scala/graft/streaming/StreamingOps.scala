@@ -790,7 +790,8 @@ object StreamingOps {
     * with deterministic rows, so overlap-window duplicates are
     * identical. */
   def compactPostingsIndex(spark: SparkSession, path: String): Unit = {
-    foldBatchDirs(spark, path, "tok STRING, doc_id LONG, tf LONG, pt INT",
+    foldBatchDirs(spark, path,
+      "tok STRING, doc_id LONG, tf LONG, positions ARRAY<LONG>, pt INT",
       dedupKeys = Seq("tok", "doc_id"), partitionCols = Seq("pt"))
     foldBatchDirs(spark, s"$path/_docs", "doc_id LONG, dl LONG",
       dedupKeys = Seq("doc_id"), partitionCols = Seq.empty)

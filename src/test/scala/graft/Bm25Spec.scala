@@ -164,6 +164,25 @@ class Bm25Spec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("phraseMatchesIndexed over the positional index == the full scan") {
+    val texts = randomTexts(40, seed = 19)
+    val path = tmpDir() + "/posidx"
+    RetrievalOps.writePostingsIndex(toDf(texts), path, nPt = 8)
+    for (p <- Seq(Seq("alpha", "beta"), Seq("alpha", "alpha"), Seq("gamma"))) {
+      val scan = RetrievalOps.phraseMatches(toDf(texts), p)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val idx = RetrievalOps.phraseMatchesIndexed(spark, path, p)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(idx == scan, s"phrase $p")
+    }
+    // and the SAME index still serves BM25 (positions pruned away)
+    val q = Seq("alpha", "rare1")
+    assert(RetrievalOps.bm25TopKIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq ==
+      RetrievalOps.bm25TopK(toDf(texts), q, k = 5)
+        .as[(Long, Long, Double)].collect().toSeq)
+  }
+
   test("rrfFuse: hand-computed fold, arm counts, and (rrf desc, id) order") {
     val armA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val armB = Seq((2L, 1), (4L, 2)).toDF("id", "rank")

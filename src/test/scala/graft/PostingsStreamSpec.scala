@@ -54,6 +54,15 @@ class PostingsStreamSpec extends SparkSpec {
     // checkpoint replay of the newest batch overwrites, never duplicates
     StreamingOps.postingsBatch(toDf(45 until 60), 1L, ver, 8, "doc_id", "text")
     assert(topAll(ver) == truth)
+
+    // the streamed POSITIONAL layout serves phrase probes identically to
+    // the full scan (same index, positions landed per batch)
+    val phrase = Seq("alpha", "rare1")
+    val phraseScan = RetrievalOps.phraseMatches(toDf(0 until 60), phrase)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val phraseIdx = RetrievalOps.phraseMatchesIndexed(spark, ver, phrase)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(phraseIdx == phraseScan)
   }
 
   test("nPt sidecar refuses a drifted restart (probe AND maintenance)") {
