@@ -80,4 +80,10 @@ object GraftConf {
   val SemdedupThreshold = "semdedup.threshold" // SemDeDup drop-rule cosine
   val GraphBeam = "graph.beam" // beam width for graph-walk serving
   val GraphHops = "graph.hops" // hop budget for graph-walk serving
+  // lexical retrieval (defaults = the Robertson/Lucene operating point)
+  val Bm25K1 = "bm25.k1" // tf saturation shape (fraction knob, [0, 10])
+  val Bm25B = "bm25.b" // length-normalization strength ([0, 1])
+  val RetrievalK = "retrieval.k" // shortlist size for the lexical/hybrid arms
+  val RrfK = "rrf.kconst" // RRF rank-smoothing constant (Cormack's 60)
+  val PostingsNPt = "postings.npt" // pt directory fan-out for the postings index
 }

@@ -2637,7 +2637,10 @@ object SparkEntry {
       // scorer replays bit-exactly in DuckDB, no tolerance. Shape: token
       // explode -> query-term filter -> (doc,term) tf agg -> broadcast
       // |query|-row df -> doc-keyed dl join -> per-doc agg.
-      RetrievalOps.bm25TopK(Tables.documents(s, dir), Bm25Query, k = 10)
+      RetrievalOps.bm25TopK(Tables.documents(s, dir), Bm25Query,
+        k = GraftConf.int(s, GraftConf.RetrievalK, 10),
+        k1 = GraftConf.fraction(s, GraftConf.Bm25K1, RetrievalOps.DefaultK1, 0.0, 10.0),
+        b = GraftConf.fraction(s, GraftConf.Bm25B, RetrievalOps.DefaultB))
     },
 
     "g_bm25_indexed" -> { (s, dir) => // BM25 served from the PERSISTED
@@ -2650,8 +2653,12 @@ object SparkEntry {
       // streamed index). Contract: bit-equal to the full-scan g_bm25
       // (shared oracle hash).
       val path = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
-      RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path, nPt = 16)
-      RetrievalOps.bm25TopKIndexed(s, path, Bm25Query, k = 10)
+      val nPt = GraftConf.int(s, GraftConf.PostingsNPt, 16)
+      RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path, nPt)
+      RetrievalOps.bm25TopKIndexed(s, path, Bm25Query,
+        k = GraftConf.int(s, GraftConf.RetrievalK, 10),
+        k1 = GraftConf.fraction(s, GraftConf.Bm25K1, RetrievalOps.DefaultK1, 0.0, 10.0),
+        b = GraftConf.fraction(s, GraftConf.Bm25B, RetrievalOps.DefaultB))
     },
 
     "q_stream_postings" -> { (s, dir) => // streaming postings-index
@@ -2669,11 +2676,13 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val q = graft.streaming.StreamingOps
-        .postingsStream(src, s"$out/idx", s"$out/ckpt", nPt = 16)
+        .postingsStream(src, s"$out/idx", s"$out/ckpt",
+          nPt = GraftConf.int(s, GraftConf.PostingsNPt, 16))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       graft.streaming.StreamingOps.compactPostingsIndex(s, s"$out/idx")
-      RetrievalOps.bm25TopKIndexed(s, s"$out/idx", Bm25Query, k = 10)
+      RetrievalOps.bm25TopKIndexed(s, s"$out/idx", Bm25Query,
+        k = GraftConf.int(s, GraftConf.RetrievalK, 10))
     },
 
     "g_hybrid_rrf" -> { (s, dir) => // hybrid lexical+vector retrieval:
@@ -2686,7 +2695,8 @@ object SparkEntry {
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       RetrievalOps.hybridTopK(Tables.documents(s, dir), e, Bm25Query, qv,
-        k = 10, poolK = 30)
+        k = GraftConf.int(s, GraftConf.RetrievalK, 10), poolK = 30,
+        rrfK = GraftConf.int(s, GraftConf.RrfK, 60))
     },
 
     "g_maxsim" -> { (s, dir) => // ColBERT-style late interaction: doc and
@@ -3282,7 +3292,7 @@ object SparkEntry {
       // change scores), left-semi restriction to the phrase doc set,
       // top-10 by (score desc, id).
       RetrievalOps.bm25PhraseTopK(Tables.documents(s, dir), Bm25Query,
-        Seq("order", "order"), k = 10)
+        Seq("order", "order"), k = GraftConf.int(s, GraftConf.RetrievalK, 10))
     },
 
     "g_phrase_indexed" -> { (s, dir) => // phrase matching served from the
@@ -3293,7 +3303,8 @@ object SparkEntry {
       // hash); the ONE index serves both BM25 (positions pruned away)
       // and phrases.
       val path = java.nio.file.Files.createTempDirectory("graft_posidx_").toString + "/idx"
-      RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path, nPt = 16)
+      RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path,
+        GraftConf.int(s, GraftConf.PostingsNPt, 16))
       RetrievalOps.phraseMatchesIndexed(s, path, Seq("order", "order"))
         .orderBy(col("doc_id"))
     },

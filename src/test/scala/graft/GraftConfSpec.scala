@@ -71,6 +71,31 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("retrieval knobs retune the lexical family without editing queries") {
+    // retrieval.k cuts the BM25 shortlist
+    assert(SparkEntry.queries("g_bm25")(spark, sfDir).count() == 10L)
+    withConf("spark.graft.retrieval.k" -> "3") {
+      assert(SparkEntry.queries("g_bm25")(spark, sfDir).count() == 3L)
+    }
+    // bm25.b = 0 switches length normalization off: scores change but the
+    // match set (docs with >= 1 query term) does not
+    val dflt = SparkEntry.queries("g_bm25")(spark, sfDir)
+      .select("doc_id", "bm25").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    withConf("spark.graft.bm25.b" -> "0") {
+      val flat = SparkEntry.queries("g_bm25")(spark, sfDir)
+        .select("doc_id", "bm25").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(flat.values.toSet != dflt.values.toSet)
+    }
+    // postings.npt re-fans the index directories; results are unchanged
+    withConf("spark.graft.postings.npt" -> "4") {
+      val rows = SparkEntry.queries("g_bm25_indexed")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      val base = SparkEntry.queries("g_bm25")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(rows == base)
+    }
+  }
+
   test("semdedup.threshold flows into the drop rule") {
     // threshold 1.0: nothing clears a >= 1.0 floored-cosine bar against a
     // DISTINCT earlier neighbor unless vectors coincide; kept-count can
