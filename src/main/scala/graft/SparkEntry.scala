@@ -3309,6 +3309,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_serve_lexical" -> { (s, dir) => // the composed lexical serving
+      // stack, hash-gated end to end with NO corpus scan anywhere:
+      // scoring stats, posting lists, and phrase adjacency all from the
+      // ONE positional index — query cost is posting-list-sized.
+      // Contract: bit-equal to the full-scan g_bm25_phrase (shared
+      // oracle hash).
+      val path = java.nio.file.Files.createTempDirectory("graft_servelex_").toString + "/idx"
+      RetrievalOps.writePostingsIndex(Tables.documents(s, dir), path,
+        GraftConf.int(s, GraftConf.PostingsNPt, 16))
+      RetrievalOps.bm25PhraseTopKIndexed(s, path, Bm25Query, Seq("order", "order"),
+        k = GraftConf.int(s, GraftConf.RetrievalK, 10))
+    },
+
     "g_frame_sample" -> { (s, dir) => // deterministic frame sampling over
       // the fake media column (16-byte "frames", 4 fps, up to 8 samples):
       // midpoint-of-strata indices — strictly increasing, never
@@ -6286,6 +6299,9 @@ object SparkEntry {
     "g_phrase_indexed" -> phraseOracleSql,
 
     "g_bm25_phrase" -> bm25PhraseOracleSql,
+
+    // the index-served composition is bit-equal to the full scan
+    "g_serve_lexical" -> bm25PhraseOracleSql,
 
     "g_frame_sample" ->
       // the fake media content is the utf-8 of text (ASCII fixture:

@@ -236,8 +236,21 @@ object RetrievalOps {
       k: Int = 10,
       k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
-    require(query.nonEmpty, "query must have at least one term")
     require(k >= 1, "k >= 1")
+    bm25ScoresIndexed(spark, indexPath, query, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  /** The indexed scorer behind [[bm25TopKIndexed]], exposed so serving
+    * compositions ([[bm25PhraseTopKIndexed]]) can filter BEFORE the
+    * shortlist cut without re-reading the index. */
+  def bm25ScoresIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      query: Seq[String],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
     val terms = query.distinct
     val nPt = readMetaField(spark, indexPath, "nPt").toInt
     val buckets = termBuckets(spark, terms, nPt)
@@ -254,6 +267,27 @@ object RetrievalOps {
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")) // overlap-tolerant fold
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__a"))
     scoreFromPostings(tf, dfc, dl, stats, k1, b)
+  }
+
+  /** [[bm25PhraseTopK]] served ENTIRELY from the positional index — the
+    * lexical serving composition with no corpus scan anywhere: scoring
+    * statistics, posting lists, AND the phrase adjacency all come from
+    * the one persisted artifact (query cost = the query terms' + phrase
+    * terms' posting lists). Bit-equal to the full-scan
+    * [[bm25PhraseTopK]] (spec + shared `g_bm25_phrase` oracle hash via
+    * `g_serve_lexical`). */
+  def bm25PhraseTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      query: Seq[String],
+      phrase: Seq[String],
+      k: Int = 10,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(k >= 1, "k >= 1")
+    bm25ScoresIndexed(spark, indexPath, query, k1, b)
+      .join(phraseMatchesIndexed(spark, indexPath, phrase).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 

@@ -183,6 +183,19 @@ class Bm25Spec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSeq)
   }
 
+  test("bm25PhraseTopKIndexed == the full-scan phrase-filtered ranking") {
+    val texts = randomTexts(40, seed = 19)
+    val path = tmpDir() + "/servelex"
+    RetrievalOps.writePostingsIndex(toDf(texts), path, nPt = 8)
+    val query = Seq("gamma", "rare1")
+    val phrase = Seq("alpha", "beta")
+    val scan = RetrievalOps.bm25PhraseTopK(toDf(texts), query, phrase, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val idx = RetrievalOps.bm25PhraseTopKIndexed(spark, path, query, phrase, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(idx == scan && idx.nonEmpty)
+  }
+
   test("rrfFuse: hand-computed fold, arm counts, and (rrf desc, id) order") {
     val armA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val armB = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
