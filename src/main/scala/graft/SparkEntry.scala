@@ -3309,6 +3309,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_bm25_faceted" -> { (s, dir) => // faceted retrieval: the top 3 docs
+      // of EVERY source by BM25 — corpus-wide scoring (facets must not
+      // change idf), one doc-keyed facet join, one window PARTITIONED by
+      // source (each facet ranks in its own tasks).
+      RetrievalOps.bm25FacetedTopK(Tables.documents(s, dir), Bm25Query,
+          perSource = 3)
+        .orderBy(col("source"), col("rank"))
+    },
+
+    "g_snippets" -> { (s, dir) => // deterministic hit snippets: the
+      // 3-token context around the earliest occurrence of any query term
+      // in every matching doc — pure per-row codegen (array_position /
+      // slice / array_join), map-only at any corpus size.
+      RetrievalOps.snippets(Tables.documents(s, dir), Bm25Query, window = 3)
+        .orderBy(col("doc_id"))
+    },
+
     "g_serve_lexical" -> { (s, dir) => // the composed lexical serving
       // stack, hash-gated end to end with NO corpus scan anywhere:
       // scoring stats, posting lists, and phrase adjacency all from the
@@ -6302,6 +6319,33 @@ object SparkEntry {
 
     // the index-served composition is bit-equal to the full scan
     "g_serve_lexical" -> bm25PhraseOracleSql,
+
+    "g_bm25_faceted" ->
+      // the shared scoring CTEs + the facet join + a per-source window
+      s"""WITH $bm25ScoreCtesSql,
+         |f AS (SELECT d.source, sc.doc_id, n_terms, bm25,
+         |        CAST(row_number() OVER (PARTITION BY d.source
+         |          ORDER BY bm25 DESC, sc.doc_id) AS INT) AS rank
+         |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+         |SELECT source, rank, doc_id, n_terms, bm25 FROM f WHERE rank <= 3
+         |ORDER BY source, rank""".stripMargin,
+
+    "g_snippets" ->
+      // earliest query-term position (sentinel for absent), inclusive
+      // token slice [mp-3, mp+3] clipped to the doc, space-joined
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id, ts,
+        |        least(coalesce(nullif(list_position(ts, 'dup'), 0), 2147483647),
+        |              coalesce(nullif(list_position(ts, 'spark'), 0), 2147483647),
+        |              coalesce(nullif(list_position(ts, 'customer'), 0), 2147483647)) AS mp
+        |      FROM d),
+        |q AS (SELECT doc_id, ts, mp,
+        |        greatest(1, mp - 3) AS s,
+        |        least(mp + 3, len(ts)) AS e
+        |      FROM p WHERE mp < 2147483647)
+        |SELECT doc_id, CAST(mp - 1 AS BIGINT) AS anchor,
+        |       array_to_string(ts[s:e], ' ') AS snippet
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "g_frame_sample" ->
       // the fake media content is the utf-8 of text (ASCII fixture:

@@ -379,6 +379,65 @@ object RetrievalOps {
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
+  // ------------------------------------------------------------- serving UX
+
+  /** Per-source faceted ranking: the top `perSource` documents of EVERY
+    * source by BM25 — the grouped/faceted results page a retrieval UI
+    * renders. Corpus-wide scoring (facets must not change idf), one
+    * doc-keyed join to attach the facet, one window PARTITIONED BY the
+    * facet (each source ranks in its own tasks — no corpus-wide window).
+    * Output: `(source, rank, doc_id, n_terms, bm25)`. */
+  def bm25FacetedTopK(
+      docs: DataFrame,
+      query: Seq[String],
+      perSource: Int = 3,
+      facetCol: String = "source",
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(perSource >= 1, "perSource >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(facetCol)).orderBy(col("bm25").desc, col("doc_id"))
+    bm25Scores(docs, query, k1, b)
+      .join(docs.select(col("doc_id"), col(facetCol)), "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perSource)
+      .select(col(facetCol), col("rank"), col("doc_id"), col("n_terms"), col("bm25"))
+  }
+
+  /** Deterministic hit snippets: for every document containing at least
+    * one `query` term, the `window`-token context around the EARLIEST
+    * occurrence of any term — `(doc_id, anchor, snippet)` with `anchor`
+    * the 0-based token position and `snippet` the space-joined token
+    * slice `[max(0, anchor − window), anchor + window]` clipped to the
+    * document. Pure per-row codegen (array_position / slice /
+    * array_join over ≤|query| bounded term literals) — map-only, no
+    * shuffle at any corpus size. */
+  def snippets(
+      docs: DataFrame,
+      query: Seq[String],
+      window: Int = 3): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(window >= 0, "window >= 0")
+    val toks = TextFns.tokens(col("text"))
+    // 1-based first position of each term (0 = absent); earliest present
+    val poss = query.distinct.map(t => array_position(toks, t))
+    val minPos = poss
+      .map(p => when(p > 0, p))
+      .reduce((a, b) => least(coalesce(a, b), coalesce(b, a)))
+    docs
+      .withColumn("__ts", toks)
+      .withColumn("__p", minPos) // null if no term present
+      .filter(col("__p").isNotNull)
+      .withColumn("__s", greatest(lit(1L), col("__p") - window))
+      .withColumn("__len",
+        least(col("__p") + window, size(col("__ts")).cast("long")) - col("__s") + 1L)
+      .select(
+        col("doc_id"),
+        (col("__p") - 1L).as("anchor"),
+        array_join(slice(col("__ts"), col("__s").cast("int"), col("__len").cast("int")), " ")
+          .as("snippet"))
+  }
+
   // ---------------------------------------------------------------- fusion
 
   /** Reciprocal-rank fusion over any number of rankings: each input is

@@ -196,6 +196,42 @@ class Bm25Spec extends SparkSpec {
     assert(idx == scan && idx.nonEmpty)
   }
 
+  test("bm25FacetedTopK: per-facet cut of the corpus-wide ranking") {
+    val texts = randomTexts(40, seed = 19)
+    val query = Seq("gamma", "rare1")
+    // facet = doc_id mod 3, attached to the corpus frame
+    val df = toDf(texts).withColumn("source", concat(lit("s"), col("doc_id") % 3))
+    val got = RetrievalOps.bm25FacetedTopK(df, query, perSource = 2)
+      .as[(String, Int, Long, Long, Double)].collect().toSeq.sorted
+    val scores = RetrievalOps.bm25Scores(toDf(texts), query)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ref = scores.groupBy(r => s"s${r._1 % 3}").toSeq.flatMap { case (src, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).take(2).zipWithIndex
+        .map { case ((id, nt, s), i) => (src, i + 1, id, nt, s) }
+    }.sorted
+    assert(got == ref && got.nonEmpty)
+    // scoring is corpus-wide: scores equal the unfaceted ranking's
+    assert(got.map(r => (r._3, r._5)).toMap ==
+      scores.filter(r => got.exists(_._3 == r._1)).map(r => (r._1, r._3)).toMap)
+  }
+
+  test("snippets: earliest-anchor windows, clipping, absent docs excluded") {
+    val df = Seq(
+      (0L, "a b gamma c d e f"), // interior anchor
+      (1L, "gamma x y z"), // anchor at 0 — left-clipped
+      (2L, "p q r s t gamma"), // anchor at end — right-clipped
+      (3L, "no match here"), // excluded
+      (4L, "rare1 u gamma v") // two terms — earliest wins
+    ).toDF("doc_id", "text")
+    val got = RetrievalOps.snippets(df, Seq("gamma", "rare1"), window = 2)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      (0L, 2L, "a b gamma c d"),
+      (1L, 0L, "gamma x y"),
+      (2L, 5L, "s t gamma"),
+      (4L, 0L, "rare1 u gamma")))
+  }
+
   test("rrfFuse: hand-computed fold, arm counts, and (rrf desc, id) order") {
     val armA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val armB = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
