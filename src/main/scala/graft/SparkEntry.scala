@@ -3309,6 +3309,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_assembly_e2e" -> { (s, dir) => // the curation -> assembly DAG in
+      // ONE oracle row: exact dedup (min-id representative per distinct
+      // text) -> curriculum rank strata (2 TTR buckets) -> 128-token
+      // packing in (bucket, permutation) order -> 8-sequence loader
+      // shards with checksums. The replay crosses all three stage
+      // boundaries (survivor set, bucket assignment, stream offsets), so
+      // drift in ANY stage flips this row even if each stage's own row
+      // stays green — the g_pipeline_e2e discipline for assembly.
+      val docs = Tables.documents(s, dir)
+      val keep = DedupOps.exact(docs).select(col("keep_id").as("doc_id"))
+      val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
+      AssemblyOps.shardManifest(
+          AssemblyOps.curriculumManifest(survivors, nBuckets = 2, seqLen = 128L),
+          seqsPerShard = 8L)
+        .orderBy(col("shard"))
+    },
+
     "g_bm25_faceted" -> { (s, dir) => // faceted retrieval: the top 3 docs
       // of EVERY source by BM25 — corpus-wide scoring (facets must not
       // change idf), one doc-keyed facet join, one window PARTITIONED by
@@ -6319,6 +6336,54 @@ object SparkEntry {
 
     // the index-served composition is bit-equal to the full scan
     "g_serve_lexical" -> bm25PhraseOracleSql,
+
+    "g_assembly_e2e" ->
+      // all four stages replayed: min-id dedup, TTR rank strata (2
+      // buckets), the curriculum order bucket*P + perm, the one-window
+      // packing, and the shard rollup with the modular checksum
+      """WITH dd AS (SELECT doc_id, text FROM (
+        |        SELECT doc_id, text,
+        |          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |        FROM documents) z WHERE rn = 1),
+        |s AS (SELECT doc_id,
+        |        CAST((len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000000)
+        |             // len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS score
+        |      FROM dd),
+        |r AS (SELECT doc_id, score,
+        |        CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) - 1 AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS n FROM s),
+        |bkt AS (SELECT doc_id, CAST((rank * 2) // n AS BIGINT) AS bucket FROM r),
+        |d2 AS (SELECT dd.doc_id,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok,
+        |        bucket,
+        |        bucket * 2147483647
+        |          + ((dd.doc_id % 2147483647) * 62089911) % 2147483647 AS ord
+        |      FROM dd JOIN bkt ON dd.doc_id = bkt.doc_id),
+        |o AS (SELECT doc_id, tok,
+        |        CAST(sum(tok) OVER (ORDER BY ord, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - tok AS off
+        |      FROM d2 WHERE tok > 0),
+        |t AS (SELECT CAST(coalesce(sum(tok), 0) AS BIGINT) AS tt FROM d2 WHERE tok > 0),
+        |sp AS (SELECT s2.seq_id,
+        |        CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |        doc_id,
+        |        CAST(least(off + tok, (seq_id + 1) * 128)
+        |             - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |       FROM (SELECT doc_id, tok, off,
+        |               unnest(generate_series(off // 128, (off + tok - 1) // 128)) AS seq_id
+        |             FROM o) s2, t
+        |       WHERE s2.seq_id < tt // 128)
+        |SELECT seq_id // 8 AS shard,
+        |       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+        |       CAST(count(*) AS BIGINT) AS n_slices,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(sum(len) AS BIGINT) AS n_tokens,
+        |       min(seq_id) AS first_seq,
+        |       max(seq_id) AS last_seq,
+        |       CAST(CAST(sum(((doc_id % 2147483647) * 62089911
+        |              + seq_id * 131 + seq_pos * 31 + len) % 2147483647) AS HUGEINT)
+        |            % 2147483647 AS BIGINT) AS checksum
+        |FROM sp GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "g_bm25_faceted" ->
       // the shared scoring CTEs + the facet join + a per-source window
