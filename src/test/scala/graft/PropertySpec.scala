@@ -448,4 +448,66 @@ class PropertySpec extends SparkSpec {
       }
     }, minSuccessful = 6)
   }
+
+  test("property: rankBuckets two-phase == single-window reference, any clumping") {
+    import spark.implicits._
+    val gen: Gen[(Seq[Long], Int, Long)] = for {
+      n <- Gen.choose(1, 60)
+      // clumped scores: few distinct values -> heavy ties; wide values ->
+      // sparse ranges. Both arise across runs.
+      distinct <- Gen.choose(1, 12)
+      scores <- Gen.listOfN(n, Gen.choose(0, distinct - 1).map(_ * 37L))
+      buckets <- Gen.choose(1, 9)
+      width <- Gen.oneOf(1L, 3L, 64L, graft.operators.AssemblyOps.P)
+    } yield (scores, buckets, width)
+    checkProp(Prop.forAllNoShrink(gen) { case (scores, nBuckets, width) =>
+      val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "score")
+      val got = graft.operators.CurationOps
+        .rankBuckets(df, nBuckets, rangeWidth = width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      val n = scores.size.toLong
+      val ref = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .sortBy { case (id, s) => (s, id) }.zipWithIndex
+        .map { case ((id, s), r) => (id, s, r.toLong * nBuckets / n, r.toLong) }
+        .sorted
+      got == ref
+    }, minSuccessful = 10)
+  }
+
+  test("property: packBinned == a sequential reference packer, any lengths") {
+    import spark.implicits._
+    val gen: Gen[(Seq[Int], Long)] = for {
+      n <- Gen.choose(1, 50)
+      l <- Gen.choose(2L, 24L)
+      lens <- Gen.listOfN(n, Gen.choose(1, 30)) // some exceed L -> dropped
+    } yield (lens, l)
+    checkProp(Prop.forAllNoShrink(gen) { case (lens, l) =>
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.AssemblyOps.packBinned(docs, l, chunkSize = 5L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      // sequential reference: per ascending length group, docs in
+      // permutation order fill cap-sized sequences; groups own contiguous
+      // dense seq-id ranges
+      val P = graft.operators.AssemblyOps.P
+      def perm(id: Long) = (id % P) * 62089911L % P
+      val eligible = lens.zipWithIndex
+        .collect { case (n, i) if n > 0 && n <= l => (i.toLong, n.toLong) }
+      var nextSeq = 0L
+      val ref = eligible.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (n, ds) =>
+        val cap = l / n
+        val ordered = ds.map(_._1).sortBy(id => (perm(id), id))
+        val rows = ordered.zipWithIndex.map { case (id, r) =>
+          (nextSeq + r / cap, (r % cap) * n, id, n)
+        }
+        nextSeq += (ds.size + cap - 1) / cap
+        rows
+      }.sorted
+      got == ref
+    }, minSuccessful = 10)
+  }
 }
