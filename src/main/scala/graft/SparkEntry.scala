@@ -3381,6 +3381,20 @@ object SparkEntry {
       CurationOps.rankBuckets(scored, nBuckets = 10).orderBy(col("doc_id"))
     },
 
+    "g_rank_buckets_grouped" -> { (s, dir) => // per-source rank strata:
+      // TTR quartiles WITHIN each source (per-facet curriculum/quality
+      // bands) — every window one level deeper than g_rank_buckets
+      // (range offsets by group, ranks by (group, range)); no
+      // corpus-wide window exists at all.
+      val toks = TextFns.tokens(coalesce(col("text"), lit("")))
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          size(array_distinct(toks)).cast("long").as("__d"),
+          size(toks).cast("long").as("__t"))
+        .withColumn("score", expr("(__d * 1000000L) DIV __t"))
+        .select(col("doc_id"), col("source"), col("score"))
+      CurationOps.rankBucketsByGroup(scored, nBuckets = 4).orderBy(col("doc_id"))
+    },
+
     "g_curriculum" -> { (s, dir) => // curriculum-ordered packing: 4
       // equal-rank TTR strata, ascending-bucket token stream with
       // pseudo-random in-bucket order, 128-token packing carrying the
@@ -6445,6 +6459,21 @@ object SparkEntry {
         |        CAST(count(*) OVER () AS BIGINT) AS n
         |      FROM s)
         |SELECT doc_id, score, CAST((rank * 10) // n AS BIGINT) AS bucket, rank
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "g_rank_buckets_grouped" ->
+      // the engine's two-phase grouped rank is spec-pinned bit-equal to
+      // this per-group window
+      """WITH s AS (SELECT doc_id, source,
+        |        CAST((len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000000)
+        |             // len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS score
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+        |             AS BIGINT) - 1 AS rank,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM s)
+        |SELECT source, doc_id, score, CAST((rank * 4) // n AS BIGINT) AS bucket, rank
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "g_curriculum" ->

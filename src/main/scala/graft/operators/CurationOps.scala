@@ -841,6 +841,48 @@ object CurationOps {
         col("__r").as("rank"))
   }
 
+  /** [[rankBuckets]] within each group — per-facet equal-size-by-rank
+    * strata (per-language quality deciles, per-source curriculum bands):
+    * every row gets its 0-based rank within ITS group in `(score, id)`
+    * order and the bucket `(rank · nBuckets) DIV n_group`. Same
+    * two-phase shape with every window partitioned one level deeper
+    * (range offsets by group over the bounded (group × range) frame,
+    * ranks by (group, range)); group totals are a group-cardinality
+    * frame joined back (AQE broadcasts it). A mega-group never
+    * serializes and no corpus-wide window exists at all. Scores must be
+    * non-negative ([[rankBuckets]]'s truncation caveat).
+    *
+    * Output: `(groupCol, idCol, scoreCol, bucket, rank)`. */
+  def rankBucketsByGroup(
+      scored: DataFrame,
+      nBuckets: Int,
+      groupCol: String = "source",
+      scoreCol: String = "score",
+      idCol: String = "doc_id",
+      rangeWidth: Long = 64L): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(rangeWidth >= 1, "rangeWidth must be >= 1")
+    val base = Checkpoints.pin(
+      scored.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+          col(scoreCol).cast("long").as("__s"))
+        .withColumn("__b", expr(s"__s DIV ${rangeWidth}L")), reliable = false)
+    val wB = Window.partitionBy(col("__g")).orderBy(col("__b"))
+    val rangeOffs = base.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__boff", coalesce(
+        sum(col("__c")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__g"), col("__b"), col("__boff"))
+    val totals = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val wIn = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(col("__s"), col("__id"))
+    base.join(rangeOffs, Seq("__g", "__b"))
+      .withColumn("__r", col("__boff") + row_number().over(wIn) - 1)
+      .join(totals, Seq("__g")) // group-cardinality frame — AQE broadcasts
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__s").as(scoreCol),
+        expr(s"(__r * ${nBuckets}L) DIV __n").as("bucket"),
+        col("__r").as("rank"))
+  }
+
   def exactQuantiles(
       df: DataFrame,
       ps: Seq[Double],

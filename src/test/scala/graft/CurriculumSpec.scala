@@ -45,6 +45,30 @@ class CurriculumSpec extends SparkSpec {
     }
   }
 
+  test("rankBucketsByGroup == the per-group single-window reference") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 120L).map(i =>
+      (i, s"src${rnd.nextInt(4)}", (rnd.nextInt(9) * 37).toLong))
+    val df = rows.toDF("doc_id", "source", "score")
+    for (w <- Seq(1L, 64L, AssemblyOps.P)) {
+      val got = CurationOps.rankBucketsByGroup(df, 5, rangeWidth = w)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      val ref = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+        val n = rs.size.toLong
+        rs.sortBy { case (id, _, s) => (s, id) }.zipWithIndex.map {
+          case ((id, _, s), r) => (src, id, s, r.toLong * 5L / n, r.toLong)
+        }
+      }.sorted
+      assert(got == ref, s"rangeWidth $w")
+    }
+    // per-group size law
+    val sizes = CurationOps.rankBucketsByGroup(df, 5)
+      .groupBy("source", "bucket").count()
+      .as[(String, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._3))
+    sizes.values.foreach(cs => assert(cs.max - cs.min <= 1))
+  }
+
   test("curriculumManifest: sequences are curriculum-monotone, packing lawful") {
     val rnd = new scala.util.Random(37)
     val docs = (0L until 70L)
