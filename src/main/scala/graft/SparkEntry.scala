@@ -3356,6 +3356,17 @@ object SparkEntry {
         k = GraftConf.int(s, GraftConf.RetrievalK, 10))
     },
 
+    "g_frame_dedup" -> { (s, dir) => // cross-media frame-level dedup:
+      // sampled-frame digests colliding across >= 2 distinct media rows
+      // (re-encoded/re-muxed copies share frame content even when
+      // container bytes differ). One digest-keyed map-side-combined
+      // shuffle; output sized by the duplicate set.
+      MultimodalOps.frameDups(
+          MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
+          frameBytes = 16, fps = 4, k = 8)
+        .orderBy(col("frame_md5"))
+    },
+
     "g_frame_sample" -> { (s, dir) => // deterministic frame sampling over
       // the fake media column (16-byte "frames", 4 fps, up to 8 samples):
       // midpoint-of-strata indices — strictly increasing, never
@@ -6425,6 +6436,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(mp - 1 AS BIGINT) AS anchor,
         |       array_to_string(ts[s:e], ' ') AS snippet
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "g_frame_dedup" ->
+      // the g_frame_sample CTEs, rolled up by digest and filtered to
+      // cross-media collisions
+      """WITH m AS (SELECT doc_id AS media_id, text AS content,
+        |        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 16 AS nf
+        |      FROM documents),
+        |g AS (SELECT media_id, content, nf,
+        |        CAST(least(8, nf) AS BIGINT) AS kk FROM m WHERE nf > 0),
+        |x AS (SELECT media_id, content, nf, kk,
+        |        unnest(generate_series(0, kk - 1)) AS frame_ix FROM g),
+        |y AS (SELECT media_id,
+        |        md5(substring(content,
+        |          CAST((((2 * frame_ix + 1) * nf) // (2 * kk)) * 16 + 1 AS INT), 16))
+        |          AS frame_md5
+        |      FROM x)
+        |SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+        |       min(media_id) AS first_media
+        |FROM y GROUP BY 1 HAVING count(DISTINCT media_id) >= 2
+        |ORDER BY frame_md5""".stripMargin,
 
     "g_frame_sample" ->
       // the fake media content is the utf-8 of text (ASCII fixture:

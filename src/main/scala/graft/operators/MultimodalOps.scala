@@ -126,6 +126,29 @@ object MultimodalOps {
           lit(frameBytes))).as("frame_md5"))
   }
 
+  /** Cross-media frame-level dedup over [[frameSampleManifest]] digests:
+    * frames whose sampled payload hashes collide across ≥ `minMedia`
+    * DISTINCT media rows — the video/image dedup primitive (re-encoded
+    * or re-muxed copies share frame content even when container bytes
+    * differ; with real decode behind the stub seam this becomes
+    * perceptual-frame dedup). One map-side-combined shuffle keyed on the
+    * digest; output `(frame_md5, n_occurrences, n_media, first_media)`
+    * sized by the duplicate set, never the corpus. */
+  def frameDups(
+      media: DataFrame,
+      frameBytes: Int,
+      fps: Int,
+      k: Int,
+      minMedia: Int = 2): DataFrame = {
+    require(minMedia >= 2, "minMedia >= 2")
+    frameSampleManifest(media, frameBytes, fps, k)
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("media_id")).as("n_media"),
+        min(col("media_id")).as("first_media"))
+      .filter(col("n_media") >= minMedia.toLong)
+  }
+
   /** Byte-level content-defined chunking of the binary payload — the
     * multimodal dedup primitive: chunk frames survive container
     * prepends/re-muxes that shift every fixed-offset frame (the token

@@ -671,6 +671,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(MultimodalOps.frameSampleManifest(tiny, 4, 2, 3).count() == 0)
   }
 
+  test("frameDups: cross-media frame collisions only, counts exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{to_binary, lit => flit, col => fcol}
+    // media 0 and 1 share their content (re-encode twin); 2 is unique;
+    // 3 repeats a frame INTERNALLY only (must not count as cross-media)
+    val mk = (s: String) => s * 8 // >= 2 frames of 4 bytes
+    val media = Seq(
+      (0L, mk("abcd")), (1L, mk("abcd")), (2L, mk("wxyz")), (3L, mk("abab"))
+    ).toDF("media_id", "raw")
+      .withColumn("content", to_binary(fcol("raw"), flit("utf-8")))
+      .select("media_id", "content")
+    val got = MultimodalOps.frameDups(media, frameBytes = 4, fps = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // every sampled frame of media 0/1 is "abcd" -> ONE digest shared by
+    // both (3 samples each = 6 occurrences); nothing else crosses media
+    assert(got.size == 1)
+    val (_, occ, nm, first) = got.head
+    assert(occ == 6L && nm == 2L && first == 0L)
+  }
+
   test("pidsIn walks the calendar between two FileTimes") {
     import graft.functions.TimeFns
     val ft = (iso: String) => TimeFns.microsToFileTime(lit(TimeFns.utcMicros(iso)))
