@@ -50,8 +50,24 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2,... runs a targeted subset (the Verify
+    // SPARK_GRAFT_ONLY twin) for triage without the full ~280s sweep. The
+    // record is MARKED partial ("subset": the filter) so bench_compare.py
+    // refuses to score it against a full record or a different subset —
+    // a subset total is meaningless against the 2x gate.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val selected = subset match {
+      case Some(names) => SparkEntry.queries.keys.toSeq.sorted.filter(names)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val measured = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    selected.foreach { name =>
       // min-of-2: the first rep of a query can absorb multi-second JIT for
       // plan shapes the family warmup didn't cover (observed r3:
       // q_commit_split 20.6s recorded vs 1.15s steady) — the min is the
@@ -90,8 +106,13 @@ object Bench {
     // parse would silently mislabel the record — fail fast instead
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse(sys.error(s"Bench: cannot parse scale factor from '$sfDir' (want .../sfN.NN)"))
+    // a subset record carries its filter verbatim — the checker's
+    // stale-partial refusal shape (tools/check.py on oracle subsets)
+    val subsetField = subset
+      .map(ns => "\"subset\":\"" + ns.toSeq.sorted.mkString(",") + "\",")
+      .getOrElse("")
     // full-precision record first, for logs/judges reading complete stdout
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":$sf}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$subsetField"queries":$qs,"reps":$repsJson,"sf":$sf}""")
     // The driver keeps only the LAST ~2000 chars of output in its
     // BENCH_r{N}.json record; with ~100 queries the full line never fits
     // and every prior round recorded parsed:null. Emit a compact line LAST
@@ -104,7 +125,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + math.round(v * 100) / 100.0 }
         .mkString("{", ",", "}")
       val t = math.round(total * 1000) / 1000.0
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$entries,"omitted":$omitted,"sf":$sf}"""
+      s"""{"metric":"total","value":$t,"unit":"sec",$subsetField"queries":$entries,"omitted":$omitted,"sf":$sf}"""
     }
     val bySlow = results.sortBy(-_._2)
     val fitted = Iterator.iterate(bySlow.length)(_ - 8)

@@ -2682,7 +2682,9 @@ object SparkEntry {
       q.awaitTermination()
       graft.streaming.StreamingOps.compactPostingsIndex(s, s"$out/idx")
       RetrievalOps.bm25TopKIndexed(s, s"$out/idx", Bm25Query,
-        k = GraftConf.int(s, GraftConf.RetrievalK, 10))
+        k = GraftConf.int(s, GraftConf.RetrievalK, 10),
+        k1 = GraftConf.fraction(s, GraftConf.Bm25K1, RetrievalOps.DefaultK1, 0.0, 10.0),
+        b = GraftConf.fraction(s, GraftConf.Bm25B, RetrievalOps.DefaultB))
     },
 
     "g_hybrid_rrf" -> { (s, dir) => // hybrid lexical+vector retrieval:

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.NumFns
@@ -800,6 +800,18 @@ object CurationOps {
     * Values must be NON-NEGATIVE (integer DIV truncates toward zero, so
     * the bucket id is order-preserving only on [0, ∞) — lengths, counts,
     * byte sizes all qualify; shift signed values first). */
+  /** Row-level precondition for the DIV-truncation operators: a negative
+    * score would make `score DIV rangeWidth` non-monotone (truncation
+    * toward zero maps [-w+1, w-1] onto range 0) and silently mis-bucket.
+    * Enforced in the plan itself — `raise_error` inside a codegen'd CASE,
+    * so the check costs no extra pass and fails loudly, named, at the
+    * first offending row on any executor. */
+  private def requireNonNegative(c: Column, name: String, op: String): Column =
+    when(c < 0, raise_error(concat(
+      lit(s"$op: $name must be non-negative (DIV truncates toward zero, "
+        + "so range ids stop being monotone) — shift signed scores first; got "),
+      c.cast("string")))).otherwise(c)
+
   /** Exact rank-derived buckets over an integer score: every row gets
     * its 0-based global rank in `(score, id)` order and the bucket
     * `(rank · nBuckets) DIV n` — equal-size-by-rank strata (sizes differ
@@ -824,7 +836,9 @@ object CurationOps {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(rangeWidth >= 1, "rangeWidth must be >= 1")
     val base = Checkpoints.pin(
-      scored.select(col(idCol).as("__id"), col(scoreCol).cast("long").as("__s"))
+      scored.select(col(idCol).as("__id"),
+          requireNonNegative(col(scoreCol).cast("long"), scoreCol,
+            "rankBuckets").as("__s"))
         .withColumn("__b", expr(s"__s DIV ${rangeWidth}L")), reliable = false)
     val wB = Window.orderBy(col("__b"))
     val rangeOffs = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
@@ -864,7 +878,8 @@ object CurationOps {
     require(rangeWidth >= 1, "rangeWidth must be >= 1")
     val base = Checkpoints.pin(
       scored.select(col(groupCol).as("__g"), col(idCol).as("__id"),
-          col(scoreCol).cast("long").as("__s"))
+          requireNonNegative(col(scoreCol).cast("long"), scoreCol,
+            "rankBucketsByGroup").as("__s"))
         .withColumn("__b", expr(s"__s DIV ${rangeWidth}L")), reliable = false)
     val wB = Window.partitionBy(col("__g")).orderBy(col("__b"))
     val rangeOffs = base.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))

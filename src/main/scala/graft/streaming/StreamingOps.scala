@@ -202,6 +202,12 @@ object StreamingOps {
     val idxPath = new org.apache.hadoop.fs.Path(idx)
     val f = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, idxPath, batchId, "curatedIngest", outDir)
+    // docs/ is written FIRST each batch, so a crash between the two
+    // writes leaves it one batch ahead of the index — guard it too
+    // (every root a batch writes gets its own guard; BatchLineageSpec
+    // enforces the rule mechanically)
+    requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$outDir/docs"),
+      batchId, "curatedIngest", s"$outDir/docs")
     // a compactParaIndex crash can leave the folded keys visible only in
     // staging/retired leftovers (the hide window) — admissions computed
     // against the visible levels alone would re-admit known paragraphs
@@ -437,8 +443,13 @@ object StreamingOps {
     val edgesDir = s"$path/edges"
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireBatchLineage(f, new org.apache.hadoop.fs.Path(corpusDir), batchId,
-      "knnGraphStream", corpusDir)
+    // one guard per root the batch writes (corpus/ lands first, edges/
+    // second — guarding only one would leave the other's crash orphan
+    // overwritable by a foreign checkpoint)
+    Seq(corpusDir, edgesDir).foreach { r =>
+      requireBatchLineage(f, new org.apache.hadoop.fs.Path(r), batchId,
+        "knnGraphStream", r)
+    }
     val vecs = batch.select(col(idCol).cast("long").as("id"),
       graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
     // batch-sized, read four times below (probe side, corpus side, both
@@ -773,6 +784,13 @@ object StreamingOps {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, p, batchId, "postingsStream", path)
+    // guard the `_docs` sidecar root too: it is written FIRST, so a crash
+    // between the two writes leaves it one batch ahead of the postings
+    // root — a foreign-checkpoint restart at exactly that id must refuse
+    // rather than silently overwrite the orphaned delta (the multi-root
+    // rule of cardBatch / chunkStoreIngest)
+    requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$path/_docs"),
+      batchId, "postingsStream", s"$path/_docs")
     graft.operators.RetrievalOps.assertPostingsMeta(s, path, nPt, "postingsStream")
     // sidecar BEFORE the first landing (the lshBatch crash-window rule)
     if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
@@ -855,6 +873,12 @@ object StreamingOps {
     val offRoot = new org.apache.hadoop.fs.Path(s"$path/_offsets")
     val f = spansRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, spansRoot, batchId, "packStream", path)
+    // `_offsets/` is written FIRST each batch, so a crash between the two
+    // writes leaves it one batch ahead of `spans/` — guard it too, or a
+    // foreign-checkpoint restart at exactly that id silently overwrites
+    // the orphaned offsets delta (the multi-root rule of cardBatch /
+    // chunkStoreIngest)
+    requireBatchLineage(f, offRoot, batchId, "packStream", offRoot.toString)
     assertPackMeta(s, path, seqLen, blockSeqs, blockTokens)
     if (!f.exists(new org.apache.hadoop.fs.Path(path, "_meta.json")))
       writePackMeta(s, path, seqLen, blockSeqs, blockTokens)
@@ -1016,6 +1040,10 @@ object StreamingOps {
     val recipesRoot = new org.apache.hadoop.fs.Path(s"$path/recipes")
     val f = recipesRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireBatchLineage(f, recipesRoot, batchId, "chunkStoreIngest", path)
+    // chunks/ is written FIRST each batch, so a crash between the two
+    // writes leaves it one batch ahead of recipes/ — guard it too
+    requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$path/chunks"),
+      batchId, "chunkStoreIngest", s"$path/chunks")
     assertStoreMeta(f, new org.apache.hadoop.fs.Path(path), w, divisor, path)
     // the novel-set anti-join reads the accumulated chunk addresses: a
     // crashed compactChunkStore's hide window would hide the folded
@@ -1707,7 +1735,15 @@ object StreamingOps {
     val lshDir = s"$outDir/_lsh"
     val docsPath = new org.apache.hadoop.fs.Path(docsDir)
     val f = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    requireBatchLineage(f, docsPath, batchId, "clusterIngest", outDir)
+    // one guard per root the batch writes, BEFORE any landing: _pairs
+    // lands first, then _assign (conditionally), then _lsh (lshBatch
+    // re-guards its own root, harmlessly), then docs — a crash after any
+    // prefix leaves the earlier roots ahead of the later ones, so every
+    // root must refuse a foreign checkpoint on its own evidence
+    Seq(s"$outDir/_pairs", s"$outDir/_assign", lshDir, docsDir).foreach { r =>
+      requireBatchLineage(f, new org.apache.hadoop.fs.Path(r), batchId,
+        "clusterIngest", r)
+    }
     // both accumulated stores this step READS to compute pairs it will
     // PERSIST must be healed of any crashed-fold leftovers first: a
     // hidden docs base drops the rescore's corpus text (cross pairs

@@ -45,6 +45,26 @@ class CurriculumSpec extends SparkSpec {
     }
   }
 
+  test("negative scores fail loudly, named — never silently mis-bucket") {
+    // DIV truncates toward zero, so a negative score would fold into
+    // range 0 and break rank monotonicity; the precondition is enforced
+    // row-level in the plan (no extra pass), naming the operator.
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+    val bad = Seq((0L, 5L), (1L, -3L), (2L, 9L)).toDF("doc_id", "score")
+    val e = intercept[Exception] {
+      CurationOps.rankBuckets(bad, 3).collect()
+    }
+    assert(chain(e).contains("rankBuckets") && chain(e).contains("non-negative"))
+    val badG = Seq((0L, "a", 5L), (1L, "a", -3L)).toDF("doc_id", "source", "score")
+    val eg = intercept[Exception] {
+      CurationOps.rankBucketsByGroup(badG, 3).collect()
+    }
+    assert(chain(eg).contains("rankBucketsByGroup") &&
+      chain(eg).contains("non-negative"))
+  }
+
   test("rankBucketsByGroup == the per-group single-window reference") {
     val rnd = new scala.util.Random(47)
     val rows = (0L until 120L).map(i =>

@@ -96,6 +96,24 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("the three shared-oracle BM25 rows agree under non-default knobs") {
+    // g_bm25, g_bm25_indexed and q_stream_postings share one oracle hash,
+    // so every scorer knob must thread into all three — a row that drops
+    // k1/b would diverge only when a user tunes them (the silent kind of
+    // drift the oracle gate can't see, since it runs at defaults).
+    withConf("spark.graft.bm25.k1" -> "0.75", "spark.graft.bm25.b" -> "0.25",
+        "spark.graft.retrieval.k" -> "6") {
+      val scan = SparkEntry.queries("g_bm25")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      val indexed = SparkEntry.queries("g_bm25_indexed")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      val streamed = SparkEntry.queries("q_stream_postings")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(indexed == scan)
+      assert(streamed == scan)
+    }
+  }
+
   test("semdedup.threshold flows into the drop rule") {
     // threshold 1.0: nothing clears a >= 1.0 floored-cosine bar against a
     // DISTINCT earlier neighbor unless vectors coincide; kept-count can

@@ -103,6 +103,28 @@ class PackStreamSpec extends SparkSpec {
     assert(e2.getMessage.contains("different checkpoint lineage"))
   }
 
+  test("foreign checkpoint after a partial crash is refused on the offsets root") {
+    val p = s"${tmpDir()}/idx"
+    StreamingOps.packIndexBase(docs(0 until 20), p, L, 8L, 64L)
+    batch(20 until 40, 0L, p)
+    batch(40 until 50, 1L, p)
+    // crash between batch 1's two writes: its offsets delta landed, its
+    // spans delta did not — the spans root alone now looks clean
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$p/spans/__batch=1"))
+    // a foreign checkpoint restarting below the orphaned offsets delta
+    // must refuse: before the dual-root guard the spans root passed and
+    // the restart would march forward to silently overwrite __batch=1
+    // (and read a wrong T_prev frontier meanwhile)
+    val e = intercept[IllegalArgumentException] { batch(40 until 50, 0L, p) }
+    assert(e.getMessage.contains("different checkpoint lineage"))
+    // the ORIGINAL checkpoint's replay of the crashed batch still heals
+    batch(40 until 50, 1L, p)
+    assert(readBack(p) == truth(0 until 50))
+  }
+
   test("offsets-first crash window: hidden sequences heal on replay") {
     val p = s"${tmpDir()}/idx"
     StreamingOps.packIndexBase(docs(0 until 30), p, L, 8L, 64L)

@@ -106,6 +106,27 @@ class PostingsStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("different checkpoint lineage"))
   }
 
+  test("foreign checkpoint after a partial crash is refused on the _docs root") {
+    val ver = s"${tmpDir()}/ver"
+    StreamingOps.postingsBatch(toDf(0 until 20), 0L, ver, 8, "doc_id", "text")
+    // crash between batch 1's two writes: its _docs delta landed, its
+    // postings delta did not — the postings root alone now looks clean
+    RetrievalOps.writeDocsDelta(toDf(20 until 40), s"$ver/_docs/__batch=1",
+      "doc_id", "text")
+    // a foreign checkpoint restarting below the orphaned sidecar delta
+    // must refuse: before the dual-root guard the postings root passed
+    // and the restart would march forward to silently overwrite __batch=1
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.postingsBatch(toDf(20 until 40), 0L, ver, 8, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("different checkpoint lineage"))
+    // the ORIGINAL checkpoint's replay of the crashed batch still heals
+    StreamingOps.postingsBatch(toDf(20 until 40), 1L, ver, 8, "doc_id", "text")
+    val scan = RetrievalOps.bm25TopK(toDf(0 until 40), Query, k = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(topAll(ver) == scan)
+  }
+
   test("_docs-first crash window: a half-landed doc is in the constants, matches nothing") {
     val ver = s"${tmpDir()}/ver"
     RetrievalOps.writePostingsIndex(toDf(0 until 30), ver, nPt = 8)

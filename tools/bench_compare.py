@@ -17,6 +17,18 @@ def load(path: str) -> dict:
 
 def main(old_path: str, new_path: str) -> int:
     old, new = load(old_path), load(new_path)
+    # SPARK_GRAFT_BENCH_ONLY runs write a marked partial record; a subset
+    # total is meaningless against a full record (or a different subset) —
+    # refuse rather than print a bogus ratio (the check.py stale-partial
+    # refusal, applied to bench records).
+    os_sub, ns_sub = old.get("subset"), new.get("subset")
+    if os_sub != ns_sub:
+        print(f"FAIL: subset mismatch — {old_path} subset={os_sub!r}, "
+              f"{new_path} subset={ns_sub!r}; totals are not comparable "
+              f"across different query sets")
+        return 1
+    if os_sub is not None:
+        print(f"(comparing PARTIAL records, subset={os_sub})")
     print(f"total: {old['value']:.2f}s -> {new['value']:.2f}s "
           f"({new['value'] / max(old['value'], 1e-9):.2f}x)")
     oq, nq = old["queries"], new["queries"]
