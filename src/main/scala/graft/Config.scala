@@ -86,4 +86,5 @@ object GraftConf {
   val RetrievalK = "retrieval.k" // shortlist size for the lexical/hybrid arms
   val RrfK = "rrf.kconst" // RRF rank-smoothing constant (Cormack's 60)
   val PostingsNPt = "postings.npt" // pt directory fan-out for the postings index
+  val KnMinCount = "kn.mincount" // Kneser–Ney <unk> vocabulary cut
 }

@@ -579,6 +579,132 @@ object SparkEntry {
        |       GROUP BY doc_id)""".stripMargin
   }
 
+  /** Interpolated Kneser–Ney cross-corpus scoring replayed in SQL —
+    * shared by g_kn_score (batch) and q_stream_kn (streamed count
+    * maintenance): one truth, one hash. Every stage mirrors
+    * [[graft.operators.TextOps.knScore]] expression-for-expression:
+    * exact-binary D = 0.75, the max(·,1) Pcont floor, the unseen-context
+    * Pcont fallback, ln quantized to DECIMAL(18,8) before the
+    * multiplicity-weighted exact sum, floor at 4 digits. */
+  private lazy val knScoreOracleSql: String =
+    """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM lm) GROUP BY 1),
+      |vocab AS (SELECT w FROM uni WHERE c >= 2),
+      |lmt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM lm),
+      |lmpairs AS (
+      |  SELECT CASE WHEN v1.w IS NULL THEN '<unk>' ELSE pr[1] END AS w1,
+      |         CASE WHEN v2.w IS NULL THEN '<unk>' ELSE pr[2] END AS w2
+      |  FROM (SELECT unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i + 1]])) AS pr
+      |        FROM lmt) p
+      |  LEFT JOIN vocab v1 ON v1.w = pr[1]
+      |  LEFT JOIN vocab v2 ON v2.w = pr[2]),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM lmpairs GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+      |               CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+      |pred AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+      |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2),
+      |sct AS (SELECT doc_id, string_split(text, ' ') AS ts FROM sc),
+      |scpairs AS (
+      |  SELECT doc_id,
+      |         CASE WHEN v1.w IS NULL THEN '<unk>' ELSE pr[1] END AS w1,
+      |         CASE WHEN v2.w IS NULL THEN '<unk>' ELSE pr[2] END AS w2
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i + 1]])) AS pr
+      |        FROM sct) p
+      |  LEFT JOIN vocab v1 ON v1.w = pr[1]
+      |  LEFT JOIN vocab v2 ON v2.w = pr[2]),
+      |dp AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM scpairs GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT doc_id, cnt,
+      |    CASE WHEN coalesce(c1, 0) > 0
+      |      THEN (greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75, 0.0)
+      |            + 0.75 * CAST(coalesce(n1f, 0) AS DOUBLE)
+      |                   * (CAST(greatest(coalesce(n1b, 0), 1) AS DOUBLE)
+      |                      / CAST(b AS DOUBLE)))
+      |           / CAST(c1 AS DOUBLE)
+      |      ELSE CAST(greatest(coalesce(n1b, 0), 1) AS DOUBLE) / CAST(b AS DOUBLE)
+      |    END AS p
+      |  FROM dp LEFT JOIN c2 USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |          LEFT JOIN pred USING (w2) CROSS JOIN btot)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |       floor((CAST(sum(CAST(ln(p) AS DECIMAL(18,8)) * cnt) AS DOUBLE)
+      |              / sum(cnt)) * 10000) / 10000 AS avg_logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The composed training-run assembly replayed in SQL — shared by
+    * g_train_manifest (batch) and q_stream_manifest (the streamed
+    * periodic re-manifest): one truth, one hash. */
+  private lazy val trainManifestOracleSql: String =
+
+      // all four stages replayed: the g_epoch_expand CTEs, the
+      // (seed+1)-pre-shifted interleave permutation over eid = id*4 +
+      // epoch, the one-window
+      // prefix sum, and the span fan-out with the partial tail dropped
+      """WITH c AS (SELECT source,
+        |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |r AS (SELECT source, n_tokens, n_tokens * 3 AS cap,
+        |        CAST(row_number() OVER (ORDER BY n_tokens * 3, source) AS BIGINT) AS i,
+        |        CAST(count(*) OVER () AS BIGINT) AS s,
+        |        coalesce(SUM(n_tokens * 3) OVER (ORDER BY n_tokens * 3, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM c),
+        |f AS (SELECT *,
+        |        (CAST(cap AS HUGEINT) * (s - i + 1) <= CAST(40000 AS HUGEINT) - bef) AS flag
+        |      FROM r),
+        |m AS (SELECT *, coalesce(max(CASE WHEN flag THEN i END) OVER (), 0) AS mm,
+        |        coalesce(max(CASE WHEN flag THEN bef + cap END) OVER (), 0) AS pm
+        |      FROM f),
+        |a AS (SELECT source, n_tokens,
+        |        CAST(CASE WHEN i <= mm THEN cap
+        |             ELSE ((40000 - pm) // (s - mm)) +
+        |                  (CASE WHEN i - mm <= ((40000 - pm) % (s - mm)) THEN 1 ELSE 0 END)
+        |        END AS BIGINT) AS alloc
+        |      FROM m),
+        |e AS (SELECT source,
+        |        CAST(CASE WHEN n_tokens > 0 THEN alloc // n_tokens ELSE 0 END AS BIGINT) AS fullr,
+        |        CAST(CASE WHEN n_tokens > 0 THEN alloc % n_tokens ELSE 0 END AS BIGINT) AS frac
+        |      FROM a),
+        |d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+        |        ((doc_id % 2147483647) * 62089911) % 2147483647 AS sk
+        |      FROM documents),
+        |fullrep AS (SELECT doc_id, d.source,
+        |        unnest(generate_series(0, fullr - 1)) AS epoch, n_tokens
+        |      FROM d JOIN e USING (source) WHERE fullr > 0),
+        |cum AS (SELECT d.doc_id, d.source, d.n_tokens, e.fullr, e.frac,
+        |        CAST(sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.sk, d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        |      FROM d JOIN e USING (source)),
+        |u AS (SELECT doc_id, source, epoch, n_tokens FROM fullrep
+        |      UNION ALL
+        |      SELECT doc_id, source, fullr AS epoch, n_tokens FROM cum
+        |      WHERE cm - n_tokens < frac),
+        |k AS (SELECT *, doc_id * 4 + epoch AS eid,
+        |        (((doc_id * 4 + epoch + 1) % 2147483647) * 62089911) % 2147483647 AS ord
+        |      FROM u),
+        |o2 AS (SELECT *,
+        |        CAST(sum(n_tokens) OVER (ORDER BY ord, eid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens AS off
+        |      FROM k WHERE n_tokens > 0),
+        |t2 AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tt
+        |       FROM k WHERE n_tokens > 0),
+        |s2 AS (SELECT doc_id, source, epoch, n_tokens, off,
+        |        unnest(generate_series(off // 128, (off + n_tokens - 1) // 128)) AS seq_id
+        |      FROM o2)
+        |SELECT seq_id,
+        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |       doc_id, source, epoch,
+        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
+        |       CAST(least(off + n_tokens, (seq_id + 1) * 128)
+        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |FROM s2, t2 WHERE s2.seq_id < tt // 128
+        |ORDER BY seq_id, seq_pos""".stripMargin
+
   private lazy val bm25OracleSql: String =
     s"""WITH $bm25ScoreCtesSql
        |SELECT doc_id, n_terms, bm25 FROM sc
@@ -3042,6 +3168,47 @@ object SparkEntry {
       TextOps.bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
+    "g_kn_score" -> { (s, dir) => // interpolated Kneser–Ney bigram
+      // scoring, the CROSS-CORPUS form MLE can't do (unseen pair ⇒
+      // log 0): LM estimated on the even-id half, the odd-id half scored
+      // under it — discounted seen mass + continuation-probability
+      // backoff, <unk> cut at minCount, exact-binary D = 0.75, ln
+      // decimal-quantized before the multiplicity-weighted exact sum.
+      // Model joins are type-count-sized; docs collapse to distinct
+      // (doc, pair) with multiplicities before touching the model.
+      val d = Tables.documents(s, dir)
+      TextOps.knScoreAgainst(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+        .orderBy(col("doc_id"))
+    },
+
+    "q_stream_kn" -> { (s, dir) => // streamed Kneser–Ney count
+      // maintenance, oracle side: an AvailableNow run of knCountsStream
+      // lands the LM half's raw unigram/pair type counts as
+      // source-tagged deltas, compactKnCounts folds both roots, and
+      // scoring the odd half against the FOLDED counts must be bit-equal
+      // to the batch g_kn_score (shared oracle hash) — the <unk> cut
+      // applies at model-read time, so the stream never needs to know
+      // minCount. Replay/lineage/fold semantics are KnStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_kn_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 0)
+      val q = graft.streaming.StreamingOps
+        .knCountsStream(src, s"$out/idx", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.compactKnCounts(s, s"$out/idx")
+      val (uni, pairs) = graft.streaming.StreamingOps.readKnCounts(s, s"$out/idx")
+      TextOps.knScore(
+          Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), uni, pairs,
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+        .orderBy(col("doc_id"))
+    },
+
     "g_oov_rate" -> { (s, dir) => // tokenizer-fit report: per-doc OOV
       // fraction against the corpus top-100 vocabulary (deterministic
       // count-desc/token-asc cut); vocab broadcasts, token stream never
@@ -3436,6 +3603,30 @@ object SparkEntry {
       q.awaitTermination()
       graft.streaming.StreamingOps.compactPackIndex(s, s"$out/idx")
       graft.streaming.StreamingOps.readPackIndex(s, s"$out/idx")
+        .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
+    "q_stream_manifest" -> { (s, dir) => // UniMax-scheduled training
+      // manifest as a MAINTAINED asset, oracle side: an AvailableNow run
+      // of manifestStream lands the slim (id, source, n_tokens) delta and
+      // re-manifests over the accumulated counts — the served manifest
+      // must be bit-equal to the batch trainManifest over the same corpus
+      // (shared oracle hash with g_train_manifest). Waterfilling is not
+      // delta-maintainable (every batch can move θ), so the maintenance
+      // contract is periodic O(corpus-counts) refresh, never a re-scan of
+      // text; staleness/refreshEvery/replay/lineage/drift semantics are
+      // ManifestStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_manifest_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .manifestStream(src, s"$out/idx", s"$out/ckpt",
+          budgetTokens = 40000L, epochCap = 3, seqLen = 128L)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readTrainManifest(s, s"$out/idx")
         .orderBy(col("seq_id"), col("seq_pos"))
     },
 
@@ -6156,6 +6347,11 @@ object SparkEntry {
         |FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "g_kn_score" -> knScoreOracleSql,
+    // the streamed count landing + fold serves the SAME model — one
+    // truth, one hash (KnStreamSpec pins the fold semantics)
+    "q_stream_kn" -> knScoreOracleSql,
+
     "g_oov_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |vocab AS (
@@ -6589,72 +6785,11 @@ object SparkEntry {
         |SELECT doc_id, source, fullr AS epoch, n_tokens FROM cum WHERE cm - n_tokens < frac
         |ORDER BY doc_id, epoch""".stripMargin,
 
-    "g_train_manifest" ->
-      // all four stages replayed: the g_epoch_expand CTEs, the
-      // (seed+1)-pre-shifted interleave permutation over eid = id*4 +
-      // epoch, the one-window
-      // prefix sum, and the span fan-out with the partial tail dropped
-      """WITH c AS (SELECT source,
-        |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
-        |      FROM documents GROUP BY source),
-        |r AS (SELECT source, n_tokens, n_tokens * 3 AS cap,
-        |        CAST(row_number() OVER (ORDER BY n_tokens * 3, source) AS BIGINT) AS i,
-        |        CAST(count(*) OVER () AS BIGINT) AS s,
-        |        coalesce(SUM(n_tokens * 3) OVER (ORDER BY n_tokens * 3, source
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
-        |      FROM c),
-        |f AS (SELECT *,
-        |        (CAST(cap AS HUGEINT) * (s - i + 1) <= CAST(40000 AS HUGEINT) - bef) AS flag
-        |      FROM r),
-        |m AS (SELECT *, coalesce(max(CASE WHEN flag THEN i END) OVER (), 0) AS mm,
-        |        coalesce(max(CASE WHEN flag THEN bef + cap END) OVER (), 0) AS pm
-        |      FROM f),
-        |a AS (SELECT source, n_tokens,
-        |        CAST(CASE WHEN i <= mm THEN cap
-        |             ELSE ((40000 - pm) // (s - mm)) +
-        |                  (CASE WHEN i - mm <= ((40000 - pm) % (s - mm)) THEN 1 ELSE 0 END)
-        |        END AS BIGINT) AS alloc
-        |      FROM m),
-        |e AS (SELECT source,
-        |        CAST(CASE WHEN n_tokens > 0 THEN alloc // n_tokens ELSE 0 END AS BIGINT) AS fullr,
-        |        CAST(CASE WHEN n_tokens > 0 THEN alloc % n_tokens ELSE 0 END AS BIGINT) AS frac
-        |      FROM a),
-        |d AS (SELECT doc_id, source,
-        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
-        |        ((doc_id % 2147483647) * 62089911) % 2147483647 AS sk
-        |      FROM documents),
-        |fullrep AS (SELECT doc_id, d.source,
-        |        unnest(generate_series(0, fullr - 1)) AS epoch, n_tokens
-        |      FROM d JOIN e USING (source) WHERE fullr > 0),
-        |cum AS (SELECT d.doc_id, d.source, d.n_tokens, e.fullr, e.frac,
-        |        CAST(sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.sk, d.doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
-        |      FROM d JOIN e USING (source)),
-        |u AS (SELECT doc_id, source, epoch, n_tokens FROM fullrep
-        |      UNION ALL
-        |      SELECT doc_id, source, fullr AS epoch, n_tokens FROM cum
-        |      WHERE cm - n_tokens < frac),
-        |k AS (SELECT *, doc_id * 4 + epoch AS eid,
-        |        (((doc_id * 4 + epoch + 1) % 2147483647) * 62089911) % 2147483647 AS ord
-        |      FROM u),
-        |o2 AS (SELECT *,
-        |        CAST(sum(n_tokens) OVER (ORDER BY ord, eid
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |          - n_tokens AS off
-        |      FROM k WHERE n_tokens > 0),
-        |t2 AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tt
-        |       FROM k WHERE n_tokens > 0),
-        |s2 AS (SELECT doc_id, source, epoch, n_tokens, off,
-        |        unnest(generate_series(off // 128, (off + n_tokens - 1) // 128)) AS seq_id
-        |      FROM o2)
-        |SELECT seq_id,
-        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
-        |       doc_id, source, epoch,
-        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
-        |       CAST(least(off + n_tokens, (seq_id + 1) * 128)
-        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
-        |FROM s2, t2 WHERE s2.seq_id < tt // 128
-        |ORDER BY seq_id, seq_pos""".stripMargin,
+    "g_train_manifest" -> trainManifestOracleSql,
+
+    // the streamed periodic re-manifest serves the SAME schedule — one
+    // truth, two engines (losslessness contract, ManifestStreamSpec)
+    "q_stream_manifest" -> trainManifestOracleSql,
 
     "g_pack_binned" ->
       // length-binned packing replayed: exact-length groups, cap = 64 DIV

@@ -183,18 +183,25 @@ object AssemblyOps {
       nRanges: Int = 64,
       sourceCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      nTokensCol: Option[String] = None): DataFrame = {
     require(budgetTokens >= 0 && epochCap >= 1 && nRanges >= 1,
       "budgetTokens >= 0, epochCap >= 1, nRanges >= 1")
-    val alloc = CurationOps.unimaxAllocation(docs, budgetTokens, epochCap, sourceCol, textCol)
+    // nTokensCol: expand from precomputed per-doc counts (the slim frame a
+    // streaming re-manifest maintains) — textCol is never touched then
+    val perDoc = nTokensCol match {
+      case Some(n) => col(n).cast("long")
+      case None => size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long")
+    }
+    val alloc = CurationOps.unimaxAllocation(docs, budgetTokens, epochCap,
+        sourceCol, textCol, nTokensCol)
       .withColumn("__full",
         when(col("n_tokens") > 0, expr("alloc_tokens DIV n_tokens")).otherwise(lit(0L)))
       .withColumn("__frac",
         when(col("n_tokens") > 0, expr("alloc_tokens % n_tokens")).otherwise(lit(0L)))
       .select(col("source").as(sourceCol), col("__full"), col("__frac"))
     val scored = Checkpoints.pin(docs.select(
-      col(idCol), col(sourceCol),
-      size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      col(idCol), col(sourceCol), perDoc.as("n_tokens"))
       // seed pre-shifts the id (the permKey caveat): an after-shift would
       // preserve the prefix order except at wraps, so different seeds
       // would pick nearly the same fractional epoch
@@ -522,9 +529,10 @@ object AssemblyOps {
       sourceCol: String = "source",
       idCol: String = "doc_id",
       textCol: String = "text",
-      chunkSize: Long = 1L << 20): DataFrame = {
+      chunkSize: Long = 1L << 20,
+      nTokensCol: Option[String] = None): DataFrame = {
     val expanded = epochExpand(docs, budgetTokens, epochCap, seed, nRanges,
-        sourceCol, idCol, textCol)
+        sourceCol, idCol, textCol, nTokensCol)
       .withColumn("__eid", col(idCol) * lit((epochCap + 1).toLong) + col("epoch"))
       // seed+1 pre-shifts eid (the permKey caveat): the old
       // after-multiplication "+seed+1" produced the SAME relative order

@@ -1215,13 +1215,21 @@ object CurationOps {
       budgetTokens: Long,
       epochCap: Int,
       sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      nTokensCol: Option[String] = None): DataFrame = {
     require(budgetTokens >= 0 && epochCap >= 1, "budgetTokens >= 0, epochCap >= 1")
     import graft.functions.TextFns
+    // nTokensCol: allocate from a PRECOMPUTED per-doc token count (the
+    // slim (id, source, n_tokens) frame a streaming re-manifest maintains)
+    // instead of re-tokenizing text — same totals by construction when the
+    // counts were produced by the same tokenizer expression
+    val perDoc = nTokensCol match {
+      case Some(n) => col(n).cast("long")
+      case None => size(TextFns.tokens(coalesce(col(textCol), lit("")))).cast("long")
+    }
     val caps = docs
       .groupBy(col(sourceCol).as("source"))
-      .agg(sum(size(TextFns.tokens(coalesce(col(textCol), lit(""))))).cast("long")
-        .as("n_tokens"))
+      .agg(sum(perDoc).cast("long").as("n_tokens"))
       .withColumn("cap", col("n_tokens") * epochCap)
     val wAsc = Window.orderBy(col("cap"), col("source"))
     val wAll = wAsc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -357,6 +357,139 @@ object TextOps {
           sum(lp).cast("double") / count(lit(1)).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Consecutive-token pairs per document — the window-lead extraction
+    * [[bigramLogProb]] uses, shared with the Kneser–Ney family. The
+    * doc-keyed window is bounded by document length, never corpus-keyed. */
+  private def consecPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol), posexplode(TextFns.tokens(col(textCol))).as(Seq("p", "w1")))
+    toks
+      .withColumn("w2",
+        lead(col("w1"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("p"))))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+  }
+
+  /** Raw corpus unigram counts `(w, c)` — the Kneser–Ney model's vocabulary
+    * evidence, and the per-batch delta shape its streaming twin lands
+    * (counts are additive, so the maintained frames fold by SUM over
+    * source-tagged partials — the [[writeShingleIndex]] discipline). */
+  def knUnigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Raw consecutive-pair counts `(w1, w2, c)` — the other Kneser–Ney model
+    * frame / streamed delta. UNMAPPED tokens on purpose: the `<unk>`
+    * vocabulary cut depends on GLOBAL unigram counts, which a growing
+    * stream keeps moving (a rare token can cross INTO the vocabulary
+    * later), so the mapping is applied at MODEL-READ time over the folded
+    * type-count frames ([[knScore]]) — a model-sized recompute, never a
+    * corpus re-scan. */
+  def knPairCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    consecPairs(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothed successor of
+    * [[bigramLogProb]] that can score documents against an LM estimated on
+    * a DIFFERENT corpus (the CCNet setup: rank crawl text by its
+    * log-probability under a clean reference LM; cf. Heafield, "KenLM:
+    * Faster and Smaller Language Model Queries", WMT 2011). MLE gives
+    * unseen pairs probability zero (log undefined), so cross-corpus
+    * scoring needs reserved mass. With the exact-binary discount D = 0.75
+    * subtracted from every seen pair:
+    *
+    *   P(b|a)   = (max(c2(a,b) − D, 0) + D · N1+(a·) · Pcont(b)) / c1(a)
+    *   Pcont(b) = max(N1+(·b), 1) / B
+    *
+    * over the MAPPED type counts: tokens with LM unigram count below
+    * `minCount` become `<unk>` (in both the model and the scored text), so
+    * every scored token is in-vocabulary. c1(a) = Σ_b c2(a, b) is the
+    * left-context total; N1+(a·) / N1+(·b) are distinct successor /
+    * predecessor counts; B = distinct mapped pairs (the Pcont
+    * denominator). Two totality fallbacks, both deterministic and
+    * engine-replayable: an unseen CONTEXT (c1 = 0 — a vocabulary token the
+    * LM never saw as a left side) scores Pcont(b) alone, and the
+    * max(·, 1) floor keeps Pcont positive for a token never seen as a
+    * right side (including an `<unk>` absent from the LM corpus).
+    *
+    * Exactness: D = 0.75 and all counts are exact in binary doubles, so
+    * every P replays bit-identically from the same expression shape; the
+    * one `ln` per distinct (doc, pair) is quantized to DECIMAL(18,8)
+    * before the order-free exact sum (weighted by the pair's in-doc
+    * multiplicity — exact integer × decimal), final score floored at 4
+    * digits — the [[bigramLogProb]]/BM25 discipline, no tolerance.
+    *
+    * Plan shape: model frames are TYPE counts (Zipf-bounded, corpus-scan
+    * sized once); N1+/c1/B derive from the pair-type frame with two hash
+    * aggs and a 1-row broadcast. Scored docs collapse to distinct
+    * (doc, a, b) with multiplicities BEFORE any model join (map-side
+    * combined), then equi-join the model on (a, b) / (a) / (b) — never a
+    * corpus-sized row per token against the model.
+    *
+    * Output: `(idCol, n_bigrams, avg_logprob)`; docs with < 2 tokens have
+    * no bigrams and drop out (the [[bigramLogProb]] convention). */
+  def knScore(
+      docs: DataFrame,
+      rawUni: DataFrame,
+      rawPair: DataFrame,
+      minCount: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val vocab = Checkpoints.pin(
+      rawUni.filter(col("c") >= minCount).select(col("w"), lit(1).as("__in")),
+      reliable = false)
+    def mapped(df: DataFrame, wCol: String): DataFrame =
+      df.join(vocab.withColumnRenamed("w", wCol), Seq(wCol), "left")
+        .withColumn(wCol,
+          when(col("__in").isNull, lit("<unk>")).otherwise(col(wCol)))
+        .drop("__in")
+    // mapped pair-type counts: the model core, pinned — feeds c1/N1+/B
+    // and the scoring join
+    val c2 = Checkpoints.pin(
+      mapped(mapped(rawPair, "w1"), "w2")
+        .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("__c2")),
+      reliable = false)
+    val ctx = c2.groupBy(col("w1"))
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1f"))
+    val pred = c2.groupBy(col("w2")).agg(count(lit(1)).as("__n1b"))
+    val bTot = c2.agg(count(lit(1)).as("__B"))
+    val docPairs = mapped(mapped(consecPairs(docs, idCol, textCol), "w1"), "w2")
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("__cnt"))
+    val joined = docPairs
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(pred, Seq("w2"), "left")
+      .crossJoin(broadcast(bTot)) // one-row pair-type total
+    val pc = greatest(coalesce(col("__n1b"), lit(0L)), lit(1L)).cast("double") /
+      col("__B").cast("double")
+    val p = when(coalesce(col("__c1"), lit(0L)) > 0,
+      (greatest(coalesce(col("__c2"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+        lit(0.75) * coalesce(col("__n1f"), lit(0L)).cast("double") * pc) /
+        col("__c1").cast("double"))
+      .otherwise(pc)
+    val lp = log(p).cast("decimal(18,8)")
+    joined.groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_bigrams"),
+        NumFns.floorAt(
+          sum(lp * col("__cnt")).cast("double") / sum(col("__cnt")).cast("double"),
+          4).as("avg_logprob"))
+  }
+
+  /** [[knScore]] with the model estimated inline from `lmDocs` — the
+    * one-call cross-corpus form (train on the clean reference, score the
+    * crawl). */
+  def knScoreAgainst(
+      docs: DataFrame,
+      lmDocs: DataFrame,
+      minCount: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    knScore(docs, knUnigramCounts(lmDocs, textCol),
+      knPairCounts(lmDocs, idCol, textCol), minCount, idCol, textCol)
+
   /** Tokenizer-fit / out-of-vocabulary report: per-doc fraction of tokens
     * outside the corpus' top-`vocabSize` vocabulary (count desc, token asc
     * tie-break — fully deterministic cut). The vocabulary-coverage pass a

@@ -1001,6 +1001,156 @@ object StreamingOps {
     }
   }
 
+  /** Streaming UniMax-scheduled training manifest — the maintenance
+    * story for [[graft.operators.AssemblyOps.trainManifest]], whose
+    * global waterfilling is NOT delta-maintainable: every batch moves
+    * the water level θ, which can reshuffle every source's allocation,
+    * every epoch count, and therefore every packed offset — there is no
+    * O(delta) fold (the docs/ROUND12 closing note; contrast
+    * [[packStream]], whose arrival-order packing IS delta-foldable). The
+    * honest contract is periodic re-manifest, and what makes it
+    * scale-sane is WHAT the refresh reads: each micro-batch lands only
+    * the slim `(id, source, n_tokens)` projection at
+    * `_docs/__batch=<id>` (map-only, O(delta) — the corpus text is never
+    * retained), and every `refreshEvery`-th batch recomputes the FULL
+    * manifest from the accumulated counts frame
+    * ([[graft.operators.AssemblyOps.trainManifest]] with
+    * `nTokensCol` — the allocation, expansion, interleave, and packing
+    * never touch text) into the versioned `manifest/__batch=<id>`
+    * directory, latest-wins like [[clusterIngest]]'s assignment. Refresh
+    * cost is O(corpus) over a 3-column frame, amortized over
+    * `refreshEvery` batches; between refreshes readers serve the newest
+    * committed version ([[readTrainManifest]]), which is exactly the
+    * batch `trainManifest` of the corpus as of its version id
+    * (arrival order never matters — the schedule is a pure function of
+    * the doc set).
+    *
+    * Idempotent the established way (batch-id-derived Overwrites — the
+    * refresh reads `__batch <= id`, and a replay first rewrites its own
+    * delta identically, so the recompute converges at every crash
+    * point), lineage refusal on BOTH roots, and a `_meta.json` pinning
+    * (budgetTokens, epochCap, seqLen, seed, nRanges) — a drifted restart
+    * would silently change the global schedule, so it fails loudly.
+    * Doc ids must be unique across the stream's lifetime. */
+  def manifestStream(docs: DataFrame, path: String, checkpoint: String,
+      budgetTokens: Long, epochCap: Int, seqLen: Long,
+      refreshEvery: Int = 1, seed: Long = 0L, nRanges: Int = 64,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        manifestBatch(batch, batchId, path, budgetTokens, epochCap, seqLen,
+          refreshEvery, seed, nRanges, sourceCol, idCol, textCol)
+      }
+
+  /** One [[manifestStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def manifestBatch(batch: DataFrame, batchId: Long, path: String,
+      budgetTokens: Long, epochCap: Int, seqLen: Long, refreshEvery: Int,
+      seed: Long, nRanges: Int, sourceCol: String, idCol: String,
+      textCol: String): Unit = {
+    require(refreshEvery >= 1, "refreshEvery must be >= 1")
+    val s = batch.sparkSession
+    val docsRoot = new org.apache.hadoop.fs.Path(s"$path/_docs")
+    val manifestRoot = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val f = docsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(docsRoot, manifestRoot).foreach { r =>
+      requireBatchLineage(f, r, batchId, "manifestStream", r.toString)
+    }
+    assertManifestMeta(s, path, budgetTokens, epochCap, seqLen, seed, nRanges)
+    if (!f.exists(new org.apache.hadoop.fs.Path(path, "_meta.json")))
+      writeManifestMeta(s, path, budgetTokens, epochCap, seqLen, seed, nRanges)
+    // slim delta FIRST: the same tokenizer expression the batch
+    // trainManifest applies, so the counts-based refresh is bit-equal
+    batch.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).cast("string").as("source"),
+        size(graft.functions.TextFns.tokens(coalesce(col(textCol), lit(""))))
+          .cast("long").as("n_tokens"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$docsRoot/__batch=$batchId")
+    if (batchId % refreshEvery == 0) {
+      // the accumulated counts frame INCLUDING this batch's delta (just
+      // rewritten, so a replay recomputes identically); overlap-window
+      // duplicates of a crashed compaction carry identical columns, so
+      // the doc_id fold is lossless
+      val corpus = s.read.schema("doc_id LONG, source STRING, n_tokens LONG, __batch LONG")
+        .parquet(docsRoot.toString)
+        .filter(col("__batch") <= batchId)
+        .groupBy(col("doc_id"))
+        .agg(max(col("source")).as("source"), max(col("n_tokens")).as("n_tokens"))
+      graft.operators.AssemblyOps.trainManifest(corpus, budgetTokens, epochCap,
+          seqLen, seed, nRanges, "source", "doc_id", textCol = "n_tokens",
+          nTokensCol = Some("n_tokens"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$manifestRoot/__batch=$batchId")
+    }
+  }
+
+  /** The LIVE training manifest of a [[manifestStream]] sink: the newest
+    * committed version — exactly
+    * [[graft.operators.AssemblyOps.trainManifest]] over the corpus as of
+    * that version's batch. Between refreshes the schedule is
+    * intentionally stale by < `refreshEvery` batches (the documented
+    * contract; waterfilling admits no cheaper maintenance). */
+  def readTrainManifest(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest =
+      if (f.exists(p))
+        f.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("__batch="))
+          .map(_.stripPrefix("__batch=").toLong).sorted.lastOption
+      else None
+    latest match {
+      case Some(v) => spark.read
+        .schema("seq_id LONG, seq_pos LONG, doc_id LONG, source STRING, " +
+          "epoch LONG, doc_start LONG, len LONG")
+        .parquet(s"$p/__batch=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "seq_id LONG, seq_pos LONG, doc_id LONG, source STRING, " +
+            "epoch LONG, doc_start LONG, len LONG"))
+    }
+  }
+
+  private def writeManifestMeta(spark: SparkSession, path: String,
+      budgetTokens: Long, epochCap: Int, seqLen: Long, seed: Long,
+      nRanges: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(
+      (s"""{"budgetTokens":$budgetTokens,"epochCap":$epochCap,""" +
+        s""""seqLen":$seqLen,"seed":$seed,"nRanges":$nRanges}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def assertManifestMeta(spark: SparkSession, path: String,
+      budgetTokens: Long, epochCap: Int, seqLen: Long, seed: Long,
+      nRanges: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(nm: String): Option[Long] =
+        s""""$nm":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val want = Seq("budgetTokens" -> budgetTokens, "epochCap" -> epochCap.toLong,
+        "seqLen" -> seqLen, "seed" -> seed, "nRanges" -> nRanges.toLong)
+      val bad = want.flatMap { case (nm, v) =>
+        field(nm).filter(_ != v).map(rec => s"$nm: index=$rec caller=$v")
+      }
+      require(bad.isEmpty,
+        s"manifestStream: schedule parameter mismatch vs $path/_meta.json " +
+          s"(${bad.mkString("; ")}) — a drifted restart would silently change " +
+          "the global UniMax schedule; restart with the recorded parameters " +
+          "or use a fresh directory")
+    }
+  }
+
   /** Streaming content-addressed chunk-store ingest — the CAS-backup
     * twin of the other versioned sinks: each micro-batch of binary
     * payloads is CDC-chunked ([[graft.operators.MultimodalOps.cdcByteChunks]],
@@ -1252,6 +1402,83 @@ object StreamingOps {
     val t = if (hashed.get == 1) "LONG" else "STRING"
     foldBatchDirs(spark, path, s"shingle $t, cnt LONG, src LONG, pb INT",
       dedupKeys = Seq("shingle", "src"), partitionCols = Seq("pb"))
+  }
+
+  /** Streaming Kneser–Ney count maintenance — the maintained-model twin of
+    * [[graft.operators.TextOps.knScore]]: each micro-batch lands its RAW
+    * unigram and consecutive-pair type counts as source-tagged partials
+    * (`src = batchId` — the [[shingleIndexStream]] discipline: compaction
+    * dedups on (key, src) and never sums, so fold-overlap and crash-rerun
+    * windows cannot double-count; the read-side merge
+    * ([[readKnCounts]]) does the one SUM). Counts are additive, so unlike
+    * the waterfilling manifest this model IS delta-maintainable — but the
+    * `<unk>` vocabulary cut is NOT (a growing stream moves tokens across
+    * `minCount`), which is why the landed frames stay unmapped and
+    * [[graft.operators.TextOps.knScore]] applies the cut at model-read
+    * time over the folded TYPE counts: a model-sized recompute per probe,
+    * never a corpus re-scan. No parameter sidecar: nothing about the
+    * landing shape is tunable (minCount / discount are read-time
+    * choices). Doc ids need not be globally unique here — only
+    * within-batch pair extraction uses them. */
+  def knCountsStream(docs: DataFrame, path: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        knBatch(batch, batchId, path, idCol, textCol)
+      }
+
+  /** One [[knCountsStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly; `batchId = -1` bootstraps an
+    * existing corpus as the base). */
+  private[graft] def knBatch(batch: DataFrame, batchId: Long, path: String,
+      idCol: String, textCol: String): Unit = {
+    val s = batch.sparkSession
+    val uniRoot = new org.apache.hadoop.fs.Path(s"$path/_unigrams")
+    val pairsRoot = new org.apache.hadoop.fs.Path(s"$path/_pairs")
+    val f = uniRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(uniRoot, pairsRoot).foreach { r =>
+      requireBatchLineage(f, r, batchId, "knCountsStream", r.toString)
+    }
+    graft.operators.TextOps.knUnigramCounts(batch, textCol)
+      .withColumn("src", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$uniRoot/__batch=$batchId")
+    graft.operators.TextOps.knPairCounts(batch, idCol, textCol)
+      .withColumn("src", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$pairsRoot/__batch=$batchId")
+  }
+
+  /** The accumulated raw count frames of a [[knCountsStream]] sink —
+    * `(rawUni, rawPair)` exactly as
+    * [[graft.operators.TextOps.knUnigramCounts]] /
+    * [[graft.operators.TextOps.knPairCounts]] over the whole streamed
+    * corpus: max over (key, src) collapses fold-overlap duplicates, then
+    * one SUM merges the per-batch partials. Feed straight into
+    * [[graft.operators.TextOps.knScore]]. */
+  def readKnCounts(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val uni = spark.read.schema("w STRING, c LONG, src LONG, __batch LONG")
+      .parquet(s"$path/_unigrams")
+      .groupBy(col("w"), col("src")).agg(max(col("c")).as("c"))
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+    val pairs = spark.read.schema("w1 STRING, w2 STRING, c LONG, src LONG, __batch LONG")
+      .parquet(s"$path/_pairs")
+      .groupBy(col("w1"), col("w2"), col("src")).agg(max(col("c")).as("c"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+    (uni, pairs)
+  }
+
+  /** Fold [[knCountsStream]]'s per-batch deltas into the `__batch=-1` base
+    * on both roots — source-tagged partials dedup on (key, src), the
+    * merge stays [[readKnCounts]]'s job (the [[compactShingleIndex]]
+    * reasoning). */
+  def compactKnCounts(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, s"$path/_pairs", "w1 STRING, w2 STRING, c LONG, src LONG",
+      dedupKeys = Seq("w1", "w2", "src"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_unigrams", "w STRING, c LONG, src LONG",
+      dedupKeys = Seq("w", "src"), partitionCols = Seq.empty)
   }
 
   /** Streaming dataset card: keep the per-source corpus report

@@ -35,6 +35,7 @@ class BatchLineageSpec extends AnyFunSuite {
     "storeBatch" -> (2, Seq("recipesRoot, batchId", "s\"$path/chunks\"")),
     "lshBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "shingleBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
+    "knBatch" -> (2, Seq("Seq(uniRoot, pairsRoot)")),
     // _sums + the mode-dependent _keys/_hll twin: three textual write
     // sites, guarded as Seq("_sums", keysSub)
     "cardBatch" -> (3, Seq("\"_sums\"", "keysSub")),
@@ -46,6 +47,7 @@ class BatchLineageSpec extends AnyFunSuite {
     // earlier landings
     "clusterBatch" -> (3,
       Seq("Seq(s\"$outDir/_pairs\", s\"$outDir/_assign\", lshDir, docsDir)")),
+    "manifestBatch" -> (2, Seq("Seq(docsRoot, manifestRoot)")),
     "bloomBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "kmeansBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")))
 

@@ -114,6 +114,25 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("kn.mincount retunes the vocabulary cut on both KN rows") {
+    // the fixture has no natural singletons (rarest even-half token
+    // count: 18, then a cluster in the 440s), and mapping exactly ONE
+    // type to <unk> is a pure relabeling that leaves every probability
+    // identical — the cut must MERGE several types to move scores, so
+    // test at 460 (≈6 types fold into <unk>); the two shared-oracle rows
+    // must keep agreeing with each other at ANY knob value
+    val dflt = SparkEntry.queries("g_kn_score")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    withConf("spark.graft.kn.mincount" -> "460") {
+      val wide = SparkEntry.queries("g_kn_score")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(wide != dflt)
+      val streamed = SparkEntry.queries("q_stream_kn")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(streamed == wide)
+    }
+  }
+
   test("semdedup.threshold flows into the drop rule") {
     // threshold 1.0: nothing clears a >= 1.0 floored-cosine bar against a
     // DISTINCT earlier neighbor unless vectors coincide; kept-count can
