@@ -87,4 +87,5 @@ object GraftConf {
   val RrfK = "rrf.kconst" // RRF rank-smoothing constant (Cormack's 60)
   val PostingsNPt = "postings.npt" // pt directory fan-out for the postings index
   val KnMinCount = "kn.mincount" // Kneser–Ney <unk> vocabulary cut
+  val LogitSteps = "logit.steps" // full-batch GD steps for the quality trainer
 }

@@ -579,6 +579,88 @@ object SparkEntry {
        |       GROUP BY doc_id)""".stripMargin
   }
 
+  /** Curriculum-ordered packing replayed in SQL — shared by
+    * g_curriculum (batch) and q_stream_curriculum (the streamed
+    * periodic re-manifest): one truth, one hash. */
+  private lazy val curriculumOracleSql: String =
+
+      // rank strata (4 buckets) -> the curriculum order bucket*P + perm
+      // -> the one-window packing replay, bucket carried through
+      """WITH s AS (SELECT doc_id,
+        |        CAST((len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000000)
+        |             // len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS score
+        |      FROM documents),
+        |r AS (SELECT doc_id, score,
+        |        CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) - 1 AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM s),
+        |bkt AS (SELECT doc_id, CAST((rank * 4) // n AS BIGINT) AS bucket FROM r),
+        |d AS (SELECT documents.doc_id,
+        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok, bucket,
+        |        bucket * 2147483647 + ((documents.doc_id % 2147483647) * 62089911) % 2147483647 AS ord
+        |      FROM documents JOIN bkt ON documents.doc_id = bkt.doc_id),
+        |o AS (SELECT doc_id, tok, bucket,
+        |        CAST(sum(tok) OVER (ORDER BY ord, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - tok AS off
+        |      FROM d WHERE tok > 0),
+        |t AS (SELECT CAST(coalesce(sum(tok), 0) AS BIGINT) AS tt FROM d WHERE tok > 0),
+        |sp AS (SELECT doc_id, bucket, tok, off,
+        |        unnest(generate_series(off // 128, (off + tok - 1) // 128)) AS seq_id
+        |      FROM o)
+        |SELECT sp.seq_id,
+        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |       doc_id, bucket,
+        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
+        |       CAST(least(off + tok, (seq_id + 1) * 128)
+        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
+        |FROM sp, t WHERE sp.seq_id < tt // 128
+        |ORDER BY seq_id, seq_pos""".stripMargin
+
+  /** The full-batch logistic-GD trainer replayed in SQL — shared by
+    * g_logit_train (batch) and q_stream_logit (streamed feature
+    * maintenance). The whole descent unrolls as CTE pairs (g_s = the
+    * step's exact-integer gradient sums, w_s = the updated unit
+    * weights), mirroring [[graft.operators.TextOps.logitTrain]]
+    * expression-for-expression: `(units · 1e-8) · x` doubles, per-row
+    * contributions floored to 1e-8 units and summed as DECIMAL(38,0),
+    * the power-of-two learning rate applied by double floor. Generated
+    * programmatically so the step count stays in ONE place. */
+  private lazy val logitTrainOracleSql: String = {
+    val xs = Seq("x0", "x1", "x2", "x3")
+    val steps = 3
+    val stops = graft.operators.TextOps.EnStopwords.map(s => s"'$s'").mkString(", ")
+    def z(u: Int => String): String =
+      xs.zipWithIndex.map { case (x, j) => s"(${u(j)} * 1e-8) * $x" }.mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH f AS (SELECT doc_id,
+      |  CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+      |  CAST(1.0 AS DOUBLE) AS x0,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS x1,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS x2,
+      |  n_chars / 1000.0 AS x3
+      |FROM documents),
+      |w0 AS (SELECT ${xs.indices.map(j => s"CAST(0 AS BIGINT) AS u$j").mkString(", ")})"""
+      .stripMargin
+    for (s <- 1 to steps) {
+      val zz = z(j => s"u$j")
+      sb ++= s""",
+        |g$s AS (SELECT ${xs.zipWithIndex.map { case (x, j) =>
+          s"sum(CAST(floor($x * (1.0 / (1.0 + exp(-($zz))) - y) * 1e8) AS DECIMAL(38,0))) AS g$j"
+        }.mkString(", ")}
+        |  FROM f CROSS JOIN w${s - 1}),
+        |w$s AS (SELECT ${xs.indices.map(j =>
+          s"u$j - CAST(floor(CAST(g$j AS DOUBLE) / 4096.0) AS BIGINT) AS u$j").mkString(", ")}
+        |  FROM w${s - 1} CROSS JOIN g$s)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id, y AS label,
+      |       floor((${z(j => s"u$j")}) * 1000000) / 1000000 AS logit
+      |FROM f CROSS JOIN w$steps ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** Interpolated Kneser–Ney cross-corpus scoring replayed in SQL —
     * shared by g_kn_score (batch) and q_stream_kn (streamed count
     * maintenance): one truth, one hash. Every stage mirrors
@@ -3157,6 +3239,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_logit_train" -> { (s, dir) => // TRAIN the quality/language
+      // classifier in-engine — the missing half of g_quality_logit
+      // (which scores fixed weights): full-batch logistic GD over
+      // deterministic count-ratio features (bias, stopword ratio, TTR,
+      // length), labels lang='en'. Bit-exact cross-engine replay via
+      // integer-unit weights, per-row gradient contributions floored to
+      // 1e-8 units and summed as exact decimals, power-of-two learning
+      // rate applied by double floor (no DIV-direction mismatch). The
+      // oracle replays the ENTIRE descent as unrolled CTEs — a drifted
+      // gradient in any step flips every logit.
+      TextOps.logitTrainScore(Tables.documents(s, dir),
+          steps = GraftConf.int(s, GraftConf.LogitSteps, 3))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_stream_logit" -> { (s, dir) => // maintained quality classifier,
+      // oracle side: an AvailableNow run of logitStream lands the slim
+      // deterministic feature deltas and retrains on refresh — the
+      // served scored corpus must be bit-equal to the batch
+      // g_logit_train (shared oracle hash). Full-batch GD is a global
+      // function of the corpus (the UniMax-manifest argument), so the
+      // maintenance contract is periodic O(corpus-features) retrain;
+      // staleness/replay/lineage/drift are LogitSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_logit_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .logitStream(src, s"$out/idx", s"$out/ckpt",
+          steps = GraftConf.int(s, GraftConf.LogitSteps, 3))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readLogitScores(s, s"$out/idx")
+        .orderBy(col("doc_id"))
+    },
+
     "g_quality_unigram" -> { (s, dir) => // corpus unigram-LM quality score
       // (KenLM-style mean token log-prob, decimal-quantized for parity)
       TextOps.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -3582,6 +3701,29 @@ object SparkEntry {
       // trainer walking seq_id order walks the schedule.
       AssemblyOps.curriculumManifest(Tables.documents(s, dir),
           nBuckets = 4, seqLen = 128L)
+        .orderBy(col("seq_id"), col("seq_pos"))
+    },
+
+    "q_stream_curriculum" -> { (s, dir) => // maintained curriculum
+      // manifest, oracle side: an AvailableNow run of curriculumStream
+      // lands the slim (id, TTR-score, n_tokens) evidence and re-ranks +
+      // re-packs over the accumulated counts — the served manifest must
+      // be bit-equal to the batch curriculumManifest (shared oracle
+      // hash). Corpus-wide rank buckets move with every batch (the
+      // UniMax-manifest argument), so the maintenance contract is the
+      // same periodic O(corpus-counts) refresh; staleness/replay/
+      // lineage/drift are CurriculumStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_curriculum_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .curriculumStream(src, s"$out/idx", s"$out/ckpt",
+          nBuckets = 4, seqLen = 128L)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readCurriculumManifest(s, s"$out/idx")
         .orderBy(col("seq_id"), col("seq_pos"))
     },
 
@@ -6292,6 +6434,11 @@ object SparkEntry {
         |CROSS JOIN n
         |ORDER BY lift_bp DESC, tok1, tok2 LIMIT 50""".stripMargin,
 
+    "g_logit_train" -> logitTrainOracleSql,
+    // the streamed feature landing + periodic retrain serves the SAME
+    // descent — one truth, one hash (LogitSpec pins the fold semantics)
+    "q_stream_logit" -> logitTrainOracleSql,
+
     "g_quality_logit" ->
       // identical left-assoc multiply-add chain over the same features.
       // n_tok/hits are CAST to DOUBLE here: DuckDB parses 0.01/-1.0 as
@@ -6706,38 +6853,10 @@ object SparkEntry {
         |SELECT source, doc_id, score, CAST((rank * 4) // n AS BIGINT) AS bucket, rank
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    "g_curriculum" ->
-      // rank strata (4 buckets) -> the curriculum order bucket*P + perm
-      // -> the one-window packing replay, bucket carried through
-      """WITH s AS (SELECT doc_id,
-        |        CAST((len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000000)
-        |             // len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS score
-        |      FROM documents),
-        |r AS (SELECT doc_id, score,
-        |        CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) - 1 AS rank,
-        |        CAST(count(*) OVER () AS BIGINT) AS n
-        |      FROM s),
-        |bkt AS (SELECT doc_id, CAST((rank * 4) // n AS BIGINT) AS bucket FROM r),
-        |d AS (SELECT documents.doc_id,
-        |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok, bucket,
-        |        bucket * 2147483647 + ((documents.doc_id % 2147483647) * 62089911) % 2147483647 AS ord
-        |      FROM documents JOIN bkt ON documents.doc_id = bkt.doc_id),
-        |o AS (SELECT doc_id, tok, bucket,
-        |        CAST(sum(tok) OVER (ORDER BY ord, doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - tok AS off
-        |      FROM d WHERE tok > 0),
-        |t AS (SELECT CAST(coalesce(sum(tok), 0) AS BIGINT) AS tt FROM d WHERE tok > 0),
-        |sp AS (SELECT doc_id, bucket, tok, off,
-        |        unnest(generate_series(off // 128, (off + tok - 1) // 128)) AS seq_id
-        |      FROM o)
-        |SELECT sp.seq_id,
-        |       CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
-        |       doc_id, bucket,
-        |       CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS doc_start,
-        |       CAST(least(off + tok, (seq_id + 1) * 128)
-        |            - greatest(off, seq_id * 128) AS BIGINT) AS len
-        |FROM sp, t WHERE sp.seq_id < tt // 128
-        |ORDER BY seq_id, seq_pos""".stripMargin,
+    "g_curriculum" -> curriculumOracleSql,
+
+    // the streamed periodic re-manifest serves the SAME schedule
+    "q_stream_curriculum" -> curriculumOracleSql,
 
     "g_epoch_expand" ->
       // the g_unimax waterfilling CTEs at budget 40000 / cap 3, then the

@@ -490,20 +490,47 @@ object AssemblyOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       rangeWidth: Long = 64L,
+      chunkSize: Long = 1L << 20): DataFrame =
+    curriculumManifestFromCounts(curriculumCounts(docs, idCol, textCol),
+      nBuckets, seqLen, seed, idCol, rangeWidth, chunkSize)
+
+  /** The slim per-doc curriculum evidence `(idCol, score, n_tokens)` —
+    * score is the type–token ratio in ppm (`(distinct · 10⁶) DIV tokens`),
+    * per-doc computable at landing, so a streaming maintainer
+    * ([[graft.streaming.StreamingOps.curriculumStream]]) never retains
+    * text. */
+  def curriculumCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextFns.tokens(coalesce(col(textCol), lit("")))
+    docs.select(col(idCol),
+        size(array_distinct(toks)).cast("long").as("__d"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("score", expr("(__d * 1000000L) DIV n_tokens"))
+      .select(col(idCol), col("score"), col("n_tokens"))
+  }
+
+  /** [[curriculumManifest]] from the precomputed [[curriculumCounts]]
+    * frame — the whole rank→order→pack DAG without touching text (the
+    * [[trainManifest]] `nTokensCol` seam, applied to the curriculum
+    * schedule). Global rank buckets move with every corpus change, so a
+    * maintained curriculum refreshes through THIS entry point over
+    * accumulated slim counts. */
+  def curriculumManifestFromCounts(
+      scored: DataFrame,
+      nBuckets: Int,
+      seqLen: Long,
+      seed: Long = 0L,
+      idCol: String = "doc_id",
+      rangeWidth: Long = 64L,
       chunkSize: Long = 1L << 20): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    val toks = TextFns.tokens(coalesce(col(textCol), lit("")))
-    val scored = docs.select(col(idCol),
-        size(array_distinct(toks)).cast("long").as("__d"),
-        size(toks).cast("long").as("__t"))
-      .withColumn("score", expr("(__d * 1000000L) DIV __t"))
-      .select(col(idCol), col("score"))
-    val buckets = CurationOps.rankBuckets(scored, nBuckets, "score", idCol, rangeWidth)
+    val buckets = CurationOps.rankBuckets(
+        scored.select(col(idCol), col("score")), nBuckets, "score", idCol, rangeWidth)
       .select(col(idCol), col("bucket"))
-    val ordered = docs.join(buckets, idCol)
+    val ordered = scored.join(buckets, idCol)
       .withColumn("__cord", col("bucket") * lit(P) + permKey(col(idCol) + lit(seed), 0L))
     packTokenSpans(ordered, seqLen, orderCol = "__cord", idCol = idCol,
-      textCol = textCol, carryCols = Seq("bucket"), chunkSize = chunkSize)
+      nTokensCol = Some("n_tokens"), carryCols = Seq("bucket"), chunkSize = chunkSize)
   }
 
   /** The composed training-run assembly: UniMax allocation → epoch

@@ -357,6 +357,103 @@ object TextOps {
           sum(lp).cast("double") / count(lit(1)).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Deterministic per-doc feature vector for [[logitTrain]] — the
+    * engine-computable signals a CCNet/fastText-style quality or language
+    * classifier trains on: bias, English-stopword ratio, type–token
+    * ratio, character length. Every feature is a ratio of exact integer
+    * counts (or an exact-count scaled by a constant), so both engines
+    * derive bit-identical doubles. Label: `lang = 'en'`. Output:
+    * `(doc_id, y, x0, x1, x2, x3)`. */
+  def logitFeatures(docs: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val n = size(toks)
+    docs.select(col("doc_id"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+      lit(1.0).as("x0"),
+      (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") / n).as("x1"),
+      (size(array_distinct(toks)).cast("double") / n).as("x2"),
+      (col("n_chars") / lit(1000.0)).as("x3"))
+  }
+
+  /** Distributed full-batch logistic-regression TRAINING with bit-exact
+    * cross-engine replay — the missing half of [[qualityLogit]] (which
+    * only scores with given weights): estimate the weights themselves on
+    * the corpus, inside the engine, deterministically enough that an
+    * independent engine replays the whole descent to the same bits.
+    *
+    * The determinism recipe (floating-point gradient sums are
+    * accumulation-order-sensitive, so naive GD is not replayable):
+    *
+    *  - weights live as INTEGER units of 1e-8 (`Seq[Long]`), entering
+    *    expressions as `(units · 1e-8) · x` — double arithmetic with a
+    *    fixed shape both engines evaluate identically;
+    *  - each row's gradient contribution `x_j · (σ(w·x) − y)` is FLOORED
+    *    to integer 1e-8 units and summed as DECIMAL(38,0) — an exact,
+    *    order-free integer sum (the BM25 quantize-then-sum discipline,
+    *    in integer form);
+    *  - the update divides by the power-of-two `lrDen` via
+    *    `floor(gradUnits / lrDen)` in doubles — deterministic floor,
+    *    no truncation-direction mismatch (integer DIV truncates toward
+    *    zero in Spark but floors in DuckDB; double floor agrees).
+    *
+    * Full-batch = one partial-aggregated pass per step over the pinned
+    * features frame; driver state is the d-long weight vector (the
+    * bounded-driver-state convention, cf. learnBpe's loop). σ's `exp`
+    * differs across engines only in the last ulp, absorbed by the 1e-8
+    * flooring — the same accepted-risk class as the `ln` pinning. */
+  def logitTrain(
+      features: DataFrame,
+      xCols: Seq[String] = Seq("x0", "x1", "x2", "x3"),
+      yCol: String = "y",
+      steps: Int = 3,
+      lrDen: Double = 4096.0): Seq[Long] = {
+    require(steps >= 1, "steps must be >= 1")
+    require(lrDen > 0, "lrDen must be positive")
+    // pin once: each step is a full pass; without the pin every step
+    // re-derives the features from the corpus scan (the frame is slim —
+    // d+2 doubles per doc — so re-pinning an already-pinned input costs
+    // one cheap materialization, not a corpus re-scan)
+    val f = Checkpoints.pin(features, reliable = false)
+    var w = Seq.fill(xCols.size)(0L)
+    for (_ <- 1 to steps) {
+      val sig = sigmaOf(w, xCols)
+      val aggs = xCols.map(x =>
+        sum(floor(col(x) * (sig - col(yCol)) * lit(1e8)).cast("decimal(38,0)")))
+      val row = f.agg(aggs.head, aggs.tail: _*).head()
+      w = w.indices.map { j =>
+        val g = Option(row.getDecimal(j)).map(_.doubleValue).getOrElse(0.0)
+        w(j) - math.floor(g / lrDen).toLong
+      }.toSeq
+    }
+    w
+  }
+
+  private def sigmaOf(w: Seq[Long], xCols: Seq[String]): org.apache.spark.sql.Column = {
+    val z = xCols.zip(w).map { case (x, u) => lit(u) * lit(1e-8) * col(x) }
+      .reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Train-and-score in one call: [[logitFeatures]] → [[logitTrain]] →
+    * per-doc final logit `w·x` (6-digit floor). Output:
+    * `(doc_id, label, logit)` — the registered-query face of the
+    * trainer; an engine replaying the descent must land on the same
+    * weights to match these logits. */
+  def logitTrainScore(docs: DataFrame, steps: Int = 3,
+      lrDen: Double = 4096.0): DataFrame = {
+    val f = Checkpoints.pin(logitFeatures(docs), reliable = false)
+    logitScoreFeatures(f, logitTrain(f, steps = steps, lrDen = lrDen))
+  }
+
+  /** Score a [[logitFeatures]]-shaped frame under trained unit-weights. */
+  def logitScoreFeatures(features: DataFrame, w: Seq[Long],
+      xCols: Seq[String] = Seq("x0", "x1", "x2", "x3")): DataFrame = {
+    val z = xCols.zip(w).map { case (x, u) => lit(u) * lit(1e-8) * col(x) }
+      .reduce(_ + _)
+    features.select(col("doc_id"), col("y").as("label"),
+      NumFns.floorAt(z, 6).as("logit"))
+  }
+
   /** Consecutive-token pairs per document — the window-lead extraction
     * [[bigramLogProb]] uses, shared with the Kneser–Ney family. The
     * doc-keyed window is bounded by document length, never corpus-keyed. */

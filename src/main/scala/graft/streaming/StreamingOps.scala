@@ -1045,44 +1045,148 @@ object StreamingOps {
           refreshEvery, seed, nRanges, sourceCol, idCol, textCol)
       }
 
-  /** One [[manifestStream]] micro-batch (extracted so specs can drive
-    * replay/crash orderings directly). */
+  /** One [[manifestStream]] micro-batch — a [[scheduleBatch]] with the
+    * UniMax delta/refresh pair (extracted so specs can drive replay/crash
+    * orderings directly). The slim delta applies the same tokenizer
+    * expression the batch trainManifest does, so the counts-based refresh
+    * is bit-equal. */
   private[graft] def manifestBatch(batch: DataFrame, batchId: Long, path: String,
       budgetTokens: Long, epochCap: Int, seqLen: Long, refreshEvery: Int,
       seed: Long, nRanges: Int, sourceCol: String, idCol: String,
-      textCol: String): Unit = {
+      textCol: String): Unit =
+    scheduleBatch(batch, batchId, path, "manifestStream", refreshEvery,
+      Seq("budgetTokens" -> budgetTokens, "epochCap" -> epochCap.toLong,
+        "seqLen" -> seqLen, "seed" -> seed, "nRanges" -> nRanges.toLong),
+      b => b.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).cast("string").as("source"),
+        size(graft.functions.TextFns.tokens(coalesce(col(textCol), lit(""))))
+          .cast("long").as("n_tokens")),
+      "doc_id LONG, source STRING, n_tokens LONG",
+      corpus => graft.operators.AssemblyOps.trainManifest(corpus, budgetTokens,
+        epochCap, seqLen, seed, nRanges, "source", "doc_id",
+        textCol = "n_tokens", nTokensCol = Some("n_tokens")))
+
+  /** Streaming curriculum manifest — [[manifestStream]]'s sibling for the
+    * OTHER global schedule: [[graft.operators.AssemblyOps.curriculumManifest]]'s
+    * corpus-wide rank buckets move with every batch exactly like the
+    * UniMax water level, so the same periodic-re-manifest contract
+    * applies. Per batch: the slim `(id, score, n_tokens)` curriculum
+    * evidence lands (the TTR score is per-doc computable, text never
+    * retained); every `refreshEvery`-th batch re-ranks and re-packs from
+    * the accumulated counts
+    * ([[graft.operators.AssemblyOps.curriculumManifestFromCounts]]).
+    * Serve with [[readCurriculumManifest]]. */
+  def curriculumStream(docs: DataFrame, path: String, checkpoint: String,
+      nBuckets: Int, seqLen: Long, refreshEvery: Int = 1, seed: Long = 0L,
+      rangeWidth: Long = 64L, idCol: String = "doc_id",
+      textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curriculumBatch(batch, batchId, path, nBuckets, seqLen, refreshEvery,
+          seed, rangeWidth, idCol, textCol)
+      }
+
+  /** One [[curriculumStream]] micro-batch. */
+  private[graft] def curriculumBatch(batch: DataFrame, batchId: Long,
+      path: String, nBuckets: Int, seqLen: Long, refreshEvery: Int,
+      seed: Long, rangeWidth: Long, idCol: String, textCol: String): Unit =
+    scheduleBatch(batch, batchId, path, "curriculumStream", refreshEvery,
+      Seq("nBuckets" -> nBuckets.toLong, "seqLen" -> seqLen, "seed" -> seed,
+        "rangeWidth" -> rangeWidth),
+      b => graft.operators.AssemblyOps.curriculumCounts(b, idCol, textCol)
+        .select(col(idCol).cast("long").as("doc_id"), col("score"),
+          col("n_tokens")),
+      "doc_id LONG, score LONG, n_tokens LONG",
+      corpus => graft.operators.AssemblyOps.curriculumManifestFromCounts(
+        corpus, nBuckets, seqLen, seed, "doc_id", rangeWidth))
+
+  /** Streaming quality-classifier maintenance — the third global-schedule
+    * maintainer: [[graft.operators.TextOps.logitTrain]]'s full-batch
+    * gradient descent is a global function of the corpus (every batch
+    * shifts every step's gradient), so the same land-slim-evidence /
+    * periodic-retrain contract applies: per batch the deterministic
+    * feature vector lands (O(delta), text never retained); every
+    * `refreshEvery`-th batch retrains from the accumulated features and
+    * lands the scored corpus as a latest-wins version. Serve with
+    * [[readLogitScores]]. */
+  def logitStream(docs: DataFrame, path: String, checkpoint: String,
+      steps: Int = 3, lrDen: Double = 4096.0, refreshEvery: Int = 1)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        logitBatch(batch, batchId, path, steps, lrDen, refreshEvery)
+      }
+
+  /** One [[logitStream]] micro-batch. */
+  private[graft] def logitBatch(batch: DataFrame, batchId: Long, path: String,
+      steps: Int, lrDen: Double, refreshEvery: Int): Unit =
+    scheduleBatch(batch, batchId, path, "logitStream", refreshEvery,
+      Seq("steps" -> steps.toLong, "lrDen" -> lrDen.toLong),
+      b => graft.operators.TextOps.logitFeatures(b)
+        .select(col("doc_id").cast("long").as("doc_id"), col("y"),
+          col("x0"), col("x1"), col("x2"), col("x3")),
+      "doc_id LONG, y DOUBLE, x0 DOUBLE, x1 DOUBLE, x2 DOUBLE, x3 DOUBLE",
+      corpus => graft.operators.TextOps.logitScoreFeatures(corpus,
+        graft.operators.TextOps.logitTrain(corpus, steps = steps, lrDen = lrDen)))
+
+  /** The LIVE scored corpus of a [[logitStream]] sink — the newest
+    * committed retrain, exactly
+    * [[graft.operators.TextOps.logitTrainScore]] over the corpus as of
+    * that version (same staleness contract as [[readTrainManifest]]). */
+  def readLogitScores(spark: SparkSession, path: String): DataFrame =
+    readLatestManifest(spark, path, "doc_id LONG, label DOUBLE, logit DOUBLE")
+
+  /** The shared core of the global-schedule maintainers
+    * ([[manifestStream]], [[curriculumStream]]): a schedule that is a
+    * global function of the corpus (waterfilling level, corpus-wide rank
+    * strata) admits no per-batch fold, so the maintained contract is —
+    * land the slim per-doc evidence delta each batch (map-only, O(delta),
+    * text never retained), re-derive the FULL schedule from the
+    * accumulated evidence every `refreshEvery`-th batch into latest-wins
+    * `manifest/__batch=<id>` versions. Idempotent the established way
+    * (batch-id Overwrites; the refresh reads `__batch <= id` after its
+    * own delta was just rewritten, so replay converges at every crash
+    * point), lineage refusal on BOTH roots, `_meta.json` pins the
+    * schedule parameters (drift = a silently different global schedule,
+    * so it fails loudly). Doc ids must be unique across the stream's
+    * lifetime. */
+  private def scheduleBatch(batch: DataFrame, batchId: Long, path: String,
+      op: String, refreshEvery: Int, metaFields: Seq[(String, Long)],
+      deltaOf: DataFrame => DataFrame, deltaDDL: String,
+      remanifest: DataFrame => DataFrame): Unit = {
     require(refreshEvery >= 1, "refreshEvery must be >= 1")
     val s = batch.sparkSession
     val docsRoot = new org.apache.hadoop.fs.Path(s"$path/_docs")
     val manifestRoot = new org.apache.hadoop.fs.Path(s"$path/manifest")
     val f = docsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     Seq(docsRoot, manifestRoot).foreach { r =>
-      requireBatchLineage(f, r, batchId, "manifestStream", r.toString)
+      requireBatchLineage(f, r, batchId, op, r.toString)
     }
-    assertManifestMeta(s, path, budgetTokens, epochCap, seqLen, seed, nRanges)
+    assertScheduleMeta(s, path, op, metaFields)
     if (!f.exists(new org.apache.hadoop.fs.Path(path, "_meta.json")))
-      writeManifestMeta(s, path, budgetTokens, epochCap, seqLen, seed, nRanges)
-    // slim delta FIRST: the same tokenizer expression the batch
-    // trainManifest applies, so the counts-based refresh is bit-equal
-    batch.select(col(idCol).cast("long").as("doc_id"),
-        col(sourceCol).cast("string").as("source"),
-        size(graft.functions.TextFns.tokens(coalesce(col(textCol), lit(""))))
-          .cast("long").as("n_tokens"))
+      writeScheduleMeta(s, path, metaFields)
+    // slim evidence delta FIRST
+    deltaOf(batch)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$docsRoot/__batch=$batchId")
     if (batchId % refreshEvery == 0) {
-      // the accumulated counts frame INCLUDING this batch's delta (just
+      // the accumulated evidence INCLUDING this batch's delta (just
       // rewritten, so a replay recomputes identically); overlap-window
       // duplicates of a crashed compaction carry identical columns, so
       // the doc_id fold is lossless
-      val corpus = s.read.schema("doc_id LONG, source STRING, n_tokens LONG, __batch LONG")
+      val dataCols = org.apache.spark.sql.types.StructType.fromDDL(deltaDDL)
+        .fieldNames.filterNot(_ == "doc_id").toSeq
+      val corpus = s.read.schema(s"$deltaDDL, __batch LONG")
         .parquet(docsRoot.toString)
         .filter(col("__batch") <= batchId)
         .groupBy(col("doc_id"))
-        .agg(max(col("source")).as("source"), max(col("n_tokens")).as("n_tokens"))
-      graft.operators.AssemblyOps.trainManifest(corpus, budgetTokens, epochCap,
-          seqLen, seed, nRanges, "source", "doc_id", textCol = "n_tokens",
-          nTokensCol = Some("n_tokens"))
+        .agg(max(col(dataCols.head)).as(dataCols.head),
+          dataCols.tail.map(c => max(col(c)).as(c)): _*)
+      remanifest(corpus)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$manifestRoot/__batch=$batchId")
     }
@@ -1094,7 +1198,23 @@ object StreamingOps {
     * that version's batch. Between refreshes the schedule is
     * intentionally stale by < `refreshEvery` batches (the documented
     * contract; waterfilling admits no cheaper maintenance). */
-  def readTrainManifest(spark: SparkSession, path: String): DataFrame = {
+  def readTrainManifest(spark: SparkSession, path: String): DataFrame =
+    readLatestManifest(spark, path,
+      "seq_id LONG, seq_pos LONG, doc_id LONG, source STRING, " +
+        "epoch LONG, doc_start LONG, len LONG")
+
+  /** The LIVE curriculum manifest of a [[curriculumStream]] sink — the
+    * newest committed version, exactly
+    * [[graft.operators.AssemblyOps.curriculumManifest]] over the corpus
+    * as of that version's batch (same staleness contract as
+    * [[readTrainManifest]]). */
+  def readCurriculumManifest(spark: SparkSession, path: String): DataFrame =
+    readLatestManifest(spark, path,
+      "seq_id LONG, seq_pos LONG, doc_id LONG, doc_start LONG, " +
+        "len LONG, bucket LONG")
+
+  private def readLatestManifest(spark: SparkSession, path: String,
+      ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest =
@@ -1104,33 +1224,26 @@ object StreamingOps {
           .map(_.stripPrefix("__batch=").toLong).sorted.lastOption
       else None
     latest match {
-      case Some(v) => spark.read
-        .schema("seq_id LONG, seq_pos LONG, doc_id LONG, source STRING, " +
-          "epoch LONG, doc_start LONG, len LONG")
-        .parquet(s"$p/__batch=$v")
+      case Some(v) => spark.read.schema(ddl).parquet(s"$p/__batch=$v")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "seq_id LONG, seq_pos LONG, doc_id LONG, source STRING, " +
-            "epoch LONG, doc_start LONG, len LONG"))
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
     }
   }
 
-  private def writeManifestMeta(spark: SparkSession, path: String,
-      budgetTokens: Long, epochCap: Int, seqLen: Long, seed: Long,
-      nRanges: Int): Unit = {
+  private def writeScheduleMeta(spark: SparkSession, path: String,
+      metaFields: Seq[(String, Long)]): Unit = {
     val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
     val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = f.create(meta, true)
     try out.write(
-      (s"""{"budgetTokens":$budgetTokens,"epochCap":$epochCap,""" +
-        s""""seqLen":$seqLen,"seed":$seed,"nRanges":$nRanges}""").getBytes("UTF-8"))
+      metaFields.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}").getBytes("UTF-8"))
     finally out.close()
   }
 
-  private def assertManifestMeta(spark: SparkSession, path: String,
-      budgetTokens: Long, epochCap: Int, seqLen: Long, seed: Long,
-      nRanges: Int): Unit = {
+  private def assertScheduleMeta(spark: SparkSession, path: String,
+      op: String, metaFields: Seq[(String, Long)]): Unit = {
     val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
     val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(meta)) {
@@ -1138,15 +1251,13 @@ object StreamingOps {
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       def field(nm: String): Option[Long] =
         s""""$nm":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val want = Seq("budgetTokens" -> budgetTokens, "epochCap" -> epochCap.toLong,
-        "seqLen" -> seqLen, "seed" -> seed, "nRanges" -> nRanges.toLong)
-      val bad = want.flatMap { case (nm, v) =>
+      val bad = metaFields.flatMap { case (nm, v) =>
         field(nm).filter(_ != v).map(rec => s"$nm: index=$rec caller=$v")
       }
       require(bad.isEmpty,
-        s"manifestStream: schedule parameter mismatch vs $path/_meta.json " +
+        s"$op: schedule parameter mismatch vs $path/_meta.json " +
           s"(${bad.mkString("; ")}) — a drifted restart would silently change " +
-          "the global UniMax schedule; restart with the recorded parameters " +
+          "the global schedule; restart with the recorded parameters " +
           "or use a fresh directory")
     }
   }

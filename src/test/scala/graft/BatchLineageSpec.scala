@@ -47,7 +47,9 @@ class BatchLineageSpec extends AnyFunSuite {
     // earlier landings
     "clusterBatch" -> (3,
       Seq("Seq(s\"$outDir/_pairs\", s\"$outDir/_assign\", lshDir, docsDir)")),
-    "manifestBatch" -> (2, Seq("Seq(docsRoot, manifestRoot)")),
+    // the shared core of manifestBatch/curriculumBatch — the global-
+    // schedule maintainers' writes live here
+    "scheduleBatch" -> (2, Seq("Seq(docsRoot, manifestRoot)")),
     "bloomBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "kmeansBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")))
 

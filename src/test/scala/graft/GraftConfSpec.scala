@@ -133,6 +133,19 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("logit.steps retunes the descent on both shared-oracle rows") {
+    val dflt = SparkEntry.queries("g_logit_train")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    withConf("spark.graft.logit.steps" -> "1") {
+      val short = SparkEntry.queries("g_logit_train")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(short != dflt) // fewer steps = different weights = different logits
+      val streamed = SparkEntry.queries("q_stream_logit")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(streamed == short)
+    }
+  }
+
   test("semdedup.threshold flows into the drop rule") {
     // threshold 1.0: nothing clears a >= 1.0 floored-cosine bar against a
     // DISTINCT earlier neighbor unless vectors coincide; kept-count can
