@@ -716,6 +716,80 @@ object SparkEntry {
       |              / sum(cnt)) * 10000) / 10000 AS avg_logprob
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring replayed in SQL — shared by
+    * g_kn3_score and q_stream_kn3. Mirrors
+    * [[graft.operators.TextOps.kn3Score]] expression-for-expression,
+    * with the p2 (bigram-continuation) level computed as its own column
+    * before the trigram level consumes it — the same two-stage shape as
+    * the Spark plan. */
+  private lazy val kn3ScoreOracleSql: String =
+    """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM lm) GROUP BY 1),
+      |vocab AS (SELECT w FROM uni WHERE c >= 2),
+      |lmt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM lm),
+      |lmtris AS (
+      |  SELECT CASE WHEN v1.w IS NULL THEN '<unk>' ELSE tr[1] END AS w1,
+      |         CASE WHEN v2.w IS NULL THEN '<unk>' ELSE tr[2] END AS w2,
+      |         CASE WHEN v3.w IS NULL THEN '<unk>' ELSE tr[3] END AS w3
+      |  FROM (SELECT unnest(list_transform(range(1, len(ts) - 1),
+      |                 i -> [ts[i], ts[i + 1], ts[i + 2]])) AS tr
+      |        FROM lmt) p
+      |  LEFT JOIN vocab v1 ON v1.w = tr[1]
+      |  LEFT JOIN vocab v2 ON v2.w = tr[2]
+      |  LEFT JOIN vocab v3 ON v3.w = tr[3]),
+      |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      |       FROM lmtris GROUP BY 1, 2, 3),
+      |ctx3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx3,
+      |                CAST(count(*) AS BIGINT) AS n1f3 FROM c3 GROUP BY 1, 2),
+      |t AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS t FROM c3 GROUP BY 1, 2),
+      |ctx2c AS (SELECT w2, CAST(sum(t) AS BIGINT) AS ctx2c,
+      |                 CAST(count(*) AS BIGINT) AS n1f2c FROM t GROUP BY 1),
+      |pred AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1b FROM t GROUP BY 1),
+      |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM t),
+      |sct AS (SELECT doc_id, string_split(text, ' ') AS ts FROM sc),
+      |sctris AS (
+      |  SELECT doc_id,
+      |         CASE WHEN v1.w IS NULL THEN '<unk>' ELSE tr[1] END AS w1,
+      |         CASE WHEN v2.w IS NULL THEN '<unk>' ELSE tr[2] END AS w2,
+      |         CASE WHEN v3.w IS NULL THEN '<unk>' ELSE tr[3] END AS w3
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(ts) - 1),
+      |            i -> [ts[i], ts[i + 1], ts[i + 2]])) AS tr
+      |        FROM sct) p
+      |  LEFT JOIN vocab v1 ON v1.w = tr[1]
+      |  LEFT JOIN vocab v2 ON v2.w = tr[2]
+      |  LEFT JOIN vocab v3 ON v3.w = tr[3]),
+      |dp AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM sctris GROUP BY 1, 2, 3, 4),
+      |s1 AS (
+      |  SELECT doc_id, cnt, c3, ctx3, n1f3,
+      |    CASE WHEN coalesce(ctx2c, 0) > 0
+      |      THEN (greatest(CAST(coalesce(t, 0) AS DOUBLE) - 0.75, 0.0)
+      |            + 0.75 * CAST(coalesce(n1f2c, 0) AS DOUBLE)
+      |                   * (CAST(greatest(coalesce(n1b, 0), 1) AS DOUBLE)
+      |                      / CAST(b AS DOUBLE)))
+      |           / CAST(ctx2c AS DOUBLE)
+      |      ELSE CAST(greatest(coalesce(n1b, 0), 1) AS DOUBLE) / CAST(b AS DOUBLE)
+      |    END AS p2
+      |  FROM dp LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN ctx3 USING (w1, w2)
+      |          LEFT JOIN t USING (w2, w3) LEFT JOIN ctx2c USING (w2)
+      |          LEFT JOIN pred USING (w3) CROSS JOIN btot),
+      |scored AS (
+      |  SELECT doc_id, cnt,
+      |    CASE WHEN coalesce(ctx3, 0) > 0
+      |      THEN (greatest(CAST(coalesce(c3, 0) AS DOUBLE) - 0.75, 0.0)
+      |            + 0.75 * CAST(coalesce(n1f3, 0) AS DOUBLE) * p2)
+      |           / CAST(ctx3 AS DOUBLE)
+      |      ELSE p2
+      |    END AS p
+      |  FROM s1)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+      |       floor((CAST(sum(CAST(ln(p) AS DECIMAL(18,8)) * cnt) AS DOUBLE)
+      |              / sum(cnt)) * 10000) / 10000 AS avg_logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The composed training-run assembly replayed in SQL — shared by
     * g_train_manifest (batch) and q_stream_manifest (the streamed
     * periodic re-manifest): one truth, one hash. */
@@ -3324,6 +3398,45 @@ object SparkEntry {
       val (uni, pairs) = graft.streaming.StreamingOps.readKnCounts(s, s"$out/idx")
       TextOps.knScore(
           Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), uni, pairs,
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_kn3_score" -> { (s, dir) => // interpolated Kneser–Ney TRIGRAM
+      // scoring — the standard KenLM order: discounted trigram mass
+      // backing off through the bigram-continuation level to the
+      // unigram-continuation floor, every statistic count algebra over
+      // the mapped trigram types. Same cross-corpus split and exactness
+      // discipline as g_kn_score; the oracle replays the full
+      // three-level chain.
+      val d = Tables.documents(s, dir)
+      TextOps.kn3ScoreAgainst(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+        .orderBy(col("doc_id"))
+    },
+
+    "q_stream_kn3" -> { (s, dir) => // streamed trigram-KN count
+      // maintenance, oracle side: kn3CountsStream lands the LM half's
+      // raw unigram + trigram type counts, compactKn3Counts folds both
+      // roots, and scoring the odd half against the folded counts must
+      // be bit-equal to the batch g_kn3_score (shared oracle hash) —
+      // the bigram-continuation level derives from the trigram types at
+      // read time, so the stream maintains exactly two frames.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_kn3_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 0)
+      val q = graft.streaming.StreamingOps
+        .kn3CountsStream(src, s"$out/idx", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.compactKn3Counts(s, s"$out/idx")
+      val (uni, tri) = graft.streaming.StreamingOps.readKn3Counts(s, s"$out/idx")
+      TextOps.kn3Score(
+          Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), uni, tri,
           minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
         .orderBy(col("doc_id"))
     },
@@ -6498,6 +6611,9 @@ object SparkEntry {
     // the streamed count landing + fold serves the SAME model — one
     // truth, one hash (KnStreamSpec pins the fold semantics)
     "q_stream_kn" -> knScoreOracleSql,
+
+    "g_kn3_score" -> kn3ScoreOracleSql,
+    "q_stream_kn3" -> kn3ScoreOracleSql,
 
     "g_oov_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -587,6 +587,119 @@ object TextOps {
     knScore(docs, knUnigramCounts(lmDocs, textCol),
       knPairCounts(lmDocs, idCol, textCol), minCount, idCol, textCol)
 
+  /** Consecutive-token triples per document (two window leads — still one
+    * doc-keyed window pass). */
+  private def consecTriples(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    docs.select(col(idCol), posexplode(TextFns.tokens(col(textCol))).as(Seq("p", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .withColumn("w3", lead(col("w1"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"), col("w3"))
+  }
+
+  /** Raw consecutive-triple counts `(w1, w2, w3, c)` — the trigram model's
+    * single evidence frame (EVERY derived statistic of [[kn3Score]] —
+    * bigram continuation counts included — is count algebra over these
+    * types, so a maintained trigram LM lands only this and the unigram
+    * vocabulary evidence). Unmapped for the [[knPairCounts]] reason. */
+  def knTrigramCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    consecTriples(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+
+  /** Interpolated Kneser–Ney TRIGRAM scoring — [[knScore]] one Markov
+    * order up, the standard KenLM configuration. The backoff chain
+    * (Chen & Goodman's interpolated KN, D = 0.75 at every level):
+    *
+    *   P3(w|u,v)  = (max(c3(u,v,w) − D, 0) + D · N1+(u,v,·) · P2c(w|v)) / c3(u,v,·)
+    *   P2c(w|v)   = (max(N1+(·,v,w) − D, 0) + D · N1+c(v) · Pc(w)) / N1+(·,v,·)
+    *   Pc(w)      = max(N1+(·,·,w), 1) / B
+    *
+    * where every statistic is count algebra over the MAPPED trigram
+    * types: N1+(·,v,w) = distinct left-contexts of (v,w) (= rows of the
+    * c3 frame grouped by (v,w)), N1+(·,v,·)/N1+c(v) its per-v sum/row
+    * count, N1+(·,·,w)/B the same one level down. Fallbacks mirror
+    * [[knScore]]: an unseen (u,v) context scores P2c, an unseen v
+    * context scores Pc, and the max(·,1) floor keeps Pc total. Same
+    * exactness discipline (exact-binary D, ln → DECIMAL(18,8) before the
+    * multiplicity-weighted exact sum, 4-digit floor) and the same
+    * scale shape — model frames are TYPE counts, docs collapse to
+    * distinct (doc, triple) with multiplicities before any model join.
+    * Docs with < 3 tokens have no trigrams and drop out. */
+  def kn3Score(
+      docs: DataFrame,
+      rawUni: DataFrame,
+      rawTri: DataFrame,
+      minCount: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val vocab = Checkpoints.pin(
+      rawUni.filter(col("c") >= minCount).select(col("w"), lit(1).as("__in")),
+      reliable = false)
+    def mapped(df: DataFrame, wCol: String): DataFrame =
+      df.join(vocab.withColumnRenamed("w", wCol), Seq(wCol), "left")
+        .withColumn(wCol,
+          when(col("__in").isNull, lit("<unk>")).otherwise(col(wCol)))
+        .drop("__in")
+    val c3 = Checkpoints.pin(
+      mapped(mapped(mapped(rawTri, "w1"), "w2"), "w3")
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c")).as("__c3")),
+      reliable = false)
+    val ctx3 = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c3")).as("__ctx3"), count(lit(1)).as("__n1f3"))
+    val t = Checkpoints.pin(
+      c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("__t")),
+      reliable = false)
+    val ctx2c = t.groupBy(col("w2"))
+      .agg(sum(col("__t")).as("__ctx2c"), count(lit(1)).as("__n1f2c"))
+    val pred = t.groupBy(col("w3")).agg(count(lit(1)).as("__n1b"))
+    val bTot = t.agg(count(lit(1)).as("__B"))
+    val docTris = mapped(mapped(mapped(consecTriples(docs, idCol, textCol),
+        "w1"), "w2"), "w3")
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__cnt"))
+    val joined = docTris
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(t, Seq("w2", "w3"), "left")
+      .join(ctx2c, Seq("w2"), "left")
+      .join(pred, Seq("w3"), "left")
+      .crossJoin(broadcast(bTot)) // one-row triple-type total
+    val pc = greatest(coalesce(col("__n1b"), lit(0L)), lit(1L)).cast("double") /
+      col("__B").cast("double")
+    val p2 = when(coalesce(col("__ctx2c"), lit(0L)) > 0,
+      (greatest(coalesce(col("__t"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+        lit(0.75) * coalesce(col("__n1f2c"), lit(0L)).cast("double") * pc) /
+        col("__ctx2c").cast("double"))
+      .otherwise(pc)
+    val withP2 = joined.withColumn("__p2", p2)
+    val p = when(coalesce(col("__ctx3"), lit(0L)) > 0,
+      (greatest(coalesce(col("__c3"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+        lit(0.75) * coalesce(col("__n1f3"), lit(0L)).cast("double") * col("__p2")) /
+        col("__ctx3").cast("double"))
+      .otherwise(col("__p2"))
+    val lp = log(p).cast("decimal(18,8)")
+    withP2.groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_trigrams"),
+        NumFns.floorAt(
+          sum(lp * col("__cnt")).cast("double") / sum(col("__cnt")).cast("double"),
+          4).as("avg_logprob"))
+  }
+
+  /** [[kn3Score]] with the model estimated inline from `lmDocs`. */
+  def kn3ScoreAgainst(
+      docs: DataFrame,
+      lmDocs: DataFrame,
+      minCount: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    kn3Score(docs, knUnigramCounts(lmDocs, textCol),
+      knTrigramCounts(lmDocs, idCol, textCol), minCount, idCol, textCol)
+
   /** Tokenizer-fit / out-of-vocabulary report: per-doc fraction of tokens
     * outside the corpus' top-`vocabSize` vocabulary (count desc, token asc
     * tie-break — fully deterministic cut). The vocabulary-coverage pass a

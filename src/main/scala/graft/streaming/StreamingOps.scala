@@ -1592,6 +1592,66 @@ object StreamingOps {
       dedupKeys = Seq("w", "src"), partitionCols = Seq.empty)
   }
 
+  /** [[knCountsStream]] one Markov order up: maintains the TRIGRAM
+    * Kneser–Ney model's evidence — raw unigram counts (the vocabulary
+    * cut) and raw consecutive-triple type counts (every derived
+    * statistic of [[graft.operators.TextOps.kn3Score]], the bigram
+    * continuation level included, is count algebra over these, so
+    * nothing else needs maintaining). Same source-tagged-partials
+    * discipline, same read-time `<unk>` cut. */
+  def kn3CountsStream(docs: DataFrame, path: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kn3Batch(batch, batchId, path, idCol, textCol)
+      }
+
+  /** One [[kn3CountsStream]] micro-batch. */
+  private[graft] def kn3Batch(batch: DataFrame, batchId: Long, path: String,
+      idCol: String, textCol: String): Unit = {
+    val s = batch.sparkSession
+    val uniRoot = new org.apache.hadoop.fs.Path(s"$path/_unigrams")
+    val triRoot = new org.apache.hadoop.fs.Path(s"$path/_trigrams")
+    val f = uniRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(uniRoot, triRoot).foreach { r =>
+      requireBatchLineage(f, r, batchId, "kn3CountsStream", r.toString)
+    }
+    graft.operators.TextOps.knUnigramCounts(batch, textCol)
+      .withColumn("src", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$uniRoot/__batch=$batchId")
+    graft.operators.TextOps.knTrigramCounts(batch, idCol, textCol)
+      .withColumn("src", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$triRoot/__batch=$batchId")
+  }
+
+  /** The accumulated `(rawUni, rawTri)` frames of a [[kn3CountsStream]]
+    * sink — feed straight into [[graft.operators.TextOps.kn3Score]]. */
+  def readKn3Counts(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val uni = spark.read.schema("w STRING, c LONG, src LONG, __batch LONG")
+      .parquet(s"$path/_unigrams")
+      .groupBy(col("w"), col("src")).agg(max(col("c")).as("c"))
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+    val tri = spark.read
+      .schema("w1 STRING, w2 STRING, w3 STRING, c LONG, src LONG, __batch LONG")
+      .parquet(s"$path/_trigrams")
+      .groupBy(col("w1"), col("w2"), col("w3"), col("src")).agg(max(col("c")).as("c"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c")).as("c"))
+    (uni, tri)
+  }
+
+  /** Fold [[kn3CountsStream]]'s per-batch deltas on both roots. */
+  def compactKn3Counts(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, s"$path/_trigrams",
+      "w1 STRING, w2 STRING, w3 STRING, c LONG, src LONG",
+      dedupKeys = Seq("w1", "w2", "w3", "src"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_unigrams", "w STRING, c LONG, src LONG",
+      dedupKeys = Seq("w", "src"), partitionCols = Seq.empty)
+  }
+
   /** Streaming dataset card: keep the per-source corpus report
     * ([[graft.operators.CurationOps.datasetCard]]) current as documents
     * arrive, WITHOUT ever rescanning the accumulated corpus. Each

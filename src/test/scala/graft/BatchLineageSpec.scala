@@ -36,6 +36,7 @@ class BatchLineageSpec extends AnyFunSuite {
     "lshBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "shingleBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "knBatch" -> (2, Seq("Seq(uniRoot, pairsRoot)")),
+    "kn3Batch" -> (2, Seq("Seq(uniRoot, triRoot)")),
     // _sums + the mode-dependent _keys/_hll twin: three textual write
     // sites, guarded as Seq("_sums", keysSub)
     "cardBatch" -> (3, Seq("\"_sums\"", "keysSub")),

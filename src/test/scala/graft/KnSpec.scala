@@ -101,6 +101,60 @@ class KnSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq.sorted == batchPairs)
   }
 
+  test("trigram KN invariant: probabilities sum to 1 per context, seen or backed off") {
+    // one probe doc per (u, v, w): its single trigram's avg_logprob IS
+    // ln P3(w|u,v). Whatever branch the (u, v) context takes — seen
+    // trigram context, bigram-continuation backoff, or the unigram
+    // floor — each level normalizes, so Σ_w P3(w|u,v) = 1 whenever the
+    // mapped vocabulary is fully observed at that level (the lmDocs
+    // rare-token docs put <unk> into the trigram types).
+    val vocabPlus = LmVocab :+ "zzz-oov"
+    val contexts = Seq(("a", "b"), ("e", "zzz-oov"), ("zzz-oov", "c"))
+    val probes = (for (((u, v), ci) <- contexts.zipWithIndex;
+                       (w, j) <- vocabPlus.zipWithIndex)
+      yield ((ci * 100 + j).toLong, s"$u $v $w")).toDF("doc_id", "text")
+    val scored = TextOps.kn3ScoreAgainst(probes, lmDocs, minCount = 2L)
+      .select(col("doc_id"), col("avg_logprob"))
+      .as[(Long, Double)].collect().toMap
+    for (((u, v), ci) <- contexts.zipWithIndex) {
+      val total = vocabPlus.indices
+        .map(j => math.exp(scored((ci * 100 + j).toLong))).sum
+      assert(math.abs(total - 1.0) < 1e-3,
+        s"sum_w P3(w|'$u','$v') = $total, expected 1")
+    }
+  }
+
+  test("trigram streamed counts == batch; fold + replay + lineage") {
+    val p = s"${tmpDir()}/kn3"
+    StreamingOps.kn3Batch(lmDocs.filter(col("doc_id") < 15), 0L, p, "doc_id", "text")
+    StreamingOps.kn3Batch(lmDocs.filter(col("doc_id") >= 15), 1L, p, "doc_id", "text")
+    val (uni, tri) = StreamingOps.readKn3Counts(spark, p)
+    val batchTri = TextOps.knTrigramCounts(lmDocs)
+      .as[(String, String, String, Long)].collect().toSeq.sorted
+    assert(tri.as[(String, String, String, Long)].collect().toSeq.sorted == batchTri)
+
+    val probe = Seq((100L, "a b q c d"), (101L, "d e a b")).toDF("doc_id", "text")
+    val viaStream = TextOps.kn3Score(probe, uni, tri, 2L)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val viaBatch = TextOps.kn3ScoreAgainst(probe, lmDocs, 2L)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(viaStream == viaBatch)
+
+    // replay overwrites; compaction folds both roots and keeps the merge
+    StreamingOps.kn3Batch(lmDocs.filter(col("doc_id") >= 15), 1L, p, "doc_id", "text")
+    StreamingOps.compactKn3Counts(spark, p)
+    def levels(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+    assert(levels(s"$p/_trigrams") == Seq("__batch=-1", "__batch=1"))
+    assert(StreamingOps.readKn3Counts(spark, p)._2
+      .as[(String, String, String, Long)].collect().toSeq.sorted == batchTri)
+
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.kn3Batch(lmDocs.filter(col("doc_id") < 5), 0L, p, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("different checkpoint lineage"))
+  }
+
   test("lineage refusal on both roots after a partial crash") {
     val p = s"${tmpDir()}/kn"
     StreamingOps.knBatch(lmDocs.filter(col("doc_id") < 10), 0L, p, "doc_id", "text")
