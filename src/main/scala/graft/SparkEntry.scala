@@ -661,6 +661,37 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The train→evaluate loop replayed in SQL: the whole
+    * [[logitTrainOracleSql]] descent as a subquery, reduced to the exact
+    * confusion counts at the logit-0 decision boundary and the derived
+    * precision/recall/F1 (single-division forms, 6-digit floor). */
+  private lazy val logitEvalOracleSql: String = {
+    val core = logitTrainOracleSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH scored AS ($core)
+      |SELECT
+      |  CAST(sum(CASE WHEN label = 1.0 AND logit >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(sum(CASE WHEN label = 0.0 AND logit >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN label = 1.0 AND logit < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |  CAST(sum(CASE WHEN label = 0.0 AND logit < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |  floor(CASE WHEN sum(CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END) > 0
+      |    THEN CAST(sum(CASE WHEN label = 1.0 AND logit >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / sum(CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END)
+      |    ELSE 0.0 END * 1000000) / 1000000 AS precision_,
+      |  floor(CASE WHEN sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) > 0
+      |    THEN CAST(sum(CASE WHEN label = 1.0 AND logit >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END)
+      |    ELSE 0.0 END * 1000000) / 1000000 AS recall_,
+      |  floor(CASE WHEN 2 * sum(CASE WHEN label = 1.0 AND logit >= 0.0 THEN 1 ELSE 0 END)
+      |             + sum(CASE WHEN label = 0.0 AND logit >= 0.0 THEN 1 ELSE 0 END)
+      |             + sum(CASE WHEN label = 1.0 AND logit < 0.0 THEN 1 ELSE 0 END) > 0
+      |    THEN CAST(2 * sum(CASE WHEN label = 1.0 AND logit >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / (2 * sum(CASE WHEN label = 1.0 AND logit >= 0.0 THEN 1 ELSE 0 END)
+      |            + sum(CASE WHEN label = 0.0 AND logit >= 0.0 THEN 1 ELSE 0 END)
+      |            + sum(CASE WHEN label = 1.0 AND logit < 0.0 THEN 1 ELSE 0 END))
+      |    ELSE 0.0 END * 1000000) / 1000000 AS f1
+      |FROM scored""".stripMargin
+  }
+
   /** Interpolated Kneser–Ney cross-corpus scoring replayed in SQL —
     * shared by g_kn_score (batch) and q_stream_kn (streamed count
     * maintenance): one truth, one hash. Every stage mirrors
@@ -715,6 +746,41 @@ object SparkEntry {
       |       floor((CAST(sum(CAST(ln(p) AS DECIMAL(18,8)) * cnt) AS DOUBLE)
       |              / sum(cnt)) * 10000) / 10000 AS avg_logprob
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Multinomial Naive Bayes train-and-classify replayed in SQL — shared
+    * by g_nb_langid (batch) and q_stream_nb (streamed count maintenance).
+    * Mirrors [[graft.operators.TextOps.nbTrainScore]]: add-one smoothing
+    * over exact class-token counts, ln quantized to DECIMAL(18,8), pure
+    * decimal per-(doc, class) scores, (score desc, class asc) argmax. */
+  private lazy val nbLangidOracleSql: String =
+    """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      |cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS dc FROM lm GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS d FROM lm),
+      |lmtoks AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS w FROM lm),
+      |ncw AS (SELECT c, w, CAST(count(*) AS BIGINT) AS n FROM lmtoks GROUP BY 1, 2),
+      |tc AS (SELECT c, CAST(sum(n) AS BIGINT) AS t FROM ncw GROUP BY 1),
+      |voc AS (SELECT CAST(count(*) AS BIGINT) AS v
+      |        FROM (SELECT DISTINCT w FROM ncw)),
+      |prior AS (SELECT c, CAST(ln(CAST(dc AS DOUBLE) / d) AS DECIMAL(18,8)) AS lnp
+      |          FROM cls CROSS JOIN tot),
+      |dtoks AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+      |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM sc)
+      |          GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_id, c,
+      |    max(lnp) + sum(CAST(ln((CAST(coalesce(n, 0) AS DOUBLE) + 1.0) / (t + v))
+      |                        AS DECIMAL(18,8)) * cnt) AS score
+      |  FROM dtoks CROSS JOIN (SELECT c FROM cls) cl
+      |       LEFT JOIN ncw USING (c, w) JOIN tc USING (c) JOIN prior USING (c)
+      |       CROSS JOIN voc
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT doc_id, c, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |                                ORDER BY score DESC, c) AS rn
+      |           FROM scored)
+      |SELECT doc_id, c AS pred, CAST(score AS DOUBLE) AS score
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Interpolated Kneser–Ney TRIGRAM scoring replayed in SQL — shared by
     * g_kn3_score and q_stream_kn3. Mirrors
@@ -3438,6 +3504,52 @@ object SparkEntry {
       TextOps.kn3Score(
           Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), uni, tri,
           minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_logit_eval" -> { (s, dir) => // the train→evaluate loop in one DAG:
+      // the g_logit_train descent reduced to exact confusion counts at
+      // the logit-0 boundary + precision/recall/F1 (single-division
+      // forms). The oracle replays the WHOLE pipeline — descent included
+      // — so a drifted gradient anywhere flips the metrics row.
+      TextOps.logitConfusion(TextOps.logitTrainScore(Tables.documents(s, dir),
+        steps = GraftConf.int(s, GraftConf.LogitSteps, 3)))
+    },
+
+    "g_nb_langid" -> { (s, dir) => // TRAINED language identification:
+      // multinomial Naive Bayes with add-one smoothing, estimated on the
+      // even-id half's (lang, token) counts, classifying the odd half —
+      // the generative complement of g_logit_train and the trained
+      // sibling of the heuristic g_lang_id. Per-(doc, class) scores are
+      // pure decimals (ln quantized before the exact sum, no division
+      // after), so the argmax and its tie-break replay bit-identically.
+      val d = Tables.documents(s, dir)
+      TextOps.nbTrainScore(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_stream_nb" -> { (s, dir) => // maintained NB model, oracle side:
+      // nbCountsStream lands the LM half's class-token and class-doc
+      // counts as source-tagged deltas (NB evidence is additive — the
+      // knCountsStream discipline, not a global-schedule refresh),
+      // compactNbCounts folds both roots, and classifying the odd half
+      // against the folded model must be bit-equal to the batch
+      // g_nb_langid (shared oracle hash).
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_nb_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 0)
+      val q = graft.streaming.StreamingOps
+        .nbCountsStream(src, s"$out/idx", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.compactNbCounts(s, s"$out/idx")
+      val (ncw, cls) = graft.streaming.StreamingOps.readNbCounts(s, s"$out/idx")
+      TextOps.nbScore(
+          Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), ncw, cls)
         .orderBy(col("doc_id"))
     },
 
@@ -6614,6 +6726,12 @@ object SparkEntry {
 
     "g_kn3_score" -> kn3ScoreOracleSql,
     "q_stream_kn3" -> kn3ScoreOracleSql,
+
+    "g_logit_eval" -> logitEvalOracleSql,
+
+    "g_nb_langid" -> nbLangidOracleSql,
+    // the streamed count landing + fold IS the model (additive evidence)
+    "q_stream_nb" -> nbLangidOracleSql,
 
     "g_oov_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

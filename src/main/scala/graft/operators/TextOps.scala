@@ -445,6 +445,115 @@ object TextOps {
     logitScoreFeatures(f, logitTrain(f, steps = steps, lrDen = lrDen))
   }
 
+  /** The train→evaluate loop closer: exact confusion counts of a
+    * [[logitTrainScore]]-shaped frame at the logit-0 decision boundary,
+    * plus precision/recall/F1 in single-division forms (6-digit floor,
+    * zero-denominator → 0). One map-side-combined aggregation; every
+    * count is an exact integer, so the derived ratios replay
+    * bit-identically. */
+  def logitConfusion(scored: DataFrame): DataFrame = {
+    val pos = col("logit") >= lit(0.0)
+    val y1 = col("label") === lit(1.0)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    scored.agg(cnt(y1 && pos).as("tp"), cnt(!y1 && pos).as("fp"),
+        cnt(y1 && !pos).as("fn"), cnt(!y1 && !pos).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        NumFns.floorAt(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .otherwise(lit(0.0)), 6).as("precision_"),
+        NumFns.floorAt(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .otherwise(lit(0.0)), 6).as("recall_"),
+        NumFns.floorAt(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")))
+          .otherwise(lit(0.0)), 6).as("f1"))
+  }
+
+  /** Multinomial Naive Bayes classifier — trained IN the engine over a
+    * labeled reference corpus, classifying new documents: the generative
+    * complement of [[logitTrain]] (and a TRAINED language identifier
+    * next to the heuristic [[langId]]). Add-one smoothing:
+    *
+    *   score(d, c) = ln(D_c / D) + Σ_w cnt_dw · ln((n(c,w) + 1) / (T_c + V))
+    *
+    * with n(c,w) the class-token counts, T_c the class token total, V the
+    * LM vocabulary size, D_c/D the document priors — ALL exact integers,
+    * so the only transcendental is ln, quantized to DECIMAL(18,8) before
+    * the multiplicity-weighted exact sum; the per-(doc, class) score is a
+    * pure decimal (no division after the logs), making the argmax — and
+    * its (score desc, class asc) tie-break — bit-deterministic across
+    * engines. Unseen (c, w) pairs take the smoothed floor via the left
+    * join's null → 0.
+    *
+    * Scale shape: model frames are (class × token-type) counts; scored
+    * docs collapse to distinct (doc, token) with multiplicities, fan out
+    * over the bounded class list (broadcast), and join the model on
+    * (class, token). Output: `(idCol, pred, score)` — the winning class
+    * per document. */
+  def nbTrainScore(
+      docs: DataFrame,
+      lmDocs: DataFrame,
+      classCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lmToks = lmDocs.select(col(classCol).as("__c"),
+      explode(TextFns.tokens(col(textCol))).as("w"))
+    val ncw = Checkpoints.pin(
+      lmToks.groupBy(col("__c"), col("w")).agg(count(lit(1)).as("__n")),
+      reliable = false)
+    val cls = Checkpoints.pin(
+      lmDocs.groupBy(col(classCol).as("__c")).agg(count(lit(1)).as("__dc")),
+      reliable = false)
+    nbScore(docs, ncw, cls, idCol, textCol)
+  }
+
+  /** [[nbTrainScore]]'s scoring half over prebuilt model frames —
+    * `ncw = (__c, w, __n)` class-token counts, `cls = (__c, __dc)`
+    * class document counts (the two frames a streamed maintainer lands —
+    * [[graft.streaming.StreamingOps.nbCountsStream]]; T_c, V and the
+    * priors all derive from them). */
+  def nbScore(docs: DataFrame, ncw: DataFrame,
+      cls: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = ncw.groupBy(col("__c")).agg(sum(col("__n")).as("__t"))
+    val vocabN = ncw.select(col("w")).distinct().agg(count(lit(1)).as("__v"))
+    val dTot = cls.agg(sum(col("__dc")).as("__d"))
+    val prior = cls.crossJoin(broadcast(dTot))
+      .select(col("__c"),
+        log(col("__dc").cast("double") / col("__d")).cast("decimal(18,8)")
+          .as("__lnp"))
+    val dtoks = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__cnt"))
+    val lp = log((coalesce(col("__n"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__t") + col("__v"))).cast("decimal(18,8)")
+    val scoredByClass = dtoks
+      .crossJoin(broadcast(cls.select(col("__c")))) // bounded class list
+      .join(ncw, Seq("__c", "w"), "left")
+      .join(tc, Seq("__c"))
+      .join(prior, Seq("__c"))
+      .crossJoin(broadcast(vocabN))
+      .groupBy(col(idCol), col("__c"))
+      .agg((max(col("__lnp")) +
+        // cnt as decimal(10,0): a BIGINT operand would push the product's
+        // precision past 38 and Spark SILENTLY reduces the scale (the
+        // -266.404263 vs -266.40426289 class of drift); (18,8)x(10,0) =
+        // (29,8) stays exact, and per-doc multiplicities fit 10 digits.
+        // The sum then narrows back to (29,8) — value-exact, it fits by
+        // magnitude — so the prior addition stays within precision 38
+        // and keeps scale 8 (an unnarrowed (38,8) operand would reduce
+        // the result to scale 7 the same silent way)
+        sum(lp * col("__cnt").cast("decimal(10,0)")).cast("decimal(29,8)"))
+        .as("__score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("__c"))
+    scoredByClass.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__c").as("pred"),
+        col("__score").cast("double").as("score"))
+  }
+
   /** Score a [[logitFeatures]]-shaped frame under trained unit-weights. */
   def logitScoreFeatures(features: DataFrame, w: Seq[Long],
       xCols: Seq[String] = Seq("x0", "x1", "x2", "x3")): DataFrame = {
@@ -571,7 +680,8 @@ object TextOps {
       .agg(
         sum(col("__cnt")).as("n_bigrams"),
         NumFns.floorAt(
-          sum(lp * col("__cnt")).cast("double") / sum(col("__cnt")).cast("double"),
+          sum(lp * col("__cnt").cast("decimal(10,0)")).cast("double") /
+            sum(col("__cnt")).cast("double"),
           4).as("avg_logprob"))
   }
 
@@ -686,7 +796,8 @@ object TextOps {
       .agg(
         sum(col("__cnt")).as("n_trigrams"),
         NumFns.floorAt(
-          sum(lp * col("__cnt")).cast("double") / sum(col("__cnt")).cast("double"),
+          sum(lp * col("__cnt").cast("decimal(10,0)")).cast("double") /
+            sum(col("__cnt")).cast("double"),
           4).as("avg_logprob"))
   }
 

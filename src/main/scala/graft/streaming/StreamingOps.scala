@@ -1652,6 +1652,68 @@ object StreamingOps {
       dedupKeys = Seq("w", "src"), partitionCols = Seq.empty)
   }
 
+  /** Streaming Naive Bayes model maintenance — the classifier whose
+    * evidence IS additive (class-token counts, class-document counts), so
+    * unlike the GD-trained [[logitStream]] no periodic retrain is needed:
+    * the maintained counts ARE the model, fresh after every batch. Same
+    * source-tagged-partials discipline as [[knCountsStream]]; smoothing
+    * constants (T_c, V, priors) derive at read time from the folded
+    * frames. Classify with [[graft.operators.TextOps.nbScore]] over
+    * [[readNbCounts]]. */
+  def nbCountsStream(docs: DataFrame, path: String, checkpoint: String,
+      classCol: String = "lang", textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nbBatch(batch, batchId, path, classCol, textCol)
+      }
+
+  /** One [[nbCountsStream]] micro-batch. */
+  private[graft] def nbBatch(batch: DataFrame, batchId: Long, path: String,
+      classCol: String, textCol: String): Unit = {
+    val s = batch.sparkSession
+    val ncwRoot = new org.apache.hadoop.fs.Path(s"$path/_ncw")
+    val clsRoot = new org.apache.hadoop.fs.Path(s"$path/_cls")
+    val f = ncwRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(ncwRoot, clsRoot).foreach { r =>
+      requireBatchLineage(f, r, batchId, "nbCountsStream", r.toString)
+    }
+    batch.select(col(classCol).as("__c"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col("__c"), col("w")).agg(count(lit(1)).as("__n"))
+      .withColumn("src", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ncwRoot/__batch=$batchId")
+    batch.groupBy(col(classCol).as("__c")).agg(count(lit(1)).as("__dc"))
+      .withColumn("src", lit(batchId))
+      .coalesce(1) // class-cardinality rows
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$clsRoot/__batch=$batchId")
+  }
+
+  /** The accumulated `(ncw, cls)` model frames of an [[nbCountsStream]]
+    * sink — feed straight into [[graft.operators.TextOps.nbScore]]. */
+  def readNbCounts(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val ncw = spark.read.schema("__c STRING, w STRING, __n LONG, src LONG, __batch LONG")
+      .parquet(s"$path/_ncw")
+      .groupBy(col("__c"), col("w"), col("src")).agg(max(col("__n")).as("__n"))
+      .groupBy(col("__c"), col("w")).agg(sum(col("__n")).as("__n"))
+    val cls = spark.read.schema("__c STRING, __dc LONG, src LONG, __batch LONG")
+      .parquet(s"$path/_cls")
+      .groupBy(col("__c"), col("src")).agg(max(col("__dc")).as("__dc"))
+      .groupBy(col("__c")).agg(sum(col("__dc")).as("__dc"))
+    (ncw, cls)
+  }
+
+  /** Fold [[nbCountsStream]]'s per-batch deltas on both roots. */
+  def compactNbCounts(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, s"$path/_ncw", "__c STRING, w STRING, __n LONG, src LONG",
+      dedupKeys = Seq("__c", "w", "src"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_cls", "__c STRING, __dc LONG, src LONG",
+      dedupKeys = Seq("__c", "src"), partitionCols = Seq.empty)
+  }
+
   /** Streaming dataset card: keep the per-source corpus report
     * ([[graft.operators.CurationOps.datasetCard]]) current as documents
     * arrive, WITHOUT ever rescanning the accumulated corpus. Each

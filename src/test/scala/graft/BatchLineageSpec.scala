@@ -37,6 +37,7 @@ class BatchLineageSpec extends AnyFunSuite {
     "shingleBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "knBatch" -> (2, Seq("Seq(uniRoot, pairsRoot)")),
     "kn3Batch" -> (2, Seq("Seq(uniRoot, triRoot)")),
+    "nbBatch" -> (2, Seq("Seq(ncwRoot, clsRoot)")),
     // _sums + the mode-dependent _keys/_hll twin: three textual write
     // sites, guarded as Seq("_sums", keysSub)
     "cardBatch" -> (3, Seq("\"_sums\"", "keysSub")),
