@@ -130,6 +130,12 @@ class GraftConfSpec extends SparkSpec {
       val streamed = SparkEntry.queries("q_stream_kn")(spark, sfDir)
         .collect().map(_.toString).toSeq
       assert(streamed == wide)
+      // the trigram pair shares the knob and must agree the same way
+      val wide3 = SparkEntry.queries("g_kn3_score")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      val streamed3 = SparkEntry.queries("q_stream_kn3")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(streamed3 == wide3)
     }
   }
 
