@@ -747,6 +747,49 @@ object SparkEntry {
       |              / sum(cnt)) * 10000) / 10000 AS avg_logprob
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The feature-hashed logistic descent replayed in SQL
+    * ([[graft.operators.TextOps.logitTrainHashed]]): weights live as CTE
+    * FRAMES (bkt, u) instead of scalar columns — w_s joins g_s on the
+    * bucket — and the per-doc activation is an exact BIGINT unit-sum
+    * with one double conversion. Token buckets via the cross-engine
+    * polynomial hash (the DSIR idiom). Generated programmatically so the
+    * step count stays in one place. */
+  private lazy val logitHashedOracleSql: String = {
+    val steps = 3
+    val sb = new StringBuilder
+    sb ++= """WITH tk AS (SELECT doc_id,
+      |        CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+      |        unnest(string_split(text, ' ')) AS tok
+      |      FROM documents),
+      |tokb AS (SELECT doc_id, y,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(tok)+1),
+      |            i -> CAST(unicode(tok[i]) AS BIGINT))),
+      |          (acc, c) -> (acc*31 + c) % 1000000007) % 64 AS bkt,
+      |        CAST(count(*) AS BIGINT) AS cnt
+      |      FROM tk GROUP BY 1, 2, 3),
+      |w0 AS (SELECT DISTINCT bkt, CAST(0 AS BIGINT) AS u FROM tokb)""".stripMargin
+    for (s <- 1 to steps) {
+      sb ++= s""",
+        |z$s AS (SELECT doc_id, y, CAST(sum(cnt * u) AS BIGINT) AS zu
+        |        FROM tokb JOIN w${s - 1} USING (bkt) GROUP BY 1, 2),
+        |r$s AS (SELECT doc_id,
+        |          1.0 / (1.0 + exp(-(CAST(zu AS DOUBLE) * 1e-8))) - y AS r
+        |        FROM z$s),
+        |g$s AS (SELECT bkt, sum(CAST(floor(cnt * r * 1e8) AS DECIMAL(38,0))) AS g
+        |        FROM tokb JOIN r$s USING (doc_id) GROUP BY 1),
+        |w$s AS (SELECT bkt, u - CAST(floor(CAST(g AS DOUBLE) / 4096.0) AS BIGINT) AS u
+        |        FROM w${s - 1} JOIN g$s USING (bkt))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id, y AS label,
+      |       floor((CAST(zu AS DOUBLE) * 1e-8) * 1000000) / 1000000 AS logit
+      |FROM (SELECT doc_id, y, CAST(sum(cnt * u) AS BIGINT) AS zu
+      |      FROM tokb JOIN w$steps USING (bkt) GROUP BY 1, 2)
+      |ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** Multinomial Naive Bayes train-and-classify replayed in SQL — shared
     * by g_nb_langid (batch) and q_stream_nb (streamed count maintenance).
     * Mirrors [[graft.operators.TextOps.nbTrainScore]]: add-one smoothing
@@ -3514,6 +3557,18 @@ object SparkEntry {
       // — so a drifted gradient anywhere flips the metrics row.
       TextOps.logitConfusion(TextOps.logitTrainScore(Tables.documents(s, dir),
         steps = GraftConf.int(s, GraftConf.LogitSteps, 3)))
+    },
+
+    "g_logit_hashed" -> { (s, dir) => // feature-HASHED logistic
+      // regression — the fastText shape: tokens hash into 64 buckets
+      // (the cross-engine polynomial hash), the model is a bucket-keyed
+      // WEIGHT FRAME (no driver vector), and the per-doc activation is
+      // an exact integer unit-sum with ONE double conversion — so the
+      // whole descent replays bit-identically from unrolled CTEs even
+      // at vocab-scale feature counts.
+      TextOps.logitTrainHashed(Tables.documents(s, dir), nBuckets = 64,
+          steps = GraftConf.int(s, GraftConf.LogitSteps, 3))
+        .orderBy(col("doc_id"))
     },
 
     "g_nb_langid" -> { (s, dir) => // TRAINED language identification:
@@ -6728,6 +6783,7 @@ object SparkEntry {
     "q_stream_kn3" -> kn3ScoreOracleSql,
 
     "g_logit_eval" -> logitEvalOracleSql,
+    "g_logit_hashed" -> logitHashedOracleSql,
 
     "g_nb_langid" -> nbLangidOracleSql,
     // the streamed count landing + fold IS the model (additive evidence)

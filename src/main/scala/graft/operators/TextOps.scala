@@ -445,6 +445,67 @@ object TextOps {
     logitScoreFeatures(f, logitTrain(f, steps = steps, lrDen = lrDen))
   }
 
+  /** Feature-HASHED logistic regression — [[logitTrain]] at fastText
+    * shape: instead of d hand-picked dense features, every token hashes
+    * into one of `nBuckets` buckets ([[TextFns.polyFingerprint]] `% n` —
+    * the cross-engine hash the DSIR row already replays) and the model
+    * is a WEIGHT FRAME `(bkt, u)` rather than a driver vector, so the
+    * feature space scales to any bucket count without driver state. The
+    * per-doc activation is `z = (Σ_bkt cnt · u) · 1e-8` — an EXACT
+    * integer sum with ONE double conversion per doc (stronger
+    * determinism than the dense version's per-term double adds); the
+    * per-(doc, bkt) gradient contributions floor to 1e-8 units and sum
+    * per bucket as DECIMAL(38,0); the update joins the gradient frame
+    * back (same bucket set every step — every occupied bucket
+    * contributes every step). Per step: one broadcast-sized weights
+    * join + a doc-keyed aggregation + a bucket-keyed aggregation,
+    * pinned per iteration (the learnBpe loop discipline).
+    *
+    * Output: `(idCol, label, logit)` — the trained model's final
+    * activations (6-digit floor), label = `lang = 'en'`. */
+  def logitTrainHashed(
+      docs: DataFrame,
+      nBuckets: Int = 64,
+      steps: Int = 3,
+      lrDen: Double = 4096.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2 && steps >= 1 && lrDen > 0,
+      "nBuckets >= 2, steps >= 1, lrDen > 0")
+    val tokb = Checkpoints.pin(
+      docs.select(col(idCol),
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("__y"),
+          explode(TextFns.tokens(col(textCol))).as("__tok"))
+        .withColumn("__bkt",
+          TextFns.polyFingerprint(col("__tok")) % lit(nBuckets.toLong))
+        .groupBy(col(idCol), col("__y"), col("__bkt"))
+        .agg(count(lit(1)).as("__cnt")),
+      reliable = false)
+    def zDoc(w: DataFrame): DataFrame = tokb.join(w, Seq("__bkt"))
+      .groupBy(col(idCol), col("__y"))
+      .agg(sum(col("__cnt") * col("__u")).as("__zu"))
+    var w = Checkpoints.pin(
+      tokb.select(col("__bkt")).distinct().withColumn("__u", lit(0L)),
+      reliable = false)
+    for (_ <- 1 to steps) {
+      val resid = zDoc(w).select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-(col("__zu").cast("double") * lit(1e-8))))
+          - col("__y")).as("__r"))
+      val g = tokb.join(resid, Seq(idCol))
+        .groupBy(col("__bkt"))
+        .agg(sum(floor(col("__cnt") * col("__r") * lit(1e8))
+          .cast("decimal(38,0)")).as("__g"))
+      w = Checkpoints.pin(
+        w.join(g, Seq("__bkt"))
+          .select(col("__bkt"),
+            (col("__u") - floor(col("__g").cast("double") / lit(lrDen))
+              .cast("long")).as("__u")),
+        reliable = false)
+    }
+    zDoc(w).select(col(idCol), col("__y").as("label"),
+      NumFns.floorAt(col("__zu").cast("double") * lit(1e-8), 6).as("logit"))
+  }
+
   /** The train→evaluate loop closer: exact confusion counts of a
     * [[logitTrainScore]]-shaped frame at the logit-0 decision boundary,
     * plus precision/recall/F1 in single-division forms (6-digit floor,

@@ -60,6 +60,20 @@ class LogitSpec extends SparkSpec {
     assert(w1.exists(_ != 0L), "training moved no weight at all")
   }
 
+  test("hashed-feature descent separates classes and is partition-deterministic") {
+    val scored = TextOps.logitTrainHashed(toy, nBuckets = 64, steps = 6)
+      .as[(Long, Double, Double)].collect().toSeq
+    val pos = scored.filter(_._2 == 1.0).map(_._3)
+    val neg = scored.filter(_._2 == 0.0).map(_._3)
+    assert(pos.sum / pos.size > neg.sum / neg.size,
+      "hashed model does not separate the separable classes")
+    // bit-determinism across partitionings: the unit-sum activations and
+    // exact-decimal gradients leak no accumulation order
+    val again = TextOps.logitTrainHashed(toy.repartition(7), nBuckets = 64, steps = 6)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(scored.sorted == again.sorted)
+  }
+
   test("streamed feature maintenance == batch train-and-score; drift refused") {
     val p = s"${tmpDir()}/lg"
     val half1 = toy.filter(col("doc_id") < 40)
