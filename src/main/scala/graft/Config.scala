@@ -88,4 +88,14 @@ object GraftConf {
   val PostingsNPt = "postings.npt" // pt directory fan-out for the postings index
   val KnMinCount = "kn.mincount" // Kneser–Ney <unk> vocabulary cut
   val LogitSteps = "logit.steps" // full-batch GD steps for the quality trainer
+
+  // The DEFAULTS the static oracle SQL is generated from: the Spark side
+  // reads the live conf, but SparkEntry.oracleSql has no session, so the
+  // unrolled replays (logit descent CTEs, the KN <unk> cut) bake these
+  // in. Running verification under a non-default conf therefore fails
+  // LOUD (hash mismatch on every affected row) rather than wrong — keep
+  // both sides reading these constants so the defaults can never drift
+  // apart silently.
+  val KnMinCountDefault = 2
+  val LogitStepsDefault = 3
 }

@@ -616,6 +616,32 @@ object SparkEntry {
         |FROM sp, t WHERE sp.seq_id < tt // 128
         |ORDER BY seq_id, seq_pos""".stripMargin
 
+  /** DuckDB expressions for the shared logit feature template — ONE
+    * list, asserted against [[graft.operators.TextOps.LogitXCols]], so
+    * the unrolled-CTE replay scales with d: adding a feature means one
+    * Spark column in [[graft.operators.TextOps.logitFeatures]] plus one
+    * entry here, and every logit oracle (train, eval, stream twin)
+    * regenerates. Each is a ratio of exact integer counts (or an exact
+    * count scaled by a constant) — bit-identical doubles cross-engine. */
+  private lazy val logitFeatureSql: Seq[(String, String)] = {
+    val stops = graft.operators.TextOps.EnStopwords.map(s => s"'$s'").mkString(", ")
+    val nTok = "len(string_split(text, ' '))"
+    val fs = Seq(
+      "x0" -> "CAST(1.0 AS DOUBLE)",
+      "x1" -> (s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE)"
+        + s" / $nTok"),
+      "x2" -> s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok",
+      "x3" -> "n_chars / 1000.0",
+      "x4" -> ("length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+        + " / CAST(length(text) AS DOUBLE)"),
+      "x5" -> s"((length(text) - ($nTok - 1)) / CAST($nTok AS DOUBLE)) / 10.0",
+      "x6" -> ("length(regexp_replace(text, '[^A-Z]', '', 'g'))"
+        + " / CAST(length(text) AS DOUBLE)"))
+    require(fs.map(_._1) == graft.operators.TextOps.LogitXCols,
+      "logit oracle feature list drifted from TextOps.LogitXCols")
+    fs
+  }
+
   /** The full-batch logistic-GD trainer replayed in SQL — shared by
     * g_logit_train (batch) and q_stream_logit (streamed feature
     * maintenance). The whole descent unrolls as CTE pairs (g_s = the
@@ -624,22 +650,18 @@ object SparkEntry {
     * expression-for-expression: `(units · 1e-8) · x` doubles, per-row
     * contributions floored to 1e-8 units and summed as DECIMAL(38,0),
     * the power-of-two learning rate applied by double floor. Generated
-    * programmatically so the step count stays in ONE place. */
+    * programmatically from [[logitFeatureSql]] (the xCols seam) and
+    * [[GraftConf.LogitStepsDefault]], so d and the step count each live
+    * in ONE place. */
   private lazy val logitTrainOracleSql: String = {
-    val xs = Seq("x0", "x1", "x2", "x3")
-    val steps = 3
-    val stops = graft.operators.TextOps.EnStopwords.map(s => s"'$s'").mkString(", ")
+    val xs = logitFeatureSql.map(_._1)
+    val steps = GraftConf.LogitStepsDefault
     def z(u: Int => String): String =
       xs.zipWithIndex.map { case (x, j) => s"(${u(j)} * 1e-8) * $x" }.mkString(" + ")
     val sb = new StringBuilder
     sb ++= s"""WITH f AS (SELECT doc_id,
       |  CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
-      |  CAST(1.0 AS DOUBLE) AS x0,
-      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) AS x1,
-      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) AS x2,
-      |  n_chars / 1000.0 AS x3
+      |  ${logitFeatureSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
       |FROM documents),
       |w0 AS (SELECT ${xs.indices.map(j => s"CAST(0 AS BIGINT) AS u$j").mkString(", ")})"""
       .stripMargin
@@ -700,11 +722,11 @@ object SparkEntry {
     * Pcont fallback, ln quantized to DECIMAL(18,8) before the
     * multiplicity-weighted exact sum, floor at 4 digits. */
   private lazy val knScoreOracleSql: String =
-    """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    s"""WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
       |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM lm) GROUP BY 1),
-      |vocab AS (SELECT w FROM uni WHERE c >= 2),
+      |vocab AS (SELECT w FROM uni WHERE c >= ${GraftConf.KnMinCountDefault}),
       |lmt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM lm),
       |lmpairs AS (
       |  SELECT CASE WHEN v1.w IS NULL THEN '<unk>' ELSE pr[1] END AS w1,
@@ -755,7 +777,7 @@ object SparkEntry {
     * polynomial hash (the DSIR idiom). Generated programmatically so the
     * step count stays in one place. */
   private lazy val logitHashedOracleSql: String = {
-    val steps = 3
+    val steps = GraftConf.LogitStepsDefault
     val sb = new StringBuilder
     sb ++= """WITH tk AS (SELECT doc_id,
       |        CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
@@ -825,6 +847,116 @@ object SparkEntry {
       |SELECT doc_id, c AS pred, CAST(score AS DOUBLE) AS score
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Exact tie-aware ROC-AUC replayed in SQL over the whole
+    * [[logitTrainOracleSql]] descent: quantize to 1e-6 units, per-unit
+    * counts, strictly-below negatives via ONE window (the single-window
+    * formulation the two-phase Spark plan provably equals), Mann–Whitney
+    * numerator as exact decimals, one double division, 6-digit floor. */
+  private lazy val logitAucOracleSql: String = {
+    val core = logitTrainOracleSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH scored AS ($core),
+      |uu AS (SELECT CAST(floor(logit * 1e6) AS BIGINT) AS u,
+      |              CASE WHEN label = 1.0 THEN 1 ELSE 0 END AS y FROM scored),
+      |s AS (SELECT u, CAST(sum(y) AS BIGINT) AS n1,
+      |             CAST(sum(1 - y) AS BIGINT) AS n0 FROM uu GROUP BY 1),
+      |w AS (SELECT u, n1, n0,
+      |             CAST(coalesce(sum(n0) OVER (ORDER BY u
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nbelow
+      |      FROM s),
+      |t AS (SELECT CAST(sum(n1) AS BIGINT) AS np, CAST(sum(n0) AS BIGINT) AS nn,
+      |             CAST(sum(CAST(n1 AS DECIMAL(19,0))
+      |                      * CAST(2 * nbelow + n0 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS num
+      |      FROM w)
+      |SELECT np AS n_pos, nn AS n_neg,
+      |       floor(CASE WHEN np > 0 AND nn > 0
+      |             THEN CAST(num AS DOUBLE)
+      |                  / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+      |             ELSE 0.0 END * 1000000) / 1000000 AS auc
+      |FROM t""".stripMargin
+  }
+
+  /** The calibration bins replayed in SQL over the whole descent:
+    * fixed-width bins on the floored logit, exact counts, mean logit
+    * from integer 1e-6-unit sums. */
+  private lazy val logitCalibrationOracleSql: String = {
+    val core = logitTrainOracleSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH scored AS ($core),
+      |b AS (SELECT CAST(floor(logit * 1024.0) AS BIGINT) AS bin,
+      |             CAST(floor(logit * 1e6) AS BIGINT) AS u,
+      |             CASE WHEN label = 1.0 THEN 1 ELSE 0 END AS y FROM scored),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(y) AS BIGINT) AS n_pos,
+      |             CAST(sum(CAST(u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS su
+      |      FROM b GROUP BY 1)
+      |SELECT bin, n, n_pos,
+      |       floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1000000) / 1000000 AS frac_pos,
+      |       floor(CAST(su AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1000000) / 1000000 AS mean_logit
+      |FROM g ORDER BY bin""".stripMargin
+  }
+
+  /** The priors-only NB ablation replayed in SQL: majority-class
+    * baseline (doc-prior argmax, class-asc tie-break) through the same
+    * classEval pivot as [[nbEvalOracleSql]]. */
+  private lazy val nbPriorsOracleSql: String =
+    """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      |top AS (SELECT lang AS pred FROM lm GROUP BY lang
+      |        ORDER BY count(*) DESC, lang LIMIT 1),
+      |lab AS (SELECT sc.doc_id, sc.lang AS label, top.pred
+      |        FROM sc CROSS JOIN top),
+      |cl AS (SELECT DISTINCT label AS class FROM lab
+      |       UNION SELECT DISTINCT pred FROM lab),
+      |base AS (SELECT class,
+      |  CAST(sum(CASE WHEN label = class AND pred = class THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(sum(CASE WHEN label <> class AND pred = class THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN label = class AND pred <> class THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM lab CROSS JOIN cl GROUP BY class),
+      |prf AS (SELECT class, tp, fp, fn,
+      |  floor(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+      |        ELSE 0.0 END * 1000000) / 1000000 AS precision_,
+      |  floor(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+      |        ELSE 0.0 END * 1000000) / 1000000 AS recall_,
+      |  floor(CASE WHEN 2 * tp + fp + fn > 0
+      |        THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+      |        ELSE 0.0 END * 1000000) / 1000000 AS f1
+      |  FROM base),
+      |mac AS (SELECT floor(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
+      |               / count(*) * 1000000) / 1000000 AS macro_f1 FROM prf)
+      |SELECT class, tp, fp, fn, precision_, recall_, f1, macro_f1
+      |FROM prf CROSS JOIN mac ORDER BY class""".stripMargin
+
+  /** The NB train→evaluate loop replayed in SQL: the whole
+    * [[nbLangidOracleSql]] pipeline as a subquery, labels joined back,
+    * reduced to per-class one-vs-rest confusion counts,
+    * precision/recall/F1 (single-division 6-digit-floored forms) and
+    * the macro-F1 (floored-F1 mean over exact decimals). */
+  private lazy val nbEvalOracleSql: String = {
+    val core = nbLangidOracleSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH nb AS ($core),
+      |lab AS (SELECT nb.doc_id, d.lang AS label, nb.pred
+      |        FROM nb JOIN documents d USING (doc_id)),
+      |cl AS (SELECT DISTINCT label AS class FROM lab
+      |       UNION SELECT DISTINCT pred FROM lab),
+      |base AS (SELECT class,
+      |  CAST(sum(CASE WHEN label = class AND pred = class THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(sum(CASE WHEN label <> class AND pred = class THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN label = class AND pred <> class THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM lab CROSS JOIN cl GROUP BY class),
+      |prf AS (SELECT class, tp, fp, fn,
+      |  floor(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+      |        ELSE 0.0 END * 1000000) / 1000000 AS precision_,
+      |  floor(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+      |        ELSE 0.0 END * 1000000) / 1000000 AS recall_,
+      |  floor(CASE WHEN 2 * tp + fp + fn > 0
+      |        THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+      |        ELSE 0.0 END * 1000000) / 1000000 AS f1
+      |  FROM base),
+      |mac AS (SELECT floor(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
+      |               / count(*) * 1000000) / 1000000 AS macro_f1 FROM prf)
+      |SELECT class, tp, fp, fn, precision_, recall_, f1, macro_f1
+      |FROM prf CROSS JOIN mac ORDER BY class""".stripMargin
+  }
+
   /** Interpolated Kneser–Ney TRIGRAM scoring replayed in SQL — shared by
     * g_kn3_score and q_stream_kn3. Mirrors
     * [[graft.operators.TextOps.kn3Score]] expression-for-expression,
@@ -832,11 +964,11 @@ object SparkEntry {
     * before the trigram level consumes it — the same two-stage shape as
     * the Spark plan. */
   private lazy val kn3ScoreOracleSql: String =
-    """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    s"""WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
       |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM lm) GROUP BY 1),
-      |vocab AS (SELECT w FROM uni WHERE c >= 2),
+      |vocab AS (SELECT w FROM uni WHERE c >= ${GraftConf.KnMinCountDefault}),
       |lmt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM lm),
       |lmtris AS (
       |  SELECT CASE WHEN v1.w IS NULL THEN '<unk>' ELSE tr[1] END AS w1,
@@ -898,6 +1030,28 @@ object SparkEntry {
       |       floor((CAST(sum(CAST(ln(p) AS DECIMAL(18,8)) * cnt) AS DOUBLE)
       |              / sum(cnt)) * 10000) / 10000 AS avg_logprob
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The CCNet composition replayed in SQL: the whole
+    * [[kn3ScoreOracleSql]] LM-scoring pipeline as a subquery, then the
+    * per-domain top-keepFrac cut in the single-window formulation the
+    * salted [[graft.operators.CurationOps.scoreQuantileFilter]] provably
+    * reproduces (the g_quality_quantile oracle pattern). */
+  private lazy val ccnetPipelineOracleSql: String = {
+    val core = kn3ScoreOracleSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH sc3 AS ($core),
+      |sjoin AS (SELECT sc3.doc_id, d.source, sc3.avg_logprob
+      |          FROM sc3 JOIN documents d USING (doc_id)),
+      |c AS (SELECT source, CAST(ceil(0.5 * CAST(count(*) AS DOUBLE)) AS BIGINT) AS quota
+      |      FROM sjoin GROUP BY source),
+      |r AS (SELECT sjoin.doc_id, sjoin.source, sjoin.avg_logprob,
+      |             CAST(row_number() OVER (
+      |               PARTITION BY sjoin.source
+      |               ORDER BY sjoin.avg_logprob DESC, sjoin.doc_id) AS INT) AS rank,
+      |             c.quota
+      |      FROM sjoin JOIN c USING (source))
+      |SELECT doc_id, source, avg_logprob, rank FROM r WHERE rank <= quota
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** The composed training-run assembly replayed in SQL — shared by
     * g_train_manifest (batch) and q_stream_manifest (the streamed
@@ -3433,7 +3587,7 @@ object SparkEntry {
       // oracle replays the ENTIRE descent as unrolled CTEs — a drifted
       // gradient in any step flips every logit.
       TextOps.logitTrainScore(Tables.documents(s, dir),
-          steps = GraftConf.int(s, GraftConf.LogitSteps, 3))
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
         .orderBy(col("doc_id"))
     },
 
@@ -3452,7 +3606,7 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val q = graft.streaming.StreamingOps
         .logitStream(src, s"$out/idx", s"$out/ckpt",
-          steps = GraftConf.int(s, GraftConf.LogitSteps, 3))
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       graft.streaming.StreamingOps.readLogitScores(s, s"$out/idx")
@@ -3481,7 +3635,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       TextOps.knScoreAgainst(
           d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
-          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, GraftConf.KnMinCountDefault).toLong)
         .orderBy(col("doc_id"))
     },
 
@@ -3507,7 +3661,7 @@ object SparkEntry {
       val (uni, pairs) = graft.streaming.StreamingOps.readKnCounts(s, s"$out/idx")
       TextOps.knScore(
           Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), uni, pairs,
-          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, GraftConf.KnMinCountDefault).toLong)
         .orderBy(col("doc_id"))
     },
 
@@ -3521,7 +3675,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       TextOps.kn3ScoreAgainst(
           d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
-          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, GraftConf.KnMinCountDefault).toLong)
         .orderBy(col("doc_id"))
     },
 
@@ -3546,7 +3700,7 @@ object SparkEntry {
       val (uni, tri) = graft.streaming.StreamingOps.readKn3Counts(s, s"$out/idx")
       TextOps.kn3Score(
           Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), uni, tri,
-          minCount = GraftConf.int(s, GraftConf.KnMinCount, 2).toLong)
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, GraftConf.KnMinCountDefault).toLong)
         .orderBy(col("doc_id"))
     },
 
@@ -3556,7 +3710,41 @@ object SparkEntry {
       // forms). The oracle replays the WHOLE pipeline — descent included
       // — so a drifted gradient anywhere flips the metrics row.
       TextOps.logitConfusion(TextOps.logitTrainScore(Tables.documents(s, dir),
-        steps = GraftConf.int(s, GraftConf.LogitSteps, 3)))
+        steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)))
+    },
+
+    "g_logit_auc" -> { (s, dir) => // threshold-free evaluation of the
+      // trained classifier: EXACT tie-aware ROC-AUC (Mann–Whitney over
+      // per-score-type counts, mid-rank ties kept integer by the ×2,
+      // one final double division). The running below-count runs
+      // two-phase (range offsets over the bounded range frame), so no
+      // corpus-wide single-partition window exists at any score
+      // cardinality. The oracle replays the whole descent AND the rank
+      // statistic.
+      TextOps.logitAuc(TextOps.logitTrainScore(Tables.documents(s, dir),
+        steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)))
+    },
+
+    "g_logit_calibration" -> { (s, dir) => // reliability diagram of the
+      // trained classifier: fixed-width logit bins (rank-free — ntile
+      // ties are engine-dependent), per bin exact counts, positive
+      // fraction and mean logit (1e-6-unit integer sums, one division).
+      // The frac_pos-vs-sigmoid(mean_logit) drift is the Platt signal.
+      TextOps.logitCalibration(TextOps.logitTrainScore(Tables.documents(s, dir),
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)))
+        .orderBy(col("bin"))
+    },
+
+    "g_nb_priors" -> { (s, dir) => // priors-only NB ablation: the
+      // majority-class baseline evaluated with the same classEval pivot
+      // as g_nb_eval — the floor the token model's macro-F1 lift is
+      // measured from (same train/test split, same tie-break).
+      val d = Tables.documents(s, dir)
+      val scored = TextOps.nbPriorsScore(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+      TextOps.classEval(scored
+          .join(d.select(col("doc_id"), col("lang").as("label")), Seq("doc_id")))
+        .orderBy(col("class"))
     },
 
     "g_logit_hashed" -> { (s, dir) => // feature-HASHED logistic
@@ -3567,7 +3755,7 @@ object SparkEntry {
       // whole descent replays bit-identically from unrolled CTEs even
       // at vocab-scale feature counts.
       TextOps.logitTrainHashed(Tables.documents(s, dir), nBuckets = 64,
-          steps = GraftConf.int(s, GraftConf.LogitSteps, 3))
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
         .orderBy(col("doc_id"))
     },
 
@@ -3605,6 +3793,40 @@ object SparkEntry {
       val (ncw, cls) = graft.streaming.StreamingOps.readNbCounts(s, s"$out/idx")
       TextOps.nbScore(
           Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), ncw, cls)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_nb_eval" -> { (s, dir) => // the NB train→evaluate loop closed the
+      // way g_logit_eval closed the logit loop: the g_nb_langid argmax
+      // joined back to the held-out labels and reduced to per-class
+      // one-vs-rest confusion counts + precision/recall/F1 and the
+      // macro-F1 (floored-F1 mean over exact decimals). The oracle
+      // replays the ENTIRE pipeline — model counts, smoothing, argmax
+      // tie-break, confusion pivot — so a drifted probability anywhere
+      // moves a doc across a class boundary and flips the counts.
+      val d = Tables.documents(s, dir)
+      val scored = TextOps.nbTrainScore(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+      TextOps.classEval(scored
+          .join(d.select(col("doc_id"), col("lang").as("label")), Seq("doc_id")))
+        .orderBy(col("class"))
+    },
+
+    "g_ccnet_pipeline" -> { (s, dir) => // the CCNet stage boundary
+      // composed in ONE DAG (the g_pipeline_e2e discipline — each stage
+      // feeds the next's corpus): interpolated trigram-KN scoring of the
+      // crawl half under the clean half's LM (g_kn3_score's exact
+      // machinery) → per-domain top-half cut by avg_logprob through the
+      // salted scoreQuantileFilter → the kept corpus. The oracle replays
+      // BOTH stage boundaries, so a drifted trigram probability anywhere
+      // moves a doc across its domain's cut.
+      val d = Tables.documents(s, dir)
+      val scored = TextOps.kn3ScoreAgainst(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, GraftConf.KnMinCountDefault).toLong)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      CurationOps.scoreQuantileFilter(scored, keepFrac = 0.5, saltBuckets = 4,
+          domainCol = "source", idCol = "doc_id", scoreCol = "avg_logprob")
         .orderBy(col("doc_id"))
     },
 
@@ -6786,6 +7008,16 @@ object SparkEntry {
     "g_logit_hashed" -> logitHashedOracleSql,
 
     "g_nb_langid" -> nbLangidOracleSql,
+
+    "g_nb_eval" -> nbEvalOracleSql,
+
+    "g_nb_priors" -> nbPriorsOracleSql,
+
+    "g_logit_auc" -> logitAucOracleSql,
+
+    "g_logit_calibration" -> logitCalibrationOracleSql,
+
+    "g_ccnet_pipeline" -> ccnetPipelineOracleSql,
     // the streamed count landing + fold IS the model (additive evidence)
     "q_stream_nb" -> nbLangidOracleSql,
 

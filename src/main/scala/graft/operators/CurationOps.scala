@@ -805,12 +805,17 @@ object CurationOps {
     * toward zero maps [-w+1, w-1] onto range 0) and silently mis-bucket.
     * Enforced in the plan itself — `raise_error` inside a codegen'd CASE,
     * so the check costs no extra pass and fails loudly, named, at the
-    * first offending row on any executor. */
+    * first offending row on any executor. NULL raises too: `null < 0`
+    * is null (falsy), so a bare `c < 0` would wave a NULL score through
+    * into a NULL range id — and Spark windows order NULLS FIRST while
+    * DuckDB defaults LAST, the exact silent cross-engine mis-bucketing
+    * class this guard exists to make loud. */
   private def requireNonNegative(c: Column, name: String, op: String): Column =
-    when(c < 0, raise_error(concat(
-      lit(s"$op: $name must be non-negative (DIV truncates toward zero, "
-        + "so range ids stop being monotone) — shift signed scores first; got "),
-      c.cast("string")))).otherwise(c)
+    when(c.isNull || c < 0, raise_error(concat(
+      lit(s"$op: $name must be non-negative and non-null (DIV truncates "
+        + "toward zero, so range ids stop being monotone; NULL orders "
+        + "differently across engines) — shift signed scores first; got "),
+      coalesce(c.cast("string"), lit("NULL"))))).otherwise(c)
 
   /** Exact rank-derived buckets over an integer score: every row gets
     * its 0-based global rank in `(score, id)` order and the bucket

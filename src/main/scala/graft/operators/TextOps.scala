@@ -357,13 +357,27 @@ object TextOps {
           sum(lp).cast("double") / count(lit(1)).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** The shared feature template of the logit quality/language
+    * classifier — column names in training order. [[logitFeatures]]
+    * emits them, [[logitTrain]]/[[logitScoreFeatures]] default to them,
+    * and the streamed maintainer's delta schema derives from them, so
+    * the model dimension d lives in ONE place (the xCols seam — an
+    * engine replaying the descent generates one CTE pair per step over
+    * exactly this list). */
+  val LogitXCols: Seq[String] = Seq("x0", "x1", "x2", "x3", "x4", "x5", "x6")
+
   /** Deterministic per-doc feature vector for [[logitTrain]] — the
     * engine-computable signals a CCNet/fastText-style quality or language
     * classifier trains on: bias, English-stopword ratio, type–token
-    * ratio, character length. Every feature is a ratio of exact integer
-    * counts (or an exact-count scaled by a constant), so both engines
-    * derive bit-identical doubles. Label: `lang = 'en'`. Output:
-    * `(doc_id, y, x0, x1, x2, x3)`. */
+    * ratio, character length, punctuation ratio, mean token length,
+    * uppercase ratio (the [[qualityRules]] signals promoted into the
+    * trained model — same GLM determinism recipe, richer d). Every
+    * feature is a ratio of exact integer counts (or an exact count
+    * scaled by a constant), so both engines derive bit-identical
+    * doubles; mean token length is rescaled by 1/10 to keep every
+    * feature O(1) (one shared lrDen then fits all gradient
+    * magnitudes). Label: `lang = 'en'`. Output:
+    * `(doc_id, y, x0..x6)` — columns per [[LogitXCols]]. */
   def logitFeatures(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     val n = size(toks)
@@ -372,7 +386,11 @@ object TextOps {
       lit(1.0).as("x0"),
       (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") / n).as("x1"),
       (size(array_distinct(toks)).cast("double") / n).as("x2"),
-      (col("n_chars") / lit(1000.0)).as("x3"))
+      (col("n_chars") / lit(1000.0)).as("x3"),
+      TextFns.punctRatio(col("text")).as("x4"),
+      ((length(col("text")) - (n - 1)).cast("double") / n / lit(10.0)).as("x5"),
+      (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double")
+        / length(col("text"))).as("x6"))
   }
 
   /** Distributed full-batch logistic-regression TRAINING with bit-exact
@@ -403,7 +421,7 @@ object TextOps {
     * flooring — the same accepted-risk class as the `ln` pinning. */
   def logitTrain(
       features: DataFrame,
-      xCols: Seq[String] = Seq("x0", "x1", "x2", "x3"),
+      xCols: Seq[String] = LogitXCols,
       yCol: String = "y",
       steps: Int = 3,
       lrDen: Double = 4096.0): Seq[Long] = {
@@ -531,6 +549,148 @@ object TextOps {
           .otherwise(lit(0.0)), 6).as("f1"))
   }
 
+  /** Multi-class evaluation of an `(id, label, pred)` frame — the
+    * [[logitConfusion]] loop-closer for the NB classifier (and any other
+    * multi-class predictor): exact per-class one-vs-rest confusion
+    * counts (tp, fp, fn) via one aggregation over the bounded class
+    * list (label ∪ pred values — a class the model never predicts still
+    * gets its recall row), precision/recall/F1 in single-division
+    * 6-digit-floored forms (zero denominator → 0, the [[logitConfusion]]
+    * convention), plus the shared macro-F1: the mean of the FLOORED
+    * per-class F1s, summed as exact decimals so the tiny cross-class
+    * sum is order-free and both engines derive the identical double.
+    * Scale shape: docs fan out over the bounded class list (broadcast,
+    * the [[nbScore]] discipline) into one map-side-combined aggregation;
+    * the metrics frame is class-cardinality. Output: one row per class,
+    * `(class, tp, fp, fn, precision_, recall_, f1, macro_f1)`. */
+  def classEval(scored: DataFrame, labelCol: String = "label",
+      predCol: String = "pred"): DataFrame = {
+    val cls = scored.select(col(labelCol).as("class"))
+      .union(scored.select(col(predCol).as("class"))).distinct()
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val base = scored.crossJoin(broadcast(cls))
+      .groupBy(col("class"))
+      .agg(
+        cnt(col(labelCol) === col("class") && col(predCol) === col("class")).as("tp"),
+        cnt(col(labelCol) =!= col("class") && col(predCol) === col("class")).as("fp"),
+        cnt(col(labelCol) === col("class") && col(predCol) =!= col("class")).as("fn"))
+    val prf = base.select(col("class"), col("tp"), col("fp"), col("fn"),
+      NumFns.floorAt(when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")))
+        .otherwise(lit(0.0)), 6).as("precision_"),
+      NumFns.floorAt(when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")))
+        .otherwise(lit(0.0)), 6).as("recall_"),
+      NumFns.floorAt(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")))
+        .otherwise(lit(0.0)), 6).as("f1"))
+    val macroRow = prf.agg(NumFns.floorAt(
+      sum(col("f1").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("macro_f1"))
+    prf.crossJoin(broadcast(macroRow))
+  }
+
+  /** Exact ROC-AUC of a `(label, logit)`-scored frame — the
+    * threshold-free companion of [[logitConfusion]], computed as the
+    * tie-aware Mann–Whitney statistic over per-SCORE-TYPE counts:
+    *
+    *   AUC = Σ_s n1(s) · (2·N0(&lt;s) + n0(s)) / (2 · N1 · N0)
+    *
+    * with n0/n1 the per-distinct-score negative/positive counts and
+    * N0(&lt;s) the negatives strictly below s — ties contribute half (the
+    * standard mid-rank convention, kept integer by the ×2). Scores
+    * quantize to integer 1e-6 units first (they are already 6-digit
+    * floored, so this is lossless and both engines land the identical
+    * long), making everything integer algebra summed as exact decimals
+    * until ONE final double division — bit-exact replay, 6-digit floor.
+    *
+    * Scale shape: the corpus collapses to per-score-type counts in one
+    * map-side-combined hash agg. The running total N0(&lt;s) runs
+    * TWO-PHASE like [[CurationOps.exactQuantiles]]: units shift
+    * non-negative by the (1-row broadcast) minimum and bucket by
+    * `DIV rangeWidth`; per-range offsets roll over the BOUNDED range
+    * frame and the in-range window partitions by range — no corpus-wide
+    * single-partition window at any score cardinality. Zero
+    * positives/negatives → auc 0 (degenerate, flagged by the count
+    * columns). Output: one row `(n_pos, n_neg, auc)`. */
+  def logitAuc(scored: DataFrame, labelCol: String = "label",
+      scoreCol: String = "logit", rangeWidth: Long = 64L): DataFrame = {
+    require(rangeWidth >= 1, "rangeWidth must be >= 1")
+    val byScore = Checkpoints.pin(
+      scored.select(
+          floor(col(scoreCol) * lit(1e6)).cast("long").as("__u"),
+          when(col(labelCol) === lit(1.0), 1L).otherwise(0L).as("__y"))
+        .groupBy(col("__u"))
+        .agg(sum(col("__y")).as("__n1"), sum(lit(1L) - col("__y")).as("__n0")),
+      reliable = false)
+    val minU = byScore.agg(min(col("__u")).as("__minu"))
+    val ranged = byScore.crossJoin(broadcast(minU))
+      .withColumn("__r", expr(s"(__u - __minu) DIV ${rangeWidth}L"))
+    val wR = Window.orderBy(col("__r"))
+    val rangeOffs = ranged.groupBy(col("__r")).agg(sum(col("__n0")).as("__rc"))
+      .withColumn("__roff", coalesce(
+        sum(col("__rc")).over(wR.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__r"), col("__roff"))
+    val wIn = Window.partitionBy(col("__r")).orderBy(col("__u"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(rangeOffs, Seq("__r")) // AQE broadcasts the bounded offsets
+      .withColumn("__nbelow", col("__roff") + coalesce(sum(col("__n0")).over(wIn), lit(0L)))
+      .agg(sum(col("__n1")).as("__N1"), sum(col("__n0")).as("__N0"),
+        // cast BEFORE the multiply: long × long would wrap at corpus scale
+        sum(col("__n1").cast("decimal(19,0)") *
+          (lit(2L) * col("__nbelow") + col("__n0")).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__num"))
+      .select(col("__N1").as("n_pos"), col("__N0").as("n_neg"),
+        NumFns.floorAt(when(col("__N1") > 0 && col("__N0") > 0,
+          col("__num").cast("double")
+            / (lit(2.0) * col("__N1").cast("double") * col("__N0").cast("double")))
+          .otherwise(lit(0.0)), 6).as("auc"))
+  }
+
+  /** Reliability diagram (calibration bins) of a `(label, logit)`-scored
+    * frame: fixed-width logit bins `floor(logit · binsPerUnit)` (the
+    * 6-digit-floored logit is the identical double in both engines, so
+    * the bin id replays exactly — rank-free on purpose: ntile ties are
+    * engine-dependent), per bin the exact count, positive count, positive
+    * fraction (floored ratio of exact integers) and mean logit (summed
+    * as exact integer 1e-6 units, ONE double division at the end). A
+    * well-calibrated classifier has frac_pos ≈ sigmoid(mean logit) per
+    * bin; the drift between them is the Platt-scaling signal. One
+    * map-side-combined aggregation; the output is bin-cardinality.
+    * Output: `(bin, n, n_pos, frac_pos, mean_logit)`. */
+  def logitCalibration(scored: DataFrame, binsPerUnit: Int = 1024,
+      labelCol: String = "label", scoreCol: String = "logit"): DataFrame =
+    scored.select(
+        floor(col(scoreCol) * lit(binsPerUnit.toDouble)).cast("long").as("bin"),
+        floor(col(scoreCol) * lit(1e6)).cast("long").as("__u"),
+        when(col(labelCol) === lit(1.0), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__u").cast("decimal(38,0)")).as("__su"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        NumFns.floorAt(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        NumFns.floorAt(
+          col("__su").cast("double") / col("n").cast("double") / lit(1e6), 6)
+          .as("mean_logit"))
+
+  /** Priors-only ablation of the NB classifier — the majority-class
+    * baseline: every doc takes the class with the largest document
+    * prior (ties break class-asc, the [[nbScore]] tie-break). Running
+    * [[classEval]] over this against the same held-out labels is the
+    * floor the token model's lift is measured from. Output:
+    * `(idCol, pred)`. */
+  def nbPriorsScore(docs: DataFrame, lmDocs: DataFrame,
+      classCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.orderBy(col("__dc").desc, col("__c"))
+    val top = lmDocs.groupBy(col(classCol).as("__c")).agg(count(lit(1)).as("__dc"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__c").as("pred"))
+    docs.select(col(idCol)).crossJoin(broadcast(top))
+  }
+
   /** Multinomial Naive Bayes classifier — trained IN the engine over a
     * labeled reference corpus, classifying new documents: the generative
     * complement of [[logitTrain]] (and a TRAINED language identifier
@@ -617,7 +777,7 @@ object TextOps {
 
   /** Score a [[logitFeatures]]-shaped frame under trained unit-weights. */
   def logitScoreFeatures(features: DataFrame, w: Seq[Long],
-      xCols: Seq[String] = Seq("x0", "x1", "x2", "x3")): DataFrame = {
+      xCols: Seq[String] = LogitXCols): DataFrame = {
     val z = xCols.zip(w).map { case (x, u) => lit(u) * lit(1e-8) * col(x) }
       .reduce(_ + _)
     features.select(col("doc_id"), col("y").as("label"),

@@ -523,72 +523,16 @@ object StreamingOps {
       spark.read.option("basePath", s"$path/edges").parquet(s"$path/edges"))
 
   /** Fold committed edge deltas into the `__batch=-1` base with
-    * LATEST-WINS resolution — [[foldBatchDirs]]' staged-rename ordering
-    * and newest-delta protection, but `dropDuplicates` would be WRONG
-    * here (a query's superseded snapshots are not duplicate rows), so
-    * the fold resolves by `__batch` before writing; crash leftovers in
-    * staging/retired re-enter as `__batch=-1` (they only ever hold
-    * already-resolved pre-newest state, so any visible delta correctly
-    * supersedes them). The corpus side folds with [[compactIvfIndex]]'s
-    * machinery (ids are write-once there). */
+    * LATEST-WINS resolution ([[foldBatchDirsLatestWins]] on the query
+    * id — `dropDuplicates` would be WRONG here: a query's superseded
+    * snapshots are not duplicate rows). The corpus side folds with
+    * [[compactIvfIndex]]'s machinery (ids are write-once there). */
   def compactKnnGraph(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
     foldBatchDirs(spark, s"$path/corpus", "id LONG, v ARRAY<DOUBLE>, cell INT",
       dedupKeys = Seq("id"), partitionCols = Seq("cell"))
-    val dir = s"$path/edges"
-    val dataDDL = "vec_id LONG, neighbor_id LONG, sim DOUBLE, rank INT"
-    val dirPath = new Path(dir)
-    val f = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(dirPath)) return
-    val staging = new Path(dirPath, "_compacting")
-    val retired = new Path(dirPath, "_retired")
-    val base = new Path(dirPath, "__batch=-1")
-    val allBatchDirs = f.listStatus(dirPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
-    val newest = allBatchDirs
-      .map(_.getPath.getName.stripPrefix("__batch=").toLong)
-      .filter(_ >= 0).sorted.lastOption
-    val batchDirs = allBatchDirs.filterNot(s =>
-      newest.contains(s.getPath.getName.stripPrefix("__batch=").toLong))
-    if (batchDirs.forall(_.getPath.getName == "__batch=-1") &&
-        batchDirs.size <= 1 && !f.exists(staging) && !f.exists(retired)) return
-    val visible =
-      if (batchDirs.nonEmpty)
-        Seq(spark.read.schema(s"$dataDDL, __batch LONG").option("basePath", dir)
-          .parquet(batchDirs.map(_.getPath.toString): _*))
-      else Seq.empty
-    // crash leftovers re-enter at pseudo-batches ordered by recency:
-    // staging (−2) is a finished NEWER resolution than the not-yet-renamed
-    // base (−1 beats it only when a still-visible delta isn't the true
-    // winner — and in the staging-exists window no delta has been deleted
-    // yet, so every qid staging won from a delta still resolves to that
-    // delta); retired (−3) is always the base's predecessor. This is why
-    // a latest-wins fold can't share foldBatchDirs' flat −1 recovery:
-    // superseded SNAPSHOTS at one pseudo-batch would interleave rows of
-    // different versions of the same query.
-    val extras = Seq((staging, -2L), (retired, -3L)).filter(p => f.exists(p._1))
-      .map { case (p, b) =>
-        spark.read.schema(dataDDL).parquet(p.toString).withColumn("__batch", lit(b))
-      }
-    val parts = visible ++ extras
-    if (parts.isEmpty) return
-    val resolved = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("vec_id"))
-      parts.reduce(_ unionByName _)
-        .withColumn("__mb", max(col("__batch")).over(w))
-        .filter(col("__batch") === col("__mb"))
-        .select(col("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
-        .localCheckpoint(true)
-    }
-    resolved.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(staging.toString)
-    if (f.exists(retired)) f.delete(retired, true): Unit
-    if (f.exists(base)) require(f.rename(base, retired), s"rename $base failed")
-    require(f.rename(staging, base), s"rename $staging -> $base failed")
-    batchDirs.filter(_.getPath.getName != "__batch=-1")
-      .foreach(s => f.delete(s.getPath, true): Unit)
-    f.delete(retired, true): Unit
+    foldBatchDirsLatestWins(spark, s"$path/edges",
+      "vec_id LONG, neighbor_id LONG, sim DOUBLE, rank INT",
+      keyCols = Seq("vec_id"))
   }
 
   /** Streaming IVF-PQ index maintenance — the compressed-codes twin of
@@ -1121,15 +1065,31 @@ object StreamingOps {
         logitBatch(batch, batchId, path, steps, lrDen, refreshEvery)
       }
 
-  /** One [[logitStream]] micro-batch. */
+  /** The slim evidence-delta schema a [[logitStream]] sink lands —
+    * derived from the shared feature template
+    * ([[graft.operators.TextOps.LogitXCols]]) so the stream, the
+    * compactor and the trainer agree on the model dimension d. */
+  private[graft] val LogitDeltaDDL: String =
+    ("doc_id LONG" +: "y DOUBLE" +:
+      graft.operators.TextOps.LogitXCols.map(x => s"$x DOUBLE")).mkString(", ")
+
+  /** One [[logitStream]] micro-batch. `lrDen` pins by its EXACT IEEE-754
+    * bits: a toLong truncation would collapse fractional values (any
+    * lrDen in (0,1) pins as 0; 4096.2 and 4096.9 pin alike) and let a
+    * drifted restart silently retrain a different descent — the exact
+    * silent-schedule-change the guard exists to refuse. `nFeatures` pins
+    * d, so a sink created under an older feature template fails loudly
+    * instead of reading nulls into the new columns. */
   private[graft] def logitBatch(batch: DataFrame, batchId: Long, path: String,
       steps: Int, lrDen: Double, refreshEvery: Int): Unit =
     scheduleBatch(batch, batchId, path, "logitStream", refreshEvery,
-      Seq("steps" -> steps.toLong, "lrDen" -> lrDen.toLong),
+      Seq("steps" -> steps.toLong,
+        "lrDen" -> java.lang.Double.doubleToLongBits(lrDen),
+        "nFeatures" -> graft.operators.TextOps.LogitXCols.size.toLong),
       b => graft.operators.TextOps.logitFeatures(b)
-        .select(col("doc_id").cast("long").as("doc_id"), col("y"),
-          col("x0"), col("x1"), col("x2"), col("x3")),
-      "doc_id LONG, y DOUBLE, x0 DOUBLE, x1 DOUBLE, x2 DOUBLE, x3 DOUBLE",
+        .select(col("doc_id").cast("long").as("doc_id") +: col("y") +:
+          graft.operators.TextOps.LogitXCols.map(col): _*),
+      LogitDeltaDDL,
       corpus => graft.operators.TextOps.logitScoreFeatures(corpus,
         graft.operators.TextOps.logitTrain(corpus, steps = steps, lrDen = lrDen)))
 
@@ -1152,8 +1112,17 @@ object StreamingOps {
     * own delta was just rewritten, so replay converges at every crash
     * point), lineage refusal on BOTH roots, `_meta.json` pins the
     * schedule parameters (drift = a silently different global schedule,
-    * so it fails loudly). Doc ids must be unique across the stream's
-    * lifetime. */
+    * so it fails loudly).
+    *
+    * Doc-id contract: a doc_id re-emitted in a LATER batch is an
+    * evidence UPDATE (a re-crawled doc with new text) — the refresh
+    * resolves latest-wins on `__batch`, whole-row, never a column-wise
+    * mix of two versions. Within one batch ids should be unique; exact
+    * duplicate rows are harmless (they resolve to one), conflicting
+    * same-batch rows resolve deterministically to the greatest data
+    * tuple. Retention: [[compactManifestState]] (and siblings) folds the
+    * per-batch `_docs` deltas, [[vacuumScheduleManifests]] prunes
+    * superseded manifest versions. */
   private def scheduleBatch(batch: DataFrame, batchId: Long, path: String,
       op: String, refreshEvery: Int, metaFields: Seq[(String, Long)],
       deltaOf: DataFrame => DataFrame, deltaDDL: String,
@@ -1174,22 +1143,83 @@ object StreamingOps {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$docsRoot/__batch=$batchId")
     if (batchId % refreshEvery == 0) {
+      // heal a crashed out-of-band fold BEFORE reading state this refresh
+      // will PERSIST (the healFoldLeftovers reasoning: a manifest derived
+      // from the hide window's visible levels alone would be wrong AND
+      // durable); rerunning the idempotent latest-wins fold unions the
+      // staging/retired leftovers back in. Single-writer context: a
+      // leftover means the out-of-band compaction crashed, so rerunning
+      // cannot race it. No-op (two exists probes) in the steady state.
+      if (foldLeftovers(f, docsRoot).nonEmpty)
+        foldBatchDirsLatestWins(s, docsRoot.toString, deltaDDL, Seq("doc_id"))
       // the accumulated evidence INCLUDING this batch's delta (just
-      // rewritten, so a replay recomputes identically); overlap-window
-      // duplicates of a crashed compaction carry identical columns, so
-      // the doc_id fold is lossless
+      // rewritten, so a replay recomputes identically), resolved
+      // LATEST-WINS per doc: a re-emitted doc is an evidence update and
+      // its newest whole row wins (never a column-wise mix of versions).
+      // The fold's base re-enters at __batch=-1, so any visible delta
+      // correctly supersedes it; crash-overlap duplicates (base
+      // installed, folded delta not yet dropped) carry identical rows at
+      // two levels and resolve to one. Ties within one level take the
+      // greatest data tuple — deterministic either way, and never hit by
+      // unique-ids-per-batch sources.
       val dataCols = org.apache.spark.sql.types.StructType.fromDDL(deltaDDL)
         .fieldNames.filterNot(_ == "doc_id").toSeq
       val corpus = s.read.schema(s"$deltaDDL, __batch LONG")
         .parquet(docsRoot.toString)
         .filter(col("__batch") <= batchId)
         .groupBy(col("doc_id"))
-        .agg(max(col(dataCols.head)).as(dataCols.head),
-          dataCols.tail.map(c => max(col(c)).as(c)): _*)
+        .agg(max_by(struct(dataCols.map(col): _*),
+          struct((col("__batch") +: dataCols.map(col)): _*)).as("__v"))
+        .select(col("doc_id") +: dataCols.map(c => col(s"__v.$c").as(c)): _*)
       remanifest(corpus)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$manifestRoot/__batch=$batchId")
     }
+  }
+
+  /** Fold a [[manifestStream]] sink's accumulated `_docs` evidence deltas
+    * into the `__batch=-1` base — without it every refresh re-lists and
+    * re-reads one delta directory per batch forever (unbounded small-file
+    * growth on a long-running stream). Latest-wins per doc
+    * ([[foldBatchDirsLatestWins]]): a re-emitted doc's newest evidence
+    * survives the fold exactly as the refresh resolves it, and the
+    * refresh heals crash leftovers itself before any state it persists.
+    * Single-maintainer context like every other compactor. */
+  def compactManifestState(spark: SparkSession, path: String): Unit =
+    foldBatchDirsLatestWins(spark, s"$path/_docs",
+      "doc_id LONG, source STRING, n_tokens LONG", keyCols = Seq("doc_id"))
+
+  /** [[compactManifestState]] for a [[curriculumStream]] sink. */
+  def compactCurriculumState(spark: SparkSession, path: String): Unit =
+    foldBatchDirsLatestWins(spark, s"$path/_docs",
+      "doc_id LONG, score LONG, n_tokens LONG", keyCols = Seq("doc_id"))
+
+  /** [[compactManifestState]] for a [[logitStream]] sink. */
+  def compactLogitState(spark: SparkSession, path: String): Unit =
+    foldBatchDirsLatestWins(spark, s"$path/_docs", LogitDeltaDDL,
+      keyCols = Seq("doc_id"))
+
+  /** Prune a schedule sink's superseded full-manifest versions, keeping
+    * the newest `keepVersions` — each version is O(corpus-span-count)
+    * rows, so unbounded retention is O(refreshes × corpus) storage on a
+    * long-running stream. Writer-safe in the single-maintainer context:
+    * the stream only APPENDS new versions and [[readTrainManifest]] /
+    * [[readCurriculumManifest]] / [[readLogitScores]] read the newest,
+    * so dropping older versions races neither; a reader that LISTED
+    * before the vacuum may still be scanning a dropped version — size
+    * `keepVersions` to the reader horizon (the
+    * [[graft.sources.Generations.vacuum]] retention contract). */
+  def vacuumScheduleManifests(spark: SparkSession, path: String,
+      keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__batch="))
+      .sortBy(-_.getName.stripPrefix("__batch=").toLong)
+      .drop(keepVersions)
+      .foreach(d => f.delete(d, true): Unit)
   }
 
   /** The LIVE training manifest of a [[manifestStream]] sink: the newest
@@ -2656,6 +2686,74 @@ object StreamingOps {
     compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(staging.toString)
     // retired's content is now ⊆ staging, safe to drop before reusing it
+    if (f.exists(retired)) f.delete(retired, true): Unit
+    if (f.exists(base)) require(f.rename(base, retired), s"rename $base failed")
+    require(f.rename(staging, base), s"rename $staging -> $base failed")
+    batchDirs.filter(_.getPath.getName != "__batch=-1")
+      .foreach(s => f.delete(s.getPath, true): Unit)
+    f.delete(retired, true): Unit
+  }
+
+  /** [[foldBatchDirs]]' LATEST-WINS sibling — for VERSIONED state, where
+    * `dropDuplicates` would be wrong (a key's superseded snapshots are
+    * not duplicate rows): fold every committed delta strictly below the
+    * newest into the `__batch=-1` base, keeping for each key only the
+    * rows of its newest batch level (a version may be multi-row — a
+    * query's k edges — so the resolution is a window filter, not a
+    * per-key reduce). Same staged-rename ordering and newest-delta
+    * protection as [[foldBatchDirs]].
+    *
+    * Crash leftovers re-enter at pseudo-batches ordered by recency:
+    * staging (−2) is a finished NEWER resolution than the not-yet-renamed
+    * base (−1 beats it only when a still-visible delta isn't the true
+    * winner — and in the staging-exists window no delta has been deleted
+    * yet, so every key staging won from a delta still resolves to that
+    * delta); retired (−3) is always the base's predecessor. This is why
+    * a latest-wins fold can't share foldBatchDirs' flat −1 recovery:
+    * superseded SNAPSHOTS at one pseudo-batch would interleave rows of
+    * different versions of the same key. */
+  private def foldBatchDirsLatestWins(spark: SparkSession, dir: String,
+      dataDDL: String, keyCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dirPath = new Path(dir)
+    val f = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dirPath)) return
+    val staging = new Path(dirPath, "_compacting")
+    val retired = new Path(dirPath, "_retired")
+    val base = new Path(dirPath, "__batch=-1")
+    val dataCols = org.apache.spark.sql.types.StructType.fromDDL(dataDDL)
+      .fieldNames.toSeq
+    val allBatchDirs = f.listStatus(dirPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+    val newest = allBatchDirs
+      .map(_.getPath.getName.stripPrefix("__batch=").toLong)
+      .filter(_ >= 0).sorted.lastOption
+    val batchDirs = allBatchDirs.filterNot(s =>
+      newest.contains(s.getPath.getName.stripPrefix("__batch=").toLong))
+    if (batchDirs.forall(_.getPath.getName == "__batch=-1") &&
+        batchDirs.size <= 1 && !f.exists(staging) && !f.exists(retired)) return
+    val visible =
+      if (batchDirs.nonEmpty)
+        Seq(spark.read.schema(s"$dataDDL, __batch LONG").option("basePath", dir)
+          .parquet(batchDirs.map(_.getPath.toString): _*))
+      else Seq.empty
+    val extras = Seq((staging, -2L), (retired, -3L)).filter(p => f.exists(p._1))
+      .map { case (p, b) =>
+        spark.read.schema(dataDDL).parquet(p.toString).withColumn("__batch", lit(b))
+      }
+    val parts = visible ++ extras
+    if (parts.isEmpty) return
+    val resolved = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      parts.reduce(_ unionByName _)
+        .withColumn("__mb", max(col("__batch")).over(w))
+        .filter(col("__batch") === col("__mb"))
+        .select(dataCols.map(col): _*)
+        .localCheckpoint(true)
+    }
+    resolved.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
     if (f.exists(retired)) f.delete(retired, true): Unit
     if (f.exists(base)) require(f.rename(base, retired), s"rename $base failed")
     require(f.rename(staging, base), s"rename $staging -> $base failed")

@@ -61,4 +61,22 @@ class CurriculumStreamSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] { batch(0 until 5, 0L, p) }
     assert(e2.getMessage.contains("different checkpoint lineage"))
   }
+
+  test("compaction folds deltas (newest protected); vacuum prunes; serving unchanged") {
+    val p = s"${tmpDir()}/c"
+    batch(0 until 25, 0L, p)
+    batch(25 until 45, 1L, p)
+    batch(45 until 60, 2L, p)
+    StreamingOps.compactCurriculumState(spark, p)
+    def dirs(sub: String) = new java.io.File(s"$p/$sub").listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+    assert(dirs("_docs") == Seq("__batch=-1", "__batch=2"))
+    assert(served(p) == truth(0 until 60))
+    // a refresh over the folded layout recomputes the identical manifest
+    batch(45 until 60, 2L, p)
+    assert(served(p) == truth(0 until 60))
+    StreamingOps.vacuumScheduleManifests(spark, p)
+    assert(dirs("manifest") == Seq("__batch=2"))
+    assert(served(p) == truth(0 until 60))
+  }
 }

@@ -27,8 +27,8 @@ class LogitSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")))
   }
 
-  private def loss(f: DataFrame, w: Seq[Long]): Double = {
-    val xs = Seq("x0", "x1", "x2", "x3")
+  private def loss(f: DataFrame, w: Seq[Long],
+      xs: Seq[String] = TextOps.LogitXCols): Double = {
     val z = xs.zip(w).map { case (x, u) => lit(u) * lit(1e-8) * col(x) }
       .reduce(_ + _)
     // logistic loss: -y·ln σ - (1-y)·ln(1-σ)
@@ -39,7 +39,7 @@ class LogitSpec extends SparkSpec {
 
   test("descent reduces logistic loss and separates the separable classes") {
     val f = TextOps.logitFeatures(toy).localCheckpoint(true)
-    val w0 = Seq.fill(4)(0L)
+    val w0 = Seq.fill(TextOps.LogitXCols.size)(0L)
     val w = TextOps.logitTrain(f, steps = 8)
     assert(loss(f, w) < loss(f, w0),
       s"loss did not decrease: ${loss(f, w)} >= ${loss(f, w0)}")
@@ -72,6 +72,53 @@ class LogitSpec extends SparkSpec {
     val again = TextOps.logitTrainHashed(toy.repartition(7), nBuckets = 64, steps = 6)
       .as[(Long, Double, Double)].collect().toSeq
     assert(scored.sorted == again.sorted)
+  }
+
+  test("the qualityRules features widen the model: punctuation-separable corpus") {
+    // classes share stopword hits (0), TTR and token counts; punctuation
+    // ratio / mean token length are the real signal — the r14 4-feature
+    // template (bias, stopword, TTR, length) can barely learn this
+    // corpus, the promoted qualityRules features separate it
+    val docs2 = (0L until 60L).map { i =>
+      val en = i % 2 == 0
+      val words = Seq.tabulate(10)(j => s"tok${(i + j) % 5}")
+      val text = if (en) words.mkString(" ") else words.map(_ + "!!").mkString(" ")
+      (i, text, if (en) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val f = TextOps.logitFeatures(docs2).localCheckpoint(true)
+    val old4 = TextOps.LogitXCols.take(4)
+    val wOld = TextOps.logitTrain(f, xCols = old4, steps = 8)
+    val wNew = TextOps.logitTrain(f, steps = 8)
+    assert(loss(f, wNew) < loss(f, wOld, old4),
+      s"richer features did not reduce loss: ${loss(f, wNew)} >= ${loss(f, wOld, old4)}")
+  }
+
+  test("compaction folds feature deltas; fractional lrDen pins by exact bits") {
+    val p = s"${tmpDir()}/lgc"
+    // a FRACTIONAL lrDen: the r14 toLong pin collapsed 4096.5 and 4096.9
+    // to the same recorded value, letting a drifted restart silently
+    // retrain a different descent
+    StreamingOps.logitBatch(toy.filter(col("doc_id") < 40), 0L, p, 3, 4096.5, 1)
+    StreamingOps.logitBatch(toy.filter(col("doc_id") >= 40), 1L, p, 3, 4096.5, 1)
+    StreamingOps.compactLogitState(spark, p)
+    def dirs(sub: String) = new java.io.File(s"$p/$sub").listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+    assert(dirs("_docs") == Seq("__batch=-1", "__batch=1"))
+    val batchTruth = TextOps.logitTrainScore(toy, steps = 3, lrDen = 4096.5)
+      .as[(Long, Double, Double)].collect().toSeq.sorted
+    def servedNow = StreamingOps.readLogitScores(spark, p)
+      .as[(Long, Double, Double)].collect().toSeq.sorted
+    assert(servedNow == batchTruth)
+    StreamingOps.vacuumScheduleManifests(spark, p)
+    assert(dirs("manifest") == Seq("__batch=1"))
+    // a refresh over the folded layout recomputes identically
+    StreamingOps.logitBatch(toy.filter(col("doc_id") >= 40), 1L, p, 3, 4096.5, 1)
+    assert(servedNow == batchTruth)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.logitBatch(toy, 2L, p, 3, 4096.9, 1)
+    }
+    assert(e.getMessage.contains("schedule parameter mismatch"))
   }
 
   test("streamed feature maintenance == batch train-and-score; drift refused") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import graft.operators.AssemblyOps
 import graft.streaming.StreamingOps
 
@@ -22,7 +23,7 @@ class ManifestStreamSpec extends SparkSpec {
 
   private def docs(ids: Range): DataFrame = {
     val rnd = new scala.util.Random(41)
-    val all = (0L until 60L).map { i =>
+    val all = (0L until 80L).map { i =>
       (i, s"src${rnd.nextInt(4)}",
         Seq.fill(1 + rnd.nextInt(18))(s"w${rnd.nextInt(7)}").mkString(" "))
     }
@@ -38,7 +39,10 @@ class ManifestStreamSpec extends SparkSpec {
       .as[(Long, Long, Long, String, Long, Long, Long)].collect().toSeq.sorted
 
   private def truth(ids: Range): Seq[(Long, Long, Long, String, Long, Long, Long)] =
-    AssemblyOps.trainManifest(docs(ids), Budget, Cap, L)
+    truthOf(docs(ids))
+
+  private def truthOf(d: DataFrame): Seq[(Long, Long, Long, String, Long, Long, Long)] =
+    AssemblyOps.trainManifest(d, Budget, Cap, L)
       .as[(Long, Long, Long, String, Long, Long, Long)].collect().toSeq.sorted
 
   test("counts-based trainManifest == text-based trainManifest") {
@@ -102,6 +106,68 @@ class ManifestStreamSpec extends SparkSpec {
         2, 0L, 64, "source", "doc_id", "text")
     }
     assert(e3.getMessage.contains("schedule parameter mismatch"))
+  }
+
+  test("compaction folds deltas latest-wins (newest protected); vacuum prunes versions") {
+    val p = s"${tmpDir()}/m"
+    batch(0 until 25, 0L, p)
+    batch(25 until 45, 1L, p)
+    batch(45 until 60, 2L, p)
+    StreamingOps.compactManifestState(spark, p)
+    def dirs(sub: String) = new java.io.File(s"$p/$sub").listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+    // all deltas but the protected newest folded into the base
+    assert(dirs("_docs") == Seq("__batch=-1", "__batch=2"))
+    assert(served(p) == truth(0 until 60))
+    // a refresh over the folded layout recomputes the identical manifest
+    batch(45 until 60, 2L, p)
+    assert(served(p) == truth(0 until 60))
+    // vacuum: keepVersions newest survive, serving unchanged
+    assert(dirs("manifest") == Seq("__batch=0", "__batch=1", "__batch=2"))
+    StreamingOps.vacuumScheduleManifests(spark, p, keepVersions = 2)
+    assert(dirs("manifest") == Seq("__batch=1", "__batch=2"))
+    StreamingOps.vacuumScheduleManifests(spark, p)
+    assert(dirs("manifest") == Seq("__batch=2"))
+    assert(served(p) == truth(0 until 60))
+    intercept[IllegalArgumentException] {
+      StreamingOps.vacuumScheduleManifests(spark, p, keepVersions = 0)
+    }
+  }
+
+  test("a re-emitted doc is an evidence UPDATE: latest wins, across the fold") {
+    val p = s"${tmpDir()}/m"
+    batch(0 until 20, 0L, p)
+    // re-crawl: docs 0..9 re-emitted with CHANGED text (more tokens) — the
+    // refresh must reflect exactly the newest evidence, never a
+    // column-wise mix of the two versions
+    val re = docs(0 until 10)
+      .withColumn("text", concat(col("text"), lit(" tail tail tail")))
+    StreamingOps.manifestBatch(re, 1L, p, Budget, Cap, L, 1, 0L, 64,
+      "source", "doc_id", "text")
+    val cur = re.unionByName(docs(10 until 20))
+    assert(served(p) == truthOf(cur))
+    // the fold (old version in base, new in a delta) preserves the winner
+    StreamingOps.compactManifestState(spark, p)
+    batch(20 until 30, 2L, p)
+    assert(served(p) == truthOf(cur.unionByName(docs(20 until 30))))
+  }
+
+  test("refresh heals a crashed fold before deriving the manifest") {
+    val p = s"${tmpDir()}/m"
+    batch(0 until 25, 0L, p)
+    batch(25 until 45, 1L, p)
+    batch(45 until 60, 2L, p)
+    StreamingOps.compactManifestState(spark, p)
+    // crash window: base retired, staging install never happened — the
+    // folded history is visible ONLY inside the _retired leftover
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    require(fs.rename(hp(s"$p/_docs/__batch=-1"), hp(s"$p/_docs/_retired")))
+    // the next refresh heals first, so the manifest sees the FULL corpus
+    batch(60 until 80, 3L, p)
+    assert(served(p) == truth(0 until 80))
+    assert(!fs.exists(hp(s"$p/_docs/_retired")) &&
+      !fs.exists(hp(s"$p/_docs/_compacting")))
   }
 
   test("empty sink serves an empty, correctly-typed manifest") {

@@ -67,4 +67,28 @@ class NbSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("different checkpoint lineage"))
   }
+
+  test("classEval: exact one-vs-rest counts, P/R/F1, macro-F1 on a hand fixture") {
+    // 6 docs, 3 classes; class c never predicted (recall row must exist)
+    val scored = Seq(
+      (0L, "a", "a"), (1L, "a", "b"), (2L, "b", "b"),
+      (3L, "b", "b"), (4L, "c", "a"), (5L, "c", "b"))
+      .toDF("doc_id", "label", "pred")
+    val rows = TextOps.classEval(scored)
+      .select("class", "tp", "fp", "fn", "precision_", "recall_", "f1", "macro_f1")
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+    // a: tp=1 fp=1 fn=1  P=0.5 R=0.5 F1=0.5
+    // b: tp=2 fp=2 fn=0  P=0.5 R=1.0 F1=2/3 floored
+    // c: tp=0 fp=0 fn=2  P=0 R=0 F1=0
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq(("a", 1L, 1L, 1L), ("b", 2L, 2L, 0L), ("c", 0L, 0L, 2L)))
+    val a = rows(0); val b = rows(1); val c = rows(2)
+    assert(a._5 == 0.5 && a._6 == 0.5 && a._7 == 0.5)
+    assert(b._5 == 0.5 && b._6 == 1.0 && b._7 == math.floor(2.0 / 3.0 * 1e6) / 1e6)
+    assert(c._5 == 0.0 && c._6 == 0.0 && c._7 == 0.0)
+    // macro = floored mean of the FLOORED per-class F1s, same on all rows
+    val expMacro = math.floor((0.5 + b._7 + 0.0) / 3.0 * 1e6) / 1e6
+    assert(rows.map(_._8).distinct == Seq(expMacro))
+  }
 }

@@ -510,4 +510,49 @@ class PropertySpec extends SparkSpec {
       got == ref
     }, minSuccessful = 10)
   }
+
+  test("property: streamed KN3 fold → model-read == batch model, any split & minCount") {
+    // guards the model-read-time <unk> vocabulary cut as it evolves: for
+    // ANY corpus, batch partitioning of the LM half, and minCount, the
+    // kn3CountsStream land → compactKn3Counts fold → readKn3Counts →
+    // kn3Score path must be BIT-equal to the one-shot batch model
+    // (kn3ScoreAgainst) — no tolerance, doubles compared exactly.
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val gen = for {
+      nLm <- Gen.choose(2, 20)
+      lm <- Gen.listOfN(nLm, for {
+        len <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(len, word)
+      } yield ws.mkString(" "))
+      nSc <- Gen.choose(1, 8)
+      sc <- Gen.listOfN(nSc, for {
+        len <- Gen.choose(2, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "z"))
+      } yield ws.mkString(" "))
+      nSplits <- Gen.choose(1, 3)
+      cuts <- Gen.listOfN(nSplits - 1, Gen.choose(0, nLm))
+      minCount <- Gen.choose(1L, 4L)
+    } yield (lm, sc, cuts.sorted, minCount)
+    checkProp(Prop.forAllNoShrink(gen) { case (lm, sc, cuts, minCount) =>
+      val path = tmpDir() + "/kn3"
+      val lmDf = lm.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val scDf = sc.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val bounds = (0 +: cuts) :+ lm.size
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        graft.streaming.StreamingOps.kn3Batch(
+          lm.slice(a, b).zipWithIndex.map { case (t, j) => ((a + j).toLong, t) }
+            .toDF("doc_id", "text"), i.toLong, path, "doc_id", "text")
+      }
+      graft.streaming.StreamingOps.compactKn3Counts(spark, path)
+      val (uni, tri) = graft.streaming.StreamingOps.readKn3Counts(spark, path)
+      val streamed = graft.operators.TextOps.kn3Score(scDf, uni, tri, minCount)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.TextOps.kn3ScoreAgainst(scDf, lmDf, minCount)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      streamed == batch
+    }, minSuccessful = 8)
+  }
 }
