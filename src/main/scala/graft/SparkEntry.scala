@@ -653,14 +653,32 @@ object SparkEntry {
     * programmatically from [[logitFeatureSql]] (the xCols seam) and
     * [[GraftConf.LogitStepsDefault]], so d and the step count each live
     * in ONE place. */
-  private lazy val logitTrainOracleSql: String = {
+  private lazy val logitTrainOracleSql: String = descentOracleSql(
+    "CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END",
+    zz => s"1.0 / (1.0 + exp(-($zz)))")
+
+  /** The Poisson (log-link) GLM descent replayed in SQL — the SAME
+    * unrolled-CTE generator as the logit oracle with the mean function
+    * swapped to `exp(z)` and the outcome the per-KILOchar token rate
+    * (pre-scaled so exp stays O(0.1); see
+    * [[graft.operators.TextOps.glmTrainLog]]). */
+  private lazy val glmPoissonOracleSql: String = descentOracleSql(
+    "len(string_split(text, ' ')) / 1000.0",
+    zz => s"exp($zz)")
+
+  /** Shared unrolled-CTE generator for the full-batch GD family: one CTE
+    * pair per step (g_s = the exact-integer gradient sums over
+    * `x · (μ(z) − y)`, w_s = the updated unit weights), parameterized by
+    * the label expression and the mean function μ — exactly
+    * [[graft.operators.TextOps]]' `gdDescend` seam, SQL side. */
+  private def descentOracleSql(ySql: String, muOf: String => String): String = {
     val xs = logitFeatureSql.map(_._1)
     val steps = GraftConf.LogitStepsDefault
     def z(u: Int => String): String =
       xs.zipWithIndex.map { case (x, j) => s"(${u(j)} * 1e-8) * $x" }.mkString(" + ")
     val sb = new StringBuilder
     sb ++= s"""WITH f AS (SELECT doc_id,
-      |  CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+      |  $ySql AS y,
       |  ${logitFeatureSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
       |FROM documents),
       |w0 AS (SELECT ${xs.indices.map(j => s"CAST(0 AS BIGINT) AS u$j").mkString(", ")})"""
@@ -669,7 +687,7 @@ object SparkEntry {
       val zz = z(j => s"u$j")
       sb ++= s""",
         |g$s AS (SELECT ${xs.zipWithIndex.map { case (x, j) =>
-          s"sum(CAST(floor($x * (1.0 / (1.0 + exp(-($zz))) - y) * 1e8) AS DECIMAL(38,0))) AS g$j"
+          s"sum(CAST(floor($x * (${muOf(zz)} - y) * 1e8) AS DECIMAL(38,0))) AS g$j"
         }.mkString(", ")}
         |  FROM f CROSS JOIN w${s - 1}),
         |w$s AS (SELECT ${xs.indices.map(j =>
@@ -1051,6 +1069,30 @@ object SparkEntry {
       |      FROM sjoin JOIN c USING (source))
       |SELECT doc_id, source, avg_logprob, rank FROM r WHERE rank <= quota
       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The CCNet head/middle/tail split replayed in SQL: the
+    * [[kn3ScoreOracleSql]] pipeline as a subquery, scores quantized to
+    * integer 1e-4 units (the 4-digit floor's own grid — lossless),
+    * shifted non-negative by the corpus minimum, then per-source
+    * equal-size-by-rank THIRDS in the single-window formulation the
+    * two-phase [[graft.operators.CurationOps.rankBucketsByGroup]] is
+    * spec-pinned to equal. */
+  private lazy val ccnetBucketsOracleSql: String = {
+    val core = kn3ScoreOracleSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH sc3 AS ($core),
+      |sj AS (SELECT sc3.doc_id, d.source,
+      |              CAST(floor(sc3.avg_logprob * 1e4) AS BIGINT) AS u
+      |       FROM sc3 JOIN documents d USING (doc_id)),
+      |m AS (SELECT min(u) AS mu FROM sj),
+      |s AS (SELECT doc_id, source, u - mu AS score FROM sj CROSS JOIN m),
+      |r AS (SELECT doc_id, source, score,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+      |             AS BIGINT) - 1 AS rank,
+      |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |      FROM s)
+      |SELECT source, doc_id, score, CAST((rank * 3) // n AS BIGINT) AS bucket, rank
+      |FROM r ORDER BY doc_id""".stripMargin
   }
 
   /** The composed training-run assembly replayed in SQL — shared by
@@ -3745,6 +3787,46 @@ object SparkEntry {
       TextOps.classEval(scored
           .join(d.select(col("doc_id"), col("lang").as("label")), Seq("doc_id")))
         .orderBy(col("class"))
+    },
+
+    "g_glm_poisson" -> { (s, dir) => // the GLM seam beyond the logit
+      // link: Poisson (log-link) regression of the per-KILOchar token
+      // rate on the same seven features — the identical integer-unit /
+      // exact-decimal-gradient descent with the mean function swapped to
+      // exp(z) (canonical-link gradients share one shape). The outcome
+      // is pre-scaled so exp stays O(0.1), keeping the exp last-ulp
+      // floor-boundary class at the logit trainer's negligible level.
+      // The oracle unrolls the whole descent from the SAME generator.
+      val f = TextOps.logitFeatures(Tables.documents(s, dir),
+        label = org.apache.spark.sql.functions.size(
+          graft.functions.TextFns.tokens(col("text"))).cast("double") / lit(1000.0))
+      TextOps.logitScoreFeatures(f, TextOps.glmTrainLog(f,
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)))
+        .orderBy(col("doc_id"))
+    },
+
+    "g_ccnet_buckets" -> { (s, dir) => // the CCNet head/middle/tail
+      // split (the paper's actual bucketing, next to g_ccnet_pipeline's
+      // hard cut): per-source perplexity THIRDS of the trigram-KN
+      // scores. Scores quantize to integer 1e-4 units (the 4-digit
+      // floor's grid — lossless), shift non-negative by the
+      // 1-row-broadcast corpus minimum (the rankBuckets DIV contract),
+      // then the two-phase per-group rank strata — bucket 2 = head
+      // (best log-probability), no corpus-wide window at any scale.
+      val d = Tables.documents(s, dir)
+      val scored = TextOps.kn3ScoreAgainst(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          minCount = GraftConf.int(s, GraftConf.KnMinCount, GraftConf.KnMinCountDefault).toLong)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          floor(col("avg_logprob") * lit(1e4)).cast("long").as("__u"))
+      val minU = scored.agg(min(col("__u")).as("__minu"))
+      CurationOps.rankBucketsByGroup(
+          scored.crossJoin(broadcast(minU))
+            .select(col("doc_id"), col("source"),
+              (col("__u") - col("__minu")).as("score")),
+          nBuckets = 3)
+        .orderBy(col("doc_id"))
     },
 
     "g_logit_hashed" -> { (s, dir) => // feature-HASHED logistic
@@ -7018,6 +7100,10 @@ object SparkEntry {
     "g_logit_calibration" -> logitCalibrationOracleSql,
 
     "g_ccnet_pipeline" -> ccnetPipelineOracleSql,
+
+    "g_ccnet_buckets" -> ccnetBucketsOracleSql,
+
+    "g_glm_poisson" -> glmPoissonOracleSql,
     // the streamed count landing + fold IS the model (additive evidence)
     "q_stream_nb" -> nbLangidOracleSql,
 

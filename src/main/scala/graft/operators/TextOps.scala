@@ -378,11 +378,13 @@ object TextOps {
     * feature O(1) (one shared lrDen then fits all gradient
     * magnitudes). Label: `lang = 'en'`. Output:
     * `(doc_id, y, x0..x6)` — columns per [[LogitXCols]]. */
-  def logitFeatures(docs: DataFrame): DataFrame = {
+  def logitFeatures(docs: DataFrame,
+      label: org.apache.spark.sql.Column =
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     val n = size(toks)
     docs.select(col("doc_id"),
-      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+      label.as("y"),
       lit(1.0).as("x0"),
       (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") / n).as("x1"),
       (size(array_distinct(toks)).cast("double") / n).as("x2"),
@@ -424,7 +426,40 @@ object TextOps {
       xCols: Seq[String] = LogitXCols,
       yCol: String = "y",
       steps: Int = 3,
-      lrDen: Double = 4096.0): Seq[Long] = {
+      lrDen: Double = 4096.0): Seq[Long] =
+    gdDescend(features, xCols, yCol, steps, lrDen,
+      z => lit(1.0) / (lit(1.0) + exp(-z)))
+
+  /** Poisson (log-link) GLM trainer — [[logitTrain]]'s determinism
+    * recipe generalized to the other canonical exponential-family link:
+    * minimize the Poisson NLL Σ exp(w·x) − y·(w·x) (the data-only ln y!
+    * term dropped); the canonical-link gradient is x_j·(exp(w·x) − y) —
+    * the logit recipe with the mean function swapped, so the unrolled
+    * CTE replay is the same SQL with `exp(z)` in place of the sigmoid.
+    *
+    * The OUTCOME must be pre-scaled by the caller (e.g. tokens per
+    * KILOchar) so exp(w·x) stays O(0.1): the exp last-ulp
+    * floor-boundary risk scales with exp(z)·1e8, and keeping the mean
+    * well under 1 keeps that collision class at the logit trainer's
+    * negligible level (ulp·1e8 ≈ 1e-9). Descending from w = 0 the mean
+    * only moves DOWN toward a sub-1 target, so exp stays bounded by 1
+    * throughout — no step can overflow. */
+  def glmTrainLog(
+      features: DataFrame,
+      xCols: Seq[String] = LogitXCols,
+      yCol: String = "y",
+      steps: Int = 3,
+      lrDen: Double = 4096.0): Seq[Long] =
+    gdDescend(features, xCols, yCol, steps, lrDen, z => exp(z))
+
+  /** The shared full-batch GD loop of [[logitTrain]] / [[glmTrainLog]]:
+    * integer-unit weights, per-row gradient `x_j · (μ(w·x) − y)` floored
+    * to 1e-8 units and summed as DECIMAL(38,0) (order-free exact),
+    * power-of-two lrDen applied by double floor — only the mean
+    * function μ differs per link. */
+  private def gdDescend(features: DataFrame, xCols: Seq[String], yCol: String,
+      steps: Int, lrDen: Double,
+      muOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Long] = {
     require(steps >= 1, "steps must be >= 1")
     require(lrDen > 0, "lrDen must be positive")
     // pin once: each step is a full pass; without the pin every step
@@ -434,9 +469,11 @@ object TextOps {
     val f = Checkpoints.pin(features, reliable = false)
     var w = Seq.fill(xCols.size)(0L)
     for (_ <- 1 to steps) {
-      val sig = sigmaOf(w, xCols)
+      val z = xCols.zip(w).map { case (x, u) => lit(u) * lit(1e-8) * col(x) }
+        .reduce(_ + _)
+      val mu = muOf(z)
       val aggs = xCols.map(x =>
-        sum(floor(col(x) * (sig - col(yCol)) * lit(1e8)).cast("decimal(38,0)")))
+        sum(floor(col(x) * (mu - col(yCol)) * lit(1e8)).cast("decimal(38,0)")))
       val row = f.agg(aggs.head, aggs.tail: _*).head()
       w = w.indices.map { j =>
         val g = Option(row.getDecimal(j)).map(_.doubleValue).getOrElse(0.0)
@@ -444,12 +481,6 @@ object TextOps {
       }.toSeq
     }
     w
-  }
-
-  private def sigmaOf(w: Seq[Long], xCols: Seq[String]): org.apache.spark.sql.Column = {
-    val z = xCols.zip(w).map { case (x, u) => lit(u) * lit(1e-8) * col(x) }
-      .reduce(_ + _)
-    lit(1.0) / (lit(1.0) + exp(-z))
   }
 
   /** Train-and-score in one call: [[logitFeatures]] → [[logitTrain]] →

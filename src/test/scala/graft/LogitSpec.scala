@@ -94,6 +94,23 @@ class LogitSpec extends SparkSpec {
       s"richer features did not reduce loss: ${loss(f, wNew)} >= ${loss(f, wOld, old4)}")
   }
 
+  test("Poisson GLM: NLL decreases; descent is partition-deterministic") {
+    def feats(d: DataFrame) = TextOps.logitFeatures(d,
+      label = size(split(col("text"), " ")).cast("double") / lit(1000.0))
+    val f = feats(toy).localCheckpoint(true)
+    def nll(w: Seq[Long]): Double = {
+      val z = TextOps.LogitXCols.zip(w)
+        .map { case (x, u) => lit(u) * lit(1e-8) * col(x) }.reduce(_ + _)
+      f.agg(sum(exp(z) - col("y") * z)).head().getDouble(0)
+    }
+    val w = TextOps.glmTrainLog(f, steps = 6)
+    assert(nll(w) < nll(Seq.fill(TextOps.LogitXCols.size)(0L)),
+      "Poisson descent did not reduce the NLL")
+    assert(w.exists(_ != 0L), "training moved no weight at all")
+    val w2 = TextOps.glmTrainLog(feats(toy.repartition(7)), steps = 6)
+    assert(w == w2, s"$w != $w2 — the gradient sum leaked accumulation order")
+  }
+
   test("compaction folds feature deltas; fractional lrDen pins by exact bits") {
     val p = s"${tmpDir()}/lgc"
     // a FRACTIONAL lrDen: the r14 toLong pin collapsed 4096.5 and 4096.9
