@@ -146,6 +146,31 @@ object SparkEntry {
     * fixed-point pipeline both sides: floored-cos LONGs, top-k integer
     * neighborhood sums (sum(BIGINT) -> HUGEINT, cast back), the three
     * divisions over identical operands, argmax with ties to smallest y. */
+  /** The semantic-decontamination definition truth, shared by
+    * g_decontam_semantic (exact cross product) and g_decontam_ivf
+    * (probe-all IVF candidates == the cross product): floored-cos LONG,
+    * per-eval argmax with ties to the smallest train id, threshold flag
+    * compared on the quantized integer. */
+  private lazy val oracleSqlDecontamSemantic: String =
+    """WITH x AS (
+      |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS xv
+      |  FROM embeddings WHERE label = 0),
+      |y AS (
+      |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS yv
+      |  FROM embeddings WHERE label = 1),
+      |sc AS (
+      |  SELECT eval_id, train_id,
+      |    CAST(floor((list_dot_product(xv, yv) /
+      |      (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv)))) * 10000.0)
+      |      AS BIGINT) AS s
+      |  FROM x CROSS JOIN y),
+      |r AS (SELECT eval_id, train_id, s,
+      |        row_number() OVER (PARTITION BY eval_id ORDER BY s DESC, train_id) AS rn
+      |      FROM sc)
+      |SELECT eval_id, train_id, CAST(s AS DOUBLE) / 1e4 AS sim,
+      |       (s >= 3000) AS contaminated
+      |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin
+
   private lazy val oracleSqlBitextMargin: String =
     """WITH x AS (
         |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xv
@@ -3805,6 +3830,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "q_stream_glm" -> { (s, dir) => // maintained Poisson GLM, oracle
+      // side: an AvailableNow run of glmStream lands the rate-labeled
+      // feature deltas and retrains on refresh — served scores must be
+      // bit-equal to the batch g_glm_poisson (shared oracle hash). The
+      // link id is pinned in _meta.json so a logit sink and a GLM sink
+      // can never silently continue each other.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_glm_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .glmStream(src, s"$out/idx", s"$out/ckpt",
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readGlmScores(s, s"$out/idx")
+        .orderBy(col("doc_id"))
+    },
+
     "g_ccnet_buckets" -> { (s, dir) => // the CCNet head/middle/tail
       // split (the paper's actual bucketing, next to g_ccnet_pipeline's
       // hard cut): per-source perplexity THIRDS of the trigram-KN
@@ -3951,6 +3996,30 @@ object SparkEntry {
           leftLabel = 0, rightLabel = 1,
           centroids = fixtureCentroids(64), nProbe = KmFixtureK, k = 4)
         .orderBy(col("x_id"))
+    },
+
+    "g_decontam_semantic" -> { (s, dir) => // embedding-level
+      // decontamination, the semantic sibling of the n-gram
+      // g_contamination: each eval-side vector's nearest train-side
+      // vector by cosine + a threshold flag — paraphrased leakage that
+      // n-gram overlap misses. Fixed-point floored-cos argmax with
+      // (sim desc, id asc) tie-break; the full cross product is the
+      // definition truth (the g_embed_pairs quadratic-budget class).
+      SimilarityOps.crossMaxCosine(Tables.embeddings(s, dir),
+          evalLabel = 0, trainLabel = 1, threshold = 0.3)
+        .orderBy(col("eval_id"))
+    },
+
+    "g_decontam_ivf" -> { (s, dir) => // the decontamination scale path:
+      // train vectors land in their IVF cell, eval vectors probe ALL
+      // cells here — probe-all == the exact definition row-for-row
+      // (shared oracle hash = the losslessness gate); production probes
+      // fewer cells for candidate-sized joins instead of the cross
+      // product.
+      SimilarityOps.crossMaxCosineIvf(Tables.embeddings(s, dir),
+          evalLabel = 0, trainLabel = 1, threshold = 0.3,
+          centroids = fixtureCentroids(64), nProbe = KmFixtureK)
+        .orderBy(col("eval_id"))
     },
 
     "g_length_quantiles" -> { (s, dir) => // corpus length distribution
@@ -7104,6 +7173,9 @@ object SparkEntry {
     "g_ccnet_buckets" -> ccnetBucketsOracleSql,
 
     "g_glm_poisson" -> glmPoissonOracleSql,
+
+    // the streamed maintainer serves the SAME descent
+    "q_stream_glm" -> glmPoissonOracleSql,
     // the streamed count landing + fold IS the model (additive evidence)
     "q_stream_nb" -> nbLangidOracleSql,
 
@@ -7143,6 +7215,11 @@ object SparkEntry {
     "g_bitext_ivf" -> oracleSqlBitextMargin,
 
     "g_bitext_margin" -> oracleSqlBitextMargin,
+
+    "g_decontam_semantic" -> oracleSqlDecontamSemantic,
+
+    // probe-all == the exact cross product: one truth, one hash
+    "g_decontam_ivf" -> oracleSqlDecontamSemantic,
 
     "q_asof_lastview" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id

@@ -1178,6 +1178,86 @@ object SimilarityOps {
     marginTail(scored, k)
   }
 
+  /** Embedding-level decontamination — the semantic analogue of the
+    * n-gram [[graft.operators.CurationOps.contamination]] check: for
+    * every EVAL vector (label `evalLabel`), its single nearest TRAIN
+    * vector (label `trainLabel`) by cosine and whether that similarity
+    * crosses `threshold`. N-gram overlap misses paraphrased eval
+    * questions; this catches them at the embedding level (the SemDeDup /
+    * contamination-audit combination a release pipeline runs over its
+    * train/test split). Fixed-point: the cosine floors to a 1e-4 LONG
+    * before the (sim desc, train_id asc) argmax, so the winner and the
+    * flag replay bit-identically cross-engine. The full cross product is
+    * the DEFINITION truth (verification-scale, the g_embed_pairs
+    * quadratic-budget class); the 100 TB path is [[crossMaxCosineIvf]].
+    * Output: `(eval_id, train_id, sim, contaminated)`. */
+  def crossMaxCosine(
+      embeddings: DataFrame,
+      evalLabel: Int,
+      trainLabel: Int,
+      threshold: Double,
+      reliable: Boolean = false): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    def side(label: Int, idAs: String, vAs: String) = embeddings
+      .filter(col("label") === label)
+      .select(col("vec_id").as(idAs), VectorFns.toDouble(col("embedding")).as(vAs))
+    val scored = Checkpoints.pin(
+      side(evalLabel, "eval_id", "xv")
+        .crossJoin(side(trainLabel, "train_id", "yv"))
+        .select(col("eval_id"), col("train_id"),
+          floor(GraftFunctions.cosine(col("xv"), col("yv")) * lit(1e4)).as("s")),
+      reliable)
+    decontamTail(scored, threshold)
+  }
+
+  /** [[crossMaxCosine]]'s scale path: train vectors land in their IVF
+    * cell, eval vectors probe their `nProbe` nearest cells, candidates
+    * equi-join on the cell — per-cell-sized work instead of the cross
+    * product, the [[bitextMarginIvf]] shape. Probe-all (`nProbe` = cell
+    * count) is LOSSLESS: identical to [[crossMaxCosine]] row-for-row
+    * (the shared-oracle-hash contract); reduced probes trade recall for
+    * the candidate-sized join. An eval vector whose probed cells hold no
+    * train vector drops out (its nearest is unknown under the probe
+    * budget — never a fabricated row). */
+  def crossMaxCosineIvf(
+      embeddings: DataFrame,
+      evalLabel: Int,
+      trainLabel: Int,
+      threshold: Double,
+      centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int,
+      reliable: Boolean = false): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    def side(label: Int, idAs: String, vAs: String) = embeddings
+      .filter(col("label") === label)
+      .select(col("vec_id").as(idAs), VectorFns.toDouble(col("embedding")).as(vAs))
+    val train = side(trainLabel, "train_id", "yv")
+      .withColumn("cell", cellExpr(col("yv"), centroids))
+    val scored = Checkpoints.pin(
+      side(evalLabel, "eval_id", "xv")
+        .select(col("eval_id"), col("xv"),
+          explode(topCellsExpr(col("xv"), centroids, nProbe)).as("cell"))
+        .join(train, Seq("cell"))
+        .select(col("eval_id"), col("train_id"),
+          floor(GraftFunctions.cosine(col("xv"), col("yv")) * lit(1e4)).as("s")),
+      reliable)
+    decontamTail(scored, threshold)
+  }
+
+  /** The argmax/flag tail shared by the exact and IVF decontamination
+    * arms — identical inputs yield identical outputs, which is how
+    * probe-all equals the definition row-for-row. */
+  private def decontamTail(scored: DataFrame, threshold: Double): DataFrame =
+    scored
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("s"), (-col("train_id")).as("nt"),
+        col("train_id").as("t"))).as("m"))
+      .select(col("eval_id"), col("m.t").as("train_id"),
+        // s is already the 1e-4-quantized cosine: one division back to
+        // double (re-flooring would double-round through the inexact /1e4)
+        (col("m.s").cast("double") / lit(1e4)).as("sim"),
+        (col("m.s") >= lit(math.round(threshold * 1e4))).as("contaminated"))
+
   // ---- product quantization (PQ / ADC) ---------------------------------
 
   /** Encode each vector as `m` small codes — one nearest-codeword id per

@@ -1085,7 +1085,10 @@ object StreamingOps {
     scheduleBatch(batch, batchId, path, "logitStream", refreshEvery,
       Seq("steps" -> steps.toLong,
         "lrDen" -> java.lang.Double.doubleToLongBits(lrDen),
-        "nFeatures" -> graft.operators.TextOps.LogitXCols.size.toLong),
+        "nFeatures" -> graft.operators.TextOps.LogitXCols.size.toLong,
+        // link 0 = logit, 1 = Poisson log-link (glmBatch): both pin it,
+        // so neither trainer can silently continue the other's sink
+        "link" -> 0L),
       b => graft.operators.TextOps.logitFeatures(b)
         .select(col("doc_id").cast("long").as("doc_id") +: col("y") +:
           graft.operators.TextOps.LogitXCols.map(col): _*),
@@ -1098,6 +1101,45 @@ object StreamingOps {
     * [[graft.operators.TextOps.logitTrainScore]] over the corpus as of
     * that version (same staleness contract as [[readTrainManifest]]). */
   def readLogitScores(spark: SparkSession, path: String): DataFrame =
+    readLatestManifest(spark, path, "doc_id LONG, label DOUBLE, logit DOUBLE")
+
+  /** [[logitStream]]'s Poisson (log-link) sibling — the fourth
+    * [[scheduleBatch]] instance, maintaining
+    * [[graft.operators.TextOps.glmTrainLog]]'s per-kilochar token-rate
+    * regression: the GD seam means the ONLY differences are the label
+    * expression in the delta and the mean function in the retrain.
+    * Serve with [[readGlmScores]]. */
+  def glmStream(docs: DataFrame, path: String, checkpoint: String,
+      steps: Int = 3, lrDen: Double = 4096.0, refreshEvery: Int = 1)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        glmBatch(batch, batchId, path, steps, lrDen, refreshEvery)
+      }
+
+  /** One [[glmStream]] micro-batch — [[logitBatch]]'s pinning contract
+    * (exact lrDen bits, nFeatures) plus `link` = 1 so a logit sink and a
+    * GLM sink can never silently continue each other. */
+  private[graft] def glmBatch(batch: DataFrame, batchId: Long, path: String,
+      steps: Int, lrDen: Double, refreshEvery: Int): Unit =
+    scheduleBatch(batch, batchId, path, "glmStream", refreshEvery,
+      Seq("steps" -> steps.toLong,
+        "lrDen" -> java.lang.Double.doubleToLongBits(lrDen),
+        "nFeatures" -> graft.operators.TextOps.LogitXCols.size.toLong,
+        "link" -> 1L),
+      b => graft.operators.TextOps.logitFeatures(b,
+          label = size(graft.functions.TextFns.tokens(col("text")))
+            .cast("double") / lit(1000.0))
+        .select(col("doc_id").cast("long").as("doc_id") +: col("y") +:
+          graft.operators.TextOps.LogitXCols.map(col): _*),
+      LogitDeltaDDL,
+      corpus => graft.operators.TextOps.logitScoreFeatures(corpus,
+        graft.operators.TextOps.glmTrainLog(corpus, steps = steps, lrDen = lrDen)))
+
+  /** The LIVE scored corpus of a [[glmStream]] sink. */
+  def readGlmScores(spark: SparkSession, path: String): DataFrame =
     readLatestManifest(spark, path, "doc_id LONG, label DOUBLE, logit DOUBLE")
 
   /** The shared core of the global-schedule maintainers

@@ -138,6 +138,24 @@ class LogitSpec extends SparkSpec {
     assert(e.getMessage.contains("schedule parameter mismatch"))
   }
 
+  test("streamed GLM == batch; a logit sink refuses a GLM restart (link pin)") {
+    val p = s"${tmpDir()}/glm"
+    StreamingOps.glmBatch(toy.filter(col("doc_id") < 40), 0L, p, 3, 4096.0, 1)
+    StreamingOps.glmBatch(toy.filter(col("doc_id") >= 40), 1L, p, 3, 4096.0, 1)
+    def feats(d: DataFrame) = TextOps.logitFeatures(d,
+      label = size(split(col("text"), " ")).cast("double") / lit(1000.0))
+    val f = feats(toy).localCheckpoint(true)
+    val batch = TextOps.logitScoreFeatures(f, TextOps.glmTrainLog(f, steps = 3))
+      .as[(Long, Double, Double)].collect().toSeq.sorted
+    assert(StreamingOps.readGlmScores(spark, p)
+      .as[(Long, Double, Double)].collect().toSeq.sorted == batch)
+    // the link id is pinned: the logit trainer must refuse this sink
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.logitBatch(toy, 2L, p, 3, 4096.0, 1)
+    }
+    assert(e.getMessage.contains("schedule parameter mismatch"))
+  }
+
   test("streamed feature maintenance == batch train-and-score; drift refused") {
     val p = s"${tmpDir()}/lg"
     val half1 = toy.filter(col("doc_id") < 40)
