@@ -698,14 +698,22 @@ object SparkEntry {
     * [[graft.operators.TextOps]]' `gdDescend` seam, SQL side. */
   private def descentOracleSql(ySql: String, muOf: String => String): String = {
     val xs = logitFeatureSql.map(_._1)
+    s"""WITH f AS (SELECT doc_id,
+      |  $ySql AS y,
+      |  ${logitFeatureSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+      |FROM documents)""".stripMargin + descentLoopSql(xs, muOf)
+  }
+
+  /** The descent loop + final scoring of the unrolled-CTE GD replay,
+    * over an ALREADY-DEFINED feature CTE `f(doc_id, y, xs...)` — shared
+    * by [[descentOracleSql]] (features from `documents`) and the Platt
+    * calibrator (features from another descent's scores). */
+  private def descentLoopSql(xs: Seq[String], muOf: String => String): String = {
     val steps = GraftConf.LogitStepsDefault
     def z(u: Int => String): String =
       xs.zipWithIndex.map { case (x, j) => s"(${u(j)} * 1e-8) * $x" }.mkString(" + ")
     val sb = new StringBuilder
-    sb ++= s"""WITH f AS (SELECT doc_id,
-      |  $ySql AS y,
-      |  ${logitFeatureSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
-      |FROM documents),
+    sb ++= s""",
       |w0 AS (SELECT ${xs.indices.map(j => s"CAST(0 AS BIGINT) AS u$j").mkString(", ")})"""
       .stripMargin
     for (s <- 1 to steps) {
@@ -724,6 +732,18 @@ object SparkEntry {
       |       floor((${z(j => s"u$j")}) * 1000000) / 1000000 AS logit
       |FROM f CROSS JOIN w$steps ORDER BY doc_id""".stripMargin
     sb.toString
+  }
+
+  /** Platt scaling replayed in SQL: the whole [[logitTrainOracleSql]]
+    * descent as a subquery, its scores re-entering a SECOND unrolled
+    * descent as the 1-d feature (bias + raw logit) — a descent over a
+    * descent from the same generator. */
+  private lazy val logitPlattOracleSql: String = {
+    val core = logitTrainOracleSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH scored AS ($core),
+      |f AS (SELECT doc_id, label AS y, CAST(1.0 AS DOUBLE) AS x0,
+      |             logit AS x1 FROM scored)""".stripMargin +
+      descentLoopSql(Seq("x0", "x1"), zz => s"1.0 / (1.0 + exp(-($zz)))")
   }
 
   /** The train→evaluate loop replayed in SQL: the whole
@@ -3812,6 +3832,38 @@ object SparkEntry {
       TextOps.classEval(scored
           .join(d.select(col("doc_id"), col("lang").as("label")), Seq("doc_id")))
         .orderBy(col("class"))
+    },
+
+    "g_pref_pairs" -> { (s, dir) => // DPO-style preference-pair
+      // assembly: per source, the i-th best document by the quality
+      // score (quantized to exact 1e-4 longs) pairs with the i-th worst
+      // as (chosen, rejected) — top-vs-bottom construction for
+      // preference training. Ranks via the two-phase grouped-rank
+      // machinery (mega-domain-safe); the strict score inequality drops
+      // equal-score, self, and reflected pairs. Oracle replays the
+      // single-window formulation the two-phase rank is spec-pinned to
+      // equal.
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+          .cast("long").as("score"))
+      CurationOps.preferencePairs(scored)
+        .orderBy(col("source"), col("pair_rank"))
+    },
+
+    "g_logit_platt" -> { (s, dir) => // Platt scaling — the calibration
+      // FIX for what g_logit_calibration measures: a second 1-d logistic
+      // descent (bias + raw logit) over the first descent's scores, both
+      // from the same GD seam. The oracle nests one unrolled descent
+      // inside another; a drifted gradient in EITHER flips every
+      // calibrated score.
+      val steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)
+      val f = TextOps.logitTrainScore(Tables.documents(s, dir), steps = steps)
+        .select(col("doc_id"), col("label").as("y"),
+          lit(1.0).as("x0"), col("logit").as("x1"))
+      TextOps.logitScoreFeatures(f,
+          TextOps.logitTrain(f, xCols = Seq("x0", "x1"), steps = steps),
+          xCols = Seq("x0", "x1"))
+        .orderBy(col("doc_id"))
     },
 
     "g_glm_poisson" -> { (s, dir) => // the GLM seam beyond the logit
@@ -7176,6 +7228,36 @@ object SparkEntry {
 
     // the streamed maintainer serves the SAME descent
     "q_stream_glm" -> glmPoissonOracleSql,
+
+    "g_logit_platt" -> logitPlattOracleSql,
+
+    "g_pref_pairs" ->
+      // single-window per-group ranks (the two-phase engine rank's
+      // spec-pinned equal); i-th best joins i-th worst on (source, i),
+      // strict inequality drops equal/self/reflected pairs
+      """WITH s AS (SELECT doc_id, source,
+        |        CAST(floor(least(greatest(
+        |          least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |          (len(list_distinct(string_split(text, ' '))) /
+        |           CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |          (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |                 CAST(length(text) AS DOUBLE)) * 0.2,
+        |          0.0), 1.0) * 10000) AS BIGINT) AS score
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+        |             AS BIGINT) - 1 AS rank,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM s),
+        |c AS (SELECT source, n - rank AS i, doc_id AS chosen_id,
+        |             score AS chosen_score FROM r),
+        |j AS (SELECT source, rank + 1 AS i, doc_id AS rejected_id,
+        |             score AS rejected_score FROM r)
+        |SELECT c.source, CAST(c.i AS BIGINT) AS pair_rank,
+        |       chosen_id, chosen_score, rejected_id, rejected_score
+        |FROM c JOIN j ON c.source = j.source AND c.i = j.i
+        |WHERE chosen_score > rejected_score
+        |ORDER BY c.source, pair_rank""".stripMargin,
     // the streamed count landing + fold IS the model (additive evidence)
     "q_stream_nb" -> nbLangidOracleSql,
 

@@ -903,6 +903,46 @@ object CurationOps {
         col("__r").as("rank"))
   }
 
+  /** DPO/RLHF-style preference-pair assembly from a scored corpus: per
+    * domain, the i-th BEST document pairs with the i-th WORST as
+    * (chosen, rejected) — the standard top-vs-bottom construction for
+    * preference training over quality-scored data. Ranks come from the
+    * two-phase [[rankBucketsByGroup]] machinery (scores must be
+    * non-negative longs, its DIV contract), so a mega-domain never
+    * serializes into one task; the descending rank is the exact mirror
+    * `n − rank`, and the pairing is an equi-join on (domain, i). The
+    * strict score inequality drops uninformative pairs: equal-score
+    * pairs carry no preference signal, the middle element of an odd
+    * domain would pair with itself, and every i past the midpoint is
+    * the reflection of an earlier pair. Deterministic in every engine
+    * (ties rank by id on both sides). Output: `(domainCol, pair_rank,
+    * chosen_id, chosen_score, rejected_id, rejected_score)`,
+    * pair_rank 1-based from the extremes inward. */
+  def preferencePairs(
+      scored: DataFrame,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      rangeWidth: Long = 64L): DataFrame = {
+    val ranked = Checkpoints.pin(
+      rankBucketsByGroup(scored, nBuckets = 1, domainCol, scoreCol, idCol,
+        rangeWidth),
+      reliable = false)
+    val totals = ranked.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val withN = ranked.join(totals, Seq(domainCol)) // AQE broadcasts domains
+    val chosen = withN.select(col(domainCol),
+      (col("__n") - col("rank")).as("__i"), // best (rank n−1) → i = 1
+      col(idCol).as("chosen_id"), col(scoreCol).as("chosen_score"))
+    val rejected = withN.select(col(domainCol),
+      (col("rank") + 1).as("__i"), // worst (rank 0) → i = 1
+      col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
+    chosen.join(rejected, Seq(domainCol, "__i"))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .select(col(domainCol), col("__i").as("pair_rank"),
+        col("chosen_id"), col("chosen_score"),
+        col("rejected_id"), col("rejected_score"))
+  }
+
   def exactQuantiles(
       df: DataFrame,
       ps: Seq[Double],

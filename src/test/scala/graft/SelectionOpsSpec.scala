@@ -310,4 +310,26 @@ class SelectionOpsSpec extends SparkSpec {
     assert(CurationOps.tokenBudgetSample(docs, 100000L, 0L, 4).count() == 50L)
     assert(CurationOps.tokenBudgetSample(docs, 0L, 0L, 4).count() == 0L)
   }
+
+  test("preferencePairs: extremes pair inward; equal/self/reflected pairs dropped") {
+    // domain a: scores 50..10 on ids 1..5 -> pairs (1,5),(2,4); the
+    // middle element self-pairs and drops. domain b: one equal-score
+    // pair -> no preference signal, drops entirely.
+    val scored = Seq(
+      ("a", 1L, 50L), ("a", 2L, 40L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("a", 5L, 10L), ("b", 6L, 7L), ("b", 7L, 7L))
+      .toDF("source", "doc_id", "score")
+    val got = CurationOps.preferencePairs(scored)
+      .select("source", "pair_rank", "chosen_id", "chosen_score",
+        "rejected_id", "rejected_score")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("a", 1L, 1L, 50L, 5L, 10L), ("a", 2L, 2L, 40L, 4L, 20L)))
+    // repartition-invariant (the two-phase rank's determinism carries)
+    val again = CurationOps.preferencePairs(scored.repartition(5))
+      .select("source", "pair_rank", "chosen_id", "chosen_score",
+        "rejected_id", "rejected_score")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(again == got)
+  }
 }
