@@ -988,6 +988,41 @@ object SparkEntry {
       |SELECT class, tp, fp, fn, precision_, recall_, f1, macro_f1
       |FROM prf CROSS JOIN mac ORDER BY class""".stripMargin
 
+  /** DoReMi-shaped EG reweighting replayed in SQL: the whole logit
+    * descent as a subquery, per-doc quantized losses joined to domains,
+    * one double division for each domain mean, then the unrolled EG
+    * steps (m_t = quantized w·exp(η·loss), w_t = m/Σ) over the bounded
+    * domain frame. */
+  private lazy val doremiOracleSql: String = {
+    val core = logitTrainOracleSql.stripSuffix(" ORDER BY doc_id")
+    val steps = GraftConf.LogitStepsDefault
+    val sb = new StringBuilder
+    sb ++= s"""WITH scored AS ($core),
+      |l AS (SELECT d.source,
+      |        CASE WHEN label = 1.0
+      |          THEN CAST(-ln(1.0 / (1.0 + exp(-logit))) AS DECIMAL(18,8))
+      |          ELSE CAST(-ln(1.0 - 1.0 / (1.0 + exp(-logit))) AS DECIMAL(18,8))
+      |        END AS loss
+      |      FROM scored JOIN documents d USING (doc_id)),
+      |dl AS (SELECT source, CAST(sum(loss) AS DOUBLE) / count(*) AS ml
+      |       FROM l GROUP BY 1),
+      |dd AS (SELECT count(*) AS d FROM dl),
+      |w0 AS (SELECT source, ml, 1.0 / d AS w FROM dl CROSS JOIN dd)""".stripMargin
+    for (s <- 1 to steps) {
+      sb ++= s""",
+        |m$s AS (SELECT source, ml,
+        |          CAST(w * exp(1.0 * ml) AS DECIMAL(18,8)) AS m FROM w${s - 1}),
+        |t$s AS (SELECT sum(m) AS t FROM m$s),
+        |w$s AS (SELECT source, ml, CAST(m AS DOUBLE) / CAST(t AS DOUBLE) AS w
+        |        FROM m$s CROSS JOIN t$s)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT source, floor(ml * 1000000) / 1000000 AS mean_loss,
+      |       floor(w * 1000000) / 1000000 AS weight
+      |FROM w$steps ORDER BY source""".stripMargin
+    sb.toString
+  }
+
   /** The NB train→evaluate loop replayed in SQL: the whole
     * [[nbLangidOracleSql]] pipeline as a subquery, labels joined back,
     * reduced to per-class one-vs-rest confusion counts,
@@ -1878,6 +1913,37 @@ object SparkEntry {
       s.table(name)
         .groupBy(col("eval_id"))
         .agg(countDistinct(col("shingle")).as("n_shared"))
+        .orderBy(col("eval_id"))
+    },
+
+    "q_stream_decontam" -> { (s, dir) => // stream-static SEMANTIC
+      // decontamination: eval embeddings stream in, probe ALL IVF cells
+      // (probe-all = lossless, the g_decontam_ivf contract) against the
+      // static train cell index, and every pair clearing the cosine
+      // threshold lands exactly once — stateless append, no join state.
+      // The per-eval argmax over the landed pairs must equal the batch
+      // g_decontam rows' flagged subset; rolled up here per eval doc.
+      import org.apache.spark.sql.streaming.Trigger
+      val name = "q_stream_decontam_sink"
+      s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val evalStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("label") === 0)
+      val train = Tables.embeddings(s, dir).filter(col("label") === 1)
+      val pairs = graft.streaming.StreamingOps.decontamStream(
+        evalStream, train, centroids = fixtureCentroids(64),
+        nProbe = KmFixtureK, threshold = 0.3)
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("eval_id"))
+        .agg(max(struct(col("sim"), (-col("train_id")).as("nt"),
+          col("train_id").as("t"))).as("m"),
+          count(lit(1)).as("n_flagged"))
+        .select(col("eval_id"), col("m.t").as("train_id"),
+          col("m.sim").as("sim"), col("n_flagged"))
         .orderBy(col("eval_id"))
     },
 
@@ -3832,6 +3898,23 @@ object SparkEntry {
       TextOps.classEval(scored
           .join(d.select(col("doc_id"), col("lang").as("label")), Seq("doc_id")))
         .orderBy(col("class"))
+    },
+
+    "g_doremi_weights" -> { (s, dir) => // DoReMi-shaped mixture
+      // reweighting: per-domain mean logistic loss of the trained
+      // classifier (quantized-decimal evidence), then T exponentiated-
+      // gradient steps over the bounded DOMAIN frame — high-loss domains
+      // gain weight (the group-DRO direction). The oracle replays the
+      // descent AND the EG iteration; every transcendental is quantized
+      // before its order-free sum.
+      val steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)
+      val scored = TextOps.logitTrainScore(Tables.documents(s, dir), steps = steps)
+      CurationOps.doremiWeights(
+          TextOps.logitLossPerDoc(scored)
+            .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+              Seq("doc_id")),
+          eta = 1.0, steps = steps)
+        .orderBy(col("source"))
     },
 
     "g_pref_pairs" -> { (s, dir) => // DPO-style preference-pair
@@ -7231,6 +7314,8 @@ object SparkEntry {
 
     "g_logit_platt" -> logitPlattOracleSql,
 
+    "g_doremi_weights" -> doremiOracleSql,
+
     "g_pref_pairs" ->
       // single-window per-group ranks (the two-phase engine rank's
       // spec-pinned equal); i-th best joins i-th worst on (source, i),
@@ -7302,6 +7387,30 @@ object SparkEntry {
 
     // probe-all == the exact cross product: one truth, one hash
     "g_decontam_ivf" -> oracleSqlDecontamSemantic,
+
+    "q_stream_decontam" ->
+      // the stream lands exactly the threshold-flagged pairs; rolled up
+      // per eval doc (argmax + flagged count) it must equal the brute
+      // truth over the same split
+      """WITH x AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS xv
+        |  FROM embeddings WHERE label = 0),
+        |y AS (
+        |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS yv
+        |  FROM embeddings WHERE label = 1),
+        |sc AS (
+        |  SELECT eval_id, train_id,
+        |    CAST(floor((list_dot_product(xv, yv) /
+        |      (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv)))) * 10000.0)
+        |      AS BIGINT) AS s
+        |  FROM x CROSS JOIN y),
+        |fl AS (SELECT * FROM sc WHERE s >= 3000),
+        |r AS (SELECT eval_id, train_id, s,
+        |        row_number() OVER (PARTITION BY eval_id ORDER BY s DESC, train_id) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY eval_id) AS BIGINT) AS n_flagged
+        |      FROM fl)
+        |SELECT eval_id, train_id, CAST(s AS DOUBLE) / 1e4 AS sim, n_flagged
+        |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin,
 
     "q_asof_lastview" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id

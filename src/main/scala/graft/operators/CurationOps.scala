@@ -943,6 +943,52 @@ object CurationOps {
         col("rejected_id"), col("rejected_score"))
   }
 
+  /** DoReMi-shaped domain-mixture reweighting via exponentiated
+    * gradient (Xie et al., "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining", NeurIPS 2023 — the EG update,
+    * simplified to a FIXED per-domain excess-loss signal rather than
+    * re-training the proxy between steps): start uniform over domains,
+    * then T times w_d ← w_d·exp(η·loss_d) / Σ. High-loss domains gain
+    * training weight — the standard group-DRO direction.
+    *
+    * Engine-replayable: `lossCol` arrives as the quantized decimal the
+    * caller computed ([[graft.operators.TextOps.logitLossPerDoc]]); the
+    * per-domain mean is ONE double division of an exact decimal sum;
+    * each EG step quantizes w·exp(η·loss) back to DECIMAL(18,8) before
+    * the normalization sum (order-free — the ln-quantization discipline
+    * applied to exp), and normalizes with one double division. All
+    * iteration state is the DOMAIN frame (bounded, broadcast-sized);
+    * the corpus is touched exactly once. Output:
+    * `(domainCol, mean_loss, weight)`, both 6-digit floored. */
+  def doremiWeights(
+      perDocLoss: DataFrame,
+      eta: Double = 1.0,
+      steps: Int = 3,
+      domainCol: String = "source",
+      lossCol: String = "loss"): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val dLoss = Checkpoints.pin(
+      perDocLoss.groupBy(col(domainCol))
+        .agg((sum(col(lossCol)).cast("double") / count(lit(1))).as("__l")),
+      reliable = false)
+    var w = dLoss
+      .crossJoin(broadcast(dLoss.agg(count(lit(1)).as("__d"))))
+      .select(col(domainCol), col("__l"), (lit(1.0) / col("__d")).as("__w"))
+    for (_ <- 1 to steps) {
+      val m = w.select(col(domainCol), col("__l"),
+        (col("__w") * exp(lit(eta) * col("__l"))).cast("decimal(18,8)").as("__m"))
+      val tot = m.agg(sum(col("__m")).as("__t"))
+      w = Checkpoints.pin(
+        m.crossJoin(broadcast(tot))
+          .select(col(domainCol), col("__l"),
+            (col("__m").cast("double") / col("__t").cast("double")).as("__w")),
+        reliable = false)
+    }
+    w.select(col(domainCol),
+      NumFns.floorAt(col("__l"), 6).as("mean_loss"),
+      NumFns.floorAt(col("__w"), 6).as("weight"))
+  }
+
   def exactQuantiles(
       df: DataFrame,
       ps: Seq[Double],

@@ -707,6 +707,20 @@ object TextOps {
           col("__su").cast("double") / col("n").cast("double") / lit(1e6), 6)
           .as("mean_logit"))
 
+  /** Per-doc logistic loss of a `(label, logit)`-scored frame, as an
+    * exact DECIMAL(18,8): y ∈ {0,1} selects one branch, so the loss is
+    * a single `ln` of the sigmoid (or its complement) on the floored
+    * logit, quantized BEFORE any aggregation — the engine-replayable
+    * evidence the mixing-weight learner ([[CurationOps.doremiWeights]])
+    * folds per domain. Output: input columns + `loss DECIMAL(18,8)`. */
+  def logitLossPerDoc(scored: DataFrame, labelCol: String = "label",
+      scoreCol: String = "logit"): DataFrame = {
+    val sig = lit(1.0) / (lit(1.0) + exp(-col(scoreCol)))
+    scored.withColumn("loss",
+      when(col(labelCol) === lit(1.0), (-log(sig)).cast("decimal(18,8)"))
+        .otherwise((-log(lit(1.0) - sig)).cast("decimal(18,8)")))
+  }
+
   /** Priors-only ablation of the NB classifier — the majority-class
     * baseline: every doc takes the class with the largest document
     * prior (ties break class-asc, the [[nbScore]] tie-break). Running

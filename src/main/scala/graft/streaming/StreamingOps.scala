@@ -2864,6 +2864,45 @@ object StreamingOps {
       .join(trainShingles, Seq("shingle"))
       .select(col("eval_id"), col("shingle"))
 
+  /** Stream-static SEMANTIC decontamination screen — the embedding-level
+    * sibling of [[contaminationStream]]: streaming eval embeddings probe
+    * their `nProbe` nearest IVF cells (one per-row codegen explode, the
+    * [[graft.operators.SimilarityOps.crossMaxCosineIvf]] candidate
+    * shape) and equi-join the STATIC train-side cell index; every
+    * (eval, train) pair whose quantized cosine clears `threshold` is
+    * emitted exactly once as it streams in. Stateless inner join, append
+    * mode — no watermark, no join state; the per-eval nearest-neighbor
+    * rollup stays a reader-side `max_by`, exactly like the shingle
+    * screen's per-doc rollup. At 100 TB the static side is the
+    * pre-partitioned cell index, and each arriving benchmark doc is
+    * screened as it lands. */
+  def decontamStream(
+      evalEmb: DataFrame,
+      train: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(evalEmb.sparkSession)
+    import graft.operators.SimilarityOps
+    import graft.plans.GraftFunctions
+    import graft.functions.VectorFns
+    val trainCells = train
+      .select(col(idCol).as("train_id"), VectorFns.toDouble(col(vecCol)).as("yv"))
+      .withColumn("cell", SimilarityOps.cellExpr(col("yv"), centroids))
+    evalEmb
+      .select(col(idCol).as("eval_id"), VectorFns.toDouble(col(vecCol)).as("xv"))
+      .select(col("eval_id"), col("xv"),
+        explode(SimilarityOps.topCellsExpr(col("xv"), centroids, nProbe)).as("cell"))
+      .join(trainCells, Seq("cell"))
+      .select(col("eval_id"), col("train_id"),
+        floor(GraftFunctions.cosine(col("xv"), col("yv")) * lit(1e4)).as("s"))
+      .filter(col("s") >= lit(math.round(threshold * 1e4)))
+      .select(col("eval_id"), col("train_id"),
+        (col("s").cast("double") / lit(1e4)).as("sim"))
+  }
+
   /** Stream-stream attribution join (the ad-attribution shape): every
     * `tgtType` event paired with the same user's `srcType` events from the
     * preceding `windowUs` — e.g. the views that led to a purchase. Both
