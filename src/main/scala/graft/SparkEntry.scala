@@ -1023,6 +1023,36 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The preference-pair construction replayed in SQL: single-window
+    * per-group ranks (the two-phase engine rank's spec-pinned equal);
+    * i-th best joins i-th worst on (source, i), strict inequality drops
+    * equal/self/reflected pairs. Shared by g_pref_pairs (batch) and
+    * q_stream_pref (the streamed periodic re-pair). */
+  private lazy val prefPairsOracleSql: String =
+    """WITH s AS (SELECT doc_id, source,
+        |        CAST(floor(least(greatest(
+        |          least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+        |          (len(list_distinct(string_split(text, ' '))) /
+        |           CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
+        |          (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
+        |                 CAST(length(text) AS DOUBLE)) * 0.2,
+        |          0.0), 1.0) * 10000) AS BIGINT) AS score
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+        |             AS BIGINT) - 1 AS rank,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM s),
+        |c AS (SELECT source, n - rank AS i, doc_id AS chosen_id,
+        |             score AS chosen_score FROM r),
+        |j AS (SELECT source, rank + 1 AS i, doc_id AS rejected_id,
+        |             score AS rejected_score FROM r)
+        |SELECT c.source, CAST(c.i AS BIGINT) AS pair_rank,
+        |       chosen_id, chosen_score, rejected_id, rejected_score
+        |FROM c JOIN j ON c.source = j.source AND c.i = j.i
+        |WHERE chosen_score > rejected_score
+        |ORDER BY c.source, pair_rank""".stripMargin
+
   /** The NB train→evaluate loop replayed in SQL: the whole
     * [[nbLangidOracleSql]] pipeline as a subquery, labels joined back,
     * reduced to per-class one-vs-rest confusion counts,
@@ -3930,6 +3960,29 @@ object SparkEntry {
         floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
           .cast("long").as("score"))
       CurationOps.preferencePairs(scored)
+        .orderBy(col("source"), col("pair_rank"))
+    },
+
+    "q_stream_pref" -> { (s, dir) => // maintained preference pairs,
+      // oracle side: an AvailableNow run of prefPairsStream lands the
+      // slim (doc_id, source, score) evidence and re-pairs on refresh —
+      // the served pairs must be bit-equal to the batch g_pref_pairs
+      // (shared oracle hash). Pairing is a global function of each
+      // domain's ranking, so the scheduleBatch periodic-re-derive
+      // contract applies.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_pref_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("source"),
+          floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+            .cast("long").as("score"))
+      val q = graft.streaming.StreamingOps
+        .prefPairsStream(src, s"$out/idx", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readPrefPairs(s, s"$out/idx")
         .orderBy(col("source"), col("pair_rank"))
     },
 
@@ -7316,33 +7369,10 @@ object SparkEntry {
 
     "g_doremi_weights" -> doremiOracleSql,
 
-    "g_pref_pairs" ->
-      // single-window per-group ranks (the two-phase engine rank's
-      // spec-pinned equal); i-th best joins i-th worst on (source, i),
-      // strict inequality drops equal/self/reflected pairs
-      """WITH s AS (SELECT doc_id, source,
-        |        CAST(floor(least(greatest(
-        |          least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
-        |          (len(list_distinct(string_split(text, ' '))) /
-        |           CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 +
-        |          (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) /
-        |                 CAST(length(text) AS DOUBLE)) * 0.2,
-        |          0.0), 1.0) * 10000) AS BIGINT) AS score
-        |      FROM documents),
-        |r AS (SELECT doc_id, source, score,
-        |        CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
-        |             AS BIGINT) - 1 AS rank,
-        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-        |      FROM s),
-        |c AS (SELECT source, n - rank AS i, doc_id AS chosen_id,
-        |             score AS chosen_score FROM r),
-        |j AS (SELECT source, rank + 1 AS i, doc_id AS rejected_id,
-        |             score AS rejected_score FROM r)
-        |SELECT c.source, CAST(c.i AS BIGINT) AS pair_rank,
-        |       chosen_id, chosen_score, rejected_id, rejected_score
-        |FROM c JOIN j ON c.source = j.source AND c.i = j.i
-        |WHERE chosen_score > rejected_score
-        |ORDER BY c.source, pair_rank""".stripMargin,
+    "g_pref_pairs" -> prefPairsOracleSql,
+
+    // the streamed maintainer re-pairs the SAME construction
+    "q_stream_pref" -> prefPairsOracleSql,
     // the streamed count landing + fold IS the model (additive evidence)
     "q_stream_nb" -> nbLangidOracleSql,
 

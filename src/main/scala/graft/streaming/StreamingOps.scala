@@ -1142,6 +1142,49 @@ object StreamingOps {
   def readGlmScores(spark: SparkSession, path: String): DataFrame =
     readLatestManifest(spark, path, "doc_id LONG, label DOUBLE, logit DOUBLE")
 
+  /** Streaming preference-pair maintenance — the fifth [[scheduleBatch]]
+    * instance: [[graft.operators.CurationOps.preferencePairs]]' pairing
+    * is a global function of each domain's full ranking (every arriving
+    * doc can shift which extremes pair), so the same
+    * land-slim-evidence / periodic re-pair contract applies. Per batch
+    * the `(doc_id, source, score)` evidence lands (the caller's
+    * quantized quality score — map-only, text never retained); every
+    * `refreshEvery`-th batch re-pairs from the accumulated corpus into a
+    * latest-wins version. Serve with [[readPrefPairs]]. */
+  def prefPairsStream(docs: DataFrame, path: String, checkpoint: String,
+      refreshEvery: Int = 1, rangeWidth: Long = 64L,
+      domainCol: String = "source", idCol: String = "doc_id",
+      scoreCol: String = "score"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        prefPairsBatch(batch, batchId, path, refreshEvery, rangeWidth,
+          domainCol, idCol, scoreCol)
+      }
+
+  /** One [[prefPairsStream]] micro-batch. */
+  private[graft] def prefPairsBatch(batch: DataFrame, batchId: Long,
+      path: String, refreshEvery: Int, rangeWidth: Long, domainCol: String,
+      idCol: String, scoreCol: String): Unit =
+    scheduleBatch(batch, batchId, path, "prefPairsStream", refreshEvery,
+      Seq("rangeWidth" -> rangeWidth),
+      b => b.select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).cast("string").as("source"),
+        col(scoreCol).cast("long").as("score")),
+      "doc_id LONG, source STRING, score LONG",
+      corpus => graft.operators.CurationOps.preferencePairs(
+        corpus, "source", "doc_id", "score", rangeWidth))
+
+  /** The LIVE preference pairs of a [[prefPairsStream]] sink — the
+    * newest committed re-pair, exactly
+    * [[graft.operators.CurationOps.preferencePairs]] over the corpus as
+    * of that version (the [[readTrainManifest]] staleness contract). */
+  def readPrefPairs(spark: SparkSession, path: String): DataFrame =
+    readLatestManifest(spark, path,
+      "source STRING, pair_rank LONG, chosen_id LONG, chosen_score LONG, " +
+        "rejected_id LONG, rejected_score LONG")
+
   /** The shared core of the global-schedule maintainers
     * ([[manifestStream]], [[curriculumStream]]): a schedule that is a
     * global function of the corpus (waterfilling level, corpus-wide rank

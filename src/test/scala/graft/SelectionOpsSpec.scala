@@ -332,4 +332,25 @@ class SelectionOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
     assert(again == got)
   }
+
+  test("prefPairsStream: served pairs == batch preferencePairs; replay overwrites") {
+    val p = s"${tmpDir()}/pp"
+    val scored = (0L until 40L).map(i => (s"src${i % 3}", i, (i * 7) % 100))
+      .toDF("source", "doc_id", "score")
+    val half1 = scored.filter(col("doc_id") < 20)
+    val half2 = scored.filter(col("doc_id") >= 20)
+    graft.streaming.StreamingOps.prefPairsBatch(half1, 0L, p, 1, 64L,
+      "source", "doc_id", "score")
+    graft.streaming.StreamingOps.prefPairsBatch(half2, 1L, p, 1, 64L,
+      "source", "doc_id", "score")
+    def served = graft.streaming.StreamingOps.readPrefPairs(spark, p)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val batch = CurationOps.preferencePairs(scored)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(served == batch)
+    // checkpoint replay of the newest batch overwrites, never duplicates
+    graft.streaming.StreamingOps.prefPairsBatch(half2, 1L, p, 1, 64L,
+      "source", "doc_id", "score")
+    assert(served == batch)
+  }
 }
