@@ -961,32 +961,23 @@ object SparkEntry {
     * baseline (doc-prior argmax, class-asc tie-break) through the same
     * classEval pivot as [[nbEvalOracleSql]]. */
   private lazy val nbPriorsOracleSql: String =
-    """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-      |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-      |top AS (SELECT lang AS pred FROM lm GROUP BY lang
-      |        ORDER BY count(*) DESC, lang LIMIT 1),
-      |lab AS (SELECT sc.doc_id, sc.lang AS label, top.pred
-      |        FROM sc CROSS JOIN top),
-      |cl AS (SELECT DISTINCT label AS class FROM lab
-      |       UNION SELECT DISTINCT pred FROM lab),
-      |base AS (SELECT class,
-      |  CAST(sum(CASE WHEN label = class AND pred = class THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-      |  CAST(sum(CASE WHEN label <> class AND pred = class THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-      |  CAST(sum(CASE WHEN label = class AND pred <> class THEN 1 ELSE 0 END) AS BIGINT) AS fn
-      |  FROM lab CROSS JOIN cl GROUP BY class),
-      |prf AS (SELECT class, tp, fp, fn,
-      |  floor(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
-      |        ELSE 0.0 END * 1000000) / 1000000 AS precision_,
-      |  floor(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
-      |        ELSE 0.0 END * 1000000) / 1000000 AS recall_,
-      |  floor(CASE WHEN 2 * tp + fp + fn > 0
-      |        THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
-      |        ELSE 0.0 END * 1000000) / 1000000 AS f1
-      |  FROM base),
-      |mac AS (SELECT floor(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
-      |               / count(*) * 1000000) / 1000000 AS macro_f1 FROM prf)
-      |SELECT class, tp, fp, fn, precision_, recall_, f1, macro_f1
-      |FROM prf CROSS JOIN mac ORDER BY class""".stripMargin
+    classEvalPivotSql(
+      """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |top AS (SELECT lang AS pred FROM lm GROUP BY lang
+        |        ORDER BY count(*) DESC, lang LIMIT 1),
+        |lab AS (SELECT sc.doc_id, sc.lang AS label, top.pred
+        |        FROM sc CROSS JOIN top)""".stripMargin)
+
+  /** The heuristic language id through the same pivot — the third point
+    * of the heuristic / trained-NB / priors-only comparison triple. */
+  private lazy val langidEvalOracleSql: String =
+    classEvalPivotSql(
+      """WITH lab AS (SELECT doc_id, lang AS label,
+        |  CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+        |         ['the','a','of','and','to','in','is'])) >= 2
+        |    THEN 'en' ELSE 'other' END AS pred
+        |  FROM documents WHERE doc_id % 2 = 1)""".stripMargin)
 
   /** DoReMi-shaped EG reweighting replayed in SQL: the whole logit
     * descent as a subquery, per-doc quantized losses joined to domains,
@@ -1058,11 +1049,18 @@ object SparkEntry {
     * reduced to per-class one-vs-rest confusion counts,
     * precision/recall/F1 (single-division 6-digit-floored forms) and
     * the macro-F1 (floored-F1 mean over exact decimals). */
-  private lazy val nbEvalOracleSql: String = {
-    val core = nbLangidOracleSql.stripSuffix(" ORDER BY doc_id")
-    s"""WITH nb AS ($core),
+  private lazy val nbEvalOracleSql: String =
+    classEvalPivotSql(s"""WITH nb AS (${nbLangidOracleSql.stripSuffix(" ORDER BY doc_id")}),
       |lab AS (SELECT nb.doc_id, d.lang AS label, nb.pred
-      |        FROM nb JOIN documents d USING (doc_id)),
+      |        FROM nb JOIN documents d USING (doc_id))""".stripMargin)
+
+  /** The shared classEval pivot tail ([[graft.operators.TextOps.classEval]]
+    * in SQL): per-class one-vs-rest confusion over the label ∪ pred
+    * class list, P/R/F1 single-division floored, macro-F1 over exact
+    * decimals — appended to a WITH-prefix that defines
+    * `lab(doc_id, label, pred)`. */
+  private def classEvalPivotSql(labPrefix: String): String =
+    s"""$labPrefix,
       |cl AS (SELECT DISTINCT label AS class FROM lab
       |       UNION SELECT DISTINCT pred FROM lab),
       |base AS (SELECT class,
@@ -1083,7 +1081,6 @@ object SparkEntry {
       |               / count(*) * 1000000) / 1000000 AS macro_f1 FROM prf)
       |SELECT class, tp, fp, fn, precision_, recall_, f1, macro_f1
       |FROM prf CROSS JOIN mac ORDER BY class""".stripMargin
-  }
 
   /** Interpolated Kneser–Ney TRIGRAM scoring replayed in SQL — shared by
     * g_kn3_score and q_stream_kn3. Mirrors
@@ -4109,6 +4106,19 @@ object SparkEntry {
       TextOps.nbScore(
           Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), ncw, cls)
         .orderBy(col("doc_id"))
+    },
+
+    "g_langid_eval" -> { (s, dir) => // the HEURISTIC language id through
+      // the same classEval pivot as g_nb_eval/g_nb_priors — the third
+      // point of the comparison triple (heuristic / trained NB /
+      // priors-only), on the same held-out odd-id half. The heuristic
+      // only ever guesses en/other, so the union class list keeps every
+      // label's recall row (zero where it never predicts).
+      val d = Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+      TextOps.classEval(
+          TextOps.langId(d).select(col("doc_id"),
+            col("lang_label").as("label"), col("lang_guess").as("pred")))
+        .orderBy(col("class"))
     },
 
     "g_nb_eval" -> { (s, dir) => // the NB train→evaluate loop closed the
@@ -7349,6 +7359,8 @@ object SparkEntry {
     "g_nb_langid" -> nbLangidOracleSql,
 
     "g_nb_eval" -> nbEvalOracleSql,
+
+    "g_langid_eval" -> langidEvalOracleSql,
 
     "g_nb_priors" -> nbPriorsOracleSql,
 

@@ -278,4 +278,32 @@ class CosineStreamingSpec extends SparkSpec {
       assert(got == Set((2024010, "click", 2L), (2024011, "view", 1L)))
     } finally q.stop()
   }
+
+  test("decontamStream: probe-all emits exactly the threshold-flagged pairs; reduced probes subset") {
+    // 2D fixture, two obvious cells: train along +x / +y; eval near +x
+    // and near the diagonal
+    val train = Seq(
+      (100L, Seq(1.0f, 0.0f), 1), (101L, Seq(0.9f, 0.1f), 1),
+      (102L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val evalE = Seq(
+      (1L, Seq(1.0f, 0.05f), 0), (2L, Seq(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    def pairs(nProbe: Int) = StreamingOps.decontamStream(
+        evalE, train, cents, nProbe, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // probe-all == the batch brute truth over the same threshold
+    val brute = graft.operators.SimilarityOps.crossMaxCosine(
+        evalE.unionByName(train), evalLabel = 0, trainLabel = 1, threshold = 0.9)
+      .filter(col("contaminated"))
+      .select(col("eval_id"), col("train_id"), col("sim"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val all = pairs(nProbe = 2)
+    // the brute argmax rows are a subset of the flagged pair stream
+    assert(brute.forall(all.contains), s"$brute not within $all")
+    assert(all.forall(_._3 >= 0.9))
+    // reduced probes emit a subset (never a fabricated pair)
+    val one = pairs(nProbe = 1)
+    assert(one.forall(all.contains))
+  }
 }
