@@ -1284,6 +1284,18 @@ object StreamingOps {
     foldBatchDirsLatestWins(spark, s"$path/_docs", LogitDeltaDDL,
       keyCols = Seq("doc_id"))
 
+  /** [[compactManifestState]] for a [[glmStream]] sink (same delta
+    * schema as the logit sink — the GD seam — but named per sink so a
+    * future schema split can't silently fold the wrong shape). */
+  def compactGlmState(spark: SparkSession, path: String): Unit =
+    foldBatchDirsLatestWins(spark, s"$path/_docs", LogitDeltaDDL,
+      keyCols = Seq("doc_id"))
+
+  /** [[compactManifestState]] for a [[prefPairsStream]] sink. */
+  def compactPrefState(spark: SparkSession, path: String): Unit =
+    foldBatchDirsLatestWins(spark, s"$path/_docs",
+      "doc_id LONG, source STRING, score LONG", keyCols = Seq("doc_id"))
+
   /** Prune a schedule sink's superseded full-manifest versions, keeping
     * the newest `keepVersions` — each version is O(corpus-span-count)
     * rows, so unbounded retention is O(refreshes × corpus) storage on a

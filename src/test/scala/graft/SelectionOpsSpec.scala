@@ -352,5 +352,18 @@ class SelectionOpsSpec extends SparkSpec {
     graft.streaming.StreamingOps.prefPairsBatch(half2, 1L, p, 1, 64L,
       "source", "doc_id", "score")
     assert(served == batch)
+    // retention: deltas fold latest-wins (newest protected), manifest
+    // versions vacuum to the newest; serving unchanged, and a refresh
+    // over the folded layout recomputes identically
+    graft.streaming.StreamingOps.compactPrefState(spark, p)
+    def dirs(sub: String) = new java.io.File(s"$p/$sub").listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+    assert(dirs("_docs") == Seq("__batch=-1", "__batch=1"))
+    assert(served == batch)
+    graft.streaming.StreamingOps.vacuumScheduleManifests(spark, p)
+    assert(dirs("manifest") == Seq("__batch=1"))
+    graft.streaming.StreamingOps.prefPairsBatch(half2, 1L, p, 1, 64L,
+      "source", "doc_id", "score")
+    assert(served == batch)
   }
 }
