@@ -4108,6 +4108,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_mink_prob" -> { (s, dir) => // min-K% probability membership
+      // signal (Shi et al. 2024): per eval doc, the mean of its 20%
+      // lowest token log-probs under the train half's add-one unigram
+      // LM — the model-side memorization audit next to g_novelty's
+      // n-gram one. Value-cutoff selection over the per-(doc, lp)
+      // multiplicity frame (tie-straddling is sum-unique), quantized
+      // ln, one division; the oracle replays LM, cutoff, and boundary
+      // arithmetic.
+      val d = Tables.documents(s, dir)
+      TextOps.minKProb(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          kPercent = 20)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_novelty" -> { (s, dir) => // memorization audit: per eval doc, the
+      // fraction of its distinct 3-shingles NOT in the train half's
+      // shingle set — contamination's per-doc inverse (near-zero novelty
+      // = memorization suspect / leak). One shingle-keyed left join;
+      // string shingles here so the oracle replays exactly (hashed=true
+      // is the 8-byte production path, collision-only approximation).
+      val d = Tables.documents(s, dir)
+      CurationOps.noveltyScore(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          k = 3, hashed = false)
+        .orderBy(col("doc_id"))
+    },
+
     "g_langid_eval" -> { (s, dir) => // the HEURISTIC language id through
       // the same classEval pivot as g_nb_eval/g_nb_priors — the third
       // point of the comparison triple (heuristic / trained NB /
@@ -7361,6 +7389,55 @@ object SparkEntry {
     "g_nb_eval" -> nbEvalOracleSql,
 
     "g_langid_eval" -> langidEvalOracleSql,
+
+    "g_mink_prob" ->
+      // LM type counts + 1-row (T, V); per-(doc, lp) multiplicities;
+      // bottom-k by value cutoff with the boundary group contributing
+      // least(m, k - seen) copies; k = ceil(0.2·n) in DOUBLE both sides
+      """WITH lm AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |sc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM lm) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM cnt),
+        |dt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS m0
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM sc)
+        |       GROUP BY 1, 2),
+        |lpj AS (SELECT doc_id,
+        |          CAST(ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (t + v))
+        |               AS DECIMAL(18,8)) AS lp,
+        |          m0
+        |        FROM dt LEFT JOIN cnt USING (w) CROSS JOIN tot),
+        |g AS (SELECT doc_id, lp, CAST(sum(m0) AS BIGINT) AS m FROM lpj GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lp, m,
+        |        CAST(sum(m) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+        |        CAST(coalesce(sum(m) OVER (PARTITION BY doc_id ORDER BY lp
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+        |      FROM g),
+        |s AS (SELECT doc_id, n,
+        |        CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT) AS k, lp,
+        |        least(m, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT) - bef) AS take
+        |      FROM r WHERE bef < CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |       floor(CAST(sum(lp * CAST(take AS DECIMAL(10,0))) AS DOUBLE)
+        |             / CAST(max(k) AS DOUBLE) * 10000) / 10000 AS mink_mean
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g_novelty" ->
+      // the contamination shingle shape, per-doc inverse: distinct eval
+      // shingles left-join the train distinct-shingle set
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |tr AS (SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE doc_id % 2 = 0),
+        |ev AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 2 = 1)
+        |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |       floor((1.0 - CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / count(*)) * 1000000) / 1000000 AS novelty_frac
+        |FROM ev LEFT JOIN tr USING (shingle)
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
 
     "g_nb_priors" -> nbPriorsOracleSql,
 

@@ -127,6 +127,38 @@ object CurationOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-doc n-gram NOVELTY against a reference corpus — the
+    * memorization-audit inverse of [[contamination]]: for every eval
+    * document, the fraction of its DISTINCT k-shingles NOT present in
+    * the reference corpus' distinct-shingle set. 1.0 = fully novel
+    * text; near 0.0 = almost every n-gram was seen in training (a
+    * memorization-suspect generation, or a leak). Exact count ratio,
+    * 6-digit floor. Plan: per-doc distinct eval shingles LEFT-join the
+    * train index once on the shingle key (8-byte hashed keys at scale
+    * via `hashed = true` — the [[contamination]] collision analysis
+    * carries); short docs (< k tokens) shingle to their whole text (the
+    * shingleRows convention), so every doc gets a row. Output:
+    * `(doc_id, n_shingles, n_seen, novelty_frac)`. */
+  def noveltyScore(
+      evalDocs: DataFrame,
+      train: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashed: Boolean = true): DataFrame = {
+    val trainShingles = shingleRows(train, k, idCol, textCol, hashed)
+      .select(col("shingle")).distinct().withColumn("__hit", lit(1))
+    shingleRows(evalDocs, k, idCol, textCol, hashed).distinct()
+      .join(trainShingles, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        NumFns.floorAt(
+          lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6)
+          .as("novelty_frac"))
+  }
+
   /** Intra-document repetition: 1 - distinct/total k-token shingles
     * (0 = no repetition). The Gopher/RefinedWeb-style quality signal for
     * filtering boilerplate and degenerate generations. */

@@ -721,6 +721,68 @@ object TextOps {
         .otherwise((-log(lit(1.0) - sig)).cast("decimal(18,8)")))
   }
 
+  /** Min-K% probability membership signal (Shi et al., "Detecting
+    * Pretraining Data from Large Language Models", ICLR 2024): per doc,
+    * the mean of its k-percent LOWEST token log-probabilities under a
+    * reference unigram LM (add-one smoothing over exact counts).
+    * Training-set members lack the low-probability outlier tokens fresh
+    * text has, so a HIGH min-K% mean flags a membership suspect — the
+    * model-side complement of the n-gram novelty audit.
+    *
+    * Determinism: each distinct token's ln((c+1)/(T+V)) quantizes to
+    * DECIMAL(18,8); the bottom set is selected by VALUE cutoff over the
+    * per-(doc, lp) multiplicity frame — the sum of the m smallest values
+    * is unique even when tied instances straddle the cutoff, so no
+    * per-instance ordering exists to drift; the boundary group
+    * contributes `least(m, k − seen)` copies. One double division at
+    * the end, 4-digit floor. The k = ceil(pct·n) count is computed in
+    * DOUBLE on both engines (a decimal 0.2 would ceil differently on
+    * exact multiples).
+    *
+    * Plan: the LM is one hash agg (type counts) + a 1-row broadcast
+    * (T, V); docs collapse to distinct (doc, token) with multiplicities
+    * BEFORE the model join; the cutoff windows run per doc over the
+    * doc's distinct-lp frame (bounded by doc vocabulary, never
+    * corpus-keyed). Output: `(idCol, n_tokens, mink_mean)`. */
+  def minKProb(
+      docs: DataFrame,
+      lmDocs: DataFrame,
+      kPercent: Int = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(kPercent >= 1 && kPercent <= 100, "kPercent in [1, 100]")
+    val cnt = Checkpoints.pin(
+      lmDocs.select(explode(TextFns.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("__c")),
+      reliable = false)
+    val tot = cnt.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
+    val dtoks = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__m0"))
+    val lp = log((coalesce(col("__c"), lit(0L)).cast("double") + lit(1.0))
+      / (col("__t") + col("__v"))).cast("decimal(18,8)")
+    val byLp = dtoks.join(cnt, Seq("w"), "left").crossJoin(broadcast(tot))
+      .select(col(idCol), lp.as("__lp"), col("__m0"))
+      .groupBy(col(idCol), col("__lp")).agg(sum(col("__m0")).as("__m"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val wAsc = Window.partitionBy(col(idCol)).orderBy(col("__lp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byLp
+      .withColumn("__n", sum(col("__m")).over(wDoc))
+      .withColumn("__bef", coalesce(sum(col("__m")).over(wAsc), lit(0L)))
+      .withColumn("__k",
+        ceil(lit(kPercent / 100.0) * col("__n")).cast("long"))
+      .filter(col("__bef") < col("__k"))
+      .withColumn("__take", least(col("__m"), col("__k") - col("__bef")))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("n_tokens"), max(col("__k")).as("__kk"),
+        sum(col("__lp") * col("__take").cast("decimal(10,0)")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        NumFns.floorAt(
+          col("__s").cast("double") / col("__kk").cast("double"), 4)
+          .as("mink_mean"))
+  }
+
   /** Priors-only ablation of the NB classifier — the majority-class
     * baseline: every doc takes the class with the largest document
     * prior (ties break class-asc, the [[nbScore]] tie-break). Running

@@ -287,4 +287,22 @@ class TextOpsSpec extends SparkSpec {
     // single-character words: zero adjacent pairs, zero merges
     assert(TextOps.learnBpe(docs, 4) == Seq())
   }
+
+  test("minKProb: LM-member text outscores fresh text; novelty is its n-gram mirror") {
+    val lm = (0L until 30L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val evalD = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // member: all in-LM
+      (101L, "qq ww ee rr tt yy")) // fresh: every token unseen
+      .toDF("doc_id", "text")
+    val mink = TextOps.minKProb(evalD, lm)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(mink(100L) > mink(101L),
+      s"member ${mink(100L)} should outscore fresh ${mink(101L)}")
+    val nov = graft.operators.CurationOps.noveltyScore(evalD, lm, hashed = false)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(nov(100L) == 0.0, "member text has zero novel shingles")
+    assert(nov(101L) == 1.0, "fresh text is fully novel")
+  }
 }
