@@ -4108,6 +4108,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_zipf_fit" -> { (s, dir) => // corpus-health diagnostic: per-lang
+      // OLS slope/intercept of ln(freq) vs ln(rank) over the top-100
+      // token types (natural text ~ slope −1; flat/steep slopes flag
+      // templated or degenerate sources). Exact rank cut, quantized
+      // logs, exact decimal OLS sums, fixed-shape double closed form —
+      // the oracle replays all of it. Windows run over the Zipf-bounded
+      // TYPE frame only.
+      TextOps.zipfFit(Tables.documents(s, dir), topN = 100)
+        .orderBy(col("lang"))
+    },
+
     "g_mink_prob" -> { (s, dir) => // min-K% probability membership
       // signal (Shi et al. 2024): per eval doc, the mean of its 20%
       // lowest token log-probs under the train half's add-one unigram
@@ -7389,6 +7400,33 @@ object SparkEntry {
     "g_nb_eval" -> nbEvalOracleSql,
 
     "g_langid_eval" -> langidEvalOracleSql,
+
+    "g_zipf_fit" ->
+      // exact (count desc, token asc) top-100 cut per lang; quantized
+      // logs; exact decimal OLS sums; fixed-shape double closed form
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+        |r AS (SELECT lang, c,
+        |        row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+        |      FROM c),
+        |q AS (SELECT lang,
+        |        CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,8)) AS x,
+        |        CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,8)) AS y
+        |      FROM r WHERE r <= 100),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM q GROUP BY 1),
+        |b AS (SELECT lang, n, sx, sy,
+        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |      FROM a)
+        |SELECT lang, n AS n_top,
+        |       floor(slope * 1000000) / 1000000 AS slope,
+        |       floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |             / CAST(n AS DOUBLE) * 1000000) / 1000000 AS intercept
+        |FROM b ORDER BY lang""".stripMargin,
 
     "g_mink_prob" ->
       // LM type counts + 1-row (T, V); per-(doc, lp) multiplicities;

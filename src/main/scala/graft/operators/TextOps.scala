@@ -1163,6 +1163,48 @@ object TextOps {
             / count(lit(1)).cast("double"), 6).as("oov_frac"))
   }
 
+  /** Zipf-fit diagnostic: per language, the OLS slope/intercept of
+    * ln(freq) vs ln(rank) over the top-`topN` token types — the
+    * corpus-health check a data pipeline runs per ingest (natural text
+    * sits near slope −1; strongly flatter/steeper slopes flag templated
+    * or degenerate sources). Deterministic closed form: ranks come from
+    * the exact (count desc, token asc) cut, both logs quantize to
+    * DECIMAL(18,8), the four OLS sums are exact decimal sums (products
+    * of two 8-dp decimals stay exact at (37,16) — no silent scale
+    * reduction), and the slope/intercept are fixed-shape double
+    * expressions over those exact sums, 6-digit floored.
+    *
+    * Plan: one hash agg to type counts, a per-language window over the
+    * TYPE frame (Zipf-bounded, never token-occurrence-sized), one final
+    * per-language agg. Output: `(groupCol, n_top, slope, intercept)`. */
+  def zipfFit(docs: DataFrame, topN: Int = 100,
+      groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    val counts = docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col("tok"))
+    val q = counts.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topN)
+      .select(col(groupCol),
+        log(col("__r").cast("double")).cast("decimal(18,8)").as("__x"),
+        log(col("__c").cast("double")).cast("decimal(18,8)").as("__y"))
+    val nD = col("__n").cast("double")
+    val sxD = col("__sx").cast("double"); val syD = col("__sy").cast("double")
+    q.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__slope",
+        (nD * col("__sxy").cast("double") - sxD * syD)
+          / (nD * col("__sxx").cast("double") - sxD * sxD))
+      .select(col(groupCol), col("__n").as("n_top"),
+        NumFns.floorAt(col("__slope"), 6).as("slope"),
+        NumFns.floorAt((syD - col("__slope") * sxD) / nD, 6).as("intercept"))
+  }
+
   /** Sketch-based vocabulary cardinality: HLL++ distinct-token estimate
     * per language. The 100 TB point of the sketch: the partial aggregate
     * is a FIXED-SIZE register set (map-side combined, bytes per
