@@ -15,6 +15,23 @@ import org.apache.spark.sql.DataFrame
   * loss, at the cost of a write to the checkpoint filesystem.
   */
 object Checkpoints {
-  def pin(df: DataFrame, reliable: Boolean): DataFrame =
+
+  /** PlanAudit's pin seam: `localCheckpoint` truncates lineage, so any
+    * audit of a FINAL plan alone is blind to the subplan a pin already
+    * executed (a cartesian inside a pinned frame audits as zero). While
+    * an observer is installed, every [[pin]] first reports its PRE-pin
+    * executed plan string; outside an audit this is `None` and pin pays
+    * nothing. Single-audit-process seam (a volatile, not a registry) —
+    * the audit tools run queries sequentially. */
+  @volatile private var observer: Option[String => Unit] = None
+
+  def observePins[T](cb: String => Unit)(body: => T): T = {
+    observer = Some(cb)
+    try body finally observer = None
+  }
+
+  def pin(df: DataFrame, reliable: Boolean): DataFrame = {
+    observer.foreach(cb => cb(df.queryExecution.executedPlan.toString))
     if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+  }
 }

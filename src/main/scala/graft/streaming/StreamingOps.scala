@@ -1305,18 +1305,31 @@ object StreamingOps {
     * so dropping older versions races neither; a reader that LISTED
     * before the vacuum may still be scanning a dropped version — size
     * `keepVersions` to the reader horizon (the
-    * [[graft.sources.Generations.vacuum]] retention contract). */
+    * [[graft.sources.Generations.vacuum]] retention contract).
+    *
+    * Crash-safety: only versions carrying a `_SUCCESS` marker COUNT as
+    * kept — a version mid-write (or left partial by a crash) must never
+    * displace the last complete one out of the keep window, or readers
+    * would serve a partial manifest until the stream replays the batch.
+    * Deletion therefore prunes strictly BELOW the oldest kept complete
+    * version (which also removes crashed partials older than it); with
+    * no complete version at all, nothing is deleted. */
   def vacuumScheduleManifests(spark: SparkSession, path: String,
       keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return
-    f.listStatus(p).toSeq.map(_.getPath)
+    val dirs = f.listStatus(p).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("__batch="))
-      .sortBy(-_.getName.stripPrefix("__batch=").toLong)
-      .drop(keepVersions)
-      .foreach(d => f.delete(d, true): Unit)
+    def batchOf(d: org.apache.hadoop.fs.Path): Long =
+      d.getName.stripPrefix("__batch=").toLong
+    val complete = dirs
+      .filter(d => f.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .sortBy(-batchOf(_))
+    complete.take(keepVersions).lastOption.map(batchOf).foreach { floor =>
+      dirs.filter(batchOf(_) < floor).foreach(d => f.delete(d, true): Unit)
+    }
   }
 
   /** The LIVE training manifest of a [[manifestStream]] sink: the newest
