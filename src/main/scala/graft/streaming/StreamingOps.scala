@@ -1327,6 +1327,20 @@ object StreamingOps {
     val complete = dirs
       .filter(d => f.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
       .sortBy(-batchOf(_))
+    // A committer configured with marksuccessfuljobs=false never writes
+    // the marker, so NO version ever counts as complete and this vacuum
+    // silently degrades to a permanent no-op (unbounded growth on a
+    // long-running stream). Make the degradation loud instead of guessing —
+    // falling back to count-based pruning here would delete the only
+    // recoverable versions on a sink whose newest write really did crash
+    // mid-commit.
+    if (dirs.nonEmpty && complete.isEmpty)
+      System.err.println(
+        s"[graft] vacuumScheduleManifests: ${dirs.size} manifest version(s) " +
+          s"under $p but none carries _SUCCESS - nothing vacuumed. If the " +
+          "commit protocol does not write markers " +
+          "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false), " +
+          "retention is disabled; enable markers or prune manually.")
     complete.take(keepVersions).lastOption.map(batchOf).foreach { floor =>
       dirs.filter(batchOf(_) < floor).foreach(d => f.delete(d, true): Unit)
     }
@@ -1353,15 +1367,26 @@ object StreamingOps {
       "seq_id LONG, seq_pos LONG, doc_id LONG, doc_start LONG, " +
         "len LONG, bucket LONG")
 
+  /** Serve the newest COMMITTED manifest version: the largest
+    * `__batch=<id>` directory carrying a `_SUCCESS` marker. A version
+    * mid-write — or left partial/empty by a crash before job-commit
+    * (under the v1 committer only `_temporary` exists in that window) —
+    * must never be served: `spark.read.schema(ddl).parquet` on it would
+    * return an EMPTY manifest as if it were current, and a training run
+    * reading it mid-crash-window would silently get zero sequences. The
+    * completeness contract mirrors [[vacuumScheduleManifests]], which for
+    * the same reason never lets a marker-less version displace the last
+    * complete one out of the keep window. */
   private def readLatestManifest(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest =
       if (f.exists(p))
-        f.listStatus(p).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("__batch="))
-          .map(_.stripPrefix("__batch=").toLong).sorted.lastOption
+        f.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("__batch="))
+          .filter(d => f.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+          .map(_.getName.stripPrefix("__batch=").toLong).sorted.lastOption
       else None
     latest match {
       case Some(v) => spark.read.schema(ddl).parquet(s"$p/__batch=$v")

@@ -177,4 +177,72 @@ class ManifestStreamSpec extends SparkSpec {
     assert(m.columns.toSeq ==
       Seq("seq_id", "seq_pos", "doc_id", "source", "epoch", "doc_start", "len"))
   }
+
+  // --- crash-partial manifest versions: the _SUCCESS completeness contract
+
+  /** Plant a crash-partial newest version: the directory exists (the v1
+    * committer creates it before job-commit) but carries no _SUCCESS —
+    * only a _temporary residue, exactly the crash-before-commit window. */
+  private def plantPartial(p: String, id: Long): Unit = {
+    val d = new java.io.File(s"$p/manifest/__batch=$id/_temporary/0")
+    require(d.mkdirs(), s"couldn't plant partial at $d")
+  }
+
+  private def versionsOf(p: String): Seq[String] =
+    new java.io.File(s"$p/manifest").listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+
+  test("reader skips a crash-partial newest version, serves the last complete one") {
+    val p = s"${tmpDir()}/m"
+    batch(0 until 25, 0L, p)
+    batch(25 until 45, 1L, p)
+    // crash: version 2's dir appeared but job-commit never ran
+    plantPartial(p, 2L)
+    // a reader mid-crash-window must get version 1, not an empty frame
+    assert(served(p) == truth(0 until 45))
+    // the stream replays batch 2 after restart; serving moves forward
+    batch(45 until 60, 2L, p)
+    assert(served(p) == truth(0 until 60))
+  }
+
+  test("vacuum keeps the crash-partial newest AND the last complete version") {
+    val p = s"${tmpDir()}/m"
+    batch(0 until 25, 0L, p)
+    batch(25 until 45, 1L, p)
+    plantPartial(p, 2L)
+    StreamingOps.vacuumScheduleManifests(spark, p, keepVersions = 1)
+    // the marker-less newest must not displace version 1 (the only
+    // complete one a reader can serve) out of the keep window; version 0
+    // is strictly below the kept-complete floor and goes
+    assert(versionsOf(p) == Seq("__batch=1", "__batch=2"))
+    assert(served(p) == truth(0 until 45))
+    // an OLDER crashed partial sits below the floor and is pruned
+    plantPartial(p, -5L)
+    StreamingOps.vacuumScheduleManifests(spark, p, keepVersions = 1)
+    assert(versionsOf(p) == Seq("__batch=1", "__batch=2"))
+  }
+
+  test("all-partials sink: vacuum deletes nothing, reader serves empty") {
+    val p = s"${tmpDir()}/m"
+    plantPartial(p, 0L)
+    plantPartial(p, 1L)
+    StreamingOps.vacuumScheduleManifests(spark, p, keepVersions = 1)
+    assert(versionsOf(p) == Seq("__batch=0", "__batch=1"))
+    val m = StreamingOps.readTrainManifest(spark, p)
+    assert(m.isEmpty)
+  }
+
+  test("observePins captures a pinned subplan's executed plan") {
+    import graft.operators.Checkpoints
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = docs(0 until 5)
+    val out = Checkpoints.observePins(plan => seen += plan) {
+      Checkpoints.pin(df, reliable = false)
+    }
+    assert(out.count() == 5)
+    assert(seen.size == 1 && seen.head.nonEmpty)
+    // outside an audit, pin reports nothing
+    Checkpoints.pin(df, reliable = false)
+    assert(seen.size == 1)
+  }
 }
