@@ -658,10 +658,10 @@ object SparkEntry {
       "x2" -> s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok",
       "x3" -> "n_chars / 1000.0",
       "x4" -> ("length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        + " / CAST(length(text) AS DOUBLE)"),
+        + " / CAST(greatest(length(text), 1) AS DOUBLE)"),
       "x5" -> s"((length(text) - ($nTok - 1)) / CAST($nTok AS DOUBLE)) / 10.0",
       "x6" -> ("length(regexp_replace(text, '[^A-Z]', '', 'g'))"
-        + " / CAST(length(text) AS DOUBLE)"))
+        + " / CAST(greatest(length(text), 1) AS DOUBLE)"))
     require(fs.map(_._1) == graft.operators.TextOps.LogitXCols,
       "logit oracle feature list drifted from TextOps.LogitXCols")
     fs
@@ -4000,8 +4000,10 @@ object SparkEntry {
     },
 
     "g_glm_poisson" -> { (s, dir) => // the GLM seam beyond the logit
-      // link: Poisson (log-link) regression of the per-KILOchar token
-      // rate on the same seven features — the identical integer-unit /
+      // link: Poisson (log-link) regression of the token COUNT in
+      // kilotokens (n_tokens / 1000 — a pre-scaled count outcome, not a
+      // per-character rate) on the same seven features — the identical
+      // integer-unit /
       // exact-decimal-gradient descent with the mean function swapped to
       // exp(z) (canonical-link gradients share one shape). The outcome
       // is pre-scaled so exp stays O(0.1), keeping the exp last-ulp
@@ -7417,10 +7419,13 @@ object SparkEntry {
         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
         |      FROM q GROUP BY 1),
         |b AS (SELECT lang, n, sx, sy,
-        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |        CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+        |             THEN 0.0
+        |             ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope
         |      FROM a)
         |SELECT lang, n AS n_top,
         |       floor(slope * 1000000) / 1000000 AS slope,

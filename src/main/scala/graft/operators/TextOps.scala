@@ -389,10 +389,14 @@ object TextOps {
       (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") / n).as("x1"),
       (size(array_distinct(toks)).cast("double") / n).as("x2"),
       (col("n_chars") / lit(1000.0)).as("x3"),
-      TextFns.punctRatio(col("text")).as("x4"),
+      // x4/x6 denominators guard the empty doc: length 0 would divide by
+      // zero (NULL in Spark, NaN/inf in other engines — either poisons the
+      // gradient sums); greatest(..,1) makes both ratios an exact 0.0
+      (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double")
+        / greatest(length(col("text")), lit(1))).as("x4"),
       ((length(col("text")) - (n - 1)).cast("double") / n / lit(10.0)).as("x5"),
       (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double")
-        / length(col("text"))).as("x6"))
+        / greatest(length(col("text")), lit(1))).as("x6"))
   }
 
   /** Distributed full-batch logistic-regression TRAINING with bit-exact
@@ -437,8 +441,8 @@ object TextOps {
     * the logit recipe with the mean function swapped, so the unrolled
     * CTE replay is the same SQL with `exp(z)` in place of the sigmoid.
     *
-    * The OUTCOME must be pre-scaled by the caller (e.g. tokens per
-    * KILOchar) so exp(w·x) stays O(0.1): the exp last-ulp
+    * The OUTCOME must be pre-scaled by the caller (e.g. the token count
+    * in kilotokens, n_tokens / 1000) so exp(w·x) stays O(0.1): the exp last-ulp
     * floor-boundary risk scales with exp(z)·1e8, and keeping the mean
     * well under 1 keeps that collision class at the logit trainer's
     * negligible level (ulp·1e8 ≈ 1e-9). Descending from w = 0 the mean
@@ -594,8 +598,13 @@ object TextOps {
     * the [[nbScore]] discipline) into one map-side-combined aggregation;
     * the metrics frame is class-cardinality. Output: one row per class,
     * `(class, tp, fp, fn, precision_, recall_, f1, macro_f1)`. */
-  def classEval(scored: DataFrame, labelCol: String = "label",
+  def classEval(scoredIn: DataFrame, labelCol: String = "label",
       predCol: String = "pred"): DataFrame = {
+    // the scored frame is derived three times below (both legs of the
+    // class-list union + the confusion pivot); its upstream is typically a
+    // whole train→score pipeline, so pin the slim (id,label,pred) frame
+    // once rather than replaying the scoring 3x (the [[logitAuc]] idiom)
+    val scored = Checkpoints.pin(scoredIn, reliable = false)
     val cls = scored.select(col(labelCol).as("class"))
       .union(scored.select(col(predCol).as("class"))).distinct()
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
@@ -1197,9 +1206,14 @@ object TextOps {
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__den", nD * col("__sxx").cast("double") - sxD * sxD)
+      // a group with a single token type has one (x,y) point at x=0, so
+      // the OLS denominator is exactly 0 (NULL slope in Spark, inf in
+      // engines that divide through) — define the degenerate fit as a
+      // horizontal line: slope 0, intercept = mean(y)
       .withColumn("__slope",
-        (nD * col("__sxy").cast("double") - sxD * syD)
-          / (nD * col("__sxx").cast("double") - sxD * sxD))
+        when(col("__den") === lit(0.0), lit(0.0)).otherwise(
+          (nD * col("__sxy").cast("double") - sxD * syD) / col("__den")))
       .select(col(groupCol), col("__n").as("n_top"),
         NumFns.floorAt(col("__slope"), 6).as("slope"),
         NumFns.floorAt((syD - col("__slope") * sxD) / nD, 6).as("intercept"))

@@ -1105,9 +1105,11 @@ object StreamingOps {
 
   /** [[logitStream]]'s Poisson (log-link) sibling — the fourth
     * [[scheduleBatch]] instance, maintaining
-    * [[graft.operators.TextOps.glmTrainLog]]'s per-kilochar token-rate
-    * regression: the GD seam means the ONLY differences are the label
-    * expression in the delta and the mean function in the retrain.
+    * [[graft.operators.TextOps.glmTrainLog]]'s token-COUNT regression
+    * (label = the doc's token count in kilotokens, `n_tokens / 1000` —
+    * the same pre-scaled outcome as the batch `g_glm_poisson` row, NOT a
+    * per-character rate): the GD seam means the ONLY differences are the
+    * label expression in the delta and the mean function in the retrain.
     * Serve with [[readGlmScores]]. */
   def glmStream(docs: DataFrame, path: String, checkpoint: String,
       steps: Int = 3, lrDen: Double = 4096.0, refreshEvery: Int = 1)

@@ -20,9 +20,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Cartesians split into sanctioned / unsanctioned: the two
   * definition-truth cross products (the exact-arm policy — quadratic
-  * truth runs only at the oracle SFs) are whitelisted BY NAME with their
-  * expected count; anything else, anywhere, is unsanctioned and the row
-  * is flagged.
+  * truth runs only at the oracle SFs) are whitelisted BY NAME with the
+  * expected count of the product in EITHER planned form (CartesianProduct
+  * or BroadcastNestedLoopJoin — Catalyst picks by broadcastability), and
+  * any drift from that count flags; on every other query any
+  * CartesianProduct flags. A flagged row makes the process exit 1, so
+  * the audit gates in CI without stdout parsing.
   *
   * Usage: runMain graft.tools.PlanAudit q_index_join g_dedup_minhash ...
   * (no args = all queries; SPARK_GRAFT_SF_DIR overrides the fixture dir.)
@@ -31,10 +34,15 @@ object PlanAudit {
 
   /** The policy-sanctioned definition-truth cross products, by query and
     * expected count: crossMaxCosine's exact decontamination arm
-    * (SimilarityOps) and the bitext exact arm. A drift in the COUNT also
-    * flags (a second accidental cartesian must not hide behind the
-    * sanctioned first). */
-  private val SanctionedCartesians: Map[String, Int] = Map(
+    * (SimilarityOps) and the bitext exact arm. Catalyst plans the SAME
+    * definitional `crossJoin` as CartesianProduct when both sides are
+    * large or as BroadcastNestedLoopJoin when one side fits the broadcast
+    * threshold (it does at the oracle SFs), so the sanction counts the
+    * product in EITHER planned form (`cart + bnlj`). Drift in ANY
+    * direction flags: an extra product must not hide behind the
+    * sanctioned one, and a missing one means the whitelist no longer
+    * describes the plan (update it deliberately, don't let it rot). */
+  private val SanctionedProducts: Map[String, Int] = Map(
     "g_decontam_semantic" -> 1,
     "g_bitext_margin" -> 1)
 
@@ -56,15 +64,23 @@ object PlanAudit {
       val plans = finalPlan +: pinned.toSeq
       def n(p: String) = plans.map(pl => p.r.findAllIn(pl).length).sum
       val cart = n("CartesianProduct")
-      val sanctioned = math.min(cart, SanctionedCartesians.getOrElse(q, 0))
-      val unsanctioned = cart - sanctioned
-      if (unsanctioned > 0) badRows += 1
+      val bnlj = n("BroadcastNestedLoopJoin")
+      val bad = SanctionedProducts.get(q) match {
+        // whitelisted: the definitional product must appear exactly
+        // `expected` times, in either planned form — both directions flag
+        case Some(expected) => cart + bnlj != expected
+        // everywhere else a CartesianProduct is an unsanctioned scale
+        // smell; BNLJ alone is legitimate (non-equi join with a bounded
+        // broadcast side) and is reported but not flagged
+        case None => cart > 0
+      }
+      if (bad) badRows += 1
       println(s"PLAN $q exchanges=${n("Exchange")} broadcast=${n("BroadcastExchange")}" +
-        s" cartesian=$cart sanctioned=$sanctioned unsanctioned=$unsanctioned" +
-        s" bnlj=${n("BroadcastNestedLoopJoin")} sortmerge=${n("SortMergeJoin")}" +
-        s" pins=${pinned.size}")
+        s" cartesian=$cart bnlj=$bnlj sortmerge=${n("SortMergeJoin")}" +
+        s" pins=${pinned.size}" + (if (bad) " FLAGGED" else ""))
     }
-    println(s"AUDIT unsanctioned_cartesian_rows=$badRows")
+    println(s"AUDIT flagged_rows=$badRows")
     spark.stop()
+    if (badRows > 0) sys.exit(1)
   }
 }

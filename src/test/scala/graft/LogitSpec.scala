@@ -177,4 +177,39 @@ class LogitSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("schedule parameter mismatch"))
   }
+
+  test("an empty doc yields finite features (x4/x6 guard) and a finite descent") {
+    val d = toy.limit(10).select(col("doc_id"), col("lang"),
+        when(col("doc_id") === 0L, lit("")).otherwise(col("text")).as("text"))
+      .withColumn("n_chars", length(col("text")))
+    val f = TextOps.logitFeatures(d)
+    val row = f.filter(col("doc_id") === 0L)
+      .select(TextOps.LogitXCols.map(col): _*).head()
+    // length("") = 0: the unguarded ratios were 0/0 (NULL/NaN); the
+    // greatest(..,1) denominators pin both to an exact 0.0
+    assert(row.getDouble(4) == 0.0 && row.getDouble(6) == 0.0)
+    TextOps.LogitXCols.indices.foreach { i =>
+      assert(!row.isNullAt(i) && !row.getDouble(i).isNaN, s"x$i not finite")
+    }
+    // and the poisoned-gradient failure mode is gone: weights stay finite
+    val w = TextOps.logitTrain(f, steps = 2)
+    assert(w.forall(u => math.abs(u) < Long.MaxValue / 2))
+    assert(loss(f, w) < loss(f, Seq.fill(TextOps.LogitXCols.size)(0L)))
+  }
+
+  test("zipfFit: a single-token-type language degenerates to slope 0, not NaN") {
+    val d = Seq(
+      (0L, "aaa aaa aaa aaa", "zz"), // one distinct type -> OLS denom 0
+      (1L, "the of the of data word list more", "en"),
+      (2L, "the the of data word fact item other", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextOps.zipfFit(d, topN = 100)
+      .orderBy(col("lang")).collect()
+    val zz = rows.find(_.getString(0) == "zz").get
+    assert(zz.getLong(1) == 1L)
+    assert(zz.getDouble(2) == 0.0) // slope: horizontal line
+    assert(zz.getDouble(3) == math.floor(math.log(4.0) * 1e6) / 1e6) // intercept = ln(freq)
+    val en = rows.find(_.getString(0) == "en").get
+    assert(!en.getDouble(2).isNaN && en.getDouble(2) < 0.0) // natural text slopes down
+  }
 }
