@@ -684,7 +684,7 @@ object SparkEntry {
 
   /** The Poisson (log-link) GLM descent replayed in SQL — the SAME
     * unrolled-CTE generator as the logit oracle with the mean function
-    * swapped to `exp(z)` and the outcome the per-KILOchar token rate
+    * swapped to `exp(z)` and the outcome the token count in kilotokens
     * (pre-scaled so exp stays O(0.1); see
     * [[graft.operators.TextOps.glmTrainLog]]). */
   private lazy val glmPoissonOracleSql: String = descentOracleSql(
@@ -744,6 +744,65 @@ object SparkEntry {
       |f AS (SELECT doc_id, label AS y, CAST(1.0 AS DOUBLE) AS x0,
       |             logit AS x1 FROM scored)""".stripMargin +
       descentLoopSql(Seq("x0", "x1"), zz => s"1.0 / (1.0 + exp(-($zz)))")
+  }
+
+  /** The calibrated quality loop replayed in SQL: the ENTIRE
+    * [[logitPlattOracleSql]] (a descent nested in a descent) as a
+    * subquery, its calibrated log-odds thresholded at 0, the kept corpus
+    * and the raw corpus reduced to per-source cards and differenced —
+    * the g_card_delta tail over a two-descent head. */
+  private lazy val qualityLoopOracleSql: String = {
+    val cal = logitPlattOracleSql.stripSuffix(" ORDER BY doc_id")
+    def card = """CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |        CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts,
+      |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs""".stripMargin
+    s"""WITH cal AS ($cal),
+      |keep AS (SELECT doc_id FROM cal WHERE logit >= 0.0),
+      |b AS (SELECT source, $card
+      |      FROM documents GROUP BY source),
+      |a AS (SELECT source, $card
+      |      FROM documents JOIN keep USING (doc_id) GROUP BY source)
+      |SELECT b.source,
+      |  coalesce(a.n_docs, 0) AS n_docs,
+      |  coalesce(a.n_docs, 0) - b.n_docs AS d_n_docs,
+      |  coalesce(a.n_chars, 0) AS n_chars,
+      |  coalesce(a.n_chars, 0) - b.n_chars AS d_n_chars,
+      |  coalesce(a.n_tokens, 0) AS n_tokens,
+      |  coalesce(a.n_tokens, 0) - b.n_tokens AS d_n_tokens,
+      |  coalesce(a.n_distinct_texts, 0) AS n_distinct_texts,
+      |  coalesce(a.n_distinct_texts, 0) - b.n_distinct_texts AS d_n_distinct_texts,
+      |  coalesce(a.n_langs, 0) AS n_langs,
+      |  coalesce(a.n_langs, 0) - b.n_langs AS d_n_langs
+      |FROM b LEFT JOIN a USING (source)
+      |ORDER BY b.source""".stripMargin
+  }
+
+  /** The Bradley–Terry pairwise fit replayed in SQL: the
+    * [[prefPairsOracleSql]] pairing, per-doc features from the SHARED
+    * [[logitFeatureSql]] generator, chosen−rejected diffs as the
+    * feature frame, the whole unrolled descent (y = 1 rows), and the
+    * classEval pivot over sign-of-logit predictions. */
+  private lazy val btFitOracleSql: String = {
+    val xs = logitFeatureSql.map(_._1)
+    val pairsCore = prefPairsOracleSql.stripSuffix("\nORDER BY c.source, pair_rank")
+    val scoredCte =
+      s"""WITH pr AS ($pairsCore),
+        |ft AS (SELECT doc_id,
+        |  ${logitFeatureSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+        |FROM documents),
+        |f AS (SELECT p.chosen_id AS doc_id, CAST(1.0 AS DOUBLE) AS y,
+        |  ${xs.map(x => s"c.$x - r.$x AS $x").mkString(",\n  ")}
+        |FROM pr p JOIN ft c ON c.doc_id = p.chosen_id
+        |          JOIN ft r ON r.doc_id = p.rejected_id)""".stripMargin +
+        descentLoopSql(xs, zz => s"1.0 / (1.0 + exp(-($zz)))")
+          .stripSuffix(" ORDER BY doc_id")
+    classEvalPivotSql(
+      s"""WITH sc AS ($scoredCte),
+        |lab AS (SELECT doc_id, 'pref' AS label,
+        |        CASE WHEN logit >= 0.0 THEN 'pref' ELSE 'anti' END AS pred
+        |        FROM sc)""".stripMargin)
   }
 
   /** The train→evaluate loop replayed in SQL: the whole
@@ -3997,6 +4056,63 @@ object SparkEntry {
           TextOps.logitTrain(f, xCols = Seq("x0", "x1"), steps = steps),
           xCols = Seq("x0", "x1"))
         .orderBy(col("doc_id"))
+    },
+
+    "g_quality_loop" -> { (s, dir) => // the calibrated quality loop
+      // composed in ONE DAG (the g_pipeline_e2e discipline): train the
+      // quality classifier -> Platt-calibrate its scores (the
+      // g_logit_platt descent-over-a-descent) -> keep docs whose
+      // CALIBRATED log-odds clear 0 (probability 0.5 on the calibrated
+      // scale — the boundary calibration actually moved) -> report the
+      // kept-vs-raw release delta per source (cardDelta). The oracle
+      // replays ALL four stages nested, so a drifted gradient in either
+      // descent moves the decision boundary and flips the kept set.
+      val steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)
+      val d = Tables.documents(s, dir)
+      val scored = TextOps.logitTrainScore(d, steps = steps)
+      val f = scored.select(col("doc_id"), col("label").as("y"),
+        lit(1.0).as("x0"), col("logit").as("x1"))
+      val cal = TextOps.logitScoreFeatures(f,
+        TextOps.logitTrain(f, xCols = Seq("x0", "x1"), steps = steps),
+        xCols = Seq("x0", "x1"))
+      val kept = d.join(cal.filter(col("logit") >= lit(0.0)).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      CurationOps.cardDelta(before = d, after = kept)
+        .orderBy(col("source"))
+    },
+
+    "g_bt_fit" -> { (s, dir) => // Bradley–Terry reward fit over the DPO
+      // pairs — the consumer g_pref_pairs was missing: P(chosen >
+      // rejected) = sigma(w * (x_c - x_r)), so the SAME gdDescend seam
+      // trains on the pairwise feature DIFFERENCES with y = 1 (the bias
+      // diff is identically 0 and its weight never moves), and the
+      // pairwise-accuracy eval is the classEval pivot over
+      // sign-of-logit predictions. The oracle replays pairing, feature
+      // diffs, the whole descent, and the pivot.
+      val steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)
+      val d = Tables.documents(s, dir)
+      val pairs = CurationOps.preferencePairs(
+        d.select(col("doc_id"), col("source"),
+          floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+            .cast("long").as("score")))
+      val feats = graft.operators.Checkpoints.pin(
+        TextOps.logitFeatures(d)
+          .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*),
+        reliable = false)
+      val diffs = graft.operators.Checkpoints.pin(
+        pairs
+          .join(feats.select(col("doc_id").as("chosen_id") +:
+            TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*), Seq("chosen_id"))
+          .join(feats.select(col("doc_id").as("rejected_id") +:
+            TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*), Seq("rejected_id"))
+          .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
+            TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*),
+        reliable = false)
+      val sp = TextOps.logitScoreFeatures(diffs,
+        TextOps.logitTrain(diffs, steps = steps))
+      TextOps.classEval(sp.select(col("doc_id"), lit("pref").as("label"),
+          when(col("logit") >= lit(0.0), lit("pref")).otherwise(lit("anti")).as("pred")))
+        .orderBy(col("class"))
     },
 
     "g_glm_poisson" -> { (s, dir) => // the GLM seam beyond the logit
@@ -7498,6 +7614,10 @@ object SparkEntry {
     "q_stream_glm" -> glmPoissonOracleSql,
 
     "g_logit_platt" -> logitPlattOracleSql,
+
+    "g_quality_loop" -> qualityLoopOracleSql,
+
+    "g_bt_fit" -> btFitOracleSql,
 
     "g_doremi_weights" -> doremiOracleSql,
 

@@ -197,6 +197,38 @@ class LogitSpec extends SparkSpec {
     assert(loss(f, w) < loss(f, Seq.fill(TextOps.LogitXCols.size)(0L)))
   }
 
+  test("Bradley-Terry fit on preference diffs: pairwise accuracy beats the coin") {
+    import graft.operators.{Checkpoints, CurationOps}
+    // pairs from the quality ranking; chosen docs are stopword-dense "en"
+    // docs with higher quality scores in this toy, so the diff features
+    // are separably signed and the BT descent should rank chosen > rejected
+    val d = toy
+    val pairs = CurationOps.preferencePairs(
+      d.select(col("doc_id"), col("lang").as("source"),
+        floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+          .cast("long").as("score")))
+    assert(pairs.count() > 0)
+    val feats = TextOps.logitFeatures(d)
+      .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*)
+    val diffs = Checkpoints.pin(
+      pairs
+        .join(feats.select(col("doc_id").as("chosen_id") +:
+          TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*), Seq("chosen_id"))
+        .join(feats.select(col("doc_id").as("rejected_id") +:
+          TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*), Seq("rejected_id"))
+        .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
+          TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*),
+      reliable = false)
+    val w = TextOps.logitTrain(diffs, steps = 3)
+    // the bias diff is identically 0, so its weight never moves
+    assert(w.head == 0L)
+    val scored = TextOps.logitScoreFeatures(diffs, w)
+    val acc = scored.agg(
+      (sum(when(col("logit") >= 0.0, 1.0).otherwise(0.0)) / count(lit(1))))
+      .head().getDouble(0)
+    assert(acc > 0.5, s"pairwise accuracy $acc should beat a coin")
+  }
+
   test("zipfFit: a single-token-type language degenerates to slope 0, not NaN") {
     val d = Seq(
       (0L, "aaa aaa aaa aaa", "zz"), // one distinct type -> OLS denom 0
