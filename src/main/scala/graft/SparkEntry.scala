@@ -4153,6 +4153,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "q_stream_doremi" -> { (s, dir) => // maintained DoReMi mixture,
+      // oracle side: an AvailableNow run of doremiStream lands the
+      // feature-plus-domain deltas and recomputes classifier -> per-domain
+      // loss -> EG weights on refresh — the served mixture must be
+      // bit-equal to the batch g_doremi_weights (shared oracle hash).
+      // lrDen and eta pin by exact IEEE bits in _meta.json.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_doremi_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .doremiStream(src, s"$out/idx", s"$out/ckpt",
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readDoremiWeights(s, s"$out/idx")
+        .orderBy(col("source"))
+    },
+
     "g_ccnet_buckets" -> { (s, dir) => // the CCNet head/middle/tail
       // split (the paper's actual bucketing, next to g_ccnet_pipeline's
       // hard cut): per-source perplexity THIRDS of the trigram-KN
@@ -7612,6 +7632,9 @@ object SparkEntry {
 
     // the streamed maintainer serves the SAME descent
     "q_stream_glm" -> glmPoissonOracleSql,
+
+    // the streamed maintainer recomputes the SAME mixture (one truth)
+    "q_stream_doremi" -> doremiOracleSql,
 
     "g_logit_platt" -> logitPlattOracleSql,
 

@@ -1187,6 +1187,74 @@ object StreamingOps {
       "source STRING, pair_rank LONG, chosen_id LONG, chosen_score LONG, " +
         "rejected_id LONG, rejected_score LONG")
 
+  /** Streaming DoReMi mixture maintenance — the sixth [[scheduleBatch]]
+    * instance: the domain weights are a global function of the corpus
+    * twice over (the classifier's descent sees every doc's features; the
+    * EG iteration sees every domain's mean loss), so the same
+    * land-slim-evidence / periodic-recompute contract applies. Per batch
+    * the deterministic feature vector PLUS the domain lands (O(delta),
+    * text never retained); every `refreshEvery`-th batch retrains the
+    * classifier on the accumulated features, folds per-doc losses to
+    * per-domain means, and re-runs the exponentiated-gradient iteration
+    * into a latest-wins version — exactly
+    * [[graft.operators.CurationOps.doremiWeights]] over the corpus as of
+    * that version (the batch `g_doremi_weights` truth). Serve with
+    * [[readDoremiWeights]]. */
+  def doremiStream(docs: DataFrame, path: String, checkpoint: String,
+      steps: Int = 3, lrDen: Double = 4096.0, eta: Double = 1.0,
+      refreshEvery: Int = 1): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        doremiBatch(batch, batchId, path, steps, lrDen, eta, refreshEvery)
+      }
+
+  /** One [[doremiStream]] micro-batch — [[logitBatch]]'s pinning contract
+    * (exact lrDen bits, nFeatures) plus the EG rate's exact bits, so a
+    * drifted restart can change neither the descent nor the mixture
+    * iteration silently. */
+  private[graft] def doremiBatch(batch: DataFrame, batchId: Long,
+      path: String, steps: Int, lrDen: Double, eta: Double,
+      refreshEvery: Int): Unit =
+    scheduleBatch(batch, batchId, path, "doremiStream", refreshEvery,
+      Seq("steps" -> steps.toLong,
+        "lrDen" -> java.lang.Double.doubleToLongBits(lrDen),
+        "nFeatures" -> graft.operators.TextOps.LogitXCols.size.toLong,
+        "eta" -> java.lang.Double.doubleToLongBits(eta)),
+      b => graft.operators.TextOps.logitFeatures(b)
+        .select(col("doc_id").cast("long").as("doc_id") +: col("y") +:
+          graft.operators.TextOps.LogitXCols.map(col): _*)
+        .join(b.select(col("doc_id").cast("long").as("doc_id"),
+          col("source").cast("string").as("source")), Seq("doc_id")),
+      DoremiDeltaDDL,
+      corpus => {
+        val scored = graft.operators.TextOps.logitScoreFeatures(corpus,
+          graft.operators.TextOps.logitTrain(corpus, steps = steps, lrDen = lrDen))
+        graft.operators.CurationOps.doremiWeights(
+          graft.operators.TextOps.logitLossPerDoc(scored)
+            .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id")),
+          eta = eta, steps = steps)
+      })
+
+  /** [[doremiStream]]'s delta schema: the logit evidence plus the domain
+    * the mixture weights group by. */
+  private[graft] val DoremiDeltaDDL: String =
+    LogitDeltaDDL + ", source STRING"
+
+  /** The LIVE domain mixture of a [[doremiStream]] sink — the newest
+    * committed recompute, exactly
+    * [[graft.operators.CurationOps.doremiWeights]] over the corpus as of
+    * that version (the [[readTrainManifest]] staleness contract). */
+  def readDoremiWeights(spark: SparkSession, path: String): DataFrame =
+    readLatestManifest(spark, path,
+      "source STRING, mean_loss DOUBLE, weight DOUBLE")
+
+  /** [[compactManifestState]] for a [[doremiStream]] sink. */
+  def compactDoremiState(spark: SparkSession, path: String): Unit =
+    foldBatchDirsLatestWins(spark, s"$path/_docs", DoremiDeltaDDL,
+      keyCols = Seq("doc_id"))
+
   /** The shared core of the global-schedule maintainers
     * ([[manifestStream]], [[curriculumStream]]): a schedule that is a
     * global function of the corpus (waterfilling level, corpus-wide rank

@@ -197,6 +197,37 @@ class LogitSpec extends SparkSpec {
     assert(loss(f, w) < loss(f, Seq.fill(TextOps.LogitXCols.size)(0L)))
   }
 
+  test("streamed DoReMi == batch doremiWeights; retention works; eta drift refused") {
+    import graft.operators.CurationOps
+    val p = s"${tmpDir()}/dm"
+    val d = toy.withColumn("source", col("lang"))
+    StreamingOps.doremiBatch(d.filter(col("doc_id") < 40), 0L, p, 3, 4096.0, 1.0, 1)
+    StreamingOps.doremiBatch(d.filter(col("doc_id") >= 40), 1L, p, 3, 4096.0, 1.0, 1)
+    val streamed = StreamingOps.readDoremiWeights(spark, p)
+      .as[(String, Double, Double)].collect().toSeq.sorted
+    val scored = TextOps.logitTrainScore(d, steps = 3)
+    val batch = CurationOps.doremiWeights(
+        TextOps.logitLossPerDoc(scored)
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+        eta = 1.0, steps = 3)
+      .as[(String, Double, Double)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(streamed.map(_._3).sum > 0.99) // weights are a distribution
+    // retention from day one: compaction + vacuum leave serving unchanged
+    StreamingOps.compactDoremiState(spark, p)
+    StreamingOps.vacuumScheduleManifests(spark, p)
+    def versions = new java.io.File(s"$p/manifest").listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).toSeq.sorted
+    assert(versions == Seq("__batch=1"))
+    assert(StreamingOps.readDoremiWeights(spark, p)
+      .as[(String, Double, Double)].collect().toSeq.sorted == batch)
+    // a drifted EG rate silently changes the mixture — refuse, named
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.doremiBatch(d, 2L, p, 3, 4096.0, 2.0, 1)
+    }
+    assert(e.getMessage.contains("schedule parameter mismatch"))
+  }
+
   test("Bradley-Terry fit on preference diffs: pairwise accuracy beats the coin") {
     import graft.operators.{Checkpoints, CurationOps}
     // pairs from the quality ranking; chosen docs are stopword-dense "en"
