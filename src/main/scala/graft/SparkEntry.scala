@@ -746,6 +746,53 @@ object SparkEntry {
       descentLoopSql(Seq("x0", "x1"), zz => s"1.0 / (1.0 + exp(-($zz)))")
   }
 
+  /** The pHash pipeline replayed in SQL, generated from the SAME
+    * [[graft.operators.MultimodalOps.DctBasis1024]] constants the Spark
+    * kernel embeds (single source — no cross-engine basis drift): the
+    * midpoint-strata frame indices, the 8×8 integer DCT per 64-byte
+    * frame (ASCII fixture: char == byte, the established g_frame_sample
+    * equivalence), the 63-AC lower-median bit rule, and the BRUTE-FORCE
+    * cross-media pair truth the banded Hamming join must equal
+    * losslessly at dist ≤ 3. */
+  private lazy val framePhashOracleSql: String = {
+    val ct = graft.operators.MultimodalOps.DctBasis1024.mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id AS media_id, text AS content,
+      |        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 64 AS nf
+      |      FROM documents),
+      |g AS (SELECT media_id, content, nf, CAST(least(8, nf) AS BIGINT) AS kk
+      |      FROM m WHERE nf > 0),
+      |x AS (SELECT media_id, content, nf, kk,
+      |        unnest(generate_series(0, kk - 1)) AS frame_ix FROM g),
+      |y AS (SELECT media_id, content, frame_ix,
+      |        ((2 * frame_ix + 1) * nf) // (2 * kk) AS frame_idx FROM x),
+      |p AS (SELECT media_id, frame_ix,
+      |        list_transform(range(0, 64), i ->
+      |          CAST(ascii(substring(content,
+      |            CAST(frame_idx * 64 + i + 1 AS INT), 1)) AS BIGINT)) AS px
+      |      FROM y),
+      |c AS (SELECT media_id, frame_ix,
+      |        list_transform(range(0, 64), kk ->
+      |          CAST(list_sum(list_transform(range(0, 64), i ->
+      |            ($ct)[CAST((kk // 8) * 8 + (i // 8) + 1 AS INT)]
+      |            * ($ct)[CAST((kk % 8) * 8 + (i % 8) + 1 AS INT)]
+      |            * px[CAST(i + 1 AS INT)])) AS BIGINT)) AS coef
+      |      FROM p),
+      |cm AS (SELECT media_id, frame_ix, coef,
+      |        list_sort(coef[2:64])[32] AS med FROM c),
+      |h AS (SELECT media_id, frame_ix,
+      |        CAST(list_sum(list_transform(range(1, 64), b ->
+      |          CASE WHEN coef[CAST(b + 1 AS INT)] > med
+      |               THEN (CAST(1 AS BIGINT) << CAST(b - 1 AS INT))
+      |               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      |      FROM cm)
+      |SELECT a.media_id AS media_a, a.frame_ix AS frame_a,
+      |       b.media_id AS media_b, b.frame_ix AS frame_b,
+      |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      |ORDER BY media_a, frame_a, media_b, frame_b""".stripMargin
+  }
+
   /** The calibrated quality loop replayed in SQL: the ENTIRE
     * [[logitPlattOracleSql]] (a descent nested in a descent) as a
     * subquery, its calibrated log-odds thresholded at 0, the kept corpus
@@ -4694,6 +4741,20 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_ix"))
     },
 
+    "g_frame_phash" -> { (s, dir) => // perceptual frame near-dups: the
+      // integer 8x8 DCT pHash over 64-byte stub-decoded frames (shared
+      // quantized-cosine basis, 63 AC sign-vs-median bits), paired
+      // across distinct media by the 7x9-bit banded Hamming join
+      // (pigeonhole-complete at dist <= 3, candidate-sized shuffle,
+      // never all-pairs). The oracle recomputes every hash from the
+      // SAME basis constants and takes the brute-force pair truth the
+      // banded join must equal losslessly.
+      MultimodalOps.framePhashPairs(
+          MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
+          fps = 4, k = 8, maxDist = 3)
+        .orderBy(col("media_a"), col("frame_a"), col("media_b"), col("frame_b"))
+    },
+
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
       // integer score (type-token ratio in ppm): 0-based global rank in
       // (score, id) order, bucket = rank*10 DIV n — equal-size-by-rank
@@ -8004,6 +8065,8 @@ object SparkEntry {
         |       CAST((frame_idx * 1000) // 4 AS BIGINT) AS ts_ms,
         |       md5(substring(content, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_md5
         |FROM y ORDER BY media_id, frame_ix""".stripMargin,
+
+    "g_frame_phash" -> framePhashOracleSql,
 
     "g_rank_buckets" ->
       // the engine's two-phase rank is spec-pinned bit-equal to this

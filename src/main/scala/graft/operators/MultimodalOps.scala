@@ -409,6 +409,71 @@ object MultimodalOps {
     }
   }
 
+  /** The shared 8×8 DCT-II basis — see
+    * [[graft.plans.PHash64.DctBasis1024]] (the kernel owns it; the
+    * oracle-SQL generator reads it from here so both engines embed the
+    * SAME constants). */
+  val DctBasis1024: Array[Long] = graft.plans.PHash64.DctBasis1024
+
+  /** Perceptual frame hashes — the robustness [[frameDups]]' byte
+    * digests lack: a re-encoded copy (same picture, perturbed bytes)
+    * defeats an md5 but moves a DCT-domain hash only a few bits. Per
+    * sampled frame (the [[frameSampleManifest]] midpoint strata;
+    * 64-byte frames, the stub decode reading each slice as an 8×8 luma
+    * block — the seam a real decoder replaces), the native
+    * [[graft.plans.PHash64]] kernel: separable integer 8×8 DCT over the
+    * shared quantized basis, 63 AC bits vs their lower median, packed
+    * into a non-negative long. Map-only end to end: a bounded ≤k explode
+    * and one codegen kernel call per frame — no exchange at any corpus
+    * size. Output: `(media_id, frame_ix, frame_idx, phash)`. */
+  def framePHash(media: DataFrame, fps: Int = 4, k: Int = 8): DataFrame = {
+    require(fps >= 1 && k >= 1, "fps >= 1 and k >= 1")
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val fb = 64L // 8x8 = 64-byte frames: the kernel's fixed geometry
+    media
+      .select(col("media_id"), col("content"),
+        expr(s"CAST(octet_length(content) AS LONG) DIV ${fb}L").as("__nf"))
+      .filter(col("__nf") > 0)
+      .withColumn("__k", least(lit(k.toLong), col("__nf")))
+      .withColumn("frame_ix", explode(expr("sequence(0L, __k - 1)")))
+      .withColumn("frame_idx", expr("((2 * frame_ix + 1) * __nf) DIV (2 * __k)"))
+      .select(col("media_id"), col("frame_ix"), col("frame_idx"),
+        graft.plans.GraftFunctions.phash64(
+          col("content").substr(
+            (col("frame_idx") * lit(fb) + lit(1L)).cast("int"), lit(fb.toInt)))
+          .as("phash"))
+  }
+
+  /** Cross-media near-duplicate frames by pHash Hamming distance —
+    * [[frameDups]]' perceptual twin, at scale: the 63-bit hash splits
+    * into 7 bands of 9 bits, candidates pair on an EQUAL band
+    * (pigeonhole: ≤ `maxDist` ≤ 6 differing bits touch ≤ 6 bands, so
+    * every true pair shares at least one of the 7 — the banded-LSH
+    * discipline, lossless here, never all-pairs), then the exact
+    * `bit_count(xor)` filter keeps true near-duplicates across DISTINCT
+    * media. Shuffle is candidate-sized (band-key equi-join); output
+    * `(media_a, frame_a, media_b, frame_b, dist)` is duplicate-set-sized. */
+  def framePhashPairs(media: DataFrame, fps: Int = 4, k: Int = 8,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6,
+      "maxDist in [0, 6]: 7 bands are pigeonhole-complete only below 7 bits")
+    val h = framePHash(media, fps, k)
+    val banded = h.withColumn("band_ix", explode(expr("sequence(0, 6)")))
+      .withColumn("band", expr("shiftright(phash, 9 * band_ix) & 511L"))
+    val a = banded.select(col("band_ix"), col("band"),
+      col("media_id").as("media_a"), col("frame_ix").as("frame_a"),
+      col("phash").as("__ha"))
+    val b = banded.select(col("band_ix"), col("band"),
+      col("media_id").as("media_b"), col("frame_ix").as("frame_b"),
+      col("phash").as("__hb"))
+    a.join(b, Seq("band_ix", "band"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("frame_a"), col("media_b"), col("frame_b"),
+        expr("CAST(bit_count(__ha ^ __hb) AS LONG)").as("dist"))
+      .filter(col("dist") <= maxDist.toLong)
+      .distinct()
+  }
+
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */
   def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {

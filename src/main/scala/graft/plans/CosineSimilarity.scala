@@ -154,7 +154,7 @@ object GraftFunctions {
         MaxSimKernel.description,
         IntersectionSize.description, PolyFingerprint.description,
         Fnv64.description, BloomBuildAgg.description, BloomMightContain.description,
-        CdcBoundaries.description)
+        CdcBoundaries.description, PHash64.description)
       .foreach { d =>
         if (!registry.functionExists(d._1)) {
           registry.registerFunction(d._1, d._2, d._3)
@@ -200,4 +200,7 @@ object GraftFunctions {
   def cdcBoundaries(bin: Column, w: Int, divisor: Int): Column =
     org.apache.spark.sql.functions.call_function(CdcBoundaries.Name, bin,
       org.apache.spark.sql.functions.lit(w), org.apache.spark.sql.functions.lit(divisor))
+
+  def phash64(frameBytes: Column): Column =
+    org.apache.spark.sql.functions.call_function(PHash64.Name, frameBytes)
 }

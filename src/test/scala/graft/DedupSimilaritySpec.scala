@@ -692,6 +692,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(occ == 6L && nm == 2L && first == 0L)
   }
 
+  test("framePHash: brightness-shift invariant; pHash pairs catch what frameDups misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{to_binary, lit => flit, col => fcol}
+    val rnd = new scala.util.Random(17)
+    // a deterministic 128-byte "picture" (two 8x8 frames) in printable ASCII
+    val base = Array.fill(128)((33 + rnd.nextInt(90)).toChar).mkString
+    // re-encode stand-in: a uniform +1 brightness shift on every byte
+    // moves only each frame's DC coefficient -> pHash identical, md5 not
+    val shifted = base.map(c => (c + 1).toChar).mkString
+    // an unrelated picture
+    val other = Array.fill(128)((33 + rnd.nextInt(90)).toChar).mkString
+    val media = Seq((0L, base), (1L, shifted), (2L, other))
+      .toDF("media_id", "raw")
+      .withColumn("content", to_binary(fcol("raw"), flit("utf-8")))
+      .select("media_id", "content")
+    // byte-digest dedup sees NO cross-media duplicate (every byte moved)
+    assert(MultimodalOps.frameDups(media, frameBytes = 64, fps = 4, k = 8).isEmpty)
+    // the DCT hash is bit-identical under the shift
+    val h = MultimodalOps.framePHash(media, fps = 4, k = 8)
+      .select("media_id", "frame_ix", "phash")
+      .as[(Long, Long, Long)].collect().toSeq
+    val h0 = h.filter(_._1 == 0L).map(t => (t._2, t._3)).sorted
+    val h1 = h.filter(_._1 == 1L).map(t => (t._2, t._3)).sorted
+    assert(h0 == h1 && h0.nonEmpty)
+    assert(h.forall(_._3 >= 0L)) // 63-bit pack stays non-negative
+    // the banded Hamming join surfaces the (0,1) re-encode pair at dist 0
+    val pairs = MultimodalOps.framePhashPairs(media, fps = 4, k = 8, maxDist = 3)
+      .select("media_a", "media_b", "dist")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.contains((0L, 1L, 0L)))
+  }
+
   test("pidsIn walks the calendar between two FileTimes") {
     import graft.functions.TimeFns
     val ft = (iso: String) => TimeFns.microsToFileTime(lit(TimeFns.utcMicros(iso)))
