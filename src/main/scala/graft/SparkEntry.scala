@@ -746,6 +746,58 @@ object SparkEntry {
       descentLoopSql(Seq("x0", "x1"), zz => s"1.0 / (1.0 + exp(-($zz)))")
   }
 
+  /** The unigram hard-EM step replayed in SQL: the substring seed and
+    * the top-64-plus-single-chars cap re-derived, piece scores as the
+    * SAME integer nll units (`floor((ln Σcnt − ln cnt)·1e8)`), then the
+    * E-step as a brute-force RECURSIVE-CTE enumeration of every
+    * segmentation of every distinct word, the winner per word picked by
+    * the kernel's exact tie-break — `(cost, chr(1)-joined path)` — and
+    * the re-estimated counts summed. Max word length 8 bounds the
+    * enumeration at ~tetranacci(8) paths per word. */
+  private lazy val unigramStepOracleSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) > 0 GROUP BY word),
+      |seed AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_filter(flatten(
+      |      list_transform(range(1, len(word) + 1), s ->
+      |        list_transform(range(1, 5), l ->
+      |          CASE WHEN s + l - 1 <= len(word)
+      |               THEN substring(word, CAST(s AS INT), CAST(l AS INT)) END))),
+      |      p -> p IS NOT NULL)) AS piece
+      |    FROM w)
+      |  GROUP BY piece),
+      |cap AS (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece LIMIT 64),
+      |vocab AS (SELECT DISTINCT piece, cnt FROM (
+      |  SELECT piece, cnt FROM cap
+      |  UNION ALL SELECT piece, cnt FROM seed WHERE len(piece) = 1)),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+      |v AS (SELECT piece,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u
+      |      FROM vocab CROSS JOIN tot),
+      |seg AS (
+      |  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+      |         CAST(0 AS BIGINT) AS cost, CAST('' AS VARCHAR) AS path
+      |  FROM w
+      |  UNION ALL
+      |  SELECT s.word, s.freq, s.pos + len(v.piece), s.cost + v.u,
+      |         s.path || chr(1) || v.piece
+      |  FROM seg s JOIN v
+      |    ON substring(s.word, CAST(s.pos + 1 AS INT), len(v.piece)) = v.piece
+      |  WHERE s.pos < len(s.word)),
+      |best AS (
+      |  SELECT word, freq, path,
+      |         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+      |  FROM seg WHERE pos = len(word)),
+      |pc AS (SELECT freq, unnest(string_split(path, chr(1))) AS piece
+      |       FROM best WHERE rn = 1)
+      |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM pc WHERE piece <> '' GROUP BY piece
+      |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin
+
   /** The pHash pipeline replayed in SQL, generated from the SAME
     * [[graft.operators.MultimodalOps.DctBasis1024]] constants the Spark
     * kernel embeds (single source — no cross-engine basis drift): the
@@ -3730,6 +3782,25 @@ object SparkEntry {
         .limit(1).collect()(0)
       TextOps.bpeEncode(docs, Seq((top.getAs[String]("s1"), top.getAs[String]("s2"))))
         .orderBy(col("doc_id"))
+    },
+
+    "g_unigram_step" -> { (s, dir) => // unigram-LM (SentencePiece-style)
+      // tokenizer training, one full hard-EM iteration: substring seed
+      // vocabulary (occurrence-counted over the distinct-word table) ->
+      // bounded cap (top-64 by count, plus every single character so
+      // segmentation is total) -> Viterbi E-step under integer nll units
+      // -> re-estimated piece counts. The oracle re-derives the seed and
+      // the cap, then replays the E-step by brute-force enumeration of
+      // EVERY segmentation per word (recursive CTE) with the kernel's
+      // exact (cost, sep-joined-path) tie-break — the DP must equal it.
+      val docs = Tables.documents(s, dir)
+      val seed = TextOps.unigramSeed(docs, maxPieceLen = 4)
+      val vocab = seed.orderBy(col("cnt").desc, col("piece")).limit(64)
+        .unionByName(seed.filter(length(col("piece")) === 1))
+        .distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      TextOps.unigramEmStep(docs, vocab)
+        .orderBy(col("cnt").desc, col("piece")).limit(50)
     },
 
     "g_sim_batch" -> { (s, dir) => // many-queries-at-once exact top-k: the
@@ -8067,6 +8138,8 @@ object SparkEntry {
         |FROM y ORDER BY media_id, frame_ix""".stripMargin,
 
     "g_frame_phash" -> framePhashOracleSql,
+
+    "g_unigram_step" -> unigramStepOracleSql,
 
     "g_rank_buckets" ->
       // the engine's two-phase rank is spec-pinned bit-equal to this

@@ -1653,6 +1653,64 @@ object TextOps {
     merges.toSeq
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer training -------------
+  //
+  // The OTHER mainstream subword trainer (Kudo 2018, arXiv:1804.10959),
+  // next to BPE: instead of greedily growing merges, fit a unigram piece
+  // model by EM — seed a substring vocabulary, segment every word under
+  // the current piece probabilities (the E-step; hard-EM here, so the
+  // Viterbi best path), re-estimate piece counts from the segmentations
+  // (the M-step's sufficient statistic). The same 100 TB shape as BPE:
+  // everything runs on the DISTINCT-WORD table; the corpus is touched
+  // once (the word groupBy).
+
+  /** Seed piece candidates: every substring of length 1..`maxPieceLen`
+    * of every distinct word, occurrence-counted (word-frequency-weighted,
+    * every start position — the SentencePiece seed state). Single
+    * characters are always present (they are length-1 substrings), which
+    * is what guarantees the E-step can segment every word. Map-only over
+    * the distinct-word table; the aggregate is vocabulary-sized. */
+  def unigramSeed(docs: DataFrame, maxPieceLen: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    bpeWords(docs, textCol)
+      .select(col("freq"), explode(expr(
+        s"""filter(flatten(transform(sequence(1, length(word)), s ->
+           |  transform(sequence(1, $maxPieceLen), l ->
+           |    CASE WHEN s + l - 1 <= length(word)
+           |         THEN substring(word, s, l) END))),
+           |  p -> p IS NOT NULL)""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** One hard-EM step of the unigram trainer: Viterbi-segment every
+    * distinct word under the piece model `vocab` (`(piece, count)` — a
+    * BOUNDED driver-side vocabulary, the learnBpe argmax-collect
+    * discipline) and return the re-estimated piece counts, word-frequency
+    * weighted. Piece scores are integer nll units
+    * `floor((ln Σcnt − ln cnt) · 1e8)` — the exp/ln last-ulp class the
+    * descent family already accepts — so the DP and all ties are exact
+    * integer comparisons, replayable by the oracle's brute-force
+    * segmentation enumeration ([[graft.plans.UnigramViterbi]] has the
+    * tie-break contract). One kernel call per distinct word, one
+    * vocabulary-sized aggregate; no shuffle touches the corpus. */
+  def unigramEmStep(docs: DataFrame, vocab: Seq[(String, Long)],
+      textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.forall(_._2 >= 1), "piece counts must be >= 1")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val total = vocab.map(_._2).sum
+    val sorted = vocab.sortBy(_._1)
+    val units = sorted.map { case (_, c) =>
+      math.floor((math.log(total.toDouble) - math.log(c.toDouble)) * 1e8).toLong
+    }
+    bpeWords(docs, textCol)
+      .select(col("freq"),
+        explode(graft.plans.GraftFunctions.unigramViterbi(
+          col("word"), sorted.map(_._1), units)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+  }
+
   /** Tokenize the corpus with a learned merge list: every merge pass runs
     * over the DISTINCT-WORD table (pinned every `pinEvery` passes so plan
     * depth stays bounded at 30k-merge vocabularies), then the corpus

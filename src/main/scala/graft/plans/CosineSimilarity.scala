@@ -154,7 +154,8 @@ object GraftFunctions {
         MaxSimKernel.description,
         IntersectionSize.description, PolyFingerprint.description,
         Fnv64.description, BloomBuildAgg.description, BloomMightContain.description,
-        CdcBoundaries.description, PHash64.description)
+        CdcBoundaries.description, PHash64.description,
+        UnigramViterbi.description)
       .foreach { d =>
         if (!registry.functionExists(d._1)) {
           registry.registerFunction(d._1, d._2, d._3)
@@ -203,4 +204,9 @@ object GraftFunctions {
 
   def phash64(frameBytes: Column): Column =
     org.apache.spark.sql.functions.call_function(PHash64.Name, frameBytes)
+
+  def unigramViterbi(word: Column, pieces: Seq[String], units: Seq[Long]): Column =
+    org.apache.spark.sql.functions.call_function(UnigramViterbi.Name, word,
+      org.apache.spark.sql.functions.typedLit(pieces),
+      org.apache.spark.sql.functions.typedLit(units))
 }

@@ -288,6 +288,45 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.learnBpe(docs, 4) == Seq())
   }
 
+  test("unigramSeed counts every substring occurrence, freq-weighted") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val seed = TextOps.unigramSeed(docs, maxPieceLen = 2)
+      .as[(String, Long)].collect().toMap
+    // "ab" freq 2: pieces a(2), b(2), ab(2); "b" freq 1: b(1)
+    assert(seed == Map("a" -> 2L, "b" -> 3L, "ab" -> 2L))
+  }
+
+  test("unigram Viterbi: cheap piece wins, exact ties break lexicographic, gaps drop") {
+    val docs = Seq((1L, "abc zq")).toDF("doc_id", "text")
+    // "ab"+"c" and "a"+"bc" tie exactly (equal counts everywhere):
+    // sep-joined "abc" < "abc" -> [a, bc] wins.
+    // "zq" has no 'z' in vocab -> unsegmentable -> contributes nothing.
+    val vocab = Seq("a" -> 5L, "b" -> 5L, "c" -> 5L, "ab" -> 5L, "bc" -> 5L, "q" -> 5L)
+    val step = TextOps.unigramEmStep(docs, vocab)
+      .as[(String, Long)].collect().toMap
+    assert(step == Map("a" -> 1L, "bc" -> 1L))
+    // a much more frequent (cheaper) "ab" beats the tie-break
+    val vocab2 = Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "ab" -> 1000L, "bc" -> 1L, "q" -> 1L)
+    val step2 = TextOps.unigramEmStep(docs, vocab2)
+      .as[(String, Long)].collect().toMap
+    assert(step2 == Map("ab" -> 1L, "c" -> 1L))
+  }
+
+  test("unigram EM step re-estimates toward the dominant piece") {
+    // corpus dominated by "abab": after one E-step under the seed model,
+    // the 2-char piece "ab" should carry more weight than any other
+    // 2-char piece, and every word stays fully covered
+    val docs = Seq((1L, "abab abab abab cd")).toDF("doc_id", "text")
+    val seed = TextOps.unigramSeed(docs, maxPieceLen = 2)
+      .as[(String, Long)].collect().toSeq
+    val step = TextOps.unigramEmStep(docs, seed)
+      .as[(String, Long)].collect().toMap
+    assert(step.getOrElse("ab", 0L) >= step.filter(_._1.length == 2).values.max)
+    // coverage: "abab" x3 and "cd" x1 all segmented (some piece rows exist
+    // for both words' characters)
+    assert(step.values.sum > 0)
+  }
+
   test("minKProb: LM-member text outscores fresh text; novelty is its n-gram mirror") {
     val lm = (0L until 30L)
       .map(i => (i, "alpha beta gamma delta epsilon zeta"))
