@@ -754,8 +754,10 @@ object SparkEntry {
     * the kernel's exact tie-break — `(cost, chr(1)-joined path)` — and
     * the re-estimated counts summed. Max word length 8 bounds the
     * enumeration at ~tetranacci(8) paths per word. */
-  private lazy val unigramStepOracleSql: String =
-    """WITH RECURSIVE w AS (
+  /** The distinct-word and substring-seed CTE prefix shared by the
+    * unigram step and prune oracles (no leading WITH — callers splice). */
+  private lazy val unigramSeedCtes: String =
+    """w AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |  WHERE len(word) > 0 GROUP BY word),
@@ -768,7 +770,40 @@ object SparkEntry {
       |               THEN substring(word, CAST(s AS INT), CAST(l AS INT)) END))),
       |      p -> p IS NOT NULL)) AS piece
       |    FROM w)
-      |  GROUP BY piece),
+      |  GROUP BY piece)""".stripMargin
+
+  /** The SentencePiece prune step replayed in SQL: the same seed and
+    * integer nll units, the char-fallback loss
+    * `cnt · (Σ_ch nll(ch) − nll(piece))` (missing standalone chars at
+    * the cnt = 1 ceiling), the (loss desc, piece) rank, top-32 kept. */
+  private lazy val unigramPruneOracleSql: String =
+    s"""WITH $unigramSeedCtes,
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+      |u AS (SELECT piece, cnt,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u,
+      |        CAST(floor(ln(CAST(t AS DOUBLE)) * 100000000) AS BIGINT) AS uc
+      |      FROM seed CROSS JOIN tot),
+      |ch AS (SELECT piece AS c2, u AS cu FROM u WHERE len(piece) = 1),
+      |alt AS (SELECT piece, cnt, u,
+      |          CAST(sum(coalesce(cu, uc)) AS BIGINT) AS alt
+      |        FROM (SELECT piece, cnt, u, uc,
+      |                unnest(list_transform(range(1, len(piece) + 1),
+      |                  i -> substring(piece, CAST(i AS INT), 1))) AS c2
+      |              FROM u WHERE len(piece) >= 2) x
+      |        LEFT JOIN ch USING (c2)
+      |        GROUP BY piece, cnt, u),
+      |r AS (SELECT piece, cnt,
+      |        CAST(CAST(cnt AS HUGEINT) * (alt - u) AS BIGINT) AS loss
+      |      FROM alt),
+      |k AS (SELECT piece, cnt, loss,
+      |        CAST(row_number() OVER (ORDER BY loss DESC, piece) AS BIGINT) AS rank
+      |      FROM r)
+      |SELECT piece, cnt, loss, rank FROM k WHERE rank <= 32
+      |ORDER BY rank""".stripMargin
+
+  private lazy val unigramStepOracleSql: String =
+    s"""WITH RECURSIVE $unigramSeedCtes,
       |cap AS (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece LIMIT 64),
       |vocab AS (SELECT DISTINCT piece, cnt FROM (
       |  SELECT piece, cnt FROM cap
@@ -805,8 +840,9 @@ object SparkEntry {
     * frame (ASCII fixture: char == byte, the established g_frame_sample
     * equivalence), the 63-AC lower-median bit rule, and the BRUTE-FORCE
     * cross-media pair truth the banded Hamming join must equal
-    * losslessly at dist ≤ 3. */
-  private lazy val framePhashOracleSql: String = {
+    * losslessly at dist ≤ 3 — as CTEs ending in `pairs`, shared by the
+    * frame-pair and media-rollup oracles. */
+  private lazy val framePhashPairCtes: String = {
     val ct = graft.operators.MultimodalOps.DctBasis1024.mkString("[", ", ", "]")
     s"""WITH m AS (SELECT doc_id AS media_id, text AS content,
       |        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 64 AS nf
@@ -836,14 +872,29 @@ object SparkEntry {
       |          CASE WHEN coef[CAST(b + 1 AS INT)] > med
       |               THEN (CAST(1 AS BIGINT) << CAST(b - 1 AS INT))
       |               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-      |      FROM cm)
-      |SELECT a.media_id AS media_a, a.frame_ix AS frame_a,
-      |       b.media_id AS media_b, b.frame_ix AS frame_b,
-      |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
-      |FROM h a JOIN h b ON a.media_id < b.media_id
-      |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-      |ORDER BY media_a, frame_a, media_b, frame_b""".stripMargin
+      |      FROM cm),
+      |pairs AS (
+      |  SELECT a.media_id AS media_a, a.frame_ix AS frame_a,
+      |         b.media_id AS media_b, b.frame_ix AS frame_b,
+      |         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+      |  FROM h a JOIN h b ON a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)""".stripMargin
   }
+
+  private lazy val framePhashOracleSql: String =
+    framePhashPairCtes +
+      """
+      |SELECT media_a, frame_a, media_b, frame_b, dist FROM pairs
+      |ORDER BY media_a, frame_a, media_b, frame_b""".stripMargin
+
+  /** The media-level rollup: pairs with ≥ 2 near-duplicate frames. */
+  private lazy val phashMediaOracleSql: String =
+    framePhashPairCtes +
+      """
+      |SELECT media_a, media_b, CAST(count(*) AS BIGINT) AS n_frame_pairs,
+      |       min(dist) AS min_dist
+      |FROM pairs GROUP BY media_a, media_b HAVING count(*) >= 2
+      |ORDER BY media_a, media_b""".stripMargin
 
   /** The calibrated quality loop replayed in SQL: the ENTIRE
     * [[logitPlattOracleSql]] (a descent nested in a descent) as a
@@ -3794,12 +3845,47 @@ object SparkEntry {
       // EVERY segmentation per word (recursive CTE) with the kernel's
       // exact (cost, sep-joined-path) tie-break — the DP must equal it.
       val docs = Tables.documents(s, dir)
-      val seed = TextOps.unigramSeed(docs, maxPieceLen = 4)
-      val vocab = seed.orderBy(col("cnt").desc, col("piece")).limit(64)
-        .unionByName(seed.filter(length(col("piece")) === 1))
-        .distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val vocab = TextOps.unigramCapVocab(TextOps.unigramSeed(docs, maxPieceLen = 4))
       TextOps.unigramEmStep(docs, vocab)
+        .orderBy(col("cnt").desc, col("piece")).limit(50)
+    },
+
+    "g_unigram_prune" -> { (s, dir) => // the prune half of the
+      // SentencePiece iteration: multi-char seed pieces ranked by the
+      // likelihood DROP if removed with single-character fallback
+      // (loss = cnt * (sum char nll - piece nll), exact integer units),
+      // top-32 kept. Exact to Kudo 2018's alternative-segmentation loss
+      // whenever the best alternative IS the char split. The oracle
+      // replays seed, units, the char join, and the rank.
+      TextOps.unigramPrune(
+          TextOps.unigramSeed(Tables.documents(s, dir), maxPieceLen = 4),
+          keep = 32)
+        .orderBy(col("rank"))
+    },
+
+    "q_stream_unigram" -> { (s, dir) => // the unigram trainer's streamed
+      // corpus face: the word-frequency frame is the ONE corpus-sized
+      // aggregation of the whole trainer, and it is exactly the unigram
+      // count frame the KN family already maintains incrementally — so
+      // an AvailableNow run of knCountsStream + the fold serve the
+      // words, and seed/cap/EM run vocabulary-sized on top. Must be
+      // bit-equal to the batch g_unigram_step (shared oracle hash).
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_unigram_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .knCountsStream(src, s"$out/idx", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.compactKnCounts(s, s"$out/idx")
+      val words = graft.streaming.StreamingOps.readKnCounts(s, s"$out/idx")._1
+        .filter(length(col("w")) > 0) // bpeWords' empty-token filter
+        .select(col("w").as("word"), col("c").as("freq"))
+      val vocab = TextOps.unigramCapVocab(
+        TextOps.unigramSeedFromWords(words, maxPieceLen = 4))
+      TextOps.unigramEmStepFromWords(words, vocab)
         .orderBy(col("cnt").desc, col("piece")).limit(50)
     },
 
@@ -4824,6 +4910,16 @@ object SparkEntry {
           MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
           fps = 4, k = 8, maxDist = 3)
         .orderBy(col("media_a"), col("frame_a"), col("media_b"), col("frame_b"))
+    },
+
+    "g_phash_media" -> { (s, dir) => // the media-level rollup a video
+      // dedup acts on: media pairs with >= 2 near-duplicate sampled
+      // frames (one match is noise, a run is a re-encoded copy or a
+      // shared segment), with the pair count and the closest distance.
+      MultimodalOps.mediaPhashDups(
+          MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
+          fps = 4, k = 8, maxDist = 3, minFrames = 2)
+        .orderBy(col("media_a"), col("media_b"))
     },
 
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
@@ -8139,7 +8235,14 @@ object SparkEntry {
 
     "g_frame_phash" -> framePhashOracleSql,
 
+    "g_phash_media" -> phashMediaOracleSql,
+
     "g_unigram_step" -> unigramStepOracleSql,
+
+    "g_unigram_prune" -> unigramPruneOracleSql,
+
+    // the streamed count maintainer serves the SAME trainer (one truth)
+    "q_stream_unigram" -> unigramStepOracleSql,
 
     "g_rank_buckets" ->
       // the engine's two-phase rank is spec-pinned bit-equal to this

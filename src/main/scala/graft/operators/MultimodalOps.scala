@@ -474,6 +474,22 @@ object MultimodalOps {
       .distinct()
   }
 
+  /** Media-level near-duplicate verdicts from the frame-pair evidence —
+    * the rollup a video-dedup pipeline actually acts on: two media are
+    * near-duplicates when at least `minFrames` of their sampled frames
+    * pair within `maxDist` pHash bits (one matching frame is noise; a
+    * run of matching frames is a re-encoded copy or a shared segment).
+    * Output is duplicate-set-sized: `(media_a, media_b, n_frame_pairs,
+    * min_dist)`. */
+  def mediaPhashDups(media: DataFrame, fps: Int = 4, k: Int = 8,
+      maxDist: Int = 3, minFrames: Int = 2): DataFrame = {
+    require(minFrames >= 1, "minFrames must be >= 1")
+    framePhashPairs(media, fps, k, maxDist)
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"), min(col("dist")).as("min_dist"))
+      .filter(col("n_frame_pairs") >= minFrames.toLong)
+  }
+
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */
   def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {

@@ -1671,9 +1671,16 @@ object TextOps {
     * is what guarantees the E-step can segment every word. Map-only over
     * the distinct-word table; the aggregate is vocabulary-sized. */
   def unigramSeed(docs: DataFrame, maxPieceLen: Int = 4,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    unigramSeedFromWords(bpeWords(docs, textCol), maxPieceLen)
+
+  /** [[unigramSeed]] over an ALREADY-AGGREGATED `(word, freq)` frame —
+    * the face a streamed count maintainer serves (the corpus groupBy
+    * happened incrementally; only the vocabulary-sized substring
+    * explode runs here). */
+  def unigramSeedFromWords(words: DataFrame, maxPieceLen: Int = 4): DataFrame = {
     require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
-    bpeWords(docs, textCol)
+    words
       .select(col("freq"), explode(expr(
         s"""filter(flatten(transform(sequence(1, length(word)), s ->
            |  transform(sequence(1, $maxPieceLen), l ->
@@ -1695,20 +1702,82 @@ object TextOps {
     * tie-break contract). One kernel call per distinct word, one
     * vocabulary-sized aggregate; no shuffle touches the corpus. */
   def unigramEmStep(docs: DataFrame, vocab: Seq[(String, Long)],
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    unigramEmStepFromWords(bpeWords(docs, textCol), vocab)
+
+  /** [[unigramEmStep]] over an ALREADY-AGGREGATED `(word, freq)` frame —
+    * the streamed-maintainer face ([[unigramSeedFromWords]]' reasoning). */
+  def unigramEmStepFromWords(words: DataFrame,
+      vocab: Seq[(String, Long)]): DataFrame = {
     require(vocab.nonEmpty, "empty vocabulary")
     require(vocab.forall(_._2 >= 1), "piece counts must be >= 1")
-    graft.plans.GraftFunctions.register(docs.sparkSession)
+    graft.plans.GraftFunctions.register(words.sparkSession)
     val total = vocab.map(_._2).sum
     val sorted = vocab.sortBy(_._1)
     val units = sorted.map { case (_, c) =>
       math.floor((math.log(total.toDouble) - math.log(c.toDouble)) * 1e8).toLong
     }
-    bpeWords(docs, textCol)
+    words
       .select(col("freq"),
         explode(graft.plans.GraftFunctions.unigramViterbi(
           col("word"), sorted.map(_._1), units)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** The bounded vocabulary cap for the gated EM step: the top `cap`
+    * seed pieces by (cnt desc, piece asc) plus every single character
+    * (so segmentation stays total), collected to the driver — the
+    * [[learnBpe]] bounded-driver-state class. */
+  def unigramCapVocab(seed: DataFrame, cap: Int = 64): Seq[(String, Long)] = {
+    val s = Checkpoints.pin(seed, reliable = false)
+    s.orderBy(col("cnt").desc, col("piece")).limit(cap)
+      .unionByName(s.filter(length(col("piece")) === 1))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** The prune half of the SentencePiece iteration: rank multi-character
+    * pieces by how much the corpus likelihood DROPS if the piece is
+    * removed and its occurrences fall back to single characters —
+    * `loss = cnt · (Σ_ch nll(ch) − nll(piece))` — and keep the top
+    * `keep` (ties to the lexicographically smaller piece). Single
+    * characters are never pruned (they are the segmentation floor); a
+    * character with no standalone count (it only ever appears inside
+    * kept pieces) falls back at the cnt = 1 ceiling `ln(total)`.
+    * This is the char-fallback simplification of Kudo 2018's
+    * alternative-segmentation loss: exact to it whenever the best
+    * alternative IS the character split, pessimistic otherwise.
+    *
+    * All integer: the same `floor((ln Σcnt − ln cnt)·1e8)` units as the
+    * E-step; the loss product is exact in DECIMAL(38,0) and emitted as
+    * a long (sub-2^63 at any realistic unit·count scale). One pin, one
+    * broadcast total, one char join, one vocabulary-sized window.
+    * Output: `(piece, cnt, loss, rank)` for the kept pieces. */
+  def unigramPrune(counts: DataFrame, keep: Int): DataFrame = {
+    require(keep >= 1, "keep must be >= 1")
+    val c = Checkpoints.pin(counts, reliable = false)
+    val tot = c.agg(sum(col("cnt")).as("__t"))
+    val withU = c.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        floor((log(col("__t").cast("double")) - log(col("cnt").cast("double")))
+          * lit(1e8)).cast("long").as("__u"),
+        floor(log(col("__t").cast("double")) * lit(1e8)).cast("long").as("__uc"))
+    val chars = withU.filter(length(col("piece")) === 1)
+      .select(col("piece").as("__ch"), col("__u").as("__cu"))
+    val ranked = withU.filter(length(col("piece")) >= 2)
+      .select(col("piece"), col("cnt"), col("__u"), col("__uc"),
+        explode(split(col("piece"), "")).as("__ch"))
+      .filter(length(col("__ch")) === 1) // guard a regex-split empty tail
+      .join(broadcast(chars), Seq("__ch"), "left")
+      .groupBy(col("piece"), col("cnt"), col("__u"))
+      .agg(sum(coalesce(col("__cu"), col("__uc"))).as("__alt"))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast("decimal(38,0)") * (col("__alt") - col("__u")))
+          .cast("long").as("loss"))
+      // single window over the vocabulary-sized frame (the zipfFit class)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("loss").desc, col("piece"))).cast("long"))
+    ranked.filter(col("rank") <= keep)
   }
 
   /** Tokenize the corpus with a learned merge list: every merge pass runs

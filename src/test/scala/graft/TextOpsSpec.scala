@@ -327,6 +327,24 @@ class TextOpsSpec extends SparkSpec {
     assert(step.values.sum > 0)
   }
 
+  test("unigramPrune: dominant piece ranks first; char fallback prices the loss") {
+    val docs = Seq((1L, "abab abab abab xy")).toDF("doc_id", "text")
+    val seed = TextOps.unigramSeed(docs, maxPieceLen = 2)
+      .as[(String, Long)].collect().toSeq
+    val kept = TextOps.unigramPrune(docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.parallelize(seed.map(t => org.apache.spark.sql.Row(t._1, t._2))),
+        org.apache.spark.sql.types.StructType.fromDDL("piece STRING, cnt LONG")), keep = 3)
+      .orderBy(col("rank")).as[(String, Long, Long, Long)].collect().toSeq
+    // "ab" occurs 6x (twice in each "abab") — removing it costs the most
+    assert(kept.head._1 == "ab" && kept.head._4 == 1L)
+    assert(kept.forall(_._3 >= 0L)) // char fallback never beats the piece
+    // the words face equals the docs face
+    val words = TextOps.bpeWords(docs).select(col("word"), col("freq"))
+    val fromWords = TextOps.unigramSeedFromWords(words, maxPieceLen = 2)
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(fromWords == seed.sorted)
+  }
+
   test("minKProb: LM-member text outscores fresh text; novelty is its n-gram mirror") {
     val lm = (0L until 30L)
       .map(i => (i, "alpha beta gamma delta epsilon zeta"))
