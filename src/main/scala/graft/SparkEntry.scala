@@ -704,11 +704,14 @@ object SparkEntry {
       |FROM documents)""".stripMargin + descentLoopSql(xs, muOf)
   }
 
-  /** The descent loop + final scoring of the unrolled-CTE GD replay,
-    * over an ALREADY-DEFINED feature CTE `f(doc_id, y, xs...)` — shared
-    * by [[descentOracleSql]] (features from `documents`) and the Platt
-    * calibrator (features from another descent's scores). */
-  private def descentLoopSql(xs: Seq[String], muOf: String => String): String = {
+  /** Just the weight-update CTE chain of the unrolled-CTE GD replay
+    * (`,w0 AS ... ,gS/wS AS ...` over an already-defined feature CTE
+    * `f(doc_id, y, xs...)`; the final weights live in `w<steps>` as
+    * integer 1e-8 units `u0..`) — split out of [[descentLoopSql]] so a
+    * consumer can score a DIFFERENT frame with the trained weights (the
+    * Bradley–Terry reward ranker scores every document with weights
+    * fitted on the pairwise diffs). */
+  private def descentStepsSql(xs: Seq[String], muOf: String => String): String = {
     val steps = GraftConf.LogitStepsDefault
     def z(u: Int => String): String =
       xs.zipWithIndex.map { case (x, j) => s"(${u(j)} * 1e-8) * $x" }.mkString(" + ")
@@ -727,11 +730,21 @@ object SparkEntry {
           s"u$j - CAST(floor(CAST(g$j AS DOUBLE) / 4096.0) AS BIGINT) AS u$j").mkString(", ")}
         |  FROM w${s - 1} CROSS JOIN g$s)""".stripMargin
     }
-    sb ++= s"""
+    sb.toString
+  }
+
+  /** The descent loop + final scoring of the unrolled-CTE GD replay,
+    * over an ALREADY-DEFINED feature CTE `f(doc_id, y, xs...)` — shared
+    * by [[descentOracleSql]] (features from `documents`) and the Platt
+    * calibrator (features from another descent's scores). */
+  private def descentLoopSql(xs: Seq[String], muOf: String => String): String = {
+    val steps = GraftConf.LogitStepsDefault
+    def z(u: Int => String): String =
+      xs.zipWithIndex.map { case (x, j) => s"(${u(j)} * 1e-8) * $x" }.mkString(" + ")
+    descentStepsSql(xs, muOf) + s"""
       |SELECT doc_id, y AS label,
       |       floor((${z(j => s"u$j")}) * 1000000) / 1000000 AS logit
       |FROM f CROSS JOIN w$steps ORDER BY doc_id""".stripMargin
-    sb.toString
   }
 
   /** Platt scaling replayed in SQL: the whole [[logitTrainOracleSql]]
@@ -802,8 +815,12 @@ object SparkEntry {
       |SELECT piece, cnt, loss, rank FROM k WHERE rank <= 32
       |ORDER BY rank""".stripMargin
 
-  private lazy val unigramStepOracleSql: String =
-    s"""WITH RECURSIVE $unigramSeedCtes,
+  /** Seed → cap → integer-nll units → brute-force segmentation
+    * enumeration → per-word best path, as CTEs ending in `best` —
+    * shared by the EM-step and corpus-encode oracles (one Viterbi
+    * truth, two tails). */
+  private lazy val unigramViterbiCtes: String =
+    s"""$unigramSeedCtes,
       |cap AS (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece LIMIT 64),
       |vocab AS (SELECT DISTINCT piece, cnt FROM (
       |  SELECT piece, cnt FROM cap
@@ -826,12 +843,99 @@ object SparkEntry {
       |best AS (
       |  SELECT word, freq, path,
       |         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
-      |  FROM seg WHERE pos = len(word)),
+      |  FROM seg WHERE pos = len(word))""".stripMargin
+
+  private lazy val unigramStepOracleSql: String =
+    s"""WITH RECURSIVE $unigramViterbiCtes,
       |pc AS (SELECT freq, unnest(string_split(path, chr(1))) AS piece
       |       FROM best WHERE rn = 1)
       |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM pc WHERE piece <> '' GROUP BY piece
       |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin
+
+  /** The composed trainer pipeline replayed in SQL, every stage nested:
+    * the EM-step piece counts (from the shared Viterbi CTEs) re-enter
+    * the prune's char-fallback loss rank, the kept top-16 multi-char
+    * pieces plus the EM step's single characters form the final
+    * vocabulary, and a SECOND brute-force segmentation enumeration under
+    * the re-derived units encodes every word. A word the pruned
+    * vocabulary cannot cover has no complete path — LEFT JOIN +
+    * coalesce(0) mirrors the kernel's empty-array contract. */
+  private lazy val unigramPipelineOracleSql: String =
+    s"""WITH RECURSIVE $unigramViterbiCtes,
+      |pc AS (SELECT freq, unnest(string_split(path, chr(1))) AS piece
+      |       FROM best WHERE rn = 1),
+      |emc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |        FROM pc WHERE piece <> '' GROUP BY piece),
+      |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM emc),
+      |u2 AS (SELECT piece, cnt,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u,
+      |        CAST(floor(ln(CAST(t AS DOUBLE)) * 100000000) AS BIGINT) AS uc
+      |      FROM emc CROSS JOIN tot2),
+      |ch2 AS (SELECT piece AS c2, u AS cu FROM u2 WHERE len(piece) = 1),
+      |alt2 AS (SELECT piece, cnt, u,
+      |          CAST(sum(coalesce(cu, uc)) AS BIGINT) AS alt
+      |        FROM (SELECT piece, cnt, u, uc,
+      |                unnest(list_transform(range(1, len(piece) + 1),
+      |                  i -> substring(piece, CAST(i AS INT), 1))) AS c2
+      |              FROM u2 WHERE len(piece) >= 2) x
+      |        LEFT JOIN ch2 USING (c2)
+      |        GROUP BY piece, cnt, u),
+      |k2 AS (SELECT piece, cnt,
+      |        CAST(row_number() OVER (ORDER BY
+      |          CAST(CAST(cnt AS HUGEINT) * (alt - u) AS BIGINT) DESC, piece)
+      |          AS BIGINT) AS rank
+      |      FROM alt2),
+      |vocab2 AS (SELECT DISTINCT piece, cnt FROM (
+      |  SELECT piece, cnt FROM k2 WHERE rank <= 16
+      |  UNION ALL SELECT piece, cnt FROM emc WHERE len(piece) = 1)),
+      |tot3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab2),
+      |v2 AS (SELECT piece,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u
+      |      FROM vocab2 CROSS JOIN tot3),
+      |seg2 AS (
+      |  SELECT word, CAST(0 AS BIGINT) AS pos,
+      |         CAST(0 AS BIGINT) AS cost, CAST('' AS VARCHAR) AS path
+      |  FROM w
+      |  UNION ALL
+      |  SELECT s.word, s.pos + len(v.piece), s.cost + v.u,
+      |         s.path || chr(1) || v.piece
+      |  FROM seg2 s JOIN v2 v
+      |    ON substring(s.word, CAST(s.pos + 1 AS INT), len(v.piece)) = v.piece
+      |  WHERE s.pos < len(s.word)),
+      |best2 AS (
+      |  SELECT word, path,
+      |         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+      |  FROM seg2 WHERE pos = len(word)),
+      |enc2 AS (SELECT word,
+      |          CAST(len(string_split(path, chr(1))) - 1 AS BIGINT) AS n
+      |        FROM best2 WHERE rn = 1),
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |       FROM documents)
+      |SELECT doc_id, CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_words
+      |FROM dw LEFT JOIN enc2 USING (word)
+      |WHERE len(word) > 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The corpus encode replayed in SQL: per-word token counts from the
+    * SAME best-path enumeration (the path is `chr(1)`-joined, so pieces
+    * = len(split) − 1), the corpus words re-exploded and joined — the
+    * oracle pays the join per occurrence exactly like the engine. */
+  private lazy val unigramEncodeOracleSql: String =
+    s"""WITH RECURSIVE $unigramViterbiCtes,
+      |enc AS (SELECT word,
+      |          CAST(len(string_split(path, chr(1))) - 1 AS BIGINT) AS n
+      |        FROM best WHERE rn = 1),
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |       FROM documents)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_words
+      |FROM dw JOIN enc USING (word)
+      |WHERE len(word) > 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The pHash pipeline replayed in SQL, generated from the SAME
     * [[graft.operators.MultimodalOps.DctBasis1024]] constants the Spark
@@ -953,6 +1057,43 @@ object SparkEntry {
         |lab AS (SELECT doc_id, 'pref' AS label,
         |        CASE WHEN logit >= 0.0 THEN 'pref' ELSE 'anti' END AS pred
         |        FROM sc)""".stripMargin)
+  }
+
+  /** The Bradley–Terry reward RANKER replayed in SQL — the selection
+    * consumer of [[btFitOracleSql]]'s fit: the same pairing + diffs +
+    * unrolled descent, but the trained weights then score EVERY document
+    * (not the diffs), and each source keeps its top quarter by reward
+    * through the exact count-derived quota + single-window rank the
+    * salted scoreQuantileFilter provably reproduces (the
+    * g_quality_quantile oracle pattern). */
+  private lazy val btRankOracleSql: String = {
+    val xs = logitFeatureSql.map(_._1)
+    val steps = GraftConf.LogitStepsDefault
+    val pairsCore = prefPairsOracleSql.stripSuffix("\nORDER BY c.source, pair_rank")
+    val zz = xs.zipWithIndex.map { case (x, j) => s"(w.u$j * 1e-8) * ft.$x" }
+      .mkString(" + ")
+    s"""WITH pr AS ($pairsCore),
+      |ft AS (SELECT doc_id, source,
+      |  ${logitFeatureSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+      |FROM documents),
+      |f AS (SELECT p.chosen_id AS doc_id, CAST(1.0 AS DOUBLE) AS y,
+      |  ${xs.map(x => s"c.$x - r.$x AS $x").mkString(",\n  ")}
+      |FROM pr p JOIN ft c ON c.doc_id = p.chosen_id
+      |          JOIN ft r ON r.doc_id = p.rejected_id)""".stripMargin +
+      descentStepsSql(xs, zz => s"1.0 / (1.0 + exp(-($zz)))") +
+      s""",
+      |sc AS (SELECT ft.doc_id, ft.source,
+      |         floor(($zz) * 1000000) / 1000000 AS reward
+      |       FROM ft CROSS JOIN w$steps w),
+      |c AS (SELECT source, CAST(ceil(0.25 * CAST(count(*) AS DOUBLE)) AS BIGINT) AS quota
+      |      FROM sc GROUP BY source),
+      |r AS (SELECT sc.doc_id, sc.source, sc.reward,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY sc.source ORDER BY sc.reward DESC, sc.doc_id) AS INT) AS rank,
+      |        c.quota
+      |      FROM sc JOIN c USING (source))
+      |SELECT doc_id, source, reward, rank FROM r WHERE rank <= quota
+      |ORDER BY doc_id""".stripMargin
   }
 
   /** The train→evaluate loop replayed in SQL: the whole
@@ -3863,6 +4004,48 @@ object SparkEntry {
         .orderBy(col("rank"))
     },
 
+    "g_unigram_encode" -> { (s, dir) => // the unigram encode path
+      // end-to-end (bpeEncode's contract for the OTHER trainer): seed →
+      // cap → per-distinct-word Viterbi segmentation under the trained
+      // integer nll units → the corpus joins the word→token-count map
+      // ONCE. The oracle re-derives the vocabulary, brute-force-
+      // enumerates every word's best path, and replays the occurrence
+      // join — so a drifted unit or tie-break moves some word's token
+      // count and flips a doc row.
+      val docs = Tables.documents(s, dir)
+      val vocab = TextOps.unigramCapVocab(TextOps.unigramSeed(docs, maxPieceLen = 4))
+      TextOps.unigramEncode(docs, vocab)
+        .orderBy(col("doc_id"))
+    },
+
+    "g_unigram_pipeline" -> { (s, dir) => // the tokenizer trainer
+      // composed end-to-end (the g_pipeline_e2e discipline): seed → cap
+      // → one hard-EM step → prune to the top-16 multi-char pieces (+
+      // the E-step's single characters, so coverage stays total where it
+      // can) → re-encode the corpus under the PRUNED vocabulary. The
+      // distinct-word frame is pinned once and shared by seed, EM, and
+      // encode — the corpus pays ONE groupBy and ONE join, end to end.
+      // The oracle replays every stage nested (two segmentation
+      // enumerations under two vocabularies), so a drifted unit,
+      // tie-break, or prune rank anywhere moves some doc's token count.
+      val docs = Tables.documents(s, dir)
+      val words = graft.operators.Checkpoints.pin(
+        TextOps.bpeWords(docs).select(col("word"), col("freq")),
+        reliable = false)
+      val vocab0 = TextOps.unigramCapVocab(TextOps.unigramSeedFromWords(words))
+      val em = graft.operators.Checkpoints.pin(
+        TextOps.unigramEmStepFromWords(words, vocab0), reliable = false)
+      // a character the E-step never used is absent from em — a word
+      // needing it encodes to 0 tokens (visible, the kernel contract)
+      val vocab = TextOps.unigramPrune(em, keep = 16)
+        .select(col("piece"), col("cnt"))
+        .unionByName(em.filter(length(col("piece")) === 1))
+        .distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      TextOps.unigramEncodeFromWords(docs, words, vocab)
+        .orderBy(col("doc_id"))
+    },
+
     "q_stream_unigram" -> { (s, dir) => // the unigram trainer's streamed
       // corpus face: the word-frequency frame is the ONE corpus-sized
       // aggregation of the whole trainer, and it is exactly the unigram
@@ -4317,6 +4500,44 @@ object SparkEntry {
       TextOps.classEval(sp.select(col("doc_id"), lit("pref").as("label"),
           when(col("logit") >= lit(0.0), lit("pref")).otherwise(lit("anti")).as("pred")))
         .orderBy(col("class"))
+    },
+
+    "g_bt_rank" -> { (s, dir) => // best-of-n selection under the learned
+      // reward — the consumer of g_bt_fit's weights (a fitted reward
+      // model nobody scores with is as incomplete as unpaired
+      // preferences): the SAME pairing → diffs → descent, then the
+      // trained weights score EVERY document (the pinned features frame
+      // is reused for both the diffs and the scoring — one derivation),
+      // and each source keeps its top quarter by reward through the
+      // salted two-phase scoreQuantileFilter. The oracle replays the
+      // whole chain with the single-window quota formulation.
+      val steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)
+      val d = Tables.documents(s, dir)
+      val pairs = CurationOps.preferencePairs(
+        d.select(col("doc_id"), col("source"),
+          floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+            .cast("long").as("score")))
+      val feats = graft.operators.Checkpoints.pin(
+        TextOps.logitFeatures(d)
+          .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*),
+        reliable = false)
+      val diffs = graft.operators.Checkpoints.pin(
+        pairs
+          .join(feats.select(col("doc_id").as("chosen_id") +:
+            TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*), Seq("chosen_id"))
+          .join(feats.select(col("doc_id").as("rejected_id") +:
+            TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*), Seq("rejected_id"))
+          .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
+            TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*),
+        reliable = false)
+      val w = TextOps.logitTrain(diffs, steps = steps)
+      val rewards = TextOps.logitScoreFeatures(
+          feats.withColumn("y", lit(1.0)), w)
+        .select(col("doc_id"), col("logit").as("reward"))
+      CurationOps.scoreQuantileFilter(
+          rewards.join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+          keepFrac = 0.25, saltBuckets = 4, scoreCol = "reward")
+        .orderBy(col("doc_id"))
     },
 
     "g_glm_poisson" -> { (s, dir) => // the GLM seam beyond the logit
@@ -7869,6 +8090,7 @@ object SparkEntry {
     "g_quality_loop" -> qualityLoopOracleSql,
 
     "g_bt_fit" -> btFitOracleSql,
+    "g_bt_rank" -> btRankOracleSql,
 
     "g_doremi_weights" -> doremiOracleSql,
 
@@ -8238,6 +8460,8 @@ object SparkEntry {
     "g_phash_media" -> phashMediaOracleSql,
 
     "g_unigram_step" -> unigramStepOracleSql,
+    "g_unigram_encode" -> unigramEncodeOracleSql,
+    "g_unigram_pipeline" -> unigramPipelineOracleSql,
 
     "g_unigram_prune" -> unigramPruneOracleSql,
 

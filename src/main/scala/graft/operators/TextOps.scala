@@ -1183,8 +1183,12 @@ object TextOps {
     * reduction), and the slope/intercept are fixed-shape double
     * expressions over those exact sums, 6-digit floored.
     *
-    * Plan: one hash agg to type counts, a per-language window over the
-    * TYPE frame (Zipf-bounded, never token-occurrence-sized), one final
+    * Plan: one hash agg to type counts, a TWO-PHASE per-language rank
+    * over the TYPE frame (Zipf-bounded, never token-occurrence-sized —
+    * but a mega-language's vocabulary still ranks in salt-slice parallel
+    * tasks first: each slice's top-topN is a superset of the global
+    * top-topN's members in that slice, the scoreQuantileFilter proof, so
+    * the final window sees at most topN·8 rows per language), one final
     * per-language agg. Output: `(groupCol, n_top, slope, intercept)`. */
   def zipfFit(docs: DataFrame, topN: Int = 100,
       groupCol: String = "lang", textCol: String = "text"): DataFrame = {
@@ -1192,9 +1196,15 @@ object TextOps {
     val counts = docs
       .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("tok"))
       .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("__c"))
+    val w1 = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col("__c").desc, col("tok"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__c").desc, col("tok"))
-    val q = counts.withColumn("__r", row_number().over(w))
+    val q = counts
+      .withColumn("__salt", pmod(xxhash64(col("tok")), lit(8)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= topN)
+      .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= topN)
       .select(col(groupCol),
         log(col("__r").cast("double")).cast("decimal(18,8)").as("__x"),
@@ -1705,23 +1715,70 @@ object TextOps {
       textCol: String = "text"): DataFrame =
     unigramEmStepFromWords(bpeWords(docs, textCol), vocab)
 
+  /** The integer nll units a `(piece, count)` vocabulary enters the
+    * Viterbi kernel with — `floor((ln Σcnt − ln cnt) · 1e8)`, pieces
+    * sorted so the (pieces, units) zip is deterministic. Shared by the
+    * EM step and the corpus encoder (one unit derivation, one oracle
+    * expression). */
+  private def unigramUnits(vocab: Seq[(String, Long)]): (Seq[String], Seq[Long]) = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.forall(_._2 >= 1), "piece counts must be >= 1")
+    val total = vocab.map(_._2).sum
+    val sorted = vocab.sortBy(_._1)
+    (sorted.map(_._1), sorted.map { case (_, c) =>
+      math.floor((math.log(total.toDouble) - math.log(c.toDouble)) * 1e8).toLong
+    })
+  }
+
   /** [[unigramEmStep]] over an ALREADY-AGGREGATED `(word, freq)` frame —
     * the streamed-maintainer face ([[unigramSeedFromWords]]' reasoning). */
   def unigramEmStepFromWords(words: DataFrame,
       vocab: Seq[(String, Long)]): DataFrame = {
-    require(vocab.nonEmpty, "empty vocabulary")
-    require(vocab.forall(_._2 >= 1), "piece counts must be >= 1")
     graft.plans.GraftFunctions.register(words.sparkSession)
-    val total = vocab.map(_._2).sum
-    val sorted = vocab.sortBy(_._1)
-    val units = sorted.map { case (_, c) =>
-      math.floor((math.log(total.toDouble) - math.log(c.toDouble)) * 1e8).toLong
-    }
+    val (pieces, units) = unigramUnits(vocab)
     words
       .select(col("freq"),
         explode(graft.plans.GraftFunctions.unigramViterbi(
-          col("word"), sorted.map(_._1), units)).as("piece"))
+          col("word"), pieces, units)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Tokenize the corpus with a trained unigram piece model — the
+    * [[bpeEncode]] contract for the OTHER trainer: every DISTINCT word
+    * is Viterbi-segmented once under the vocabulary's integer nll units
+    * (the exact E-step kernel, so encode-time segmentations are the
+    * segmentations the trainer optimized), then the corpus joins the
+    * word→token-count map ONCE — broadcastable whenever the distinct-word
+    * table is, and the corpus is touched exactly twice total (the word
+    * groupBy + the join) at ANY vocabulary size. Words the vocabulary
+    * cannot cover segment to the empty array (kernel contract) and
+    * contribute 0 tokens while still counting as words — visible, not
+    * silently dropped. Output: `(idCol, n_tokens, n_words)` per doc. */
+  def unigramEncode(docs: DataFrame, vocab: Seq[(String, Long)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    unigramEncodeFromWords(docs, bpeWords(docs, textCol), vocab, idCol, textCol)
+
+  /** [[unigramEncode]] over an ALREADY-DERIVED distinct-word frame — the
+    * face the composed trainer pipeline uses so seed, EM, prune, and
+    * encode all share ONE corpus groupBy (and a streamed count
+    * maintainer can serve the words, the `FromWords` reasoning). */
+  def unigramEncodeFromWords(docs: DataFrame, words: DataFrame,
+      vocab: Seq[(String, Long)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val (pieces, units) = unigramUnits(vocab)
+    val encoded = words
+      .select(col("word"),
+        size(graft.plans.GraftFunctions.unigramViterbi(
+          col("word"), pieces, units)).cast("long").as("__n"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(encoded, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_words"))
   }
 
   /** The bounded vocabulary cap for the gated EM step: the top `cap`

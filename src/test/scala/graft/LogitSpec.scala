@@ -260,6 +260,49 @@ class LogitSpec extends SparkSpec {
     assert(acc > 0.5, s"pairwise accuracy $acc should beat a coin")
   }
 
+  test("BT reward ranking: diff-trained weights order chosen above rejected on full docs") {
+    import graft.operators.{Checkpoints, CurationOps}
+    val d = toy
+    val pairs = CurationOps.preferencePairs(
+      d.select(col("doc_id"), col("lang").as("source"),
+        floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+          .cast("long").as("score")))
+    val feats = Checkpoints.pin(TextOps.logitFeatures(d)
+      .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*), reliable = false)
+    val diffs =
+      pairs
+        .join(feats.select(col("doc_id").as("chosen_id") +:
+          TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*), Seq("chosen_id"))
+        .join(feats.select(col("doc_id").as("rejected_id") +:
+          TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*), Seq("rejected_id"))
+        .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
+          TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*)
+    val w = TextOps.logitTrain(diffs, steps = 3)
+    // score EVERY doc with the pairwise-trained reward (the g_bt_rank path):
+    // the reward of a chosen doc should beat its rejected counterpart for
+    // most pairs — scoring full docs must be consistent with the diff fit
+    // (z is linear, so reward(c) - reward(r) = logit(diff) up to flooring)
+    val rewards = TextOps.logitScoreFeatures(feats.withColumn("y", lit(1.0)), w)
+      .select(col("doc_id"), col("logit").as("reward"))
+    val frac = pairs
+      .join(rewards.select(col("doc_id").as("chosen_id"), col("reward").as("cr")),
+        Seq("chosen_id"))
+      .join(rewards.select(col("doc_id").as("rejected_id"), col("reward").as("rr")),
+        Seq("rejected_id"))
+      .agg((sum(when(col("cr") > col("rr"), 1.0).otherwise(0.0)) / count(lit(1))))
+      .head().getDouble(0)
+    assert(frac > 0.5, s"reward ordered $frac of pairs correctly; expected > 0.5")
+    // and the per-source top-quarter keep is exact: quota rows per source
+    val kept = CurationOps.scoreQuantileFilter(
+      rewards.join(d.select(col("doc_id"), col("lang").as("source")), Seq("doc_id")),
+      keepFrac = 0.25, saltBuckets = 4, scoreCol = "reward")
+    val counts = kept.groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    val expected = d.groupBy(col("lang")).count().as[(String, Long)].collect()
+      .map { case (l, n) => l -> math.ceil(0.25 * n).toLong }.toMap
+    assert(counts == expected)
+  }
+
   test("zipfFit: a single-token-type language degenerates to slope 0, not NaN") {
     val d = Seq(
       (0L, "aaa aaa aaa aaa", "zz"), // one distinct type -> OLS denom 0

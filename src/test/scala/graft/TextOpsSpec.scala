@@ -327,6 +327,25 @@ class TextOpsSpec extends SparkSpec {
     assert(step.values.sum > 0)
   }
 
+  test("unigramEncode: per-doc token counts from the Viterbi paths; gaps count as words") {
+    val docs = Seq((1L, "abab cd cd"), (2L, "zq ab")).toDF("doc_id", "text")
+    // "ab" is cheap (dominant): "abab" -> [ab, ab]; "cd" -> [c, d];
+    // "zq" has no 'z' -> empty segmentation -> 0 tokens, still a word
+    val vocab = Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L,
+      "q" -> 1L, "ab" -> 1000L)
+    val got = TextOps.unigramEncode(docs, vocab)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, t, w) => id -> ((t, w)) }.toMap
+    assert(got == Map(1L -> ((6L, 3L)), 2L -> ((1L, 2L))))
+    // the FromWords face (shared corpus groupBy) equals the docs face
+    val words = TextOps.bpeWords(docs).select(col("word"), col("freq"))
+    val fromWords = TextOps.unigramEncodeFromWords(docs, words, vocab)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fromWords ==
+      TextOps.unigramEncode(docs, vocab)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq)
+  }
+
   test("unigramPrune: dominant piece ranks first; char fallback prices the loss") {
     val docs = Seq((1L, "abab abab abab xy")).toDF("doc_id", "text")
     val seed = TextOps.unigramSeed(docs, maxPieceLen = 2)
