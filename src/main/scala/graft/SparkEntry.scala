@@ -4598,6 +4598,27 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    "q_stream_bt" -> { (s, dir) => // maintained Bradley–Terry reward
+      // selection, oracle side: an AvailableNow run of btRankStream
+      // lands the feature-plus-domain-plus-score deltas and recomputes
+      // pairing -> pairwise descent -> reward scores -> per-source
+      // top-quarter keep on refresh — the served rows must be bit-equal
+      // to the batch g_bt_rank (shared oracle hash). lrDen and keepFrac
+      // pin by exact IEEE bits in _meta.json.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_bt_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps
+        .btRankStream(src, s"$out/idx", s"$out/ckpt",
+          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readBtRank(s, s"$out/idx")
+        .orderBy(col("doc_id"))
+    },
+
     "g_ccnet_buckets" -> { (s, dir) => // the CCNet head/middle/tail
       // split (the paper's actual bucketing, next to g_ccnet_pipeline's
       // hard cut): per-source perplexity THIRDS of the trigram-KN
@@ -8091,6 +8112,8 @@ object SparkEntry {
 
     "g_bt_fit" -> btFitOracleSql,
     "g_bt_rank" -> btRankOracleSql,
+    // the streamed twin serves the SAME rows (one truth, one hash)
+    "q_stream_bt" -> btRankOracleSql,
 
     "g_doremi_weights" -> doremiOracleSql,
 

@@ -1255,6 +1255,97 @@ object StreamingOps {
     foldBatchDirsLatestWins(spark, s"$path/_docs", DoremiDeltaDDL,
       keyCols = Seq("doc_id"))
 
+  /** Streaming Bradley–Terry reward maintenance — the seventh
+    * [[scheduleBatch]] instance: the reward-ranked keep set is a global
+    * function of the corpus THREE times over (the pairing sees every
+    * domain's full ranking, the descent sees every pair's feature diff,
+    * the quantile keep sees every doc's reward), so the same
+    * land-slim-evidence / periodic-recompute contract applies. Per batch
+    * the deterministic feature vector PLUS the domain PLUS the quantized
+    * quality score lands (O(delta), text never retained); every
+    * `refreshEvery`-th batch re-pairs, retrains the pairwise reward on
+    * the chosen−rejected diffs, scores every doc, and re-ranks each
+    * source's top quarter into a latest-wins version — exactly the batch
+    * `g_bt_rank` truth. Serve with [[readBtRank]]. */
+  def btRankStream(docs: DataFrame, path: String, checkpoint: String,
+      steps: Int = 3, lrDen: Double = 4096.0, keepFrac: Double = 0.25,
+      saltBuckets: Int = 4, refreshEvery: Int = 1): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        btRankBatch(batch, batchId, path, steps, lrDen, keepFrac,
+          saltBuckets, refreshEvery)
+      }
+
+  /** One [[btRankStream]] micro-batch — [[logitBatch]]'s pinning contract
+    * (exact lrDen bits, nFeatures) plus the keep fraction's exact bits
+    * and the salt-bucket count, so a drifted restart can change neither
+    * the descent nor the selection silently. */
+  private[graft] def btRankBatch(batch: DataFrame, batchId: Long,
+      path: String, steps: Int, lrDen: Double, keepFrac: Double,
+      saltBuckets: Int, refreshEvery: Int): Unit =
+    scheduleBatch(batch, batchId, path, "btRankStream", refreshEvery,
+      Seq("steps" -> steps.toLong,
+        "lrDen" -> java.lang.Double.doubleToLongBits(lrDen),
+        "nFeatures" -> graft.operators.TextOps.LogitXCols.size.toLong,
+        "keepFrac" -> java.lang.Double.doubleToLongBits(keepFrac),
+        "saltBuckets" -> saltBuckets.toLong),
+      b => graft.operators.TextOps.logitFeatures(b)
+        .select(col("doc_id").cast("long").as("doc_id") +: col("y") +:
+          graft.operators.TextOps.LogitXCols.map(col): _*)
+        .join(b.select(col("doc_id").cast("long").as("doc_id"),
+          col("source").cast("string").as("source"),
+          floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+            .cast("long").as("score")), Seq("doc_id")),
+      BtDeltaDDL,
+      corpus => {
+        import graft.operators.{Checkpoints, CurationOps, TextOps}
+        val pairs = CurationOps.preferencePairs(
+          corpus.select(col("doc_id"), col("source"), col("score")))
+        val feats = Checkpoints.pin(
+          corpus.select(col("doc_id") +: TextOps.LogitXCols.map(col): _*),
+          reliable = false)
+        val diffs = Checkpoints.pin(
+          pairs
+            .join(feats.select(col("doc_id").as("chosen_id") +:
+              TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*),
+              Seq("chosen_id"))
+            .join(feats.select(col("doc_id").as("rejected_id") +:
+              TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*),
+              Seq("rejected_id"))
+            .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
+              TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*),
+          reliable = false)
+        val w = TextOps.logitTrain(diffs, steps = steps, lrDen = lrDen)
+        val rewards = TextOps.logitScoreFeatures(
+            feats.withColumn("y", lit(1.0)), w)
+          .select(col("doc_id"), col("logit").as("reward"))
+        CurationOps.scoreQuantileFilter(
+          rewards.join(corpus.select(col("doc_id"), col("source")),
+            Seq("doc_id")),
+          keepFrac = keepFrac, saltBuckets = saltBuckets,
+          scoreCol = "reward")
+      })
+
+  /** [[btRankStream]]'s delta schema: the logit evidence plus the domain
+    * and the pairing score. */
+  private[graft] val BtDeltaDDL: String =
+    DoremiDeltaDDL + ", score LONG"
+
+  /** The LIVE reward-ranked keep set of a [[btRankStream]] sink — the
+    * newest committed recompute, exactly the batch `g_bt_rank` rows over
+    * the corpus as of that version (the [[readTrainManifest]] staleness
+    * contract). */
+  def readBtRank(spark: SparkSession, path: String): DataFrame =
+    readLatestManifest(spark, path,
+      "doc_id LONG, source STRING, reward DOUBLE, rank INT")
+
+  /** [[compactManifestState]] for a [[btRankStream]] sink. */
+  def compactBtState(spark: SparkSession, path: String): Unit =
+    foldBatchDirsLatestWins(spark, s"$path/_docs", BtDeltaDDL,
+      keyCols = Seq("doc_id"))
+
   /** The shared core of the global-schedule maintainers
     * ([[manifestStream]], [[curriculumStream]]): a schedule that is a
     * global function of the corpus (waterfilling level, corpus-wide rank
