@@ -942,11 +942,10 @@ object SparkEntry {
     * kernel embeds (single source — no cross-engine basis drift): the
     * midpoint-strata frame indices, the 8×8 integer DCT per 64-byte
     * frame (ASCII fixture: char == byte, the established g_frame_sample
-    * equivalence), the 63-AC lower-median bit rule, and the BRUTE-FORCE
-    * cross-media pair truth the banded Hamming join must equal
-    * losslessly at dist ≤ 3 — as CTEs ending in `pairs`, shared by the
-    * frame-pair and media-rollup oracles. */
-  private lazy val framePhashPairCtes: String = {
+    * equivalence), and the 63-AC lower-median bit rule — as CTEs ending
+    * in `h` (one row per sampled frame with its hash), shared by every
+    * pHash oracle. */
+  private lazy val framePhashHashCtes: String = {
     val ct = graft.operators.MultimodalOps.DctBasis1024.mkString("[", ", ", "]")
     s"""WITH m AS (SELECT doc_id AS media_id, text AS content,
       |        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 64 AS nf
@@ -976,14 +975,22 @@ object SparkEntry {
       |          CASE WHEN coef[CAST(b + 1 AS INT)] > med
       |               THEN (CAST(1 AS BIGINT) << CAST(b - 1 AS INT))
       |               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-      |      FROM cm),
+      |      FROM cm)""".stripMargin
+  }
+
+  /** [[framePhashHashCtes]] + the brute-force all-pairs truth at
+    * dist ≤ 3 — the tail the frame-pair, media-rollup, and CC oracles
+    * share; the INDEXED probe oracle uses the hash CTEs with a
+    * cross-split pairing instead. */
+  private lazy val framePhashPairCtes: String =
+    framePhashHashCtes +
+      s""",
       |pairs AS (
       |  SELECT a.media_id AS media_a, a.frame_ix AS frame_a,
       |         b.media_id AS media_b, b.frame_ix AS frame_b,
       |         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
       |  FROM h a JOIN h b ON a.media_id < b.media_id
       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)""".stripMargin
-  }
 
   private lazy val framePhashOracleSql: String =
     framePhashPairCtes +
@@ -999,6 +1006,61 @@ object SparkEntry {
       |       min(dist) AS min_dist
       |FROM pairs GROUP BY media_a, media_b HAVING count(*) >= 2
       |ORDER BY media_a, media_b""".stripMargin
+
+  /** The indexed probe replayed in SQL — increment (doc_id % 5 = 0)
+    * vs corpus (the rest), the brute-force cross-split truth: every
+    * (increment frame, corpus frame) pair within dist ≤ 3, DISTINCT,
+    * rolled up to media pairs with ≥ 2 matching frames. The banded
+    * (band_ix, bucket, band) equi-join against the persisted index must
+    * equal it losslessly (pigeonhole over 7 bands). Shared by
+    * g_phash_indexed (batch-built index) and q_stream_phash (streamed
+    * index) — one truth, one hash. */
+  private lazy val phashIndexedOracleSql: String =
+    framePhashHashCtes +
+      """,
+      |hi AS (SELECT media_id, frame_ix, phash FROM h WHERE media_id % 5 = 0),
+      |hc AS (SELECT media_id, frame_ix, phash FROM h WHERE media_id % 5 <> 0),
+      |xp AS (SELECT DISTINCT i.media_id AS media_new, i.frame_ix AS frame_new,
+      |         c.media_id AS media_corpus, c.frame_ix AS frame_corpus,
+      |         CAST(bit_count(xor(i.phash, c.phash)) AS BIGINT) AS dist
+      |       FROM hi i CROSS JOIN hc c
+      |       WHERE bit_count(xor(i.phash, c.phash)) <= 3)
+      |SELECT media_new, media_corpus,
+      |       CAST(count(*) AS BIGINT) AS n_frame_pairs, min(dist) AS min_dist
+      |FROM xp GROUP BY media_new, media_corpus HAVING count(*) >= 2
+      |ORDER BY media_new, media_corpus""".stripMargin
+
+  /** Video dedup closed over the pHash pair truth: the ≥2-frame media
+    * pairs become undirected edges, the recursive closure is the
+    * component truth (the g_dedup_cc_star discipline), and the election
+    * replays canonicalPerCluster — longest member keeps (ties → lowest
+    * id), singletons keep themselves. */
+  private lazy val phashCcOracleSql: String =
+    "WITH RECURSIVE " + framePhashPairCtes.stripPrefix("WITH ") +
+      """,
+      |mp AS (SELECT media_a, media_b FROM pairs
+      |       GROUP BY media_a, media_b HAVING count(*) >= 2),
+      |edges AS (
+      |  SELECT media_a AS src, media_b AS dst FROM mp
+      |  UNION SELECT media_b AS src, media_a AS dst FROM mp),
+      |reach(a, b) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |assign AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |ranked AS (
+      |  SELECT d.doc_id, s.cluster_id,
+      |    row_number() OVER (PARTITION BY s.cluster_id
+      |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      |  FROM documents d JOIN assign s ON d.doc_id = s.doc_id)
+      |SELECT doc_id, cluster_id,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM ranked
+      |UNION ALL
+      |SELECT d.doc_id, d.doc_id AS cluster_id, CAST(1 AS BIGINT) AS keep
+      |FROM documents d LEFT JOIN assign s ON d.doc_id = s.doc_id
+      |WHERE s.doc_id IS NULL
+      |ORDER BY doc_id""".stripMargin
 
   /** The calibrated quality loop replayed in SQL: the ENTIRE
     * [[logitPlattOracleSql]] (a descent nested in a descent) as a
@@ -5164,6 +5226,68 @@ object SparkEntry {
         .orderBy(col("media_a"), col("media_b"))
     },
 
+    "g_phash_indexed" -> { (s, dir) => // the daily-crawl video-dedup
+      // shape: the corpus' banded frame hashes persist once
+      // (writePhashIndex — the writeMinHashIndex discipline, fps/k/
+      // nBuckets pinned in _meta.json), and each increment probes the
+      // INDEX instead of re-hashing the corpus: a (band_ix, bucket,
+      // band) equi-join, candidate-sized, exact bit_count rescore,
+      // >= 2-frame rollup. The oracle is the brute-force cross-split
+      // truth — a green row certifies the banded join lossless at the
+      // radius AND the persisted layout read back bit-exact.
+      val media = MultimodalOps.mediaFromDocuments(Tables.documents(s, dir))
+      val out = java.nio.file.Files.createTempDirectory("graft_phash_idx_")
+      MultimodalOps.writePhashIndex(
+        media.filter(col("media_id") % 5 =!= 0), s"$out/idx", nBuckets = 16)
+      MultimodalOps.mediaPhashDupsIndexed(
+          media.filter(col("media_id") % 5 === 0), s"$out/idx", nBuckets = 16)
+        .orderBy(col("media_new"), col("media_corpus"))
+    },
+
+    "q_stream_phash" -> { (s, dir) => // streaming pHash-index
+      // maintenance, oracle side: an AvailableNow run of
+      // phashIndexStream hashes and bands the corpus split into the
+      // versioned (band_ix, bucket) layout, and the increment probed
+      // against the STREAMED index must equal the same brute-force
+      // cross-split truth as g_phash_indexed (the DCT hash is
+      // deterministic, so a streamed corpus indexes identically to a
+      // batch-built one). Cross-batch replay/fold semantics are the
+      // shared versioned-sink specs' job.
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_phash_")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("media_id"),
+          to_binary(col("text"), lit("utf-8")).as("content"))
+      val q = graft.streaming.StreamingOps
+        .phashIndexStream(src, s"$out/idx", s"$out/ckpt", nBuckets = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val media = MultimodalOps.mediaFromDocuments(Tables.documents(s, dir))
+      MultimodalOps.mediaPhashDupsIndexed(
+          media.filter(col("media_id") % 5 === 0), s"$out/idx", nBuckets = 16)
+        .orderBy(col("media_new"), col("media_corpus"))
+    },
+
+    "g_phash_cc" -> { (s, dir) => // video dedup completed: the pHash
+      // media rollup's pairs feed the SAME alternating-star CC +
+      // canonical election the text near-dups use — re-encoded copies
+      // and shared-segment media cluster, each cluster keeps its longest
+      // member (ties → lowest id), untouched media keep themselves. The
+      // oracle closes the brute-force pair truth recursively and replays
+      // the election, so a drifted DCT bit anywhere re-shapes a cluster.
+      val docs = Tables.documents(s, dir)
+      val pairs = MultimodalOps.mediaPhashDups(
+          MultimodalOps.mediaFromDocuments(docs),
+          fps = 4, k = 8, maxDist = 3, minFrames = 2)
+        .select(col("media_a").as("id1"), col("media_b").as("id2"))
+      DedupOps.canonicalPerCluster(docs,
+          DedupOps.nearDupClustersStar(pairs))
+        .orderBy(col("doc_id"))
+    },
+
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
       // integer score (type-token ratio in ppm): 0-based global rank in
       // (score, id) order, bucket = rank*10 DIV n — equal-size-by-rank
@@ -8481,6 +8605,10 @@ object SparkEntry {
     "g_frame_phash" -> framePhashOracleSql,
 
     "g_phash_media" -> phashMediaOracleSql,
+    "g_phash_cc" -> phashCcOracleSql,
+    "g_phash_indexed" -> phashIndexedOracleSql,
+    // the streamed index serves the SAME probe rows (one truth, one hash)
+    "q_stream_phash" -> phashIndexedOracleSql,
 
     "g_unigram_step" -> unigramStepOracleSql,
     "g_unigram_encode" -> unigramEncodeOracleSql,

@@ -490,6 +490,111 @@ object MultimodalOps {
       .filter(col("n_frame_pairs") >= minFrames.toLong)
   }
 
+  /** Banded pHash rows with the directory bucket attached — the row
+    * shape the persisted pHash index lands (the
+    * [[graft.operators.DedupOps.writeMinHashIndex]] bandedWithBucket
+    * discipline): one row per (sampled frame, band), `band` = 9 bits of
+    * the 63-bit hash, `bucket` = band mod `nBuckets` so the directory
+    * fanout stays bounded at 7 × nBuckets regardless of band
+    * cardinality. */
+  private[graft] def bandedPhash(media: DataFrame, fps: Int, k: Int,
+      nBuckets: Int): DataFrame =
+    framePHash(media, fps, k)
+      .withColumn("band_ix", explode(expr("sequence(0, 6)")))
+      .withColumn("band", expr("shiftright(phash, 9 * band_ix) & 511L"))
+      .withColumn("bucket", pmod(col("band"), lit(nBuckets.toLong)).cast("int"))
+      .select(col("media_id"), col("frame_ix"), col("phash"),
+        col("band_ix"), col("band"), col("bucket"))
+
+  /** Persist the banded pHash index of a corpus' sampled frames — the
+    * video-dedup twin of [[graft.operators.DedupOps.writeMinHashIndex]]:
+    * probes against a steady corpus should not re-hash it per increment.
+    * Hive-partitioned by (band_ix, bucket) with one co-located shuffle
+    * before the write (the small-file lesson recorded on the LSH
+    * writer); `fps`/`k`/`nBuckets` pin in `_meta.json` — a probe sampled
+    * or banded differently silently yields missing candidates, so
+    * [[assertPhashMeta]] fails loudly instead. */
+  def writePhashIndex(media: DataFrame, path: String, fps: Int = 4,
+      k: Int = 8, nBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.SaveMode
+    bandedPhash(media, fps, k, nBuckets)
+      .repartition(col("band_ix"), col("bucket"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("band_ix", "bucket").parquet(path)
+    writePhashMeta(media.sparkSession, path, fps, k, nBuckets)
+  }
+
+  private[graft] def writePhashMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, fps: Int, k: Int, nBuckets: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(meta, true)
+    try out.write(s"""{"fps":$fps,"k":$k,"nBuckets":$nBuckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Assert the probe's sampling/banding parameters against the index's
+    * `_meta.json` (no-op when absent — pre-sidecar indexes). */
+  private[graft] def assertPhashMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, fps: Int, k: Int, nBuckets: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mf.exists(meta)) {
+      val in = mf.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(key: String): Option[Int] =
+        s""""$key":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      val mismatches = Seq("fps" -> fps, "k" -> k, "nBuckets" -> nBuckets)
+        .flatMap { case (key, v) =>
+          field(key).filter(_ != v).map(rec => s"$key: index=$rec probe=$v")
+        }
+      require(mismatches.isEmpty,
+        s"pHash parameters disagree with the index at $path " +
+          s"(${mismatches.mkString(", ")}) — probe with the index's parameters " +
+          "or rebuild it with writePhashIndex")
+    }
+  }
+
+  /** [[mediaPhashDups]] with the corpus side served from a persisted
+    * index ([[writePhashIndex]] or a
+    * [[graft.streaming.StreamingOps.phashIndexStream]] sink — the
+    * versioned `__batch=` layout reads back through the same root): the
+    * increment's frames are hashed fresh (new data), the corpus is NOT
+    * re-decoded or re-hashed — its banded hashes join on
+    * (band_ix, bucket, band), candidate-sized, then the exact
+    * `bit_count(xor)` filter and the ≥ `minFrames` rollup give the media
+    * verdicts. Frame pairs are DISTINCT before the rollup, so duplicate
+    * index rows (fold-overlap windows of the streamed sink) cannot
+    * inflate the count. Output: `(media_new, media_corpus,
+    * n_frame_pairs, min_dist)`. */
+  def mediaPhashDupsIndexed(increment: DataFrame, indexPath: String,
+      fps: Int = 4, k: Int = 8, maxDist: Int = 3, minFrames: Int = 2,
+      nBuckets: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6,
+      "maxDist in [0, 6]: 7 bands are pigeonhole-complete only below 7 bits")
+    require(minFrames >= 1, "minFrames must be >= 1")
+    val spark = increment.sparkSession
+    assertPhashMeta(spark, indexPath, fps, k, nBuckets)
+    val bi = bandedPhash(increment, fps, k, nBuckets)
+      .select(col("band_ix"), col("bucket"), col("band"),
+        col("media_id").as("media_new"), col("frame_ix").as("frame_new"),
+        col("phash").as("__hn"))
+    val bc = spark.read.parquet(indexPath)
+      .select(col("band_ix"), col("bucket"), col("band"),
+        col("media_id").as("media_corpus"),
+        col("frame_ix").as("frame_corpus"), col("phash").as("__hc"))
+    bi.join(bc, Seq("band_ix", "bucket", "band"))
+      .filter(col("media_new") =!= col("media_corpus"))
+      .select(col("media_new"), col("frame_new"),
+        col("media_corpus"), col("frame_corpus"),
+        expr("CAST(bit_count(__hn ^ __hc) AS LONG)").as("dist"))
+      .filter(col("dist") <= maxDist.toLong)
+      .distinct()
+      .groupBy(col("media_new"), col("media_corpus"))
+      .agg(count(lit(1)).as("n_frame_pairs"), min(col("dist")).as("min_dist"))
+      .filter(col("n_frame_pairs") >= minFrames.toLong)
+  }
+
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */
   def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame = {

@@ -1772,6 +1772,57 @@ object StreamingOps {
     foldBatchDirs(spark, path, "id LONG, bandsig LONG, band INT, bucket INT",
       dedupKeys = Seq("id", "band", "bandsig"), partitionCols = Seq("band", "bucket"))
 
+  /** Streaming pHash-index maintenance — [[lshIndexStream]]'s video twin:
+    * each micro-batch of media is frame-sampled, DCT-hashed, banded
+    * ([[graft.operators.MultimodalOps.bandedPhash]]) and landed under a
+    * batch-id-derived `__batch=<id>` directory in the same
+    * (band_ix, bucket) layout the batch writer uses — probes
+    * ([[graft.operators.MultimodalOps.mediaPhashDupsIndexed]]) read the
+    * whole root, so a streamed corpus indexes identically to a
+    * batch-built one. Idempotent via per-batch Overwrite (hashes are
+    * deterministic given the batch contents); `_meta.json` pins
+    * fps/k/nBuckets on first landing and is asserted per batch — a
+    * drifted restart fails loudly instead of landing unjoinable bands.
+    * Fold deltas with [[compactPhashIndex]]. */
+  def phashIndexStream(media: DataFrame, path: String, checkpoint: String,
+      fps: Int = 4, k: Int = 8, nBuckets: Int = 64): DataStreamWriter[Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phashBatch(batch, batchId, path, fps, k, nBuckets)
+      }
+
+  /** One [[phashIndexStream]] micro-batch (extracted so specs can drive
+    * replay/crash orderings directly). */
+  private[graft] def phashBatch(batch: DataFrame, batchId: Long, path: String,
+      fps: Int, k: Int, nBuckets: Int): Unit = {
+    val s = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireBatchLineage(f, p, batchId, "phashIndexStream", path)
+    graft.operators.MultimodalOps.assertPhashMeta(s, path, fps, k, nBuckets)
+    // meta BEFORE data — the lshBatch first-landing crash-window reasoning
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_meta.json")))
+      graft.operators.MultimodalOps.writePhashMeta(s, path, fps, k, nBuckets)
+    graft.operators.MultimodalOps.bandedPhash(batch, fps, k, nBuckets)
+      .repartition(col("band_ix"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band_ix", "bucket").parquet(s"$path/__batch=$batchId")
+  }
+
+  /** Fold [[phashIndexStream]]'s per-batch deltas into the `__batch=-1`
+    * base — same staged-rename fold, single-maintainer contract and
+    * newest-delta protection as the other versioned sinks. Dedup on
+    * (media_id, frame_ix, band_ix) is lossless: the DCT hash is
+    * deterministic, so an overlap-window duplicate carries identical
+    * columns. */
+  def compactPhashIndex(spark: SparkSession, path: String): Unit =
+    foldBatchDirs(spark, path,
+      "media_id LONG, frame_ix LONG, phash LONG, band LONG, band_ix INT, bucket INT",
+      dedupKeys = Seq("media_id", "frame_ix", "band_ix"),
+      partitionCols = Seq("band_ix", "bucket"))
+
   /** Streaming shingle-COUNT index maintenance — the exact-substring twin
     * of [[lshIndexStream]]: each micro-batch of documents is shingled and
     * map-side-combined into per-batch partial counts

@@ -34,6 +34,7 @@ class BatchLineageSpec extends AnyFunSuite {
     "packBatch" -> (2, Seq("spansRoot, batchId", "offRoot, batchId")),
     "storeBatch" -> (2, Seq("recipesRoot, batchId", "s\"$path/chunks\"")),
     "lshBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
+    "phashBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "shingleBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "knBatch" -> (2, Seq("Seq(uniRoot, pairsRoot)")),
     "kn3Batch" -> (2, Seq("Seq(uniRoot, triRoot)")),

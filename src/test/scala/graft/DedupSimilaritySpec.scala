@@ -722,6 +722,46 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("media_a", "media_b", "dist")
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs.contains((0L, 1L, 0L)))
+    // the dedup completion (the g_phash_cc composition): the >= 2-frame
+    // rollup pairs cluster via star CC, the election keeps ONE of the
+    // re-encode pair (equal lengths -> lowest id) and the unrelated
+    // singleton keeps itself
+    val docs = Seq((0L, base, base.length.toLong), (1L, shifted, base.length.toLong),
+        (2L, other, other.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val kept = graft.operators.DedupOps.canonicalPerCluster(docs,
+        graft.operators.DedupOps.nearDupClustersStar(
+          MultimodalOps.mediaPhashDups(media, fps = 4, k = 8, maxDist = 3,
+              minFrames = 2)
+            .select(col("media_a").as("id1"), col("media_b").as("id2"))))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(kept == Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 2L, 1L)))
+    // the persisted index (the daily-crawl probe shape): corpus {0, 2}
+    // indexed once, increment {1} probed — the re-encode pair surfaces
+    // with both frames, without re-hashing the corpus
+    val dir = tmpDir()
+    val corpus = media.filter(col("media_id") =!= 1L)
+    val inc = media.filter(col("media_id") === 1L)
+    MultimodalOps.writePhashIndex(corpus, s"$dir/idx", nBuckets = 16)
+    val probed = MultimodalOps.mediaPhashDupsIndexed(inc, s"$dir/idx", nBuckets = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(probed == Seq((1L, 0L, 2L, 0L)))
+    // a probe banded/sampled differently silently misses — refused, named
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.mediaPhashDupsIndexed(inc, s"$dir/idx", k = 4, nBuckets = 16)
+        .collect()
+    }
+    assert(e.getMessage.contains("pHash parameters disagree"))
+    // the streamed twin indexes identically: two batches + compact ==
+    // the batch-built index, probe-row-level
+    graft.streaming.StreamingOps.phashBatch(
+      corpus.filter(col("media_id") === 0L), 0L, s"$dir/sidx", 4, 8, 16)
+    graft.streaming.StreamingOps.phashBatch(
+      corpus.filter(col("media_id") === 2L), 1L, s"$dir/sidx", 4, 8, 16)
+    graft.streaming.StreamingOps.compactPhashIndex(spark, s"$dir/sidx")
+    val streamed = MultimodalOps.mediaPhashDupsIndexed(inc, s"$dir/sidx", nBuckets = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(streamed == probed)
   }
 
   test("pidsIn walks the calendar between two FileTimes") {
