@@ -1142,7 +1142,7 @@ object SparkEntry {
       |  ${xs.map(x => s"c.$x - r.$x AS $x").mkString(",\n  ")}
       |FROM pr p JOIN ft c ON c.doc_id = p.chosen_id
       |          JOIN ft r ON r.doc_id = p.rejected_id)""".stripMargin +
-      descentStepsSql(xs, zz => s"1.0 / (1.0 + exp(-($zz)))") +
+      descentStepsSql(xs, z => s"1.0 / (1.0 + exp(-($z)))") +
       s""",
       |sc AS (SELECT ft.doc_id, ft.source,
       |         floor(($zz) * 1000000) / 1000000 AS reward
@@ -4075,8 +4075,12 @@ object SparkEntry {
       // join — so a drifted unit or tie-break moves some word's token
       // count and flips a doc row.
       val docs = Tables.documents(s, dir)
-      val vocab = TextOps.unigramCapVocab(TextOps.unigramSeed(docs, maxPieceLen = 4))
-      TextOps.unigramEncode(docs, vocab)
+      val words = graft.operators.Checkpoints.pin(
+        TextOps.bpeWords(docs).select(col("word"), col("freq")),
+        reliable = false)
+      val vocab = TextOps.unigramCapVocab(
+        TextOps.unigramSeedFromWords(words, maxPieceLen = 4))
+      TextOps.unigramEncodeFromWords(docs, words, vocab)
         .orderBy(col("doc_id"))
     },
 
@@ -4568,37 +4572,20 @@ object SparkEntry {
       // reward — the consumer of g_bt_fit's weights (a fitted reward
       // model nobody scores with is as incomplete as unpaired
       // preferences): the SAME pairing → diffs → descent, then the
-      // trained weights score EVERY document (the pinned features frame
-      // is reused for both the diffs and the scoring — one derivation),
-      // and each source keeps its top quarter by reward through the
-      // salted two-phase scoreQuantileFilter. The oracle replays the
-      // whole chain with the single-window quota formulation.
+      // trained weights score EVERY document, each source keeping its
+      // top quarter by reward through the salted two-phase
+      // scoreQuantileFilter. The whole chain is ONE operator
+      // (CurationOps.btRewardRank) shared bit-for-bit with the streamed
+      // maintainer — both gate on this oracle's single-window replay.
       val steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault)
       val d = Tables.documents(s, dir)
-      val pairs = CurationOps.preferencePairs(
-        d.select(col("doc_id"), col("source"),
-          floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
-            .cast("long").as("score")))
-      val feats = graft.operators.Checkpoints.pin(
-        TextOps.logitFeatures(d)
-          .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*),
-        reliable = false)
-      val diffs = graft.operators.Checkpoints.pin(
-        pairs
-          .join(feats.select(col("doc_id").as("chosen_id") +:
-            TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*), Seq("chosen_id"))
-          .join(feats.select(col("doc_id").as("rejected_id") +:
-            TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*), Seq("rejected_id"))
-          .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
-            TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*),
-        reliable = false)
-      val w = TextOps.logitTrain(diffs, steps = steps)
-      val rewards = TextOps.logitScoreFeatures(
-          feats.withColumn("y", lit(1.0)), w)
-        .select(col("doc_id"), col("logit").as("reward"))
-      CurationOps.scoreQuantileFilter(
-          rewards.join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
-          keepFrac = 0.25, saltBuckets = 4, scoreCol = "reward")
+      CurationOps.btRewardRank(
+          TextOps.logitFeatures(d)
+            .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*)
+            .join(d.select(col("doc_id"), col("source"),
+              floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+                .cast("long").as("score")), Seq("doc_id")),
+          steps = steps)
         .orderBy(col("doc_id"))
     },
 

@@ -975,6 +975,47 @@ object CurationOps {
         col("rejected_id"), col("rejected_score"))
   }
 
+  /** Bradley–Terry reward selection end to end over a slim evidence
+    * frame `(doc_id, source, score, x0..x6)` — the [[preferencePairs]]
+    * pairing, chosen−rejected feature diffs, the shared logit descent
+    * on the diffs (y = 1 rows; the bias diff is identically 0), reward-
+    * scoring of EVERY doc with the trained weights, and the per-source
+    * top-`keepFrac` keep through [[scoreQuantileFilter]]. ONE
+    * implementation serves the batch row, the streamed maintainer's
+    * refresh, and the specs: all three must stay bit-equal (they share
+    * one oracle hash), so the chain lives here exactly once. The
+    * evidence is pinned once; everything downstream derives from the
+    * pin (pairs, diffs, rewards — the corpus is never re-derived).
+    * Output: `(doc_id, source, reward, rank)` — the kept rows. */
+  def btRewardRank(evidence: DataFrame, steps: Int = 3,
+      lrDen: Double = 4096.0, keepFrac: Double = 0.25,
+      saltBuckets: Int = 4): DataFrame = {
+    val xs = TextOps.LogitXCols
+    val ev = Checkpoints.pin(
+      evidence.select(col("doc_id") +: col("source") +: col("score") +:
+        xs.map(col): _*),
+      reliable = false)
+    val pairs = preferencePairs(
+      ev.select(col("doc_id"), col("source"), col("score")))
+    val feats = ev.select(col("doc_id") +: xs.map(col): _*)
+    val diffs = Checkpoints.pin(
+      pairs
+        .join(feats.select(col("doc_id").as("chosen_id") +:
+          xs.map(c => col(c).as(s"c_$c")): _*), Seq("chosen_id"))
+        .join(feats.select(col("doc_id").as("rejected_id") +:
+          xs.map(c => col(c).as(s"r_$c")): _*), Seq("rejected_id"))
+        .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
+          xs.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*),
+      reliable = false)
+    val w = TextOps.logitTrain(diffs, steps = steps, lrDen = lrDen)
+    val rewards = TextOps.logitScoreFeatures(
+        feats.withColumn("y", lit(1.0)), w)
+      .select(col("doc_id"), col("logit").as("reward"))
+    scoreQuantileFilter(
+      rewards.join(ev.select(col("doc_id"), col("source")), Seq("doc_id")),
+      keepFrac = keepFrac, saltBuckets = saltBuckets, scoreCol = "reward")
+  }
+
   /** DoReMi-shaped domain-mixture reweighting via exponentiated
     * gradient (Xie et al., "DoReMi: Optimizing Data Mixtures Speeds Up
     * Language Model Pretraining", NeurIPS 2023 — the EG update,

@@ -138,38 +138,19 @@ object DedupOps {
     * the index silently yields missing candidates, so record them for
     * [[assertLshMeta]] to check. */
   private[graft] def writeLshMeta(spark: org.apache.spark.sql.SparkSession, path: String,
-      shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(
-      s"""{"shingleK":$shingleK,"nHashes":$nHashes,"bands":$bands,"nBuckets":$nBuckets}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+      shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit =
+    ParamMeta.write(spark, path,
+      Seq("shingleK" -> shingleK, "nHashes" -> nHashes,
+        "bands" -> bands, "nBuckets" -> nBuckets))
 
   /** Assert the caller's LSH parameters against the index's `_meta.json`
     * sidecar (no-op when the sidecar is absent — pre-sidecar indexes). */
   private[graft] def assertLshMeta(spark: org.apache.spark.sql.SparkSession, path: String,
-      shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mf.exists(meta)) {
-      val in = mf.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(k: String): Option[Int] =
-        s""""$k":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
-      val mismatches = Seq(
-        "shingleK" -> shingleK, "nHashes" -> nHashes,
-        "bands" -> bands, "nBuckets" -> nBuckets).flatMap { case (k, v) =>
-        field(k).filter(_ != v).map(rec => s"$k: index=$rec probe=$v")
-      }
-      require(mismatches.isEmpty,
-        s"LSH parameters disagree with the index at $path " +
-          s"(${mismatches.mkString(", ")}) — probe with the index's parameters " +
-          "or rebuild it with writeMinHashIndex")
-    }
-  }
+      shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit =
+    ParamMeta.assertMatches(spark, path,
+      Seq("shingleK" -> shingleK, "nHashes" -> nHashes,
+        "bands" -> bands, "nBuckets" -> nBuckets),
+      "LSH parameters", "writeMinHashIndex")
 
   /** [[minHashNearDupsAgainst]] with the corpus side served from a
     * persisted index ([[writeMinHashIndex]]): the increment is signed

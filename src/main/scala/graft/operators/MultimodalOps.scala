@@ -457,9 +457,7 @@ object MultimodalOps {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       "maxDist in [0, 6]: 7 bands are pigeonhole-complete only below 7 bits")
-    val h = framePHash(media, fps, k)
-    val banded = h.withColumn("band_ix", explode(expr("sequence(0, 6)")))
-      .withColumn("band", expr("shiftright(phash, 9 * band_ix) & 511L"))
+    val banded = bandCols(framePHash(media, fps, k))
     val a = banded.select(col("band_ix"), col("band"),
       col("media_id").as("media_a"), col("frame_ix").as("frame_a"),
       col("phash").as("__ha"))
@@ -498,13 +496,20 @@ object MultimodalOps {
     * fanout stays bounded at 7 × nBuckets regardless of band
     * cardinality. */
   private[graft] def bandedPhash(media: DataFrame, fps: Int, k: Int,
-      nBuckets: Int): DataFrame =
-    framePHash(media, fps, k)
-      .withColumn("band_ix", explode(expr("sequence(0, 6)")))
-      .withColumn("band", expr("shiftright(phash, 9 * band_ix) & 511L"))
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    bandCols(framePHash(media, fps, k))
       .withColumn("bucket", pmod(col("band"), lit(nBuckets.toLong)).cast("int"))
       .select(col("media_id"), col("frame_ix"), col("phash"),
         col("band_ix"), col("band"), col("bucket"))
+  }
+
+  /** The 7×9-bit band decomposition of a `phash` frame row — ONE
+    * expression pair feeding both the index layout and the in-DAG pair
+    * join, so the banded-losslessness proof can't drift between them. */
+  private def bandCols(h: DataFrame): DataFrame =
+    h.withColumn("band_ix", explode(expr("sequence(0, 6)")))
+      .withColumn("band", expr("shiftright(phash, 9 * band_ix) & 511L"))
 
   /** Persist the banded pHash index of a corpus' sampled frames — the
     * video-dedup twin of [[graft.operators.DedupOps.writeMinHashIndex]]:
@@ -517,43 +522,38 @@ object MultimodalOps {
   def writePhashIndex(media: DataFrame, path: String, fps: Int = 4,
       k: Int = 8, nBuckets: Int = 64): Unit = {
     import org.apache.spark.sql.SaveMode
+    // meta BEFORE data (the phashBatch crash-window reasoning): a crash
+    // between the two must leave a probe that fails LOUDLY (meta + no
+    // parquet = unreadable), never a meta-less index whose parameter
+    // assertion silently passes at any probe parameters. The don't-
+    // clobber check is explicit because meta-first precludes the
+    // DataFrameWriter's own ErrorIfExists (the sidecar creates the dir).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(media.sparkSession.sparkContext.hadoopConfiguration)
+    require(!f.exists(p),
+      s"writePhashIndex: $path already exists — delete it to rebuild")
+    writePhashMeta(media.sparkSession, path, fps, k, nBuckets)
     bandedPhash(media, fps, k, nBuckets)
       .repartition(col("band_ix"), col("bucket"))
-      .write.mode(SaveMode.ErrorIfExists)
+      // Append, NOT Overwrite: Overwrite truncates the target directory
+      // and would delete the sidecar just written; the require above
+      // already guarantees a fresh directory, so Append == fresh write
+      .write.mode(SaveMode.Append)
       .partitionBy("band_ix", "bucket").parquet(path)
-    writePhashMeta(media.sparkSession, path, fps, k, nBuckets)
   }
 
   private[graft] def writePhashMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, fps: Int, k: Int, nBuckets: Int): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(s"""{"fps":$fps,"k":$k,"nBuckets":$nBuckets}""".getBytes("UTF-8"))
-    finally out.close()
-  }
+      path: String, fps: Int, k: Int, nBuckets: Int): Unit =
+    ParamMeta.write(spark, path,
+      Seq("fps" -> fps, "k" -> k, "nBuckets" -> nBuckets))
 
   /** Assert the probe's sampling/banding parameters against the index's
     * `_meta.json` (no-op when absent — pre-sidecar indexes). */
   private[graft] def assertPhashMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, fps: Int, k: Int, nBuckets: Int): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mf.exists(meta)) {
-      val in = mf.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(key: String): Option[Int] =
-        s""""$key":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
-      val mismatches = Seq("fps" -> fps, "k" -> k, "nBuckets" -> nBuckets)
-        .flatMap { case (key, v) =>
-          field(key).filter(_ != v).map(rec => s"$key: index=$rec probe=$v")
-        }
-      require(mismatches.isEmpty,
-        s"pHash parameters disagree with the index at $path " +
-          s"(${mismatches.mkString(", ")}) — probe with the index's parameters " +
-          "or rebuild it with writePhashIndex")
-    }
-  }
+      path: String, fps: Int, k: Int, nBuckets: Int): Unit =
+    ParamMeta.assertMatches(spark, path,
+      Seq("fps" -> fps, "k" -> k, "nBuckets" -> nBuckets),
+      "pHash parameters", "writePhashIndex")
 
   /** [[mediaPhashDups]] with the corpus side served from a persisted
     * index ([[writePhashIndex]] or a

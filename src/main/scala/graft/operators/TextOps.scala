@@ -1761,7 +1761,12 @@ object TextOps {
   /** [[unigramEncode]] over an ALREADY-DERIVED distinct-word frame — the
     * face the composed trainer pipeline uses so seed, EM, prune, and
     * encode all share ONE corpus groupBy (and a streamed count
-    * maintainer can serve the words, the `FromWords` reasoning). */
+    * maintainer can serve the words, the `FromWords` reasoning). The
+    * join is LEFT so a word the frame doesn't know yet (a lagging
+    * maintainer, a caller-supplied subset) still counts as a word with 0
+    * tokens — the same visible-not-dropped contract as a vocabulary
+    * gap; an inner join would silently erase the occurrence from BOTH
+    * counts. */
   def unigramEncodeFromWords(docs: DataFrame, words: DataFrame,
       vocab: Seq[(String, Long)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -1774,10 +1779,10 @@ object TextOps {
     docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .join(encoded, Seq("word"))
+      .join(encoded, Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(
-        sum(col("__n")).as("n_tokens"),
+        sum(coalesce(col("__n"), lit(0L))).as("n_tokens"),
         count(lit(1)).as("n_words"))
   }
 

@@ -1299,34 +1299,9 @@ object StreamingOps {
           floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
             .cast("long").as("score")), Seq("doc_id")),
       BtDeltaDDL,
-      corpus => {
-        import graft.operators.{Checkpoints, CurationOps, TextOps}
-        val pairs = CurationOps.preferencePairs(
-          corpus.select(col("doc_id"), col("source"), col("score")))
-        val feats = Checkpoints.pin(
-          corpus.select(col("doc_id") +: TextOps.LogitXCols.map(col): _*),
-          reliable = false)
-        val diffs = Checkpoints.pin(
-          pairs
-            .join(feats.select(col("doc_id").as("chosen_id") +:
-              TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*),
-              Seq("chosen_id"))
-            .join(feats.select(col("doc_id").as("rejected_id") +:
-              TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*),
-              Seq("rejected_id"))
-            .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
-              TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*),
-          reliable = false)
-        val w = TextOps.logitTrain(diffs, steps = steps, lrDen = lrDen)
-        val rewards = TextOps.logitScoreFeatures(
-            feats.withColumn("y", lit(1.0)), w)
-          .select(col("doc_id"), col("logit").as("reward"))
-        CurationOps.scoreQuantileFilter(
-          rewards.join(corpus.select(col("doc_id"), col("source")),
-            Seq("doc_id")),
-          keepFrac = keepFrac, saltBuckets = saltBuckets,
-          scoreCol = "reward")
-      })
+      corpus => graft.operators.CurationOps.btRewardRank(
+        corpus, steps = steps, lrDen = lrDen, keepFrac = keepFrac,
+        saltBuckets = saltBuckets))
 
   /** [[btRankStream]]'s delta schema: the logit evidence plus the domain
     * and the pairing score. */

@@ -229,7 +229,7 @@ class LogitSpec extends SparkSpec {
   }
 
   test("streamed BT reward selection == batch; retention works; keepFrac drift refused") {
-    import graft.operators.{Checkpoints, CurationOps}
+    import graft.operators.CurationOps
     val p = s"${tmpDir()}/bt"
     val d = toy.withColumn("source", col("lang"))
     StreamingOps.btRankBatch(d.filter(col("doc_id") < 40), 0L, p,
@@ -238,27 +238,16 @@ class LogitSpec extends SparkSpec {
       3, 4096.0, 0.25, 4, 1)
     val streamed = StreamingOps.readBtRank(spark, p)
       .as[(Long, String, Double, Int)].collect().toSeq.sorted
-    // the batch truth: pairing -> diffs -> descent -> reward -> keep
-    val pairs = CurationOps.preferencePairs(
-      d.select(col("doc_id"), col("source"),
-        floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
-          .cast("long").as("score")))
-    val feats = Checkpoints.pin(TextOps.logitFeatures(d)
-      .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*), reliable = false)
-    val diffs =
-      pairs
-        .join(feats.select(col("doc_id").as("chosen_id") +:
-          TextOps.LogitXCols.map(c => col(c).as(s"c_$c")): _*), Seq("chosen_id"))
-        .join(feats.select(col("doc_id").as("rejected_id") +:
-          TextOps.LogitXCols.map(c => col(c).as(s"r_$c")): _*), Seq("rejected_id"))
-        .select(col("chosen_id").as("doc_id") +: lit(1.0).as("y") +:
-          TextOps.LogitXCols.map(c => (col(s"c_$c") - col(s"r_$c")).as(c)): _*)
-    val w = TextOps.logitTrain(diffs, steps = 3)
-    val rewards = TextOps.logitScoreFeatures(feats.withColumn("y", lit(1.0)), w)
-      .select(col("doc_id"), col("logit").as("reward"))
-    val batch = CurationOps.scoreQuantileFilter(
-        rewards.join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
-        keepFrac = 0.25, saltBuckets = 4, scoreCol = "reward")
+    // the batch truth — the SAME shared operator the refresh calls, fed
+    // from raw docs instead of landed evidence (what this test pins is
+    // the evidence landing + latest-wins resolve + refresh plumbing)
+    val batch = CurationOps.btRewardRank(
+        TextOps.logitFeatures(d)
+          .select(col("doc_id") +: TextOps.LogitXCols.map(col): _*)
+          .join(d.select(col("doc_id"), col("source"),
+            floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
+              .cast("long").as("score")), Seq("doc_id")),
+        steps = 3)
       .as[(Long, String, Double, Int)].collect().toSeq.sorted
     assert(streamed == batch && streamed.nonEmpty)
     // retention from day one: compaction + vacuum leave serving unchanged
