@@ -5275,6 +5275,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_phash_cc_incr" -> { (s, dir) => // incremental video clusters, the
+      // daily-crawl steady state (g_dedup_cc_incr's shape for media):
+      // the prior assignment is star CC over corpus-only media pairs,
+      // derived from a SELF-join of the persisted index (the index IS
+      // the corpus' hash state — the corpus bytes are decoded and
+      // hashed exactly once, at index build); today's increment probes
+      // the same index for its cross pairs, adds its increment-internal
+      // pairs, and nearDupClustersIncremental merges — which must equal
+      // the full-recompute component truth (g_phash_cc's oracle
+      // verbatim: one truth, one hash), followed by the same canonical
+      // election.
+      val docs = Tables.documents(s, dir)
+      val media = MultimodalOps.mediaFromDocuments(docs)
+      val corpus = media.filter(col("media_id") % 5 =!= 0)
+      val inc = media.filter(col("media_id") % 5 === 0)
+      val out = java.nio.file.Files.createTempDirectory("graft_phash_cc_incr_")
+      MultimodalOps.writePhashIndex(corpus, s"$out/idx", nBuckets = 16)
+      val prior = DedupOps.nearDupClustersStar(
+        MultimodalOps.mediaPhashDupsFromIndex(s, s"$out/idx")
+          .select(col("media_a").as("id1"), col("media_b").as("id2")))
+      val crossPairs = MultimodalOps.mediaPhashDupsIndexed(inc, s"$out/idx",
+          nBuckets = 16)
+        .select(col("media_new").as("id1"), col("media_corpus").as("id2"))
+      val incPairs = MultimodalOps.mediaPhashDups(inc)
+        .select(col("media_a").as("id1"), col("media_b").as("id2"))
+      DedupOps.canonicalPerCluster(docs,
+          DedupOps.nearDupClustersIncremental(prior,
+            crossPairs.unionByName(incPairs)))
+        .orderBy(col("doc_id"))
+    },
+
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
       // integer score (type-token ratio in ppm): 0-based global rank in
       // (score, id) order, bucket = rank*10 DIV n — equal-size-by-rank
@@ -8596,6 +8627,8 @@ object SparkEntry {
     "g_phash_indexed" -> phashIndexedOracleSql,
     // the streamed index serves the SAME probe rows (one truth, one hash)
     "q_stream_phash" -> phashIndexedOracleSql,
+    // incremental merge must equal the full recompute (one truth, one hash)
+    "g_phash_cc_incr" -> phashCcOracleSql,
 
     "g_unigram_step" -> unigramStepOracleSql,
     "g_unigram_encode" -> unigramEncodeOracleSql,

@@ -454,10 +454,16 @@ object MultimodalOps {
     * media. Shuffle is candidate-sized (band-key equi-join); output
     * `(media_a, frame_a, media_b, frame_b, dist)` is duplicate-set-sized. */
   def framePhashPairs(media: DataFrame, fps: Int = 4, k: Int = 8,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    bandedSelfPairs(bandCols(framePHash(media, fps, k)), maxDist)
+
+  /** The banded self-join pair truth over an ALREADY-BANDED frame-hash
+    * table `(media_id, frame_ix, phash, band_ix, band)` — shared by the
+    * in-DAG pair finder and the persisted-index self-join, so the
+    * pigeonhole-losslessness argument is proved once. */
+  private def bandedSelfPairs(banded: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       "maxDist in [0, 6]: 7 bands are pigeonhole-complete only below 7 bits")
-    val banded = bandCols(framePHash(media, fps, k))
     val a = banded.select(col("band_ix"), col("band"),
       col("media_id").as("media_a"), col("frame_ix").as("frame_a"),
       col("phash").as("__ha"))
@@ -480,13 +486,37 @@ object MultimodalOps {
     * Output is duplicate-set-sized: `(media_a, media_b, n_frame_pairs,
     * min_dist)`. */
   def mediaPhashDups(media: DataFrame, fps: Int = 4, k: Int = 8,
-      maxDist: Int = 3, minFrames: Int = 2): DataFrame = {
+      maxDist: Int = 3, minFrames: Int = 2): DataFrame =
+    mediaRollup(framePhashPairs(media, fps, k, maxDist), minFrames)
+
+  /** The ≥ `minFrames` media-pair verdict over a `(media_a, .., media_b,
+    * .., dist)` frame-pair list — shared by the in-DAG face and the
+    * index self-join face. */
+  private def mediaRollup(pairs: DataFrame, minFrames: Int): DataFrame = {
     require(minFrames >= 1, "minFrames must be >= 1")
-    framePhashPairs(media, fps, k, maxDist)
+    pairs
       .groupBy(col("media_a"), col("media_b"))
       .agg(count(lit(1)).as("n_frame_pairs"), min(col("dist")).as("min_dist"))
       .filter(col("n_frame_pairs") >= minFrames.toLong)
   }
+
+  /** [[mediaPhashDups]] with the frame hashes served from a persisted
+    * index ([[writePhashIndex]] / a streamed sink): the corpus-internal
+    * pair truth as a SELF-join of the banded index rows — the corpus is
+    * never re-decoded or re-hashed (the index IS its hash state), which
+    * is what lets an incremental clustering derive its prior assignment
+    * without touching the corpus bytes. Same output contract as
+    * mediaPhashDups. */
+  def mediaPhashDupsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, maxDist: Int = 3, minFrames: Int = 2): DataFrame =
+    mediaRollup(
+      bandedSelfPairs(
+        spark.read.parquet(indexPath)
+          .select(col("media_id"), col("frame_ix"), col("phash"),
+            col("band_ix"), col("band"))
+          .distinct(), // fold-overlap duplicates of a streamed sink
+        maxDist),
+      minFrames)
 
   /** Banded pHash rows with the directory bucket attached — the row
     * shape the persisted pHash index lands (the

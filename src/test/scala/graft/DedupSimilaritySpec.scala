@@ -762,6 +762,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val streamed = MultimodalOps.mediaPhashDupsIndexed(inc, s"$dir/sidx", nBuckets = 16)
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     assert(streamed == probed)
+    // the index self-join face == the in-DAG face (the corpus is never
+    // re-hashed for the prior of an incremental clustering)
+    MultimodalOps.writePhashIndex(media, s"$dir/allidx", nBuckets = 16)
+    val fromIdx = MultimodalOps.mediaPhashDupsFromIndex(spark, s"$dir/allidx")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val inDag = MultimodalOps.mediaPhashDups(media)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(fromIdx == inDag && fromIdx.nonEmpty)
   }
 
   test("pidsIn walks the calendar between two FileTimes") {
