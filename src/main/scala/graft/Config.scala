@@ -88,6 +88,16 @@ object GraftConf {
   val PostingsNPt = "postings.npt" // pt directory fan-out for the postings index
   val KnMinCount = "kn.mincount" // Kneser–Ney <unk> vocabulary cut
   val LogitSteps = "logit.steps" // full-batch GD steps for the quality trainer
+  // perceptual video dedup (pHash family). fps/k/nBuckets are SIGNED
+  // into the persisted index's _meta.json by writePhashIndex, so a probe
+  // retuned away from its index refuses loudly (assertPhashMeta) instead
+  // of silently missing candidates; maxdist stays pigeonhole-lossless
+  // only in [0, 6] (bandedSelfPairs enforces the ceiling at call time).
+  val PhashFps = "phash.fps" // stub decode sampling rate (real-decoder seam)
+  val PhashK = "phash.k" // max sampled frames per media
+  val PhashMaxDist = "phash.maxdist" // Hamming radius for near-dup frames
+  val PhashMinFrames = "phash.minframes" // frame pairs needed per media verdict
+  val PhashBuckets = "phash.nbuckets" // persisted-index directory fan-out
 
   // The DEFAULTS the static oracle SQL is generated from: the Spark side
   // reads the live conf, but SparkEntry.oracleSql has no session, so the

@@ -759,44 +759,135 @@ object SparkEntry {
       descentLoopSql(Seq("x0", "x1"), zz => s"1.0 / (1.0 + exp(-($zz)))")
   }
 
-  /** The unigram hard-EM step replayed in SQL: the substring seed and
-    * the top-64-plus-single-chars cap re-derived, piece scores as the
-    * SAME integer nll units (`floor((ln Σcnt − ln cnt)·1e8)`), then the
-    * E-step as a brute-force RECURSIVE-CTE enumeration of every
-    * segmentation of every distinct word, the winner per word picked by
-    * the kernel's exact tie-break — `(cost, chr(1)-joined path)` — and
-    * the re-estimated counts summed. Max word length 8 bounds the
-    * enumeration at ~tetranacci(8) paths per word. */
-  /** The distinct-word and substring-seed CTE prefix shared by the
-    * unigram step and prune oracles (no leading WITH — callers splice). */
-  private lazy val unigramSeedCtes: String =
-    """w AS (
-      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      |  WHERE len(word) > 0 GROUP BY word),
-      |seed AS (
-      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-      |    SELECT freq, unnest(list_filter(flatten(
-      |      list_transform(range(1, len(word) + 1), s ->
-      |        list_transform(range(1, 5), l ->
-      |          CASE WHEN s + l - 1 <= len(word)
-      |               THEN substring(word, CAST(s AS INT), CAST(l AS INT)) END))),
-      |      p -> p IS NOT NULL)) AS piece
-      |    FROM w)
-      |  GROUP BY piece)""".stripMargin
+  /** The unigram family's shared DuckDB materializations — the
+    * [[phashSharedDdl]] discipline (one connection per checker run;
+    * `IF NOT EXISTS` makes the first family member pay each derivation
+    * once, order-free, definitions from ONE lazy val so they cannot
+    * drift): the distinct-word table, the substring seed, the round-1
+    * best paths under the capped seed vocabulary (the brute-force
+    * RECURSIVE-CTE enumeration of every segmentation per word, winner by
+    * the kernel's exact `(cost, chr(1)-joined path)` tie-break; max word
+    * length 8 bounds the enumeration at ~tetranacci(8) paths), the
+    * hard-EM piece counts, the pruned round-2 vocabulary, and the round-2
+    * best paths. Split in three cumulative prefixes so a subset check of
+    * a round-1 row never pays the round-2 enumeration. */
+  private lazy val unigramSeedDdl: String =
+    """CREATE TEMP TABLE IF NOT EXISTS graft_ug_w AS
+      |SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE len(word) > 0 GROUP BY word;
+      |CREATE TEMP TABLE IF NOT EXISTS graft_ug_seed AS
+      |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |  SELECT freq, unnest(list_filter(flatten(
+      |    list_transform(range(1, len(word) + 1), s ->
+      |      list_transform(range(1, 5), l ->
+      |        CASE WHEN s + l - 1 <= len(word)
+      |             THEN substring(word, CAST(s AS INT), CAST(l AS INT)) END))),
+      |    p -> p IS NOT NULL)) AS piece
+      |  FROM graft_ug_w)
+      |GROUP BY piece;
+      |""".stripMargin
+
+  private lazy val unigramRound1Ddl: String =
+    unigramSeedDdl +
+      """CREATE TEMP TABLE IF NOT EXISTS graft_ug_best AS
+      |WITH RECURSIVE
+      |cap AS (SELECT piece, cnt FROM graft_ug_seed
+      |        ORDER BY cnt DESC, piece LIMIT 64),
+      |vocab AS (SELECT DISTINCT piece, cnt FROM (
+      |  SELECT piece, cnt FROM cap
+      |  UNION ALL SELECT piece, cnt FROM graft_ug_seed WHERE len(piece) = 1)),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+      |v AS (SELECT piece,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u
+      |      FROM vocab CROSS JOIN tot),
+      |seg AS (
+      |  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+      |         CAST(0 AS BIGINT) AS cost, CAST('' AS VARCHAR) AS path
+      |  FROM graft_ug_w
+      |  UNION ALL
+      |  SELECT s.word, s.freq, s.pos + len(v.piece), s.cost + v.u,
+      |         s.path || chr(1) || v.piece
+      |  FROM seg s JOIN v
+      |    ON substring(s.word, CAST(s.pos + 1 AS INT), len(v.piece)) = v.piece
+      |  WHERE s.pos < len(s.word)),
+      |b AS (
+      |  SELECT word, freq, path,
+      |         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+      |  FROM seg WHERE pos = len(word))
+      |SELECT word, freq, path FROM b WHERE rn = 1;
+      |CREATE TEMP TABLE IF NOT EXISTS graft_ug_emc AS
+      |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |  SELECT freq, unnest(string_split(path, chr(1))) AS piece
+      |  FROM graft_ug_best) x
+      |WHERE piece <> '' GROUP BY piece;
+      |""".stripMargin
+
+  private lazy val unigramRound2Ddl: String =
+    unigramRound1Ddl +
+      """CREATE TEMP TABLE IF NOT EXISTS graft_ug_vocab2 AS
+      |WITH
+      |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM graft_ug_emc),
+      |u2 AS (SELECT piece, cnt,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u,
+      |        CAST(floor(ln(CAST(t AS DOUBLE)) * 100000000) AS BIGINT) AS uc
+      |      FROM graft_ug_emc CROSS JOIN tot2),
+      |ch2 AS (SELECT piece AS c2, u AS cu FROM u2 WHERE len(piece) = 1),
+      |alt2 AS (SELECT piece, cnt, u,
+      |          CAST(sum(coalesce(cu, uc)) AS BIGINT) AS alt
+      |        FROM (SELECT piece, cnt, u, uc,
+      |                unnest(list_transform(range(1, len(piece) + 1),
+      |                  i -> substring(piece, CAST(i AS INT), 1))) AS c2
+      |              FROM u2 WHERE len(piece) >= 2) x
+      |        LEFT JOIN ch2 USING (c2)
+      |        GROUP BY piece, cnt, u),
+      |k2 AS (SELECT piece, cnt,
+      |        CAST(row_number() OVER (ORDER BY
+      |          CAST(CAST(cnt AS HUGEINT) * (alt - u) AS BIGINT) DESC, piece)
+      |          AS BIGINT) AS rank
+      |      FROM alt2)
+      |SELECT DISTINCT piece, cnt FROM (
+      |  SELECT piece, cnt FROM k2 WHERE rank <= 16
+      |  UNION ALL SELECT piece, cnt FROM graft_ug_emc WHERE len(piece) = 1);
+      |CREATE TEMP TABLE IF NOT EXISTS graft_ug_best2 AS
+      |WITH RECURSIVE
+      |tot3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM graft_ug_vocab2),
+      |v2 AS (SELECT piece,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u
+      |      FROM graft_ug_vocab2 CROSS JOIN tot3),
+      |seg2 AS (
+      |  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+      |         CAST(0 AS BIGINT) AS cost, CAST('' AS VARCHAR) AS path
+      |  FROM graft_ug_w
+      |  UNION ALL
+      |  SELECT s.word, s.freq, s.pos + len(v.piece), s.cost + v.u,
+      |         s.path || chr(1) || v.piece
+      |  FROM seg2 s JOIN v2 v
+      |    ON substring(s.word, CAST(s.pos + 1 AS INT), len(v.piece)) = v.piece
+      |  WHERE s.pos < len(s.word)),
+      |b2 AS (
+      |  SELECT word, freq, path,
+      |         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+      |  FROM seg2 WHERE pos = len(word))
+      |SELECT word, freq, path FROM b2 WHERE rn = 1;
+      |""".stripMargin
 
   /** The SentencePiece prune step replayed in SQL: the same seed and
     * integer nll units, the char-fallback loss
     * `cnt · (Σ_ch nll(ch) − nll(piece))` (missing standalone chars at
     * the cnt = 1 ceiling), the (loss desc, piece) rank, top-32 kept. */
   private lazy val unigramPruneOracleSql: String =
-    s"""WITH $unigramSeedCtes,
-      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+    unigramSeedDdl +
+      s"""WITH
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM graft_ug_seed),
       |u AS (SELECT piece, cnt,
       |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
       |             * 100000000) AS BIGINT) AS u,
       |        CAST(floor(ln(CAST(t AS DOUBLE)) * 100000000) AS BIGINT) AS uc
-      |      FROM seed CROSS JOIN tot),
+      |      FROM graft_ug_seed CROSS JOIN tot),
       |ch AS (SELECT piece AS c2, u AS cu FROM u WHERE len(piece) = 1),
       |alt AS (SELECT piece, cnt, u,
       |          CAST(sum(coalesce(cu, uc)) AS BIGINT) AS alt
@@ -815,103 +906,25 @@ object SparkEntry {
       |SELECT piece, cnt, loss, rank FROM k WHERE rank <= 32
       |ORDER BY rank""".stripMargin
 
-  /** Seed → cap → integer-nll units → brute-force segmentation
-    * enumeration → per-word best path, as CTEs ending in `best` —
-    * shared by the EM-step and corpus-encode oracles (one Viterbi
-    * truth, two tails). */
-  private lazy val unigramViterbiCtes: String =
-    s"""$unigramSeedCtes,
-      |cap AS (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece LIMIT 64),
-      |vocab AS (SELECT DISTINCT piece, cnt FROM (
-      |  SELECT piece, cnt FROM cap
-      |  UNION ALL SELECT piece, cnt FROM seed WHERE len(piece) = 1)),
-      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
-      |v AS (SELECT piece,
-      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
-      |             * 100000000) AS BIGINT) AS u
-      |      FROM vocab CROSS JOIN tot),
-      |seg AS (
-      |  SELECT word, freq, CAST(0 AS BIGINT) AS pos,
-      |         CAST(0 AS BIGINT) AS cost, CAST('' AS VARCHAR) AS path
-      |  FROM w
-      |  UNION ALL
-      |  SELECT s.word, s.freq, s.pos + len(v.piece), s.cost + v.u,
-      |         s.path || chr(1) || v.piece
-      |  FROM seg s JOIN v
-      |    ON substring(s.word, CAST(s.pos + 1 AS INT), len(v.piece)) = v.piece
-      |  WHERE s.pos < len(s.word)),
-      |best AS (
-      |  SELECT word, freq, path,
-      |         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
-      |  FROM seg WHERE pos = len(word))""".stripMargin
-
+  /** The hard-EM step's visible tail: the re-estimated piece counts are
+    * the shared `graft_ug_emc` materialization. */
   private lazy val unigramStepOracleSql: String =
-    s"""WITH RECURSIVE $unigramViterbiCtes,
-      |pc AS (SELECT freq, unnest(string_split(path, chr(1))) AS piece
-      |       FROM best WHERE rn = 1)
-      |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-      |FROM pc WHERE piece <> '' GROUP BY piece
+    unigramRound1Ddl +
+      """SELECT piece, cnt FROM graft_ug_emc
       |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin
 
-  /** The composed trainer pipeline replayed in SQL, every stage nested:
-    * the EM-step piece counts (from the shared Viterbi CTEs) re-enter
-    * the prune's char-fallback loss rank, the kept top-16 multi-char
-    * pieces plus the EM step's single characters form the final
-    * vocabulary, and a SECOND brute-force segmentation enumeration under
-    * the re-derived units encodes every word. A word the pruned
-    * vocabulary cannot cover has no complete path — LEFT JOIN +
-    * coalesce(0) mirrors the kernel's empty-array contract. */
+  /** The composed trainer pipeline replayed in SQL, every stage nested
+    * via the shared materializations: the EM-step counts re-enter the
+    * prune's char-fallback loss rank (`graft_ug_vocab2`), and the SECOND
+    * brute-force segmentation enumeration under the re-derived units
+    * (`graft_ug_best2`) encodes every word. A word the pruned vocabulary
+    * cannot cover has no complete path — LEFT JOIN + coalesce(0) mirrors
+    * the kernel's empty-array contract. */
   private lazy val unigramPipelineOracleSql: String =
-    s"""WITH RECURSIVE $unigramViterbiCtes,
-      |pc AS (SELECT freq, unnest(string_split(path, chr(1))) AS piece
-      |       FROM best WHERE rn = 1),
-      |emc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-      |        FROM pc WHERE piece <> '' GROUP BY piece),
-      |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM emc),
-      |u2 AS (SELECT piece, cnt,
-      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
-      |             * 100000000) AS BIGINT) AS u,
-      |        CAST(floor(ln(CAST(t AS DOUBLE)) * 100000000) AS BIGINT) AS uc
-      |      FROM emc CROSS JOIN tot2),
-      |ch2 AS (SELECT piece AS c2, u AS cu FROM u2 WHERE len(piece) = 1),
-      |alt2 AS (SELECT piece, cnt, u,
-      |          CAST(sum(coalesce(cu, uc)) AS BIGINT) AS alt
-      |        FROM (SELECT piece, cnt, u, uc,
-      |                unnest(list_transform(range(1, len(piece) + 1),
-      |                  i -> substring(piece, CAST(i AS INT), 1))) AS c2
-      |              FROM u2 WHERE len(piece) >= 2) x
-      |        LEFT JOIN ch2 USING (c2)
-      |        GROUP BY piece, cnt, u),
-      |k2 AS (SELECT piece, cnt,
-      |        CAST(row_number() OVER (ORDER BY
-      |          CAST(CAST(cnt AS HUGEINT) * (alt - u) AS BIGINT) DESC, piece)
-      |          AS BIGINT) AS rank
-      |      FROM alt2),
-      |vocab2 AS (SELECT DISTINCT piece, cnt FROM (
-      |  SELECT piece, cnt FROM k2 WHERE rank <= 16
-      |  UNION ALL SELECT piece, cnt FROM emc WHERE len(piece) = 1)),
-      |tot3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab2),
-      |v2 AS (SELECT piece,
-      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
-      |             * 100000000) AS BIGINT) AS u
-      |      FROM vocab2 CROSS JOIN tot3),
-      |seg2 AS (
-      |  SELECT word, CAST(0 AS BIGINT) AS pos,
-      |         CAST(0 AS BIGINT) AS cost, CAST('' AS VARCHAR) AS path
-      |  FROM w
-      |  UNION ALL
-      |  SELECT s.word, s.pos + len(v.piece), s.cost + v.u,
-      |         s.path || chr(1) || v.piece
-      |  FROM seg2 s JOIN v2 v
-      |    ON substring(s.word, CAST(s.pos + 1 AS INT), len(v.piece)) = v.piece
-      |  WHERE s.pos < len(s.word)),
-      |best2 AS (
-      |  SELECT word, path,
-      |         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
-      |  FROM seg2 WHERE pos = len(word)),
-      |enc2 AS (SELECT word,
+    unigramRound2Ddl +
+      """WITH enc2 AS (SELECT word,
       |          CAST(len(string_split(path, chr(1))) - 1 AS BIGINT) AS n
-      |        FROM best2 WHERE rn = 1),
+      |        FROM graft_ug_best2),
       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |       FROM documents)
       |SELECT doc_id, CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_tokens,
@@ -923,19 +936,60 @@ object SparkEntry {
   /** The corpus encode replayed in SQL: per-word token counts from the
     * SAME best-path enumeration (the path is `chr(1)`-joined, so pieces
     * = len(split) − 1), the corpus words re-exploded and joined — the
-    * oracle pays the join per occurrence exactly like the engine. */
+    * oracle pays the join per occurrence exactly like the engine. LEFT
+    * JOIN + coalesce(0), not INNER: the engine contract
+    * (unigramEncodeFromWords) keeps a word the vocabulary cannot cover
+    * VISIBLE as a 0-token word — equivalent here only because the capped
+    * seed vocabulary contains every single character, but the oracle must
+    * encode the contract, not the coincidence. */
   private lazy val unigramEncodeOracleSql: String =
-    s"""WITH RECURSIVE $unigramViterbiCtes,
-      |enc AS (SELECT word,
+    unigramRound1Ddl +
+      """WITH enc AS (SELECT word,
       |          CAST(len(string_split(path, chr(1))) - 1 AS BIGINT) AS n
-      |        FROM best WHERE rn = 1),
+      |        FROM graft_ug_best),
       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |       FROM documents)
-      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |SELECT doc_id, CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_tokens,
       |       CAST(count(*) AS BIGINT) AS n_words
-      |FROM dw JOIN enc USING (word)
+      |FROM dw LEFT JOIN enc USING (word)
       |WHERE len(word) > 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The two-EM-round trainer replayed in SQL: round-2 piece counts from
+    * the `graft_ug_best2` enumeration (EM under the PRUNED round-1
+    * vocabulary — the materializations nest seed → EM → prune → EM), then
+    * the prune loss/rank replay keeps the top 8. Gates that the driver
+    * loop's second iteration really segments under the re-derived units —
+    * a drifted count or tie-break anywhere in EITHER round moves a rank. */
+  private lazy val unigramTrainOracleSql: String =
+    unigramRound2Ddl +
+      """WITH emc2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |  SELECT freq, unnest(string_split(path, chr(1))) AS piece
+      |  FROM graft_ug_best2) x
+      |  WHERE piece <> '' GROUP BY piece),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM emc2),
+      |u AS (SELECT piece, cnt,
+      |        CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+      |             * 100000000) AS BIGINT) AS u,
+      |        CAST(floor(ln(CAST(t AS DOUBLE)) * 100000000) AS BIGINT) AS uc
+      |      FROM emc2 CROSS JOIN tot),
+      |ch AS (SELECT piece AS c2, u AS cu FROM u WHERE len(piece) = 1),
+      |alt AS (SELECT piece, cnt, u,
+      |          CAST(sum(coalesce(cu, uc)) AS BIGINT) AS alt
+      |        FROM (SELECT piece, cnt, u, uc,
+      |                unnest(list_transform(range(1, len(piece) + 1),
+      |                  i -> substring(piece, CAST(i AS INT), 1))) AS c2
+      |              FROM u WHERE len(piece) >= 2) x
+      |        LEFT JOIN ch USING (c2)
+      |        GROUP BY piece, cnt, u),
+      |r AS (SELECT piece, cnt,
+      |        CAST(CAST(cnt AS HUGEINT) * (alt - u) AS BIGINT) AS loss
+      |      FROM alt),
+      |k AS (SELECT piece, cnt, loss,
+      |        CAST(row_number() OVER (ORDER BY loss DESC, piece) AS BIGINT) AS rank
+      |      FROM r)
+      |SELECT piece, cnt, loss, rank FROM k WHERE rank <= 8
+      |ORDER BY rank""".stripMargin
 
   /** The pHash pipeline replayed in SQL, generated from the SAME
     * [[graft.operators.MultimodalOps.DctBasis1024]] constants the Spark
@@ -978,56 +1032,93 @@ object SparkEntry {
       |      FROM cm)""".stripMargin
   }
 
-  /** [[framePhashHashCtes]] + the brute-force all-pairs truth at
-    * dist ≤ 3 — the tail the frame-pair, media-rollup, and CC oracles
-    * share; the INDEXED probe oracle uses the hash CTEs with a
-    * cross-split pairing instead. */
-  private lazy val framePhashPairCtes: String =
-    framePhashHashCtes +
-      s""",
-      |pairs AS (
-      |  SELECT a.media_id AS media_a, a.frame_ix AS frame_a,
-      |         b.media_id AS media_b, b.frame_ix AS frame_b,
-      |         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
-      |  FROM h a JOIN h b ON a.media_id < b.media_id
-      |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)""".stripMargin
+  /** The pHash family's shared DuckDB materializations. The checker runs
+    * every oracle in ONE connection (tools/check.py and the driver's gate
+    * both do), so the expensive derivations — the per-frame integer DCT
+    * (`graft_ph_h`) and the brute-force all-pairs truth at dist ≤ 3
+    * (`graft_ph_pairs`) — are `CREATE TEMP TABLE IF NOT EXISTS`
+    * statements prepended to EVERY family row's SQL: the first member
+    * executed pays the cost once, later members reuse the tables, and
+    * execution order doesn't matter (IF NOT EXISTS is idempotent; every
+    * member carries the identical DDL from this one lazy val, so the
+    * definitions cannot drift apart). A checker that opens a fresh
+    * connection per query still verifies correctly — each oracle stays
+    * self-contained — at the old per-row cost. */
+  private lazy val phashSharedDdl: String =
+    s"""CREATE TEMP TABLE IF NOT EXISTS graft_ph_h AS
+      |$framePhashHashCtes
+      |SELECT media_id, frame_ix, phash FROM h;
+      |CREATE TEMP TABLE IF NOT EXISTS graft_ph_pairs AS
+      |SELECT a.media_id AS media_a, a.frame_ix AS frame_a,
+      |       b.media_id AS media_b, b.frame_ix AS frame_b,
+      |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+      |FROM graft_ph_h a JOIN graft_ph_h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3;
+      |""".stripMargin
 
   private lazy val framePhashOracleSql: String =
-    framePhashPairCtes +
-      """
-      |SELECT media_a, frame_a, media_b, frame_b, dist FROM pairs
+    phashSharedDdl +
+      """SELECT media_a, frame_a, media_b, frame_b, dist FROM graft_ph_pairs
       |ORDER BY media_a, frame_a, media_b, frame_b""".stripMargin
 
-  /** The media-level rollup: pairs with ≥ 2 near-duplicate frames. */
+  /** The media-level rollup: pairs with ≥ 2 near-duplicate frames, plus
+    * the temporal-alignment vote — per media pair, the modal frame-index
+    * offset `frame_a − frame_b` (ties → lowest offset) and how many frame
+    * pairs share it. A re-encode matches at ONE consistent offset
+    * (aligned_frames ≈ n_frame_pairs); a shared 2-frame intro between
+    * otherwise-different videos scatters across offsets. */
   private lazy val phashMediaOracleSql: String =
-    framePhashPairCtes +
-      """
-      |SELECT media_a, media_b, CAST(count(*) AS BIGINT) AS n_frame_pairs,
-      |       min(dist) AS min_dist
-      |FROM pairs GROUP BY media_a, media_b HAVING count(*) >= 2
+    phashSharedDdl +
+      """WITH o AS (
+      |  SELECT media_a, media_b, frame_a - frame_b AS coff,
+      |         CAST(count(*) AS BIGINT) AS n_off, min(dist) AS min_d
+      |  FROM graft_ph_pairs GROUP BY media_a, media_b, coff),
+      |r AS (
+      |  SELECT media_a, media_b, coff, n_off,
+      |         CAST(sum(n_off) OVER (PARTITION BY media_a, media_b)
+      |              AS BIGINT) AS n_frame_pairs,
+      |         min(min_d) OVER (PARTITION BY media_a, media_b) AS min_dist,
+      |         row_number() OVER (PARTITION BY media_a, media_b
+      |                            ORDER BY n_off DESC, coff) AS rn
+      |  FROM o)
+      |SELECT media_a, media_b, n_frame_pairs, min_dist,
+      |       n_off AS aligned_frames, coff AS modal_offset
+      |FROM r WHERE rn = 1 AND n_frame_pairs >= 2
       |ORDER BY media_a, media_b""".stripMargin
 
   /** The indexed probe replayed in SQL — increment (doc_id % 5 = 0)
     * vs corpus (the rest), the brute-force cross-split truth: every
     * (increment frame, corpus frame) pair within dist ≤ 3, DISTINCT,
-    * rolled up to media pairs with ≥ 2 matching frames. The banded
-    * (band_ix, bucket, band) equi-join against the persisted index must
-    * equal it losslessly (pigeonhole over 7 bands). Shared by
+    * rolled up to media pairs with ≥ 2 matching frames plus the
+    * temporal-alignment vote (the [[phashMediaOracleSql]] columns). The
+    * banded (band_ix, bucket, band) equi-join against the persisted index
+    * must equal it losslessly (pigeonhole over 7 bands). Shared by
     * g_phash_indexed (batch-built index) and q_stream_phash (streamed
     * index) — one truth, one hash. */
   private lazy val phashIndexedOracleSql: String =
-    framePhashHashCtes +
-      """,
-      |hi AS (SELECT media_id, frame_ix, phash FROM h WHERE media_id % 5 = 0),
-      |hc AS (SELECT media_id, frame_ix, phash FROM h WHERE media_id % 5 <> 0),
-      |xp AS (SELECT DISTINCT i.media_id AS media_new, i.frame_ix AS frame_new,
+    phashSharedDdl +
+      """WITH xp AS (
+      |  SELECT DISTINCT i.media_id AS media_new, i.frame_ix AS frame_new,
       |         c.media_id AS media_corpus, c.frame_ix AS frame_corpus,
       |         CAST(bit_count(xor(i.phash, c.phash)) AS BIGINT) AS dist
-      |       FROM hi i CROSS JOIN hc c
-      |       WHERE bit_count(xor(i.phash, c.phash)) <= 3)
-      |SELECT media_new, media_corpus,
-      |       CAST(count(*) AS BIGINT) AS n_frame_pairs, min(dist) AS min_dist
-      |FROM xp GROUP BY media_new, media_corpus HAVING count(*) >= 2
+      |  FROM graft_ph_h i CROSS JOIN graft_ph_h c
+      |  WHERE i.media_id % 5 = 0 AND c.media_id % 5 <> 0
+      |    AND bit_count(xor(i.phash, c.phash)) <= 3),
+      |o AS (
+      |  SELECT media_new, media_corpus, frame_new - frame_corpus AS coff,
+      |         CAST(count(*) AS BIGINT) AS n_off, min(dist) AS min_d
+      |  FROM xp GROUP BY media_new, media_corpus, coff),
+      |r AS (
+      |  SELECT media_new, media_corpus, coff, n_off,
+      |         CAST(sum(n_off) OVER (PARTITION BY media_new, media_corpus)
+      |              AS BIGINT) AS n_frame_pairs,
+      |         min(min_d) OVER (PARTITION BY media_new, media_corpus) AS min_dist,
+      |         row_number() OVER (PARTITION BY media_new, media_corpus
+      |                            ORDER BY n_off DESC, coff) AS rn
+      |  FROM o)
+      |SELECT media_new, media_corpus, n_frame_pairs, min_dist,
+      |       n_off AS aligned_frames, coff AS modal_offset
+      |FROM r WHERE rn = 1 AND n_frame_pairs >= 2
       |ORDER BY media_new, media_corpus""".stripMargin
 
   /** Video dedup closed over the pHash pair truth: the ≥2-frame media
@@ -1036,8 +1127,9 @@ object SparkEntry {
     * replays canonicalPerCluster — longest member keeps (ties → lowest
     * id), singletons keep themselves. */
   private lazy val phashCcOracleSql: String =
-    "WITH RECURSIVE " + framePhashPairCtes.stripPrefix("WITH ") +
-      """,
+    phashSharedDdl +
+      """WITH RECURSIVE
+      |pairs AS (SELECT media_a, media_b FROM graft_ph_pairs),
       |mp AS (SELECT media_a, media_b FROM pairs
       |       GROUP BY media_a, media_b HAVING count(*) >= 2),
       |edges AS (
@@ -1061,6 +1153,58 @@ object SparkEntry {
       |FROM documents d LEFT JOIN assign s ON d.doc_id = s.doc_id
       |WHERE s.doc_id IS NULL
       |ORDER BY doc_id""".stripMargin
+
+  /** The multimodal dataset card replayed in SQL: byte/frame tallies
+    * from the payload lengths, the byte-CDC chunking fold (the
+    * g_cdc_binary replay with the source carried) counted total and
+    * DISTINCT per source, and the pHash cluster mass from the shared
+    * brute-force pair truth (`graft_ph_pairs`). */
+  private lazy val mediaCardOracleSql: String =
+    phashSharedDdl +
+      """WITH m AS (SELECT doc_id AS media_id, source, text FROM documents),
+      |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+      |    CAST(coalesce(sum(octet_length(CAST(text AS BLOB))), 0) AS BIGINT)
+      |      AS n_bytes,
+      |    CAST(coalesce(sum(CASE
+      |      WHEN octet_length(CAST(text AS BLOB)) // 64 > 0
+      |      THEN least(8, octet_length(CAST(text AS BLOB)) // 64)
+      |      ELSE 0 END), 0) AS BIGINT) AS n_frames
+      |  FROM m GROUP BY source),
+      |t AS (SELECT media_id, source, coalesce(text, '') AS s FROM m),
+      |p AS (SELECT media_id, source, s, unnest(range(length(s))) AS pos
+      |      FROM t WHERE length(s) > 0),
+      |x AS (SELECT media_id, source, pos, s[pos+1] AS ch,
+      |        CASE WHEN pos > 0 AND pos + 8 <= length(s) THEN
+      |          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, 9), i -> CAST(unicode(s[pos+i]) AS BIGINT))),
+      |             (acc, c) -> (acc*31 + c) % 1000000007) % 16 = 0)
+      |        ELSE false END AS boundary
+      |      FROM p),
+      |c AS (SELECT media_id, source, pos, ch,
+      |        SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY media_id ORDER BY pos) AS chunk_idx
+      |      FROM x),
+      |ch2 AS (SELECT media_id, source, chunk_idx,
+      |          string_agg(ch, '' ORDER BY pos) AS chunk_text
+      |        FROM c GROUP BY media_id, source, chunk_idx),
+      |cagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+      |           CAST(count(DISTINCT chunk_text) AS BIGINT) AS n_distinct_chunks
+      |         FROM ch2 GROUP BY source),
+      |mp AS (SELECT media_a, media_b FROM graft_ph_pairs
+      |       GROUP BY media_a, media_b HAVING count(*) >= 2),
+      |cm AS (SELECT DISTINCT media_id FROM (
+      |  SELECT media_a AS media_id FROM mp
+      |  UNION ALL SELECT media_b AS media_id FROM mp)),
+      |pagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_phash_clustered
+      |         FROM m JOIN cm USING (media_id) GROUP BY source)
+      |SELECT base.source, n_media, n_bytes, n_frames,
+      |       coalesce(n_chunks, 0) AS n_chunks,
+      |       coalesce(n_distinct_chunks, 0) AS n_distinct_chunks,
+      |       coalesce(n_phash_clustered, 0) AS n_phash_clustered
+      |FROM base
+      |LEFT JOIN cagg USING (source)
+      |LEFT JOIN pagg USING (source)
+      |ORDER BY source""".stripMargin
 
   /** The calibrated quality loop replayed in SQL: the ENTIRE
     * [[logitPlattOracleSql]] (a descent nested in a descent) as a
@@ -1618,14 +1762,82 @@ object SparkEntry {
     * g_train_manifest (batch) and q_stream_manifest (the streamed
     * periodic re-manifest): one truth, one hash. */
   private lazy val trainManifestOracleSql: String =
+    trainManifestOracleSqlFrom("documents")
+
+  /** The composed forget gate replayed in SQL: the post-delete corpus
+    * materializes once (`graft_fg_docs` — the [[phashSharedDdl]]
+    * temp-table discipline), the UniMax schedule replays over it
+    * (`graft_fg_manifest`, the [[trainManifestOracleSqlFrom]] nesting),
+    * and every artifact's expected post-forget SIZE is derived from its
+    * own independent truth: the doc count, bands-per-doc, the distinct
+    * (token, doc) posting pairs, the distinct k-shingles of ≥k-token
+    * docs, 7 bands × sampled frames, the k-NN fan-out, the recursive
+    * closure of the exact-Jaccard pair list (the proven-equal MinHash
+    * truth), and the replayed manifest's row count. `n_diff` pins the
+    * engine's own readback-vs-rebuild diff at zero for EVERY artifact —
+    * a forget that leaves one stale row anywhere fails this row. */
+  private lazy val forgetOracleSql: String =
+    s"""CREATE TEMP TABLE IF NOT EXISTS graft_fg_docs AS
+      |SELECT * FROM documents WHERE doc_id % 97 <> 3;
+      |CREATE TEMP TABLE IF NOT EXISTS graft_fg_manifest AS
+      |${trainManifestOracleSqlFrom("graft_fg_docs")};
+      |WITH RECURSIVE
+      |shj AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS toks
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM graft_fg_docs)),
+      |prs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM shj a JOIN shj b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.toks, b.toks)) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM prs
+      |  UNION SELECT id2 AS src, id1 AS dst FROM prs),
+      |reach(a, b) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |assign AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |spansh AS (
+      |  SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
+      |  FROM (SELECT unnest(range(1, len(t) - 1)) AS i, t
+      |        FROM (SELECT string_split(text, ' ') AS t FROM graft_fg_docs)
+      |        WHERE len(t) >= 3)),
+      |postings AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM graft_fg_docs
+      |  WHERE text IS NOT NULL))
+      |SELECT artifact, CAST(n_after AS BIGINT) AS n_after,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM (
+      |  SELECT 'chunk_store' AS artifact,
+      |    (SELECT count(*) FROM graft_fg_docs
+      |     WHERE length(coalesce(text, '')) > 0) AS n_after
+      |  UNION ALL SELECT 'cluster_assign', (SELECT count(*) FROM assign)
+      |  UNION ALL SELECT 'doc_log', (SELECT count(*) FROM graft_fg_docs)
+      |  UNION ALL SELECT 'knn_graph',
+      |    5 * (SELECT count(*) FROM embeddings WHERE vec_id % 97 <> 3)
+      |  UNION ALL SELECT 'lsh_index', 4 * (SELECT count(*) FROM graft_fg_docs)
+      |  UNION ALL SELECT 'phash_index',
+      |    (SELECT coalesce(sum(7 * least(8, octet_length(CAST(text AS BLOB)) // 64)), 0)
+      |     FROM graft_fg_docs WHERE octet_length(CAST(text AS BLOB)) // 64 > 0)
+      |  UNION ALL SELECT 'postings_index', (SELECT count(*) FROM postings)
+      |  UNION ALL SELECT 'schedule_manifest', (SELECT count(*) FROM graft_fg_manifest)
+      |  UNION ALL SELECT 'shingle_index', (SELECT count(*) FROM spansh)
+      |) ORDER BY artifact""".stripMargin
+
+  /** [[trainManifestOracleSql]] parameterized over its corpus table, so
+    * the forget oracle can replay the schedule over the post-delete
+    * corpus (`graft_fg_docs`) with the SAME four-stage nesting. */
+  private def trainManifestOracleSqlFrom(docsTable: String): String =
 
       // all four stages replayed: the g_epoch_expand CTEs, the
       // (seed+1)-pre-shifted interleave permutation over eid = id*4 +
       // epoch, the one-window
       // prefix sum, and the span fan-out with the partial tail dropped
-      """WITH c AS (SELECT source,
+      s"""WITH c AS (SELECT source,
         |        CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
-        |      FROM documents GROUP BY source),
+        |      FROM $docsTable GROUP BY source),
         |r AS (SELECT source, n_tokens, n_tokens * 3 AS cap,
         |        CAST(row_number() OVER (ORDER BY n_tokens * 3, source) AS BIGINT) AS i,
         |        CAST(count(*) OVER () AS BIGINT) AS s,
@@ -1651,7 +1863,7 @@ object SparkEntry {
         |d AS (SELECT doc_id, source,
         |        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
         |        ((doc_id % 2147483647) * 62089911) % 2147483647 AS sk
-        |      FROM documents),
+        |      FROM $docsTable),
         |fullrep AS (SELECT doc_id, d.source,
         |        unnest(generate_series(0, fullr - 1)) AS epoch, n_tokens
         |      FROM d JOIN e USING (source) WHERE fullr > 0),
@@ -4112,6 +4324,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "g_unigram_train" -> { (s, dir) => // the trainer run to CONVERGENCE
+      // discipline (verdict r17 #4): SentencePiece's outer loop
+      // alternating hard-EM and prune — seed → cap(64) → EM₁ → prune to
+      // 16 multi-char pieces (+ EM₁'s single chars) → EM₂ under the
+      // PRUNED vocabulary's re-estimated units → prune to 8. Two full EM
+      // rounds gated: the oracle nests BOTH brute-force segmentation
+      // enumerations (the pipeline row's materializations) and replays
+      // the final loss rank, so a drifted unit, count, or tie-break in
+      // EITHER round moves a rank. Output: the final trained vocabulary
+      // with its loss evidence.
+      val words = graft.operators.Checkpoints.pin(
+        TextOps.bpeWords(Tables.documents(s, dir))
+          .select(col("word"), col("freq")),
+        reliable = false)
+      TextOps.unigramTrainFromWords(words, keeps = Seq(16, 8))
+        .orderBy(col("rank"))
+    },
+
     "q_stream_unigram" -> { (s, dir) => // the unigram trainer's streamed
       // corpus face: the word-frequency frame is the ONE corpus-sized
       // aggregation of the whole trainer, and it is exactly the unigram
@@ -5196,20 +5426,29 @@ object SparkEntry {
       // (pigeonhole-complete at dist <= 3, candidate-sized shuffle,
       // never all-pairs). The oracle recomputes every hash from the
       // SAME basis constants and takes the brute-force pair truth the
-      // banded join must equal losslessly.
+      // banded join must equal losslessly. Parameters come through the
+      // GraftConf seam (defaults = the oracle's constants, so an unset
+      // conf is byte-identical; a retuned run fails LOUD on the hash).
       MultimodalOps.framePhashPairs(
           MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
-          fps = 4, k = 8, maxDist = 3)
+          fps = GraftConf.int(s, GraftConf.PhashFps, 4),
+          k = GraftConf.int(s, GraftConf.PhashK, 8),
+          maxDist = GraftConf.int(s, GraftConf.PhashMaxDist, 3, min = 0))
         .orderBy(col("media_a"), col("frame_a"), col("media_b"), col("frame_b"))
     },
 
     "g_phash_media" -> { (s, dir) => // the media-level rollup a video
       // dedup acts on: media pairs with >= 2 near-duplicate sampled
       // frames (one match is noise, a run is a re-encoded copy or a
-      // shared segment), with the pair count and the closest distance.
+      // shared segment), with the pair count, the closest distance, and
+      // the temporal-alignment vote (modal frame offset + how many pairs
+      // share it — a re-encode aligns, a shared intro scatters).
       MultimodalOps.mediaPhashDups(
           MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)),
-          fps = 4, k = 8, maxDist = 3, minFrames = 2)
+          fps = GraftConf.int(s, GraftConf.PhashFps, 4),
+          k = GraftConf.int(s, GraftConf.PhashK, 8),
+          maxDist = GraftConf.int(s, GraftConf.PhashMaxDist, 3, min = 0),
+          minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2))
         .orderBy(col("media_a"), col("media_b"))
     },
 
@@ -5224,10 +5463,18 @@ object SparkEntry {
       // radius AND the persisted layout read back bit-exact.
       val media = MultimodalOps.mediaFromDocuments(Tables.documents(s, dir))
       val out = java.nio.file.Files.createTempDirectory("graft_phash_idx_")
+      val nb = GraftConf.int(s, GraftConf.PhashBuckets, 16)
+      val (fps, k) = (GraftConf.int(s, GraftConf.PhashFps, 4),
+        GraftConf.int(s, GraftConf.PhashK, 8))
       MultimodalOps.writePhashIndex(
-        media.filter(col("media_id") % 5 =!= 0), s"$out/idx", nBuckets = 16)
+        media.filter(col("media_id") % 5 =!= 0), s"$out/idx",
+        fps = fps, k = k, nBuckets = nb)
       MultimodalOps.mediaPhashDupsIndexed(
-          media.filter(col("media_id") % 5 === 0), s"$out/idx", nBuckets = 16)
+          media.filter(col("media_id") % 5 === 0), s"$out/idx",
+          fps = fps, k = k,
+          maxDist = GraftConf.int(s, GraftConf.PhashMaxDist, 3, min = 0),
+          minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2),
+          nBuckets = nb)
         .orderBy(col("media_new"), col("media_corpus"))
     },
 
@@ -5248,13 +5495,21 @@ object SparkEntry {
         .filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id").as("media_id"),
           to_binary(col("text"), lit("utf-8")).as("content"))
+      val nb = GraftConf.int(s, GraftConf.PhashBuckets, 16)
       val q = graft.streaming.StreamingOps
-        .phashIndexStream(src, s"$out/idx", s"$out/ckpt", nBuckets = 16)
+        .phashIndexStream(src, s"$out/idx", s"$out/ckpt",
+          fps = GraftConf.int(s, GraftConf.PhashFps, 4),
+          k = GraftConf.int(s, GraftConf.PhashK, 8), nBuckets = nb)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val media = MultimodalOps.mediaFromDocuments(Tables.documents(s, dir))
       MultimodalOps.mediaPhashDupsIndexed(
-          media.filter(col("media_id") % 5 === 0), s"$out/idx", nBuckets = 16)
+          media.filter(col("media_id") % 5 === 0), s"$out/idx",
+          fps = GraftConf.int(s, GraftConf.PhashFps, 4),
+          k = GraftConf.int(s, GraftConf.PhashK, 8),
+          maxDist = GraftConf.int(s, GraftConf.PhashMaxDist, 3, min = 0),
+          minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2),
+          nBuckets = nb)
         .orderBy(col("media_new"), col("media_corpus"))
     },
 
@@ -5268,7 +5523,10 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val pairs = MultimodalOps.mediaPhashDups(
           MultimodalOps.mediaFromDocuments(docs),
-          fps = 4, k = 8, maxDist = 3, minFrames = 2)
+          fps = GraftConf.int(s, GraftConf.PhashFps, 4),
+          k = GraftConf.int(s, GraftConf.PhashK, 8),
+          maxDist = GraftConf.int(s, GraftConf.PhashMaxDist, 3, min = 0),
+          minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2))
         .select(col("media_a").as("id1"), col("media_b").as("id2"))
       DedupOps.canonicalPerCluster(docs,
           DedupOps.nearDupClustersStar(pairs))
@@ -5291,19 +5549,186 @@ object SparkEntry {
       val corpus = media.filter(col("media_id") % 5 =!= 0)
       val inc = media.filter(col("media_id") % 5 === 0)
       val out = java.nio.file.Files.createTempDirectory("graft_phash_cc_incr_")
-      MultimodalOps.writePhashIndex(corpus, s"$out/idx", nBuckets = 16)
+      val nb = GraftConf.int(s, GraftConf.PhashBuckets, 16)
+      val (fps, k) = (GraftConf.int(s, GraftConf.PhashFps, 4),
+        GraftConf.int(s, GraftConf.PhashK, 8))
+      val maxDist = GraftConf.int(s, GraftConf.PhashMaxDist, 3, min = 0)
+      val minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2)
+      MultimodalOps.writePhashIndex(corpus, s"$out/idx",
+        fps = fps, k = k, nBuckets = nb)
       val prior = DedupOps.nearDupClustersStar(
-        MultimodalOps.mediaPhashDupsFromIndex(s, s"$out/idx")
+        MultimodalOps.mediaPhashDupsFromIndex(s, s"$out/idx",
+            maxDist = maxDist, minFrames = minFrames)
           .select(col("media_a").as("id1"), col("media_b").as("id2")))
       val crossPairs = MultimodalOps.mediaPhashDupsIndexed(inc, s"$out/idx",
-          nBuckets = 16)
+          fps = fps, k = k, maxDist = maxDist, minFrames = minFrames,
+          nBuckets = nb)
         .select(col("media_new").as("id1"), col("media_corpus").as("id2"))
-      val incPairs = MultimodalOps.mediaPhashDups(inc)
+      val incPairs = MultimodalOps.mediaPhashDups(inc,
+          fps = fps, k = k, maxDist = maxDist, minFrames = minFrames)
         .select(col("media_a").as("id1"), col("media_b").as("id2"))
       DedupOps.canonicalPerCluster(docs,
           DedupOps.nearDupClustersIncremental(prior,
             crossPairs.unionByName(incPairs)))
         .orderBy(col("doc_id"))
+    },
+
+    "g_media_card" -> { (s, dir) => // the multimodal release report: per
+      // source, the media/byte/frame tallies, the chunk-store dedup
+      // evidence (total vs DISTINCT content-addressed chunks), and the
+      // pHash cluster mass (media in >= 2-frame near-dup pairs). The
+      // oracle replays the byte-CDC chunking fold, counts distinct chunk
+      // contents (sha-distinct == content-distinct), and derives the
+      // cluster mass from the shared brute-force pair truth.
+      MultimodalOps.mediaCard(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    },
+
+    "q_forget_everywhere" -> { (s, dir) => // the composed compliance
+      // delete (reference A5/A7 delete semantics composed across every
+      // derived artifact, the per-table way the reference's callers
+      // compose them): ONE id set is tombstoned from the versioned doc
+      // log AND every artifact derived from the corpus — LSH bands,
+      // shingle counts, postings, pHash index, chunk store (+GC), the
+      // k-NN graph, the near-dup cluster assignment, and a schedule
+      // sink's evidence + served manifest. The gate is the one-truth
+      // discipline: every artifact's post-forget READBACK is diffed
+      // row-level against a from-scratch REBUILD over the corpus minus
+      // the ids (n_diff must be 0 — the oracle pins it, plus each
+      // readback's expected size from its own independent derivation).
+      // At bench SFs the world samples down (the sampled-recall
+      // protocol); the oracle SFs gate the full corpus.
+      import graft.operators._
+      import graft.streaming.StreamingOps
+      val full = Tables.documents(s, dir)
+      val docs = if (oracleScale(dir)) full else full.filter(col("doc_id") % 4 === 0)
+      val ids = docs.filter(col("doc_id") % 97 === 3).localCheckpoint(true)
+      val kept = docs.filter(col("doc_id") % 97 =!= 3)
+      val dead = ids.select(col("doc_id"))
+      val out = java.nio.file.Files.createTempDirectory("graft_forget_").toString
+      def diffCount(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Long =
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+
+      // 1. versioned doc log: bootstrap -> deleteAndPromote -> readback
+      val asEvents = (d: org.apache.spark.sql.DataFrame) => d.select(
+        col("doc_id").cast("string").cast("binary").as("id"),
+        lit(1).as("rev"), lit(0).as("pos"),
+        TimeFns.microsToFileTime(lit(0L)).as("ts"),
+        col("text").cast("binary").as("data"))
+      graft.sources.Generations.bootstrap(s, s"$out/log", asEvents(docs), nBuckets = 16)
+      graft.sources.Generations.deleteAndPromote(s, s"$out/log",
+        asEvents(ids).select("id", "rev", "pos"), nBuckets = 16)
+      val logBack = graft.sources.Generations.readCurrent(s, s"$out/log")
+        .select(col("id").cast("string").cast("long").as("doc_id"),
+          col("data").cast("string").as("text"))
+      audit += (("doc_log", logBack.count(),
+        diffCount(logBack, kept.select(col("doc_id"), col("text")))))
+
+      // 2. LSH MinHash index: partition-pruned rewrite vs rebuild
+      DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16)
+      ForgetOps.forgetFromLshIndex(s, s"$out/lsh", ids, nBuckets = 16)
+      DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16)
+      val lshCols = Seq("id", "band", "bandsig", "bucket")
+      val lshBack = s.read.parquet(s"$out/lsh").select(lshCols.map(col): _*)
+      audit += (("lsh_index", lshBack.count(),
+        diffCount(lshBack, s.read.parquet(s"$out/lsh2").select(lshCols.map(col): _*))))
+
+      // 3. shingle-count index: negative-count delta vs rebuild
+      TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16, hashed = true)
+      ForgetOps.forgetFromShingleIndex(s, s"$out/sh", ids, k = 3, nPb = 16,
+        hashed = true)
+      TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16, hashed = true)
+      val shBack = TextOps.readShingleCounts(s, s"$out/sh", hashed = true)
+      audit += (("shingle_index", shBack.count(),
+        diffCount(shBack, TextOps.readShingleCounts(s, s"$out/sh2", hashed = true))))
+
+      // 4. postings index (postings levels + _docs sidecar)
+      RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16)
+      ForgetOps.forgetFromPostingsIndex(s, s"$out/pt", ids, nPt = 16)
+      RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16)
+      val ptCols = Seq("tok", "doc_id", "tf", "positions")
+      val ptBack = s.read.parquet(s"$out/pt").select(ptCols.map(col): _*)
+      val dlCols = Seq("doc_id", "dl")
+      audit += (("postings_index", ptBack.count(),
+        diffCount(ptBack, s.read.parquet(s"$out/pt2").select(ptCols.map(col): _*)) +
+          diffCount(
+            s.read.parquet(s"$out/pt/_docs").select(dlCols.map(col): _*),
+            s.read.parquet(s"$out/pt2/_docs").select(dlCols.map(col): _*))))
+
+      // 5. banded pHash index
+      val media = MultimodalOps.mediaFromDocuments(docs)
+      val keptMedia = MultimodalOps.mediaFromDocuments(kept)
+      val idsMedia = MultimodalOps.mediaFromDocuments(ids)
+      MultimodalOps.writePhashIndex(media, s"$out/ph", nBuckets = 16)
+      ForgetOps.forgetFromPhashIndex(s, s"$out/ph", idsMedia, nBuckets = 16)
+      MultimodalOps.writePhashIndex(keptMedia, s"$out/ph2", nBuckets = 16)
+      val phCols = Seq("media_id", "frame_ix", "phash", "band_ix", "band", "bucket")
+      val phBack = s.read.parquet(s"$out/ph").select(phCols.map(col): _*)
+      audit += (("phash_index", phBack.count(),
+        diffCount(phBack, s.read.parquet(s"$out/ph2").select(phCols.map(col): _*))))
+
+      // 6. content-addressed chunk store: recipes shrink, GC reclaims,
+      // the kept payloads still reassemble byte-exactly
+      MultimodalOps.writeChunkStore(media, s"$out/cs")
+      MultimodalOps.deleteFromChunkStore(s, s"$out/cs", idsMedia.select("media_id"))
+      MultimodalOps.writeChunkStore(keptMedia, s"$out/cs2")
+      val digBack = MultimodalOps.readChunkStore(s, s"$out/cs")
+        .select(col("media_id"), md5(col("content")).as("content_md5"))
+      val digTruth = keptMedia.filter(octet_length(col("content")) > 0)
+        .select(col("media_id"), md5(col("content")).as("content_md5"))
+      audit += (("chunk_store", digBack.count(),
+        diffCount(digBack, digTruth) +
+          diffCount(s.read.parquet(s"$out/cs/chunks"),
+            s.read.parquet(s"$out/cs2/chunks")) +
+          diffCount(s.read.parquet(s"$out/cs/recipes"),
+            s.read.parquet(s"$out/cs2/recipes"))))
+
+      // 7. exact k-NN graph: affected probes requeried vs full rebuild
+      val allEmb = Tables.embeddings(s, dir)
+      val emb = if (oracleScale(dir)) allEmb
+        else allEmb.filter(col("vec_id") % 16 === 0)
+      val embIds = emb.filter(col("vec_id") % 97 === 3).select(col("vec_id"))
+      val embKept = emb.filter(col("vec_id") % 97 =!= 3)
+      val cells = 16
+      val graph = SimilarityOps.knnGraph(emb,
+        SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2), k = 5,
+        nProbe = cells)
+      val knnBack = ForgetOps.forgetFromKnnGraph(graph, emb, embIds, k = 5)
+      val knnTruth = SimilarityOps.knnGraph(embKept,
+        SimilarityOps.ivfCentroids(embKept, k = cells, nIters = 2), k = 5,
+        nProbe = cells)
+      audit += (("knn_graph", knnBack.count(), diffCount(knnBack, knnTruth)))
+
+      // 8. near-dup cluster assignment: affected components re-closed
+      val pairs = DedupOps.minHashNearDups(docs, threshold = 0.5)
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      val pairsKept = pairs
+        .join(dead, col("id1") === col("doc_id"), "left_anti")
+        .join(dead, col("id2") === col("doc_id"), "left_anti")
+      val prior = DedupOps.nearDupClustersStar(pairs)
+      val ccBack = ForgetOps.forgetClusters(prior, pairsKept, dead)
+      audit += (("cluster_assign", ccBack.count(),
+        diffCount(ccBack, DedupOps.nearDupClustersStar(pairsKept))))
+
+      // 9. schedule sink (UniMax train manifest): evidence levels drop
+      // the ids, the newest served version re-manifests in place
+      val ddl = "doc_id LONG, source STRING, n_tokens LONG"
+      StreamingOps.manifestBatch(docs, 0L, s"$out/sched",
+        budgetTokens = 40000L, epochCap = 3, seqLen = 128L, refreshEvery = 1,
+        seed = 0L, nRanges = 64, sourceCol = "source", idCol = "doc_id",
+        textCol = "text")
+      ForgetOps.forgetFromSchedule(s, s"$out/sched", dead, ddl,
+        corpus => graft.operators.AssemblyOps.trainManifest(corpus, 40000L, 3,
+          128L, textCol = "n_tokens", nTokensCol = Some("n_tokens")))
+      val schedBack = StreamingOps.readTrainManifest(s, s"$out/sched")
+      audit += (("schedule_manifest", schedBack.count(),
+        diffCount(schedBack,
+          graft.operators.AssemblyOps.trainManifest(kept, 40000L, 3, 128L))))
+
+      import s.implicits._
+      audit.toSeq.toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))
     },
 
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
@@ -8633,6 +9058,9 @@ object SparkEntry {
     "g_unigram_step" -> unigramStepOracleSql,
     "g_unigram_encode" -> unigramEncodeOracleSql,
     "g_unigram_pipeline" -> unigramPipelineOracleSql,
+    "g_unigram_train" -> unigramTrainOracleSql,
+    "q_forget_everywhere" -> forgetOracleSql,
+    "g_media_card" -> mediaCardOracleSql,
 
     "g_unigram_prune" -> unigramPruneOracleSql,
 

@@ -140,16 +140,16 @@ object DedupOps {
   private[graft] def writeLshMeta(spark: org.apache.spark.sql.SparkSession, path: String,
       shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit =
     ParamMeta.write(spark, path,
-      Seq("shingleK" -> shingleK, "nHashes" -> nHashes,
-        "bands" -> bands, "nBuckets" -> nBuckets))
+      Seq("shingleK" -> shingleK.toLong, "nHashes" -> nHashes.toLong,
+        "bands" -> bands.toLong, "nBuckets" -> nBuckets.toLong))
 
   /** Assert the caller's LSH parameters against the index's `_meta.json`
     * sidecar (no-op when the sidecar is absent — pre-sidecar indexes). */
   private[graft] def assertLshMeta(spark: org.apache.spark.sql.SparkSession, path: String,
       shingleK: Int, nHashes: Int, bands: Int, nBuckets: Int): Unit =
     ParamMeta.assertMatches(spark, path,
-      Seq("shingleK" -> shingleK, "nHashes" -> nHashes,
-        "bands" -> bands, "nBuckets" -> nBuckets),
+      Seq("shingleK" -> shingleK.toLong, "nHashes" -> nHashes.toLong,
+        "bands" -> bands.toLong, "nBuckets" -> nBuckets.toLong),
       "LSH parameters", "writeMinHashIndex")
 
   /** [[minHashNearDupsAgainst]] with the corpus side served from a

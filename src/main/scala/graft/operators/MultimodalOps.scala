@@ -484,20 +484,39 @@ object MultimodalOps {
     * pair within `maxDist` pHash bits (one matching frame is noise; a
     * run of matching frames is a re-encoded copy or a shared segment).
     * Output is duplicate-set-sized: `(media_a, media_b, n_frame_pairs,
-    * min_dist)`. */
+    * min_dist, aligned_frames, modal_offset)`. */
   def mediaPhashDups(media: DataFrame, fps: Int = 4, k: Int = 8,
       maxDist: Int = 3, minFrames: Int = 2): DataFrame =
     mediaRollup(framePhashPairs(media, fps, k, maxDist), minFrames)
 
-  /** The ≥ `minFrames` media-pair verdict over a `(media_a, .., media_b,
-    * .., dist)` frame-pair list — shared by the in-DAG face and the
-    * index self-join face. */
+  /** The ≥ `minFrames` media-pair verdict over a `(media_a, frame_a,
+    * media_b, frame_b, dist)` frame-pair list — shared by the in-DAG
+    * face, the index self-join face, and the indexed-probe face (which
+    * renames through it). Carries the temporal-alignment vote: per pair,
+    * the modal frame-index offset `frame_a − frame_b` (ties → lowest
+    * offset) and `aligned_frames`, how many frame pairs share it. A
+    * re-encode matches at ONE consistent offset (aligned_frames ≈
+    * n_frame_pairs); two different videos sharing a 2-frame intro
+    * scatter across offsets (aligned_frames stays ~1) — the downstream
+    * clustering can separate them without re-reading any bytes. Both
+    * aggregations group the SAME (media_a, media_b[, offset]) keys, so
+    * the exchange count stays one per rollup (the window re-sorts, never
+    * re-shuffles). */
   private def mediaRollup(pairs: DataFrame, minFrames: Int): DataFrame = {
     require(minFrames >= 1, "minFrames must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byPair = Window.partitionBy(col("media_a"), col("media_b"))
     pairs
-      .groupBy(col("media_a"), col("media_b"))
-      .agg(count(lit(1)).as("n_frame_pairs"), min(col("dist")).as("min_dist"))
-      .filter(col("n_frame_pairs") >= minFrames.toLong)
+      .groupBy(col("media_a"), col("media_b"),
+        (col("frame_a") - col("frame_b")).as("modal_offset"))
+      .agg(count(lit(1)).as("aligned_frames"), min(col("dist")).as("__min_d"))
+      .withColumn("n_frame_pairs", sum(col("aligned_frames")).over(byPair))
+      .withColumn("min_dist", min(col("__min_d")).over(byPair))
+      .withColumn("__rn", row_number().over(
+        byPair.orderBy(col("aligned_frames").desc, col("modal_offset"))))
+      .filter(col("__rn") === 1 && col("n_frame_pairs") >= minFrames.toLong)
+      .select(col("media_a"), col("media_b"), col("n_frame_pairs"),
+        col("min_dist"), col("aligned_frames"), col("modal_offset"))
   }
 
   /** [[mediaPhashDups]] with the frame hashes served from a persisted
@@ -575,14 +594,14 @@ object MultimodalOps {
   private[graft] def writePhashMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, fps: Int, k: Int, nBuckets: Int): Unit =
     ParamMeta.write(spark, path,
-      Seq("fps" -> fps, "k" -> k, "nBuckets" -> nBuckets))
+      Seq("fps" -> fps.toLong, "k" -> k.toLong, "nBuckets" -> nBuckets.toLong))
 
   /** Assert the probe's sampling/banding parameters against the index's
     * `_meta.json` (no-op when absent — pre-sidecar indexes). */
   private[graft] def assertPhashMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, fps: Int, k: Int, nBuckets: Int): Unit =
     ParamMeta.assertMatches(spark, path,
-      Seq("fps" -> fps, "k" -> k, "nBuckets" -> nBuckets),
+      Seq("fps" -> fps.toLong, "k" -> k.toLong, "nBuckets" -> nBuckets.toLong),
       "pHash parameters", "writePhashIndex")
 
   /** [[mediaPhashDups]] with the corpus side served from a persisted
@@ -596,7 +615,8 @@ object MultimodalOps {
     * verdicts. Frame pairs are DISTINCT before the rollup, so duplicate
     * index rows (fold-overlap windows of the streamed sink) cannot
     * inflate the count. Output: `(media_new, media_corpus,
-    * n_frame_pairs, min_dist)`. */
+    * n_frame_pairs, min_dist, aligned_frames, modal_offset)` — the
+    * [[mediaPhashDups]] rollup contract, alignment vote included. */
   def mediaPhashDupsIndexed(increment: DataFrame, indexPath: String,
       fps: Int = 4, k: Int = 8, maxDist: Int = 3, minFrames: Int = 2,
       nBuckets: Int = 64): DataFrame = {
@@ -613,16 +633,72 @@ object MultimodalOps {
       .select(col("band_ix"), col("bucket"), col("band"),
         col("media_id").as("media_corpus"),
         col("frame_ix").as("frame_corpus"), col("phash").as("__hc"))
-    bi.join(bc, Seq("band_ix", "bucket", "band"))
+    val pairs = bi.join(bc, Seq("band_ix", "bucket", "band"))
       .filter(col("media_new") =!= col("media_corpus"))
       .select(col("media_new"), col("frame_new"),
         col("media_corpus"), col("frame_corpus"),
         expr("CAST(bit_count(__hn ^ __hc) AS LONG)").as("dist"))
       .filter(col("dist") <= maxDist.toLong)
       .distinct()
-      .groupBy(col("media_new"), col("media_corpus"))
-      .agg(count(lit(1)).as("n_frame_pairs"), min(col("dist")).as("min_dist"))
-      .filter(col("n_frame_pairs") >= minFrames.toLong)
+    // ONE rollup (count + min-dist + alignment vote) for every face:
+    // rename through the self-join shape so the contract is proved once
+    mediaRollup(
+      pairs.select(col("media_new").as("media_a"), col("frame_new").as("frame_a"),
+        col("media_corpus").as("media_b"), col("frame_corpus").as("frame_b"),
+        col("dist")),
+      minFrames)
+      .select(col("media_a").as("media_new"), col("media_b").as("media_corpus"),
+        col("n_frame_pairs"), col("min_dist"),
+        col("aligned_frames"), col("modal_offset"))
+  }
+
+  /** Per-source release report for a MIXED (media-bearing) corpus — the
+    * [[graft.operators.CurationOps.datasetCard]] discipline extended to
+    * the multimodal columns a text card can't see: payload bytes, sampled
+    * frames, the chunk-store dedup evidence (total vs distinct
+    * content-addressed chunks — the dedup ratio is their quotient), and
+    * the pHash cluster mass (media sitting in at least one ≥`minFrames`
+    * near-duplicate pair — the mass a video dedup would collapse).
+    *
+    * Plan shape: one map-side-combined aggregate for the byte/frame
+    * columns, the map-only CDC chunker + one (source-keyed) aggregate
+    * for the chunk columns, and the banded pair join (candidate-sized,
+    * never all-pairs) for the cluster mass — no corpus-wide window, no
+    * driver state; bit-identical under any partitioning. Output: one row
+    * per source. */
+  def mediaCard(docs: DataFrame, fps: Int = 4, k: Int = 8, maxDist: Int = 3,
+      minFrames: Int = 2, w: Int = 8, divisor: Int = 16): DataFrame = {
+    val media = docs.select(
+      col("doc_id").as("media_id"), col("source"),
+      to_binary(col("text"), lit("utf-8")).as("content"))
+    val fb = 64L
+    val base = media
+      .withColumn("__nf", expr(s"CAST(octet_length(content) AS LONG) DIV ${fb}L"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        coalesce(sum(octet_length(col("content")).cast("long")), lit(0L))
+          .as("n_bytes"),
+        coalesce(sum(when(col("__nf") > 0, least(lit(k.toLong), col("__nf")))
+          .otherwise(lit(0L))), lit(0L)).as("n_frames"))
+    val chunks = cdcByteChunks(media, w, divisor)
+      .withColumn("addr", sha2(col("chunk_bytes"), 256))
+      .join(media.select(col("media_id"), col("source")), Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("addr")).as("n_distinct_chunks"))
+    val dupIds = mediaPhashDups(media, fps, k, maxDist, minFrames)
+      .select(explode(array(col("media_a"), col("media_b"))).as("media_id"))
+      .distinct()
+    val mass = media.join(dupIds, Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_phash_clustered"))
+    base
+      .join(chunks, Seq("source"), "left")
+      .join(mass, Seq("source"), "left")
+      .select(col("source"), col("n_media"), col("n_bytes"), col("n_frames"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_distinct_chunks"), lit(0L)).as("n_distinct_chunks"),
+        coalesce(col("n_phash_clustered"), lit(0L)).as("n_phash_clustered"))
   }
 
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of

@@ -166,39 +166,26 @@ object RetrievalOps {
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
   private[graft] def writePostingsMeta(spark: SparkSession, path: String,
-      nPt: Int): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(s"""{"nPt":$nPt}""".getBytes("UTF-8"))
-    finally out.close()
-  }
+      nPt: Int): Unit =
+    ParamMeta.write(spark, path, Seq("nPt" -> nPt.toLong))
 
   /** Refuse a probe/maintenance caller whose nPt disagrees with the
     * index's recorded routing parameter (the [[writePostingsMeta]]
     * contract — drift would mis-route, so it fails loudly). */
   private[graft] def assertPostingsMeta(spark: SparkSession, path: String,
-      nPt: Int, op: String): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(meta)) {
+      nPt: Int, op: String): Unit =
+    ParamMeta.readText(spark, path).foreach { _ =>
       val rec = readMetaField(spark, path, "nPt")
       require(rec == nPt,
         s"$op: postings routing mismatch vs $path/_meta.json (nPt: index=$rec caller=$nPt)")
     }
-  }
 
   private def readMetaField(spark: SparkSession, path: String, name: String): Long = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(mf.exists(meta), s"postings index at $path has no _meta.json sidecar")
-    val in = mf.open(meta)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    s""""$name":(-?\\d+)""".r.findFirstMatchIn(text) match {
-      case Some(m) => m.group(1).toLong
-      case None => throw new IllegalArgumentException(
-        s"postings index sidecar at $path lacks field '$name'")
-    }
+    val text = ParamMeta.readText(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: postings index at $path has no _meta.json sidecar"))
+    ParamMeta.field(text, name).getOrElse(throw new IllegalArgumentException(
+      s"postings index sidecar at $path lacks field '$name'"))
   }
 
   /** pt buckets for the query terms — computed through the SAME engine

@@ -689,35 +689,22 @@ object SimilarityOps {
   }
 
   private[graft] def writeSq8Meta(spark: org.apache.spark.sql.SparkSession, path: String,
-      centroids: Seq[(Int, Seq[Double])], dim: Int): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(s"""{"k":${centroids.size},"dim":$dim}""".getBytes("UTF-8"))
-    finally out.close()
-  }
+      centroids: Seq[(Int, Seq[Double])], dim: Int): Unit =
+    graft.operators.ParamMeta.write(spark, path,
+      Seq("k" -> centroids.size.toLong, "dim" -> dim.toLong))
 
   /** Assert the caller's IVF-SQ8 geometry against the index sidecar
     * (no-op when absent). */
   private[graft] def assertSq8Meta(spark: org.apache.spark.sql.SparkSession, path: String,
-      centroids: Seq[(Int, Seq[Double])], op: String): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(meta)) {
-      val in = f.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(name: String): Option[Long] =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val want = Seq(
+      centroids: Seq[(Int, Seq[Double])], op: String): Unit =
+    graft.operators.ParamMeta.readText(spark, path).foreach { text =>
+      val bad = graft.operators.ParamMeta.mismatches(text, Seq(
         "k" -> centroids.size.toLong,
-        "dim" -> centroids.headOption.map(_._2.size).getOrElse(0).toLong)
-      val bad = want.flatMap { case (n, v) =>
-        field(n).filter(_ != v).map(rec => s"$n: index=$rec caller=$v")
-      }
+        "dim" -> centroids.headOption.map(_._2.size).getOrElse(0).toLong),
+        callerLabel = "caller")
       require(bad.isEmpty,
         s"$op: IVF-SQ8 geometry mismatch vs $path/_meta.json (${bad.mkString("; ")})")
     }
-  }
 
   /** Probe the persisted IVF-SQ8 index: probe-cell directory pruning,
     * integer ADC over the codes-only readback, exact floored-cosine
@@ -1388,17 +1375,15 @@ object SimilarityOps {
     * codeword VALUES) is undetectable from geometry — codebooks are the
     * caller's versioned model state, the kmeansStream seed contract. */
   private[graft] def writePqMeta(spark: org.apache.spark.sql.SparkSession, path: String,
-      centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]]): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(
-      (s"""{"k":${centroids.size},"m":${codebooks.size},""" +
-        s""""c":${codebooks.headOption.map(_.size).getOrElse(0)},""" +
-        s""""subDim":${codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0)}}""")
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+      centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]]): Unit =
+    graft.operators.ParamMeta.write(spark, path, pqGeometry(centroids, codebooks))
+
+  private def pqGeometry(centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): Seq[(String, Long)] = Seq(
+    "k" -> centroids.size.toLong,
+    "m" -> codebooks.size.toLong,
+    "c" -> codebooks.headOption.map(_.size).getOrElse(0).toLong,
+    "subDim" -> codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0).toLong)
 
   /** Assert the caller's PQ geometry against the index's `_meta.json`
     * (no-op when the sidecar is absent — pre-sidecar indexes). A probe or
@@ -1406,28 +1391,15 @@ object SimilarityOps {
     * with silently mis-buckets / mis-decodes; fail loudly instead. */
   private[graft] def assertPqMeta(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
-      op: String): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(meta)) {
-      val in = f.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(name: String): Option[Long] =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val want = Seq(
-        "k" -> centroids.size.toLong,
-        "m" -> codebooks.size.toLong,
-        "c" -> codebooks.headOption.map(_.size).getOrElse(0).toLong,
-        "subDim" -> codebooks.headOption.flatMap(_.headOption).map(_._2.size).getOrElse(0).toLong)
-      val bad = want.flatMap { case (n, v) =>
-        field(n).filter(_ != v).map(rec => s"$n: index=$rec caller=$v")
-      }
+      op: String): Unit =
+    graft.operators.ParamMeta.readText(spark, path).foreach { text =>
+      val bad = graft.operators.ParamMeta.mismatches(text,
+        pqGeometry(centroids, codebooks), callerLabel = "caller")
       require(bad.isEmpty,
         s"$op geometry disagrees with the index at $path " +
           s"(${bad.mkString(", ")}) — probing/landing with drifted parameters " +
           "would silently mis-bucket; use the index's geometry or rebuild")
     }
-  }
 
   /** ADC top-k against the persisted [[writePqIndex]] layout: the
     * probe-cell IN filter prunes to nProbe directories (PqSpec pins

@@ -1485,6 +1485,11 @@ object TextOps {
       .parquet(path)
       .groupBy(col("shingle"), col("src")).agg(max(col("cnt")).as("cnt"))
       .groupBy(col("shingle")).agg(sum(col("cnt")).as("corpus_cnt"))
+      // a count of zero IS absence: positive batch levels never sum to 0,
+      // so this only fires against ForgetOps' negative-count deltas — a
+      // fully-forgotten shingle must read back exactly like a rebuild
+      // that never saw it
+      .filter(col("corpus_cnt") =!= 0L)
   }
 
   /** Incremental exact-substring span detection: [[duplicatedSpans]] with
@@ -1522,26 +1527,9 @@ object TextOps {
   /** Parameter sidecar for the shingle index (the LSH `_meta.json`
     * contract: a drifted probe silently misses spans, so fail loudly). */
   private[graft] def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, k: Int, nPb: Int, hashed: Boolean): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(
-      s"""{"k":$k,"nPb":$nPb,"hashed":${if (hashed) 1 else 0}}""".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** Raw sidecar text, None when the sidecar is absent. */
-  private def readSpanMetaText(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[String] = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val mf = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!mf.exists(meta)) None
-    else {
-      val in = mf.open(meta)
-      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
-    }
-  }
+      path: String, k: Int, nPb: Int, hashed: Boolean): Unit =
+    ParamMeta.write(spark, path, Seq("k" -> k.toLong, "nPb" -> nPb.toLong,
+      "hashed" -> (if (hashed) 1L else 0L)))
 
   /** One integer field of the index sidecar (None: no sidecar or no such
     * field) — lets maintenance operators derive the index's own parameters
@@ -1549,21 +1537,19 @@ object TextOps {
     * shingle storage type). */
   private[graft] def readSpanMetaField(spark: org.apache.spark.sql.SparkSession,
       path: String, name: String): Option[Int] =
-    readSpanMetaText(spark, path).flatMap(text =>
-      s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt))
+    ParamMeta.readText(spark, path)
+      .flatMap(text => ParamMeta.field(text, name)).map(_.toInt)
 
   /** Assert caller parameters against the index sidecar (no-op when
     * absent). nPb is probe-irrelevant (pb pruning is a read optimization,
     * not a semantic key), so probes pass None; writers pass Some. */
   private[graft] def assertSpanMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int, nPb: Option[Int], hashed: Option[Boolean]): Unit = {
-    for (text <- readSpanMetaText(spark, path)) {
-      def field(name: String): Option[Int] =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    for (text <- ParamMeta.readText(spark, path)) {
       val want = Seq("k" -> Some(k), "nPb" -> nPb,
         "hashed" -> hashed.map(h => if (h) 1 else 0))
       val mismatches = want.flatMap { case (name, v) =>
-        for (expect <- v; rec <- field(name) if rec != expect)
+        for (expect <- v; rec <- ParamMeta.field(text, name) if rec != expect)
           yield s"$name: index=$rec probe=$expect"
       }
       require(mismatches.isEmpty,
@@ -1840,6 +1826,67 @@ object TextOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("loss").desc, col("piece"))).cast("long"))
     ranked.filter(col("rank") <= keep)
+  }
+
+  /** The next round's vocabulary after a prune: the kept multi-character
+    * pieces plus the EM counts' single characters (the segmentation
+    * floor), at their EM-estimated counts — bounded by cap + alphabet, so
+    * the collect is the [[learnBpe]] driver-state class. */
+  private def unigramNextVocab(em: DataFrame, pruned: DataFrame): Seq[(String, Long)] =
+    pruned.select(col("piece"), col("cnt"))
+      .unionByName(em.filter(length(col("piece")) === 1))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** SentencePiece's OUTER loop (Kudo 2018 §3.2), explicit-schedule face:
+    * seed → cap, then per round one hard-EM step ([[unigramEmStepFromWords]])
+    * followed by a prune to `keeps(i)` multi-character pieces
+    * ([[unigramPrune]]), the next round segmenting under the PRUNED
+    * vocabulary at its re-estimated counts. Returns the FINAL round's
+    * prune frame `(piece, cnt, loss, rank)` — the trained vocabulary with
+    * its loss evidence. Every inter-round vocabulary is a bounded
+    * driver-side collect (cap + alphabet — the [[learnBpe]] discipline);
+    * the corpus is never touched (the caller's one word groupBy is the
+    * only corpus pass at ANY round count). */
+  def unigramTrainFromWords(words: DataFrame, keeps: Seq[Int],
+      cap: Int = 64, maxPieceLen: Int = 4): DataFrame = {
+    require(keeps.nonEmpty, "at least one EM+prune round")
+    val w = Checkpoints.pin(words, reliable = false)
+    var vocab = unigramCapVocab(unigramSeedFromWords(w, maxPieceLen), cap)
+    var result: DataFrame = null
+    keeps.zipWithIndex.foreach { case (keep, i) =>
+      val em = Checkpoints.pin(unigramEmStepFromWords(w, vocab), reliable = false)
+      val pruned = unigramPrune(em, keep)
+      if (i == keeps.size - 1) result = pruned
+      else vocab = unigramNextVocab(em, pruned)
+    }
+    result
+  }
+
+  /** [[unigramTrainFromWords]] to CONVERGENCE: shrink the multi-character
+    * vocabulary by `shrink` each round (SentencePiece's default
+    * discipline) until at most `targetMultiChar` pieces remain or
+    * `maxRounds` is exhausted, then return the final vocabulary
+    * `(piece, cnt)` — kept multi-char pieces plus single characters —
+    * ready for [[unigramEncodeFromWords]]. Round count is bounded by
+    * construction (`log_shrink(cap/target)` ≤ maxRounds), and every
+    * round's driver state stays cap + alphabet sized. */
+  def unigramTrain(words: DataFrame, targetMultiChar: Int,
+      shrink: Double = 0.75, cap: Int = 64, maxPieceLen: Int = 4,
+      maxRounds: Int = 10): Seq[(String, Long)] = {
+    require(targetMultiChar >= 1, "targetMultiChar must be >= 1")
+    require(shrink > 0.0 && shrink < 1.0, "shrink in (0, 1)")
+    val w = Checkpoints.pin(words, reliable = false)
+    var vocab = unigramCapVocab(unigramSeedFromWords(w, maxPieceLen), cap)
+    var rounds = 0
+    while (vocab.count(_._1.length >= 2) > targetMultiChar && rounds < maxRounds) {
+      val m = vocab.count(_._1.length >= 2)
+      val keep = math.max(targetMultiChar, math.floor(m * shrink).toInt)
+      val em = Checkpoints.pin(unigramEmStepFromWords(w, vocab), reliable = false)
+      vocab = unigramNextVocab(em, unigramPrune(em, keep))
+      rounds += 1
+    }
+    vocab
   }
 
   /** Tokenize the corpus with a learned merge list: every merge pass runs

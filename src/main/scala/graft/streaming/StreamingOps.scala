@@ -916,34 +916,19 @@ object StreamingOps {
   }
 
   private def writePackMeta(spark: SparkSession, path: String,
-      seqLen: Long, blockSeqs: Long, blockTokens: Long): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(
-      s"""{"seqLen":$seqLen,"blockSeqs":$blockSeqs,"blockTokens":$blockTokens}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+      seqLen: Long, blockSeqs: Long, blockTokens: Long): Unit =
+    graft.operators.ParamMeta.write(spark, path, Seq("seqLen" -> seqLen,
+      "blockSeqs" -> blockSeqs, "blockTokens" -> blockTokens))
 
   private def assertPackMeta(spark: SparkSession, path: String,
-      seqLen: Long, blockSeqs: Long, blockTokens: Long): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(meta)) {
-      val in = f.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(nm: String): Option[Long] =
-        s""""$nm":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val want = Seq("seqLen" -> seqLen, "blockSeqs" -> blockSeqs,
-        "blockTokens" -> blockTokens)
-      val bad = want.flatMap { case (nm, v) =>
-        field(nm).filter(_ != v).map(rec => s"$nm: index=$rec caller=$v")
-      }
+      seqLen: Long, blockSeqs: Long, blockTokens: Long): Unit =
+    graft.operators.ParamMeta.readText(spark, path).foreach { text =>
+      val bad = graft.operators.ParamMeta.mismatches(text,
+        Seq("seqLen" -> seqLen, "blockSeqs" -> blockSeqs,
+          "blockTokens" -> blockTokens), callerLabel = "caller")
       require(bad.isEmpty,
         s"packStream: pack geometry mismatch vs $path/_meta.json (${bad.mkString("; ")})")
     }
-  }
 
   /** Streaming UniMax-scheduled training manifest — the maintenance
     * story for [[graft.operators.AssemblyOps.trainManifest]], whose
@@ -1533,35 +1518,20 @@ object StreamingOps {
   }
 
   private def writeScheduleMeta(spark: SparkSession, path: String,
-      metaFields: Seq[(String, Long)]): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(meta, true)
-    try out.write(
-      metaFields.map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}").getBytes("UTF-8"))
-    finally out.close()
-  }
+      metaFields: Seq[(String, Long)]): Unit =
+    graft.operators.ParamMeta.write(spark, path, metaFields)
 
   private def assertScheduleMeta(spark: SparkSession, path: String,
-      op: String, metaFields: Seq[(String, Long)]): Unit = {
-    val meta = new org.apache.hadoop.fs.Path(path, "_meta.json")
-    val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(meta)) {
-      val in = f.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(nm: String): Option[Long] =
-        s""""$nm":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val bad = metaFields.flatMap { case (nm, v) =>
-        field(nm).filter(_ != v).map(rec => s"$nm: index=$rec caller=$v")
-      }
+      op: String, metaFields: Seq[(String, Long)]): Unit =
+    graft.operators.ParamMeta.readText(spark, path).foreach { text =>
+      val bad = graft.operators.ParamMeta.mismatches(text, metaFields,
+        callerLabel = "caller")
       require(bad.isEmpty,
         s"$op: schedule parameter mismatch vs $path/_meta.json " +
           s"(${bad.mkString("; ")}) — a drifted restart would silently change " +
           "the global schedule; restart with the recorded parameters " +
           "or use a fresh directory")
     }
-  }
 
   /** Streaming content-addressed chunk-store ingest — the CAS-backup
     * twin of the other versioned sinks: each micro-batch of binary
@@ -1648,11 +1618,9 @@ object StreamingOps {
     if (f.exists(meta)) {
       val in = f.open(meta)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(name: String): Option[Long] =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val bad = Seq("w" -> w.toLong, "divisor" -> divisor.toLong).flatMap { case (n, v) =>
-        field(n).filter(_ != v).map(rec => s"$n: store=$rec caller=$v")
-      }
+      val bad = graft.operators.ParamMeta.mismatches(text,
+        Seq("w" -> w.toLong, "divisor" -> divisor.toLong), callerLabel = "caller")
+        .map(_.replace("index=", "store="))
       require(bad.isEmpty,
         s"chunkStoreIngest chunking parameters disagree with the store at $path " +
           s"(${bad.mkString(", ")}) — a drifted restart silently stops deduplicating " +
@@ -2265,7 +2233,7 @@ object StreamingOps {
     if (f.exists(meta)) {
       val in = f.open(meta)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val rec = """"maxTracked":(-?\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val rec = graft.operators.ParamMeta.field(text, "maxTracked")
       require(rec.contains(maxTracked.toLong),
         s"topkStream: maxTracked disagrees with the index at $path " +
           s"(index=${rec.getOrElse(-1L)} batch=$maxTracked) — states merge " +
@@ -2301,8 +2269,8 @@ object StreamingOps {
     require(f.exists(meta), s"no _meta.json under $path — nothing has landed")
     val in = f.open(meta)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val maxTracked = """"maxTracked":(-?\d+)""".r.findFirstMatchIn(text)
-      .map(_.group(1).toInt)
+    val maxTracked = graft.operators.ParamMeta.field(text, "maxTracked")
+      .map(_.toInt)
       .getOrElse(sys.error(s"malformed _meta.json under $path"))
     stateScan(spark, path, topkStateDDL)
       // one state per batch: identical rows in a fold-overlap window, and
@@ -2574,7 +2542,7 @@ object StreamingOps {
     if (f.exists(dbMeta)) {
       val in = f.open(dbMeta)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val rec = """"nDocBuckets":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      val rec = graft.operators.ParamMeta.field(text, "nDocBuckets").map(_.toInt)
       require(rec.contains(nDocBuckets),
         s"clusterIngest: docs landing at $docsDir is bucketed with " +
           s"nDocBuckets=${rec.getOrElse(-1)} but this run uses $nDocBuckets — " +
@@ -2895,12 +2863,9 @@ object StreamingOps {
     if (f.exists(meta)) {
       val in = f.open(meta)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(name: String): Option[Long] =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val want = Seq("expectedItems" -> expectedItems, "fppMicros" -> math.round(fpp * 1e6))
-      val mismatches = want.flatMap { case (name, expect) =>
-        field(name).filter(_ != expect).map(rec => s"$name: index=$rec batch=$expect")
-      }
+      val mismatches = graft.operators.ParamMeta.mismatches(text,
+        Seq("expectedItems" -> expectedItems, "fppMicros" -> math.round(fpp * 1e6)),
+        callerLabel = "batch")
       require(mismatches.isEmpty,
         s"bloom-sidecar sizing disagrees with the index at $path " +
           s"(${mismatches.mkString(", ")}) — differently-sized sketches do not " +
@@ -3354,14 +3319,11 @@ object StreamingOps {
     if (f.exists(meta)) {
       val in = f.open(meta)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(name: String): Option[Long] =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      val want = Seq(
+      val bad = graft.operators.ParamMeta.mismatches(text, Seq(
         "k" -> seed.size.toLong,
-        "dim" -> seed.headOption.map(_._2.size).getOrElse(0).toLong)
-      val bad = want.flatMap { case (n, v) =>
-        field(n).filter(_ != v).map(rec => s"$n: state=$rec caller=$v")
-      }
+        "dim" -> seed.headOption.map(_._2.size).getOrElse(0).toLong),
+        callerLabel = "caller")
+        .map(_.replace("index=", "state="))
       require(bad.isEmpty,
         s"kmeansStream seed geometry disagrees with the state at $path " +
           s"(${bad.mkString(", ")}) — a drifted restart would fold " +

@@ -744,6 +744,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val inc = media.filter(col("media_id") === 1L)
     MultimodalOps.writePhashIndex(corpus, s"$dir/idx", nBuckets = 16)
     val probed = MultimodalOps.mediaPhashDupsIndexed(inc, s"$dir/idx", nBuckets = 16)
+      .select("media_new", "media_corpus", "n_frame_pairs", "min_dist")
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     assert(probed == Seq((1L, 0L, 2L, 0L)))
     // a probe banded/sampled differently silently misses — refused, named
@@ -760,16 +761,52 @@ class DedupSimilaritySpec extends SparkSpec {
       corpus.filter(col("media_id") === 2L), 1L, s"$dir/sidx", 4, 8, 16)
     graft.streaming.StreamingOps.compactPhashIndex(spark, s"$dir/sidx")
     val streamed = MultimodalOps.mediaPhashDupsIndexed(inc, s"$dir/sidx", nBuckets = 16)
+      .select("media_new", "media_corpus", "n_frame_pairs", "min_dist")
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     assert(streamed == probed)
     // the index self-join face == the in-DAG face (the corpus is never
     // re-hashed for the prior of an incremental clustering)
     MultimodalOps.writePhashIndex(media, s"$dir/allidx", nBuckets = 16)
+    val cols6 = Seq("media_a", "media_b", "n_frame_pairs", "min_dist",
+      "aligned_frames", "modal_offset")
     val fromIdx = MultimodalOps.mediaPhashDupsFromIndex(spark, s"$dir/allidx")
-      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      .select(cols6.head, cols6.tail: _*)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
     val inDag = MultimodalOps.mediaPhashDups(media)
-      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      .select(cols6.head, cols6.tail: _*)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
     assert(fromIdx == inDag && fromIdx.nonEmpty)
+  }
+
+  test("mediaRollup alignment vote: a re-encode aligns, a scattered intro does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{to_binary, lit => flit, col => fcol}
+    val rnd = new scala.util.Random(23)
+    def frame() = Array.fill(64)((33 + rnd.nextInt(90)).toChar).mkString
+    val Seq(i1, i2) = Seq(frame(), frame())
+    // A: the intro opens the video; B: a full re-encode of A (+1 per
+    // byte moves only DC coefficients); C: a DIFFERENT video carrying
+    // the same intro frames scattered at positions 3 and 6
+    val a = i1 + i2 + (3 to 8).map(_ => frame()).mkString
+    val b = a.map(c => (c + 1).toChar).mkString
+    val cFrames = (1 to 8).map(_ => frame()).toArray
+    cFrames(3) = i1; cFrames(6) = i2
+    val c = cFrames.mkString
+    val media = Seq((0L, a), (1L, b), (2L, c)).toDF("media_id", "raw")
+      .withColumn("content", to_binary(fcol("raw"), flit("utf-8")))
+      .select("media_id", "content")
+    val got = MultimodalOps.mediaPhashDups(media, fps = 4, k = 8,
+        maxDist = 3, minFrames = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // (A,B): all 8 frames pair at one consistent offset 0 — a re-encode.
+    // (A,C)/(B,C): two frame pairs, but at offsets -3 and -5 — the modal
+    // offset carries ONE vote (ties -> lowest offset), so the alignment
+    // columns separate the shared-intro pair from the re-encode even
+    // though both clear minFrames = 2.
+    assert(got == Seq(
+      (0L, 1L, 8L, 0L, 8L, 0L),
+      (0L, 2L, 2L, 0L, 1L, -5L),
+      (1L, 2L, 2L, 0L, 1L, -5L)))
   }
 
   test("pidsIn walks the calendar between two FileTimes") {

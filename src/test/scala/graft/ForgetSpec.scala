@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** The composed forget's laws that the oracle row can't see: idempotence
+  * (rerun == no-op — the crash recovery story), the crash window between
+  * a schedule sink's evidence rewrite and its re-manifest, component
+  * SPLITS in the cluster forget, and the k-NN requery of probes that had
+  * a forgotten id in their top-k. */
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  // texts are > 128 bytes so the pHash face sees >= 2 sampled frames
+  // (the 64-byte stub-decode geometry) — the shorter families don't care
+  private def docs() = {
+    val pad = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do" +
+      " eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta" + pad),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta" + pad), // dup of 1
+      (3L, "en", "alpha beta gamma delta epsilon zeta eta iota" + pad), // near dup
+      (4L, "en", "totally different words about spark query engines and shuffles" +
+        " partitions codegen catalyst tungsten broadcast joins windows aggregates"),
+      (5L, "de", "der schnelle braune fuchs springt ueber den faulen hund waehrend" +
+        " die neugierige katze vom hohen zaun aus aufmerksam zuschaut und wartet"),
+      (6L, "en", "alpha beta gamma delta epsilon zeta eta kappa" + pad), // near dup
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("LSH/pHash/postings/shingle forgets are idempotent and equal a rebuild") {
+    val d = docs()
+    val ids = d.filter(col("doc_id") === 2L || col("doc_id") === 5L)
+    val kept = d.filter(col("doc_id") =!= 2L && col("doc_id") =!= 5L)
+    val dir = tmpDir()
+
+    DedupOps.writeMinHashIndex(d, s"$dir/lsh", nBuckets = 8)
+    ForgetOps.forgetFromLshIndex(spark, s"$dir/lsh", ids, nBuckets = 8)
+    DedupOps.writeMinHashIndex(kept, s"$dir/lsh2", nBuckets = 8)
+    val sel = Seq("id", "band", "bandsig", "bucket").map(col)
+    assert(rows(spark.read.parquet(s"$dir/lsh").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/lsh2").select(sel: _*)))
+    // rerun (the crash recovery contract): already-absent ids are a no-op
+    ForgetOps.forgetFromLshIndex(spark, s"$dir/lsh", ids, nBuckets = 8)
+    assert(rows(spark.read.parquet(s"$dir/lsh").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/lsh2").select(sel: _*)))
+
+    val media = MultimodalOps.mediaFromDocuments(d)
+    MultimodalOps.writePhashIndex(media, s"$dir/ph", nBuckets = 8)
+    ForgetOps.forgetFromPhashIndex(spark,
+      s"$dir/ph", MultimodalOps.mediaFromDocuments(ids), nBuckets = 8)
+    MultimodalOps.writePhashIndex(
+      MultimodalOps.mediaFromDocuments(kept), s"$dir/ph2", nBuckets = 8)
+    val phSel = Seq("media_id", "frame_ix", "phash", "band_ix", "band", "bucket").map(col)
+    assert(rows(spark.read.parquet(s"$dir/ph").select(phSel: _*)) ==
+      rows(spark.read.parquet(s"$dir/ph2").select(phSel: _*)))
+
+    RetrievalOps.writePostingsIndex(d, s"$dir/pt", nPt = 8)
+    ForgetOps.forgetFromPostingsIndex(spark, s"$dir/pt", ids, nPt = 8)
+    RetrievalOps.writePostingsIndex(kept, s"$dir/pt2", nPt = 8)
+    val ptSel = Seq("tok", "doc_id", "tf", "positions").map(col)
+    assert(rows(spark.read.parquet(s"$dir/pt").select(ptSel: _*)) ==
+      rows(spark.read.parquet(s"$dir/pt2").select(ptSel: _*)))
+    assert(rows(spark.read.parquet(s"$dir/pt/_docs").select(col("doc_id"), col("dl"))) ==
+      rows(spark.read.parquet(s"$dir/pt2/_docs").select(col("doc_id"), col("dl"))))
+    // a probe drifted from the index still refuses after a forget
+    val e = intercept[IllegalArgumentException](
+      ForgetOps.forgetFromPostingsIndex(spark, s"$dir/pt", ids, nPt = 4))
+    assert(e.getMessage.contains("routing mismatch"))
+
+    TextOps.writeShingleIndex(d, s"$dir/sh", k = 3, nPb = 8, hashed = true)
+    ForgetOps.forgetFromShingleIndex(spark, s"$dir/sh", ids, k = 3, nPb = 8,
+      hashed = true)
+    TextOps.writeShingleIndex(kept, s"$dir/sh2", k = 3, nPb = 8, hashed = true)
+    assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
+      rows(TextOps.readShingleCounts(spark, s"$dir/sh2", hashed = true)))
+    // a SECOND forget lands its own negative level under a DISTINCT src
+    // tag (the (shingle, src) replay-dedup must never merge two passes)
+    val ids2 = d.filter(col("doc_id") === 6L)
+    val kept2 = kept.filter(col("doc_id") =!= 6L)
+    ForgetOps.forgetFromShingleIndex(spark, s"$dir/sh", ids2, k = 3, nPb = 8,
+      hashed = true)
+    TextOps.writeShingleIndex(kept2, s"$dir/sh3", k = 3, nPb = 8, hashed = true)
+    assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
+      rows(TextOps.readShingleCounts(spark, s"$dir/sh3", hashed = true)))
+  }
+
+  test("forgetClusters splits the touched component, keeps the rest verbatim") {
+    // components: {1-2, 2-3} (a chain through 2) and {4-5} (untouched)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val prior = DedupOps.nearDupClustersStar(pairs)
+    val dead = Seq(2L).toDF("doc_id")
+    val surviving = pairs.filter(col("id1") =!= 2L && col("id2") =!= 2L)
+    val got = ForgetOps.forgetClusters(prior, surviving, dead)
+    // 1 and 3 lost their only edges -> out of the assignment (exactly
+    // like a from-scratch run over the surviving pairs); {4,5} untouched
+    assert(rows(got) == rows(DedupOps.nearDupClustersStar(surviving)))
+    assert(got.as[(Long, Long)].collect().toSet == Set((4L, 4L), (5L, 4L)))
+    // a split that leaves TWO live components: ring 1-2, 2-3, 3-4, 4-1
+    // loses 2 -> {1,4,3} stays one component via 3-4, 4-1
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id1", "id2")
+    val ringPrior = DedupOps.nearDupClustersStar(ring)
+    val ringSurv = ring.filter(col("id1") =!= 2L && col("id2") =!= 2L)
+    assert(rows(ForgetOps.forgetClusters(ringPrior, ringSurv, dead)) ==
+      rows(DedupOps.nearDupClustersStar(ringSurv)))
+  }
+
+  test("forgetFromKnnGraph requeries probes that listed a forgotten id") {
+    // 2D unit-ish vectors: 0 and 1 nearly parallel, 2 close to 1, 3 far
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    val graph = SimilarityOps.knnGraph(emb, centroids, k = 2, nProbe = 2)
+    val dead = Seq(1L).toDF("vec_id")
+    val keptEmb = emb.filter(col("vec_id") =!= 1L)
+    val got = ForgetOps.forgetFromKnnGraph(graph, emb, dead, k = 2)
+    val truth = SimilarityOps.knnGraph(keptEmb,
+      SimilarityOps.ivfCentroids(keptEmb, k = 2, nIters = 2), k = 2, nProbe = 2)
+    assert(rows(got) == rows(truth))
+    // the forgotten id is nowhere: not a probe, not a neighbor
+    assert(got.filter(col("vec_id") === 1L || col("neighbor_id") === 1L).isEmpty)
+  }
+
+  test("forgetFromSchedule: crash between evidence and manifest is rerunnable") {
+    val d = docs()
+    val dir = s"${tmpDir()}/sched"
+    graft.streaming.StreamingOps.manifestBatch(d, 0L, dir,
+      budgetTokens = 400L, epochCap = 2, seqLen = 16L, refreshEvery = 1,
+      seed = 0L, nRanges = 8, sourceCol = "lang", idCol = "doc_id",
+      textCol = "text")
+    val ddl = "doc_id LONG, source STRING, n_tokens LONG"
+    val dead = Seq(2L, 5L).toDF("doc_id")
+    val kept = d.filter(col("doc_id") =!= 2L && col("doc_id") =!= 5L)
+    def remanifest(corpus: org.apache.spark.sql.DataFrame) =
+      AssemblyOps.trainManifest(corpus, 400L, 2, 16L, nRanges = 8,
+        sourceCol = "source", textCol = "n_tokens", nTokensCol = Some("n_tokens"))
+    // crash INSIDE the pass: evidence rewritten, re-manifest never ran
+    intercept[RuntimeException](
+      ForgetOps.forgetFromSchedule(spark, dir, dead, ddl,
+        _ => sys.error("crash before re-manifest")))
+    // the served manifest is stale but readable (never torn) ...
+    assert(graft.streaming.StreamingOps.readTrainManifest(spark, dir).count() > 0)
+    // ... and the evidence already forgot the ids
+    assert(spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(s"$ddl, __batch LONG"))
+      .parquet(s"$dir/_docs")
+      .filter(col("doc_id").isin(2L, 5L)).isEmpty)
+    // rerunning the WHOLE forget converges (idempotent faces)
+    ForgetOps.forgetFromSchedule(spark, dir, dead, ddl, remanifest)
+    val got = graft.streaming.StreamingOps.readTrainManifest(spark, dir)
+    val truth = AssemblyOps.trainManifest(kept, 400L, 2, 16L, nRanges = 8,
+      sourceCol = "lang")
+    assert(rows(got) == rows(truth))
+  }
+
+}

@@ -152,6 +152,37 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("phash knobs retune the video-dedup family; writer/probe stay signed") {
+    // phash.k cuts sampled frames per media: pair rows can only shrink,
+    // and the media rollup follows
+    val dflt = SparkEntry.queries("g_frame_phash")(spark, sfDir).count()
+    withConf("spark.graft.phash.k" -> "2") {
+      assert(SparkEntry.queries("g_frame_phash")(spark, sfDir).count() <= dflt)
+    }
+    // phash.maxdist = 0 keeps only exact-hash pairs — a subset of dist<=3
+    val dflt3 = SparkEntry.queries("g_frame_phash")(spark, sfDir)
+    withConf("spark.graft.phash.maxdist" -> "0") {
+      val exact = SparkEntry.queries("g_frame_phash")(spark, sfDir)
+      assert(exact.exceptAll(dflt3).isEmpty)
+    }
+    // the losslessness ceiling is NOT tunable past the pigeonhole bound
+    withConf("spark.graft.phash.maxdist" -> "7") {
+      val e = intercept[IllegalArgumentException](
+        SparkEntry.queries("g_frame_phash")(spark, sfDir).collect())
+      assert(e.getMessage.contains("pigeonhole"))
+    }
+    // the indexed row writes AND probes under one tuned (fps, k,
+    // nBuckets), so the _meta.json signing stays consistent and the
+    // verdicts still match the in-DAG face at the same parameters
+    val dfltIndexed = SparkEntry.queries("g_phash_indexed")(spark, sfDir).count()
+    withConf("spark.graft.phash.k" -> "4", "spark.graft.phash.nbuckets" -> "8") {
+      // fewer sampled frames can only lose candidate pairs — and the
+      // probe signs against the index it just wrote, so no meta refusal
+      assert(SparkEntry.queries("g_phash_indexed")(spark, sfDir).count()
+        <= dfltIndexed)
+    }
+  }
+
   test("semdedup.threshold flows into the drop rule") {
     // threshold 1.0: nothing clears a >= 1.0 floored-cosine bar against a
     // DISTINCT earlier neighbor unless vectors coincide; kept-count can

@@ -364,6 +364,41 @@ class TextOpsSpec extends SparkSpec {
     assert(fromWords == seed.sorted)
   }
 
+  test("unigramTrainFromWords runs the EM+prune schedule; unigramTrain converges") {
+    // one dominant 4-char piece, two standalone chars (so the char floor
+    // stays populated), and enough 2-char tail words that convergence to
+    // target 4 takes two prune rounds
+    val docs = Seq((1L, "abab abab abab a b cdef cdef gh ij kl mn"))
+      .toDF("doc_id", "text")
+    val words = TextOps.bpeWords(docs).select(col("word"), col("freq"))
+    // explicit two-round schedule (the g_unigram_train shape): the final
+    // frame is a prune — ranked 1..n, all multi-character, the dominant
+    // piece first, the char-fallback loss ordering after it
+    val trained = TextOps.unigramTrainFromWords(words, keeps = Seq(16, 8))
+      .orderBy(col("rank")).as[(String, Long, Long, Long)].collect().toSeq
+    assert(trained.map(t => (t._1, t._4)) == Seq(
+      ("abab", 1L), ("cdef", 2L), ("gh", 3L), ("ij", 4L),
+      ("kl", 5L), ("mn", 6L)))
+    assert(trained.forall(_._3 >= 0L))
+    // determinism: the schedule replays bit-equal
+    val again = TextOps.unigramTrainFromWords(words, keeps = Seq(16, 8))
+      .orderBy(col("rank")).as[(String, Long, Long, Long)].collect().toSeq
+    assert(again == trained)
+    // the convergence face shrinks the multi-char vocabulary to the
+    // target (the cap starts it near 20 multi-char substrings, so the
+    // 0.75-shrink schedule needs MORE than one EM+prune round); the
+    // standalone chars survive as the segmentation floor
+    val vocab = TextOps.unigramTrain(words, targetMultiChar = 4)
+    assert(vocab.count(_._1.length >= 2) == 4)
+    assert(Seq("abab", "cdef", "a", "b").forall(p => vocab.exists(_._1 == p)))
+    // encode under the converged vocabulary: kl/mn fell below the target
+    // and their chars were never standalone — 0 tokens, still words
+    // (visible-not-dropped); everything else segments to one piece
+    val enc = TextOps.unigramEncodeFromWords(docs, words, vocab)
+      .as[(Long, Long, Long)].collect().head
+    assert(enc == ((1L, 9L, 11L)))
+  }
+
   test("minKProb: LM-member text outscores fresh text; novelty is its n-gram mirror") {
     val lm = (0L until 30L)
       .map(i => (i, "alpha beta gamma delta epsilon zeta"))
