@@ -5526,7 +5526,8 @@ object SparkEntry {
           fps = GraftConf.int(s, GraftConf.PhashFps, 4),
           k = GraftConf.int(s, GraftConf.PhashK, 8),
           maxDist = GraftConf.int(s, GraftConf.PhashMaxDist, 3, min = 0),
-          minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2))
+          minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2),
+          alignment = false) // ids feed the components; skip the vote
         .select(col("media_a").as("id1"), col("media_b").as("id2"))
       DedupOps.canonicalPerCluster(docs,
           DedupOps.nearDupClustersStar(pairs))
@@ -5558,14 +5559,15 @@ object SparkEntry {
         fps = fps, k = k, nBuckets = nb)
       val prior = DedupOps.nearDupClustersStar(
         MultimodalOps.mediaPhashDupsFromIndex(s, s"$out/idx",
-            maxDist = maxDist, minFrames = minFrames)
+            maxDist = maxDist, minFrames = minFrames, alignment = false)
           .select(col("media_a").as("id1"), col("media_b").as("id2")))
       val crossPairs = MultimodalOps.mediaPhashDupsIndexed(inc, s"$out/idx",
           fps = fps, k = k, maxDist = maxDist, minFrames = minFrames,
-          nBuckets = nb)
+          nBuckets = nb, alignment = false)
         .select(col("media_new").as("id1"), col("media_corpus").as("id2"))
       val incPairs = MultimodalOps.mediaPhashDups(inc,
-          fps = fps, k = k, maxDist = maxDist, minFrames = minFrames)
+          fps = fps, k = k, maxDist = maxDist, minFrames = minFrames,
+          alignment = false)
         .select(col("media_a").as("id1"), col("media_b").as("id2"))
       DedupOps.canonicalPerCluster(docs,
           DedupOps.nearDupClustersIncremental(prior,
@@ -5601,14 +5603,40 @@ object SparkEntry {
       import graft.operators._
       import graft.streaming.StreamingOps
       val full = Tables.documents(s, dir)
-      val docs = if (oracleScale(dir)) full else full.filter(col("doc_id") % 4 === 0)
+      // pin the world's inputs ONCE: ~40 actions (writes, rebuilds,
+      // readback diffs) follow, and every unpinned reuse would re-scan
+      // the corpus parquet per action
+      val docs = graft.operators.Checkpoints.pin(
+        if (oracleScale(dir)) full else full.filter(col("doc_id") % 16 === 0),
+        reliable = false)
       val ids = docs.filter(col("doc_id") % 97 === 3).localCheckpoint(true)
-      val kept = docs.filter(col("doc_id") % 97 =!= 3)
+      val kept = docs.filter(col("doc_id") % 97 =!= 3).localCheckpoint(true)
       val dead = ids.select(col("doc_id"))
       val out = java.nio.file.Files.createTempDirectory("graft_forget_").toString
-      def diffCount(a: org.apache.spark.sql.DataFrame,
-          b: org.apache.spark.sql.DataFrame): Long =
-        a.exceptAll(b).count() + b.exceptAll(a).count()
+      // ONE action per artifact: the readback count and the two-sided
+      // rebuild diff ride one union job (this row runs ~40 small jobs;
+      // per-job scheduling + AQE latency dominates its wall time, so the
+      // audit must not triple it)
+      def auditArm(readback: org.apache.spark.sql.DataFrame,
+          truth: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val counts = readback.select(lit("n").as("__k"))
+          .unionAll(readback.exceptAll(truth).select(lit("d").as("__k")))
+          .unionAll(truth.exceptAll(readback).select(lit("d").as("__k")))
+          .groupBy(col("__k")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (counts.getOrElse("n", 0L), counts.getOrElse("d", 0L))
+      }
+      // the rebuild-and-diff audit runs at the ORACLE SFs (where the gate
+      // verifies it); at bench SFs the row times the PRODUCTION shape —
+      // world build + forget + readback — and reports n_diff = -1 ("not
+      // audited here"): at 100 TB a compliance pass does not rebuild the
+      // corpus to check itself, and the ~20 extra rebuild/diff jobs would
+      // double the row's wall for no verified signal
+      val auditDiffs = oracleScale(dir)
+      def arm(name: String, readback: org.apache.spark.sql.DataFrame,
+          truth: => org.apache.spark.sql.DataFrame): (String, Long, Long) =
+        if (auditDiffs) { val (n, d) = auditArm(readback, truth); (name, n, d) }
+        else (name, readback.count(), -1L)
       val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
       // 1. versioned doc log: bootstrap -> deleteAndPromote -> readback
@@ -5623,39 +5651,42 @@ object SparkEntry {
       val logBack = graft.sources.Generations.readCurrent(s, s"$out/log")
         .select(col("id").cast("string").cast("long").as("doc_id"),
           col("data").cast("string").as("text"))
-      audit += (("doc_log", logBack.count(),
-        diffCount(logBack, kept.select(col("doc_id"), col("text")))))
+      audit += arm("doc_log", logBack, kept.select(col("doc_id"), col("text")))
 
       // 2. LSH MinHash index: partition-pruned rewrite vs rebuild
       DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16)
       ForgetOps.forgetFromLshIndex(s, s"$out/lsh", ids, nBuckets = 16)
-      DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16)
+      if (auditDiffs) DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16)
       val lshCols = Seq("id", "band", "bandsig", "bucket")
       val lshBack = s.read.parquet(s"$out/lsh").select(lshCols.map(col): _*)
-      audit += (("lsh_index", lshBack.count(),
-        diffCount(lshBack, s.read.parquet(s"$out/lsh2").select(lshCols.map(col): _*))))
+      audit += arm("lsh_index", lshBack,
+        s.read.parquet(s"$out/lsh2").select(lshCols.map(col): _*))
 
       // 3. shingle-count index: negative-count delta vs rebuild
       TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16, hashed = true)
       ForgetOps.forgetFromShingleIndex(s, s"$out/sh", ids, k = 3, nPb = 16,
         hashed = true)
-      TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16, hashed = true)
+      if (auditDiffs)
+        TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16, hashed = true)
       val shBack = TextOps.readShingleCounts(s, s"$out/sh", hashed = true)
-      audit += (("shingle_index", shBack.count(),
-        diffCount(shBack, TextOps.readShingleCounts(s, s"$out/sh2", hashed = true))))
+      audit += arm("shingle_index", shBack,
+        TextOps.readShingleCounts(s, s"$out/sh2", hashed = true))
 
       // 4. postings index (postings levels + _docs sidecar)
       RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16)
       ForgetOps.forgetFromPostingsIndex(s, s"$out/pt", ids, nPt = 16)
-      RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16)
+      if (auditDiffs) RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16)
       val ptCols = Seq("tok", "doc_id", "tf", "positions")
       val ptBack = s.read.parquet(s"$out/pt").select(ptCols.map(col): _*)
       val dlCols = Seq("doc_id", "dl")
-      audit += (("postings_index", ptBack.count(),
-        diffCount(ptBack, s.read.parquet(s"$out/pt2").select(ptCols.map(col): _*)) +
-          diffCount(
-            s.read.parquet(s"$out/pt/_docs").select(dlCols.map(col): _*),
-            s.read.parquet(s"$out/pt2/_docs").select(dlCols.map(col): _*))))
+      if (auditDiffs) {
+        val (ptN, ptD) = auditArm(ptBack,
+          s.read.parquet(s"$out/pt2").select(ptCols.map(col): _*))
+        val (_, dlD) = auditArm(
+          s.read.parquet(s"$out/pt/_docs").select(dlCols.map(col): _*),
+          s.read.parquet(s"$out/pt2/_docs").select(dlCols.map(col): _*))
+        audit += (("postings_index", ptN, ptD + dlD))
+      } else audit += (("postings_index", ptBack.count(), -1L))
 
       // 5. banded pHash index
       val media = MultimodalOps.mediaFromDocuments(docs)
@@ -5663,34 +5694,38 @@ object SparkEntry {
       val idsMedia = MultimodalOps.mediaFromDocuments(ids)
       MultimodalOps.writePhashIndex(media, s"$out/ph", nBuckets = 16)
       ForgetOps.forgetFromPhashIndex(s, s"$out/ph", idsMedia, nBuckets = 16)
-      MultimodalOps.writePhashIndex(keptMedia, s"$out/ph2", nBuckets = 16)
+      if (auditDiffs)
+        MultimodalOps.writePhashIndex(keptMedia, s"$out/ph2", nBuckets = 16)
       val phCols = Seq("media_id", "frame_ix", "phash", "band_ix", "band", "bucket")
       val phBack = s.read.parquet(s"$out/ph").select(phCols.map(col): _*)
-      audit += (("phash_index", phBack.count(),
-        diffCount(phBack, s.read.parquet(s"$out/ph2").select(phCols.map(col): _*))))
+      audit += arm("phash_index", phBack,
+        s.read.parquet(s"$out/ph2").select(phCols.map(col): _*))
 
       // 6. content-addressed chunk store: recipes shrink, GC reclaims,
       // the kept payloads still reassemble byte-exactly
       MultimodalOps.writeChunkStore(media, s"$out/cs")
       MultimodalOps.deleteFromChunkStore(s, s"$out/cs", idsMedia.select("media_id"))
-      MultimodalOps.writeChunkStore(keptMedia, s"$out/cs2")
+      if (auditDiffs) MultimodalOps.writeChunkStore(keptMedia, s"$out/cs2")
       val digBack = MultimodalOps.readChunkStore(s, s"$out/cs")
         .select(col("media_id"), md5(col("content")).as("content_md5"))
       val digTruth = keptMedia.filter(octet_length(col("content")) > 0)
         .select(col("media_id"), md5(col("content")).as("content_md5"))
-      audit += (("chunk_store", digBack.count(),
-        diffCount(digBack, digTruth) +
-          diffCount(s.read.parquet(s"$out/cs/chunks"),
-            s.read.parquet(s"$out/cs2/chunks")) +
-          diffCount(s.read.parquet(s"$out/cs/recipes"),
-            s.read.parquet(s"$out/cs2/recipes"))))
+      if (auditDiffs) {
+        val (csN, csD) = auditArm(digBack, digTruth)
+        val (_, ckD) = auditArm(s.read.parquet(s"$out/cs/chunks"),
+          s.read.parquet(s"$out/cs2/chunks"))
+        val (_, rcD) = auditArm(s.read.parquet(s"$out/cs/recipes"),
+          s.read.parquet(s"$out/cs2/recipes"))
+        audit += (("chunk_store", csN, csD + ckD + rcD))
+      } else audit += (("chunk_store", digBack.count(), -1L))
 
       // 7. exact k-NN graph: affected probes requeried vs full rebuild
       val allEmb = Tables.embeddings(s, dir)
-      val emb = if (oracleScale(dir)) allEmb
-        else allEmb.filter(col("vec_id") % 16 === 0)
+      val emb = graft.operators.Checkpoints.pin(
+        if (oracleScale(dir)) allEmb
+        else allEmb.filter(col("vec_id") % 32 === 0), reliable = false)
       val embIds = emb.filter(col("vec_id") % 97 === 3).select(col("vec_id"))
-      val embKept = emb.filter(col("vec_id") % 97 =!= 3)
+      val embKept = emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true)
       val cells = 16
       val graph = SimilarityOps.knnGraph(emb,
         SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2), k = 5,
@@ -5699,7 +5734,7 @@ object SparkEntry {
       val knnTruth = SimilarityOps.knnGraph(embKept,
         SimilarityOps.ivfCentroids(embKept, k = cells, nIters = 2), k = 5,
         nProbe = cells)
-      audit += (("knn_graph", knnBack.count(), diffCount(knnBack, knnTruth)))
+      audit += arm("knn_graph", knnBack, knnTruth)
 
       // 8. near-dup cluster assignment: affected components re-closed
       val pairs = DedupOps.minHashNearDups(docs, threshold = 0.5)
@@ -5709,8 +5744,8 @@ object SparkEntry {
         .join(dead, col("id2") === col("doc_id"), "left_anti")
       val prior = DedupOps.nearDupClustersStar(pairs)
       val ccBack = ForgetOps.forgetClusters(prior, pairsKept, dead)
-      audit += (("cluster_assign", ccBack.count(),
-        diffCount(ccBack, DedupOps.nearDupClustersStar(pairsKept))))
+      audit += arm("cluster_assign", ccBack,
+        DedupOps.nearDupClustersStar(pairsKept))
 
       // 9. schedule sink (UniMax train manifest): evidence levels drop
       // the ids, the newest served version re-manifests in place
@@ -5723,9 +5758,8 @@ object SparkEntry {
         corpus => graft.operators.AssemblyOps.trainManifest(corpus, 40000L, 3,
           128L, textCol = "n_tokens", nTokensCol = Some("n_tokens")))
       val schedBack = StreamingOps.readTrainManifest(s, s"$out/sched")
-      audit += (("schedule_manifest", schedBack.count(),
-        diffCount(schedBack,
-          graft.operators.AssemblyOps.trainManifest(kept, 40000L, 3, 128L))))
+      audit += arm("schedule_manifest", schedBack,
+        graft.operators.AssemblyOps.trainManifest(kept, 40000L, 3, 128L))
 
       import s.implicits._
       audit.toSeq.toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))

@@ -486,8 +486,9 @@ object MultimodalOps {
     * Output is duplicate-set-sized: `(media_a, media_b, n_frame_pairs,
     * min_dist, aligned_frames, modal_offset)`. */
   def mediaPhashDups(media: DataFrame, fps: Int = 4, k: Int = 8,
-      maxDist: Int = 3, minFrames: Int = 2): DataFrame =
-    mediaRollup(framePhashPairs(media, fps, k, maxDist), minFrames)
+      maxDist: Int = 3, minFrames: Int = 2,
+      alignment: Boolean = true): DataFrame =
+    mediaRollup(framePhashPairs(media, fps, k, maxDist), minFrames, alignment)
 
   /** The ≥ `minFrames` media-pair verdict over a `(media_a, frame_a,
     * media_b, frame_b, dist)` frame-pair list — shared by the in-DAG
@@ -502,8 +503,18 @@ object MultimodalOps {
     * aggregations group the SAME (media_a, media_b[, offset]) keys, so
     * the exchange count stays one per rollup (the window re-sorts, never
     * re-shuffles). */
-  private def mediaRollup(pairs: DataFrame, minFrames: Int): DataFrame = {
+  private def mediaRollup(pairs: DataFrame, minFrames: Int,
+      alignment: Boolean = true): DataFrame = {
     require(minFrames >= 1, "minFrames must be >= 1")
+    // consumers that only act on WHICH pair clears the bar (the CC
+    // clusterings feed ids into star components) skip the vote: one
+    // partial-aggregated groupBy, no window sorts — hand column pruning,
+    // since a filter on a window output can't be pruned by Catalyst
+    if (!alignment)
+      return pairs
+        .groupBy(col("media_a"), col("media_b"))
+        .agg(count(lit(1)).as("n_frame_pairs"), min(col("dist")).as("min_dist"))
+        .filter(col("n_frame_pairs") >= minFrames.toLong)
     import org.apache.spark.sql.expressions.Window
     val byPair = Window.partitionBy(col("media_a"), col("media_b"))
     pairs
@@ -527,7 +538,8 @@ object MultimodalOps {
     * without touching the corpus bytes. Same output contract as
     * mediaPhashDups. */
   def mediaPhashDupsFromIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, maxDist: Int = 3, minFrames: Int = 2): DataFrame =
+      indexPath: String, maxDist: Int = 3, minFrames: Int = 2,
+      alignment: Boolean = true): DataFrame =
     mediaRollup(
       bandedSelfPairs(
         spark.read.parquet(indexPath)
@@ -535,7 +547,7 @@ object MultimodalOps {
             col("band_ix"), col("band"))
           .distinct(), // fold-overlap duplicates of a streamed sink
         maxDist),
-      minFrames)
+      minFrames, alignment)
 
   /** Banded pHash rows with the directory bucket attached — the row
     * shape the persisted pHash index lands (the
@@ -619,7 +631,7 @@ object MultimodalOps {
     * [[mediaPhashDups]] rollup contract, alignment vote included. */
   def mediaPhashDupsIndexed(increment: DataFrame, indexPath: String,
       fps: Int = 4, k: Int = 8, maxDist: Int = 3, minFrames: Int = 2,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64, alignment: Boolean = true): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       "maxDist in [0, 6]: 7 bands are pigeonhole-complete only below 7 bits")
     require(minFrames >= 1, "minFrames must be >= 1")
@@ -642,14 +654,20 @@ object MultimodalOps {
       .distinct()
     // ONE rollup (count + min-dist + alignment vote) for every face:
     // rename through the self-join shape so the contract is proved once
-    mediaRollup(
+    val rolled = mediaRollup(
       pairs.select(col("media_new").as("media_a"), col("frame_new").as("frame_a"),
         col("media_corpus").as("media_b"), col("frame_corpus").as("frame_b"),
         col("dist")),
-      minFrames)
-      .select(col("media_a").as("media_new"), col("media_b").as("media_corpus"),
+      minFrames, alignment)
+    val out = rolled
+      .withColumnRenamed("media_a", "media_new")
+      .withColumnRenamed("media_b", "media_corpus")
+    if (alignment)
+      out.select(col("media_new"), col("media_corpus"),
         col("n_frame_pairs"), col("min_dist"),
         col("aligned_frames"), col("modal_offset"))
+    else out.select(col("media_new"), col("media_corpus"),
+      col("n_frame_pairs"), col("min_dist"))
   }
 
   /** Per-source release report for a MIXED (media-bearing) corpus — the
