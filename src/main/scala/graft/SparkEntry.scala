@@ -1822,6 +1822,8 @@ object SparkEntry {
       |    (SELECT coalesce(sum(7 * least(8, octet_length(CAST(text AS BLOB)) // 64)), 0)
       |     FROM graft_fg_docs WHERE octet_length(CAST(text AS BLOB)) // 64 > 0)
       |  UNION ALL SELECT 'postings_index', (SELECT count(*) FROM postings)
+      |  UNION ALL SELECT 'sq8_index',
+      |    (SELECT count(*) FROM embeddings WHERE vec_id % 97 <> 3)
       |  UNION ALL SELECT 'schedule_manifest', (SELECT count(*) FROM graft_fg_manifest)
       |  UNION ALL SELECT 'shingle_index', (SELECT count(*) FROM spansh)
       |) ORDER BY artifact""".stripMargin
@@ -5735,6 +5737,20 @@ object SparkEntry {
         SimilarityOps.ivfCentroids(embKept, k = cells, nIters = 2), k = 5,
         nProbe = cells)
       audit += arm("knn_graph", knnBack, knnTruth)
+
+      // 7b. persisted IVF-SQ8 vector store: the forgotten vectors' home
+      // cells rewrite under the FROZEN centroids (the seed contract);
+      // the readback equals a rebuild over the remaining vectors
+      val sqCentroids = SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2)
+      SimilarityOps.writeSq8Index(emb, sqCentroids, s"$out/sq8")
+      ForgetOps.forgetFromCellIndex(s, s"$out/sq8",
+        emb.join(embIds, Seq("vec_id"), "left_semi"), sqCentroids)
+      if (auditDiffs)
+        SimilarityOps.writeSq8Index(embKept, sqCentroids, s"$out/sq82")
+      val sqCols = Seq("id", "codes", "cell")
+      audit += arm("sq8_index",
+        s.read.parquet(s"$out/sq8").select(sqCols.map(col): _*),
+        s.read.parquet(s"$out/sq82").select(sqCols.map(col): _*))
 
       // 8. near-dup cluster assignment: affected components re-closed
       val pairs = DedupOps.minHashNearDups(docs, threshold = 0.5)

@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *   - the shingle-count span index (negative-count delta, [[forgetFromShingleIndex]])
   *   - the positional postings index ([[forgetFromPostingsIndex]])
   *   - the banded pHash video index ([[forgetFromPhashIndex]])
+  *   - the cell-partitioned ANN stores (IVF raw / IVF-SQ8 codes,
+  *     [[forgetFromCellIndex]] — home cells under the frozen centroids)
   *   - the content-addressed chunk store
   *     ([[MultimodalOps.deleteFromChunkStore]] — recipes first, GC second)
   *   - the k-NN graph ([[forgetFromKnnGraph]] — affected nodes recomputed)
@@ -131,6 +133,31 @@ object ForgetOps {
       .repartition(col("pb"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pb").parquet(s"$path/__batch=$level")
+  }
+
+  /** Drop `ids` from a cell-partitioned ANN layout
+    * ([[SimilarityOps.writeIvfIndex]] raw vectors or
+    * [[SimilarityOps.writeSq8Index]] codes): the affected cell
+    * directories are the forgotten vectors' own HOME cells, recomputed
+    * from the FROZEN centroids (the persisted-index seed contract — the
+    * same centroids every probe and landing uses), so the rewrite reads
+    * 1/|cells| of the index per forgotten vector's cell and the result
+    * equals a rebuild over the remaining vectors under those centroids
+    * row-for-row (assignment and encoding are per-vector deterministic).
+    * Probes after the forget can never return a forgotten id — its rows
+    * are gone from the only directories that ever held them. */
+  def forgetFromCellIndex(spark: SparkSession, path: String,
+      vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    SimilarityOps.assertSq8Meta(spark, path, centroids, "forgetFromCellIndex")
+    val vecs = vectors.select(col(idCol).as("id"),
+      graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
+    val cells = SimilarityOps.assignCells(vecs, centroids)
+      .select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).toSeq
+    rewritePartitions(spark, path,
+      cells.map(c => Seq("cell" -> c)),
+      dropIds = vecs.select(col("id")), joinCol = "id", sortCols = Seq("id"))
   }
 
   /** Forget `ids` from an exact k-NN graph: rows whose PROBE is an id

@@ -127,6 +127,33 @@ class ForgetSpec extends SparkSpec {
     assert(got.filter(col("vec_id") === 1L || col("neighbor_id") === 1L).isEmpty)
   }
 
+  test("forgetFromCellIndex rewrites only home cells; probes never see the id") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    val dir = tmpDir()
+    SimilarityOps.writeSq8Index(emb, centroids, s"$dir/sq8")
+    val dead = emb.filter(col("vec_id") === 1L)
+    ForgetOps.forgetFromCellIndex(spark, s"$dir/sq8", dead, centroids)
+    // readback equals a rebuild over the remaining vectors under the
+    // SAME frozen centroids, row-for-row
+    SimilarityOps.writeSq8Index(emb.filter(col("vec_id") =!= 1L), centroids,
+      s"$dir/sq82")
+    val sel = Seq("id", "codes", "cell").map(col)
+    assert(rows(spark.read.parquet(s"$dir/sq8").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/sq82").select(sel: _*)))
+    // a probe against the forgotten index equals the rebuilt index's
+    val probe = Seq(0.98, 0.2)
+    val a = SimilarityOps.sq8TopKIndexed(spark, s"$dir/sq8", centroids,
+      emb.filter(col("vec_id") =!= 1L), probe, k = 2, nProbe = 2)
+    val b = SimilarityOps.sq8TopKIndexed(spark, s"$dir/sq82", centroids,
+      emb.filter(col("vec_id") =!= 1L), probe, k = 2, nProbe = 2)
+    assert(rows(a) == rows(b))
+    assert(a.filter(col("vec_id") === 1L).isEmpty)
+  }
+
   test("forgetFromSchedule: crash between evidence and manifest is rerunnable") {
     val d = docs()
     val dir = s"${tmpDir()}/sched"
