@@ -5624,7 +5624,7 @@ object SparkEntry {
         val counts = readback.select(lit("n").as("__k"))
           .unionAll(readback.exceptAll(truth).select(lit("d").as("__k")))
           .unionAll(truth.exceptAll(readback).select(lit("d").as("__k")))
-          .groupBy(col("__k")).count().collect()
+          .groupBy(col("__k")).agg(count(lit(1)).as("__c")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         (counts.getOrElse("n", 0L), counts.getOrElse("d", 0L))
       }
@@ -5635,10 +5635,14 @@ object SparkEntry {
       // corpus to check itself, and the ~20 extra rebuild/diff jobs would
       // double the row's wall for no verified signal
       val auditDiffs = oracleScale(dir)
+      // in-DAG scalar (the no-driver-count policy): one agg job, never an
+      // eager action a plan re-executes
+      def rowCount(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1))).collect()(0).getLong(0)
       def arm(name: String, readback: org.apache.spark.sql.DataFrame,
           truth: => org.apache.spark.sql.DataFrame): (String, Long, Long) =
         if (auditDiffs) { val (n, d) = auditArm(readback, truth); (name, n, d) }
-        else (name, readback.count(), -1L)
+        else (name, rowCount(readback), -1L)
       val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
       // 1. versioned doc log: bootstrap -> deleteAndPromote -> readback
@@ -5688,7 +5692,7 @@ object SparkEntry {
           s.read.parquet(s"$out/pt/_docs").select(dlCols.map(col): _*),
           s.read.parquet(s"$out/pt2/_docs").select(dlCols.map(col): _*))
         audit += (("postings_index", ptN, ptD + dlD))
-      } else audit += (("postings_index", ptBack.count(), -1L))
+      } else audit += (("postings_index", rowCount(ptBack), -1L))
 
       // 5. banded pHash index
       val media = MultimodalOps.mediaFromDocuments(docs)
@@ -5719,7 +5723,7 @@ object SparkEntry {
         val (_, rcD) = auditArm(s.read.parquet(s"$out/cs/recipes"),
           s.read.parquet(s"$out/cs2/recipes"))
         audit += (("chunk_store", csN, csD + ckD + rcD))
-      } else audit += (("chunk_store", digBack.count(), -1L))
+      } else audit += (("chunk_store", rowCount(digBack), -1L))
 
       // 7. exact k-NN graph: affected probes requeried vs full rebuild
       val allEmb = Tables.embeddings(s, dir)
