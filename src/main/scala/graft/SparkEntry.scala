@@ -5785,6 +5785,39 @@ object SparkEntry {
       audit.toSeq.toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))
     },
 
+    "q_stream_forget" -> { (s, dir) => // the compliance QUEUE shape:
+      // tombstoned documents arrive as a stream and lshForgetStream
+      // applies the partition-pruned forget per micro-batch — replay
+      // idempotent (re-forgetting absent ids rewrites the same
+      // survivors), single-mutator like every in-place maintenance op.
+      // After the drain the index must equal a from-scratch rebuild over
+      // the remaining corpus, row-for-row (n_diff pinned 0; the size from
+      // the bands-per-doc invariant).
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_forget_")
+      DedupOps.writeMinHashIndex(docs, s"$out/idx", nBuckets = 16)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 97 === 3)
+      val q = graft.streaming.StreamingOps
+        .lshForgetStream(src, s"$out/idx", s"$out/ckpt", nBuckets = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      DedupOps.writeMinHashIndex(docs.filter(col("doc_id") % 97 =!= 3),
+        s"$out/idx2", nBuckets = 16)
+      val sel = Seq("id", "band", "bandsig", "bucket").map(col)
+      val back = s.read.parquet(s"$out/idx").select(sel: _*)
+      val truth = s.read.parquet(s"$out/idx2").select(sel: _*)
+      import s.implicits._
+      Seq((
+        back.agg(count(lit(1))).collect()(0).getLong(0),
+        back.exceptAll(truth).unionAll(truth.exceptAll(back))
+          .agg(count(lit(1))).collect()(0).getLong(0),
+      )).toDF("n_rows", "n_diff").orderBy(col("n_rows"))
+    },
+
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
       // integer score (type-token ratio in ppm): 0-based global rank in
       // (score, id) order, bucket = rank*10 DIV n — equal-size-by-rank
@@ -9115,6 +9148,14 @@ object SparkEntry {
     "g_unigram_train" -> unigramTrainOracleSql,
     "q_forget_everywhere" -> forgetOracleSql,
     "g_media_card" -> mediaCardOracleSql,
+    "q_stream_forget" ->
+      // the streamed forget's size invariant (4 band rows per remaining
+      // doc — every doc has a signature, short-text fallback included)
+      // and the engine's own readback-vs-rebuild diff pinned at zero
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_rows,
+        |       CAST(0 AS BIGINT) AS n_diff
+        |FROM documents WHERE doc_id % 97 <> 3
+        |ORDER BY n_rows""".stripMargin,
 
     "g_unigram_prune" -> unigramPruneOracleSql,
 

@@ -144,6 +144,32 @@ object StreamingOps {
         graft.sources.Storage.deleteIndexAndRewrite(batch.sparkSession, path, batch)
       }
 
+  /** Streaming forget feed for the LSH MinHash index — the compliance
+    * queue shape ([[indexDeleteStream]]'s reasoning, on the §G tier):
+    * tombstoned DOCUMENTS (id + text — the erasure request carries the
+    * payload it erases, which is what lets the affected (band, bucket)
+    * directories derive from the docs' OWN signatures) arrive as a
+    * stream, and each micro-batch runs
+    * [[graft.operators.ForgetOps.forgetFromLshIndex]]: a partition-pruned
+    * rewrite of just those directories. Single-mutator like every
+    * in-place maintenance op; at-least-once replay is harmless —
+    * re-forgetting absent ids rewrites the same survivors (idempotent,
+    * ForgetSpec's rerun law), so a crash anywhere converges on restart.
+    * After the stream drains, the index equals a batch
+    * [[graft.operators.ForgetOps.forgetFromLshIndex]] of the union of all
+    * tombstones — the q_stream_forget gate. */
+  def lshForgetStream(tombstones: DataFrame, indexPath: String,
+      checkpoint: String, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
+      nBuckets: Int = 64): DataStreamWriter[Row] =
+    tombstones.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.ForgetOps.forgetFromLshIndex(batch.sparkSession,
+          indexPath, batch, idCol, textCol, shingleK, nHashes, bands, nBuckets)
+      }
+
   /** Streaming CURATED landing: each micro-batch of documents (doc_id,
     * text) is paragraph-deduped against the ACCUMULATED corpus — an
     * 8-byte paragraph-key index maintained under `outDir/_para_index` —

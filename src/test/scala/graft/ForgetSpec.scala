@@ -154,6 +154,44 @@ class ForgetSpec extends SparkSpec {
     assert(a.filter(col("vec_id") === 1L).isEmpty)
   }
 
+  test("lshForgetStream: drain equals batch forget; checkpoint replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = docs()
+    val dir = tmpDir()
+    DedupOps.writeMinHashIndex(d, s"$dir/idx", nBuckets = 8)
+    // the tombstone feed: docs 2 and 5, landed as a parquet source
+    d.filter(col("doc_id").isin(2L, 5L))
+      .write.parquet(s"$dir/tombs")
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$dir/tombs").schema)
+        .parquet(s"$dir/tombs")
+      val q = graft.streaming.StreamingOps
+        .lshForgetStream(src, s"$dir/idx", s"$dir/ckpt", nBuckets = 8)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    DedupOps.writeMinHashIndex(
+      d.filter(!col("doc_id").isin(2L, 5L)), s"$dir/idx2", nBuckets = 8)
+    val sel = Seq("id", "band", "bandsig", "bucket").map(col)
+    def back() = rows(spark.read.parquet(s"$dir/idx").select(sel: _*))
+    val truth = rows(spark.read.parquet(s"$dir/idx2").select(sel: _*))
+    assert(back() == truth)
+    // a RESTART over the same checkpoint re-drains nothing; and even a
+    // forced replay of the tombstones (fresh checkpoint) is idempotent
+    drain()
+    assert(back() == truth)
+    val q2 = graft.streaming.StreamingOps
+      .lshForgetStream(
+        spark.readStream.schema(spark.read.parquet(s"$dir/tombs").schema)
+          .parquet(s"$dir/tombs"),
+        s"$dir/idx", s"$dir/ckpt2", nBuckets = 8)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(back() == truth)
+  }
+
   test("forgetFromSchedule: crash between evidence and manifest is rerunnable") {
     val d = docs()
     val dir = s"${tmpDir()}/sched"
