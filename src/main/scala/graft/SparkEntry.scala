@@ -5733,8 +5733,8 @@ object SparkEntry {
       val embIds = emb.filter(col("vec_id") % 97 === 3).select(col("vec_id"))
       val embKept = emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true)
       val cells = 16
-      val graph = SimilarityOps.knnGraph(emb,
-        SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2), k = 5,
+      val fullCentroids = SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2)
+      val graph = SimilarityOps.knnGraph(emb, fullCentroids, k = 5,
         nProbe = cells)
       val knnBack = ForgetOps.forgetFromKnnGraph(graph, emb, embIds, k = 5)
       val knnTruth = SimilarityOps.knnGraph(embKept,
@@ -5745,12 +5745,11 @@ object SparkEntry {
       // 7b. persisted IVF-SQ8 vector store: the forgotten vectors' home
       // cells rewrite under the FROZEN centroids (the seed contract);
       // the readback equals a rebuild over the remaining vectors
-      val sqCentroids = SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2)
-      SimilarityOps.writeSq8Index(emb, sqCentroids, s"$out/sq8")
+      SimilarityOps.writeSq8Index(emb, fullCentroids, s"$out/sq8")
       ForgetOps.forgetFromCellIndex(s, s"$out/sq8",
-        emb.join(embIds, Seq("vec_id"), "left_semi"), sqCentroids)
+        emb.join(embIds, Seq("vec_id"), "left_semi"), fullCentroids)
       if (auditDiffs)
-        SimilarityOps.writeSq8Index(embKept, sqCentroids, s"$out/sq82")
+        SimilarityOps.writeSq8Index(embKept, fullCentroids, s"$out/sq82")
       val sqCols = Seq("id", "codes", "cell")
       audit += arm("sq8_index",
         s.read.parquet(s"$out/sq8").select(sqCols.map(col): _*),
