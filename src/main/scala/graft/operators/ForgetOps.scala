@@ -117,7 +117,13 @@ object ForgetOps {
     * (shingle, src) replay-dedup can never collapse two distinct forget
     * passes (or a forget with a real batch). Shingles whose corpus count
     * reaches zero vanish at read time (readShingleCounts drops
-    * zero-sum rows — a count of zero IS absence). */
+    * zero-sum rows — a count of zero IS absence).
+    *
+    * Single-maintainer like every in-place face: run with any
+    * shingleIndexStream quiesced — the forget level advances the sink's
+    * visible lineage, so a restarting stream below it refuses LOUDLY
+    * (requireBatchLineage; never a silent overwrite) and must resume
+    * from a fresh checkpoint above the forget level. */
   def forgetFromShingleIndex(spark: SparkSession, path: String,
       docs: DataFrame, k: Int = 3, nPb: Int = 16, hashed: Boolean = true,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
