@@ -1822,10 +1822,61 @@ object SparkEntry {
       |    (SELECT coalesce(sum(7 * least(8, octet_length(CAST(text AS BLOB)) // 64)), 0)
       |     FROM graft_fg_docs WHERE octet_length(CAST(text AS BLOB)) // 64 > 0)
       |  UNION ALL SELECT 'postings_index', (SELECT count(*) FROM postings)
+      |  UNION ALL SELECT 'pq_index',
+      |    (SELECT count(*) FROM embeddings WHERE vec_id % 97 <> 3)
       |  UNION ALL SELECT 'sq8_index',
       |    (SELECT count(*) FROM embeddings WHERE vec_id % 97 <> 3)
       |  UNION ALL SELECT 'schedule_manifest', (SELECT count(*) FROM graft_fg_manifest)
       |  UNION ALL SELECT 'shingle_index', (SELECT count(*) FROM spansh)
+      |) ORDER BY artifact""".stripMargin
+
+  /** The composed-queue drain must leave each artifact at the rebuild's
+    * size with a zero row-level diff — the [[forgetOracleSql]] arms for
+    * the five streamed faces, sharing its `graft_fg_docs` materialization
+    * (one DuckDB temp table serves the whole forget family). */
+  private lazy val streamForgetAllOracleSql: String =
+    s"""CREATE TEMP TABLE IF NOT EXISTS graft_fg_docs AS
+      |SELECT * FROM documents WHERE doc_id % 97 <> 3;
+      |WITH spansh AS (
+      |  SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
+      |  FROM (SELECT unnest(range(1, len(t) - 1)) AS i, t
+      |        FROM (SELECT string_split(text, ' ') AS t FROM graft_fg_docs)
+      |        WHERE len(t) >= 3)),
+      |postings AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM graft_fg_docs
+      |  WHERE text IS NOT NULL))
+      |SELECT artifact, CAST(n_after AS BIGINT) AS n_after,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM (
+      |  SELECT 'lsh_index' AS artifact,
+      |    4 * (SELECT count(*) FROM graft_fg_docs) AS n_after
+      |  UNION ALL SELECT 'phash_index',
+      |    (SELECT coalesce(sum(7 * least(8, octet_length(CAST(text AS BLOB)) // 64)), 0)
+      |     FROM graft_fg_docs WHERE octet_length(CAST(text AS BLOB)) // 64 > 0)
+      |  UNION ALL SELECT 'postings_index', (SELECT count(*) FROM postings)
+      |  UNION ALL SELECT 'shingle_index', (SELECT count(*) FROM spansh)
+      |  UNION ALL SELECT 'sq8_index',
+      |    (SELECT count(*) FROM embeddings WHERE vec_id % 97 <> 3)
+      |) ORDER BY artifact""".stripMargin
+
+  /** The curated-landing forget's law in sizes: after forget + full
+    * re-crawl, the `_para_index` holds EVERY distinct 8-token chunk of
+    * the corpus (each key is admitted by an original doc or re-admitted
+    * by the re-crawl once its admitters were forgotten), and the landed
+    * docs are the surviving originals plus the whole re-crawl. Both
+    * n_diff are pinned 0 against the engine-side rebuild. */
+  private lazy val curatedForgetOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS st FROM t),
+      |p AS (SELECT array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS para
+      |      FROM s)
+      |SELECT artifact, CAST(n_after AS BIGINT) AS n_after,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM (
+      |  SELECT 'docs' AS artifact,
+      |    (SELECT count(*) FROM documents WHERE doc_id % 97 <> 3)
+      |      + (SELECT count(*) FROM documents) AS n_after
+      |  UNION ALL SELECT 'para_index', (SELECT count(DISTINCT para) FROM p)
       |) ORDER BY artifact""".stripMargin
 
   /** [[trainManifestOracleSql]] parameterized over its corpus table, so
@@ -5588,6 +5639,28 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    "q_stream_media_card" -> { (s, dir) => // the multimodal release
+      // report MAINTAINED: an AvailableNow run lands slim per-batch
+      // evidence (source-tagged sums, distinct chunk addresses, the
+      // banded frame index, newly-discovered dup endpoints) and the
+      // read-side assembly must equal the batch mediaCard over the same
+      // corpus — g_media_card's oracle verbatim ("one truth, one hash").
+      // Cross-batch pair discovery / replay / fold are
+      // MediaCardStreamSpec's job.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q_stream_mcard_")
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val q = graft.streaming.StreamingOps
+        .mediaCardStream(src, s"$out/card", s"$out/ckpt", nBuckets = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readMediaCard(s, s"$out/card")
+        .orderBy(col("source"))
+    },
+
     "q_forget_everywhere" -> { (s, dir) => // the composed compliance
       // delete (reference A5/A7 delete semantics composed across every
       // derived artifact, the per-table way the reference's callers
@@ -5737,10 +5810,13 @@ object SparkEntry {
       val graph = SimilarityOps.knnGraph(emb, fullCentroids, k = 5,
         nProbe = cells)
       val knnBack = ForgetOps.forgetFromKnnGraph(graph, emb, embIds, k = 5)
-      val knnTruth = SimilarityOps.knnGraph(embKept,
-        SimilarityOps.ivfCentroids(embKept, k = cells, nIters = 2), k = 5,
-        nProbe = cells)
-      audit += arm("knn_graph", knnBack, knnTruth)
+      // truth stays INSIDE arm()'s by-name argument: at bench SFs the
+      // rebuild arm (its driver-side k-means collect included) must never
+      // run — the row's production-shape contract
+      audit += arm("knn_graph", knnBack,
+        SimilarityOps.knnGraph(embKept,
+          SimilarityOps.ivfCentroids(embKept, k = cells, nIters = 2), k = 5,
+          nProbe = cells))
 
       // 7b. persisted IVF-SQ8 vector store: the forgotten vectors' home
       // cells rewrite under the FROZEN centroids (the seed contract);
@@ -5754,6 +5830,22 @@ object SparkEntry {
       audit += arm("sq8_index",
         s.read.parquet(s"$out/sq8").select(sqCols.map(col): _*),
         s.read.parquet(s"$out/sq82").select(sqCols.map(col): _*))
+
+      // 7c. persisted IVF-PQ codes store: the same home-cell rewrite one
+      // rung up the compression ladder (fixture geometry — cells from the
+      // shared 64-dim fixture centroids, codes from the fixture
+      // codebooks; the forget asserts the PQ sidecar, not the SQ8 one)
+      SimilarityOps.writePqIndex(emb, fixtureCentroids(64),
+        fixturePqCodebooks(64), s"$out/pq")
+      ForgetOps.forgetFromPqIndex(s, s"$out/pq",
+        emb.join(embIds, Seq("vec_id"), "left_semi"), fixtureCentroids(64),
+        fixturePqCodebooks(64))
+      if (auditDiffs)
+        SimilarityOps.writePqIndex(embKept, fixtureCentroids(64),
+          fixturePqCodebooks(64), s"$out/pq2")
+      audit += arm("pq_index",
+        s.read.parquet(s"$out/pq").select(sqCols.map(col): _*),
+        s.read.parquet(s"$out/pq2").select(sqCols.map(col): _*))
 
       // 8. near-dup cluster assignment: affected components re-closed
       val pairs = DedupOps.minHashNearDups(docs, threshold = 0.5)
@@ -5780,6 +5872,175 @@ object SparkEntry {
       audit += arm("schedule_manifest", schedBack,
         graft.operators.AssemblyOps.trainManifest(kept, 40000L, 3, 128L))
 
+      // the pass is complete — persist the ATTESTATION (id-set digest,
+      // per-artifact evidence, parameters, wall stamp) and serve the
+      // audit FROM its readback: the oracle now gates the durable record
+      // a GDPR audit would read, not just the in-flight DataFrame
+      ForgetOps.writeAttestation(s, s"$out/attest", dead, "doc_id",
+        audit.toSeq, params = Seq("audited" -> (if (auditDiffs) 1L else 0L)))
+      ForgetOps.readAttestation(s, s"$out/attest").orderBy(col("artifact"))
+    },
+
+    "q_forget_curated" -> { (s, dir) => // the curated-landing forget
+      // face: a streaming paragraph-dedup landing forgets an id set from
+      // BOTH its landed docs and its `_para_index` admission keys (keys
+      // derived from the ids' own LANDED clean_text — delta-proportional,
+      // ids-only by nature), then a RE-CRAWL re-sends the full corpus
+      // under fresh ids. The law: content whose every admitter was
+      // forgotten is ADMITTED again, so the index converges to exactly
+      // the rebuild's key set (ingest surviving, then the same re-crawl),
+      // and the landed doc-id set matches the rebuild's row-for-row. The
+      // oracle pins both sizes independently: the index is ALL distinct
+      // 8-token chunks of the corpus (every key is eventually admitted —
+      // by an original doc or the re-crawl), the docs face is
+      // kept + re-crawl.
+      import graft.streaming.StreamingOps
+      val full = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = graft.operators.Checkpoints.pin(
+        if (oracleScale(dir)) full else full.filter(col("doc_id") % 16 === 0),
+        reliable = false)
+      val ids = docs.filter(col("doc_id") % 97 === 3).select(col("doc_id"))
+      val recrawl = docs
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val out = java.nio.file.Files.createTempDirectory("graft_fg_cur_").toString
+      val out2 = java.nio.file.Files.createTempDirectory("graft_fg_cur2_").toString
+      def land(root: String, b0: org.apache.spark.sql.DataFrame,
+          b1: org.apache.spark.sql.DataFrame): Unit = {
+        StreamingOps.curatedBatch(b0, 0L, root, chunkSize = 8, nPb = 16)
+        StreamingOps.curatedBatch(b1, 1L, root, chunkSize = 8, nPb = 16)
+      }
+      land(out, docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+      graft.operators.ForgetOps.forgetFromCuratedLanding(s, out, ids,
+        chunkSize = 8, nPb = 16)
+      StreamingOps.curatedBatch(recrawl, 2L, out, chunkSize = 8, nPb = 16)
+      land(out2,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 97 =!= 3),
+        docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 97 =!= 3))
+      StreamingOps.curatedBatch(recrawl, 2L, out2, chunkSize = 8, nPb = 16)
+      def keysOf(root: String) = s.read.schema("__k LONG, pb INT, __batch LONG")
+        .option("basePath", s"$root/_para_index")
+        .parquet(s"$root/_para_index").select(col("__k")).distinct()
+      def docIdsOf(root: String) = s.read
+        .schema("doc_id LONG, clean_text STRING, n_kept LONG, " +
+          "n_dropped LONG, __batch LONG")
+        .option("basePath", s"$root/docs").parquet(s"$root/docs")
+        .select(col("doc_id"))
+      // ONE union job per face (the q_forget_everywhere audit shape)
+      def face(readback: org.apache.spark.sql.DataFrame,
+          truth: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val m = readback.select(lit("n").as("__f"))
+          .unionAll(readback.exceptAll(truth).select(lit("d").as("__f")))
+          .unionAll(truth.exceptAll(readback).select(lit("d").as("__f")))
+          .groupBy(col("__f")).agg(count(lit(1)).as("__c")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (m.getOrElse("n", 0L), m.getOrElse("d", 0L))
+      }
+      val (nd, dd) = face(docIdsOf(out), docIdsOf(out2))
+      val (nk, dk) = face(keysOf(out), keysOf(out2))
+      import s.implicits._
+      Seq(("docs", nd, dd), ("para_index", nk, dk))
+        .toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))
+    },
+
+    "q_stream_forget_all" -> { (s, dir) => // the COMPOSED compliance
+      // queue: ONE tombstone stream drains per micro-batch into every
+      // wired face — LSH, pHash, postings, shingle (its negative delta
+      // replay-idempotent via passId = batchId) — plus a vector tombstone
+      // stream into the IVF-SQ8 cell face. After the drains each artifact
+      // must equal a from-scratch rebuild over the remaining corpus
+      // (audited at oracle SFs; bench SFs time the production shape —
+      // n_diff = -1, the q_forget_everywhere protocol).
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingOps
+      val full = Tables.documents(s, dir)
+      val atOracle = oracleScale(dir)
+      val docs = graft.operators.Checkpoints.pin(
+        if (atOracle) full else full.filter(col("doc_id") % 16 === 0),
+        reliable = false)
+      val kept = docs.filter(col("doc_id") % 97 =!= 3).localCheckpoint(true)
+      val out = java.nio.file.Files.createTempDirectory("graft_sfa_").toString
+      DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16)
+      MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(docs),
+        s"$out/ph", nBuckets = 16)
+      RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16)
+      TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16, hashed = true)
+      val allEmb = Tables.embeddings(s, dir)
+      val emb = graft.operators.Checkpoints.pin(
+        if (atOracle) allEmb else allEmb.filter(col("vec_id") % 32 === 0),
+        reliable = false)
+      val embKept = emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true)
+      SimilarityOps.writeSq8Index(emb, fixtureCentroids(64), s"$out/sq8")
+      val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docTombs = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 97 === 3 &&
+          (lit(atOracle) || col("doc_id") % 16 === 0))
+      val q1 = StreamingOps.forgetStream(docTombs, s"$out/ckpt1",
+          lshPath = Some(s"$out/lsh"), phashPath = Some(s"$out/ph"),
+          postingsPath = Some(s"$out/pt"), shinglePath = Some(s"$out/sh"),
+          nBuckets = 16, nPt = 16, spanK = 3, nPb = 16, phashBuckets = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val vecTombs = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % 97 === 3 &&
+          (lit(atOracle) || col("vec_id") % 32 === 0))
+      val q2 = StreamingOps.forgetStream(vecTombs, s"$out/ckpt2",
+          sq8Path = Some(s"$out/sq8"), centroids = fixtureCentroids(64),
+          idCol = "vec_id")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      // rebuild-and-diff at oracle SFs; counts-only at bench SFs
+      def rowCount(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1))).collect()(0).getLong(0)
+      def auditArm(readback: org.apache.spark.sql.DataFrame,
+          truth: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val m = readback.select(lit("n").as("__f"))
+          .unionAll(readback.exceptAll(truth).select(lit("d").as("__f")))
+          .unionAll(truth.exceptAll(readback).select(lit("d").as("__f")))
+          .groupBy(col("__f")).agg(count(lit(1)).as("__c")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (m.getOrElse("n", 0L), m.getOrElse("d", 0L))
+      }
+      def arm(name: String, readback: org.apache.spark.sql.DataFrame,
+          truth: => org.apache.spark.sql.DataFrame): (String, Long, Long) =
+        if (atOracle) { val (n, d) = auditArm(readback, truth); (name, n, d) }
+        else (name, rowCount(readback), -1L)
+      val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      if (atOracle) {
+        DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16)
+        MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(kept),
+          s"$out/ph2", nBuckets = 16)
+        RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16)
+        TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16,
+          hashed = true)
+        SimilarityOps.writeSq8Index(embKept, fixtureCentroids(64), s"$out/sq82")
+      }
+      val lshCols = Seq("id", "band", "bandsig", "bucket").map(col)
+      audit += arm("lsh_index", s.read.parquet(s"$out/lsh").select(lshCols: _*),
+        s.read.parquet(s"$out/lsh2").select(lshCols: _*))
+      val phCols = Seq("media_id", "frame_ix", "phash", "band_ix", "band",
+        "bucket").map(col)
+      audit += arm("phash_index", s.read.parquet(s"$out/ph").select(phCols: _*),
+        s.read.parquet(s"$out/ph2").select(phCols: _*))
+      val ptCols = Seq("tok", "doc_id", "tf", "positions").map(col)
+      val ptBack = s.read.parquet(s"$out/pt").select(ptCols: _*)
+      if (atOracle) {
+        val (ptN, ptD) = auditArm(ptBack,
+          s.read.parquet(s"$out/pt2").select(ptCols: _*))
+        val (_, dlD) = auditArm(
+          s.read.parquet(s"$out/pt/_docs").select(col("doc_id"), col("dl")),
+          s.read.parquet(s"$out/pt2/_docs").select(col("doc_id"), col("dl")))
+        audit += (("postings_index", ptN, ptD + dlD))
+      } else audit += (("postings_index", rowCount(ptBack), -1L))
+      audit += arm("shingle_index",
+        TextOps.readShingleCounts(s, s"$out/sh", hashed = true),
+        TextOps.readShingleCounts(s, s"$out/sh2", hashed = true))
+      val sqCols = Seq("id", "codes", "cell").map(col)
+      audit += arm("sq8_index", s.read.parquet(s"$out/sq8").select(sqCols: _*),
+        s.read.parquet(s"$out/sq82").select(sqCols: _*))
       import s.implicits._
       audit.toSeq.toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))
     },
@@ -9146,7 +9407,10 @@ object SparkEntry {
     "g_unigram_pipeline" -> unigramPipelineOracleSql,
     "g_unigram_train" -> unigramTrainOracleSql,
     "q_forget_everywhere" -> forgetOracleSql,
+    "q_forget_curated" -> curatedForgetOracleSql,
+    "q_stream_forget_all" -> streamForgetAllOracleSql,
     "g_media_card" -> mediaCardOracleSql,
+    "q_stream_media_card" -> mediaCardOracleSql,
     "q_stream_forget" ->
       // the streamed forget's size invariant (4 band rows per remaining
       // doc — every doc has a signature, short-text fallback included)

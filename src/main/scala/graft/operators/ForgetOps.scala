@@ -39,9 +39,22 @@ import org.apache.spark.sql.functions._
   *
   * Crash ordering: every face is idempotent (anti-joins and overwrites of
   * affected directories; rerunning a forget with already-absent ids
-  * rewrites the same survivors), so the recovery story for a crash
-  * mid-pass is "rerun the whole forget" — ForgetSpec drives a partial
-  * pass and proves the rerun converges. */
+  * rewrites the same survivors; the shingle face's negative delta lands
+  * under a src tag derived from the id set itself, so a rerun's second
+  * delta collapses in the (shingle, src) replay-dedup), so the recovery
+  * story for a crash mid-pass is "rerun the whole forget" — ForgetSpec
+  * drives a partial pass and proves the rerun converges. In-place level
+  * rewrites go through [[stagedOverwrite]] (survivors materialized to an
+  * invisible sibling BEFORE the target is touched), so no crash point
+  * ever loses survivor rows — the mid-Overwrite truncation window a
+  * plain `SaveMode.Overwrite` on the same directory would open.
+  *
+  * Ids-only requests: the partition-pruned faces derive the affected
+  * directories by RE-SIGNING the forgotten payloads, so a tombstone
+  * frame that carries only ids (payload already purged upstream) is
+  * refused loudly ([[requirePayload]]) — the alternatives are supplying
+  * the payloads being erased or rebuilding the artifact from the
+  * surviving corpus. */
 object ForgetOps {
 
   /** Drop `ids` from a [[DedupOps.writeMinHashIndex]] layout. Affected
@@ -55,6 +68,7 @@ object ForgetOps {
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
       nBuckets: Int = 64): Unit = {
+    requirePayload(docs, textCol, "forgetFromLshIndex")
     DedupOps.assertLshMeta(spark, path, shingleK, nHashes, bands, nBuckets)
     val keys = DedupOps.bandedWithBucket(docs, idCol, textCol,
         shingleK, nHashes, bands, nBuckets)
@@ -72,6 +86,7 @@ object ForgetOps {
     * media's OWN frame hashes. */
   def forgetFromPhashIndex(spark: SparkSession, path: String,
       media: DataFrame, fps: Int = 4, k: Int = 8, nBuckets: Int = 64): Unit = {
+    requirePayload(media, "content", "forgetFromPhashIndex")
     MultimodalOps.assertPhashMeta(spark, path, fps, k, nBuckets)
     val keys = MultimodalOps.bandedPhash(media, fps, k, nBuckets)
       .select(col("band_ix"), col("bucket")).distinct()
@@ -91,6 +106,7 @@ object ForgetOps {
   def forgetFromPostingsIndex(spark: SparkSession, path: String,
       docs: DataFrame, nPt: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    requirePayload(docs, textCol, "forgetFromPostingsIndex")
     RetrievalOps.assertPostingsMeta(spark, path, nPt, "forgetFromPostingsIndex")
     val pts = docs
       .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("tok"))
@@ -102,10 +118,13 @@ object ForgetOps {
         pts.map(pt => Seq("pt" -> pt.toString)),
         dropIds = ids, joinCol = "doc_id", sortCols = Seq("tok", "doc_id"))
     }
+    // each `_docs` level is the only copy of its survivor rows — swap via
+    // staging, never truncate-in-place (heal first: a prior pass may have
+    // crashed mid-swap, leaving a level's rows only in its staging sibling)
+    healStagedLevels(spark, s"$path/_docs")
     batchLevels(spark, s"$path/_docs").foreach { level =>
-      val kept = spark.read.parquet(level)
-        .join(ids, Seq("doc_id"), "left_anti").localCheckpoint(true)
-      kept.write.mode(SaveMode.Overwrite).parquet(level)
+      stagedOverwrite(level,
+        spark.read.parquet(level).join(ids, Seq("doc_id"), "left_anti"))
     }
   }
 
@@ -113,11 +132,20 @@ object ForgetOps {
     * landing a NEGATIVE-count delta level — the streaming sink's own
     * additive algebra, so the forget is delta-sized (the forgotten docs'
     * shingles only) and never touches existing levels. The source tag is
-    * derived from the new level id, so [[TextOps.readShingleCounts]]'
-    * (shingle, src) replay-dedup can never collapse two distinct forget
-    * passes (or a forget with a real batch). Shingles whose corpus count
-    * reaches zero vanish at read time (readShingleCounts drops
-    * zero-sum rows — a count of zero IS absence).
+    * derived from the FORGOTTEN ID SET itself (plus `passId` —
+    * [[forgetSrc]]), so the face is IDEMPOTENT under the documented
+    * "rerun the whole forget" recovery: a crashed-then-rerun pass (or an
+    * at-least-once orchestration retry) lands a second delta whose
+    * (shingle, src, cnt) rows are identical to the first, and
+    * [[TextOps.readShingleCounts]]' (shingle, src) max-dedup collapses
+    * the rerun into a no-op instead of double-subtracting. Distinct id
+    * sets hash to distinct src tags, so two different forget passes (or
+    * a forget and a real batch — real batches tag src >= -1) never
+    * merge. Forgetting the SAME ids twice deliberately (the ids were
+    * re-added in between) needs a bumped `passId` — with the default the
+    * second pass is by design the first's no-op rerun. Shingles whose
+    * corpus count reaches zero vanish at read time (readShingleCounts
+    * drops zero-sum rows — a count of zero IS absence).
     *
     * Single-maintainer like every in-place face: run with any
     * shingleIndexStream quiesced — the forget level advances the sink's
@@ -126,7 +154,9 @@ object ForgetOps {
     * from a fresh checkpoint above the forget level. */
   def forgetFromShingleIndex(spark: SparkSession, path: String,
       docs: DataFrame, k: Int = 3, nPb: Int = 16, hashed: Boolean = true,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      passId: Long = 0L): Unit = {
+    requirePayload(docs, textCol, "forgetFromShingleIndex")
     TextOps.assertSpanMeta(spark, path, k, nPb = Some(nPb),
       hashed = Some(hashed))
     val level = batchLevels(spark, path)
@@ -134,11 +164,34 @@ object ForgetOps {
       .foldLeft(-1L)(math.max) + 1L
     TextOps.shinglePartialCounts(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
-        k, nPb, hashed, src = -(level + 2L))
+        k, nPb, hashed, src = forgetSrc(docs, idCol, passId))
       .withColumn("cnt", -col("cnt"))
       .repartition(col("pb"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pb").parquet(s"$path/__batch=$level")
+  }
+
+  /** The shingle forget's src tag: an order-independent digest of the
+    * forgotten id set (sum + xor + count of per-id salted xxhash64 —
+    * ONE agg job, a 1-row collect), mapped into the negative range below
+    * -1 so it can never collide with the base level's src (-1) or a
+    * stream batch's (>= 0). Deterministic across reruns by construction;
+    * two distinct id sets colliding is a ~2^-63 event (documented,
+    * accepted — same class as every content hash in the engine). */
+  private[graft] def forgetSrc(ids: DataFrame, idCol: String,
+      passId: Long): Long = {
+    val r = ids
+      .select(xxhash64(col(idCol).cast("string"), lit(passId)).as("__h"))
+      // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+      .agg(sum(col("__h").cast("decimal(38,0)")).as("s"),
+        expr("bit_xor(__h)").as("x"), count(lit(1)).as("c"))
+      .collect()(0)
+    val s = if (r.isNullAt(0)) 0L
+      else r.getDecimal(0).toBigInteger.longValue() // wraps mod 2^64
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val mixed = java.lang.Long.rotateLeft(s, 17) ^
+      java.lang.Long.rotateLeft(x, 43) ^ (r.getLong(2) * 0x9E3779B97F4A7C15L)
+    -2L - (mixed & Long.MaxValue) % (Long.MaxValue - 2L)
   }
 
   /** Drop `ids` from a cell-partitioned ANN layout
@@ -156,6 +209,35 @@ object ForgetOps {
       vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     SimilarityOps.assertSq8Meta(spark, path, centroids, "forgetFromCellIndex")
+    forgetFromHomeCells(spark, path, vectors, centroids, idCol, vecCol,
+      "forgetFromCellIndex")
+  }
+
+  /** [[forgetFromCellIndex]] for the [[SimilarityOps.writePqIndex]]
+    * codes layout — the same home-cell rewrite under the frozen coarse
+    * centroids (rows are (id, codes, cell) in both layouts; only the
+    * geometry sidecar differs, asserted via the PQ `_meta.json`). The
+    * codebooks play no part in the delete itself — cells are assigned by
+    * the coarse centroids alone — but the caller supplies them so a
+    * drifted (m, c, subDim) pass fails loudly like every PQ probe. */
+  def forgetFromPqIndex(spark: SparkSession, path: String,
+      vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    SimilarityOps.assertPqMeta(spark, path, centroids, codebooks,
+      "forgetFromPqIndex")
+    forgetFromHomeCells(spark, path, vectors, centroids, idCol, vecCol,
+      "forgetFromPqIndex")
+  }
+
+  /** The shared home-cell rewrite behind the IVF/SQ8/PQ forgets: the
+    * affected cell directories are the forgotten vectors' own homes
+    * under the FROZEN centroids (per-vector deterministic, so the
+    * readback equals a rebuild over the remaining vectors row-for-row). */
+  private def forgetFromHomeCells(spark: SparkSession, path: String,
+      vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String, vecCol: String, face: String): Unit = {
+    requirePayload(vectors, vecCol, face)
     val vecs = vectors.select(col(idCol).as("id"),
       graft.functions.VectorFns.toDouble(col(vecCol)).as("v"))
     val cells = SimilarityOps.assignCells(vecs, centroids)
@@ -232,22 +314,34 @@ object ForgetOps {
     * `manifest/__batch=*` served versions): every evidence level drops
     * the ids' rows (evidence FIRST — at any crash point the served
     * manifest is at worst stale, never derived from evidence that still
-    * remembers the ids after the pass claims success), then the NEWEST
-    * manifest version is re-derived in place from the surviving evidence
-    * via the caller's `remanifest` — version numbering is untouched, so
-    * the sink's checkpoint lineage stays valid and a later stream replay
-    * of that batch re-manifests from the SAME forgotten evidence. */
+    * remembers the ids after the pass claims success; each level swaps
+    * through [[stagedOverwrite]], so no crash point loses survivor
+    * evidence), then the NEWEST manifest version is re-derived from the
+    * surviving evidence via the caller's `remanifest` (staged too — the
+    * served version is never torn), and finally every OLDER manifest
+    * version is vacuumed ([[graft.streaming.StreamingOps
+    * .vacuumScheduleManifests]] down to the newest): superseded versions
+    * are full snapshots that still remember the forgotten ids, so a
+    * compliance pass that left them readable would not have erased
+    * anything — the retention contract is that a completed forget leaves
+    * exactly ONE served version, the re-derived newest. Version numbering
+    * of that newest version is untouched, so the sink's checkpoint
+    * lineage stays valid and a later stream replay of that batch
+    * re-manifests from the SAME forgotten evidence. A crash between the
+    * re-manifest and the vacuum leaves older versions readable until the
+    * documented rerun — the window is the pass itself, never "forever". */
   def forgetFromSchedule(spark: SparkSession, path: String, ids: DataFrame,
       deltaDDL: String, remanifest: DataFrame => DataFrame): Unit = {
     val dead = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .localCheckpoint(true)
+    healStagedLevels(spark, s"$path/_docs")
     batchLevels(spark, s"$path/_docs").foreach { level =>
-      val kept = spark.read
+      stagedOverwrite(level, spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(deltaDDL))
         .parquet(level)
-        .join(dead, Seq("doc_id"), "left_anti").localCheckpoint(true)
-      kept.write.mode(SaveMode.Overwrite).parquet(level)
+        .join(dead, Seq("doc_id"), "left_anti"))
     }
+    healStagedLevels(spark, s"$path/manifest")
     val manifests = batchLevels(spark, s"$path/manifest")
     require(manifests.nonEmpty,
       s"forgetFromSchedule: no served manifest under $path/manifest")
@@ -262,8 +356,214 @@ object ForgetOps {
       .agg(max_by(struct(dataCols.map(col): _*),
         struct((col("__batch") +: dataCols.map(col)): _*)).as("__v"))
       .select(col("doc_id") +: dataCols.map(c => col(s"__v.$c").as(c)): _*)
-    remanifest(corpus).localCheckpoint(true)
-      .write.mode(SaveMode.Overwrite).parquet(newest)
+    stagedOverwrite(newest, remanifest(corpus))
+    graft.streaming.StreamingOps.vacuumScheduleManifests(spark, path,
+      keepVersions = 1)
+  }
+
+  /** Forget `ids` from a [[graft.streaming.StreamingOps.curatedIngest]]
+    * landing — BOTH sides: the landed document rows AND the `_para_index`
+    * admission keys the ids contributed. Without the index side, a
+    * forgotten document's admitted 8-byte paragraph keys would sit in the
+    * index forever and identical content arriving later from a surviving
+    * source would be silently dropped — the landing's dedup truth would
+    * drift from "dedup against the surviving corpus".
+    *
+    * The forgotten ADMITTED keys are derived from the ids' own LANDED
+    * `clean_text` (re-chunked — kept chunks are all exactly `chunkSize`
+    * tokens except a doc's final one, so re-chunking the reassembled text
+    * reproduces the admitted keys bit-exactly), NOT from the raw payload:
+    * a raw-text key the id merely SHARED with an earlier admitter belongs
+    * to the surviving corpus and must stay. This also makes the face
+    * ids-only by nature — the landing itself holds the payload evidence.
+    * Key removal is a partition-pruned [[rewritePartitions]] of the
+    * touched `pb` directories per level; document removal is a
+    * [[stagedOverwrite]] anti-join per level (no truncation window).
+    *
+    * Re-admission contract (the oracle row's law): after the forget, a
+    * re-crawl that re-sends content whose every admitter was forgotten is
+    * ADMITTED again, and the index converges to the same key set a
+    * rebuild over (surviving ∪ re-crawl) produces.
+    *
+    * Single-maintainer: run with the ingest stream quiesced. The pass
+    * ends by landing an EMPTY fence level at max+1 on both roots, so a
+    * stale-checkpoint restart below the fence refuses loudly
+    * (requireBatchLineage) instead of resurrecting forgotten rows by
+    * replaying its newest batch; the live stream's NEXT batch id equals
+    * the fence and legitimately overwrites it. Crash anywhere → rerun
+    * (keys are re-derivable while the doc rows survive, and the doc purge
+    * runs after the index rewrite; once the docs are purged a rerun's key
+    * set is empty and only the fences remain to land). */
+  def forgetFromCuratedLanding(spark: SparkSession, outDir: String,
+      ids: DataFrame, chunkSize: Int = 8, nPb: Int = 64,
+      idCol: String = "doc_id"): Unit = {
+    val docsRoot = s"$outDir/docs"
+    val idx = s"$outDir/_para_index"
+    ParamMeta.assertMatches(spark, idx,
+      Seq("chunkSize" -> chunkSize.toLong, "nPb" -> nPb.toLong),
+      "curated-landing parameters", "a fresh curatedIngest outDir")
+    // heal any crashed fold FIRST: keys hidden in _compacting/_retired
+    // leftovers would dodge the rewrite and resurface at the next fold
+    graft.streaming.StreamingOps.compactParaIndex(spark, outDir)
+    graft.streaming.StreamingOps.compactCuratedDocs(spark, outDir)
+    healStagedLevels(spark, docsRoot)
+    val docsDDL = "doc_id LONG, clean_text STRING, n_kept LONG, n_dropped LONG"
+    val dead = ids.select(col(idCol).cast("long").as("doc_id"))
+      .localCheckpoint(true)
+    val landed = spark.read
+      .schema(s"$docsDDL, __batch LONG")
+      .option("basePath", docsRoot).parquet(docsRoot)
+      .join(dead, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // eager: the rewrites below mutate the very directories this reads
+    val keys = TextOps.chunkTokens(landed, chunkSize, chunkSize)
+      .select(xxhash64(col("chunk_text")).as("__k")).distinct()
+      .withColumn("pb", pmod(col("__k"), lit(nPb.toLong)).cast("int"))
+      .localCheckpoint(true)
+    val touched = keys.select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    batchLevels(spark, idx).foreach { level =>
+      rewritePartitions(spark, level,
+        touched.map(pb => Seq("pb" -> pb.toString)),
+        dropIds = keys.select(col("__k")), joinCol = "__k",
+        sortCols = Seq("__k"))
+    }
+    batchLevels(spark, docsRoot).foreach { level =>
+      stagedOverwrite(level, spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(docsDDL))
+        .parquet(level)
+        .join(dead, Seq("doc_id"), "left_anti"))
+    }
+    // lineage fences: one EMPTY level directory above the current max on
+    // each root — a bare dir + `_SUCCESS` marker (the marker materializes
+    // the "directory" on object stores), so requireBatchLineage sees it
+    // while partition discovery and every schema read ignore a fileless
+    // level (a zero-row parquet write would plant a flat part file under
+    // a pb-partitioned root — conflicting partition depths)
+    Seq(idx, docsRoot).foreach { root =>
+      val fence = batchLevels(spark, root)
+        .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l)
+          .map(_.group(1).toLong))
+        .foldLeft(-1L)(math.max) + 1L
+      val dir = new org.apache.hadoop.fs.Path(s"$root/__batch=$fence")
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(dir): Unit
+      f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+    }
+  }
+
+  /** Persist the ATTESTATION of a completed composed forget pass — the
+    * durable record a GDPR audit reads (records, not job logs): WHO/WHAT
+    * via the id-set digest + id count, the per-artifact evidence
+    * (n_after, n_diff) the pass computed, WHEN via a wall-clock stamp,
+    * and the caller's parameters, under a monotone `__pass=<n>` version
+    * directory at `root`. Completion discipline: the evidence parquet
+    * lands first, the `_meta.json` sidecar last — the sidecar IS the
+    * completion marker, so a pass that crashed mid-attestation leaves a
+    * version [[readAttestation]] ignores (and the documented rerun
+    * re-attests under the next pass id). Returns the pass id. */
+  def writeAttestation(spark: SparkSession, root: String, ids: DataFrame,
+      idCol: String, audit: Seq[(String, Long, Long)],
+      params: Seq[(String, Long)] = Seq.empty): Long = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val passId = (if (f.exists(rootPath))
+        f.listStatus(rootPath).map(_.getPath.getName)
+          .filter(_.startsWith("__pass=")).map(_.stripPrefix("__pass=").toLong)
+      else Array.empty[Long]).foldLeft(-1L)(math.max) + 1L
+    val dir = s"$root/__pass=$passId"
+    val nIds = ids.agg(count(lit(1))).collect()(0).getLong(0)
+    import spark.implicits._
+    audit.toDF("artifact", "n_after", "n_diff")
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    ParamMeta.write(spark, dir, Seq(
+      "pass_id" -> passId,
+      "ids_digest" -> forgetSrc(ids, idCol, passId = 0L),
+      "n_ids" -> nIds,
+      "completed_at_ms" -> System.currentTimeMillis()) ++ params)
+    passId
+  }
+
+  /** The newest COMPLETE attestation's per-artifact evidence (complete =
+    * carries the `_meta.json` completion marker — a crashed pass's
+    * partial version is invisible). Throws when no complete attestation
+    * exists: "was this corpus ever erased?" must never silently read as
+    * an empty audit. */
+  def readAttestation(spark: SparkSession, root: String): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val complete = (if (f.exists(rootPath))
+        f.listStatus(rootPath).map(_.getPath.getName)
+          .filter(_.startsWith("__pass=")).map(_.stripPrefix("__pass=").toLong)
+          .toSeq
+      else Seq.empty[Long])
+      .filter(p => ParamMeta.readText(spark, s"$root/__pass=$p").isDefined)
+    require(complete.nonEmpty,
+      s"readAttestation: no complete forget attestation under $root — " +
+        "either no composed pass ever finished here, or the path is wrong")
+    spark.read.parquet(s"$root/__pass=${complete.max}")
+      .select(col("artifact"), col("n_after"), col("n_diff"))
+  }
+
+  /** Refuse an ids-only erasure request on a face that derives its
+    * affected partitions by re-signing the forgotten payloads. Failing
+    * here is the contract: silently proceeding would NPE deep in the
+    * signature derivation, and guessing (a full artifact scan) would turn
+    * a delta-proportional face into a corpus-sized one behind the
+    * caller's back. */
+  private def requirePayload(df: DataFrame, colName: String,
+      face: String): Unit =
+    require(df.columns.contains(colName),
+      s"$face derives the affected partitions by re-signing the forgotten " +
+        s"payloads, but the tombstone frame has no '$colName' column (an " +
+        "ids-only erasure request — payload purged upstream?). Supply the " +
+        "payloads being erased, or rebuild the artifact from the surviving " +
+        s"corpus instead. Columns present: ${df.columns.mkString(", ")}")
+
+  /** Replace `dir`'s contents without the mid-Overwrite data-loss window
+    * a same-directory `SaveMode.Overwrite` opens (it truncates the target
+    * at job start, so a crash mid-write loses the directory's SURVIVOR
+    * rows — and the level was their only copy): materialize the new
+    * contents to an invisible `_staged_` SIBLING first, then swap
+    * (delete target, rename staging in). Every crash point leaves the
+    * full row set in at least one of the two directories, and
+    * [[healStagedLevels]] — run by each face before it enumerates levels
+    * — restores the invariant. The staged-rename discipline of
+    * StreamingOps' foldBatchDirs, specialized to one directory. */
+  private def stagedOverwrite(dir: String, df: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      p.getParent, "_staged_" + p.getName)
+    if (f.exists(staging)) f.delete(staging, true): Unit
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    require(f.delete(p, true) || !f.exists(p),
+      s"stagedOverwrite: delete $p failed")
+    require(f.rename(staging, p), s"stagedOverwrite: rename $staging -> $p failed")
+  }
+
+  /** Recover [[stagedOverwrite]] crash leftovers under `root`: a
+    * `_staged_<level>` sibling whose level is MISSING holds the survivors
+    * of a swap that crashed between delete and rename — rename it in; one
+    * whose level still exists is a stale (possibly partial) staging from
+    * a crash before the swap — the level is still the complete pre-pass
+    * copy, so drop the staging and let the rerun re-derive. Underscore
+    * prefix keeps leftovers invisible to every parquet reader and to
+    * [[batchLevels]] in the meantime. */
+  private def healStagedLevels(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    f.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("_staged_")).foreach { st =>
+        val target = new org.apache.hadoop.fs.Path(
+          p, st.getName.stripPrefix("_staged_"))
+        if (!f.exists(target))
+          require(f.rename(st, target), s"healStagedLevels: rename $st failed")
+        else f.delete(st, true): Unit
+      }
   }
 
   /** The `__batch=` level directories under `root` (empty when `root`

@@ -686,22 +686,9 @@ object MultimodalOps {
     * per source. */
   def mediaCard(docs: DataFrame, fps: Int = 4, k: Int = 8, maxDist: Int = 3,
       minFrames: Int = 2, w: Int = 8, divisor: Int = 16): DataFrame = {
-    val media = docs.select(
-      col("doc_id").as("media_id"), col("source"),
-      to_binary(col("text"), lit("utf-8")).as("content"))
-    val fb = 64L
-    val base = media
-      .withColumn("__nf", expr(s"CAST(octet_length(content) AS LONG) DIV ${fb}L"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_media"),
-        coalesce(sum(octet_length(col("content")).cast("long")), lit(0L))
-          .as("n_bytes"),
-        coalesce(sum(when(col("__nf") > 0, least(lit(k.toLong), col("__nf")))
-          .otherwise(lit(0L))), lit(0L)).as("n_frames"))
-    val chunks = cdcByteChunks(media, w, divisor)
-      .withColumn("addr", sha2(col("chunk_bytes"), 256))
-      .join(media.select(col("media_id"), col("source")), Seq("media_id"))
-      .groupBy(col("source"))
+    val media = mediaWithSource(docs)
+    val chunkRows = mediaChunkRows(media, w, divisor)
+    val chunks = chunkRows.groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("addr")).as("n_distinct_chunks"))
     val dupIds = mediaPhashDups(media, fps, k, maxDist, minFrames)
@@ -710,14 +697,49 @@ object MultimodalOps {
     val mass = media.join(dupIds, Seq("media_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_phash_clustered"))
-    base
+    mediaCardSelect(mediaByteSums(media, k)
       .join(chunks, Seq("source"), "left")
-      .join(mass, Seq("source"), "left")
-      .select(col("source"), col("n_media"), col("n_bytes"), col("n_frames"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(col("n_distinct_chunks"), lit(0L)).as("n_distinct_chunks"),
-        coalesce(col("n_phash_clustered"), lit(0L)).as("n_phash_clustered"))
+      .join(mass, Seq("source"), "left"))
   }
+
+  /** The (media_id, source, content) frame the card faces share — doc_id
+    * keyed, text-as-bytes (the stub-decode geometry). */
+  private[graft] def mediaWithSource(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"), col("source"),
+      to_binary(col("text"), lit("utf-8")).as("content"))
+
+  /** The card's SUMMABLE per-source byte/frame tallies — shared by the
+    * batch card and the streamed card's per-batch partials (long sums
+    * fold associatively, so the streamed merge is bit-identical). */
+  private[graft] def mediaByteSums(media: DataFrame, k: Int): DataFrame = {
+    val fb = 64L
+    media
+      .withColumn("__nf", expr(s"CAST(octet_length(content) AS LONG) DIV ${fb}L"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        coalesce(sum(octet_length(col("content")).cast("long")), lit(0L))
+          .as("n_bytes"),
+        coalesce(sum(when(col("__nf") > 0, least(lit(k.toLong), col("__nf")))
+          .otherwise(lit(0L))), lit(0L)).as("n_frames"))
+  }
+
+  /** One row per CDC chunk with its content address and source — the
+    * card's dedup-evidence base, shared batch/streamed. */
+  private[graft] def mediaChunkRows(media: DataFrame, w: Int,
+      divisor: Int): DataFrame =
+    cdcByteChunks(media, w, divisor)
+      .withColumn("addr", sha2(col("chunk_bytes"), 256))
+      .join(media.select(col("media_id"), col("source")), Seq("media_id"))
+      .select(col("media_id"), col("source"), col("addr"))
+
+  /** The card's final column face (left-join zeros) — ONE definition so
+    * the streamed readback can't drift from the batch card. */
+  private[graft] def mediaCardSelect(joined: DataFrame): DataFrame =
+    joined.select(col("source"), col("n_media"), col("n_bytes"), col("n_frames"),
+      coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+      coalesce(col("n_distinct_chunks"), lit(0L)).as("n_distinct_chunks"),
+      coalesce(col("n_phash_clustered"), lit(0L)).as("n_phash_clustered"))
 
   /** Deterministic frame sampling stub: pick every `stride`-th chunk of
     * `chunk` bytes — the partition/batch shape of real frame extraction. */

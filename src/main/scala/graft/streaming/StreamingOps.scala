@@ -170,6 +170,69 @@ object StreamingOps {
           indexPath, batch, idCol, textCol, shingleK, nHashes, bands, nBuckets)
       }
 
+  /** The COMPOSED compliance queue — [[lshForgetStream]] generalized to
+    * every payload-deriving face: ONE tombstone stream (documents with
+    * the payloads being erased, or vectors for the cell face) drains into
+    * each artifact the caller wires a path for, per micro-batch. This is
+    * the production shape a GDPR pipeline runs: erasure requests arrive
+    * once, and every derived artifact forgets them without a second
+    * queue.
+    *
+    * Faces are the batch faces verbatim (one truth): LSH / pHash /
+    * postings are anti-join partition rewrites — idempotent under
+    * at-least-once replay by construction; the SHINGLE face's negative
+    * delta is made replay-idempotent by tagging it with
+    * `passId = batchId` ([[graft.operators.ForgetOps
+    * .forgetFromShingleIndex]]'s id-set + passId src derivation): a
+    * checkpoint replay of the same batch re-lands the SAME (shingle, src)
+    * rows (collapsed by the read-side dedup), while two different
+    * batches — even with overlapping ids — land under distinct src tags.
+    * The cell faces (IVF/SQ8 via `sq8Path`, PQ via `pqPath`) rewrite the
+    * tombstoned vectors' home cells under the frozen geometry.
+    *
+    * After the stream drains, every wired artifact equals a batch forget
+    * of the union of all tombstones (the q_stream_forget_all gate).
+    * Single-mutator per artifact, like every in-place maintenance op —
+    * quiesce the artifact's own maintenance stream while its face
+    * drains. */
+  def forgetStream(tombstones: DataFrame, checkpoint: String,
+      lshPath: Option[String] = None,
+      phashPath: Option[String] = None,
+      postingsPath: Option[String] = None,
+      shinglePath: Option[String] = None,
+      sq8Path: Option[String] = None,
+      pqPath: Option[String] = None,
+      centroids: Seq[(Int, Seq[Double])] = Seq.empty,
+      codebooks: Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecCol: String = "embedding",
+      shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
+      nBuckets: Int = 64, nPt: Int = 16,
+      spanK: Int = 3, nPb: Int = 16, hashed: Boolean = true,
+      fps: Int = 4, frameK: Int = 8,
+      phashBuckets: Int = 64): DataStreamWriter[Row] =
+    tombstones.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{ForgetOps, MultimodalOps}
+        val s = batch.sparkSession
+        // up to six faces re-read the tombstones — pin once per batch
+        val b = batch.localCheckpoint(true)
+        lshPath.foreach(p => ForgetOps.forgetFromLshIndex(s, p, b,
+          idCol, textCol, shingleK, nHashes, bands, nBuckets))
+        phashPath.foreach(p => ForgetOps.forgetFromPhashIndex(s, p,
+          MultimodalOps.mediaFromDocuments(b), fps, frameK, phashBuckets))
+        postingsPath.foreach(p => ForgetOps.forgetFromPostingsIndex(s, p, b,
+          nPt, idCol, textCol))
+        shinglePath.foreach(p => ForgetOps.forgetFromShingleIndex(s, p, b,
+          spanK, nPb, hashed, idCol, textCol, passId = batchId))
+        sq8Path.foreach(p => ForgetOps.forgetFromCellIndex(s, p, b,
+          centroids, idCol, vecCol))
+        pqPath.foreach(p => ForgetOps.forgetFromPqIndex(s, p, b,
+          centroids, codebooks, idCol, vecCol))
+      }
+
   /** Streaming CURATED landing: each micro-batch of documents (doc_id,
     * text) is paragraph-deduped against the ACCUMULATED corpus — an
     * 8-byte paragraph-key index maintained under `outDir/_para_index` —
@@ -234,6 +297,17 @@ object StreamingOps {
     // enforces the rule mechanically)
     requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$outDir/docs"),
       batchId, "curatedIngest", s"$outDir/docs")
+    // the landing's key geometry, pinned like every persisted index: a
+    // restart (or a forget pass) with drifted chunkSize/nPb would probe
+    // the wrong pb directories / mis-key paragraphs silently
+    graft.operators.ParamMeta.assertMatches(s, idx,
+      Seq("chunkSize" -> chunkSize.toLong, "nPb" -> nPb.toLong),
+      "curated-landing parameters", "a fresh curatedIngest outDir")
+    if (!f.exists(new org.apache.hadoop.fs.Path(idx, "_meta.json"))) {
+      if (!f.exists(idxPath)) f.mkdirs(idxPath): Unit
+      graft.operators.ParamMeta.write(s, idx,
+        Seq("chunkSize" -> chunkSize.toLong, "nPb" -> nPb.toLong))
+    }
     // a compactParaIndex crash can leave the folded keys visible only in
     // staging/retired leftovers (the hide window) — admissions computed
     // against the visible levels alone would re-admit known paragraphs
@@ -2215,6 +2289,153 @@ object StreamingOps {
     foldBatchDirs(spark, s"$path/_hll",
       "source STRING, kind STRING, sketch BINARY, src LONG",
       dedupKeys = Seq("source", "kind", "src"), partitionCols = Seq.empty)
+  }
+
+  /** Streaming MULTIMODAL release report — [[cardStream]]'s media twin
+    * ([[graft.operators.MultimodalOps.mediaCard]] kept current without
+    * re-scanning history): each micro-batch lands slim per-batch evidence
+    * under batch-id-derived directories and the card assembles at READ
+    * time ([[readMediaCard]]) from state that is tiny next to the
+    * payloads:
+    *
+    *  - `_phidx/__batch=<id>`: the batch's banded frame hashes — the
+    *    maintained [[phashIndexStream]] layout (meta-pinned), landed
+    *    FIRST so the batch's own pair probe and every later batch's see
+    *    one consistent corpus;
+    *  - `_sums/__batch=<id>`: summable per-source tallies (media, bytes,
+    *    frames, total chunks), `src = batchId`-tagged like the text
+    *    card's partials (dedup-foldable, never double-counted);
+    *  - `_chunkkeys/__batch=<id>`: the batch's DISTINCT (source, addr)
+    *    chunk addresses (distinct-of-distincts == distinct-of-union);
+    *  - `_media/__batch=<id>`: (media_id, source) — the attribution face
+    *    a cross-batch pair's CORPUS endpoint needs (the index stores
+    *    hashes, not sources);
+    *  - `_dup/__batch=<id>`: media ids newly observed in a
+    *    ≥ `minFrames` near-dup pair. Each unordered media pair's full
+    *    frame-pair set is visible exactly when its LATER member lands
+    *    (the index already holds every earlier frame, and the batch's
+    *    own level covers batch-internal pairs), so the union of per-batch
+    *    endpoint sets equals the batch card's cluster mass — no read-time
+    *    self-join over the accumulated index, ever.
+    *
+    * Idempotent via per-batch Overwrite (hashes/addresses deterministic
+    * given batch contents; the pair probe reads levels <= batchId, which
+    * a replay sees identically), lineage-guarded per sub-root.
+    * Re-sending a media id double-counts the sums (at-least-once sources
+    * compose upstream dedup — the cardStream contract). Fold the
+    * accumulated deltas with [[compactMediaCardState]]. */
+  def mediaCardStream(docs: DataFrame, path: String, checkpoint: String,
+      fps: Int = 4, k: Int = 8, maxDist: Int = 3, minFrames: Int = 2,
+      w: Int = 8, divisor: Int = 16, nBuckets: Int = 64): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaCardBatch(batch, batchId, path, fps, k, maxDist, minFrames,
+          w, divisor, nBuckets)
+      }
+
+  /** One [[mediaCardStream]] micro-batch (extracted for spec-driven
+    * replay/crash orderings). */
+  private[graft] def mediaCardBatch(batch: DataFrame, batchId: Long,
+      path: String, fps: Int, k: Int, maxDist: Int, minFrames: Int,
+      w: Int, divisor: Int, nBuckets: Int): Unit = {
+    import graft.operators.MultimodalOps
+    val s = batch.sparkSession
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("_sums", "_chunkkeys", "_media", "_dup").foreach { sub =>
+      requireBatchLineage(f, new org.apache.hadoop.fs.Path(s"$path/$sub"),
+        batchId, "mediaCardStream", s"$path/$sub")
+    }
+    // one media frame, five consumers — pin it (the curatedBatch shape)
+    val media = MultimodalOps.mediaWithSource(batch).localCheckpoint(true)
+    // frames into the maintained index FIRST: phashBatch guards its own
+    // lineage + meta, and the pair probe below must see this batch's own
+    // frames (batch-internal pairs) beside the accumulated corpus
+    phashBatch(media, batchId, s"$path/_phidx", fps, k, nBuckets)
+    val chunkRows = MultimodalOps.mediaChunkRows(media, w, divisor)
+    MultimodalOps.mediaByteSums(media, k)
+      .join(chunkRows.groupBy(col("source")).agg(count(lit(1)).as("n_chunks")),
+        Seq("source"), "left")
+      .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+      .withColumn("src", lit(batchId))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_sums/__batch=$batchId")
+    chunkRows.select(col("source"), col("addr")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_chunkkeys/__batch=$batchId")
+    media.select(col("media_id"), col("source"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_media/__batch=$batchId")
+    // the pair probe: this batch's frames against the index root (levels
+    // <= batchId — the lineage guard forbids anything newer, so a replay
+    // reads the same corpus). The lean no-alignment arm: the card needs
+    // endpoint ids only.
+    MultimodalOps.mediaPhashDupsIndexed(media, s"$path/_phidx",
+        fps, k, maxDist, minFrames, nBuckets, alignment = false)
+      .select(explode(array(col("media_new"), col("media_corpus")))
+        .as("media_id"))
+      .distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_dup/__batch=$batchId")
+  }
+
+  /** Assemble the current media card from a [[mediaCardStream]] landing —
+    * equals [[graft.operators.MultimodalOps.mediaCard]] over every
+    * document landed so far (the g_media_card oracle, shared): merged
+    * source-tagged sums, distinct-of-distincts chunk addresses, and the
+    * accumulated dup-endpoint ids attributed through the `_media` face. */
+  def readMediaCard(spark: SparkSession, path: String): DataFrame = {
+    val sums = stateScan(spark, s"$path/_sums",
+        "source STRING, n_media LONG, n_bytes LONG, n_frames LONG, " +
+          "n_chunks LONG, src LONG")
+      .dropDuplicates(Seq("source", "src"))
+      .groupBy(col("source")).agg(
+        sum(col("n_media")).as("n_media"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("n_chunks")).as("n_chunks"))
+    val dchunks = stateScan(spark, s"$path/_chunkkeys",
+        "source STRING, addr STRING")
+      .dropDuplicates(Seq("source", "addr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_chunks"))
+    val mass = stateScan(spark, s"$path/_dup", "media_id LONG")
+      .dropDuplicates(Seq("media_id"))
+      .join(stateScan(spark, s"$path/_media", "media_id LONG, source STRING")
+        .dropDuplicates(Seq("media_id")), Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_phash_clustered"))
+    graft.operators.MultimodalOps.mediaCardSelect(
+      sums.join(dchunks, Seq("source"), "left")
+        .join(mass, Seq("source"), "left")
+        // n_chunks is already zero-coalesced per batch; the final face
+        // re-coalesces harmlessly
+        )
+  }
+
+  /** Fold the media-card state's per-batch deltas — the shared
+    * staged-rename fold on every sub-sink: sums dedup on (source, src)
+    * (source-tagged partials — a summing fold would double-count on
+    * rerun), the key/id faces on their full identity, and the frame
+    * index through [[compactPhashIndex]]. */
+  def compactMediaCardState(spark: SparkSession, path: String): Unit = {
+    foldBatchDirs(spark, s"$path/_sums",
+      "source STRING, n_media LONG, n_bytes LONG, n_frames LONG, " +
+        "n_chunks LONG, src LONG",
+      dedupKeys = Seq("source", "src"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_chunkkeys", "source STRING, addr STRING",
+      dedupKeys = Seq("source", "addr"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_media", "media_id LONG, source STRING",
+      dedupKeys = Seq("media_id", "source"), partitionCols = Seq.empty)
+    foldBatchDirs(spark, s"$path/_dup", "media_id LONG",
+      dedupKeys = Seq("media_id"), partitionCols = Seq.empty)
+    compactPhashIndex(spark, s"$path/_phidx")
   }
 
   private val topkStateDDL =

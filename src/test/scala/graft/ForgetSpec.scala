@@ -78,8 +78,15 @@ class ForgetSpec extends SparkSpec {
     TextOps.writeShingleIndex(kept, s"$dir/sh2", k = 3, nPb = 8, hashed = true)
     assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
       rows(TextOps.readShingleCounts(spark, s"$dir/sh2", hashed = true)))
-    // a SECOND forget lands its own negative level under a DISTINCT src
-    // tag (the (shingle, src) replay-dedup must never merge two passes)
+    // a SAME-ids rerun (crash recovery, at-least-once retry) lands a
+    // second delta under the SAME id-set-derived src, and the
+    // (shingle, src) replay-dedup collapses it — never double-subtracts
+    ForgetOps.forgetFromShingleIndex(spark, s"$dir/sh", ids, k = 3, nPb = 8,
+      hashed = true)
+    assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
+      rows(TextOps.readShingleCounts(spark, s"$dir/sh2", hashed = true)))
+    // a SECOND forget of a DIFFERENT id set lands under a DISTINCT src
+    // tag (the replay-dedup must never merge two distinct passes)
     val ids2 = d.filter(col("doc_id") === 6L)
     val kept2 = kept.filter(col("doc_id") =!= 6L)
     ForgetOps.forgetFromShingleIndex(spark, s"$dir/sh", ids2, k = 3, nPb = 8,
@@ -87,6 +94,130 @@ class ForgetSpec extends SparkSpec {
     TextOps.writeShingleIndex(kept2, s"$dir/sh3", k = 3, nPb = 8, hashed = true)
     assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
       rows(TextOps.readShingleCounts(spark, s"$dir/sh3", hashed = true)))
+    // forgetting the same ids AGAIN on purpose (re-add scenario) is the
+    // bumped-passId path: a distinct src, so the delta applies
+    ForgetOps.forgetFromShingleIndex(spark, s"$dir/sh", ids2, k = 3, nPb = 8,
+      hashed = true, passId = 1L)
+    assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) !=
+      rows(TextOps.readShingleCounts(spark, s"$dir/sh3", hashed = true)))
+  }
+
+  test("ids-only tombstones refuse loudly on payload-deriving faces") {
+    val d = docs()
+    val dir = tmpDir()
+    DedupOps.writeMinHashIndex(d, s"$dir/lsh", nBuckets = 8)
+    val idsOnly = d.select(col("doc_id"))
+    for ((name, run) <- Seq[(String, () => Unit)](
+        "forgetFromLshIndex" -> (() =>
+          ForgetOps.forgetFromLshIndex(spark, s"$dir/lsh", idsOnly, nBuckets = 8)),
+        "forgetFromPhashIndex" -> (() =>
+          ForgetOps.forgetFromPhashIndex(spark, s"$dir/ph",
+            idsOnly.withColumnRenamed("doc_id", "media_id"), nBuckets = 8)),
+        "forgetFromPostingsIndex" -> (() =>
+          ForgetOps.forgetFromPostingsIndex(spark, s"$dir/pt", idsOnly, nPt = 8)),
+        "forgetFromShingleIndex" -> (() =>
+          ForgetOps.forgetFromShingleIndex(spark, s"$dir/sh", idsOnly, k = 3,
+            nPb = 8, hashed = true)))) {
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("re-signing the forgotten payloads"),
+        s"$name: ${e.getMessage}")
+      assert(e.getMessage.contains(name), s"$name: ${e.getMessage}")
+    }
+    // the cell faces need the vectors themselves
+    val e = intercept[IllegalArgumentException](
+      ForgetOps.forgetFromCellIndex(spark, s"$dir/sq8",
+        idsOnly.withColumnRenamed("doc_id", "vec_id"), Seq(0 -> Seq(1.0, 0.0))))
+    assert(e.getMessage.contains("'embedding'"))
+  }
+
+  test("staged level rewrites never lose survivors at any crash point") {
+    import org.apache.hadoop.fs.Path
+    val d = docs()
+    val ids = d.filter(col("doc_id") === 2L || col("doc_id") === 5L)
+    val kept = d.filter(col("doc_id") =!= 2L && col("doc_id") =!= 5L)
+    val dir = tmpDir()
+    RetrievalOps.writePostingsIndex(d, s"$dir/pt", nPt = 8)
+    RetrievalOps.writePostingsIndex(kept, s"$dir/pt2", nPt = 8)
+    val docsRoot = new Path(s"$dir/pt/_docs")
+    val f = docsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val level = f.listStatus(docsRoot).map(_.getPath)
+      .filter(_.getName.startsWith("__batch=")).head
+    // crash window A: a prior pass truncated the level AFTER staging the
+    // survivors (the old mid-Overwrite data-loss window) — simulate by
+    // moving the whole level into its staging sibling
+    require(f.rename(level, new Path(docsRoot, "_staged_" + level.getName)))
+    ForgetOps.forgetFromPostingsIndex(spark, s"$dir/pt", ids, nPt = 8)
+    val dl = Seq("doc_id", "dl").map(col)
+    assert(rows(spark.read.parquet(s"$dir/pt/_docs").select(dl: _*)) ==
+      rows(spark.read.parquet(s"$dir/pt2/_docs").select(dl: _*)))
+    // crash window B: a stale staging next to an intact level (crash
+    // before the swap) — heal drops it and the rerun converges
+    d.limit(2).select(col("doc_id"), lit(999L).as("dl"))
+      .write.parquet(s"$docsRoot/_staged_${level.getName}")
+    ForgetOps.forgetFromPostingsIndex(spark, s"$dir/pt", ids, nPt = 8)
+    assert(rows(spark.read.parquet(s"$dir/pt/_docs").select(dl: _*)) ==
+      rows(spark.read.parquet(s"$dir/pt2/_docs").select(dl: _*)))
+    assert(!f.listStatus(docsRoot).exists(_.getPath.getName.startsWith("_staged_")))
+  }
+
+  test("forgetFromPqIndex: home-cell rewrite equals a rebuild; PQ sidecar asserted") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    val codebooks = SimilarityOps.trainPqCodebooks(emb, m = 2, c = 2, nIters = 2)
+    val dir = tmpDir()
+    SimilarityOps.writePqIndex(emb, centroids, codebooks, s"$dir/pq")
+    ForgetOps.forgetFromPqIndex(spark, s"$dir/pq",
+      emb.filter(col("vec_id") === 1L), centroids, codebooks)
+    SimilarityOps.writePqIndex(emb.filter(col("vec_id") =!= 1L), centroids,
+      codebooks, s"$dir/pq2")
+    val sel = Seq("id", "codes", "cell").map(col)
+    assert(rows(spark.read.parquet(s"$dir/pq").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/pq2").select(sel: _*)))
+    // drifted geometry refuses (the PQ sidecar, not the SQ8 one)
+    val e = intercept[IllegalArgumentException](
+      ForgetOps.forgetFromPqIndex(spark, s"$dir/pq",
+        emb.filter(col("vec_id") === 2L), centroids,
+        SimilarityOps.trainPqCodebooks(emb, m = 1, c = 2, nIters = 1)))
+    assert(e.getMessage.contains("forgetFromPqIndex"))
+  }
+
+  test("attestation: durable, monotone, crash-invisible") {
+    val dir = tmpDir()
+    val ids = Seq(2L, 5L).toDF("doc_id")
+    // no pass ever completed -> loud refusal, never an empty audit
+    val e = intercept[IllegalArgumentException](
+      ForgetOps.readAttestation(spark, s"$dir/attest"))
+    assert(e.getMessage.contains("no complete forget attestation"))
+    val audit = Seq(("lsh_index", 16L, 0L), ("doc_log", 4L, 0L))
+    val p0 = ForgetOps.writeAttestation(spark, s"$dir/attest", ids, "doc_id",
+      audit, params = Seq("audited" -> 1L))
+    assert(p0 == 0L)
+    assert(rows(ForgetOps.readAttestation(spark, s"$dir/attest")) ==
+      rows(audit.toDF("artifact", "n_after", "n_diff")))
+    // the sidecar records the id-set digest + count + parameters
+    val meta = graft.operators.ParamMeta
+      .readText(spark, s"$dir/attest/__pass=0").get
+    assert(graft.operators.ParamMeta.field(meta, "n_ids").contains(2L))
+    assert(graft.operators.ParamMeta.field(meta, "ids_digest").exists(_ < -1L))
+    assert(graft.operators.ParamMeta.field(meta, "audited").contains(1L))
+    // a SECOND pass lands at the next monotone id and wins the readback
+    val audit2 = Seq(("lsh_index", 12L, 0L))
+    assert(ForgetOps.writeAttestation(spark, s"$dir/attest", ids, "doc_id",
+      audit2) == 1L)
+    assert(rows(ForgetOps.readAttestation(spark, s"$dir/attest")) ==
+      rows(audit2.toDF("artifact", "n_after", "n_diff")))
+    // a pass that crashed before its completion marker is invisible:
+    // plant evidence WITHOUT _meta.json at the next pass id
+    Seq(("phash_index", 7L, 0L)).toDF("artifact", "n_after", "n_diff")
+      .write.parquet(s"$dir/attest/__pass=2")
+    assert(rows(ForgetOps.readAttestation(spark, s"$dir/attest")) ==
+      rows(audit2.toDF("artifact", "n_after", "n_diff")))
+    // ... and the rerun attests ABOVE it (monotone past the wreck)
+    assert(ForgetOps.writeAttestation(spark, s"$dir/attest", ids, "doc_id",
+      audit2) == 3L)
   }
 
   test("forgetClusters splits the touched component, keeps the rest verbatim") {
@@ -192,10 +323,91 @@ class ForgetSpec extends SparkSpec {
     assert(back() == truth)
   }
 
+  test("forgetStream drains every wired face; a forced replay is a per-face no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = docs()
+    val ids = d.filter(col("doc_id").isin(2L, 5L))
+    val kept = d.filter(!col("doc_id").isin(2L, 5L))
+    val dir = tmpDir()
+    DedupOps.writeMinHashIndex(d, s"$dir/lsh", nBuckets = 8)
+    MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(d),
+      s"$dir/ph", nBuckets = 8)
+    RetrievalOps.writePostingsIndex(d, s"$dir/pt", nPt = 8)
+    TextOps.writeShingleIndex(d, s"$dir/sh", k = 3, nPb = 8, hashed = true)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    SimilarityOps.writeSq8Index(emb, centroids, s"$dir/sq8")
+    ids.write.parquet(s"$dir/tombs")
+    emb.filter(col("vec_id") === 1L).write.parquet(s"$dir/vtombs")
+    def drainDocs(ck: String): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$dir/tombs").schema).parquet(s"$dir/tombs")
+      val q = graft.streaming.StreamingOps.forgetStream(src, ck,
+          lshPath = Some(s"$dir/lsh"), phashPath = Some(s"$dir/ph"),
+          postingsPath = Some(s"$dir/pt"), shinglePath = Some(s"$dir/sh"),
+          nBuckets = 8, nPt = 8, spanK = 3, nPb = 8, phashBuckets = 8)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def drainVecs(ck: String): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$dir/vtombs").schema).parquet(s"$dir/vtombs")
+      val q = graft.streaming.StreamingOps.forgetStream(src, ck,
+          sq8Path = Some(s"$dir/sq8"), centroids = centroids, idCol = "vec_id")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainDocs(s"$dir/ck1"); drainVecs(s"$dir/ckv1")
+    // rebuild truths over the survivors
+    DedupOps.writeMinHashIndex(kept, s"$dir/lsh2", nBuckets = 8)
+    MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(kept),
+      s"$dir/ph2", nBuckets = 8)
+    RetrievalOps.writePostingsIndex(kept, s"$dir/pt2", nPt = 8)
+    TextOps.writeShingleIndex(kept, s"$dir/sh2", k = 3, nPb = 8, hashed = true)
+    SimilarityOps.writeSq8Index(emb.filter(col("vec_id") =!= 1L), centroids,
+      s"$dir/sq82")
+    def check(): Unit = {
+      val lshSel = Seq("id", "band", "bandsig", "bucket").map(col)
+      assert(rows(spark.read.parquet(s"$dir/lsh").select(lshSel: _*)) ==
+        rows(spark.read.parquet(s"$dir/lsh2").select(lshSel: _*)))
+      val phSel = Seq("media_id", "frame_ix", "phash", "band_ix", "band",
+        "bucket").map(col)
+      assert(rows(spark.read.parquet(s"$dir/ph").select(phSel: _*)) ==
+        rows(spark.read.parquet(s"$dir/ph2").select(phSel: _*)))
+      val ptSel = Seq("tok", "doc_id", "tf", "positions").map(col)
+      assert(rows(spark.read.parquet(s"$dir/pt").select(ptSel: _*)) ==
+        rows(spark.read.parquet(s"$dir/pt2").select(ptSel: _*)))
+      assert(rows(spark.read.parquet(s"$dir/pt/_docs")
+          .select(col("doc_id"), col("dl"))) ==
+        rows(spark.read.parquet(s"$dir/pt2/_docs")
+          .select(col("doc_id"), col("dl"))))
+      assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
+        rows(TextOps.readShingleCounts(spark, s"$dir/sh2", hashed = true)))
+      val sqSel = Seq("id", "codes", "cell").map(col)
+      assert(rows(spark.read.parquet(s"$dir/sq8").select(sqSel: _*)) ==
+        rows(spark.read.parquet(s"$dir/sq82").select(sqSel: _*)))
+    }
+    check()
+    // a FORCED replay (fresh checkpoints re-deliver the same tombstones
+    // as batch 0 again) is a no-op on every face — including the shingle
+    // face, whose passId = batchId + id-set src collapses the second
+    // negative delta in the (shingle, src) read-side dedup
+    drainDocs(s"$dir/ck2"); drainVecs(s"$dir/ckv2")
+    check()
+  }
+
   test("forgetFromSchedule: crash between evidence and manifest is rerunnable") {
     val d = docs()
     val dir = s"${tmpDir()}/sched"
     graft.streaming.StreamingOps.manifestBatch(d, 0L, dir,
+      budgetTokens = 400L, epochCap = 2, seqLen = 16L, refreshEvery = 1,
+      seed = 0L, nRanges = 8, sourceCol = "lang", idCol = "doc_id",
+      textCol = "text")
+    // a second refresh: TWO served versions now hold the ids on disk
+    graft.streaming.StreamingOps.manifestBatch(d.limit(0), 1L, dir,
       budgetTokens = 400L, epochCap = 2, seqLen = 16L, refreshEvery = 1,
       seed = 0L, nRanges = 8, sourceCol = "lang", idCol = "doc_id",
       textCol = "text")
@@ -222,6 +434,12 @@ class ForgetSpec extends SparkSpec {
     val truth = AssemblyOps.trainManifest(kept, 400L, 2, 16L, nRanges = 8,
       sourceCol = "lang")
     assert(rows(got) == rows(truth))
+    // the retention contract: a completed forget leaves exactly ONE
+    // served version (the re-derived newest) — superseded snapshots that
+    // still remembered the ids are vacuumed, not left readable
+    val versions = new java.io.File(s"$dir/manifest").listFiles()
+      .map(_.getName).filter(_.startsWith("__batch=")).toSeq
+    assert(versions == Seq("__batch=1"), versions)
   }
 
 }

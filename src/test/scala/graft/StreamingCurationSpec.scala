@@ -276,4 +276,51 @@ class StreamingCurationSpec extends SparkSpec {
     assert(landed(out) == docsBefore)
     assert(keys(out).size == 3)
   }
+
+  test("forgetFromCuratedLanding purges admitted keys + docs; forgotten content re-admits") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/curated"
+    // batch 0: doc 1 = A,B; doc 2 = A,C (A lost to doc 1 inside the batch)
+    StreamingOps.curatedBatch(Seq(
+        (1L, "a1 a2 a3 a4 b1 b2 b3 b4"),
+        (2L, "a1 a2 a3 a4 c1 c2 c3 c4")).toDF("doc_id", "text"),
+      0L, out, 4, 8)
+    // batch 1: doc 3 repeats B (blocked by the index), adds D
+    StreamingOps.curatedBatch(Seq(
+        (3L, "b1 b2 b3 b4 d1 d2 d3 d4")).toDF("doc_id", "text"),
+      1L, out, 4, 8)
+    assert(keys(out).size == 4) // A, B, C, D
+    // forget doc 1 — ids-only by nature (the landing holds the payload):
+    // its ADMITTED keys are A and B (its landed clean_text), NOT C
+    graft.operators.ForgetOps.forgetFromCuratedLanding(spark, out,
+      Seq(1L).toDF("doc_id"), chunkSize = 4, nPb = 8)
+    assert(landed(out).keySet == Set(2L, 3L))
+    assert(keys(out).size == 2) // C, D survive
+    // a stale checkpoint replaying batch 1 hits the lineage fence instead
+    // of resurrecting doc 1's keys from its own rewritten level
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.curatedBatch(
+        Seq((3L, "b1 b2 b3 b4 d1 d2 d3 d4")).toDF("doc_id", "text"),
+        1L, out, 4, 8))
+    assert(e.getMessage.contains("different checkpoint lineage"))
+    // the live stream's NEXT batch re-sends A and B from a surviving
+    // source: both RE-ADMIT (their only admitter was forgotten), exactly
+    // like a rebuild over the surviving corpus would admit them
+    StreamingOps.curatedBatch(Seq(
+        (9L, "a1 a2 a3 a4 b1 b2 b3 b4")).toDF("doc_id", "text"),
+      2L, out, 4, 8)
+    assert(landed(out)(9L) == (("a1 a2 a3 a4 b1 b2 b3 b4", 2L, 0L)))
+    assert(keys(out).size == 4) // A, B back beside C, D
+    // a drifted forget refuses via the landing's parameter sidecar
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.ForgetOps.forgetFromCuratedLanding(spark, out,
+        Seq(2L).toDF("doc_id"), chunkSize = 8, nPb = 8))
+    assert(e2.getMessage.contains("curated-landing parameters"))
+    // rerunning the SAME forget converges (doc rows already gone -> no
+    // keys derived -> faces no-op, fences advance)
+    graft.operators.ForgetOps.forgetFromCuratedLanding(spark, out,
+      Seq(1L).toDF("doc_id"), chunkSize = 4, nPb = 8)
+    assert(keys(out).size == 4)
+    assert(landed(out).keySet == Set(2L, 3L, 9L))
+  }
 }
