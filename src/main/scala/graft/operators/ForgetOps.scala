@@ -57,13 +57,19 @@ import org.apache.spark.sql.functions._
   * surviving corpus. */
 object ForgetOps {
 
-  /** Drop `ids` from a [[DedupOps.writeMinHashIndex]] layout. Affected
+  /** Drop `ids` from a [[DedupOps.writeMinHashIndex]] layout — or from a
+    * VERSIONED [[graft.streaming.StreamingOps.lshIndexStream]] sink, whose
+    * `__batch=` levels each rewrite independently (a root-level dynamic
+    * overwrite would flatten the level structure). Affected
     * `(band, bucket)` directories are derived by RE-SIGNING the forgotten
     * docs (the caller supplies them with text — a compliance pass holds
     * the payloads it is erasing), so the rewrite reads 1/(bands·buckets)
     * of the index per signature, never the whole artifact. Dynamic
     * partition overwrite + explicit empty-directory cleanup — the
-    * [[graft.sources.Storage.deleteIndexAndRewrite]] pattern. */
+    * [[graft.sources.Storage.deleteIndexAndRewrite]] pattern. On a
+    * streamed layout the pass ends with a lineage fence
+    * ([[fenceIfStreamed]]) so a stale-checkpoint restart cannot
+    * resurrect forgotten rows by replaying its newest batch. */
   def forgetFromLshIndex(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
@@ -74,16 +80,20 @@ object ForgetOps {
         shingleK, nHashes, bands, nBuckets)
       .select(col("band"), col("bucket")).distinct()
       .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSeq
-    rewritePartitions(spark, path,
-      keys.map { case (band, bucket) =>
-        Seq("band" -> band, "bucket" -> bucket) },
-      dropIds = docs.select(col(idCol).as("id")),
-      joinCol = "id", sortCols = Seq("id"))
+    levelRoots(spark, path).foreach { root =>
+      rewritePartitions(spark, root,
+        keys.map { case (band, bucket) =>
+          Seq("band" -> band, "bucket" -> bucket) },
+        dropIds = docs.select(col(idCol).as("id")),
+        joinCol = "id", sortCols = Seq("id"))
+    }
+    fenceIfStreamed(spark, path)
   }
 
-  /** Drop `ids` from a [[MultimodalOps.writePhashIndex]] layout —
-    * affected `(band_ix, bucket)` directories derived from the forgotten
-    * media's OWN frame hashes. */
+  /** Drop `ids` from a [[MultimodalOps.writePhashIndex]] layout (or a
+    * versioned phashIndexStream sink — per-level, fenced, the
+    * [[forgetFromLshIndex]] discipline) — affected `(band_ix, bucket)`
+    * directories derived from the forgotten media's OWN frame hashes. */
   def forgetFromPhashIndex(spark: SparkSession, path: String,
       media: DataFrame, fps: Int = 4, k: Int = 8, nBuckets: Int = 64): Unit = {
     requirePayload(media, "content", "forgetFromPhashIndex")
@@ -91,11 +101,14 @@ object ForgetOps {
     val keys = MultimodalOps.bandedPhash(media, fps, k, nBuckets)
       .select(col("band_ix"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-    rewritePartitions(spark, path,
-      keys.map { case (bi, b) =>
-        Seq("band_ix" -> bi.toString, "bucket" -> b.toString) },
-      dropIds = media.select(col("media_id").as("media_id")),
-      joinCol = "media_id", sortCols = Seq("media_id", "frame_ix"))
+    levelRoots(spark, path).foreach { root =>
+      rewritePartitions(spark, root,
+        keys.map { case (bi, b) =>
+          Seq("band_ix" -> bi.toString, "bucket" -> b.toString) },
+        dropIds = media.select(col("media_id").as("media_id")),
+        joinCol = "media_id", sortCols = Seq("media_id", "frame_ix"))
+    }
+    fenceIfStreamed(spark, path)
   }
 
   /** Drop `ids` from a [[graft.operators.RetrievalOps.writePostingsIndex]]
@@ -126,6 +139,7 @@ object ForgetOps {
       stagedOverwrite(level,
         spark.read.parquet(level).join(ids, Seq("doc_id"), "left_anti"))
     }
+    fenceIfStreamed(spark, path, s"$path/_docs")
   }
 
   /** Subtract `docs` from a [[TextOps.writeShingleIndex]] layout by
@@ -243,9 +257,14 @@ object ForgetOps {
     val cells = SimilarityOps.assignCells(vecs, centroids)
       .select(col("cell")).distinct()
       .collect().map(_.get(0).toString).toSeq
-    rewritePartitions(spark, path,
-      cells.map(c => Seq("cell" -> c)),
-      dropIds = vecs.select(col("id")), joinCol = "id", sortCols = Seq("id"))
+    // a streamed sink (ivf/sq8/pqIndexStream) is `__batch=`-versioned —
+    // rewrite each level's home cells; the flat batch layout is one root
+    levelRoots(spark, path).foreach { root =>
+      rewritePartitions(spark, root,
+        cells.map(c => Seq("cell" -> c)),
+        dropIds = vecs.select(col("id")), joinCol = "id", sortCols = Seq("id"))
+    }
+    fenceIfStreamed(spark, path)
   }
 
   /** Forget `ids` from an exact k-NN graph: rows whose PROBE is an id
@@ -434,22 +453,8 @@ object ForgetOps {
         .parquet(level)
         .join(dead, Seq("doc_id"), "left_anti"))
     }
-    // lineage fences: one EMPTY level directory above the current max on
-    // each root — a bare dir + `_SUCCESS` marker (the marker materializes
-    // the "directory" on object stores), so requireBatchLineage sees it
-    // while partition discovery and every schema read ignore a fileless
-    // level (a zero-row parquet write would plant a flat part file under
-    // a pb-partitioned root — conflicting partition depths)
-    Seq(idx, docsRoot).foreach { root =>
-      val fence = batchLevels(spark, root)
-        .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l)
-          .map(_.group(1).toLong))
-        .foldLeft(-1L)(math.max) + 1L
-      val dir = new org.apache.hadoop.fs.Path(s"$root/__batch=$fence")
-      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      f.mkdirs(dir): Unit
-      f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
-    }
+    // lineage fences on both roots (landing levels are always >= 0)
+    fenceIfStreamed(spark, idx, docsRoot)
   }
 
   /** Persist the ATTESTATION of a completed composed forget pass — the
@@ -565,6 +570,41 @@ object ForgetOps {
         else f.delete(st, true): Unit
       }
   }
+
+  /** The rewrite roots of a possibly-VERSIONED hive layout: the
+    * `__batch=` levels when present (streamed sinks and level-structured
+    * batch writers), else the root itself (flat batch layouts). Keeps
+    * one face implementation serving both layout generations. */
+  private def levelRoots(spark: SparkSession, path: String): Seq[String] = {
+    val levels = batchLevels(spark, path)
+    if (levels.nonEmpty) levels else Seq(path)
+  }
+
+  /** Land an EMPTY `__batch=max+1` lineage fence on each root that holds
+    * STREAMED deltas (a level >= 0 — a flat layout or a pure `-1` base
+    * has no checkpoint to fence against): a bare directory plus a
+    * `_SUCCESS` marker (the marker materializes the "directory" on
+    * object stores), visible to requireBatchLineage but invisible to
+    * partition discovery and every schema read (a zero-row parquet write
+    * would plant a flat part file under a hive-partitioned root —
+    * conflicting partition depths). After a forget rewrote levels IN
+    * PLACE, a stale-checkpoint stream restart would replay its newest
+    * batch and resurrect the forgotten rows from the replayed payload —
+    * the fence makes it refuse loudly instead; the live stream's NEXT
+    * batch id equals the fence and legitimately overwrites it. */
+  private def fenceIfStreamed(spark: SparkSession, roots: String*): Unit =
+    roots.foreach { root =>
+      val levels = batchLevels(spark, root)
+        .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l)
+          .map(_.group(1).toLong))
+      if (levels.exists(_ >= 0)) {
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$root/__batch=${levels.max + 1L}")
+        val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.mkdirs(dir): Unit
+        f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+      }
+    }
 
   /** The `__batch=` level directories under `root` (empty when `root`
     * itself is absent). Sorted for deterministic iteration. */

@@ -42,6 +42,10 @@ class BatchLineageSpec extends AnyFunSuite {
     // _sums + the mode-dependent _keys/_hll twin: three textual write
     // sites, guarded as Seq("_sums", keysSub)
     "cardBatch" -> (3, Seq("\"_sums\"", "keysSub")),
+    // _sums, _chunkkeys, _media, _dup written here; the _phidx frame
+    // level lands via phashBatch (which guards its own root first)
+    "mediaCardBatch" -> (4,
+      Seq("Seq(\"_sums\", \"_chunkkeys\", \"_media\", \"_dup\")")),
     "topkBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "quantileBatch" -> (1, Seq("requireBatchLineage(f, p, batchId")),
     "budgetBatch" -> (2, Seq("Seq(\"docs\", \"_totals\")")),

@@ -323,6 +323,61 @@ class ForgetSpec extends SparkSpec {
     assert(back() == truth)
   }
 
+  test("versioned (streamed) layouts forget per level and fence stale replays") {
+    val d = docs()
+    val ids = d.filter(col("doc_id").isin(2L, 5L))
+    val kept = d.filter(!col("doc_id").isin(2L, 5L))
+    val dir = tmpDir()
+    // a streamed LSH sink: base + one delta level
+    graft.streaming.StreamingOps.lshIndexBase(
+      d.filter(col("doc_id") <= 3L), s"$dir/lsh", nBuckets = 8)
+    graft.streaming.StreamingOps.lshBatch(
+      d.filter(col("doc_id") > 3L), 0L, s"$dir/lsh", "doc_id", "text",
+      3, 16, 4, 8)
+    ForgetOps.forgetFromLshIndex(spark, s"$dir/lsh", ids, nBuckets = 8)
+    DedupOps.writeMinHashIndex(kept, s"$dir/lsh2", nBuckets = 8)
+    val sel = Seq("id", "band", "bandsig", "bucket").map(col)
+    assert(rows(spark.read.parquet(s"$dir/lsh").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/lsh2").select(sel: _*)))
+    // the level structure survives (no root-level flattening) and the
+    // pass fenced the stream: a stale checkpoint replaying batch 0 must
+    // refuse instead of resurrecting the forgotten signatures
+    assert(new java.io.File(s"$dir/lsh/__batch=-1").exists())
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamingOps.lshBatch(
+        d.filter(col("doc_id") > 3L), 0L, s"$dir/lsh", "doc_id", "text",
+        3, 16, 4, 8))
+    assert(e.getMessage.contains("different checkpoint lineage"))
+    // compaction folds the forgotten levels without resurrecting anything
+    graft.streaming.StreamingOps.compactLshIndex(spark, s"$dir/lsh")
+    assert(rows(spark.read.parquet(s"$dir/lsh").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/lsh2").select(sel: _*)))
+
+    // the streamed SQ8 cell sink: per-level home-cell rewrite, fenced
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    graft.streaming.StreamingOps.sq8IndexBase(
+      emb.filter(col("vec_id") <= 2L), centroids, s"$dir/sq8")
+    graft.streaming.StreamingOps.sq8Batch(
+      emb.filter(col("vec_id") > 2L), 0L, centroids, s"$dir/sq8",
+      "vec_id", "embedding")
+    ForgetOps.forgetFromCellIndex(spark, s"$dir/sq8",
+      emb.filter(col("vec_id") === 1L), centroids)
+    SimilarityOps.writeSq8Index(emb.filter(col("vec_id") =!= 1L), centroids,
+      s"$dir/sq82")
+    val sqSel = Seq("id", "codes", "cell").map(col)
+    assert(rows(spark.read.parquet(s"$dir/sq8").select(sqSel: _*)) ==
+      rows(spark.read.parquet(s"$dir/sq82").select(sqSel: _*)))
+    val e2 = intercept[IllegalArgumentException](
+      graft.streaming.StreamingOps.sq8Batch(
+        emb.filter(col("vec_id") > 2L), 0L, centroids, s"$dir/sq8",
+        "vec_id", "embedding"))
+    assert(e2.getMessage.contains("different checkpoint lineage"))
+  }
+
   test("forgetStream drains every wired face; a forced replay is a per-face no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val d = docs()
