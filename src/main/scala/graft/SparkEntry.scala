@@ -1832,7 +1832,7 @@ object SparkEntry {
 
   /** The composed-queue drain must leave each artifact at the rebuild's
     * size with a zero row-level diff — the [[forgetOracleSql]] arms for
-    * the five streamed faces, sharing its `graft_fg_docs` materialization
+    * the six streamed faces, sharing its `graft_fg_docs` materialization
     * (one DuckDB temp table serves the whole forget family). */
   private lazy val streamForgetAllOracleSql: String =
     s"""CREATE TEMP TABLE IF NOT EXISTS graft_fg_docs AS
@@ -1848,8 +1848,11 @@ object SparkEntry {
       |SELECT artifact, CAST(n_after AS BIGINT) AS n_after,
       |       CAST(0 AS BIGINT) AS n_diff
       |FROM (
-      |  SELECT 'lsh_index' AS artifact,
-      |    4 * (SELECT count(*) FROM graft_fg_docs) AS n_after
+      |  SELECT 'chunk_store' AS artifact,
+      |    (SELECT count(*) FROM graft_fg_docs
+      |     WHERE length(coalesce(text, '')) > 0) AS n_after
+      |  UNION ALL SELECT 'lsh_index',
+      |    4 * (SELECT count(*) FROM graft_fg_docs)
       |  UNION ALL SELECT 'phash_index',
       |    (SELECT coalesce(sum(7 * least(8, octet_length(CAST(text AS BLOB)) // 64)), 0)
       |     FROM graft_fg_docs WHERE octet_length(CAST(text AS BLOB)) // 64 > 0)
@@ -5946,8 +5949,9 @@ object SparkEntry {
     "q_stream_forget_all" -> { (s, dir) => // the COMPOSED compliance
       // queue: ONE tombstone stream drains per micro-batch into every
       // wired face — LSH, pHash, postings, shingle (its negative delta
-      // replay-idempotent via passId = batchId) — plus a vector tombstone
-      // stream into the IVF-SQ8 cell face. After the drains each artifact
+      // replay-idempotent via passId = batchId), the chunk store
+      // (recipes + GC, ids-only) — plus a vector tombstone stream into
+      // the IVF-SQ8 cell face. After the drains each artifact
       // must equal a from-scratch rebuild over the remaining corpus
       // (audited at oracle SFs; bench SFs time the production shape —
       // n_diff = -1, the q_forget_everywhere protocol).
@@ -5965,6 +5969,8 @@ object SparkEntry {
         s"$out/ph", nBuckets = 16)
       RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16)
       TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16, hashed = true)
+      MultimodalOps.writeChunkStore(MultimodalOps.mediaFromDocuments(docs),
+        s"$out/cs")
       val allEmb = Tables.embeddings(s, dir)
       val emb = graft.operators.Checkpoints.pin(
         if (atOracle) allEmb else allEmb.filter(col("vec_id") % 32 === 0),
@@ -5979,6 +5985,7 @@ object SparkEntry {
       val q1 = StreamingOps.forgetStream(docTombs, s"$out/ckpt1",
           lshPath = Some(s"$out/lsh"), phashPath = Some(s"$out/ph"),
           postingsPath = Some(s"$out/pt"), shinglePath = Some(s"$out/sh"),
+          chunkStorePath = Some(s"$out/cs"),
           nBuckets = 16, nPt = 16, spanK = 3, nPb = 16, phashBuckets = 16)
         .trigger(Trigger.AvailableNow()).start()
       q1.awaitTermination()
@@ -6018,6 +6025,14 @@ object SparkEntry {
           hashed = true)
         SimilarityOps.writeSq8Index(embKept, fixtureCentroids(64), s"$out/sq82")
       }
+      // chunk-store truth: the kept payloads still reassemble byte-exactly
+      // (digest equality needs no second store build)
+      val keptMedia = MultimodalOps.mediaFromDocuments(kept)
+      audit += arm("chunk_store",
+        MultimodalOps.readChunkStore(s, s"$out/cs")
+          .select(col("media_id"), md5(col("content")).as("content_md5")),
+        keptMedia.filter(octet_length(col("content")) > 0)
+          .select(col("media_id"), md5(col("content")).as("content_md5")))
       val lshCols = Seq("id", "band", "bandsig", "bucket").map(col)
       audit += arm("lsh_index", s.read.parquet(s"$out/lsh").select(lshCols: _*),
         s.read.parquet(s"$out/lsh2").select(lshCols: _*))

@@ -535,8 +535,10 @@ object ForgetOps {
     * full row set in at least one of the two directories, and
     * [[healStagedLevels]] — run by each face before it enumerates levels
     * — restores the invariant. The staged-rename discipline of
-    * StreamingOps' foldBatchDirs, specialized to one directory. */
-  private def stagedOverwrite(dir: String, df: DataFrame): Unit = {
+    * StreamingOps' foldBatchDirs, specialized to one directory. Shared
+    * with [[MultimodalOps.deleteFromChunkStore]] (the same window on the
+    * recipes/chunks rewrite). */
+  private[graft] def stagedOverwrite(dir: String, df: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -557,7 +559,7 @@ object ForgetOps {
     * copy, so drop the staging and let the rerun re-derive. Underscore
     * prefix keeps leftovers invisible to every parquet reader and to
     * [[batchLevels]] in the meantime. */
-  private def healStagedLevels(spark: SparkSession, root: String): Unit = {
+  private[graft] def healStagedLevels(spark: SparkSession, root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return

@@ -329,8 +329,10 @@ object MultimodalOps {
     * first, chunks prune against the new recipes — at every crash point
     * the chunk set is a SUPERSET of what live recipes need, so kept
     * payloads always reassemble; a crash merely leaves orphans, and
-    * rerunning (even with no deletes) is the orphan vacuum. In-place
-    * rewrite ⇒ the plain-tier single-mutator contract
+    * rerunning (even with no deletes) is the orphan vacuum. Both
+    * rewrites swap through staged siblings (ForgetOps.stagedOverwrite),
+    * so no crash point loses survivor rows either. Single-writer ⇒ the
+    * plain-tier single-mutator contract
     * ([[graft.sources.Storage.deleteAndRewrite]]); a store that must
     * compose with concurrent readers goes through the Generations MVCC
     * tier like any other table. */
@@ -339,17 +341,20 @@ object MultimodalOps {
       path: String,
       deleteIds: DataFrame,
       idCol: String = "media_id"): Unit = {
-    import org.apache.spark.sql.SaveMode
     requireFlatStore(spark, path, "deleteFromChunkStore")
-    val keptRecipes = spark.read.parquet(s"$path/recipes")
-      .join(deleteIds.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    keptRecipes.write.mode(SaveMode.Overwrite).parquet(s"$path/recipes")
-    val keptChunks = spark.read.parquet(s"$path/chunks")
-      .join(spark.read.parquet(s"$path/recipes").select(col("addr")).distinct(),
-        Seq("addr"), "left_semi")
-      .localCheckpoint(true)
-    keptChunks.write.mode(SaveMode.Overwrite).parquet(s"$path/chunks")
+    // staged swaps, not in-place Overwrite: each directory is the only
+    // copy of its survivor rows, and a same-dir Overwrite truncates at
+    // job start — a driver crash mid-write would lose survivors (the
+    // ForgetOps.stagedOverwrite window). Heal first: a prior pass may
+    // have crashed between truncation and install.
+    ForgetOps.healStagedLevels(spark, path)
+    ForgetOps.stagedOverwrite(s"$path/recipes",
+      spark.read.parquet(s"$path/recipes")
+        .join(deleteIds.select(col(idCol)), Seq(idCol), "left_anti"))
+    ForgetOps.stagedOverwrite(s"$path/chunks",
+      spark.read.parquet(s"$path/chunks")
+        .join(spark.read.parquet(s"$path/recipes").select(col("addr")).distinct(),
+          Seq("addr"), "left_semi"))
   }
 
   /** Append a new batch of payloads to an existing [[writeChunkStore]]

@@ -188,7 +188,10 @@ object StreamingOps {
     * rows (collapsed by the read-side dedup), while two different
     * batches — even with overlapping ids — land under distinct src tags.
     * The cell faces (IVF/SQ8 via `sq8Path`, PQ via `pqPath`) rewrite the
-    * tombstoned vectors' home cells under the frozen geometry.
+    * tombstoned vectors' home cells under the frozen geometry; the
+    * content-addressed chunk store (`chunkStorePath`) drops the ids'
+    * recipes and GCs unreferenced chunks — ids-only by nature
+    * ([[graft.operators.MultimodalOps.deleteFromChunkStore]]).
     *
     * After the stream drains, every wired artifact equals a batch forget
     * of the union of all tombstones (the q_stream_forget_all gate).
@@ -202,6 +205,7 @@ object StreamingOps {
       shinglePath: Option[String] = None,
       sq8Path: Option[String] = None,
       pqPath: Option[String] = None,
+      chunkStorePath: Option[String] = None,
       centroids: Seq[(Int, Seq[Double])] = Seq.empty,
       codebooks: Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
       idCol: String = "doc_id", textCol: String = "text",
@@ -231,6 +235,8 @@ object StreamingOps {
           centroids, idCol, vecCol))
         pqPath.foreach(p => ForgetOps.forgetFromPqIndex(s, p, b,
           centroids, codebooks, idCol, vecCol))
+        chunkStorePath.foreach(p => MultimodalOps.deleteFromChunkStore(s, p,
+          b.select(col(idCol).as("media_id"))))
       }
 
   /** Streaming CURATED landing: each micro-batch of documents (doc_id,
