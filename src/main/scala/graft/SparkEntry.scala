@@ -5799,7 +5799,13 @@ object SparkEntry {
         val (_, rcD) = auditArm(s.read.parquet(s"$out/cs/recipes"),
           s.read.parquet(s"$out/cs2/recipes"))
         audit += (("chunk_store", csN, csD + ckD + rcD))
-      } else audit += (("chunk_store", rowCount(digBack), -1L))
+      } else
+        // bench shape: the digest-frame row count == distinct recipe
+        // media (one digest per media with >= 1 chunk) — same number
+        // without reassembling every payload
+        audit += (("chunk_store", rowCount(s.read
+          .parquet(s"$out/cs/recipes").select(col("media_id")).distinct()),
+          -1L))
 
       // 7. exact k-NN graph: affected probes requeried vs full rebuild
       val allEmb = Tables.embeddings(s, dir)
@@ -6026,13 +6032,20 @@ object SparkEntry {
         SimilarityOps.writeSq8Index(embKept, fixtureCentroids(64), s"$out/sq82")
       }
       // chunk-store truth: the kept payloads still reassemble byte-exactly
-      // (digest equality needs no second store build)
-      val keptMedia = MultimodalOps.mediaFromDocuments(kept)
-      audit += arm("chunk_store",
-        MultimodalOps.readChunkStore(s, s"$out/cs")
-          .select(col("media_id"), md5(col("content")).as("content_md5")),
-        keptMedia.filter(octet_length(col("content")) > 0)
-          .select(col("media_id"), md5(col("content")).as("content_md5")))
+      // (digest equality needs no second store build); at bench SFs the
+      // digest-frame size == distinct recipe media, counted without
+      // reassembling every payload
+      if (atOracle) {
+        val keptMedia = MultimodalOps.mediaFromDocuments(kept)
+        audit += arm("chunk_store",
+          MultimodalOps.readChunkStore(s, s"$out/cs")
+            .select(col("media_id"), md5(col("content")).as("content_md5")),
+          keptMedia.filter(octet_length(col("content")) > 0)
+            .select(col("media_id"), md5(col("content")).as("content_md5")))
+      } else
+        audit += (("chunk_store", rowCount(s.read
+          .parquet(s"$out/cs/recipes").select(col("media_id")).distinct()),
+          -1L))
       val lshCols = Seq("id", "band", "bandsig", "bucket").map(col)
       audit += arm("lsh_index", s.read.parquet(s"$out/lsh").select(lshCols: _*),
         s.read.parquet(s"$out/lsh2").select(lshCols: _*))
@@ -6058,6 +6071,40 @@ object SparkEntry {
         s.read.parquet(s"$out/sq82").select(sqCols: _*))
       import s.implicits._
       audit.toSeq.toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))
+    },
+
+    "q_forget_knn_store" -> { (s, dir) => // the PERSISTED k-NN graph's
+      // forget face: a two-batch knnGraphStream store (corpus cells +
+      // latest-wins edge versions) forgets an id set — dead vectors leave
+      // their home cells, dead probes drop from every level, survivor
+      // probes that listed a dead neighbor re-query the remaining corpus
+      // and land as a new version. The resolved readback must equal the
+      // batch knnGraph over the surviving vectors at the same nProbe,
+      // row-for-row (n_diff pinned 0; size = k per survivor).
+      import graft.streaming.StreamingOps
+      val allEmb = Tables.embeddings(s, dir)
+      val emb = graft.operators.Checkpoints.pin(
+        if (oracleScale(dir)) allEmb
+        else allEmb.filter(col("vec_id") % 32 === 0), reliable = false)
+      val cents = fixtureCentroids(64)
+      val out = java.nio.file.Files.createTempDirectory("graft_fg_knn_").toString
+      StreamingOps.knnGraphBatch(emb.filter(col("vec_id") % 2 === 0), 0L,
+        cents, 5, KmFixtureK, out)
+      StreamingOps.knnGraphBatch(emb.filter(col("vec_id") % 2 =!= 0), 1L,
+        cents, 5, KmFixtureK, out)
+      graft.operators.ForgetOps.forgetFromKnnGraphStore(s, out,
+        emb.filter(col("vec_id") % 97 === 3).select(col("vec_id")),
+        k = 5, nProbe = KmFixtureK, centroids = cents)
+      val back = StreamingOps.readKnnGraph(s, out)
+      val truth = SimilarityOps.knnGraph(
+        emb.filter(col("vec_id") % 97 =!= 3), cents, k = 5,
+        nProbe = KmFixtureK)
+      import s.implicits._
+      Seq((
+        back.agg(count(lit(1))).collect()(0).getLong(0),
+        back.exceptAll(truth).unionAll(truth.exceptAll(back))
+          .agg(count(lit(1))).collect()(0).getLong(0),
+      )).toDF("n_rows", "n_diff").orderBy(col("n_rows"))
     },
 
     "q_stream_forget" -> { (s, dir) => // the compliance QUEUE shape:
@@ -9424,6 +9471,13 @@ object SparkEntry {
     "q_forget_everywhere" -> forgetOracleSql,
     "q_forget_curated" -> curatedForgetOracleSql,
     "q_stream_forget_all" -> streamForgetAllOracleSql,
+    // the resolved store equals the kept-corpus rebuild: k rows per
+    // survivor (probe-all at the fixture geometry), zero row diff
+    "q_forget_knn_store" ->
+      """SELECT CAST(5 * (SELECT count(*) FROM embeddings
+        |                 WHERE vec_id % 97 <> 3) AS BIGINT) AS n_rows,
+        |       CAST(0 AS BIGINT) AS n_diff
+        |ORDER BY n_rows""".stripMargin,
     "g_media_card" -> mediaCardOracleSql,
     "q_stream_media_card" -> mediaCardOracleSql,
     "q_stream_forget" ->

@@ -303,6 +303,97 @@ object ForgetOps {
       .unionByName(requeried)
   }
 
+  /** Forget `ids` from a PERSISTED
+    * [[graft.streaming.StreamingOps.knnGraphStream]] store — the durable
+    * twin of [[forgetFromKnnGraph]], covering both roots:
+    *
+    *  - `corpus/`: the dead vectors' rows leave their home-cell
+    *    directories per level (ids-only by nature — their recorded `cell`
+    *    column IS the home cell, read back as a two-column projection;
+    *    no payload or re-assignment needed);
+    *  - `edges/`: dead PROBES drop from every level (staged swaps —
+    *    survivor row sets are the level's only copy), then every survivor
+    *    probe that LISTED a dead neighbor re-queries the remaining corpus
+    *    under the frozen centroids with the sink's own probe discipline
+    *    (nProbe cells, floored cosine, (sim desc, id) ranking) and lands
+    *    as a NEW version level — latest-wins resolution supersedes the
+    *    stale rows, exactly the maintenance algebra the stream itself
+    *    uses. The new level doubles as the edges-side lineage fence; the
+    *    corpus root gets an explicit one.
+    *
+    * After the pass, [[graft.streaming.StreamingOps.readKnnGraph]] equals
+    * the batch [[SimilarityOps.knnGraph]] over the surviving vectors at
+    * the same nProbe (the KnnStreamSpec equality, minus the ids): an
+    * unaffected probe's top-k cannot change when no member left, and
+    * affected probes are recomputed outright. Work is delta-proportional:
+    * |affected probes| x probed-cell population, plus a column-pruned
+    * (id, cell) scan to locate the dead rows' homes.
+    *
+    * Crash anywhere -> rerun converges: the corpus rewrite and level
+    * drops are idempotent anti-joins, the requery level swaps in through
+    * staging ([[stagedOverwrite]] — a torn level can never win
+    * latest-wins), and a completed pass's rerun finds no dead rows and
+    * lands an empty fence level. Single-maintainer: quiesce the graph
+    * stream; a stale checkpoint refuses at the fence. */
+  def forgetFromKnnGraphStore(spark: SparkSession, path: String,
+      ids: DataFrame, k: Int, nProbe: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id"): Unit = {
+    graft.plans.GraftFunctions.register(spark)
+    val corpusDir = s"$path/corpus"
+    val edgesDir = s"$path/edges"
+    val dead = ids.select(col(idCol).cast("long").as("__dead"))
+      .localCheckpoint(true)
+    val corpusDDL = "id LONG, v ARRAY<DOUBLE>, cell INT, __batch LONG"
+    def corpusNow() = spark.read.schema(corpusDDL)
+      .option("basePath", corpusDir).parquet(corpusDir)
+    val cells = corpusNow().select(col("id"), col("cell"))
+      .join(dead, col("id") === col("__dead"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).toSeq
+    batchLevels(spark, corpusDir).foreach { level =>
+      rewritePartitions(spark, level, cells.map(c => Seq("cell" -> c)),
+        dropIds = dead.select(col("__dead").as("id")), joinCol = "id",
+        sortCols = Seq("id"))
+    }
+    healStagedLevels(spark, edgesDir)
+    batchLevels(spark, edgesDir).foreach { level =>
+      stagedOverwrite(level, spark.read
+        .schema("vec_id LONG, neighbor_id LONG, sim DOUBLE, rank INT")
+        .parquet(level)
+        .join(dead, col("vec_id") === col("__dead"), "left_anti"))
+    }
+    val affected = graft.streaming.StreamingOps.readKnnGraph(spark, path)
+      .join(dead, col("neighbor_id") === col("__dead"), "left_semi")
+      .select(col("vec_id").as("id")).distinct()
+    val remaining = corpusNow().select(col("id"), col("v"), col("cell"))
+    // the sink's own probe discipline (knnGraphBatch's scored join):
+    // affected probes x their nProbe cells against the surviving corpus
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val probes = remaining.join(affected, Seq("id"), "left_semi")
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(SimilarityOps.topCellsExpr(col("v"), centroids, nProbe))
+          .as("cell"))
+      .repartition(parts, col("qid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    val requeried = probes
+      .join(remaining.select(col("cell"), col("id"), col("v")), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), graft.functions.NumFns
+        .floorAt(graft.plans.GraftFunctions.cosine(col("qv"), col("v")), 4)
+        .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("id").as("neighbor_id"),
+        col("sim"), col("rank").cast("int").as("rank"))
+    val level = batchLevels(spark, edgesDir)
+      .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l).map(_.group(1).toLong))
+      .foldLeft(-1L)(math.max) + 1L
+    stagedOverwrite(s"$edgesDir/__batch=$level", requeried)
+    fenceIfStreamed(spark, corpusDir)
+  }
+
   /** Forget `ids` from a near-dup cluster assignment, splits included:
     * components containing an id re-close from the surviving pair list
     * (the caller passes pairs ALREADY excluding the ids — banded pair

@@ -378,6 +378,38 @@ class ForgetSpec extends SparkSpec {
     assert(e2.getMessage.contains("different checkpoint lineage"))
   }
 
+  test("forgetFromKnnGraphStore: resolved graph equals a rebuild without the ids") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+      (5L, Seq(0.7f, 0.7f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    val path = s"${tmpDir()}/knn"
+    graft.streaming.StreamingOps.knnGraphBatch(
+      emb.filter(col("vec_id") < 3L), 0L, centroids, 2, 2, path)
+    graft.streaming.StreamingOps.knnGraphBatch(
+      emb.filter(col("vec_id") >= 3L), 1L, centroids, 2, 2, path)
+    val dead = Seq(1L).toDF("vec_id")
+    ForgetOps.forgetFromKnnGraphStore(spark, path, dead, k = 2, nProbe = 2,
+      centroids)
+    val truth = SimilarityOps.knnGraph(emb.filter(col("vec_id") =!= 1L),
+      centroids, k = 2, nProbe = 2)
+    def back() = graft.streaming.StreamingOps.readKnnGraph(spark, path)
+    assert(rows(back()) == rows(truth))
+    assert(back().filter(col("vec_id") === 1L || col("neighbor_id") === 1L).isEmpty)
+    // rerun converges (the crash recovery law)
+    ForgetOps.forgetFromKnnGraphStore(spark, path, dead, k = 2, nProbe = 2,
+      centroids)
+    assert(rows(back()) == rows(truth))
+    // a stale checkpoint replaying batch 1 refuses at the fence on BOTH
+    // roots instead of resurrecting the forgotten vector
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamingOps.knnGraphBatch(
+        emb.filter(col("vec_id") >= 3L), 1L, centroids, 2, 2, path))
+    assert(e.getMessage.contains("different checkpoint lineage"))
+  }
+
   test("forgetStream drains every wired face; a forced replay is a per-face no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val d = docs()
