@@ -191,7 +191,11 @@ object StreamingOps {
     * tombstoned vectors' home cells under the frozen geometry; the
     * content-addressed chunk store (`chunkStorePath`) drops the ids'
     * recipes and GCs unreferenced chunks — ids-only by nature
-    * ([[graft.operators.MultimodalOps.deleteFromChunkStore]]).
+    * ([[graft.operators.MultimodalOps.deleteFromChunkStore]]); the
+    * persisted k-NN graph store (`knnStorePath`, with `knnK`/`knnNProbe`
+    * and the frozen `centroids`) and the curated landing (`curatedPath`,
+    * with its chunk geometry) run their composed faces per batch — both
+    * ids-only by nature, both idempotent under replay.
     *
     * After the stream drains, every wired artifact equals a batch forget
     * of the union of all tombstones (the q_stream_forget_all gate).
@@ -206,6 +210,10 @@ object StreamingOps {
       sq8Path: Option[String] = None,
       pqPath: Option[String] = None,
       chunkStorePath: Option[String] = None,
+      knnStorePath: Option[String] = None,
+      curatedPath: Option[String] = None,
+      knnK: Int = 5, knnNProbe: Int = 2,
+      curatedChunkSize: Int = 8, curatedNPb: Int = 64,
       centroids: Seq[(Int, Seq[Double])] = Seq.empty,
       codebooks: Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
       idCol: String = "doc_id", textCol: String = "text",
@@ -237,6 +245,10 @@ object StreamingOps {
           centroids, codebooks, idCol, vecCol))
         chunkStorePath.foreach(p => MultimodalOps.deleteFromChunkStore(s, p,
           b.select(col(idCol).as("media_id"))))
+        knnStorePath.foreach(p => ForgetOps.forgetFromKnnGraphStore(s, p, b,
+          knnK, knnNProbe, centroids, idCol))
+        curatedPath.foreach(p => ForgetOps.forgetFromCuratedLanding(s, p, b,
+          curatedChunkSize, curatedNPb, idCol))
       }
 
   /** Streaming CURATED landing: each micro-batch of documents (doc_id,

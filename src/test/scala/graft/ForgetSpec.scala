@@ -427,6 +427,10 @@ class ForgetSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
     SimilarityOps.writeSq8Index(emb, centroids, s"$dir/sq8")
+    graft.streaming.StreamingOps.knnGraphBatch(
+      emb.filter(col("vec_id") < 3L), 0L, centroids, 2, 2, s"$dir/knn")
+    graft.streaming.StreamingOps.knnGraphBatch(
+      emb.filter(col("vec_id") >= 3L), 1L, centroids, 2, 2, s"$dir/knn")
     ids.write.parquet(s"$dir/tombs")
     emb.filter(col("vec_id") === 1L).write.parquet(s"$dir/vtombs")
     def drainDocs(ck: String): Unit = {
@@ -443,7 +447,8 @@ class ForgetSpec extends SparkSpec {
       val src = spark.readStream
         .schema(spark.read.parquet(s"$dir/vtombs").schema).parquet(s"$dir/vtombs")
       val q = graft.streaming.StreamingOps.forgetStream(src, ck,
-          sq8Path = Some(s"$dir/sq8"), centroids = centroids, idCol = "vec_id")
+          sq8Path = Some(s"$dir/sq8"), knnStorePath = Some(s"$dir/knn"),
+          knnK = 2, knnNProbe = 2, centroids = centroids, idCol = "vec_id")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
@@ -476,6 +481,9 @@ class ForgetSpec extends SparkSpec {
       val sqSel = Seq("id", "codes", "cell").map(col)
       assert(rows(spark.read.parquet(s"$dir/sq8").select(sqSel: _*)) ==
         rows(spark.read.parquet(s"$dir/sq82").select(sqSel: _*)))
+      assert(rows(graft.streaming.StreamingOps.readKnnGraph(spark, s"$dir/knn")) ==
+        rows(SimilarityOps.knnGraph(emb.filter(col("vec_id") =!= 1L),
+          centroids, k = 2, nProbe = 2)))
     }
     check()
     // a FORCED replay (fresh checkpoints re-deliver the same tombstones
