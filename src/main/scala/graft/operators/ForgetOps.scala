@@ -548,6 +548,48 @@ object ForgetOps {
     fenceIfStreamed(spark, idx, docsRoot)
   }
 
+  /** The EXPLICIT ids-only fallback for a hive-partitioned artifact —
+    * when the erasure request's payload was already purged upstream, the
+    * partition-pruned faces cannot re-sign it and [[requirePayload]]
+    * refuses; this face instead derives the affected partitions from the
+    * ARTIFACT ITSELF: a column-pruned (joinCol + partition columns)
+    * projection scan semi-joined with the ids, then the same
+    * [[rewritePartitions]] rewrite of only those directories. The scan
+    * is the explicit, caller-chosen cost (at 100 TB it reads two slim
+    * columns of every row group — parquet column pruning, no payloads);
+    * everything after it is delta-proportional. Works on flat and
+    * versioned (`__batch=`) layouts, fences streamed ones — the
+    * [[forgetFromLshIndex]] discipline with a scan instead of a
+    * signature. Equal to the payload-deriving face's result by
+    * construction: both rewrite every directory that holds an id row.
+    *
+    * `partCols` must name the layout's hive partition columns in
+    * directory order (e.g. `Seq("band", "bucket")` for an LSH index,
+    * `Seq("cell")` for a cell store, `Seq("pt")` for postings levels). */
+  def forgetByScan(spark: SparkSession, path: String, ids: DataFrame,
+      joinCol: String, partCols: Seq[String],
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    require(partCols.nonEmpty, "forgetByScan needs the hive partition columns")
+    val dead = ids.select(col(ids.columns.head).as(joinCol)).localCheckpoint(true)
+    val sorts = if (sortCols.nonEmpty) sortCols else Seq(joinCol)
+    levelRoots(spark, path).foreach { root =>
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(rootPath) && f.listStatus(rootPath).exists(
+          _.getPath.getName.startsWith(partCols.head + "="))) {
+        val affected = spark.read.parquet(root)
+          .select((joinCol +: partCols).map(col): _*)
+          .join(dead, Seq(joinCol), "left_semi")
+          .select(partCols.map(col): _*).distinct().collect()
+          .map(r => partCols.indices.map(i =>
+            partCols(i) -> r.get(i).toString): Seq[(String, String)]).toSeq
+        rewritePartitions(spark, root, affected, dropIds = dead,
+          joinCol = joinCol, sortCols = sorts)
+      }
+    }
+    fenceIfStreamed(spark, path)
+  }
+
   /** Persist the ATTESTATION of a completed composed forget pass — the
     * durable record a GDPR audit reads (records, not job logs): WHO/WHAT
     * via the id-set digest + id count, the per-artifact evidence
@@ -614,8 +656,9 @@ object ForgetOps {
       s"$face derives the affected partitions by re-signing the forgotten " +
         s"payloads, but the tombstone frame has no '$colName' column (an " +
         "ids-only erasure request — payload purged upstream?). Supply the " +
-        "payloads being erased, or rebuild the artifact from the surviving " +
-        s"corpus instead. Columns present: ${df.columns.mkString(", ")}")
+        "payloads being erased, use ForgetOps.forgetByScan (the explicit " +
+        "column-pruned-scan fallback), or rebuild the artifact from the " +
+        s"surviving corpus. Columns present: ${df.columns.mkString(", ")}")
 
   /** Replace `dir`'s contents without the mid-Overwrite data-loss window
     * a same-directory `SaveMode.Overwrite` opens (it truncates the target

@@ -130,6 +130,54 @@ class ForgetSpec extends SparkSpec {
     assert(e.getMessage.contains("'embedding'"))
   }
 
+  test("forgetByScan: the ids-only fallback equals the payload-deriving face") {
+    val d = docs()
+    val idsOnly = d.filter(col("doc_id").isin(2L, 5L)).select(col("doc_id"))
+    val kept = d.filter(!col("doc_id").isin(2L, 5L))
+    val dir = tmpDir()
+    // flat LSH layout, no payload in the tombstone frame
+    DedupOps.writeMinHashIndex(d, s"$dir/lsh", nBuckets = 8)
+    ForgetOps.forgetByScan(spark, s"$dir/lsh", idsOnly, "id",
+      Seq("band", "bucket"))
+    DedupOps.writeMinHashIndex(kept, s"$dir/lsh2", nBuckets = 8)
+    val sel = Seq("id", "band", "bandsig", "bucket").map(col)
+    assert(rows(spark.read.parquet(s"$dir/lsh").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/lsh2").select(sel: _*)))
+    // rerun converges (nothing left to find in the scan)
+    ForgetOps.forgetByScan(spark, s"$dir/lsh", idsOnly, "id",
+      Seq("band", "bucket"))
+    assert(rows(spark.read.parquet(s"$dir/lsh").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/lsh2").select(sel: _*)))
+    // versioned cell store: per-level scan + rewrite, fenced after
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    graft.streaming.StreamingOps.sq8IndexBase(
+      emb.filter(col("vec_id") <= 2L), centroids, s"$dir/sq8")
+    graft.streaming.StreamingOps.sq8Batch(
+      emb.filter(col("vec_id") > 2L), 0L, centroids, s"$dir/sq8",
+      "vec_id", "embedding")
+    ForgetOps.forgetByScan(spark, s"$dir/sq8",
+      emb.filter(col("vec_id") === 1L).select(col("vec_id")), "id",
+      Seq("cell"))
+    SimilarityOps.writeSq8Index(emb.filter(col("vec_id") =!= 1L), centroids,
+      s"$dir/sq82")
+    val sqSel = Seq("id", "codes", "cell").map(col)
+    assert(rows(spark.read.parquet(s"$dir/sq8").select(sqSel: _*)) ==
+      rows(spark.read.parquet(s"$dir/sq82").select(sqSel: _*)))
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamingOps.sq8Batch(
+        emb.filter(col("vec_id") > 2L), 0L, centroids, s"$dir/sq8",
+        "vec_id", "embedding"))
+    assert(e.getMessage.contains("different checkpoint lineage"))
+    // the refusal message points here
+    val e2 = intercept[IllegalArgumentException](
+      ForgetOps.forgetFromLshIndex(spark, s"$dir/lsh", idsOnly, nBuckets = 8))
+    assert(e2.getMessage.contains("forgetByScan"))
+  }
+
   test("staged level rewrites never lose survivors at any crash point") {
     import org.apache.hadoop.fs.Path
     val d = docs()
