@@ -363,9 +363,13 @@ object ForgetOps {
         .parquet(level)
         .join(dead, col("vec_id") === col("__dead"), "left_anti"))
     }
+    // delta-bounded (the ids' blast radius) and consumed twice (the
+    // emptiness probe + the requery join) — pin it so the resolved-graph
+    // window runs once
     val affected = graft.streaming.StreamingOps.readKnnGraph(spark, path)
       .join(dead, col("neighbor_id") === col("__dead"), "left_semi")
       .select(col("vec_id").as("id")).distinct()
+      .localCheckpoint(true)
     val remaining = corpusNow().select(col("id"), col("v"), col("cell"))
     // the sink's own probe discipline (knnGraphBatch's scored join):
     // affected probes x their nProbe cells against the surviving corpus
@@ -387,10 +391,18 @@ object ForgetOps {
       .filter(col("rank") <= k)
       .select(col("qid").as("vec_id"), col("id").as("neighbor_id"),
         col("sim"), col("rank").cast("int").as("rank"))
-    val level = batchLevels(spark, edgesDir)
-      .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l).map(_.group(1).toLong))
-      .foldLeft(-1L)(math.max) + 1L
-    stagedOverwrite(s"$edgesDir/__batch=$level", requeried)
+    // nothing to re-query (a rerun of a completed pass, or ids nobody
+    // listed) lands NO level — an empty one would read as a real batch
+    // and every rerun would advance the frontier past the live stream;
+    // the corpus fence below still blocks stale replays on its own
+    // (knnGraphBatch guards every root before any write)
+    if (!affected.isEmpty) {
+      val level = batchLevels(spark, edgesDir)
+        .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l)
+          .map(_.group(1).toLong))
+        .foldLeft(-1L)(math.max) + 1L
+      stagedOverwrite(s"$edgesDir/__batch=$level", requeried)
+    }
     fenceIfStreamed(spark, corpusDir)
   }
 
@@ -469,6 +481,16 @@ object ForgetOps {
     stagedOverwrite(newest, remanifest(corpus))
     graft.streaming.StreamingOps.vacuumScheduleManifests(spark, path,
       keepVersions = 1)
+    // enforce the quiesce contract instead of assuming it: a stale
+    // checkpoint replaying the NEWEST batch would re-land its delta from
+    // the replayed input — resurrecting forgotten evidence if the ids
+    // arrived in that batch. The evidence fence makes it refuse loudly
+    // (scheduleBatch guards every root BEFORE any write, so one fenced
+    // root blocks the whole batch); the live stream's next batch id
+    // equals the fence and overwrites it. The manifest root is NOT
+    // fenced — readLatestManifest serves the newest `_SUCCESS`-carrying
+    // version, and a fence dir would read as an empty manifest.
+    fenceIfStreamed(spark, s"$path/_docs")
   }
 
   /** Forget `ids` from a [[graft.streaming.StreamingOps.curatedIngest]]
@@ -546,6 +568,48 @@ object ForgetOps {
     }
     // lineage fences on both roots (landing levels are always >= 0)
     fenceIfStreamed(spark, idx, docsRoot)
+  }
+
+  /** Forget `ids` from a content-addressed chunk store of EITHER layout
+    * generation: the flat [[MultimodalOps.writeChunkStore]] layout
+    * delegates to [[MultimodalOps.deleteFromChunkStore]]; a LEVELED
+    * [[graft.streaming.StreamingOps.chunkStoreIngest]] sink (which the
+    * batch GC deliberately refuses) forgets per level — every recipes
+    * level drops the ids' rows (staged swaps), then every chunks level
+    * keeps only addresses some surviving recipe still references
+    * (recipes FIRST: at any crash point the chunk set is a superset of
+    * what live recipes need, the flat face's ordering argument), and
+    * both roots take a lineage fence. A GC'd address whose content
+    * later re-arrives is novel again and re-stores — the ingest's
+    * anti-join reads the post-forget address set, so the store's dedup
+    * truth tracks the SURVIVING corpus (the curated-landing argument).
+    * Ids-only by nature (recipes are keyed by the id). Heals a crashed
+    * compaction first — keys hidden in fold leftovers must not dodge
+    * the rewrite. */
+  def forgetFromChunkStore(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "media_id"): Unit = {
+    if (batchLevels(spark, s"$path/recipes").isEmpty) {
+      MultimodalOps.deleteFromChunkStore(spark, path, ids, idCol)
+      return
+    }
+    graft.streaming.StreamingOps.compactChunkStore(spark, path)
+    val dead = ids.select(col(ids.columns.head).as(idCol)).localCheckpoint(true)
+    Seq("recipes", "chunks").foreach(r => healStagedLevels(spark, s"$path/$r"))
+    batchLevels(spark, s"$path/recipes").foreach { level =>
+      stagedOverwrite(level, spark.read
+        .schema(s"$idCol LONG, chunk_idx INT, addr STRING").parquet(level)
+        .join(dead, Seq(idCol), "left_anti"))
+    }
+    val live = spark.read
+      .schema(s"$idCol LONG, chunk_idx INT, addr STRING, __batch LONG")
+      .option("basePath", s"$path/recipes").parquet(s"$path/recipes")
+      .select(col("addr")).distinct().localCheckpoint(true)
+    batchLevels(spark, s"$path/chunks").foreach { level =>
+      stagedOverwrite(level, spark.read
+        .schema("addr STRING, chunk_bytes BINARY").parquet(level)
+        .join(live, Seq("addr"), "left_semi"))
+    }
+    fenceIfStreamed(spark, s"$path/recipes", s"$path/chunks")
   }
 
   /** The EXPLICIT ids-only fallback for a hive-partitioned artifact —
@@ -676,6 +740,14 @@ object ForgetOps {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // a DATALESS existing target (a lineage fence, or a level that landed
+    // nothing) has nothing to rewrite — and "rewriting" it would plant an
+    // empty part file that makes the fence read as a real level (so the
+    // next pass stacks another fence above it, advancing the frontier
+    // past the live stream's next batch id)
+    if (f.exists(p) &&
+        !f.listStatus(p).exists(s => !s.getPath.getName.startsWith("_")))
+      return
     val staging = new org.apache.hadoop.fs.Path(
       p.getParent, "_staged_" + p.getName)
     if (f.exists(staging)) f.delete(staging, true): Unit
@@ -734,11 +806,23 @@ object ForgetOps {
         .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l)
           .map(_.group(1).toLong))
       if (levels.exists(_ >= 0)) {
-        val dir = new org.apache.hadoop.fs.Path(
-          s"$root/__batch=${levels.max + 1L}")
-        val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        f.mkdirs(dir): Unit
-        f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // idempotent: if the newest level is already DATALESS (a prior
+        // pass's fence, or a real batch that landed nothing — either way
+        // a replay of it re-lands nothing), don't stack another — stacked
+        // fences would advance the frontier past the stream's next batch
+        // id and fence the LIVE stream out permanently
+        val newest = new org.apache.hadoop.fs.Path(
+          s"$root/__batch=${levels.max}")
+        val newestEmpty = !f.listStatus(newest)
+          .exists(s => !s.getPath.getName.startsWith("_"))
+        if (!newestEmpty) {
+          val dir = new org.apache.hadoop.fs.Path(
+            s"$root/__batch=${levels.max + 1L}")
+          f.mkdirs(dir): Unit
+          f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+        }
       }
     }
 

@@ -243,7 +243,7 @@ object StreamingOps {
           centroids, idCol, vecCol))
         pqPath.foreach(p => ForgetOps.forgetFromPqIndex(s, p, b,
           centroids, codebooks, idCol, vecCol))
-        chunkStorePath.foreach(p => MultimodalOps.deleteFromChunkStore(s, p,
+        chunkStorePath.foreach(p => ForgetOps.forgetFromChunkStore(s, p,
           b.select(col(idCol).as("media_id"))))
         knnStorePath.foreach(p => ForgetOps.forgetFromKnnGraphStore(s, p, b,
           knnK, knnNProbe, centroids, idCol))

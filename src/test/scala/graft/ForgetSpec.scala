@@ -583,6 +583,78 @@ class ForgetSpec extends SparkSpec {
     val versions = new java.io.File(s"$dir/manifest").listFiles()
       .map(_.getName).filter(_.startsWith("__batch=")).toSeq
     assert(versions == Seq("__batch=1"), versions)
+    // the quiesce contract is ENFORCED: a stale checkpoint replaying a
+    // committed batch (whose delta would re-land forgotten evidence from
+    // the replayed input) refuses at the evidence fence...
+    val e2 = intercept[IllegalArgumentException](
+      graft.streaming.StreamingOps.manifestBatch(d, 1L, dir,
+        budgetTokens = 400L, epochCap = 2, seqLen = 16L, refreshEvery = 1,
+        seed = 0L, nRanges = 8, sourceCol = "lang", idCol = "doc_id",
+        textCol = "text"))
+    assert(e2.getMessage.contains("different checkpoint lineage"))
+    // ... while the served manifest stays the re-derived one (the fence
+    // never lands on the manifest root — readers serve the newest
+    // _SUCCESS version and an empty fence would read as a zero manifest)
+    assert(rows(graft.streaming.StreamingOps.readTrainManifest(spark, dir)) ==
+      rows(truth))
+    // ... and the live stream's NEXT batch resumes over the fence
+    graft.streaming.StreamingOps.manifestBatch(kept, 2L, dir,
+      budgetTokens = 400L, epochCap = 2, seqLen = 16L, refreshEvery = 1,
+      seed = 0L, nRanges = 8, sourceCol = "lang", idCol = "doc_id",
+      textCol = "text")
+    assert(graft.streaming.StreamingOps.readTrainManifest(spark, dir)
+      .agg(count(lit(1))).collect()(0).getLong(0) > 0)
+  }
+
+  test("forgetFromChunkStore handles the leveled (streamed) layout; GC spans levels") {
+    val dir = s"${tmpDir()}/cs"
+    import graft.streaming.StreamingOps
+    // batch 0: media 1 and 2 share content (chunks dedup to one address
+    // set); batch 1: media 3 unique, media 4 repeats 1's content (novel
+    // set empty for it — its recipes reference batch 0's chunks)
+    val pad = "x" * 64
+    val m = (id: Long, text: String) => (id, text.getBytes("UTF-8"))
+    def land(rows: Seq[(Long, Array[Byte])], id: Long): Unit =
+      StreamingOps.storeBatch(rows.toDF("media_id", "content"), id, dir,
+        8, 16, "media_id", "content")
+    land(Seq(m(1L, "alpha" + pad), m(2L, "alpha" + pad)), 0L)
+    land(Seq(m(3L, "gamma" + pad + pad), m(4L, "alpha" + pad)), 1L)
+    def digests() = rows(MultimodalOps.readChunkStore(spark, dir)
+      .select(col("media_id"), md5(col("content")).as("d")))
+    def truthOf(keep: Seq[(Long, Array[Byte])]) = rows(keep
+      .toDF("media_id", "content")
+      .select(col("media_id"), md5(col("content")).as("d")))
+    // forget media 1: its content survives via 2 and 4 (cross-level
+    // references), so NO chunk may be GC'd
+    ForgetOps.forgetFromChunkStore(spark, dir, Seq(1L).toDF("media_id"))
+    assert(digests() == truthOf(Seq(m(2L, "alpha" + pad),
+      m(3L, "gamma" + pad + pad), m(4L, "alpha" + pad))))
+    // forget 2 and 4: now the shared content is unreferenced — GC'd from
+    // the level that stored it
+    ForgetOps.forgetFromChunkStore(spark, dir, Seq(2L, 4L).toDF("media_id"))
+    assert(digests() == truthOf(Seq(m(3L, "gamma" + pad + pad))))
+    assert(spark.read.schema("addr STRING, chunk_bytes BINARY")
+      .option("basePath", s"$dir/chunks").parquet(s"$dir/chunks")
+      .join(
+        spark.read.schema("media_id LONG, chunk_idx INT, addr STRING, __batch LONG")
+          .option("basePath", s"$dir/recipes").parquet(s"$dir/recipes")
+          .select(col("addr")), Seq("addr"), "left_anti")
+      .isEmpty, "no orphan chunks survive the GC")
+    // a stale checkpoint replaying batch 1 (which would re-land media 4's
+    // recipes and re-store the GC'd content) refuses at the fence
+    val e = intercept[IllegalArgumentException](
+      land(Seq(m(3L, "gamma" + pad + pad), m(4L, "alpha" + pad)), 1L))
+    assert(e.getMessage.contains("different checkpoint lineage"))
+    // the GC'd content RE-ARRIVING from a surviving source is novel again
+    // (the live stream's next batch, over the fence): stored and
+    // reassemblable — the store's dedup truth tracks the surviving corpus
+    land(Seq(m(9L, "alpha" + pad)), 2L)
+    assert(digests() == truthOf(Seq(m(3L, "gamma" + pad + pad),
+      m(9L, "alpha" + pad))))
+    // rerunning a completed forget converges
+    ForgetOps.forgetFromChunkStore(spark, dir, Seq(2L, 4L).toDF("media_id"))
+    assert(digests() == truthOf(Seq(m(3L, "gamma" + pad + pad),
+      m(9L, "alpha" + pad))))
   }
 
 }
