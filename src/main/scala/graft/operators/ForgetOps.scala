@@ -332,9 +332,10 @@ object ForgetOps {
     * Crash anywhere -> rerun converges: the corpus rewrite and level
     * drops are idempotent anti-joins, the requery level swaps in through
     * staging ([[stagedOverwrite]] — a torn level can never win
-    * latest-wins), and a completed pass's rerun finds no dead rows and
-    * lands an empty fence level. Single-maintainer: quiesce the graph
-    * stream; a stale checkpoint refuses at the fence. */
+    * latest-wins), and a completed pass's rerun finds nothing affected
+    * and lands no level at all (the corpus fence alone blocks stale
+    * replays — knnGraphBatch guards every root before any write).
+    * Single-maintainer: quiesce the graph stream. */
   def forgetFromKnnGraphStore(spark: SparkSession, path: String,
       ids: DataFrame, k: Int, nProbe: Int,
       centroids: Seq[(Int, Seq[Double])],
@@ -448,8 +449,10 @@ object ForgetOps {
     * anything — the retention contract is that a completed forget leaves
     * exactly ONE served version, the re-derived newest. Version numbering
     * of that newest version is untouched, so the sink's checkpoint
-    * lineage stays valid and a later stream replay of that batch
-    * re-manifests from the SAME forgotten evidence. A crash between the
+    * lineage stays valid; a STALE-checkpoint replay of a committed batch
+    * (whose delta would re-land forgotten evidence from the replayed
+    * input) refuses at the evidence fence the pass lands, while the live
+    * stream's next batch resumes over it. A crash between the
     * re-manifest and the vacuum leaves older versions readable until the
     * documented rerun — the window is the pass itself, never "forever". */
   def forgetFromSchedule(spark: SparkSession, path: String, ids: DataFrame,
@@ -531,6 +534,11 @@ object ForgetOps {
       idCol: String = "doc_id"): Unit = {
     val docsRoot = s"$outDir/docs"
     val idx = s"$outDir/_para_index"
+    // a landing that never received a batch has nothing to forget (and
+    // no docs directory to read)
+    val docsPath = new org.apache.hadoop.fs.Path(docsRoot)
+    if (!docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(docsPath)) return
     ParamMeta.assertMatches(spark, idx,
       Seq("chunkSize" -> chunkSize.toLong, "nPb" -> nPb.toLong),
       "curated-landing parameters", "a fresh curatedIngest outDir")
@@ -593,7 +601,8 @@ object ForgetOps {
       return
     }
     graft.streaming.StreamingOps.compactChunkStore(spark, path)
-    val dead = ids.select(col(ids.columns.head).as(idCol)).localCheckpoint(true)
+    val dead = ids.select(col(ids.columns.head).cast("long").as(idCol))
+      .localCheckpoint(true)
     Seq("recipes", "chunks").foreach(r => healStagedLevels(spark, s"$path/$r"))
     batchLevels(spark, s"$path/recipes").foreach { level =>
       stagedOverwrite(level, spark.read
