@@ -2341,7 +2341,17 @@ object StreamingOps {
     * a replay sees identically), lineage-guarded per sub-root.
     * Re-sending a media id double-counts the sums (at-least-once sources
     * compose upstream dedup — the cardStream contract). Fold the
-    * accumulated deltas with [[compactMediaCardState]]. */
+    * accumulated deltas with [[compactMediaCardState]].
+    *
+    * Compliance note (deliberate, shared with [[cardStream]]): card
+    * state is a LOSSY aggregate — the distinct-key faces (`_chunkkeys`
+    * here, `_keys` there) collapse attribution by design, so an exact
+    * in-place forget is impossible from the state plus the forgotten
+    * payloads alone (a chunk address contributed by both a forgotten and
+    * a surviving media of the same source is indistinguishable from an
+    * exclusively-forgotten one). A compliance pass REBUILDS the card
+    * over the surviving corpus — reports are derived artifacts, and the
+    * ForgetOps faces cover every artifact content is served from. */
   def mediaCardStream(docs: DataFrame, path: String, checkpoint: String,
       fps: Int = 4, k: Int = 8, maxDist: Int = 3, minFrames: Int = 2,
       w: Int = 8, divisor: Int = 16, nBuckets: Int = 64): DataStreamWriter[Row] =
