@@ -6069,8 +6069,15 @@ object SparkEntry {
       val sqCols = Seq("id", "codes", "cell").map(col)
       audit += arm("sq8_index", s.read.parquet(s"$out/sq8").select(sqCols: _*),
         s.read.parquet(s"$out/sq82").select(sqCols: _*))
-      import s.implicits._
-      audit.toSeq.toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))
+      // the queue pass attests like the composed batch pass — a GDPR
+      // audit reads records, not job logs; the oracle gates the durable
+      // readback
+      graft.operators.ForgetOps.writeAttestation(s, s"$out/attest",
+        docs.filter(col("doc_id") % 97 === 3).select(col("doc_id")),
+        "doc_id", audit.toSeq,
+        params = Seq("audited" -> (if (atOracle) 1L else 0L)))
+      graft.operators.ForgetOps.readAttestation(s, s"$out/attest")
+        .orderBy(col("artifact"))
     },
 
     "q_forget_knn_store" -> { (s, dir) => // the PERSISTED k-NN graph's
