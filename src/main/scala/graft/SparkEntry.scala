@@ -2614,9 +2614,11 @@ object SparkEntry {
           k = 3, hashed = false)
         .select(col("shingle")).distinct()
       val pairs = graft.streaming.StreamingOps.contaminationStream(evalStream, trainShingles)
-      val q = pairs.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .groupBy(col("eval_id"))
         .agg(countDistinct(col("shingle")).as("n_shared"))
@@ -2641,9 +2643,11 @@ object SparkEntry {
       val pairs = graft.streaming.StreamingOps.decontamStream(
         evalStream, train, centroids = fixtureCentroids(64),
         nProbe = KmFixtureK, threshold = 0.3)
-      val q = pairs.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .groupBy(col("eval_id"))
         .agg(max(struct(col("sim"), (-col("train_id")).as("nt"),
@@ -2726,9 +2730,11 @@ object SparkEntry {
           col("event_id").as("rev"),
           lit(0).as("pos"),
           TimeFns.microsToFileTime(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts"))
-      val q = graft.streaming.StreamingOps.indexTo(src, s"$out/index", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps.indexTo(src, s"$out/index", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$out/index")
         .select(col("et"), col("pid"), col("aid"), col("rev").as("eid"),
           TimeFns.fileTimeToMicros(col("ts")).as("ts_us"))
@@ -2825,10 +2831,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("doc_id"), col("text"))
-      val q = graft.streaming.StreamingOps
-        .curatedIngest(src, s"$out/curated", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .curatedIngest(src, s"$out/curated", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$out/curated/docs")
         .select(col("doc_id"), col("clean_text"), col("n_kept"), col("n_dropped"))
         .orderBy(col("doc_id"))
@@ -2845,10 +2853,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("source"), col("lang"), col("text"))
-      val q = graft.streaming.StreamingOps
-        .cardStream(src, s"$out/card", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .cardStream(src, s"$out/card", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readCard(s, s"$out/card")
         .orderBy(col("source"))
     },
@@ -2865,11 +2875,13 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("doc_id"), col("text"))
-      val q = graft.streaming.StreamingOps
-        .budgetIngest(src, s"$out/budget", s"$out/ckpt",
-          budgetTokens = 9000L, seed = 7L, nRanges = 8)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .budgetIngest(src, s"$out/budget", s"$out/ckpt",
+            budgetTokens = 9000L, seed = 7L, nRanges = 8)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.schema("doc_id LONG, sort_key LONG, n_tokens LONG")
         .option("basePath", s"$out/budget/docs").parquet(s"$out/budget/docs")
         .select(col("doc_id"), col("sort_key"), col("n_tokens"))
@@ -2887,10 +2899,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("lang"), col("n_chars"))
-      val q = graft.streaming.StreamingOps
-        .quantileStream(src, s"$out/hist", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .quantileStream(src, s"$out/hist", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps
         .readQuantiles(s, s"$out/hist", ps = Seq(0.25, 0.5, 0.75))
         .orderBy(col("lang"))
@@ -2908,10 +2922,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("text"))
-      val q = graft.streaming.StreamingOps
-        .topkStream(src, s"$out/topk", s"$out/ckpt", maxTracked = 1024)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .topkStream(src, s"$out/topk", s"$out/ckpt", maxTracked = 1024)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readTopK(s, s"$out/topk", k = 10)
     },
 
@@ -2932,10 +2948,12 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .ivfIndexStream(src, centroids, s"$out/index", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .ivfIndexStream(src, centroids, s"$out/index", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       SimilarityOps.ivfTopKIndexed(s, s"$out/index", centroids, qv, 20, nProbe = 16)
     },
 
@@ -2953,11 +2971,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .knnGraphStream(src, centroids, k = 5,
-          nProbe = if (oracleScale(dir)) 16 else 4, s"$out/graph", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .knnGraphStream(src, centroids, k = 5,
+            nProbe = if (oracleScale(dir)) 16 else 4, s"$out/graph", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readKnnGraph(s, s"$out/graph")
         .orderBy(col("vec_id"), col("rank"))
     },
@@ -2977,11 +2997,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .pqIndexStream(src, fixtureCentroids(64), fixturePqCodebooks(64),
-          s"$out/index", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .pqIndexStream(src, fixtureCentroids(64), fixturePqCodebooks(64),
+            s"$out/index", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       SimilarityOps.pqTopKIndexed(s, s"$out/index", fixtureCentroids(64),
         fixturePqCodebooks(64), qv, k = 20, nProbe = KmFixtureK)
     },
@@ -2998,11 +3020,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .chunkStoreIngest(MultimodalOps.mediaFromDocuments(src),
-          s"$out/store", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .chunkStoreIngest(MultimodalOps.mediaFromDocuments(src),
+            s"$out/store", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       MultimodalOps.readChunkStore(s, s"$out/store")
         .select(col("media_id"), md5(col("content")).as("content_md5"))
         .orderBy(col("media_id"))
@@ -3023,10 +3047,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
-      val q = graft.streaming.StreamingOps
-        .lshIndexStream(src, s"$out/lshidx", s"$out/ckpt", nBuckets = 16)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .lshIndexStream(src, s"$out/lshidx", s"$out/ckpt", nBuckets = 16)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       DedupOps.minHashNearDupsIndexed(
           docs.filter(col("doc_id") % 5 === 0), corpus, s"$out/lshidx",
@@ -3049,10 +3075,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
-      val q = graft.streaming.StreamingOps
-        .shingleIndexStream(src, s"$out/spanidx", s"$out/ckpt", k = 3, nPb = 8, hashed = false)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .shingleIndexStream(src, s"$out/spanidx", s"$out/ckpt", k = 3, nPb = 8, hashed = false)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       TextOps.duplicatedSpansAgainst(docs.filter(col("doc_id") % 5 === 0),
           s"$out/spanidx", k = 3, minSpanTokens = 8, hashed = false)
         .orderBy(col("doc_id"), col("start_tok"))
@@ -3072,11 +3100,13 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), col("text"))
-      val q = graft.streaming.StreamingOps
-        .clusterIngest(src, s"$out/loop", s"$out/ckpt", nBuckets = 8,
-          nDocBuckets = 8) // both bucket counts sized to the fixture sf
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .clusterIngest(src, s"$out/loop", s"$out/ckpt", nBuckets = 8,
+            nDocBuckets = 8) // both bucket counts sized to the fixture sf
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.currentAssignment(s, s"$out/loop")
         .orderBy(col("doc_id"))
     },
@@ -3095,11 +3125,13 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
-      val q = graft.streaming.StreamingOps
-        .bloomIndexStream(src, s"$out/bloomidx", s"$out/ckpt",
-          expectedItems = 1L << 10, fpp = 0.05)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .bloomIndexStream(src, s"$out/bloomidx", s"$out/ckpt",
+            expectedItems = 1L << 10, fpp = 0.05)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val sketch = graft.streaming.StreamingOps.readMergedBloom(s, s"$out/bloomidx")
       DedupOps.incrementalExactBloom(
           docs.filter(col("doc_id") % 5 === 0),
@@ -3705,10 +3737,12 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .kmeansStream(src, s"$out/kmstate", s"$out/ckpt", seed = fixtureCentroids(64))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .kmeansStream(src, s"$out/kmstate", s"$out/ckpt", seed = fixtureCentroids(64))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readStreamKmeans(s, s"$out/kmstate")
         .orderBy(col("cell"), col("dim"))
     },
@@ -3909,7 +3943,12 @@ object SparkEntry {
       // never rematerialized — the assignment is its lossless
       // connectivity summary.
       val docs = Tables.documents(s, dir)
-      val all = DedupOps.minHashNearDups(docs, threshold = 0.5)
+      // pin the pair list ONCE: unpinned, the prior star loop and the
+      // incremental star loop each re-derive the full MinHash signature
+      // + rescore pipeline (two corpus-sized computations for one truth)
+      val all = graft.operators.Checkpoints.pin(
+        DedupOps.minHashNearDups(docs, threshold = 0.5)
+          .select(col("id1"), col("id2")), reliable = false)
       val prior = DedupOps.nearDupClustersStar(
         all.filter(col("id1") % 5 =!= 0 && col("id2") % 5 =!= 0))
       val fresh = all.filter(col("id1") % 5 === 0 || col("id2") % 5 === 0)
@@ -4004,10 +4043,12 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .sq8IndexStream(src, fixtureCentroids(64), s"$out/index", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .sq8IndexStream(src, fixtureCentroids(64), s"$out/index", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       SimilarityOps.sq8TopKIndexed(s, s"$out/index", fixtureCentroids(64), e, qv,
         k = 20, nProbe = KmFixtureK, refine = 4)
     },
@@ -4080,11 +4121,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .postingsStream(src, s"$out/idx", s"$out/ckpt",
-          nPt = GraftConf.int(s, GraftConf.PostingsNPt, 16))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .postingsStream(src, s"$out/idx", s"$out/ckpt",
+            nPt = GraftConf.int(s, GraftConf.PostingsNPt, 16))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.compactPostingsIndex(s, s"$out/idx")
       RetrievalOps.bm25TopKIndexed(s, s"$out/idx", Bm25Query,
         k = GraftConf.int(s, GraftConf.RetrievalK, 10),
@@ -4410,10 +4453,12 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .knCountsStream(src, s"$out/idx", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .knCountsStream(src, s"$out/idx", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.compactKnCounts(s, s"$out/idx")
       val words = graft.streaming.StreamingOps.readKnCounts(s, s"$out/idx")._1
         .filter(length(col("w")) > 0) // bpeWords' empty-token filter
@@ -4582,11 +4627,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .logitStream(src, s"$out/idx", s"$out/ckpt",
-          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .logitStream(src, s"$out/idx", s"$out/ckpt",
+            steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readLogitScores(s, s"$out/idx")
         .orderBy(col("doc_id"))
     },
@@ -4631,10 +4678,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 2 === 0)
-      val q = graft.streaming.StreamingOps
-        .knCountsStream(src, s"$out/idx", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .knCountsStream(src, s"$out/idx", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.compactKnCounts(s, s"$out/idx")
       val (uni, pairs) = graft.streaming.StreamingOps.readKnCounts(s, s"$out/idx")
       TextOps.knScore(
@@ -4670,11 +4719,13 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 2 === 0)
-      val q = graft.streaming.StreamingOps
-        .kn3CountsStream(src, s"$out/idx", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamingOps.compactKn3Counts(s, s"$out/idx")
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .kn3CountsStream(src, s"$out/idx", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.streaming.StreamingOps.compactKn3Counts(s, s"$out/idx")
+      }
       val (uni, tri) = graft.streaming.StreamingOps.readKn3Counts(s, s"$out/idx")
       TextOps.kn3Score(
           Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), uni, tri,
@@ -4773,10 +4824,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
             .cast("long").as("score"))
-      val q = graft.streaming.StreamingOps
-        .prefPairsStream(src, s"$out/idx", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .prefPairsStream(src, s"$out/idx", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readPrefPairs(s, s"$out/idx")
         .orderBy(col("source"), col("pair_rank"))
     },
@@ -4904,11 +4957,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .glmStream(src, s"$out/idx", s"$out/ckpt",
-          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .glmStream(src, s"$out/idx", s"$out/ckpt",
+            steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readGlmScores(s, s"$out/idx")
         .orderBy(col("doc_id"))
     },
@@ -4924,11 +4979,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .doremiStream(src, s"$out/idx", s"$out/ckpt",
-          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .doremiStream(src, s"$out/idx", s"$out/ckpt",
+            steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readDoremiWeights(s, s"$out/idx")
         .orderBy(col("source"))
     },
@@ -4945,11 +5002,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .btRankStream(src, s"$out/idx", s"$out/ckpt",
-          steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .btRankStream(src, s"$out/idx", s"$out/ckpt",
+            steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readBtRank(s, s"$out/idx")
         .orderBy(col("doc_id"))
     },
@@ -5016,10 +5075,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 2 === 0)
-      val q = graft.streaming.StreamingOps
-        .nbCountsStream(src, s"$out/idx", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .nbCountsStream(src, s"$out/idx", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.compactNbCounts(s, s"$out/idx")
       val (ncw, cls) = graft.streaming.StreamingOps.readNbCounts(s, s"$out/idx")
       TextOps.nbScore(
@@ -5552,12 +5613,14 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"),
           to_binary(col("text"), lit("utf-8")).as("content"))
       val nb = GraftConf.int(s, GraftConf.PhashBuckets, 16)
-      val q = graft.streaming.StreamingOps
-        .phashIndexStream(src, s"$out/idx", s"$out/ckpt",
-          fps = GraftConf.int(s, GraftConf.PhashFps, 4),
-          k = GraftConf.int(s, GraftConf.PhashK, 8), nBuckets = nb)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .phashIndexStream(src, s"$out/idx", s"$out/ckpt",
+            fps = GraftConf.int(s, GraftConf.PhashFps, 4),
+            k = GraftConf.int(s, GraftConf.PhashK, 8), nBuckets = nb)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val media = MultimodalOps.mediaFromDocuments(Tables.documents(s, dir))
       MultimodalOps.mediaPhashDupsIndexed(
           media.filter(col("media_id") % 5 === 0), s"$out/idx",
@@ -5613,21 +5676,31 @@ object SparkEntry {
       val minFrames = GraftConf.int(s, GraftConf.PhashMinFrames, 2)
       MultimodalOps.writePhashIndex(corpus, s"$out/idx",
         fps = fps, k = k, nBuckets = nb)
-      val prior = DedupOps.nearDupClustersStar(
-        MultimodalOps.mediaPhashDupsFromIndex(s, s"$out/idx",
-            maxDist = maxDist, minFrames = minFrames, alignment = false)
-          .select(col("media_a").as("id1"), col("media_b").as("id2")))
-      val crossPairs = MultimodalOps.mediaPhashDupsIndexed(inc, s"$out/idx",
-          fps = fps, k = k, maxDist = maxDist, minFrames = minFrames,
-          nBuckets = nb, alignment = false)
-        .select(col("media_new").as("id1"), col("media_corpus").as("id2"))
-      val incPairs = MultimodalOps.mediaPhashDups(inc,
-          fps = fps, k = k, maxDist = maxDist, minFrames = minFrames,
-          alignment = false)
-        .select(col("media_a").as("id1"), col("media_b").as("id2"))
+      // after the index lands, the prior star-CC loop and the increment's
+      // pair derivations (cross probe + increment-internal pairs) are
+      // independent eager chains — overlap them (guide §2.6); the pinned
+      // pair frame also keeps the incremental loop from re-deriving the
+      // decode+hash pipeline inside its own canon pin
+      val chains = graft.operators.Par.run(s, parallelism = 2)(
+        () => DedupOps.nearDupClustersStar(
+          MultimodalOps.mediaPhashDupsFromIndex(s, s"$out/idx",
+              maxDist = maxDist, minFrames = minFrames, alignment = false)
+            .select(col("media_a").as("id1"), col("media_b").as("id2"))),
+        () => {
+          val crossPairs = MultimodalOps.mediaPhashDupsIndexed(inc, s"$out/idx",
+              fps = fps, k = k, maxDist = maxDist, minFrames = minFrames,
+              nBuckets = nb, alignment = false)
+            .select(col("media_new").as("id1"), col("media_corpus").as("id2"))
+          val incPairs = MultimodalOps.mediaPhashDups(inc,
+              fps = fps, k = k, maxDist = maxDist, minFrames = minFrames,
+              alignment = false)
+            .select(col("media_a").as("id1"), col("media_b").as("id2"))
+          graft.operators.Checkpoints.pin(
+            crossPairs.unionByName(incPairs), reliable = false)
+        })
+      val (prior, freshPairs) = (chains(0), chains(1))
       DedupOps.canonicalPerCluster(docs,
-          DedupOps.nearDupClustersIncremental(prior,
-            crossPairs.unionByName(incPairs)))
+          DedupOps.nearDupClustersIncremental(prior, freshPairs))
         .orderBy(col("doc_id"))
     },
 
@@ -5656,10 +5729,12 @@ object SparkEntry {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("doc_id"), col("source"), col("text"))
-      val q = graft.streaming.StreamingOps
-        .mediaCardStream(src, s"$out/card", s"$out/ckpt", nBuckets = 16)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .mediaCardStream(src, s"$out/card", s"$out/ckpt", nBuckets = 16)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readMediaCard(s, s"$out/card")
         .orderBy(col("source"))
     },
@@ -5719,95 +5794,10 @@ object SparkEntry {
           truth: => org.apache.spark.sql.DataFrame): (String, Long, Long) =
         if (auditDiffs) { val (n, d) = auditArm(readback, truth); (name, n, d) }
         else (name, rowCount(readback), -1L)
-      val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
-      // 1. versioned doc log: bootstrap -> deleteAndPromote -> readback
-      val asEvents = (d: org.apache.spark.sql.DataFrame) => d.select(
-        col("doc_id").cast("string").cast("binary").as("id"),
-        lit(1).as("rev"), lit(0).as("pos"),
-        TimeFns.microsToFileTime(lit(0L)).as("ts"),
-        col("text").cast("binary").as("data"))
-      graft.sources.Generations.bootstrap(s, s"$out/log", asEvents(docs), nBuckets = 16)
-      graft.sources.Generations.deleteAndPromote(s, s"$out/log",
-        asEvents(ids).select("id", "rev", "pos"), nBuckets = 16)
-      val logBack = graft.sources.Generations.readCurrent(s, s"$out/log")
-        .select(col("id").cast("string").cast("long").as("doc_id"),
-          col("data").cast("string").as("text"))
-      audit += arm("doc_log", logBack, kept.select(col("doc_id"), col("text")))
-
-      // 2. LSH MinHash index: partition-pruned rewrite vs rebuild
-      DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16)
-      ForgetOps.forgetFromLshIndex(s, s"$out/lsh", ids, nBuckets = 16)
-      if (auditDiffs) DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16)
-      val lshCols = Seq("id", "band", "bandsig", "bucket")
-      val lshBack = s.read.parquet(s"$out/lsh").select(lshCols.map(col): _*)
-      audit += arm("lsh_index", lshBack,
-        s.read.parquet(s"$out/lsh2").select(lshCols.map(col): _*))
-
-      // 3. shingle-count index: negative-count delta vs rebuild
-      TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16, hashed = true)
-      ForgetOps.forgetFromShingleIndex(s, s"$out/sh", ids, k = 3, nPb = 16,
-        hashed = true)
-      if (auditDiffs)
-        TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16, hashed = true)
-      val shBack = TextOps.readShingleCounts(s, s"$out/sh", hashed = true)
-      audit += arm("shingle_index", shBack,
-        TextOps.readShingleCounts(s, s"$out/sh2", hashed = true))
-
-      // 4. postings index (postings levels + _docs sidecar)
-      RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16)
-      ForgetOps.forgetFromPostingsIndex(s, s"$out/pt", ids, nPt = 16)
-      if (auditDiffs) RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16)
-      val ptCols = Seq("tok", "doc_id", "tf", "positions")
-      val ptBack = s.read.parquet(s"$out/pt").select(ptCols.map(col): _*)
-      val dlCols = Seq("doc_id", "dl")
-      if (auditDiffs) {
-        val (ptN, ptD) = auditArm(ptBack,
-          s.read.parquet(s"$out/pt2").select(ptCols.map(col): _*))
-        val (_, dlD) = auditArm(
-          s.read.parquet(s"$out/pt/_docs").select(dlCols.map(col): _*),
-          s.read.parquet(s"$out/pt2/_docs").select(dlCols.map(col): _*))
-        audit += (("postings_index", ptN, ptD + dlD))
-      } else audit += (("postings_index", rowCount(ptBack), -1L))
-
-      // 5. banded pHash index
-      val media = MultimodalOps.mediaFromDocuments(docs)
-      val keptMedia = MultimodalOps.mediaFromDocuments(kept)
-      val idsMedia = MultimodalOps.mediaFromDocuments(ids)
-      MultimodalOps.writePhashIndex(media, s"$out/ph", nBuckets = 16)
-      ForgetOps.forgetFromPhashIndex(s, s"$out/ph", idsMedia, nBuckets = 16)
-      if (auditDiffs)
-        MultimodalOps.writePhashIndex(keptMedia, s"$out/ph2", nBuckets = 16)
-      val phCols = Seq("media_id", "frame_ix", "phash", "band_ix", "band", "bucket")
-      val phBack = s.read.parquet(s"$out/ph").select(phCols.map(col): _*)
-      audit += arm("phash_index", phBack,
-        s.read.parquet(s"$out/ph2").select(phCols.map(col): _*))
-
-      // 6. content-addressed chunk store: recipes shrink, GC reclaims,
-      // the kept payloads still reassemble byte-exactly
-      MultimodalOps.writeChunkStore(media, s"$out/cs")
-      MultimodalOps.deleteFromChunkStore(s, s"$out/cs", idsMedia.select("media_id"))
-      if (auditDiffs) MultimodalOps.writeChunkStore(keptMedia, s"$out/cs2")
-      val digBack = MultimodalOps.readChunkStore(s, s"$out/cs")
-        .select(col("media_id"), md5(col("content")).as("content_md5"))
-      val digTruth = keptMedia.filter(octet_length(col("content")) > 0)
-        .select(col("media_id"), md5(col("content")).as("content_md5"))
-      if (auditDiffs) {
-        val (csN, csD) = auditArm(digBack, digTruth)
-        val (_, ckD) = auditArm(s.read.parquet(s"$out/cs/chunks"),
-          s.read.parquet(s"$out/cs2/chunks"))
-        val (_, rcD) = auditArm(s.read.parquet(s"$out/cs/recipes"),
-          s.read.parquet(s"$out/cs2/recipes"))
-        audit += (("chunk_store", csN, csD + ckD + rcD))
-      } else
-        // bench shape: the digest-frame row count == distinct recipe
-        // media (one digest per media with >= 1 chunk) — same number
-        // without reassembling every payload
-        audit += (("chunk_store", rowCount(s.read
-          .parquet(s"$out/cs/recipes").select(col("media_id")).distinct()),
-          -1L))
-
-      // 7. exact k-NN graph: affected probes requeried vs full rebuild
+      // shared inputs, pinned/collected ONCE before the overlapped faces:
+      // the embeddings pin + trained centroids feed three faces, the
+      // media projections two
       val allEmb = Tables.embeddings(s, dir)
       val emb = graft.operators.Checkpoints.pin(
         if (oracleScale(dir)) allEmb
@@ -5816,77 +5806,186 @@ object SparkEntry {
       val embKept = emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true)
       val cells = 16
       val fullCentroids = SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2)
-      val graph = SimilarityOps.knnGraph(emb, fullCentroids, k = 5,
-        nProbe = cells)
-      val knnBack = ForgetOps.forgetFromKnnGraph(graph, emb, embIds, k = 5)
-      // truth stays INSIDE arm()'s by-name argument: at bench SFs the
-      // rebuild arm (its driver-side k-means collect included) must never
-      // run — the row's production-shape contract
-      audit += arm("knn_graph", knnBack,
-        SimilarityOps.knnGraph(embKept,
-          SimilarityOps.ivfCentroids(embKept, k = cells, nIters = 2), k = 5,
-          nProbe = cells))
-
-      // 7b. persisted IVF-SQ8 vector store: the forgotten vectors' home
-      // cells rewrite under the FROZEN centroids (the seed contract);
-      // the readback equals a rebuild over the remaining vectors
-      SimilarityOps.writeSq8Index(emb, fullCentroids, s"$out/sq8")
-      ForgetOps.forgetFromCellIndex(s, s"$out/sq8",
-        emb.join(embIds, Seq("vec_id"), "left_semi"), fullCentroids)
-      if (auditDiffs)
-        SimilarityOps.writeSq8Index(embKept, fullCentroids, s"$out/sq82")
+      val media = MultimodalOps.mediaFromDocuments(docs)
+      val keptMedia = MultimodalOps.mediaFromDocuments(kept)
+      val idsMedia = MultimodalOps.mediaFromDocuments(ids)
+      val lshCols = Seq("id", "band", "bandsig", "bucket")
+      val ptCols = Seq("tok", "doc_id", "tf", "positions")
+      val dlCols = Seq("doc_id", "dl")
+      val phCols = Seq("media_id", "frame_ix", "phash", "band_ix", "band", "bucket")
       val sqCols = Seq("id", "codes", "cell")
-      audit += arm("sq8_index",
-        s.read.parquet(s"$out/sq8").select(sqCols.map(col): _*),
-        s.read.parquet(s"$out/sq82").select(sqCols.map(col): _*))
 
-      // 7c. persisted IVF-PQ codes store: the same home-cell rewrite one
-      // rung up the compression ladder (fixture geometry — cells from the
-      // shared 64-dim fixture centroids, codes from the fixture
-      // codebooks; the forget asserts the PQ sidecar, not the SQ8 one)
-      SimilarityOps.writePqIndex(emb, fixtureCentroids(64),
-        fixturePqCodebooks(64), s"$out/pq")
-      ForgetOps.forgetFromPqIndex(s, s"$out/pq",
-        emb.join(embIds, Seq("vec_id"), "left_semi"), fixtureCentroids(64),
-        fixturePqCodebooks(64))
-      if (auditDiffs)
-        SimilarityOps.writePqIndex(embKept, fixtureCentroids(64),
-          fixturePqCodebooks(64), s"$out/pq2")
-      audit += arm("pq_index",
-        s.read.parquet(s"$out/pq").select(sqCols.map(col): _*),
-        s.read.parquet(s"$out/pq2").select(sqCols.map(col): _*))
-
-      // 8. near-dup cluster assignment: affected components re-closed
-      val pairs = DedupOps.minHashNearDups(docs, threshold = 0.5)
-        .select(col("id1"), col("id2")).localCheckpoint(true)
-      val pairsKept = pairs
-        .join(dead, col("id1") === col("doc_id"), "left_anti")
-        .join(dead, col("id2") === col("doc_id"), "left_anti")
-      val prior = DedupOps.nearDupClustersStar(pairs)
-      val ccBack = ForgetOps.forgetClusters(prior, pairsKept, dead)
-      audit += arm("cluster_assign", ccBack,
-        DedupOps.nearDupClustersStar(pairsKept))
-
-      // 9. schedule sink (UniMax train manifest): evidence levels drop
-      // the ids, the newest served version re-manifests in place
-      val ddl = "doc_id LONG, source STRING, n_tokens LONG"
-      StreamingOps.manifestBatch(docs, 0L, s"$out/sched",
-        budgetTokens = 40000L, epochCap = 3, seqLen = 128L, refreshEvery = 1,
-        seed = 0L, nRanges = 64, sourceCol = "source", idCol = "doc_id",
-        textCol = "text")
-      ForgetOps.forgetFromSchedule(s, s"$out/sched", dead, ddl,
-        corpus => graft.operators.AssemblyOps.trainManifest(corpus, 40000L, 3,
-          128L, textCol = "n_tokens", nTokensCol = Some("n_tokens")))
-      val schedBack = StreamingOps.readTrainManifest(s, s"$out/sched")
-      audit += arm("schedule_manifest", schedBack,
-        graft.operators.AssemblyOps.trainManifest(kept, 40000L, 3, 128L))
+      // Every face is an independent write->forget->audit chain against
+      // its own $out subtree — a chain of many SMALL driver jobs whose
+      // scheduling latency dominates this row's wall time. Overlap the
+      // chains (guide §2.6, operators.Par): FIFO scheduling back-fills
+      // each chain's straggler tail with the next chain's tasks. Face
+      // contents (and the audit tuples) are unchanged — heaviest chains
+      // first so the pool's tail is short.
+      val audit = graft.operators.Par.run(s, parallelism = 4)(
+        // 7. exact k-NN graph: affected probes requeried vs full rebuild
+        () => {
+          val graph = SimilarityOps.knnGraph(emb, fullCentroids, k = 5,
+            nProbe = cells)
+          val knnBack = ForgetOps.forgetFromKnnGraph(graph, emb, embIds, k = 5)
+          // truth stays INSIDE arm()'s by-name argument: at bench SFs the
+          // rebuild arm (its driver-side k-means collect included) must
+          // never run — the row's production-shape contract
+          arm("knn_graph", knnBack,
+            SimilarityOps.knnGraph(embKept,
+              SimilarityOps.ivfCentroids(embKept, k = cells, nIters = 2), k = 5,
+              nProbe = cells))
+        },
+        // 8. near-dup cluster assignment: affected components re-closed
+        () => {
+          val pairs = DedupOps.minHashNearDups(docs, threshold = 0.5)
+            .select(col("id1"), col("id2")).localCheckpoint(true)
+          val pairsKept = pairs
+            .join(dead, col("id1") === col("doc_id"), "left_anti")
+            .join(dead, col("id2") === col("doc_id"), "left_anti")
+          val prior = DedupOps.nearDupClustersStar(pairs)
+          val ccBack = ForgetOps.forgetClusters(prior, pairsKept, dead)
+          arm("cluster_assign", ccBack,
+            DedupOps.nearDupClustersStar(pairsKept))
+        },
+        // 9. schedule sink (UniMax train manifest): evidence levels drop
+        // the ids, the newest served version re-manifests in place
+        () => {
+          val ddl = "doc_id LONG, source STRING, n_tokens LONG"
+          StreamingOps.manifestBatch(docs, 0L, s"$out/sched",
+            budgetTokens = 40000L, epochCap = 3, seqLen = 128L, refreshEvery = 1,
+            seed = 0L, nRanges = 64, sourceCol = "source", idCol = "doc_id",
+            textCol = "text")
+          ForgetOps.forgetFromSchedule(s, s"$out/sched", dead, ddl,
+            corpus => graft.operators.AssemblyOps.trainManifest(corpus, 40000L, 3,
+              128L, textCol = "n_tokens", nTokensCol = Some("n_tokens")))
+          val schedBack = StreamingOps.readTrainManifest(s, s"$out/sched")
+          arm("schedule_manifest", schedBack,
+            graft.operators.AssemblyOps.trainManifest(kept, 40000L, 3, 128L))
+        },
+        // 1. versioned doc log: bootstrap -> deleteAndPromote -> readback
+        () => {
+          val asEvents = (d: org.apache.spark.sql.DataFrame) => d.select(
+            col("doc_id").cast("string").cast("binary").as("id"),
+            lit(1).as("rev"), lit(0).as("pos"),
+            TimeFns.microsToFileTime(lit(0L)).as("ts"),
+            col("text").cast("binary").as("data"))
+          graft.sources.Generations.bootstrap(s, s"$out/log", asEvents(docs),
+            nBuckets = 16)
+          graft.sources.Generations.deleteAndPromote(s, s"$out/log",
+            asEvents(ids).select("id", "rev", "pos"), nBuckets = 16)
+          val logBack = graft.sources.Generations.readCurrent(s, s"$out/log")
+            .select(col("id").cast("string").cast("long").as("doc_id"),
+              col("data").cast("string").as("text"))
+          arm("doc_log", logBack, kept.select(col("doc_id"), col("text")))
+        },
+        // 2. LSH MinHash index: partition-pruned rewrite vs rebuild
+        () => {
+          DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16)
+          ForgetOps.forgetFromLshIndex(s, s"$out/lsh", ids, nBuckets = 16)
+          if (auditDiffs) DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16)
+          val lshBack = s.read.parquet(s"$out/lsh").select(lshCols.map(col): _*)
+          arm("lsh_index", lshBack,
+            s.read.parquet(s"$out/lsh2").select(lshCols.map(col): _*))
+        },
+        // 3. shingle-count index: negative-count delta vs rebuild
+        () => {
+          TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16, hashed = true)
+          ForgetOps.forgetFromShingleIndex(s, s"$out/sh", ids, k = 3, nPb = 16,
+            hashed = true)
+          if (auditDiffs)
+            TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16, hashed = true)
+          val shBack = TextOps.readShingleCounts(s, s"$out/sh", hashed = true)
+          arm("shingle_index", shBack,
+            TextOps.readShingleCounts(s, s"$out/sh2", hashed = true))
+        },
+        // 4. postings index (postings levels + _docs sidecar)
+        () => {
+          RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16)
+          ForgetOps.forgetFromPostingsIndex(s, s"$out/pt", ids, nPt = 16)
+          if (auditDiffs) RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16)
+          val ptBack = s.read.parquet(s"$out/pt").select(ptCols.map(col): _*)
+          if (auditDiffs) {
+            val (ptN, ptD) = auditArm(ptBack,
+              s.read.parquet(s"$out/pt2").select(ptCols.map(col): _*))
+            val (_, dlD) = auditArm(
+              s.read.parquet(s"$out/pt/_docs").select(dlCols.map(col): _*),
+              s.read.parquet(s"$out/pt2/_docs").select(dlCols.map(col): _*))
+            ("postings_index", ptN, ptD + dlD)
+          } else ("postings_index", rowCount(ptBack), -1L)
+        },
+        // 5. banded pHash index
+        () => {
+          MultimodalOps.writePhashIndex(media, s"$out/ph", nBuckets = 16)
+          ForgetOps.forgetFromPhashIndex(s, s"$out/ph", idsMedia, nBuckets = 16)
+          if (auditDiffs)
+            MultimodalOps.writePhashIndex(keptMedia, s"$out/ph2", nBuckets = 16)
+          val phBack = s.read.parquet(s"$out/ph").select(phCols.map(col): _*)
+          arm("phash_index", phBack,
+            s.read.parquet(s"$out/ph2").select(phCols.map(col): _*))
+        },
+        // 6. content-addressed chunk store: recipes shrink, GC reclaims,
+        // the kept payloads still reassemble byte-exactly
+        () => {
+          MultimodalOps.writeChunkStore(media, s"$out/cs")
+          MultimodalOps.deleteFromChunkStore(s, s"$out/cs", idsMedia.select("media_id"))
+          if (auditDiffs) MultimodalOps.writeChunkStore(keptMedia, s"$out/cs2")
+          val digBack = MultimodalOps.readChunkStore(s, s"$out/cs")
+            .select(col("media_id"), md5(col("content")).as("content_md5"))
+          val digTruth = keptMedia.filter(octet_length(col("content")) > 0)
+            .select(col("media_id"), md5(col("content")).as("content_md5"))
+          if (auditDiffs) {
+            val (csN, csD) = auditArm(digBack, digTruth)
+            val (_, ckD) = auditArm(s.read.parquet(s"$out/cs/chunks"),
+              s.read.parquet(s"$out/cs2/chunks"))
+            val (_, rcD) = auditArm(s.read.parquet(s"$out/cs/recipes"),
+              s.read.parquet(s"$out/cs2/recipes"))
+            ("chunk_store", csN, csD + ckD + rcD)
+          } else
+            // bench shape: the digest-frame row count == distinct recipe
+            // media (one digest per media with >= 1 chunk) — same number
+            // without reassembling every payload
+            ("chunk_store", rowCount(s.read
+              .parquet(s"$out/cs/recipes").select(col("media_id")).distinct()),
+              -1L)
+        },
+        // 7b. persisted IVF-SQ8 vector store: the forgotten vectors' home
+        // cells rewrite under the FROZEN centroids (the seed contract);
+        // the readback equals a rebuild over the remaining vectors
+        () => {
+          SimilarityOps.writeSq8Index(emb, fullCentroids, s"$out/sq8")
+          ForgetOps.forgetFromCellIndex(s, s"$out/sq8",
+            emb.join(embIds, Seq("vec_id"), "left_semi"), fullCentroids)
+          if (auditDiffs)
+            SimilarityOps.writeSq8Index(embKept, fullCentroids, s"$out/sq82")
+          arm("sq8_index",
+            s.read.parquet(s"$out/sq8").select(sqCols.map(col): _*),
+            s.read.parquet(s"$out/sq82").select(sqCols.map(col): _*))
+        },
+        // 7c. persisted IVF-PQ codes store: the same home-cell rewrite one
+        // rung up the compression ladder (fixture geometry — cells from the
+        // shared 64-dim fixture centroids, codes from the fixture
+        // codebooks; the forget asserts the PQ sidecar, not the SQ8 one)
+        () => {
+          SimilarityOps.writePqIndex(emb, fixtureCentroids(64),
+            fixturePqCodebooks(64), s"$out/pq")
+          ForgetOps.forgetFromPqIndex(s, s"$out/pq",
+            emb.join(embIds, Seq("vec_id"), "left_semi"), fixtureCentroids(64),
+            fixturePqCodebooks(64))
+          if (auditDiffs)
+            SimilarityOps.writePqIndex(embKept, fixtureCentroids(64),
+              fixturePqCodebooks(64), s"$out/pq2")
+          arm("pq_index",
+            s.read.parquet(s"$out/pq").select(sqCols.map(col): _*),
+            s.read.parquet(s"$out/pq2").select(sqCols.map(col): _*))
+        })
 
       // the pass is complete — persist the ATTESTATION (id-set digest,
       // per-artifact evidence, parameters, wall stamp) and serve the
       // audit FROM its readback: the oracle now gates the durable record
       // a GDPR audit would read, not just the in-flight DataFrame
       ForgetOps.writeAttestation(s, s"$out/attest", dead, "doc_id",
-        audit.toSeq, params = Seq("audited" -> (if (auditDiffs) 1L else 0L)))
+        audit, params = Seq("audited" -> (if (auditDiffs) 1L else 0L)))
       ForgetOps.readAttestation(s, s"$out/attest").orderBy(col("artifact"))
     },
 
@@ -5918,15 +6017,24 @@ object SparkEntry {
         StreamingOps.curatedBatch(b0, 0L, root, chunkSize = 8, nPb = 16)
         StreamingOps.curatedBatch(b1, 1L, root, chunkSize = 8, nPb = 16)
       }
-      land(out, docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 =!= 0))
-      graft.operators.ForgetOps.forgetFromCuratedLanding(s, out, ids,
-        chunkSize = 8, nPb = 16)
-      StreamingOps.curatedBatch(recrawl, 2L, out, chunkSize = 8, nPb = 16)
-      land(out2,
-        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 97 =!= 3),
-        docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 97 =!= 3))
-      StreamingOps.curatedBatch(recrawl, 2L, out2, chunkSize = 8, nPb = 16)
+      // the forgetting landing and its rebuild twin are independent
+      // pipelines against disjoint roots — overlap them (guide §2.6);
+      // each pipeline stays internally sequential (batch order is the
+      // landing's semantics)
+      graft.operators.Par.run(s, parallelism = 2)(
+        () => {
+          land(out, docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 =!= 0))
+          graft.operators.ForgetOps.forgetFromCuratedLanding(s, out, ids,
+            chunkSize = 8, nPb = 16)
+          StreamingOps.curatedBatch(recrawl, 2L, out, chunkSize = 8, nPb = 16)
+        },
+        () => {
+          land(out2,
+            docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 97 =!= 3),
+            docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 97 =!= 3))
+          StreamingOps.curatedBatch(recrawl, 2L, out2, chunkSize = 8, nPb = 16)
+        })
       def keysOf(root: String) = s.read.schema("__k LONG, pb INT, __batch LONG")
         .option("basePath", s"$root/_para_index")
         .parquet(s"$root/_para_index").select(col("__k")).distinct()
@@ -5945,8 +6053,12 @@ object SparkEntry {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         (m.getOrElse("n", 0L), m.getOrElse("d", 0L))
       }
-      val (nd, dd) = face(docIdsOf(out), docIdsOf(out2))
-      val (nk, dk) = face(keysOf(out), keysOf(out2))
+      // the two face audits are independent read-only jobs — overlapped
+      val faces = graft.operators.Par.run(s, parallelism = 2)(
+        () => face(docIdsOf(out), docIdsOf(out2)),
+        () => face(keysOf(out), keysOf(out2)))
+      val (nd, dd) = faces(0)
+      val (nk, dk) = faces(1)
       import s.implicits._
       Seq(("docs", nd, dd), ("para_index", nk, dk))
         .toDF("artifact", "n_after", "n_diff").orderBy(col("artifact"))
@@ -5970,40 +6082,48 @@ object SparkEntry {
         reliable = false)
       val kept = docs.filter(col("doc_id") % 97 =!= 3).localCheckpoint(true)
       val out = java.nio.file.Files.createTempDirectory("graft_sfa_").toString
-      DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16)
-      MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(docs),
-        s"$out/ph", nBuckets = 16)
-      RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16)
-      TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16, hashed = true)
-      MultimodalOps.writeChunkStore(MultimodalOps.mediaFromDocuments(docs),
-        s"$out/cs")
       val allEmb = Tables.embeddings(s, dir)
       val emb = graft.operators.Checkpoints.pin(
         if (atOracle) allEmb else allEmb.filter(col("vec_id") % 32 === 0),
         reliable = false)
       val embKept = emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true)
-      SimilarityOps.writeSq8Index(emb, fixtureCentroids(64), s"$out/sq8")
+      // the six artifact builds are independent write chains against
+      // disjoint $out subtrees — overlap them (guide §2.6, operators.Par)
+      graft.operators.Par.run(s, parallelism = 4)(
+        () => DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16),
+        () => MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(docs),
+          s"$out/ph", nBuckets = 16),
+        () => RetrievalOps.writePostingsIndex(docs, s"$out/pt", nPt = 16),
+        () => TextOps.writeShingleIndex(docs, s"$out/sh", k = 3, nPb = 16,
+          hashed = true),
+        () => MultimodalOps.writeChunkStore(MultimodalOps.mediaFromDocuments(docs),
+          s"$out/cs"),
+        () => SimilarityOps.writeSq8Index(emb, fixtureCentroids(64), s"$out/sq8"))
       val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
       val docTombs = s.readStream.schema(docSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") % 97 === 3 &&
           (lit(atOracle) || col("doc_id") % 16 === 0))
+      val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val vecTombs = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % 97 === 3 &&
+          (lit(atOracle) || col("vec_id") % 32 === 0))
+      // the two queues drain DISJOINT faces (doc artifacts vs the SQ8
+      // cell store) from separate checkpoints — run them concurrently;
+      // Structured Streaming schedules each query's micro-batches on its
+      // own thread already
       val q1 = StreamingOps.forgetStream(docTombs, s"$out/ckpt1",
           lshPath = Some(s"$out/lsh"), phashPath = Some(s"$out/ph"),
           postingsPath = Some(s"$out/pt"), shinglePath = Some(s"$out/sh"),
           chunkStorePath = Some(s"$out/cs"),
           nBuckets = 16, nPt = 16, spanK = 3, nPb = 16, phashBuckets = 16)
         .trigger(Trigger.AvailableNow()).start()
-      q1.awaitTermination()
-      val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      val vecTombs = s.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        .filter(col("vec_id") % 97 === 3 &&
-          (lit(atOracle) || col("vec_id") % 32 === 0))
       val q2 = StreamingOps.forgetStream(vecTombs, s"$out/ckpt2",
           sq8Path = Some(s"$out/sq8"), centroids = fixtureCentroids(64),
           idCol = "vec_id")
         .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
       q2.awaitTermination()
       // rebuild-and-diff at oracle SFs; counts-only at bench SFs
       def rowCount(df: org.apache.spark.sql.DataFrame): Long =
@@ -6021,60 +6141,67 @@ object SparkEntry {
           truth: => org.apache.spark.sql.DataFrame): (String, Long, Long) =
         if (atOracle) { val (n, d) = auditArm(readback, truth); (name, n, d) }
         else (name, rowCount(readback), -1L)
-      val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      // rebuild truths (oracle SFs only) are independent write chains —
+      // overlapped like the builds above
       if (atOracle) {
-        DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16)
-        MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(kept),
-          s"$out/ph2", nBuckets = 16)
-        RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16)
-        TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16,
-          hashed = true)
-        SimilarityOps.writeSq8Index(embKept, fixtureCentroids(64), s"$out/sq82")
+        graft.operators.Par.run(s, parallelism = 4)(
+          () => DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16),
+          () => MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(kept),
+            s"$out/ph2", nBuckets = 16),
+          () => RetrievalOps.writePostingsIndex(kept, s"$out/pt2", nPt = 16),
+          () => TextOps.writeShingleIndex(kept, s"$out/sh2", k = 3, nPb = 16,
+            hashed = true),
+          () => SimilarityOps.writeSq8Index(embKept, fixtureCentroids(64),
+            s"$out/sq82"))
       }
-      // chunk-store truth: the kept payloads still reassemble byte-exactly
-      // (digest equality needs no second store build); at bench SFs the
-      // digest-frame size == distinct recipe media, counted without
-      // reassembling every payload
-      if (atOracle) {
-        val keptMedia = MultimodalOps.mediaFromDocuments(kept)
-        audit += arm("chunk_store",
-          MultimodalOps.readChunkStore(s, s"$out/cs")
-            .select(col("media_id"), md5(col("content")).as("content_md5")),
-          keptMedia.filter(octet_length(col("content")) > 0)
-            .select(col("media_id"), md5(col("content")).as("content_md5")))
-      } else
-        audit += (("chunk_store", rowCount(s.read
-          .parquet(s"$out/cs/recipes").select(col("media_id")).distinct()),
-          -1L))
       val lshCols = Seq("id", "band", "bandsig", "bucket").map(col)
-      audit += arm("lsh_index", s.read.parquet(s"$out/lsh").select(lshCols: _*),
-        s.read.parquet(s"$out/lsh2").select(lshCols: _*))
       val phCols = Seq("media_id", "frame_ix", "phash", "band_ix", "band",
         "bucket").map(col)
-      audit += arm("phash_index", s.read.parquet(s"$out/ph").select(phCols: _*),
-        s.read.parquet(s"$out/ph2").select(phCols: _*))
       val ptCols = Seq("tok", "doc_id", "tf", "positions").map(col)
-      val ptBack = s.read.parquet(s"$out/pt").select(ptCols: _*)
-      if (atOracle) {
-        val (ptN, ptD) = auditArm(ptBack,
-          s.read.parquet(s"$out/pt2").select(ptCols: _*))
-        val (_, dlD) = auditArm(
-          s.read.parquet(s"$out/pt/_docs").select(col("doc_id"), col("dl")),
-          s.read.parquet(s"$out/pt2/_docs").select(col("doc_id"), col("dl")))
-        audit += (("postings_index", ptN, ptD + dlD))
-      } else audit += (("postings_index", rowCount(ptBack), -1L))
-      audit += arm("shingle_index",
-        TextOps.readShingleCounts(s, s"$out/sh", hashed = true),
-        TextOps.readShingleCounts(s, s"$out/sh2", hashed = true))
       val sqCols = Seq("id", "codes", "cell").map(col)
-      audit += arm("sq8_index", s.read.parquet(s"$out/sq8").select(sqCols: _*),
-        s.read.parquet(s"$out/sq82").select(sqCols: _*))
+      // the six audit arms are independent read-only jobs — overlapped too
+      val audit = graft.operators.Par.run(s, parallelism = 4)(
+        // chunk-store truth: the kept payloads still reassemble byte-exactly
+        // (digest equality needs no second store build); at bench SFs the
+        // digest-frame size == distinct recipe media, counted without
+        // reassembling every payload
+        () => if (atOracle) {
+          val keptMedia = MultimodalOps.mediaFromDocuments(kept)
+          arm("chunk_store",
+            MultimodalOps.readChunkStore(s, s"$out/cs")
+              .select(col("media_id"), md5(col("content")).as("content_md5")),
+            keptMedia.filter(octet_length(col("content")) > 0)
+              .select(col("media_id"), md5(col("content")).as("content_md5")))
+        } else
+          ("chunk_store", rowCount(s.read
+            .parquet(s"$out/cs/recipes").select(col("media_id")).distinct()),
+            -1L),
+        () => arm("lsh_index", s.read.parquet(s"$out/lsh").select(lshCols: _*),
+          s.read.parquet(s"$out/lsh2").select(lshCols: _*)),
+        () => arm("phash_index", s.read.parquet(s"$out/ph").select(phCols: _*),
+          s.read.parquet(s"$out/ph2").select(phCols: _*)),
+        () => {
+          val ptBack = s.read.parquet(s"$out/pt").select(ptCols: _*)
+          if (atOracle) {
+            val (ptN, ptD) = auditArm(ptBack,
+              s.read.parquet(s"$out/pt2").select(ptCols: _*))
+            val (_, dlD) = auditArm(
+              s.read.parquet(s"$out/pt/_docs").select(col("doc_id"), col("dl")),
+              s.read.parquet(s"$out/pt2/_docs").select(col("doc_id"), col("dl")))
+            ("postings_index", ptN, ptD + dlD)
+          } else ("postings_index", rowCount(ptBack), -1L)
+        },
+        () => arm("shingle_index",
+          TextOps.readShingleCounts(s, s"$out/sh", hashed = true),
+          TextOps.readShingleCounts(s, s"$out/sh2", hashed = true)),
+        () => arm("sq8_index", s.read.parquet(s"$out/sq8").select(sqCols: _*),
+          s.read.parquet(s"$out/sq82").select(sqCols: _*)))
       // the queue pass attests like the composed batch pass — a GDPR
       // audit reads records, not job logs; the oracle gates the durable
       // readback
       graft.operators.ForgetOps.writeAttestation(s, s"$out/attest",
         docs.filter(col("doc_id") % 97 === 3).select(col("doc_id")),
-        "doc_id", audit.toSeq,
+        "doc_id", audit,
         params = Seq("audited" -> (if (atOracle) 1L else 0L)))
       graft.operators.ForgetOps.readAttestation(s, s"$out/attest")
         .orderBy(col("artifact"))
@@ -6095,23 +6222,35 @@ object SparkEntry {
         else allEmb.filter(col("vec_id") % 32 === 0), reliable = false)
       val cents = fixtureCentroids(64)
       val out = java.nio.file.Files.createTempDirectory("graft_fg_knn_").toString
-      StreamingOps.knnGraphBatch(emb.filter(col("vec_id") % 2 === 0), 0L,
-        cents, 5, KmFixtureK, out)
-      StreamingOps.knnGraphBatch(emb.filter(col("vec_id") % 2 =!= 0), 1L,
-        cents, 5, KmFixtureK, out)
-      graft.operators.ForgetOps.forgetFromKnnGraphStore(s, out,
-        emb.filter(col("vec_id") % 97 === 3).select(col("vec_id")),
-        k = 5, nProbe = KmFixtureK, centroids = cents)
-      val back = StreamingOps.readKnnGraph(s, out)
-      val truth = SimilarityOps.knnGraph(
-        emb.filter(col("vec_id") % 97 =!= 3), cents, k = 5,
-        nProbe = KmFixtureK)
+      // the store chain (two lineage-ordered batches + the forget) and
+      // the batch-truth rebuild are independent — overlap them (guide
+      // §2.6); the truth is PINNED in its chain so the diff job below
+      // reads it once instead of recomputing the scored join per side
+      val chains = graft.operators.Par.run(s, parallelism = 2)(
+        () => {
+          StreamingOps.knnGraphBatch(emb.filter(col("vec_id") % 2 === 0), 0L,
+            cents, 5, KmFixtureK, out)
+          StreamingOps.knnGraphBatch(emb.filter(col("vec_id") % 2 =!= 0), 1L,
+            cents, 5, KmFixtureK, out)
+          graft.operators.ForgetOps.forgetFromKnnGraphStore(s, out,
+            emb.filter(col("vec_id") % 97 === 3).select(col("vec_id")),
+            k = 5, nProbe = KmFixtureK, centroids = cents)
+          null: org.apache.spark.sql.DataFrame
+        },
+        () => SimilarityOps.knnGraph(
+          emb.filter(col("vec_id") % 97 =!= 3), cents, k = 5,
+          nProbe = KmFixtureK).localCheckpoint(true))
+      val back = StreamingOps.readKnnGraph(s, out).localCheckpoint(true)
+      val truth = chains(1)
+      // readback count + two-sided diff ride ONE union job — same numbers
+      val m = back.select(lit("n").as("__f"))
+        .unionAll(back.exceptAll(truth).select(lit("d").as("__f")))
+        .unionAll(truth.exceptAll(back).select(lit("d").as("__f")))
+        .groupBy(col("__f")).agg(count(lit(1)).as("__c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       import s.implicits._
-      Seq((
-        back.agg(count(lit(1))).collect()(0).getLong(0),
-        back.exceptAll(truth).unionAll(truth.exceptAll(back))
-          .agg(count(lit(1))).collect()(0).getLong(0),
-      )).toDF("n_rows", "n_diff").orderBy(col("n_rows"))
+      Seq((m.getOrElse("n", 0L), m.getOrElse("d", 0L)))
+        .toDF("n_rows", "n_diff").orderBy(col("n_rows"))
     },
 
     "q_stream_forget" -> { (s, dir) => // the compliance QUEUE shape:
@@ -6125,26 +6264,36 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val docs = Tables.documents(s, dir)
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_forget_")
-      DedupOps.writeMinHashIndex(docs, s"$out/idx", nBuckets = 16)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .filter(col("doc_id") % 97 === 3)
-      val q = graft.streaming.StreamingOps
-        .lshForgetStream(src, s"$out/idx", s"$out/ckpt", nBuckets = 16)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      DedupOps.writeMinHashIndex(docs.filter(col("doc_id") % 97 =!= 3),
-        s"$out/idx2", nBuckets = 16)
+      // the live-index chain (build -> drain the tombstone queue over it)
+      // and the rebuild-truth chain touch disjoint roots — overlap them
+      // (guide §2.6, operators.Par)
+      graft.operators.Par.run(s, parallelism = 2)(
+        () => {
+          DedupOps.writeMinHashIndex(docs, s"$out/idx", nBuckets = 16)
+          val src = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter(col("doc_id") % 97 === 3)
+          val q = graft.streaming.StreamingOps
+            .lshForgetStream(src, s"$out/idx", s"$out/ckpt", nBuckets = 16)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        },
+        () => DedupOps.writeMinHashIndex(docs.filter(col("doc_id") % 97 =!= 3),
+          s"$out/idx2", nBuckets = 16))
       val sel = Seq("id", "band", "bandsig", "bucket").map(col)
       val back = s.read.parquet(s"$out/idx").select(sel: _*)
       val truth = s.read.parquet(s"$out/idx2").select(sel: _*)
+      // readback count + two-sided diff ride ONE union job (the
+      // q_forget_everywhere audit shape) — same numbers, half the actions
+      val m = back.select(lit("n").as("__f"))
+        .unionAll(back.exceptAll(truth).select(lit("d").as("__f")))
+        .unionAll(truth.exceptAll(back).select(lit("d").as("__f")))
+        .groupBy(col("__f")).agg(count(lit(1)).as("__c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       import s.implicits._
-      Seq((
-        back.agg(count(lit(1))).collect()(0).getLong(0),
-        back.exceptAll(truth).unionAll(truth.exceptAll(back))
-          .agg(count(lit(1))).collect()(0).getLong(0),
-      )).toDF("n_rows", "n_diff").orderBy(col("n_rows"))
+      Seq((m.getOrElse("n", 0L), m.getOrElse("d", 0L)))
+        .toDF("n_rows", "n_diff").orderBy(col("n_rows"))
     },
 
     "g_rank_buckets" -> { (s, dir) => // exact rank-derived strata over an
@@ -6199,11 +6348,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .curriculumStream(src, s"$out/idx", s"$out/ckpt",
-          nBuckets = 4, seqLen = 128L)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .curriculumStream(src, s"$out/idx", s"$out/ckpt",
+            nBuckets = 4, seqLen = 128L)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readCurriculumManifest(s, s"$out/idx")
         .orderBy(col("seq_id"), col("seq_pos"))
     },
@@ -6220,10 +6371,12 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .packStream(src, s"$out/idx", s"$out/ckpt", seqLen = 128L)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .packStream(src, s"$out/idx", s"$out/ckpt", seqLen = 128L)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.compactPackIndex(s, s"$out/idx")
       graft.streaming.StreamingOps.readPackIndex(s, s"$out/idx")
         .orderBy(col("seq_id"), col("seq_pos"))
@@ -6244,11 +6397,13 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps
-        .manifestStream(src, s"$out/idx", s"$out/ckpt",
-          budgetTokens = 40000L, epochCap = 3, seqLen = 128L)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamParts(s, 8) {
+        val q = graft.streaming.StreamingOps
+          .manifestStream(src, s"$out/idx", s"$out/ckpt",
+            budgetTokens = 40000L, epochCap = 3, seqLen = 128L)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.streaming.StreamingOps.readTrainManifest(s, s"$out/idx")
         .orderBy(col("seq_id"), col("seq_pos"))
     },
@@ -6824,13 +6979,21 @@ object SparkEntry {
       val centroids = SimilarityOps.ivfCentroids(e, k = cells,
         nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
       val sample: Column => Column = recallSample(s, dir)
-      val exact = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
-          .select(col("vec_id"), col("neighbor_id")),
-        reliable = false)
-      val approx = SimilarityOps.knnGraph(e, centroids, k = k,
-          nProbe = GraftConf.int(s, GraftConf.KnnNProbe, 8), querySample = sample)
-        .select(col("vec_id"), col("neighbor_id"))
+      // the exact-truth pin and the production-probe side are independent
+      // materializations over the same centroids — overlap them (guide
+      // §2.6, operators.Par); the approx pin also keeps the final
+      // hits+denominator job from re-deriving the probe-8 scored join
+      val pins = graft.operators.Par.run(s, parallelism = 2)(
+        () => graft.operators.Checkpoints.pin(
+          SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells,
+            querySample = sample).select(col("vec_id"), col("neighbor_id")),
+          reliable = false),
+        () => graft.operators.Checkpoints.pin(
+          SimilarityOps.knnGraph(e, centroids, k = k,
+            nProbe = GraftConf.int(s, GraftConf.KnnNProbe, 8),
+            querySample = sample).select(col("vec_id"), col("neighbor_id")),
+          reliable = false))
+      val (exact, approx) = (pins(0), pins(1))
       val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
       val denom = exact.agg(
@@ -6916,12 +7079,18 @@ object SparkEntry {
       val centroids = SimilarityOps.ivfCentroids(e, k = cells,
         nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
       val sample: Column => Column = recallSample(s, dir)
-      val exact = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
-          .select(col("vec_id"), col("neighbor_id")),
-        reliable = false)
-      val init = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = 2), reliable = false)
+      // the exact-truth pin and the coarse-init pin are independent
+      // eager materializations over the same centroids — overlap them
+      // (guide §2.6, operators.Par)
+      val pins = graft.operators.Par.run(s, parallelism = 2)(
+        () => graft.operators.Checkpoints.pin(
+          SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells,
+            querySample = sample).select(col("vec_id"), col("neighbor_id")),
+          reliable = false),
+        () => graft.operators.Checkpoints.pin(
+          SimilarityOps.knnGraph(e, centroids, k = k, nProbe = 2),
+          reliable = false))
+      val (exact, init) = (pins(0), pins(1))
       val desc = SimilarityOps.nnDescend(e, init, k = k,
         nIters = GraftConf.int(s, GraftConf.DescentIters, 2))
       descentGate(exact, init, desc, k)
@@ -6944,16 +7113,25 @@ object SparkEntry {
       val k = GraftConf.int(s, GraftConf.KnnK, 5)
       val centroids = SimilarityOps.ivfCentroids(e, k = cells,
         nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
-      val codebooks = SimilarityOps.trainPqCodebooksJoint(e,
-        m = GraftConf.int(s, GraftConf.PqM, 16),
-        c = GraftConf.int(s, GraftConf.PqC, 16), nIters = 3)
       val sample: Column => Column = recallSample(s, dir)
-      val exact = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
-          .select(col("vec_id"), col("neighbor_id")),
-        reliable = false)
-      val init = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = 2), reliable = false)
+      // three independent eager chains — the PQ codebook training (its
+      // own Lloyd loop, centroid-independent), the exact-truth pin and
+      // the coarse-init pin — overlapped (guide §2.6); Any-typed because
+      // the chains return different shapes
+      val chains = graft.operators.Par.run[Any](s, parallelism = 3)(
+        () => SimilarityOps.trainPqCodebooksJoint(e,
+          m = GraftConf.int(s, GraftConf.PqM, 16),
+          c = GraftConf.int(s, GraftConf.PqC, 16), nIters = 3),
+        () => graft.operators.Checkpoints.pin(
+          SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells,
+            querySample = sample).select(col("vec_id"), col("neighbor_id")),
+          reliable = false),
+        () => graft.operators.Checkpoints.pin(
+          SimilarityOps.knnGraph(e, centroids, k = k, nProbe = 2),
+          reliable = false))
+      val codebooks = chains(0).asInstanceOf[Seq[Seq[(Int, Seq[Double])]]]
+      val exact = chains(1).asInstanceOf[org.apache.spark.sql.DataFrame]
+      val init = chains(2).asInstanceOf[org.apache.spark.sql.DataFrame]
       val desc = SimilarityOps.nnDescendPq(e, init, codebooks, k = k,
         nIters = GraftConf.int(s, GraftConf.DescentIters, 2),
         refine = GraftConf.int(s, GraftConf.KnnRefine, 2))
@@ -7001,14 +7179,20 @@ object SparkEntry {
       val k = GraftConf.int(s, GraftConf.KnnK, 5)
       val centroids = SimilarityOps.ivfCentroids(e, k = cells,
         nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
-      val codebooks = SimilarityOps.trainPqCodebooksJoint(e,
-        m = GraftConf.int(s, GraftConf.PqM, 16),
-        c = GraftConf.int(s, GraftConf.PqC, 16), nIters = 3)
       val sample: Column => Column = recallSample(s, dir)
-      val exact = graft.operators.Checkpoints.pin(
-        SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells, querySample = sample)
-          .select(col("vec_id"), col("neighbor_id")),
-        reliable = false)
+      // codebook training (centroid-independent Lloyd loop) and the
+      // exact-truth pin are independent eager chains — overlapped
+      // (guide §2.6); Any-typed because the chains return different shapes
+      val chains = graft.operators.Par.run[Any](s, parallelism = 2)(
+        () => SimilarityOps.trainPqCodebooksJoint(e,
+          m = GraftConf.int(s, GraftConf.PqM, 16),
+          c = GraftConf.int(s, GraftConf.PqC, 16), nIters = 3),
+        () => graft.operators.Checkpoints.pin(
+          SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells,
+            querySample = sample).select(col("vec_id"), col("neighbor_id")),
+          reliable = false))
+      val codebooks = chains(0).asInstanceOf[Seq[Seq[(Int, Seq[Double])]]]
+      val exact = chains(1).asInstanceOf[org.apache.spark.sql.DataFrame]
       val approx = SimilarityOps.knnGraphPq(e, centroids, codebooks,
           k = k, nProbe = GraftConf.int(s, GraftConf.KnnNProbe, 8),
           refine = GraftConf.int(s, GraftConf.KnnRefine, 16), querySample = sample)
@@ -7042,8 +7226,14 @@ object SparkEntry {
       val k = GraftConf.int(s, GraftConf.KnnK, 5)
       val centroids = SimilarityOps.ivfCentroids(e, k = cells,
         nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
-      val graph = SimilarityOps.knnGraph(e, centroids, k = k,
-        nProbe = if (oracleScale(dir)) cells else GraftConf.int(s, GraftConf.KnnNProbe, 4))
+      // pin the graph: graphSearch's per-hop frontier pins would
+      // otherwise re-derive the whole scored-join + window knnGraph
+      // subtree once per hop (cross-job plans share no ReusedExchange)
+      val graph = graft.operators.Checkpoints.pin(
+        SimilarityOps.knnGraph(e, centroids, k = k,
+          nProbe = if (oracleScale(dir)) cells
+            else GraftConf.int(s, GraftConf.KnnNProbe, 4)),
+        reliable = false)
       SimilarityOps.graphSearch(graph, e,
           probes = e.filter(col("vec_id") % 10 === 0),
           entry = e.filter(col("vec_id") % 50 === 0).select(col("vec_id")),
@@ -7071,8 +7261,13 @@ object SparkEntry {
       val cells = GraftConf.int(s, GraftConf.IvfCells, 16)
       val centroids = SimilarityOps.ivfCentroids(e, k = cells,
         nIters = GraftConf.int(s, GraftConf.IvfIters, 2))
-      val graph = SimilarityOps.knnGraph(e, centroids, k = 5,
-        nProbe = if (oracleScale(dir)) cells else GraftConf.int(s, GraftConf.KnnNProbe, 4))
+      // pin the graph (the g_graph_search rationale: one derivation,
+      // not one per hop)
+      val graph = graft.operators.Checkpoints.pin(
+        SimilarityOps.knnGraph(e, centroids, k = 5,
+          nProbe = if (oracleScale(dir)) cells
+            else GraftConf.int(s, GraftConf.KnnNProbe, 4)),
+        reliable = false)
       SimilarityOps.graphSearchPq(graph, e,
           probes = e.filter(col("vec_id") % 10 === 0),
           entry = e.filter(col("vec_id") % 50 === 0).select(col("vec_id")),

@@ -143,9 +143,10 @@ object ForgetOps {
   }
 
   /** Subtract `docs` from a [[TextOps.writeShingleIndex]] layout by
-    * landing a NEGATIVE-count delta level — the streaming sink's own
-    * additive algebra, so the forget is delta-sized (the forgotten docs'
-    * shingles only) and never touches existing levels. The source tag is
+    * appending a NEGATIVE-count delta to the `__batch=-1` base — the
+    * streaming sink's own additive algebra, so the forget is delta-sized
+    * (the forgotten docs' shingles only) and never rewrites existing
+    * rows. The source tag is
     * derived from the FORGOTTEN ID SET itself (plus `passId` —
     * [[forgetSrc]]), so the face is IDEMPOTENT under the documented
     * "rerun the whole forget" recovery: a crashed-then-rerun pass (or an
@@ -162,10 +163,13 @@ object ForgetOps {
     * drops zero-sum rows — a count of zero IS absence).
     *
     * Single-maintainer like every in-place face: run with any
-    * shingleIndexStream quiesced — the forget level advances the sink's
-    * visible lineage, so a restarting stream below it refuses LOUDLY
-    * (requireBatchLineage; never a silent overwrite) and must resume
-    * from a fresh checkpoint above the forget level. */
+    * shingleIndexStream quiesced. The delta lives in the BASE (below
+    * every batch id), so the quiesced stream RESUMES legitimately at its
+    * next batch id — the forget neither fences it out nor sits in the
+    * frontier slot its per-batch Overwrite would destroy; a stale
+    * checkpoint's replayed batch re-lands only its own deduped positive
+    * partials, which the base delta still cancels (ForgetSpec drives the
+    * resume and the replay). */
   def forgetFromShingleIndex(spark: SparkSession, path: String,
       docs: DataFrame, k: Int = 3, nPb: Int = 16, hashed: Boolean = true,
       idCol: String = "doc_id", textCol: String = "text",
@@ -173,16 +177,30 @@ object ForgetOps {
     requirePayload(docs, textCol, "forgetFromShingleIndex")
     TextOps.assertSpanMeta(spark, path, k, nPb = Some(nPb),
       hashed = Some(hashed))
-    val level = batchLevels(spark, path)
-      .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l).map(_.group(1).toLong))
-      .foldLeft(-1L)(math.max) + 1L
+    // The delta lands in the `__batch=-1` BASE, never at the
+    // `__batch=max+1` frontier slot (ADVICE r19): the frontier is exactly
+    // the batch id a quiesced shingleIndexStream resumes at, and its
+    // per-batch Overwrite would destroy a forget delta parked there —
+    // the forgotten counts would resurrect after the documented
+    // quiesce→forget→resume flow. Level placement is semantically
+    // irrelevant here: [[TextOps.readShingleCounts]] merges ALL levels'
+    // source-tagged partials, deduped on (shingle, src), so the delta's
+    // unique negative src survives both the read-side merge and
+    // [[graft.streaming.StreamingOps.compactShingleIndex]]'s fold
+    // wherever it sits. Append (not Overwrite) keeps existing base rows;
+    // a crashed/rerun pass appends an IDENTICAL row set whose duplicates
+    // collapse in the same (shingle, src) dedup — the idempotence
+    // contract unchanged. No fence is needed: a stale checkpoint's
+    // replayed batch re-lands exactly the positive partials it
+    // originally landed (same src = batch id, deduped), which the base's
+    // negative delta still cancels.
     TextOps.shinglePartialCounts(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
         k, nPb, hashed, src = forgetSrc(docs, idCol, passId))
       .withColumn("cnt", -col("cnt"))
       .repartition(col("pb"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("pb").parquet(s"$path/__batch=$level")
+      .write.mode(SaveMode.Append)
+      .partitionBy("pb").parquet(s"$path/__batch=-1")
   }
 
   /** The shingle forget's src tag: an order-independent digest of the
@@ -316,10 +334,15 @@ object ForgetOps {
     *    probe that LISTED a dead neighbor re-queries the remaining corpus
     *    under the frozen centroids with the sink's own probe discipline
     *    (nProbe cells, floored cosine, (sim desc, id) ranking) and lands
-    *    as a NEW version level — latest-wins resolution supersedes the
-    *    stale rows, exactly the maintenance algebra the stream itself
-    *    uses. The new level doubles as the edges-side lineage fence; the
-    *    corpus root gets an explicit one.
+    *    INSIDE the newest existing data level (that level's remaining
+    *    rows for the affected probes are dropped first) — latest-wins
+    *    resolution picks the corrections exactly as it picked the rows
+    *    they supersede. The corrections deliberately do NOT occupy the
+    *    `__batch=max+1` frontier slot: that is the batch id the quiesced
+    *    stream resumes at, and its per-batch Overwrite would clobber a
+    *    requery level there (resurrecting forgotten neighbors via the
+    *    pre-forget rows its carried-candidates read resolves to). Both
+    *    roots end with an explicit DATALESS fence at the frontier.
     *
     * After the pass, [[graft.streaming.StreamingOps.readKnnGraph]] equals
     * the batch [[SimilarityOps.knnGraph]] over the surviving vectors at
@@ -330,12 +353,15 @@ object ForgetOps {
     * (id, cell) scan to locate the dead rows' homes.
     *
     * Crash anywhere -> rerun converges: the corpus rewrite and level
-    * drops are idempotent anti-joins, the requery level swaps in through
-    * staging ([[stagedOverwrite]] — a torn level can never win
+    * drops are idempotent anti-joins, the corrected level swaps in
+    * through staging ([[stagedOverwrite]] — a torn level can never win
     * latest-wins), and a completed pass's rerun finds nothing affected
-    * and lands no level at all (the corpus fence alone blocks stale
-    * replays — knnGraphBatch guards every root before any write).
-    * Single-maintainer: quiesce the graph stream. */
+    * and rewrites no level (the fences block stale replays —
+    * knnGraphBatch guards every root before any write, and the resumed
+    * live stream's next batch id equals the fence and legitimately
+    * overwrites it). Single-maintainer: quiesce the graph stream;
+    * ForgetSpec drives the legitimate resume and asserts no forgotten
+    * id reappears. */
   def forgetFromKnnGraphStore(spark: SparkSession, path: String,
       ids: DataFrame, k: Int, nProbe: Int,
       centroids: Seq[(Int, Seq[Double])],
@@ -393,18 +419,47 @@ object ForgetOps {
       .select(col("qid").as("vec_id"), col("id").as("neighbor_id"),
         col("sim"), col("rank").cast("int").as("rank"))
     // nothing to re-query (a rerun of a completed pass, or ids nobody
-    // listed) lands NO level — an empty one would read as a real batch
-    // and every rerun would advance the frontier past the live stream;
-    // the corpus fence below still blocks stale replays on its own
-    // (knnGraphBatch guards every root before any write)
+    // listed) rewrites NO level at all; the fences below still block
+    // stale replays on their own (knnGraphBatch guards every root before
+    // any write)
     if (!affected.isEmpty) {
-      val level = batchLevels(spark, edgesDir)
-        .flatMap(l => "__batch=(-?\\d+)".r.findFirstMatchIn(l)
-          .map(_.group(1).toLong))
-        .foldLeft(-1L)(math.max) + 1L
-      stagedOverwrite(s"$edgesDir/__batch=$level", requeried)
+      // The corrected rows must NOT land at the frontier slot
+      // __batch=max+1: that is exactly the batch id the quiesced stream
+      // resumes at, and knnGraphBatch's per-batch Overwrite would clobber
+      // the requery level — and its 'carried' candidates are built from
+      // resolveKnnEdges(__batch < batchId), i.e. the pre-forget stale
+      // rows below it — so forgotten vectors would resurrect in the
+      // served graph after the documented quiesce→forget→resume flow.
+      // Instead the corrected rows land INSIDE the newest existing DATA
+      // level (that level's remaining rows for affected probes are
+      // anti-joined away first, so the level holds ONE consistent row
+      // set per probe): latest-wins resolution picks the corrections
+      // exactly as it picked the rows they supersede, and the frontier
+      // slot holds only the dataless fence the resumed stream may
+      // legitimately overwrite.
+      val dataLevels = batchLevels(spark, edgesDir).filter { l =>
+        val lp = new org.apache.hadoop.fs.Path(l)
+        lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .listStatus(lp).exists(st => !st.getPath.getName.startsWith("_"))
+      }
+      require(dataLevels.nonEmpty,
+        s"forgetFromKnnGraphStore: affected probes exist but $edgesDir holds " +
+          "no data level — corrupted store?")
+      val newest = dataLevels.maxBy(l => "__batch=(-?\\d+)".r
+        .findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(Long.MinValue))
+      stagedOverwrite(newest, spark.read
+        .schema("vec_id LONG, neighbor_id LONG, sim DOUBLE, rank INT")
+        .parquet(newest)
+        .join(affected.select(col("id").as("__aff")),
+          col("vec_id") === col("__aff"), "left_anti")
+        .unionByName(requeried))
     }
-    fenceIfStreamed(spark, corpusDir)
+    // fences on BOTH roots: a stale checkpoint's replay of its newest
+    // batch would overwrite the corrected level (edges) or re-land dead
+    // rows from the replayed input (corpus) — each fence makes it refuse
+    // loudly, while the live stream's next batch id equals the fence and
+    // legitimately overwrites the dataless directory
+    fenceIfStreamed(spark, corpusDir, edgesDir)
   }
 
   /** Forget `ids` from a near-dup cluster assignment, splits included:
@@ -643,17 +698,39 @@ object ForgetOps {
       joinCol: String, partCols: Seq[String],
       sortCols: Seq[String] = Seq.empty): Unit = {
     require(partCols.nonEmpty, "forgetByScan needs the hive partition columns")
-    val dead = ids.select(col(ids.columns.head).as(joinCol)).localCheckpoint(true)
+    val rawDead = ids.select(col(ids.columns.head).as(joinCol))
     val sorts = if (sortCols.nonEmpty) sortCols else Seq(joinCol)
     levelRoots(spark, path).foreach { root =>
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(rootPath) && f.listStatus(rootPath).exists(
           _.getPath.getName.startsWith(partCols.head + "="))) {
-        val affected = spark.read.parquet(root)
+        val scanned = spark.read.parquet(root)
           .select((joinCol +: partCols).map(col): _*)
+        // cast the ids to the ARTIFACT's join-column type before the
+        // semi-join: an untyped caller frame (ids as INT against a LONG
+        // column, or strings) would otherwise coerce both sides to a
+        // common type — or null-join — and silently rewrite nothing
+        val dead = rawDead
+          .select(col(joinCol).cast(scanned.schema(joinCol).dataType))
+          .localCheckpoint(true)
+        val affectedRows = scanned
           .join(dead, Seq(joinCol), "left_semi")
           .select(partCols.map(col): _*).distinct().collect()
+        // a null partition value is a __HIVE_DEFAULT_PARTITION__
+        // directory — rewritePartitions' literal pruning cannot address
+        // it; refuse with the remedy instead of NPE-ing mid-pass
+        affectedRows.foreach { r =>
+          partCols.indices.foreach { i =>
+            require(!r.isNullAt(i),
+              s"forgetByScan: a row of '$joinCol' to forget lives under a " +
+                s"NULL '${partCols(i)}' partition (__HIVE_DEFAULT_PARTITION__) " +
+                s"in $root — null-keyed directories cannot be partition-pruned " +
+                "by literal; rebuild the artifact from the surviving corpus " +
+                "or repair the null partition first")
+          }
+        }
+        val affected = affectedRows
           .map(r => partCols.indices.map(i =>
             partCols(i) -> r.get(i).toString): Seq[(String, String)]).toSeq
         rewritePartitions(spark, root, affected, dropIds = dead,
@@ -873,13 +950,15 @@ object ForgetOps {
     val survivorParts: Set[Seq[String]] = survivors
       .select(partCols.map(col): _*).distinct().collect()
       .map(r => partCols.indices.map(i => r.get(i).toString): Seq[String]).toSet
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors
+    // per-WRITE dynamic overwrite (not a session-conf toggle): scoped to
+    // exactly this writer, so concurrent forget faces in other driver
+    // threads (Par) can never observe — or clobber — a shared toggle
+    survivors
       .repartition(partCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(root)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(root)
     val conf = spark.sparkContext.hadoopConfiguration
     partitions
       .filterNot(p => survivorParts.contains(p.map(_._2)))

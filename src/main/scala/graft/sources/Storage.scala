@@ -287,13 +287,14 @@ object Storage {
       .localCheckpoint(true)
     val survivorBuckets = survivors.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors
+    // per-WRITE dynamic overwrite (not a session-conf toggle) — scoped to
+    // this writer, safe under concurrent driver threads (operators.Par)
+    survivors
       .repartition(col("bucket"))
       .sortWithinPartitions(col("id"), col("rev"), col("pos"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
     // dynamic overwrite only replaces partitions present in the written
     // data: a bucket whose every row was tombstoned must be dropped by hand
     val conf = spark.sparkContext.hadoopConfiguration
@@ -331,13 +332,14 @@ object Storage {
       .localCheckpoint(true)
     val survivorParts = survivors.select(col("et"), col("pid")).distinct().collect()
       .map(r => (r.getAs[String]("et"), r.getAs[Int]("pid"))).toSet
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors
+    // per-WRITE dynamic overwrite (not a session-conf toggle) — scoped to
+    // this writer, safe under concurrent driver threads (operators.Par)
+    survivors
       .repartition(col("et"), col("pid"))
       .sortWithinPartitions(col("ts"))
-      .write.mode(SaveMode.Overwrite).partitionBy("et", "pid").parquet(path)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("et", "pid").parquet(path)
     // dynamic overwrite only replaces partitions present in the written
     // data: a partition whose every record was tombstoned is dropped by hand
     // (escapePathName is the writer's own partition-directory encoding)

@@ -458,6 +458,93 @@ class ForgetSpec extends SparkSpec {
     assert(e.getMessage.contains("different checkpoint lineage"))
   }
 
+  test("knn-store forget leaves the frontier free: the quiesced stream resumes") {
+    // ADVICE r19 (high): the corrected rows must survive a LEGITIMATE
+    // resume — the quiesced stream's next batch id equals the dataless
+    // fence, its Overwrite replaces only the fence, and its carried
+    // candidates read the CORRECTED resolved edges; no forgotten id may
+    // reappear as a neighbor.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.95f, 0.31f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.4f, 0.92f)),
+      (5L, Seq(0.7f, 0.7f)),
+    ).toDF("vec_id", "embedding")
+    val centroids = SimilarityOps.ivfCentroids(emb, k = 2, nIters = 2)
+    val path = s"${tmpDir()}/knn"
+    graft.streaming.StreamingOps.knnGraphBatch(
+      emb.filter(col("vec_id") < 3L), 0L, centroids, 2, 2, path)
+    graft.streaming.StreamingOps.knnGraphBatch(
+      emb.filter(col("vec_id") >= 3L), 1L, centroids, 2, 2, path)
+    ForgetOps.forgetFromKnnGraphStore(spark, path, Seq(1L).toDF("vec_id"),
+      k = 2, nProbe = 2, centroids)
+    // the legitimate resume: batch 2 = the fence slot, NEW vectors
+    val fresh = Seq((6L, Seq(0.6f, 0.8f)), (7L, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    graft.streaming.StreamingOps.knnGraphBatch(fresh, 2L, centroids, 2, 2, path)
+    val truth = SimilarityOps.knnGraph(
+      emb.filter(col("vec_id") =!= 1L).unionByName(fresh),
+      centroids, k = 2, nProbe = 2)
+    val back = graft.streaming.StreamingOps.readKnnGraph(spark, path)
+    assert(rows(back) == rows(truth))
+    assert(back.filter(col("vec_id") === 1L || col("neighbor_id") === 1L).isEmpty)
+  }
+
+  test("shingle forget leaves the frontier free: the quiesced stream resumes") {
+    // ADVICE r19 (medium): the negative delta lives in the __batch=-1
+    // base, so the resumed stream's next batch (and even a stale replay
+    // of a committed batch) never destroys it — counts stay the rebuild's.
+    val d = docs()
+    val ids = d.filter(col("doc_id").isin(2L, 5L))
+    val kept = d.filter(!col("doc_id").isin(2L, 5L))
+    val dir = tmpDir()
+    graft.streaming.StreamingOps.shingleBatch(
+      d.filter(col("doc_id") <= 3L), 0L, s"$dir/sh", 3, 8, true)
+    graft.streaming.StreamingOps.shingleBatch(
+      d.filter(col("doc_id") > 3L), 1L, s"$dir/sh", 3, 8, true)
+    ForgetOps.forgetFromShingleIndex(spark, s"$dir/sh", ids, k = 3, nPb = 8,
+      hashed = true)
+    // the legitimate resume: batch 2 = the frontier slot, NEW docs
+    val fresh = Seq((7L, "en", "omega psi chi phi upsilon tau sigma rho"))
+      .toDF("doc_id", "lang", "text")
+    graft.streaming.StreamingOps.shingleBatch(fresh, 2L, s"$dir/sh", 3, 8, true)
+    TextOps.writeShingleIndex(kept.select(col("doc_id"), col("text"))
+        .unionByName(fresh.select(col("doc_id"), col("text"))),
+      s"$dir/sh2", k = 3, nPb = 8, hashed = true)
+    assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
+      rows(TextOps.readShingleCounts(spark, s"$dir/sh2", hashed = true)))
+    // a checkpoint REPLAY of the newest committed batch (the only batch
+    // a restart ever replays) re-lands the same deduped positive
+    // partials over its own level — the base delta still cancels them
+    graft.streaming.StreamingOps.shingleBatch(fresh, 2L, s"$dir/sh", 3, 8, true)
+    assert(rows(TextOps.readShingleCounts(spark, s"$dir/sh", hashed = true)) ==
+      rows(TextOps.readShingleCounts(spark, s"$dir/sh2", hashed = true)))
+  }
+
+  test("forgetByScan refuses null partition values and casts untyped ids") {
+    val d = docs()
+    val dir = tmpDir()
+    DedupOps.writeMinHashIndex(d, s"$dir/lsh", nBuckets = 8)
+    // ids arrive as INT (payload purged upstream, re-keyed by a caller):
+    // the scan face must cast to the artifact's LONG id, not null-join
+    val intIds = Seq(2, 5).toDF("doc_id")
+      .select(col("doc_id").cast("int").as("doc_id"))
+    ForgetOps.forgetByScan(spark, s"$dir/lsh", intIds, "id",
+      Seq("band", "bucket"))
+    DedupOps.writeMinHashIndex(d.filter(!col("doc_id").isin(2L, 5L)),
+      s"$dir/lsh2", nBuckets = 8)
+    val sel = Seq("id", "band", "bandsig", "bucket").map(col)
+    assert(rows(spark.read.parquet(s"$dir/lsh").select(sel: _*)) ==
+      rows(spark.read.parquet(s"$dir/lsh2").select(sel: _*)))
+    // a NULL partition directory refuses loudly with the remedy, never
+    // an NPE mid-pass
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "part").write.partitionBy("part").parquet(s"$dir/nullpart")
+    val e = intercept[IllegalArgumentException](
+      ForgetOps.forgetByScan(spark, s"$dir/nullpart",
+        Seq(2L).toDF("k"), "k", Seq("part")))
+    assert(e.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
+  }
+
   test("forgetStream drains every wired face; a forced replay is a per-face no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val d = docs()
