@@ -98,6 +98,15 @@ object GraftConf {
   val PhashMaxDist = "phash.maxdist" // Hamming radius for near-dup frames
   val PhashMinFrames = "phash.minframes" // frame pairs needed per media verdict
   val PhashBuckets = "phash.nbuckets" // persisted-index directory fan-out
+  // streaming drains (AvailableNow rows). The trigger cap bounds how many
+  // bytes one micro-batch ingests (without it a 100 TB backlog is ONE
+  // batch); partmb sizes the drain's shuffle/state partitions to the
+  // trigger volume; minparts is the task-granularity floor a stateful
+  // drain keeps for intra-batch overlap even when the volume-derived
+  // count is smaller (SparkEntry.withStreamParts derives n from these).
+  val StreamTriggerMb = "stream.triggermb" // micro-batch byte cap (MiB)
+  val StreamPartMb = "stream.partmb" // trigger bytes per stream partition (MiB)
+  val StreamMinParts = "stream.minparts" // floor on the derived partition count
 
   // The DEFAULTS the static oracle SQL is generated from: the Spark side
   // reads the live conf, but SparkEntry.oracleSql has no session, so the

@@ -2237,11 +2237,57 @@ object SparkEntry {
     * instead of the session's batch parallelism. Stateful micro-batches
     * pay per-partition state maintenance every trigger; at test scale 32
     * partitions of machinery dominated the actual work (q_stream_attrib:
-    * 5.8s -> 3.1s at 8). Restored afterwards either way. */
+    * 5.8s -> 3.1s at 8). Restored afterwards either way.
+    *
+    * NOT thread-safe against concurrent [[graft.operators.Par]] chains:
+    * this is a session-conf toggle, so a drain wrapped here must never
+    * run inside (or beside) a Par pool on the same session — the toggle
+    * would silently retune every in-flight chain's shuffles. All call
+    * sites keep drains-at-derived-parallelism OUTSIDE Par; the composed
+    * forget drains run unwrapped for exactly this reason. */
   private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** Byte cap one AvailableNow micro-batch may ingest — applied as
+    * `maxBytesPerTrigger` on every streaming source below. Without it
+    * nothing bounds the micro-batch: under AvailableNow a 100 TB backlog
+    * arrives as ONE batch and any per-batch sizing is meaningless. The
+    * default (1 GiB) keeps every bench SF single-batch (local inputs are
+    * well under it), so the driver's record stays comparable, while a
+    * production backlog drains in bounded slices. */
+  private def streamTriggerBytes(s: SparkSession): Long =
+    GraftConf.int(s, GraftConf.StreamTriggerMb, 1024).toLong << 20
+
+  /** [[withStreamParts]] with the partition count DERIVED from the
+    * per-trigger volume instead of hard-coded at the call site: a trigger
+    * ingests at most min(input bytes, [[streamTriggerBytes]]), the drain
+    * gets one shuffle/state partition per [[GraftConf.StreamPartMb]]
+    * (default 32 MiB) of that, floored at [[GraftConf.StreamMinParts]]
+    * (default 8 — stateful drains keep a few tasks' worth of intra-batch
+    * overlap even when the volume alone derives fewer) and clamped to the
+    * session's batch parallelism. At bench SFs (inputs << 32 MiB) the
+    * floor decides; on a production backlog the volume term does — a
+    * 1 GiB trigger derives 32 partitions — so no constant here is a
+    * local-mode assumption. The state-store count is still fixed at first
+    * start per checkpoint (every row uses a fresh checkpoint dir). */
+  private def withStreamParts[T](s: SparkSession, dir: String, glob: String)(
+      body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, glob)))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .map(_.getLen).sum
+    val perPart = GraftConf.int(s, GraftConf.StreamPartMb, 32).toLong << 20
+    val vol = math.min(bytes, streamTriggerBytes(s))
+    val derived = math.max(
+      GraftConf.int(s, GraftConf.StreamMinParts, 8).toLong,
+      (vol + perPart - 1L) / perPart)
+    val n = math.max(1L,
+      math.min(derived, s.sessionState.conf.numShufflePartitions.toLong)).toInt
+    withStreamParts(s, n)(body)
   }
 
   /** Flagship (smoke, sf0.001): the reference's signature pipeline — replay
@@ -2526,9 +2572,11 @@ object SparkEntry {
       // file-stream sources take a DIRECTORY (the landing zone); scope it
       // to the events table with a glob filter
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
       val counts = graft.streaming.StreamingOps.liveCounters(src, etCol = "event_type")
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "events.parquet") {
         val q = counts.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2548,13 +2596,15 @@ object SparkEntry {
       val name = "q_stream_dedup_sink"
       s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
       def src() = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("user_id").as("id"), col("event_id").cast("int").as("rev"),
           lit(0).as("pos"), col("event_type"),
           timestamp_micros(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts_t"))
       val redelivered = src().unionByName(src())
       val landed = graft.streaming.StreamingOps.dedupedEvents(redelivered, "ts_t")
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "events.parquet") {
         val q = landed.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2607,14 +2657,16 @@ object SparkEntry {
       val name = "q_stream_contamination_sink"
       s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
       val evalStream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(pmod(col("doc_id"), lit(97)) === 0)
       val trainShingles = CurationOps.shingleRows(
           Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(97)) =!= 0),
           k = 3, hashed = false)
         .select(col("shingle")).distinct()
       val pairs = graft.streaming.StreamingOps.contaminationStream(evalStream, trainShingles)
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = pairs.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2637,13 +2689,15 @@ object SparkEntry {
       s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val evalStream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("label") === 0)
       val train = Tables.embeddings(s, dir).filter(col("label") === 1)
       val pairs = graft.streaming.StreamingOps.decontamStream(
         evalStream, train, centroids = fixtureCentroids(64),
         nProbe = KmFixtureK, threshold = 0.3)
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "embeddings.parquet") {
         val q = pairs.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2670,12 +2724,14 @@ object SparkEntry {
       val name = "q_stream_attrib_sink"
       s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           timestamp_micros(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts_t"))
       val pairs = graft.streaming.StreamingOps.attributionPairs(
         src, srcType = "view", tgtType = "purchase")
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "events.parquet") {
         val q = pairs.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2699,11 +2755,13 @@ object SparkEntry {
       val name = "q_stream_sessions_sink"
       s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("user_id"),
           timestamp_micros(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts_t"))
       val sess = graft.streaming.StreamingOps.sessionCounts(src)
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "events.parquet") {
         val q = sess.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2723,14 +2781,16 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_index_")
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select( // test-table -> canonical event columns (FIXTURES.md §2)
           col("event_type").as("et"),
           col("user_id").as("id"),
           col("event_id").as("rev"),
           lit(0).as("pos"),
           TimeFns.microsToFileTime(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "events.parquet") {
         val q = graft.streaming.StreamingOps.indexTo(src, s"$out/index", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2795,14 +2855,16 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_versioned_")
       val root = s"$out/events"
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select( // test-table -> canonical event columns (FIXTURES.md §2)
           col("user_id").cast("string").cast("binary").as("id"),
           col("event_id").cast("int").as("rev"),
           lit(0).as("pos"),
           TimeFns.microsToFileTime(Tables.tsToMicros(col("ts"), schema("ts").dataType)).as("ts"),
           col("event_type").cast("binary").as("data"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "events.parquet") {
         val q = graft.streaming.StreamingOps
           .ingestToVersioned(src, root, s"$out/ckpt", nBuckets = 16)
           .trigger(Trigger.AvailableNow()).start()
@@ -2829,9 +2891,11 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_curated_")
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("doc_id"), col("text"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .curatedIngest(src, s"$out/curated", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -2851,9 +2915,11 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_card_")
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("source"), col("lang"), col("text"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .cardStream(src, s"$out/card", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -2873,9 +2939,11 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_budget_")
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("doc_id"), col("text"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .budgetIngest(src, s"$out/budget", s"$out/ckpt",
             budgetTokens = 9000L, seed = 7L, nRanges = 8)
@@ -2897,9 +2965,11 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_quant_")
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("lang"), col("n_chars"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .quantileStream(src, s"$out/hist", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -2920,9 +2990,11 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_topk_")
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("text"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .topkStream(src, s"$out/topk", s"$out/ckpt", maxTracked = 1024)
           .trigger(Trigger.AvailableNow()).start()
@@ -2947,8 +3019,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_ivf_")
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "embeddings.parquet") {
         val q = graft.streaming.StreamingOps
           .ivfIndexStream(src, centroids, s"$out/index", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -2970,8 +3044,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_knn_")
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "embeddings.parquet") {
         val q = graft.streaming.StreamingOps
           .knnGraphStream(src, centroids, k = 5,
             nProbe = if (oracleScale(dir)) 16 else 4, s"$out/graph", s"$out/ckpt")
@@ -2996,8 +3072,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_pq_")
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "embeddings.parquet") {
         val q = graft.streaming.StreamingOps
           .pqIndexStream(src, fixtureCentroids(64), fixturePqCodebooks(64),
             s"$out/index", s"$out/ckpt")
@@ -3019,8 +3097,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_store_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .chunkStoreIngest(MultimodalOps.mediaFromDocuments(src),
             s"$out/store", s"$out/ckpt")
@@ -3045,9 +3125,11 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_lsh_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .lshIndexStream(src, s"$out/lshidx", s"$out/ckpt", nBuckets = 16)
           .trigger(Trigger.AvailableNow()).start()
@@ -3073,9 +3155,11 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_spans_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .shingleIndexStream(src, s"$out/spanidx", s"$out/ckpt", k = 3, nPb = 8, hashed = false)
           .trigger(Trigger.AvailableNow()).start()
@@ -3097,10 +3181,12 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_cc_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), col("text"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .clusterIngest(src, s"$out/loop", s"$out/ckpt", nBuckets = 8,
             nDocBuckets = 8) // both bucket counts sized to the fixture sf
@@ -3123,9 +3209,11 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_bloom_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 5 =!= 0) // the corpus split streams in
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .bloomIndexStream(src, s"$out/bloomidx", s"$out/ckpt",
             expectedItems = 1L << 10, fpp = 0.05)
@@ -3736,8 +3824,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_km_")
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "embeddings.parquet") {
         val q = graft.streaming.StreamingOps
           .kmeansStream(src, s"$out/kmstate", s"$out/ckpt", seed = fixtureCentroids(64))
           .trigger(Trigger.AvailableNow()).start()
@@ -4042,8 +4132,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_sq8_")
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "embeddings.parquet") {
         val q = graft.streaming.StreamingOps
           .sq8IndexStream(src, fixtureCentroids(64), s"$out/index", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -4120,8 +4212,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_postings_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .postingsStream(src, s"$out/idx", s"$out/ckpt",
             nPt = GraftConf.int(s, GraftConf.PostingsNPt, 16))
@@ -4452,8 +4546,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_unigram_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .knCountsStream(src, s"$out/idx", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -4626,8 +4722,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_logit_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .logitStream(src, s"$out/idx", s"$out/ckpt",
             steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
@@ -4676,9 +4774,11 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_kn_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 2 === 0)
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .knCountsStream(src, s"$out/idx", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -4717,9 +4817,11 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_kn3_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 2 === 0)
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .kn3CountsStream(src, s"$out/idx", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -4820,11 +4922,13 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_pref_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("doc_id"), col("source"),
           floor(graft.functions.TextFns.qualityScore(col("text")) * lit(1e4))
             .cast("long").as("score"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .prefPairsStream(src, s"$out/idx", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -4956,8 +5060,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_glm_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .glmStream(src, s"$out/idx", s"$out/ckpt",
             steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
@@ -4978,8 +5084,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_doremi_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .doremiStream(src, s"$out/idx", s"$out/ckpt",
             steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
@@ -5001,8 +5109,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_bt_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .btRankStream(src, s"$out/idx", s"$out/ckpt",
             steps = GraftConf.int(s, GraftConf.LogitSteps, GraftConf.LogitStepsDefault))
@@ -5073,9 +5183,11 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_nb_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 2 === 0)
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .nbCountsStream(src, s"$out/idx", s"$out/ckpt")
           .trigger(Trigger.AvailableNow()).start()
@@ -5608,12 +5720,14 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_phash_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id").as("media_id"),
           to_binary(col("text"), lit("utf-8")).as("content"))
       val nb = GraftConf.int(s, GraftConf.PhashBuckets, 16)
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .phashIndexStream(src, s"$out/idx", s"$out/ckpt",
             fps = GraftConf.int(s, GraftConf.PhashFps, 4),
@@ -5727,9 +5841,11 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_mcard_")
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .select(col("doc_id"), col("source"), col("text"))
-      withStreamParts(s, 8) {
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .mediaCardStream(src, s"$out/card", s"$out/ckpt", nBuckets = 16)
           .trigger(Trigger.AvailableNow()).start()
@@ -6101,12 +6217,16 @@ object SparkEntry {
         () => SimilarityOps.writeSq8Index(emb, fixtureCentroids(64), s"$out/sq8"))
       val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
       val docTombs = s.readStream.schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("doc_id") % 97 === 3 &&
           (lit(atOracle) || col("doc_id") % 16 === 0))
       val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val vecTombs = s.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
         .filter(col("vec_id") % 97 === 3 &&
           (lit(atOracle) || col("vec_id") % 32 === 0))
       // the two queues drain DISJOINT faces (doc artifacts vs the SQ8
@@ -6272,7 +6392,9 @@ object SparkEntry {
         () => {
           DedupOps.writeMinHashIndex(docs, s"$out/idx", nBuckets = 16)
           val src = s.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .option("pathGlobFilter", "documents.parquet")
+            .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+            .parquet(dir)
             .filter(col("doc_id") % 97 === 3)
           val q = graft.streaming.StreamingOps
             .lshForgetStream(src, s"$out/idx", s"$out/ckpt", nBuckets = 16)
@@ -6347,8 +6469,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_curriculum_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .curriculumStream(src, s"$out/idx", s"$out/ckpt",
             nBuckets = 4, seqLen = 128L)
@@ -6370,8 +6494,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_pack_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .packStream(src, s"$out/idx", s"$out/ckpt", seqLen = 128L)
           .trigger(Trigger.AvailableNow()).start()
@@ -6396,8 +6522,10 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_q_stream_manifest_")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      withStreamParts(s, 8) {
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxBytesPerTrigger", streamTriggerBytes(s).toString)
+        .parquet(dir)
+      withStreamParts(s, dir, "documents.parquet") {
         val q = graft.streaming.StreamingOps
           .manifestStream(src, s"$out/idx", s"$out/ckpt",
             budgetTokens = 40000L, epochCap = 3, seqLen = 128L)
@@ -7081,7 +7209,12 @@ object SparkEntry {
       val sample: Column => Column = recallSample(s, dir)
       // the exact-truth pin and the coarse-init pin are independent
       // eager materializations over the same centroids — overlap them
-      // (guide §2.6, operators.Par)
+      // (guide §2.6, operators.Par). Re-measured in r21 after the r20
+      // driver flagged this row 0.81 vs r19: on idle full-bench
+      // methodology the overlapped form is 4.43 s vs 6.63 s sequential
+      // (docs/bench_r21_idle.json vs bench_r20_idle.json), and a 5-rep
+      // A/B of both shapes agrees (5.45 vs 6.20/6.68 min-of-5) — the
+      // driver's regression was r19-record noise, so the overlap stays.
       val pins = graft.operators.Par.run(s, parallelism = 2)(
         () => graft.operators.Checkpoints.pin(
           SimilarityOps.knnGraph(e, centroids, k = k, nProbe = cells,

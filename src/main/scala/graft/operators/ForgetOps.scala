@@ -80,7 +80,7 @@ object ForgetOps {
         shingleK, nHashes, bands, nBuckets)
       .select(col("band"), col("bucket")).distinct()
       .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSeq
-    levelRoots(spark, path).foreach { root =>
+    eachLevelPar(spark, levelRoots(spark, path)) { root =>
       rewritePartitions(spark, root,
         keys.map { case (band, bucket) =>
           Seq("band" -> band, "bucket" -> bucket) },
@@ -101,7 +101,7 @@ object ForgetOps {
     val keys = MultimodalOps.bandedPhash(media, fps, k, nBuckets)
       .select(col("band_ix"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-    levelRoots(spark, path).foreach { root =>
+    eachLevelPar(spark, levelRoots(spark, path)) { root =>
       rewritePartitions(spark, root,
         keys.map { case (bi, b) =>
           Seq("band_ix" -> bi.toString, "bucket" -> b.toString) },
@@ -126,7 +126,7 @@ object ForgetOps {
       .select(pmod(xxhash64(col("tok")), lit(nPt.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
-    batchLevels(spark, path).foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, path)) { level =>
       rewritePartitions(spark, level,
         pts.map(pt => Seq("pt" -> pt.toString)),
         dropIds = ids, joinCol = "doc_id", sortCols = Seq("tok", "doc_id"))
@@ -135,7 +135,7 @@ object ForgetOps {
     // staging, never truncate-in-place (heal first: a prior pass may have
     // crashed mid-swap, leaving a level's rows only in its staging sibling)
     healStagedLevels(spark, s"$path/_docs")
-    batchLevels(spark, s"$path/_docs").foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, s"$path/_docs")) { level =>
       stagedOverwrite(level,
         spark.read.parquet(level).join(ids, Seq("doc_id"), "left_anti"))
     }
@@ -163,7 +163,12 @@ object ForgetOps {
     * drops zero-sum rows — a count of zero IS absence).
     *
     * Single-maintainer like every in-place face: run with any
-    * shingleIndexStream quiesced. The delta lives in the BASE (below
+    * shingleIndexStream quiesced — and with PROBES quiesced too: the
+    * Append into the base is not atomic for concurrent readers, so a
+    * probe racing the pass can observe a partial negative delta (counts
+    * partially forgotten) until the append completes; committed state
+    * before and after the pass is always consistent (ADVICE r20). The
+    * delta lives in the BASE (below
     * every batch id), so the quiesced stream RESUMES legitimately at its
     * next batch id — the forget neither fences it out nor sits in the
     * frontier slot its per-batch Overwrite would destroy; a stale
@@ -277,7 +282,7 @@ object ForgetOps {
       .collect().map(_.get(0).toString).toSeq
     // a streamed sink (ivf/sq8/pqIndexStream) is `__batch=`-versioned —
     // rewrite each level's home cells; the flat batch layout is one root
-    levelRoots(spark, path).foreach { root =>
+    eachLevelPar(spark, levelRoots(spark, path)) { root =>
       rewritePartitions(spark, root,
         cells.map(c => Seq("cell" -> c)),
         dropIds = vecs.select(col("id")), joinCol = "id", sortCols = Seq("id"))
@@ -378,13 +383,13 @@ object ForgetOps {
       .join(dead, col("id") === col("__dead"), "left_semi")
       .select(col("cell")).distinct()
       .collect().map(_.get(0).toString).toSeq
-    batchLevels(spark, corpusDir).foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, corpusDir)) { level =>
       rewritePartitions(spark, level, cells.map(c => Seq("cell" -> c)),
         dropIds = dead.select(col("__dead").as("id")), joinCol = "id",
         sortCols = Seq("id"))
     }
     healStagedLevels(spark, edgesDir)
-    batchLevels(spark, edgesDir).foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, edgesDir)) { level =>
       stagedOverwrite(level, spark.read
         .schema("vec_id LONG, neighbor_id LONG, sim DOUBLE, rank INT")
         .parquet(level)
@@ -515,7 +520,7 @@ object ForgetOps {
     val dead = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .localCheckpoint(true)
     healStagedLevels(spark, s"$path/_docs")
-    batchLevels(spark, s"$path/_docs").foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, s"$path/_docs")) { level =>
       stagedOverwrite(level, spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(deltaDDL))
         .parquet(level)
@@ -617,13 +622,15 @@ object ForgetOps {
       .localCheckpoint(true)
     val touched = keys.select(col("pb")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    batchLevels(spark, idx).foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, idx)) { level =>
       rewritePartitions(spark, level,
         touched.map(pb => Seq("pb" -> pb.toString)),
         dropIds = keys.select(col("__k")), joinCol = "__k",
         sortCols = Seq("__k"))
     }
-    batchLevels(spark, docsRoot).foreach { level =>
+    // docs purge stays AFTER the full index rewrite (the crash contract:
+    // keys are re-derivable only while the doc rows survive)
+    eachLevelPar(spark, batchLevels(spark, docsRoot)) { level =>
       stagedOverwrite(level, spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(docsDDL))
         .parquet(level)
@@ -659,7 +666,7 @@ object ForgetOps {
     val dead = ids.select(col(ids.columns.head).cast("long").as(idCol))
       .localCheckpoint(true)
     Seq("recipes", "chunks").foreach(r => healStagedLevels(spark, s"$path/$r"))
-    batchLevels(spark, s"$path/recipes").foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, s"$path/recipes")) { level =>
       stagedOverwrite(level, spark.read
         .schema(s"$idCol LONG, chunk_idx INT, addr STRING").parquet(level)
         .join(dead, Seq(idCol), "left_anti"))
@@ -668,7 +675,7 @@ object ForgetOps {
       .schema(s"$idCol LONG, chunk_idx INT, addr STRING, __batch LONG")
       .option("basePath", s"$path/recipes").parquet(s"$path/recipes")
       .select(col("addr")).distinct().localCheckpoint(true)
-    batchLevels(spark, s"$path/chunks").foreach { level =>
+    eachLevelPar(spark, batchLevels(spark, s"$path/chunks")) { level =>
       stagedOverwrite(level, spark.read
         .schema("addr STRING, chunk_bytes BINARY").parquet(level)
         .join(live, Seq("addr"), "left_semi"))
@@ -710,9 +717,31 @@ object ForgetOps {
         // cast the ids to the ARTIFACT's join-column type before the
         // semi-join: an untyped caller frame (ids as INT against a LONG
         // column, or strings) would otherwise coerce both sides to a
-        // common type — or null-join — and silently rewrite nothing
+        // common type — or null-join — and silently rewrite nothing.
+        // WIDENING only: a narrowing integral cast silently wraps (LONG
+        // id 2^32+5 against an INT-keyed artifact becomes 5) and could
+        // match — and delete — an unrelated row, so refuse it loudly
+        // like the null-partition guard below.
+        val idType = rawDead.schema(joinCol).dataType
+        val keyType = scanned.schema(joinCol).dataType
+        def bits(dt: org.apache.spark.sql.types.DataType): Option[Int] = dt match {
+          case org.apache.spark.sql.types.ByteType => Some(8)
+          case org.apache.spark.sql.types.ShortType => Some(16)
+          case org.apache.spark.sql.types.IntegerType => Some(32)
+          case org.apache.spark.sql.types.LongType => Some(64)
+          case _ => None
+        }
+        (bits(idType), bits(keyType)) match {
+          case (Some(iw), Some(kw)) => require(iw <= kw,
+            s"forgetByScan: the ids' type $idType is WIDER than the " +
+              s"artifact's '$joinCol' type $keyType in $root — the " +
+              "narrowing cast wraps (an out-of-range id could match an " +
+              "unrelated row and delete it); pre-narrow the ids after " +
+              "proving they fit, or rebuild the artifact with the wider key")
+          case _ => ()
+        }
         val dead = rawDead
-          .select(col(joinCol).cast(scanned.schema(joinCol).dataType))
+          .select(col(joinCol).cast(keyType))
           .localCheckpoint(true)
         val affectedRows = scanned
           .join(dead, Seq(joinCol), "left_semi")
@@ -872,6 +901,21 @@ object ForgetOps {
   private def levelRoots(spark: SparkSession, path: String): Seq[String] = {
     val levels = batchLevels(spark, path)
     if (levels.nonEmpty) levels else Seq(path)
+  }
+
+  /** Run `f` once per level with the levels OVERLAPPED on a small pool
+    * (optimization guide §2.6): a face's per-level rewrites touch
+    * DISJOINT `__batch=` directories and share only read-only (pinned)
+    * frames, so one level's straggler/commit tail back-fills with the
+    * next level's tasks instead of idling the executors. Ordering
+    * BETWEEN loops (e.g. recipes before chunks, index before docs) is
+    * the caller's crash contract and stays sequential — only levels
+    * within one loop overlap. Sequential fast path when <= 1 level
+    * (flat layouts) via [[Par.run]]. */
+  private def eachLevelPar(spark: SparkSession, levels: Seq[String])(
+      f: String => Unit): Unit = {
+    Par.run(spark, parallelism = 4)(levels.map(l => () => f(l)): _*)
+    ()
   }
 
   /** Land an EMPTY `__batch=max+1` lineage fence on each root that holds

@@ -231,24 +231,36 @@ object StreamingOps {
         val s = batch.sparkSession
         // up to six faces re-read the tombstones — pin once per batch
         val b = batch.localCheckpoint(true)
-        lshPath.foreach(p => ForgetOps.forgetFromLshIndex(s, p, b,
-          idCol, textCol, shingleK, nHashes, bands, nBuckets))
-        phashPath.foreach(p => ForgetOps.forgetFromPhashIndex(s, p,
-          MultimodalOps.mediaFromDocuments(b), fps, frameK, phashBuckets))
-        postingsPath.foreach(p => ForgetOps.forgetFromPostingsIndex(s, p, b,
-          nPt, idCol, textCol))
-        shinglePath.foreach(p => ForgetOps.forgetFromShingleIndex(s, p, b,
-          spanK, nPb, hashed, idCol, textCol, passId = batchId))
-        sq8Path.foreach(p => ForgetOps.forgetFromCellIndex(s, p, b,
-          centroids, idCol, vecCol))
-        pqPath.foreach(p => ForgetOps.forgetFromPqIndex(s, p, b,
-          centroids, codebooks, idCol, vecCol))
-        chunkStorePath.foreach(p => ForgetOps.forgetFromChunkStore(s, p,
-          b.select(col(idCol).as("media_id"))))
-        knnStorePath.foreach(p => ForgetOps.forgetFromKnnGraphStore(s, p, b,
-          knnK, knnNProbe, centroids, idCol))
-        curatedPath.foreach(p => ForgetOps.forgetFromCuratedLanding(s, p, b,
-          curatedChunkSize, curatedNPb, idCol))
+        // the wired faces touch DISJOINT artifact roots and share only
+        // the pinned tombstones — pool them per micro-batch (optimization
+        // guide §2.6, operators.Par): each face is a chain of small
+        // driver actions (sign, collect keys, rewrite), so run serially
+        // most cores idle through every chain's scheduling tail. The
+        // single-maintainer contract is unchanged (each artifact still
+        // has exactly ONE mutator — this batch), and no face toggles
+        // session conf (rewrites use the per-write overwrite option).
+        val faces = Seq[Option[() => Unit]](
+          lshPath.map(p => () => ForgetOps.forgetFromLshIndex(s, p, b,
+            idCol, textCol, shingleK, nHashes, bands, nBuckets)),
+          phashPath.map(p => () => ForgetOps.forgetFromPhashIndex(s, p,
+            MultimodalOps.mediaFromDocuments(b), fps, frameK, phashBuckets)),
+          postingsPath.map(p => () => ForgetOps.forgetFromPostingsIndex(s, p, b,
+            nPt, idCol, textCol)),
+          shinglePath.map(p => () => ForgetOps.forgetFromShingleIndex(s, p, b,
+            spanK, nPb, hashed, idCol, textCol, passId = batchId)),
+          sq8Path.map(p => () => ForgetOps.forgetFromCellIndex(s, p, b,
+            centroids, idCol, vecCol)),
+          pqPath.map(p => () => ForgetOps.forgetFromPqIndex(s, p, b,
+            centroids, codebooks, idCol, vecCol)),
+          chunkStorePath.map(p => () => ForgetOps.forgetFromChunkStore(s, p,
+            b.select(col(idCol).as("media_id")))),
+          knnStorePath.map(p => () => ForgetOps.forgetFromKnnGraphStore(s, p, b,
+            knnK, knnNProbe, centroids, idCol)),
+          curatedPath.map(p => () => ForgetOps.forgetFromCuratedLanding(s, p, b,
+            curatedChunkSize, curatedNPb, idCol))
+        ).flatten
+        graft.operators.Par.run(s, parallelism = 4)(faces: _*)
+        ()
       }
 
   /** Streaming CURATED landing: each micro-batch of documents (doc_id,
@@ -1990,14 +2002,20 @@ object StreamingOps {
     Seq(uniRoot, pairsRoot).foreach { r =>
       requireBatchLineage(f, r, batchId, "knCountsStream", r.toString)
     }
-    graft.operators.TextOps.knUnigramCounts(batch, textCol)
-      .withColumn("src", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$uniRoot/__batch=$batchId")
-    graft.operators.TextOps.knPairCounts(batch, idCol, textCol)
-      .withColumn("src", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$pairsRoot/__batch=$batchId")
+    // two independent landings over the pinned batch, disjoint roots —
+    // overlap them (guide §2.6; both are idempotent Overwrites of this
+    // batch's own level, so any crash interleaving converges on replay)
+    val b = batch.localCheckpoint(true)
+    graft.operators.Par.run(s, parallelism = 2)(
+      () => graft.operators.TextOps.knUnigramCounts(b, textCol)
+        .withColumn("src", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$uniRoot/__batch=$batchId"),
+      () => graft.operators.TextOps.knPairCounts(b, idCol, textCol)
+        .withColumn("src", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$pairsRoot/__batch=$batchId"))
+    ()
   }
 
   /** The accumulated raw count frames of a [[knCountsStream]] sink —
@@ -2024,10 +2042,15 @@ object StreamingOps {
     * merge stays [[readKnCounts]]'s job (the [[compactShingleIndex]]
     * reasoning). */
   def compactKnCounts(spark: SparkSession, path: String): Unit = {
-    foldBatchDirs(spark, s"$path/_pairs", "w1 STRING, w2 STRING, c LONG, src LONG",
-      dedupKeys = Seq("w1", "w2", "src"), partitionCols = Seq.empty)
-    foldBatchDirs(spark, s"$path/_unigrams", "w STRING, c LONG, src LONG",
-      dedupKeys = Seq("w", "src"), partitionCols = Seq.empty)
+    // the two roots fold independently (disjoint staged renames) —
+    // overlap them (guide §2.6)
+    graft.operators.Par.run(spark, parallelism = 2)(
+      () => foldBatchDirs(spark, s"$path/_pairs",
+        "w1 STRING, w2 STRING, c LONG, src LONG",
+        dedupKeys = Seq("w1", "w2", "src"), partitionCols = Seq.empty),
+      () => foldBatchDirs(spark, s"$path/_unigrams", "w STRING, c LONG, src LONG",
+        dedupKeys = Seq("w", "src"), partitionCols = Seq.empty))
+    ()
   }
 
   /** [[knCountsStream]] one Markov order up: maintains the TRIGRAM
@@ -2056,14 +2079,18 @@ object StreamingOps {
     Seq(uniRoot, triRoot).foreach { r =>
       requireBatchLineage(f, r, batchId, "kn3CountsStream", r.toString)
     }
-    graft.operators.TextOps.knUnigramCounts(batch, textCol)
-      .withColumn("src", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$uniRoot/__batch=$batchId")
-    graft.operators.TextOps.knTrigramCounts(batch, idCol, textCol)
-      .withColumn("src", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$triRoot/__batch=$batchId")
+    // the knBatch overlap, one Markov order up
+    val b = batch.localCheckpoint(true)
+    graft.operators.Par.run(s, parallelism = 2)(
+      () => graft.operators.TextOps.knUnigramCounts(b, textCol)
+        .withColumn("src", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$uniRoot/__batch=$batchId"),
+      () => graft.operators.TextOps.knTrigramCounts(b, idCol, textCol)
+        .withColumn("src", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$triRoot/__batch=$batchId"))
+    ()
   }
 
   /** The accumulated `(rawUni, rawTri)` frames of a [[kn3CountsStream]]
@@ -2083,11 +2110,14 @@ object StreamingOps {
 
   /** Fold [[kn3CountsStream]]'s per-batch deltas on both roots. */
   def compactKn3Counts(spark: SparkSession, path: String): Unit = {
-    foldBatchDirs(spark, s"$path/_trigrams",
-      "w1 STRING, w2 STRING, w3 STRING, c LONG, src LONG",
-      dedupKeys = Seq("w1", "w2", "w3", "src"), partitionCols = Seq.empty)
-    foldBatchDirs(spark, s"$path/_unigrams", "w STRING, c LONG, src LONG",
-      dedupKeys = Seq("w", "src"), partitionCols = Seq.empty)
+    // the compactKnCounts overlap, one Markov order up
+    graft.operators.Par.run(spark, parallelism = 2)(
+      () => foldBatchDirs(spark, s"$path/_trigrams",
+        "w1 STRING, w2 STRING, w3 STRING, c LONG, src LONG",
+        dedupKeys = Seq("w1", "w2", "w3", "src"), partitionCols = Seq.empty),
+      () => foldBatchDirs(spark, s"$path/_unigrams", "w STRING, c LONG, src LONG",
+        dedupKeys = Seq("w", "src"), partitionCols = Seq.empty))
+    ()
   }
 
   /** Streaming Naive Bayes model maintenance — the classifier whose
@@ -2117,17 +2147,21 @@ object StreamingOps {
     Seq(ncwRoot, clsRoot).foreach { r =>
       requireBatchLineage(f, r, batchId, "nbCountsStream", r.toString)
     }
-    batch.select(col(classCol).as("__c"),
-        explode(graft.functions.TextFns.tokens(col(textCol))).as("w"))
-      .groupBy(col("__c"), col("w")).agg(count(lit(1)).as("__n"))
-      .withColumn("src", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ncwRoot/__batch=$batchId")
-    batch.groupBy(col(classCol).as("__c")).agg(count(lit(1)).as("__dc"))
-      .withColumn("src", lit(batchId))
-      .coalesce(1) // class-cardinality rows
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$clsRoot/__batch=$batchId")
+    // the knBatch overlap: two independent landings, disjoint roots
+    val b = batch.localCheckpoint(true)
+    graft.operators.Par.run(s, parallelism = 2)(
+      () => b.select(col(classCol).as("__c"),
+          explode(graft.functions.TextFns.tokens(col(textCol))).as("w"))
+        .groupBy(col("__c"), col("w")).agg(count(lit(1)).as("__n"))
+        .withColumn("src", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$ncwRoot/__batch=$batchId"),
+      () => b.groupBy(col(classCol).as("__c")).agg(count(lit(1)).as("__dc"))
+        .withColumn("src", lit(batchId))
+        .coalesce(1) // class-cardinality rows
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$clsRoot/__batch=$batchId"))
+    ()
   }
 
   /** The accumulated `(ncw, cls)` model frames of an [[nbCountsStream]]
@@ -2146,10 +2180,14 @@ object StreamingOps {
 
   /** Fold [[nbCountsStream]]'s per-batch deltas on both roots. */
   def compactNbCounts(spark: SparkSession, path: String): Unit = {
-    foldBatchDirs(spark, s"$path/_ncw", "__c STRING, w STRING, __n LONG, src LONG",
-      dedupKeys = Seq("__c", "w", "src"), partitionCols = Seq.empty)
-    foldBatchDirs(spark, s"$path/_cls", "__c STRING, __dc LONG, src LONG",
-      dedupKeys = Seq("__c", "src"), partitionCols = Seq.empty)
+    // the compactKnCounts overlap for the NB evidence roots
+    graft.operators.Par.run(spark, parallelism = 2)(
+      () => foldBatchDirs(spark, s"$path/_ncw",
+        "__c STRING, w STRING, __n LONG, src LONG",
+        dedupKeys = Seq("__c", "w", "src"), partitionCols = Seq.empty),
+      () => foldBatchDirs(spark, s"$path/_cls", "__c STRING, __dc LONG, src LONG",
+        dedupKeys = Seq("__c", "src"), partitionCols = Seq.empty))
+    ()
   }
 
   /** Streaming dataset card: keep the per-source corpus report
@@ -2378,39 +2416,49 @@ object StreamingOps {
     }
     // one media frame, five consumers — pin it (the curatedBatch shape)
     val media = MultimodalOps.mediaWithSource(batch).localCheckpoint(true)
-    // frames into the maintained index FIRST: phashBatch guards its own
-    // lineage + meta, and the pair probe below must see this batch's own
-    // frames (batch-internal pairs) beside the accumulated corpus
-    phashBatch(media, batchId, s"$path/_phidx", fps, k, nBuckets)
+    // the CDC chunk rows feed TWO landings (the sums join and the
+    // distinct-address face) — pin them once instead of re-chunking the
+    // batch's payload bytes per consumer
     val chunkRows = MultimodalOps.mediaChunkRows(media, w, divisor)
-    MultimodalOps.mediaByteSums(media, k)
-      .join(chunkRows.groupBy(col("source")).agg(count(lit(1)).as("n_chunks")),
-        Seq("source"), "left")
-      .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
-      .withColumn("src", lit(batchId))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_sums/__batch=$batchId")
-    chunkRows.select(col("source"), col("addr")).distinct()
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_chunkkeys/__batch=$batchId")
-    media.select(col("media_id"), col("source"))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_media/__batch=$batchId")
-    // the pair probe: this batch's frames against the index root (levels
-    // <= batchId — the lineage guard forbids anything newer, so a replay
-    // reads the same corpus). The lean no-alignment arm: the card needs
-    // endpoint ids only.
-    MultimodalOps.mediaPhashDupsIndexed(media, s"$path/_phidx",
-        fps, k, maxDist, minFrames, nBuckets, alignment = false)
-      .select(explode(array(col("media_new"), col("media_corpus")))
-        .as("media_id"))
-      .distinct()
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_dup/__batch=$batchId")
+      .select(col("source"), col("addr")).localCheckpoint(true)
+    // four landings, DISJOINT roots, all reading only the two pins and
+    // prior-batch state — overlap them (optimization guide §2.6,
+    // operators.Par; the batch stays the sink's single mutator). The
+    // frame-index chain keeps its internal order: phashBatch guards its
+    // own lineage + meta and must land BEFORE the pair probe, which
+    // reads the index root (levels <= batchId) so this batch's own
+    // frames (batch-internal pairs) sit beside the accumulated corpus.
+    val landings = Seq[() => Unit](
+      () => {
+        phashBatch(media, batchId, s"$path/_phidx", fps, k, nBuckets)
+        // the lean no-alignment arm: the card needs endpoint ids only
+        MultimodalOps.mediaPhashDupsIndexed(media, s"$path/_phidx",
+            fps, k, maxDist, minFrames, nBuckets, alignment = false)
+          .select(explode(array(col("media_new"), col("media_corpus")))
+            .as("media_id"))
+          .distinct()
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/_dup/__batch=$batchId")
+      },
+      () => MultimodalOps.mediaByteSums(media, k)
+        .join(chunkRows.groupBy(col("source")).agg(count(lit(1)).as("n_chunks")),
+          Seq("source"), "left")
+        .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+        .withColumn("src", lit(batchId))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_sums/__batch=$batchId"),
+      () => chunkRows.select(col("source"), col("addr")).distinct()
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_chunkkeys/__batch=$batchId"),
+      () => media.select(col("media_id"), col("source"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_media/__batch=$batchId"))
+    graft.operators.Par.run(s, parallelism = 4)(landings: _*)
+    ()
   }
 
   /** Assemble the current media card from a [[mediaCardStream]] landing —
@@ -2829,9 +2877,6 @@ object StreamingOps {
     }
     // the batch feeds three derivations — pin it once
     val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
-    val selfPairs = graft.operators.DedupOps
-      .minHashNearDups(b, idCol, textCol, shingleK, nHashes, bands, threshold)
-      .select("id1", "id2")
     // the docs landing is hive-partitioned by a doc-id bucket, so the
     // exact-Jaccard rescore reads ONLY the candidate docs' directories
     // (the bounded touched-bucket pattern of curatedIngest) — per batch
@@ -2845,37 +2890,63 @@ object StreamingOps {
     // alone (written above, possibly this very batch) creates the dir
     val corpusExists = f.exists(docsPath) &&
       f.listStatus(docsPath).exists(_.getPath.getName.startsWith("__batch="))
-    val crossPairs =
-      if (corpusExists)
-        graft.operators.DedupOps.minHashNearDupsIndexedPruned(
-            b, corpusFor, lshDir, idCol, textCol, shingleK, nHashes, bands,
-            nBuckets, threshold, nDocBuckets)
-          .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
-      else selfPairs.limit(0)
+    // the batch's SELF pairs and its index CROSS pairs are independent
+    // eager chains over the pinned batch (each ends in a candidate pin;
+    // the cross probe also collects its touched buckets) — derive them
+    // concurrently (optimization guide §2.6, operators.Par). Both read
+    // only the pinned batch plus PRIOR-batch state (__batch < batchId),
+    // which nothing below mutates until the pair pin settles.
+    val pairSets = graft.operators.Par.run(s, parallelism = 2)(
+      () => graft.operators.DedupOps
+        .minHashNearDups(b, idCol, textCol, shingleK, nHashes, bands, threshold)
+        .select("id1", "id2"),
+      () => if (corpusExists)
+          graft.operators.DedupOps.minHashNearDupsIndexedPruned(
+              b, corpusFor, lshDir, idCol, textCol, shingleK, nHashes, bands,
+              nBuckets, threshold, nDocBuckets)
+            .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
+        else null)
+    val selfPairs = pairSets(0)
+    val crossPairs = Option(pairSets(1)).getOrElse(selfPairs.limit(0))
     val pairs = selfPairs.unionByName(crossPairs).localCheckpoint(true)
-    pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$outDir/_pairs/__batch=$batchId")
-    if (batchId % assignEvery == 0) {
-      val (prior, priorVersion) = latestAssignment(s, outDir, batchId)
-      val gapDeltas = pairDeltas(s, outDir,
-        sinceExclusive = priorVersion, untilExclusive = batchId)
-      // default partitioning, not coalesce(1): the assignment (paired
-      // docs) can be corpus-sized in the worst case, and a version
-      // directory is the read unit anyway
-      graft.operators.DedupOps
-        .nearDupClustersIncremental(prior, gapDeltas.unionByName(pairs))
-        .localCheckpoint(true)
+    // the four landings are independent write chains against DISJOINT
+    // roots — overlap them too: the assignment reads the PINNED pair
+    // frame plus on-disk deltas strictly BELOW this batch (the listing
+    // filter excludes the concurrent _pairs landing), and lsh/docs read
+    // only the pinned batch. The crash contract is unchanged in kind:
+    // every root was guarded upfront on its own evidence, every landing
+    // is an idempotent Overwrite of __batch=<this batch>, so ANY crash
+    // prefix — now any crash INTERLEAVING — converges on replay (the
+    // spec-driven recovery).
+    val landings = Seq[Option[() => Unit]](
+      Some(() => pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/_pairs/__batch=$batchId")),
+      if (batchId % assignEvery == 0) Some(() => {
+        val (prior, priorVersion) = latestAssignment(s, outDir, batchId)
+        val gapDeltas = pairDeltas(s, outDir,
+          sinceExclusive = priorVersion, untilExclusive = batchId)
+        // default partitioning, not coalesce(1): the assignment (paired
+        // docs) can be corpus-sized in the worst case, and a version
+        // directory is the read unit anyway
+        graft.operators.DedupOps
+          .nearDupClustersIncremental(prior, gapDeltas.unionByName(pairs))
+          .localCheckpoint(true)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/_assign/__batch=$batchId")
+      }) else None,
+      Some(() => lshBatch(b, batchId, lshDir, idCol, textCol, shingleK,
+        nHashes, bands, nBuckets)),
+      // co-locate each bucket into one task before partitionBy (the
+      // writeMinHashIndex small-file discipline): files per batch ==
+      // buckets present, not tasks x buckets
+      Some(() => b
+        .withColumn("db", pmod(col(idCol), lit(nDocBuckets.toLong)).cast("int"))
+        .repartition(col("db"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$outDir/_assign/__batch=$batchId")
-    }
-    lshBatch(b, batchId, lshDir, idCol, textCol, shingleK, nHashes, bands, nBuckets)
-    // co-locate each bucket into one task before partitionBy (the
-    // writeMinHashIndex small-file discipline): files per batch ==
-    // buckets present, not tasks x buckets
-    b.withColumn("db", pmod(col(idCol), lit(nDocBuckets.toLong)).cast("int"))
-      .repartition(col("db"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("db").parquet(s"$docsDir/__batch=$batchId")
+        .partitionBy("db").parquet(s"$docsDir/__batch=$batchId"))
+    ).flatten
+    graft.operators.Par.run(s, parallelism = 4)(landings: _*)
+    ()
   }
 
   /** The LIVE cluster assignment of a [[clusterIngest]] sink: the newest

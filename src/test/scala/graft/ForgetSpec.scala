@@ -545,6 +545,26 @@ class ForgetSpec extends SparkSpec {
     assert(e.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
   }
 
+  test("forgetByScan refuses ids WIDER than the artifact's key type") {
+    // an INT-keyed artifact: a LONG id like 2^32 + 5 would wrap to 5
+    // under the old narrowing cast and delete an unrelated row — the
+    // face must refuse loudly instead (ADVICE r20)
+    val dir = tmpDir()
+    Seq((1, "a"), (5, "a"), (9, "b"))
+      .toDF("k", "part").write.partitionBy("part").parquet(s"$dir/intkeyed")
+    val wideIds = Seq((1L << 32) + 5L).toDF("k")
+    val e = intercept[IllegalArgumentException](
+      ForgetOps.forgetByScan(spark, s"$dir/intkeyed", wideIds, "k", Seq("part")))
+    assert(e.getMessage.contains("WIDER"))
+    // nothing was rewritten: every row survives
+    assert(spark.read.parquet(s"$dir/intkeyed").count() == 3L)
+    // the WIDENING direction still casts and deletes exactly the id's row
+    ForgetOps.forgetByScan(spark, s"$dir/intkeyed",
+      Seq(5).toDF("k").select(col("k").cast("short").as("k")), "k", Seq("part"))
+    assert(rows(spark.read.parquet(s"$dir/intkeyed").select(col("k"))) ==
+      Seq("[1]", "[9]"))
+  }
+
   test("forgetStream drains every wired face; a forced replay is a per-face no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val d = docs()
