@@ -5872,14 +5872,32 @@ object SparkEntry {
       import graft.operators._
       import graft.streaming.StreamingOps
       val full = Tables.documents(s, dir)
+      val cells = 16
       // pin the world's inputs ONCE: ~40 actions (writes, rebuilds,
       // readback diffs) follow, and every unpinned reuse would re-scan
-      // the corpus parquet per action
-      val docs = graft.operators.Checkpoints.pin(
-        if (oracleScale(dir)) full else full.filter(col("doc_id") % 16 === 0),
-        reliable = false)
-      val ids = docs.filter(col("doc_id") % 97 === 3).localCheckpoint(true)
-      val kept = docs.filter(col("doc_id") % 97 =!= 3).localCheckpoint(true)
+      // the corpus parquet per action. The doc-side pins and the
+      // embedding-side pins + Lloyd training are INDEPENDENT eager
+      // chains — overlap the pre-work like the faces below (guide §2.6)
+      val pre = graft.operators.Par.run[Any](s, parallelism = 2)(
+        () => {
+          val docs = graft.operators.Checkpoints.pin(
+            if (oracleScale(dir)) full else full.filter(col("doc_id") % 16 === 0),
+            reliable = false)
+          (docs,
+            docs.filter(col("doc_id") % 97 === 3).localCheckpoint(true),
+            docs.filter(col("doc_id") % 97 =!= 3).localCheckpoint(true))
+        },
+        () => {
+          val allEmb = Tables.embeddings(s, dir)
+          val emb = graft.operators.Checkpoints.pin(
+            if (oracleScale(dir)) allEmb
+            else allEmb.filter(col("vec_id") % 32 === 0), reliable = false)
+          (emb,
+            emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true),
+            SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2))
+        })
+      type DF = org.apache.spark.sql.DataFrame
+      val (docs, ids, kept) = pre(0).asInstanceOf[(DF, DF, DF)]
       val dead = ids.select(col("doc_id"))
       val out = java.nio.file.Files.createTempDirectory("graft_forget_").toString
       // ONE action per artifact: the readback count and the two-sided
@@ -5911,17 +5929,12 @@ object SparkEntry {
         if (auditDiffs) { val (n, d) = auditArm(readback, truth); (name, n, d) }
         else (name, rowCount(readback), -1L)
 
-      // shared inputs, pinned/collected ONCE before the overlapped faces:
-      // the embeddings pin + trained centroids feed three faces, the
-      // media projections two
-      val allEmb = Tables.embeddings(s, dir)
-      val emb = graft.operators.Checkpoints.pin(
-        if (oracleScale(dir)) allEmb
-        else allEmb.filter(col("vec_id") % 32 === 0), reliable = false)
+      // shared inputs, pinned/collected ONCE (in `pre` above) before the
+      // overlapped faces: the embeddings pin + trained centroids feed
+      // three faces, the media projections two
+      val (emb, embKept, fullCentroids) =
+        pre(1).asInstanceOf[(DF, DF, Seq[(Int, Seq[Double])])]
       val embIds = emb.filter(col("vec_id") % 97 === 3).select(col("vec_id"))
-      val embKept = emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true)
-      val cells = 16
-      val fullCentroids = SimilarityOps.ivfCentroids(emb, k = cells, nIters = 2)
       val media = MultimodalOps.mediaFromDocuments(docs)
       val keptMedia = MultimodalOps.mediaFromDocuments(kept)
       val idsMedia = MultimodalOps.mediaFromDocuments(ids)
@@ -5937,8 +5950,10 @@ object SparkEntry {
       // chains (guide §2.6, operators.Par): FIFO scheduling back-fills
       // each chain's straggler tail with the next chain's tasks. Face
       // contents (and the audit tuples) are unchanged — heaviest chains
-      // first so the pool's tail is short.
-      val audit = graft.operators.Par.run(s, parallelism = 4)(
+      // first so the pool's tail is short. Pool of 6 over the 11 chains:
+      // each chain is mostly small driver jobs, so 6 in flight still
+      // leaves cores for every job's tasks (A/B-measured vs 4, r21).
+      val audit = graft.operators.Par.run(s, parallelism = 6)(
         // 7. exact k-NN graph: affected probes requeried vs full rebuild
         () => {
           val graph = SimilarityOps.knnGraph(emb, fullCentroids, k = 5,
@@ -6193,19 +6208,30 @@ object SparkEntry {
       import graft.streaming.StreamingOps
       val full = Tables.documents(s, dir)
       val atOracle = oracleScale(dir)
-      val docs = graft.operators.Checkpoints.pin(
-        if (atOracle) full else full.filter(col("doc_id") % 16 === 0),
-        reliable = false)
-      val kept = docs.filter(col("doc_id") % 97 =!= 3).localCheckpoint(true)
+      // doc-side and embedding-side pins are independent eager chains —
+      // overlap the pre-work (the q_forget_everywhere shape, guide §2.6)
+      val pre = graft.operators.Par.run[Any](s, parallelism = 2)(
+        () => {
+          val docs = graft.operators.Checkpoints.pin(
+            if (atOracle) full else full.filter(col("doc_id") % 16 === 0),
+            reliable = false)
+          (docs, docs.filter(col("doc_id") % 97 =!= 3).localCheckpoint(true))
+        },
+        () => {
+          val allEmb = Tables.embeddings(s, dir)
+          val emb = graft.operators.Checkpoints.pin(
+            if (atOracle) allEmb else allEmb.filter(col("vec_id") % 32 === 0),
+            reliable = false)
+          (emb, emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true))
+        })
+      type DF = org.apache.spark.sql.DataFrame
+      val (docs, kept) = pre(0).asInstanceOf[(DF, DF)]
+      val (emb, embKept) = pre(1).asInstanceOf[(DF, DF)]
       val out = java.nio.file.Files.createTempDirectory("graft_sfa_").toString
-      val allEmb = Tables.embeddings(s, dir)
-      val emb = graft.operators.Checkpoints.pin(
-        if (atOracle) allEmb else allEmb.filter(col("vec_id") % 32 === 0),
-        reliable = false)
-      val embKept = emb.filter(col("vec_id") % 97 =!= 3).localCheckpoint(true)
       // the six artifact builds are independent write chains against
-      // disjoint $out subtrees — overlap them (guide §2.6, operators.Par)
-      graft.operators.Par.run(s, parallelism = 4)(
+      // disjoint $out subtrees — overlap them (guide §2.6, operators.Par;
+      // pool 6 = all chains in flight, A/B-measured vs 4 in r21)
+      graft.operators.Par.run(s, parallelism = 6)(
         () => DedupOps.writeMinHashIndex(docs, s"$out/lsh", nBuckets = 16),
         () => MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(docs),
           s"$out/ph", nBuckets = 16),
@@ -6264,7 +6290,7 @@ object SparkEntry {
       // rebuild truths (oracle SFs only) are independent write chains —
       // overlapped like the builds above
       if (atOracle) {
-        graft.operators.Par.run(s, parallelism = 4)(
+        graft.operators.Par.run(s, parallelism = 5)(
           () => DedupOps.writeMinHashIndex(kept, s"$out/lsh2", nBuckets = 16),
           () => MultimodalOps.writePhashIndex(MultimodalOps.mediaFromDocuments(kept),
             s"$out/ph2", nBuckets = 16),
@@ -6280,7 +6306,7 @@ object SparkEntry {
       val ptCols = Seq("tok", "doc_id", "tf", "positions").map(col)
       val sqCols = Seq("id", "codes", "cell").map(col)
       // the six audit arms are independent read-only jobs — overlapped too
-      val audit = graft.operators.Par.run(s, parallelism = 4)(
+      val audit = graft.operators.Par.run(s, parallelism = 6)(
         // chunk-store truth: the kept payloads still reassemble byte-exactly
         // (digest equality needs no second store build); at bench SFs the
         // digest-frame size == distinct recipe media, counted without
